@@ -1,13 +1,37 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each operator family lives in its own module exposing
+  * `queries: Map[name, (SparkSession, sfDir) => DataFrame]` and
+  * `oracle: Map[name, duckdbSql]`; this object is the flat registry the
+  * driver consumes. Determinism rules (SURVEY.md §2.5): total ORDER BY on
+  * a unique key, decimal-exact money sums, no rand()/time functions.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    ops.AggOps.pricingSummary(spark, "/root/testdata/sf0.001")
+
+  private def modules: Seq[QueryModule] = Seq(
+    ops.AggOps
+  ) // widened as milestones land
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    modules.flatMap(_.queries).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    modules.flatMap(_.oracle).toMap
+}
+
+/** A named bundle of declared queries + their DuckDB oracle twins. */
+trait QueryModule {
+  def queries: Map[String, (SparkSession, String) => DataFrame]
+  def oracle: Map[String, String]
 }

@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Hash-agg / grouping operators (SURVEY.md §2.3 "agg" rows).
+  *
+  * Oracle-determinism discipline (SURVEY.md §2.5, §7.3-1): every monetary
+  * double is cast to DECIMAL(18,4) *before* summing — the fixture doubles
+  * are exact 2-dp values, so decimal aggregation is exact and bit-identical
+  * between Spark and DuckDB regardless of partial-aggregation order. The
+  * final column is cast back to double (nearest-double of the same exact
+  * decimal on both sides). No round() needed, so no round-tie divergence.
+  */
+object AggOps extends graft.QueryModule {
+
+  /** x as an exact DECIMAL(14,2) — fixture money columns are 2-dp exact.
+    * Width is kept small so chained decimal multiplies stay ≤ 38 digits in
+    * BOTH engines: DuckDB silently converts a decimal product wider than 38
+    * to double (observed: sum_charge mismatch at the last ulp), Spark keeps
+    * decimal — narrow inputs keep both exact. */
+  def dec(c: Column): Column = c.cast(DecimalType(14, 2))
+
+  /** rate columns (discount/tax, 2-dp exact, |x| < 10) as DECIMAL(8,4) */
+  def rate(c: Column): Column = c.cast(DecimalType(8, 4))
+
+  /** exact decimal sum surfaced as double */
+  def dsum(c: Column): Column = sum(dec(c)).cast("double")
+
+  /** deterministic avg: exact decimal sum / count, divided in double space
+    * identically on both engines. */
+  def davg(c: Column): Column =
+    sum(dec(c)).cast("double") / count(c).cast("double")
+
+  /** Flagship: TPC-H Q1-shaped pricing summary over lineitem.
+    * Generalizes the reference's agg-free relational surface per
+    * SURVEY.md §2.3 (scan→filter→agg→sort); reference evidence for the
+    * scan/filter/derive chain: 00_training_pipeline.py:129-135. */
+  def pricingSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.lineitem(spark, sfDir)
+      .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        dsum($"l_quantity").as("sum_qty"),
+        dsum($"l_extendedprice").as("sum_base_price"),
+        // round(…,6) BEFORE the double cast: keeps the decimal's scaled
+        // integer < 2^53 so DuckDB's int128/10^scale cast is exact too
+        // (at scale 10 the cast is off by 1 ulp there).
+        round(sum(dec($"l_extendedprice") * (lit(BigDecimal(1)) - rate($"l_discount"))), 6)
+          .cast("double").as("sum_disc_price"),
+        round(sum(dec($"l_extendedprice") * (lit(BigDecimal(1)) - rate($"l_discount"))
+          * (lit(BigDecimal(1)) + rate($"l_tax"))), 6).cast("double").as("sum_charge"),
+        davg($"l_quantity").as("avg_qty"),
+        davg($"l_extendedprice").as("avg_price"),
+        davg($"l_discount").as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  val pricingSummaryOracle: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(8,4)))), 6) AS DOUBLE) AS sum_disc_price,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(8,4))) * (1 + CAST(l_tax AS DECIMAL(8,4)))), 6) AS DOUBLE) AS sum_charge,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) / CAST(COUNT(l_quantity) AS DOUBLE) AS avg_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) / CAST(COUNT(l_extendedprice) AS DOUBLE) AS avg_price,
+      |  CAST(SUM(CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) / CAST(COUNT(l_discount) AS DOUBLE) AS avg_disc,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_pricing_summary" -> (pricingSummary _)
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q_agg_pricing_summary" -> pricingSummaryOracle
+  )
+}
