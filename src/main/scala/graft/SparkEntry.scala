@@ -17,7 +17,8 @@ object SparkEntry {
     ops.AggOps.pricingSummary(spark, "/root/testdata/sf0.001")
 
   private def modules: Seq[QueryModule] = Seq(
-    ops.AggOps
+    ops.AggOps, ops.ScanOps, ops.FilterOps, ops.JoinOps,
+    ops.WindowOps, ops.SortSetOps, ops.ScalarOps
   ) // widened as milestones land
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -20,7 +20,17 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame     = table(s, d, "events")
+  /** events.ts is parquet TIMESTAMP(NANOS) which Spark 4 refuses to read as
+    * a timestamp (PARQUET_TYPE_ILLEGAL). Read it as raw nanos via the legacy
+    * conf and truncate to µs ourselves. `div` (integer division) is
+    * mandatory: `/` on longs goes through double, which cannot represent
+    * ~1.7e18 ns exactly. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events")
+      .withColumn("ts", org.apache.spark.sql.functions
+        .timestamp_micros(org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

@@ -74,11 +74,70 @@ object AggOps extends graft.QueryModule {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** Exact count-distinct per group (dedup-adjacent; north-star). */
+  def countDistinctAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(countDistinct($"l_suppkey").as("n_supp"),
+        countDistinct($"l_partkey").as("n_part"),
+        count(lit(1)).as("n_rows"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** approx_count_distinct (HLL++) — declared WITHOUT oracle (SURVEY.md
+    * §2.5-4: sketch results are impl-specific); bounds property-tested in
+    * AggSpec instead. */
+  def approxDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(approx_count_distinct($"l_partkey").as("approx_parts"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** ROLLUP: hierarchical subtotals (status → priority → grand total). */
+  def rollupAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.orders(spark, sfDir)
+      .rollup($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        round(sum(dec($"o_totalprice")), 6).cast("double").as("total"))
+      .orderBy($"o_orderstatus", $"o_orderpriority")
+  }
+
+  /** CUBE: all grouping-set combinations of the two flag columns. */
+  def cubeAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.lineitem(spark, sfDir)
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n"), dsum($"l_quantity").as("sum_qty"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_agg_pricing_summary" -> (pricingSummary _)
+    "q_agg_pricing_summary" -> (pricingSummary _),
+    "q_agg_count_distinct" -> (countDistinctAgg _),
+    "q_agg_approx_distinct" -> (approxDistinct _),
+    "q_agg_rollup" -> (rollupAgg _),
+    "q_agg_cube" -> (cubeAgg _)
   )
 
   def oracle: Map[String, String] = Map(
-    "q_agg_pricing_summary" -> pricingSummaryOracle
+    "q_agg_pricing_summary" -> pricingSummaryOracle,
+    "q_agg_count_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_supp,
+        |  COUNT(DISTINCT l_partkey) AS n_part, COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_agg_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 6) AS DOUBLE) AS total
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+    "q_agg_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin
   )
 }

@@ -1,0 +1,178 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join operators, all seven flavors (SURVEY.md §2.3 "joins"; the reference
+  * has no relational joins — its only join-like construct is the
+  * orchestration-level two-input task, 01_classification_pipeline.py:156 —
+  * so these generalize that capability over the star schema).
+  *
+  * 100 TB notes per flavor:
+  *  - dims (region/nation/supplier) are broadcast — no shuffle of the fact;
+  *  - fact⋈fact equi joins shuffle on the join key and rely on AQE for
+  *    skew splitting;
+  *  - the range/as-of joins are equi on user_id FIRST (bounded fan-out
+  *    ~66 events/user at every sf) and range-filtered inside the join —
+  *    never a global theta cross-product.
+  */
+object JoinOps extends graft.QueryModule {
+
+  /** Inner equi join (shuffle hash / sort-merge — Catalyst's pick). */
+  def innerJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val orders = graft.Tables.orders(spark, sfDir)
+    val customer = graft.Tables.customer(spark, sfDir)
+    orders.join(customer, orders("o_custkey") === customer("c_custkey"), "inner")
+      .select($"o_orderkey", $"c_custkey", $"c_name", $"o_totalprice")
+      .orderBy($"o_orderkey")
+  }
+
+  /** Broadcast dim join chain: supplier ⋈ nation ⋈ broadcast(region). */
+  def broadcastJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.supplier(spark, sfDir)
+      .join(broadcast(graft.Tables.nation(spark, sfDir)),
+        $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(graft.Tables.region(spark, sfDir)),
+        $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name")
+      .agg(count(lit(1)).as("n_suppliers"),
+        AggOps.dsum($"s_acctbal").as("sum_acctbal"))
+      .orderBy($"r_name")
+  }
+
+  /** Left outer join — customers keep rows with no orders (null orderkey). */
+  def leftJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val customer = graft.Tables.customer(spark, sfDir)
+    val orders = graft.Tables.orders(spark, sfDir)
+    customer.join(orders, customer("c_custkey") === orders("o_custkey"), "left")
+      .select($"c_custkey", $"o_orderkey", $"o_totalprice")
+      .orderBy($"c_custkey", $"o_orderkey")
+  }
+
+  /** Full outer join — supplier ⋈ nation keeps nations without suppliers. */
+  def fullJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val supplier = graft.Tables.supplier(spark, sfDir)
+    val nation = graft.Tables.nation(spark, sfDir)
+    supplier.join(nation, supplier("s_nationkey") === nation("n_nationkey"), "full")
+      .select($"s_suppkey", $"s_name", $"n_nationkey", $"n_name")
+      .orderBy($"n_nationkey", $"s_suppkey")
+  }
+
+  /** Left semi = EXISTS (generalizes the O5 existence gate relationally). */
+  def semiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val customer = graft.Tables.customer(spark, sfDir)
+    val orders = graft.Tables.orders(spark, sfDir)
+    customer.join(orders, customer("c_custkey") === orders("o_custkey"), "left_semi")
+      .select($"c_custkey", $"c_name")
+      .orderBy($"c_custkey")
+  }
+
+  /** Left anti = NOT EXISTS. */
+  def antiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val customer = graft.Tables.customer(spark, sfDir)
+    val orders = graft.Tables.orders(spark, sfDir)
+    customer.join(orders, customer("c_custkey") === orders("o_custkey"), "left_anti")
+      .select($"c_custkey", $"c_name")
+      .orderBy($"c_custkey")
+  }
+
+  /** Range (theta) join: error events within 10 minutes after a purchase by
+    * the same user. Equi on user_id bounds the fan-out; the ts range is a
+    * join-condition filter, not a cross product. */
+  def rangeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, sfDir)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"ts".as("p_ts"), $"event_id".as("p_id"))
+    val errors = ev.filter($"event_type" === "error")
+      .select($"user_id".as("e_user"), $"ts".as("e_ts"), $"event_id".as("e_id"))
+    purchases.join(errors,
+        $"p_user" === $"e_user" &&
+        $"e_ts" > $"p_ts" &&
+        $"e_ts" <= $"p_ts" + expr("INTERVAL 10 MINUTES"))
+      .select($"p_user".as("user_id"), $"p_id", $"e_id")
+      .orderBy($"p_id", $"e_id")
+  }
+
+  /** As-of join: for each error event, the latest purchase by the same user
+    * at-or-before it (inner as-of: errors with no prior purchase drop).
+    * Implemented as the bounded range join + row_number pick — the same
+    * shape DuckDB's ASOF JOIN executes, but oracle-checkable via plain SQL. */
+  def asofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, sfDir)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"ts".as("p_ts"), $"event_id".as("p_id"))
+    val errors = ev.filter($"event_type" === "error")
+      .select($"user_id".as("e_user"), $"ts".as("e_ts"), $"event_id".as("e_id"))
+    val joined = errors.join(purchases,
+      $"e_user" === $"p_user" && $"p_ts" <= $"e_ts")
+    val w = Window.partitionBy($"e_id").orderBy($"p_ts".desc, $"p_id".desc)
+    joined.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"e_id", $"e_user".as("user_id"), $"p_id".as("asof_purchase_id"))
+      .orderBy($"e_id")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_inner" -> (innerJoin _),
+    "q_join_broadcast" -> (broadcastJoin _),
+    "q_join_left" -> (leftJoin _),
+    "q_join_full" -> (fullJoin _),
+    "q_join_semi" -> (semiJoin _),
+    "q_join_anti" -> (antiJoin _),
+    "q_join_range" -> (rangeJoin _),
+    "q_join_asof" -> (asofJoin _))
+
+  def oracle: Map[String, String] = Map(
+    "q_join_inner" ->
+      """SELECT o_orderkey, c_custkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_join_broadcast" ->
+      """SELECT r_name, COUNT(*) AS n_suppliers,
+        |  CAST(SUM(CAST(s_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS sum_acctbal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q_join_left" ->
+      """SELECT c_custkey, o_orderkey, o_totalprice
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |ORDER BY c_custkey, o_orderkey""".stripMargin,
+    "q_join_full" ->
+      """SELECT s_suppkey, s_name, n_nationkey, n_name
+        |FROM supplier FULL OUTER JOIN nation ON s_nationkey = n_nationkey
+        |ORDER BY n_nationkey, s_suppkey""".stripMargin,
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_range" ->
+      """SELECT p.user_id AS user_id, p.event_id AS p_id, e.event_id AS e_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type = 'error') e
+        |  ON p.user_id = e.user_id
+        | AND e.ts > p.ts AND e.ts <= p.ts + INTERVAL 10 MINUTE
+        |ORDER BY p_id, e_id""".stripMargin,
+    "q_join_asof" ->
+      """SELECT e_id, user_id, asof_purchase_id FROM (
+        |  SELECT e.event_id AS e_id, e.user_id AS user_id,
+        |         p.event_id AS asof_purchase_id,
+        |         ROW_NUMBER() OVER (PARTITION BY e.event_id
+        |                            ORDER BY p.ts DESC, p.event_id DESC) AS rn
+        |  FROM (SELECT * FROM events WHERE event_type = 'error') e
+        |  JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |    ON e.user_id = p.user_id AND p.ts <= e.ts)
+        |WHERE rn = 1 ORDER BY e_id""".stripMargin)
+}

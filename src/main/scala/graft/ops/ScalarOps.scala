@@ -1,0 +1,159 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scalar function packs (SURVEY.md §2.3 "scalar:*" + "conditional";
+  * reference D9-D14 string/array chain, D19 when/otherwise, date paths at
+  * 01_classification_pipeline.py:21).
+  *
+  * Everything here is a builtin column expression → whole-stage codegen,
+  * no UDFs on the hot path (100 TB rule). Oracle SQL is written in DuckDB's
+  * dialect where names differ (strftime, list_*, json_extract_string, ln).
+  */
+object ScalarOps extends graft.QueryModule {
+
+  /** String pack: lower/upper/trim/length/substring/concat_ws/
+    * regexp_extract/regexp_replace/split-size. */
+  def stringPack(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.part(spark, sfDir)
+      .select($"p_partkey",
+        lower($"p_name").as("lo"),
+        upper($"p_brand").as("up"),
+        length($"p_name").as("len"),
+        substring($"p_name", 1, 5).as("sub5"),
+        concat_ws("|", $"p_name", $"p_type").as("joined"),
+        regexp_extract($"p_brand", "#(\\d+)", 1).as("brand_num"),
+        regexp_replace($"p_name", "\\s+", "_").as("snake"),
+        size(split($"p_name", " ")).as("n_words"))
+      .orderBy($"p_partkey")
+  }
+
+  /** Date/time pack on orders (D2 epoch window, MM-dd-yyyy paths). */
+  def datePack(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.orders(spark, sfDir)
+      .select($"o_orderkey",
+        date_format($"o_orderdate", "MM-dd-yyyy").as("mdy"),
+        year($"o_orderdate").as("y"),
+        month($"o_orderdate").as("m"),
+        dayofmonth($"o_orderdate").as("d"),
+        date_format(date_add($"o_orderdate", 30), "yyyy-MM-dd").as("plus30"),
+        datediff(lit("2002-01-01").cast("date"), $"o_orderdate").as("days_to_2002"),
+        date_format(date_trunc("month", $"o_orderdate"), "yyyy-MM-dd").as("month_start"),
+        unix_timestamp($"o_orderdate").as("epoch_s"))
+      .orderBy($"o_orderkey")
+  }
+
+  /** Math pack on part. ln is rounded to 6dp before compare (libm parity). */
+  def mathPack(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.part(spark, sfDir)
+      .select($"p_partkey",
+        abs($"p_size" - 25).as("abs_off"),
+        ceil($"p_retailprice").as("ceil_price"),
+        floor($"p_retailprice").as("floor_price"),
+        pmod($"p_partkey", lit(7)).as("mod7"),
+        round(sqrt($"p_size"), 6).as("sqrt_size"),
+        round(log($"p_retailprice"), 6).as("ln_price"))
+      .orderBy($"p_partkey")
+  }
+
+  /** Array pack over whitespace tokens of documents.text (D10-D14 family). */
+  def arrayPack(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.documents(spark, sfDir)
+      .withColumn("toks", split($"text", " "))
+      .select($"doc_id",
+        size($"toks").as("n_tokens"),
+        size(array_distinct($"toks")).as("n_unique"),
+        array_contains($"toks", "spark").as("has_spark"),
+        size(filter($"toks", t => length(t) > 4)).as("n_long"),
+        array_join(transform(slice($"toks", 1, 3), t => upper(t)), " ")
+          .as("first3_upper"))
+      .orderBy($"doc_id")
+  }
+
+  /** JSON pack on events.props (north-star multimodal metadata; §7.3-7). */
+  def jsonPack(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.events(spark, sfDir)
+      .select($"event_id",
+        get_json_object($"props", "$.k").cast("int").as("k"),
+        get_json_object($"props", "$.missing").as("absent"))
+      .orderBy($"event_id")
+  }
+
+  /** Conditional pack: when/otherwise chain (D19), coalesce/nullif (D8). */
+  def conditionalPack(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.events(spark, sfDir)
+      .select($"event_id",
+        when($"event_type" === "purchase", "buy")
+          .when($"event_type" === "signup", "join")
+          .otherwise("other").as("kind"),
+        coalesce(nullif($"event_type", lit("error")), lit("(err)")).as("nn"),
+        when($"value" > 100, $"value").otherwise(lit(0.0)).as("big_value"))
+      .orderBy($"event_id")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scalar_string" -> (stringPack _),
+    "q_scalar_date" -> (datePack _),
+    "q_scalar_math" -> (mathPack _),
+    "q_scalar_array" -> (arrayPack _),
+    "q_scalar_json" -> (jsonPack _),
+    "q_scalar_conditional" -> (conditionalPack _))
+
+  def oracle: Map[String, String] = Map(
+    "q_scalar_string" ->
+      """SELECT p_partkey,
+        |  lower(p_name) AS lo, upper(p_brand) AS up,
+        |  length(p_name) AS len, substring(p_name, 1, 5) AS sub5,
+        |  concat_ws('|', p_name, p_type) AS joined,
+        |  regexp_extract(p_brand, '#(\d+)', 1) AS brand_num,
+        |  regexp_replace(p_name, '\s+', '_', 'g') AS snake,
+        |  len(string_split(p_name, ' ')) AS n_words
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_scalar_date" ->
+      """SELECT o_orderkey,
+        |  strftime(o_orderdate, '%m-%d-%Y') AS mdy,
+        |  year(o_orderdate) AS y, month(o_orderdate) AS m, day(o_orderdate) AS d,
+        |  strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30,
+        |  datediff('day', o_orderdate, DATE '2002-01-01') AS days_to_2002,
+        |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_scalar_math" ->
+      """SELECT p_partkey,
+        |  abs(p_size - 25) AS abs_off,
+        |  CAST(ceil(p_retailprice) AS BIGINT) AS ceil_price,
+        |  CAST(floor(p_retailprice) AS BIGINT) AS floor_price,
+        |  p_partkey % 7 AS mod7,
+        |  round(sqrt(p_size), 6) AS sqrt_size,
+        |  round(ln(p_retailprice), 6) AS ln_price
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_scalar_array" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  len(list_distinct(string_split(text, ' '))) AS n_unique,
+        |  list_contains(string_split(text, ' '), 'spark') AS has_spark,
+        |  len(list_filter(string_split(text, ' '), t -> length(t) > 4)) AS n_long,
+        |  array_to_string(list_transform(string_split(text, ' ')[1:3],
+        |                                 t -> upper(t)), ' ') AS first3_upper
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_scalar_json" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k,
+        |  json_extract_string(props, '$.missing') AS absent
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_scalar_conditional" ->
+      """SELECT event_id,
+        |  CASE WHEN event_type = 'purchase' THEN 'buy'
+        |       WHEN event_type = 'signup' THEN 'join'
+        |       ELSE 'other' END AS kind,
+        |  COALESCE(NULLIF(event_type, 'error'), '(err)') AS nn,
+        |  CASE WHEN value > 100 THEN value ELSE 0.0 END AS big_value
+        |FROM events ORDER BY event_id""".stripMargin)
+}

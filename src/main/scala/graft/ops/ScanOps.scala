@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Scan/sink operators (SURVEY.md §2.3 "scans"/"sinks"; reference D6/D7/D27
+  * — csv scan/sink at 00_training_pipeline.py:129-132, partition config at
+  * 00_training_pipeline.py:123-125).
+  *
+  * 100 TB notes: explicit schemas on every scan (never infer on the hot
+  * path); parquet for anything large; csv only at ingest boundaries. The
+  * csv/partitioned queries roundtrip through a deterministic temp dir so the
+  * DuckDB oracle (which only sees the fixture parquet) can still check them:
+  * a lossless roundtrip must equal the source table.
+  */
+object ScanOps extends graft.QueryModule {
+
+  private def tmpDir(tag: String, sfDir: String): String = {
+    val key = java.lang.Integer.toHexString(sfDir.hashCode)
+    s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip/${tag}_$key"
+  }
+
+  /** Explicit-schema parquet scan: schema declared, not inferred; Catalyst
+    * prunes to the 4 projected columns (check ReadSchema in explain). */
+  def scanParquet(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("l_orderkey", LongType),
+      StructField("l_partkey", LongType),
+      StructField("l_suppkey", LongType),
+      StructField("l_linenumber", IntegerType),
+      StructField("l_quantity", DoubleType),
+      StructField("l_extendedprice", DoubleType),
+      StructField("l_discount", DoubleType),
+      StructField("l_tax", DoubleType),
+      StructField("l_returnflag", StringType),
+      StructField("l_linestatus", StringType),
+      StructField("l_shipdate", TimestampType)))
+    spark.read.schema(schema).parquet(s"$sfDir/lineitem.parquet")
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_returnflag")
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  /** CSV sink+scan roundtrip (reference `;`-delimited header csv, D6/D7):
+    * write customer as `;`-csv, read it back with an explicit schema and
+    * multiLine quoting. Equal to the source table iff the roundtrip is
+    * lossless, which is exactly what the oracle asserts. */
+  def csvRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val path = tmpDir("customer_csv", sfDir)
+    graft.Tables.customer(spark, sfDir)
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+      .write.mode("overwrite")
+      .option("header", true).option("delimiter", ";").csv(path)
+    val schema = StructType(Seq(
+      StructField("c_custkey", LongType),
+      StructField("c_name", StringType),
+      StructField("c_mktsegment", StringType)))
+    spark.read.schema(schema)
+      .option("header", true).option("delimiter", ";")
+      .option("multiLine", true).csv(path)
+      .orderBy($"c_custkey")
+  }
+
+  /** Partitioned parquet write (D27's dynamic-partition intent done the
+    * Spark way: write.partitionBy) then a partition-pruned scan: only the
+    * l_returnflag='R' directory is read back (PartitionFilters in explain). */
+  def partitionedWrite(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val path = tmpDir("lineitem_part", sfDir)
+    graft.Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_returnflag")
+      .write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
+    spark.read.parquet(path)
+      .filter($"l_returnflag" === "R")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        AggOps.dsum($"l_quantity").as("sum_qty"))
+      .orderBy($"l_returnflag")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scan_parquet" -> (scanParquet _),
+    "q_scan_csv_roundtrip" -> (csvRoundtrip _),
+    "q_sink_partitioned_write" -> (partitionedWrite _))
+
+  def oracle: Map[String, String] = Map(
+    "q_scan_parquet" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_scan_csv_roundtrip" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_sink_partitioned_write" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_returnflag = 'R'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+}

@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sort / top-k / set / dedup operators (SURVEY.md §2.3 "sort/limit",
+  * "set ops", "dedup"; reference D3 union at 00_training_pipeline.py:33,
+  * D5 limit at 00_training_pipeline.py:40).
+  *
+  * Scale: top-k uses orderBy(...).limit(k) which Spark executes as
+  * TakeOrderedAndProject — per-partition heaps + driver merge of k rows,
+  * never a global sort. Set ops shuffle on full-row hash; dedup-by-key is
+  * a window pick (deterministic) not dropDuplicates (arbitrary row).
+  */
+object SortSetOps extends graft.QueryModule {
+
+  /** Top-k: highest-value orders, unique tiebreak on orderkey.
+    * Physical plan must be TakeOrderedAndProject, not Sort+Limit. */
+  def topK(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.orders(spark, sfDir)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .limit(100)
+  }
+
+  /** Union-all of per-class slices (D3: reduce(append) over frames). */
+  def unionAll(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val c = graft.Tables.customer(spark, sfDir)
+    val slices = Seq("BUILDING", "MACHINERY", "AUTOMOBILE")
+      .map(s => c.filter($"c_mktsegment" === s)
+        .select($"c_custkey", $"c_mktsegment"))
+    slices.reduce(_ unionByName _).orderBy($"c_custkey")
+  }
+
+  /** Union distinct of two overlapping key ranges. */
+  def unionDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val o = graft.Tables.orders(spark, sfDir)
+    val a = o.filter($"o_custkey" < 100).select($"o_custkey")
+    val b = o.filter($"o_custkey".between(50, 150)).select($"o_custkey")
+    a.union(b).distinct().orderBy($"o_custkey")
+  }
+
+  /** Intersect (distinct semantics, same as SQL INTERSECT). */
+  def intersectOp(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val c = graft.Tables.customer(spark, sfDir)
+    val withOrders = graft.Tables.orders(spark, sfDir)
+      .select($"o_custkey".as("c_custkey"))
+    c.select($"c_custkey").intersect(withOrders).orderBy($"c_custkey")
+  }
+
+  /** Except (distinct semantics, same as SQL EXCEPT). */
+  def exceptOp(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val c = graft.Tables.customer(spark, sfDir)
+    val withOrders = graft.Tables.orders(spark, sfDir)
+      .select($"o_custkey".as("c_custkey"))
+    c.select($"c_custkey").except(withOrders).orderBy($"c_custkey")
+  }
+
+  /** Deterministic dedup-by-key: earliest order per customer. A window
+    * row_number pick, NOT dropDuplicates (which keeps an arbitrary row and
+    * would be nondeterministic under shuffle). */
+  def dedupFirstPerKey(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate", $"o_orderkey")
+    graft.Tables.orders(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"o_custkey", $"o_orderkey".as("first_orderkey"),
+        $"o_totalprice".as("first_totalprice"))
+      .orderBy($"o_custkey")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sort_topk" -> (topK _),
+    "q_set_union_all" -> (unionAll _),
+    "q_set_union_distinct" -> (unionDistinct _),
+    "q_set_intersect" -> (intersectOp _),
+    "q_set_except" -> (exceptOp _),
+    "q_dedup_first_per_key" -> (dedupFirstPerKey _))
+
+  def oracle: Map[String, String] = Map(
+    "q_sort_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q_set_union_all" ->
+      """SELECT c_custkey, c_mktsegment FROM customer WHERE c_mktsegment = 'BUILDING'
+        |UNION ALL
+        |SELECT c_custkey, c_mktsegment FROM customer WHERE c_mktsegment = 'MACHINERY'
+        |UNION ALL
+        |SELECT c_custkey, c_mktsegment FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+        |ORDER BY c_custkey""".stripMargin,
+    "q_set_union_distinct" ->
+      """SELECT o_custkey FROM orders WHERE o_custkey < 100
+        |UNION
+        |SELECT o_custkey FROM orders WHERE o_custkey BETWEEN 50 AND 150
+        |ORDER BY o_custkey""".stripMargin,
+    "q_set_intersect" ->
+      """SELECT c_custkey FROM customer
+        |INTERSECT SELECT o_custkey FROM orders
+        |ORDER BY c_custkey""".stripMargin,
+    "q_set_except" ->
+      """SELECT c_custkey FROM customer
+        |EXCEPT SELECT o_custkey FROM orders
+        |ORDER BY c_custkey""".stripMargin,
+    "q_dedup_first_per_key" ->
+      """SELECT o_custkey, first_orderkey, first_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey AS first_orderkey,
+        |         o_totalprice AS first_totalprice,
+        |         ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_orderdate, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin)
+}

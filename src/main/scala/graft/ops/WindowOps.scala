@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window operators (SURVEY.md §2.3 "window" rows): ranking, analytic,
+  * explicit frames. No reference equivalent (its relational surface has no
+  * windows) — declared as part of the capability closure.
+  *
+  * Determinism: every ORDER BY inside a window carries a unique tiebreaker
+  * column, otherwise rank/lag results are permutation-dependent.
+  * Scale: windows shuffle once on partitionBy keys; partition-local sort
+  * after that. partitionBy cardinality (mktsegment=5, user≈sf*1500,
+  * custkey) keeps per-partition state bounded.
+  */
+object WindowOps extends graft.QueryModule {
+
+  /** row_number / rank / dense_rank / ntile over a value ordering. */
+  def ranking(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"c_mktsegment")
+      .orderBy($"c_acctbal".desc, $"c_custkey")
+    graft.Tables.customer(spark, sfDir)
+      .select($"c_custkey", $"c_mktsegment", $"c_acctbal",
+        row_number().over(w).as("rn"),
+        rank().over(w).as("rk"),
+        dense_rank().over(w).as("drk"),
+        ntile(4).over(w).as("quartile"))
+      .orderBy($"c_custkey")
+  }
+
+  /** lag / lead / first / last per user ordered by event time. */
+  def analytic(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    graft.Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"value",
+        lag($"value", 1).over(w).as("prev_value"),
+        lead($"value", 1).over(w).as("next_value"),
+        first($"value").over(w).as("first_value"),
+        last($"value").over(w).as("last_value"))
+      .orderBy($"event_id")
+  }
+
+  /** Explicit frame: running total per customer (decimal-exact then cast —
+    * same discipline as AggOps). */
+  def runningSum(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate", $"o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    graft.Tables.orders(spark, sfDir)
+      .select($"o_orderkey", $"o_custkey",
+        sum(AggOps.dec($"o_totalprice")).over(w).cast("double")
+          .as("running_total"))
+      .orderBy($"o_orderkey")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_ranking" -> (ranking _),
+    "q_window_analytic" -> (analytic _),
+    "q_window_running_sum" -> (runningSum _))
+
+  def oracle: Map[String, String] = Map(
+    "q_window_ranking" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        |  ROW_NUMBER() OVER w AS rn, RANK() OVER w AS rk,
+        |  DENSE_RANK() OVER w AS drk, NTILE(4) OVER w AS quartile
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_window_analytic" ->
+      """SELECT event_id, user_id, value,
+        |  LAG(value, 1) OVER w AS prev_value,
+        |  LEAD(value, 1) OVER w AS next_value,
+        |  FIRST_VALUE(value) OVER w AS first_value,
+        |  LAST_VALUE(value) OVER w AS last_value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
+    "q_window_running_sum" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS running_total
+        |FROM orders ORDER BY o_orderkey""".stripMargin)
+}
