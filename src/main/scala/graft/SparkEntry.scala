@@ -18,7 +18,8 @@ object SparkEntry {
 
   private def modules: Seq[QueryModule] = Seq(
     ops.AggOps, ops.ScanOps, ops.FilterOps, ops.JoinOps,
-    ops.WindowOps, ops.SortSetOps, ops.ScalarOps
+    ops.WindowOps, ops.SortSetOps, ops.ScalarOps,
+    text.TextOps
   ) // widened as milestones land
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,174 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-pipeline operators (SURVEY.md §2.4 + reference D8-D15: the Clean
+  * chain at 00_training_pipeline.py:77-89 / 01_classification_pipeline.py:104-122).
+  *
+  * The chain is pure column expressions end-to-end (codegen-friendly) except
+  * the Porter2 stem, which is a Scala UDF applied LAST, after stopword
+  * filtering has shrunk the token stream (100 TB rule: UDF cost scales with
+  * surviving tokens only).
+  *
+  * Tokenization note: Python's re `\w+` (reference tokenizer) is
+  * unicode-aware; Java's default is ASCII-only, so the Spark side uses the
+  * embedded (?U) flag for parity. The DuckDB oracle twin uses RE2 `\w+`
+  * (also unicode) — identical on the fixture corpus.
+  */
+object TextOps extends graft.QueryModule {
+
+  /** lower → \w+ tokenize → NLTK-stopword filter (D9-D12), as columns. */
+  def cleanTokens(text: Column): Column = {
+    val toks = regexp_extract_all(lower(text), lit("(?U)\\w+"), lit(0))
+    filter(toks, t => !t.isin(Stopwords.tokensOnly: _*))
+  }
+
+  private val stemArrayUdf =
+    udf((toks: Seq[String]) => if (toks == null) null else toks.map(Porter2.stem))
+
+  /** full reference Clean: tokens → stem → space-join (D13-D14). */
+  def cleanedWords(text: Column): Column =
+    array_join(stemArrayUdf(cleanTokens(text)), " ")
+
+  /** q_text_clean — oracle-checkable part of the chain (stemming excluded;
+    * SURVEY.md §2.4 pins the stopword list inline on both sides). */
+  def textClean(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        array_join(cleanTokens($"text"), " ").as("cleaned_nostem"))
+      .orderBy($"doc_id")
+  }
+
+  /** q_text_clean_stemmed — the complete reference chain incl. Porter2.
+    * No oracle (DuckDB has no Snowball); golden-tested against the
+    * reference's own daily/<date>/cleaned.csv in TextCleanGoldenSpec. */
+  def textCleanStemmed(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", cleanedWords($"text").as("cleaned_words"))
+      .orderBy($"doc_id")
+  }
+
+  /** q_text_token_stats — corpus term analytics: per-token total count +
+    * document frequency, top 100 (count desc, token tiebreak). */
+  def tokenStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", explode(split($"text", " ")).as("token"))
+      .groupBy($"token")
+      .agg(count(lit(1)).as("n"), countDistinct($"doc_id").as("df"))
+      .orderBy($"n".desc, $"token")
+      .limit(100)
+  }
+
+  /** q_text_token_count — whitespace tokens + BPE-ish regex token count
+    * (letters runs / digit runs / punctuation runs, the usual pre-tokenizer
+    * shape) per doc. */
+  def tokenCount(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        size(split($"text", " ")).as("ws_tokens"),
+        size(expr(
+          "regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\\\s]+', 0)"))
+          .as("bpe_ish_tokens"))
+      .orderBy($"doc_id")
+  }
+
+  /** q_text_quality — heuristic quality scoring: length, stopword ratio,
+    * unique-token ratio, mean token length (all exact-arithmetic so the
+    * oracle twin matches bit-for-bit after round(,6)). */
+  def quality(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = split($"text", " ")
+    val nTok = size(toks).cast("double")
+    val nStop = size(filter(toks, t => t.isin(Stopwords.tokensOnly: _*)))
+      .cast("double")
+    val nUniq = size(array_distinct(toks)).cast("double")
+    graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"n_chars",
+        size(toks).as("n_tokens"),
+        round(nStop / nTok, 6).as("stopword_ratio"),
+        round(nUniq / nTok, 6).as("unique_ratio"),
+        round(length(regexp_replace($"text", " ", "")).cast("double") / nTok, 6)
+          .as("mean_token_len"))
+      .orderBy($"doc_id")
+  }
+
+  /** q_text_fingerprint — document fingerprint: sha2-256 over
+    * whitespace-normalized lowercase text (exact-dedup key; north star). */
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        sha2(regexp_replace(lower($"text"), "\\s+", " "), 256).as("fp"))
+      .orderBy($"doc_id")
+  }
+
+  /** q_text_langid — n-gram/markers language ID heuristic. Declared without
+    * oracle (heuristic, not SQL-portable); shape-tested in TextOpsSpec.
+    * Scores each language by marker-token hits; deterministic argmax. */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val markers: Map[String, Seq[String]] = Map(
+      "en" -> Seq("the", "and", "of", "to", "is", "a"),
+      "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+      "fr" -> Seq("le", "la", "les", "et", "est", "une"),
+      "es" -> Seq("el", "los", "las", "es", "una", "y"),
+      "zh" -> Seq("de", "shi", "le", "bu", "wo", "zai"))
+    val toks = split(lower($"text"), " ")
+    val scores = markers.toSeq.sortBy(_._1).map { case (langName, ws) =>
+      struct(size(filter(toks, t => t.isin(ws: _*))).as("score"),
+        lit(langName).as("lang"))
+    }
+    graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang".as("labeled_lang"),
+        greatest(scores: _*).getField("lang").as("predicted_lang"))
+      .orderBy($"doc_id")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_clean" -> (textClean _),
+    "q_text_clean_stemmed" -> (textCleanStemmed _),
+    "q_text_token_stats" -> (tokenStats _),
+    "q_text_token_count" -> (tokenCount _),
+    "q_text_quality" -> (quality _),
+    "q_text_fingerprint" -> (fingerprint _),
+    "q_text_langid" -> (langId _))
+
+  def oracle: Map[String, String] = Map(
+    "q_text_clean" ->
+      s"""SELECT doc_id,
+         |  array_to_string(list_filter(regexp_extract_all(lower(text), '\\w+'),
+         |    t -> NOT list_contains(${Stopwords.duckdbArray}, t)), ' ')
+         |    AS cleaned_nostem
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_token_stats" ->
+      """SELECT token, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS df FROM (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents)
+        |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin,
+    "q_text_token_count" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+'))
+        |    AS bpe_ish_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_quality" ->
+      s"""SELECT doc_id, n_chars,
+         |  len(string_split(text, ' ')) AS n_tokens,
+         |  round(CAST(len(list_filter(string_split(text, ' '),
+         |      t -> list_contains(${Stopwords.duckdbArray}, t))) AS DOUBLE)
+         |    / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS stopword_ratio,
+         |  round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         |    / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS unique_ratio,
+         |  round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+         |    / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS mean_token_len
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_fingerprint" ->
+      """SELECT doc_id,
+        |  sha256(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}
