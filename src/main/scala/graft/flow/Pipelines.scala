@@ -1,0 +1,181 @@
+package graft.flow
+
+import java.time.LocalDate
+import java.time.format.DateTimeFormatter
+import org.apache.spark.ml.{Pipeline, PipelineModel}
+import org.apache.spark.ml.classification.DecisionTreeClassifier
+import org.apache.spark.ml.feature.{HashingTF, Tokenizer}
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** The reference's two pipelines, rebuilt on the graft orchestrator
+  * (SURVEY.md §7.1 M3) against fixture data:
+  *
+  *   training: Ingest -> CleanTrain -> TrainModel
+  *     (reference 00_training_pipeline.py: Download -> Clean -> TrainModel)
+  *   daily:    Fetch(date) -> CleanDaily(date) -> Classify(date)
+  *     with Classify requiring [ModelExists(version), CleanDaily] (O2/O5;
+  *     reference 01_classification_pipeline.py:155-156)
+  *
+  * `sourceDir` stands in for the Reddit API (D1): per-date golden
+  * `roh.csv` fixtures. All intermediate artifacts are Spark csv/parquet
+  * directory targets written atomically — the reference's driver-side
+  * pandas sinks (D6, D26) are deliberately NOT reproduced; executors write.
+  *
+  * Model: Tokenizer -> HashingTF(numFeatures=1000, binary=false) ->
+  * DecisionTreeClassifier(gini, maxDepth=5, maxBins=32) — exactly the
+  * persisted stage config of the reference model
+  * (model/1/model/stages metadata; 00_training_pipeline.py:137-141).
+  */
+final case class FlowConfig(baseDir: String, sourceDir: String,
+                            version: Int = 1, limit: Int = 500)
+
+object Pipelines {
+  private val fmt = DateTimeFormatter.ofPattern("MM-dd-yyyy")
+
+  private def readSemiCsv(spark: SparkSession, path: String) =
+    graft.text.Clean.readRohCsv(spark, path)
+
+  private def writeSemiCsv(df: org.apache.spark.sql.DataFrame, dir: String): Unit =
+    df.coalesce(1).write.option("header", true).option("delimiter", ";")
+      .option("escape", "\"").csv(dir)
+
+  // ---- training pipeline ------------------------------------------------
+
+  /** Download-equivalent (D1/D3/D4/D5): union the per-class slices of every
+    * available source day, capped at `limit` rows per class. */
+  final case class Ingest(cfg: FlowConfig) extends Task {
+    val output: DirTarget = DirTarget(s"${cfg.baseDir}/model/${cfg.version}/raw.csv")
+    def run(spark: SparkSession): Unit = {
+      import spark.implicits._
+      val days = new java.io.File(cfg.sourceDir).listFiles()
+        .filter(_.isDirectory).map(_.getName).sorted
+      val perClass = Seq("datascience", "gameofthrones").map { cls =>
+        days.map(d => readSemiCsv(spark, s"${cfg.sourceDir}/$d/roh.csv"))
+          .reduce(_ unionByName _)
+          .filter($"subreddit" === cls)
+          .limit(cfg.limit)
+      }
+      output.atomicWrite(tmp => writeSemiCsv(perClass.reduce(_ unionByName _), tmp))
+    }
+  }
+
+  /** Clean for training (D8-D15): the full text.Clean chain. */
+  final case class CleanTrain(cfg: FlowConfig) extends Task {
+    override val requires: Seq[Task] = Seq(Ingest(cfg))
+    val output: DirTarget = DirTarget(s"${cfg.baseDir}/model/${cfg.version}/cleaned.csv")
+    def run(spark: SparkSession): Unit = {
+      val raw = readSemiCsv(spark, requires.head.output.uri)
+      output.atomicWrite(tmp => writeSemiCsv(graft.text.Clean(raw), tmp))
+    }
+  }
+
+  /** D16-D24: label via LIKE-cast, seeded 0.8/0.2 split, ml.Pipeline fit,
+    * versioned model artifact. */
+  final case class TrainModel(cfg: FlowConfig) extends Task {
+    override val requires: Seq[Task] = Seq(CleanTrain(cfg))
+    val output: DirTarget = DirTarget(s"${cfg.baseDir}/model/${cfg.version}/model")
+    def run(spark: SparkSession): Unit = {
+      import spark.implicits._
+      val data = readSemiCsvCleaned(spark, requires.head.output.uri)
+        .withColumn("label", $"subreddit".like("datascience").cast("double"))
+      val Array(train, _) = data.randomSplit(Array(0.8, 0.2), seed = 42L)
+      val pipeline = new Pipeline().setStages(Array(
+        new Tokenizer().setInputCol("cleaned_words").setOutputCol("tokenized"),
+        new HashingTF().setInputCol("tokenized").setOutputCol("features")
+          .setNumFeatures(1000).setBinary(false),
+        new DecisionTreeClassifier().setLabelCol("label")
+          .setFeaturesCol("features").setImpurity("gini")
+          .setMaxDepth(5).setMaxBins(32)))
+      val model = pipeline.fit(train.na.fill("", Seq("cleaned_words")))
+      output.atomicWrite(tmp => model.write.overwrite().save(tmp))
+    }
+  }
+
+  private def readSemiCsvCleaned(spark: SparkSession, path: String) =
+    spark.read.schema("id STRING, cleaned_words STRING, subreddit STRING")
+      .option("header", true).option("delimiter", ";")
+      .option("multiLine", true).option("escape", "\"").csv(path)
+
+  // ---- daily pipeline ---------------------------------------------------
+
+  /** Reddit-pull stand-in for one day (D1/D2): the per-date fixture. */
+  final case class Fetch(cfg: FlowConfig, date: LocalDate) extends Task {
+    override def name = s"Fetch(${date.format(fmt)})"
+    val output: DirTarget = DirTarget(s"${cfg.baseDir}/daily/${date.format(fmt)}/roh.csv")
+    def run(spark: SparkSession): Unit = {
+      val src = s"${cfg.sourceDir}/${date.format(fmt)}/roh.csv"
+      output.atomicWrite(tmp => writeSemiCsv(readSemiCsv(spark, src), tmp))
+    }
+  }
+
+  final case class CleanDaily(cfg: FlowConfig, date: LocalDate) extends Task {
+    override def name = s"Clean(${date.format(fmt)})"
+    override val requires: Seq[Task] = Seq(Fetch(cfg, date))
+    val output: DirTarget = DirTarget(s"${cfg.baseDir}/daily/${date.format(fmt)}/cleaned.csv")
+    def run(spark: SparkSession): Unit = {
+      val raw = readSemiCsv(spark, requires.head.output.uri)
+      output.atomicWrite(tmp => writeSemiCsv(graft.text.Clean(raw), tmp))
+    }
+  }
+
+  /** Cross-pipeline sensor on the training pipeline's artifact (O5). */
+  final case class ModelExists(cfg: FlowConfig) extends ExternalTask {
+    val output: ExternalTarget =
+      ExternalTarget(s"${cfg.baseDir}/model/${cfg.version}/model")
+  }
+
+  /** D25/D19/D26: load versioned model, score, map labels, publish.
+    * Positional multi-input access (O2): requires(0)=model, requires(1)=cleaned. */
+  final case class Classify(cfg: FlowConfig, date: LocalDate) extends Task {
+    override def name = s"Classify(${date.format(fmt)})"
+    override val requires: Seq[Task] =
+      Seq(ModelExists(cfg), CleanDaily(cfg, date))
+    val output: DirTarget = DirTarget(s"${cfg.baseDir}/daily/${date.format(fmt)}/ergebnis.csv")
+    def run(spark: SparkSession): Unit = {
+      import spark.implicits._
+      val model = PipelineModel.load(requires(0).output.uri)
+      val cleaned = readSemiCsvCleaned(spark, requires(1).output.uri)
+        .na.fill("", Seq("cleaned_words"))
+      val scored = model.transform(cleaned)
+        .select($"id", $"subreddit",
+          vector_to_array($"probability").cast("string").as("probability"),
+          $"prediction",
+          when($"prediction" === 1, "datascience")
+            .otherwise("gameofthrones").as("prediction_label"))
+      output.atomicWrite(tmp => writeSemiCsv(scored, tmp))
+    }
+  }
+}
+
+/** Pipeline launch CLI (O9; reference run_pipeline.sh):
+  *   graft.flow.Main train --base DIR --source DIR [--version N] [--limit N]
+  *   graft.flow.Main classify --base DIR --source DIR --stop MM-dd-yyyy --days-back N
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    val cmd = args.headOption.getOrElse(sys.error("usage: train|classify ..."))
+    val opts = args.drop(1).sliding(2, 2)
+      .collect { case Array(k, v) => k.stripPrefix("--") -> v }.toMap
+    val cfg = FlowConfig(opts("base"), opts("source"),
+      opts.getOrElse("version", "1").toInt, opts.getOrElse("limit", "500").toInt)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val log = (s: String) => println(s"[graft.flow] $s")
+    cmd match {
+      case "train" => Runner.run(Pipelines.TrainModel(cfg), spark, log)
+      case "classify" =>
+        val fmt = DateTimeFormatter.ofPattern("MM-dd-yyyy")
+        val stop = LocalDate.parse(opts("stop"), fmt)
+        Runner.backfill(d => Pipelines.Classify(cfg, d), stop,
+          opts.getOrElse("days-back", "4").toInt, spark, reverse = true, log)
+      case other => sys.error(s"unknown command $other")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,33 @@
+package graft.flow
+
+import org.apache.spark.sql.SparkSession
+
+/** A node in the dependency DAG (Luigi `Task` semantics, SURVEY.md §2.1).
+  *
+  *  - O1: `requires` declares upstream edges; upstream must be COMPLETE
+  *    (target exists) before `run` (reference 00_training_pipeline.py:65-66).
+  *  - O2: multi-dependency with positional input access — downstream reads
+  *    `requires(i).output.uri` (reference 01_classification_pipeline.py:156,182,185).
+  *  - O3: a task is complete iff its output exists; complete tasks are
+  *    skipped on re-run (idempotent backfill).
+  *  - O6: parameterization is plain case-class constructor args flowing
+  *    into target paths (reference `version`/`limit`/`date` params).
+  *  - O8: the reference isolates each Spark task in its own spark-submit
+  *    process (PySparkTask); our tasks receive a shared SparkSession per
+  *    the driver contract — at cluster scale the Runner could fork, the
+  *    Task API is agnostic.
+  */
+trait Task {
+  def name: String = getClass.getSimpleName.stripSuffix("$")
+  def requires: Seq[Task] = Seq.empty
+  def output: Target
+  def run(spark: SparkSession): Unit
+  final def complete: Boolean = output.exists
+}
+
+/** External-artifact sensor (O5): no work, just gate on existence. */
+abstract class ExternalTask extends Task {
+  final def run(spark: SparkSession): Unit =
+    throw new IllegalStateException(
+      s"external dependency missing: ${output.uri} (produced by another pipeline)")
+}

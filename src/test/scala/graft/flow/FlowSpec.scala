@@ -1,0 +1,93 @@
+package graft.flow
+
+import java.nio.file.{Files, Paths}
+import java.time.LocalDate
+import graft.SparkTestBase
+import org.apache.spark.sql.SparkSession
+
+/** Orchestrator integration tests (SURVEY.md §5.2 "orchestrator" row):
+  * end-to-end pipelines over the reference golden fixtures, idempotent
+  * re-runs, external-sensor gating, atomic-write crash safety, backfill
+  * expansion order, cycle detection. */
+class FlowSpec extends SparkTestBase {
+
+  private def goldenDir: String =
+    getClass.getResource("/golden").getPath
+
+  private def freshCfg(): FlowConfig =
+    FlowConfig(Files.createTempDirectory("graft_flow").toString, goldenDir,
+      version = 1, limit = 500)
+
+  test("training pipeline runs end-to-end and re-run is a no-op") {
+    val cfg = freshCfg()
+    val executed = Runner.run(Pipelines.TrainModel(cfg), spark)
+    assert(executed == Seq("Ingest", "CleanTrain", "TrainModel"))
+    assert(Pipelines.TrainModel(cfg).complete)
+    // idempotent skip (O3)
+    assert(Runner.run(Pipelines.TrainModel(cfg), spark).isEmpty)
+  }
+
+  test("daily backfill: newest-first, only-missing, cross-pipeline gate") {
+    val cfg = freshCfg()
+    // without the model, Classify's ModelExists sensor must refuse (O5)
+    val err = intercept[IllegalStateException] {
+      Runner.run(Pipelines.Classify(cfg, LocalDate.of(2018, 2, 19)), spark)
+    }
+    assert(err.getMessage.contains("external dependency missing"))
+
+    Runner.run(Pipelines.TrainModel(cfg), spark)
+    val stop = LocalDate.of(2018, 2, 22)
+    val executed = Runner.backfill(
+      d => Pipelines.Classify(cfg, d), stop, 4, spark, reverse = true)
+    // newest date first (O7 --reverse)
+    assert(executed.take(3) ==
+      Seq("Fetch(02-22-2018)", "Clean(02-22-2018)", "Classify(02-22-2018)"))
+    assert(executed.size == 12)
+    // only-missing on re-run
+    assert(Runner.backfill(
+      d => Pipelines.Classify(cfg, d), stop, 4, spark).isEmpty)
+
+    // scored output sane: all 4 days, labels from the when/otherwise map
+    val erg = spark.read
+      .schema("id STRING, subreddit STRING, probability STRING, prediction DOUBLE, prediction_label STRING")
+      .option("header", true).option("delimiter", ";").option("escape", "\"")
+      .csv(s"${cfg.baseDir}/daily/*/ergebnis.csv")
+    val labels = erg.select("prediction_label").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(labels.subsetOf(Set("datascience", "gameofthrones")))
+    assert(erg.count() == 143) // 32+41+39+31 golden records (FIXTURES.md §A)
+    assert(erg.filter("probability NOT LIKE '[%'").count() == 0)
+  }
+
+  test("atomic write: a crashing writer leaves no target and no temp junk") {
+    val cfg = freshCfg()
+    val tgt = DirTarget(s"${cfg.baseDir}/out.csv")
+    intercept[RuntimeException] {
+      tgt.atomicWrite { tmp =>
+        Files.createDirectories(Paths.get(tmp))
+        Files.writeString(Paths.get(tmp, "partial"), "half-written")
+        throw new RuntimeException("simulated crash")
+      }
+    }
+    assert(!tgt.exists)
+    val leftovers = new java.io.File(cfg.baseDir).listFiles()
+      .filter(_.getName.startsWith("out.csv"))
+    assert(leftovers.isEmpty, s"temp junk: ${leftovers.mkString(",")}")
+  }
+
+  test("cycle detection") {
+    lazy val a: Task = new Task {
+      override def name = "A"
+      override def requires = Seq(b)
+      val output = DirTarget("/tmp/graft_cycle_a")
+      def run(s: SparkSession): Unit = ()
+    }
+    lazy val b: Task = new Task {
+      override def name = "B"
+      override def requires = Seq(a)
+      val output = DirTarget("/tmp/graft_cycle_b")
+      def run(s: SparkSession): Unit = ()
+    }
+    intercept[Runner.CycleException] { Runner.run(a, spark) }
+  }
+}
