@@ -19,7 +19,9 @@ object SparkEntry {
   private def modules: Seq[QueryModule] = Seq(
     ops.AggOps, ops.ScanOps, ops.FilterOps, ops.JoinOps,
     ops.WindowOps, ops.SortSetOps, ops.ScalarOps,
-    text.TextOps
+    text.TextOps,
+    llm.DedupOps, llm.SimSearchOps, llm.MultimodalOps,
+    streaming.StreamOps
   ) // widened as milestones land
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming operators, declared as their deterministic BATCH TWINS
+  * (SURVEY.md §2.4/§7.3-8: micro-batch boundaries make true streaming
+  * output non-oracle-checkable; the window()/session_window() expressions
+  * are identical in both modes, so the batch run pins the semantics and
+  * StreamingSpec drives the same expressions through MemoryStream with
+  * watermarks).
+  *
+  * The reference's only temporal notion is the daily micro-batch
+  * (01_classification_pipeline.py:12-15, run_pipeline.sh:6-11); these
+  * generalize it to event-time windows over the events table.
+  *
+  * Money-sum discipline: value is 2-dp exact → DECIMAL(14,2) sums
+  * (AggOps.dsum) so partial-agg order can't flip a bit vs DuckDB.
+  */
+object StreamOps extends graft.QueryModule {
+
+  /** Tumbling 15-minute windows: count + exact sum per (window, type). */
+  def tumbling(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.events(spark, sfDir)
+      .groupBy(window($"ts", "15 minutes").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"), graft.ops.AggOps.dsum($"value").as("sum_value"))
+      .select(unix_millis($"w.start").as("win_start_ms"), $"event_type",
+        $"n", $"sum_value")
+      .orderBy($"win_start_ms", $"event_type")
+  }
+
+  /** Sliding 1h windows every 30min — every event lands in exactly 2. */
+  def sliding(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.events(spark, sfDir)
+      .groupBy(window($"ts", "1 hour", "30 minutes").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"), graft.ops.AggOps.dsum($"value").as("sum_value"))
+      .select(unix_millis($"w.start").as("win_start_ms"), $"event_type",
+        $"n", $"sum_value")
+      .orderBy($"win_start_ms", $"event_type")
+  }
+
+  /** Gap-based session windows (10 min) per user. Session start = min ts;
+    * a >= 10min silence opens a new session (session_window's half-open
+    * [ts, ts+gap) merge rule). */
+  def sessions(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.events(spark, sfDir)
+      .groupBy(session_window($"ts", "10 minutes").as("sw"), $"user_id")
+      .agg(count(lit(1)).as("n"), graft.ops.AggOps.dsum($"value").as("sum_value"))
+      .select($"user_id", unix_millis($"sw.start").as("session_start_ms"),
+        $"n", $"sum_value")
+      .orderBy($"user_id", $"session_start_ms")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_tumbling" -> (tumbling _),
+    "q_stream_sliding" -> (sliding _),
+    "q_stream_session" -> (sessions _))
+
+  def oracle: Map[String, String] = Map(
+    "q_stream_tumbling" ->
+      """SELECT (epoch_ms(ts) // 900000) * 900000 AS win_start_ms, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_stream_sliding" ->
+      """WITH assigned AS (
+        |  SELECT (epoch_ms(ts) // 1800000) * 1800000 AS win_start_ms,
+        |         event_type, value FROM events
+        |  UNION ALL
+        |  SELECT (epoch_ms(ts) // 1800000) * 1800000 - 1800000 AS win_start_ms,
+        |         event_type, value FROM events)
+        |SELECT win_start_ms, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+        |FROM assigned GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_stream_session" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN epoch_ms(ts) - epoch_ms(LAG(ts) OVER
+        |           (PARTITION BY user_id ORDER BY ts, event_id)) >= 600000
+        |         OR LAG(ts) OVER
+        |           (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |sessioned AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked)
+        |SELECT user_id, epoch_ms(MIN(ts)) AS session_start_ms,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+        |FROM sessioned GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_ms""".stripMargin)
+}

@@ -1,0 +1,78 @@
+package graft.llm
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Planted-duplicate tests for the hash-based dedup operators that the
+  * DuckDB oracle can't check (SURVEY.md §2.5-4). */
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog near the river bank today"
+  private val nearDup = // one token changed
+    "the quick brown fox jumps over the lazy cat near the river bank today"
+  private val exactDup = base
+  private val unrelated =
+    "spark catalyst optimizer rewrites logical plans into physical operators with codegen"
+
+  private def plantedDocs = Seq(
+    (0L, base, "en", "src0", base.length.toLong),
+    (1L, exactDup, "en", "src0", exactDup.length.toLong),
+    (2L, nearDup, "en", "src0", nearDup.length.toLong),
+    (3L, unrelated, "en", "src0", unrelated.length.toLong),
+    (4L, "tiny", "en", "src0", 4L)) // < 3 tokens: must be excluded, not crash
+    .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  private def withPlanted(testFn: String => Unit): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup").toString
+    plantedDocs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    testFn(dir)
+  }
+
+  test("minhash LSH pairs planted near-dups, not unrelated docs") {
+    withPlanted { dir =>
+      val pairs = DedupOps.minhashLsh(spark, dir)
+        .select($"a_id", $"b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs.contains((0L, 1L)), s"exact dup not found: $pairs")
+      assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L)),
+        s"near dup not found: $pairs")
+      assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+        s"unrelated doc paired: $pairs")
+    }
+  }
+
+  test("simhash: exact dup at distance 0, near dup within radius, unrelated apart") {
+    withPlanted { dir =>
+      val rows = DedupOps.simhash(spark, dir)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+      assert(rows.get((0L, 1L)).contains(0), s"exact dup distance: $rows")
+      assert(rows.contains((0L, 2L)), s"near dup not within simhash radius: $rows")
+      assert(!rows.keySet.exists(p => p._1 == 3L || p._2 == 3L),
+        s"unrelated doc paired: $rows")
+    }
+  }
+
+  test("exact dedup collapses identical fingerprints to min doc_id") {
+    withPlanted { dir =>
+      val survivors = DedupOps.exactDedup(spark, dir)
+        .select($"keep_id", $"n_copies")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(survivors(0L) == 2L) // doc 0 + exact copy doc 1
+      assert(survivors(2L) == 1L && survivors(3L) == 1L)
+      assert(!survivors.contains(1L))
+    }
+  }
+
+  test("ngram jaccard: near dup scores high, sf0.001 run is deterministic") {
+    withPlanted { dir =>
+      val j = DedupOps.ngramJaccard(spark, dir)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      assert(j((0L, 1L)) == 1.0)
+      assert(j((0L, 2L)) > 0.4 && j((0L, 2L)) < 1.0)
+    }
+    val once = DedupOps.ngramJaccard(spark, sf0001).collect()
+    val twice = DedupOps.ngramJaccard(spark, sf0001).collect()
+    assert(once.sameElements(twice))
+  }
+}

@@ -1,0 +1,31 @@
+package graft.llm
+
+import graft.SparkTestBase
+
+/** LSH-vs-brute-force recall for the approximate top-k path (no oracle —
+  * SURVEY.md §2.5-4). */
+class SimSearchSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("LSH top-5 recalls most of the exact top-5 on sf0.001") {
+    val exact = SimSearchOps.topkBruteForce(spark, sf0001)
+      .select($"q_id", $"c_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val approx = SimSearchOps.topkLsh(spark, sf0001)
+      .select($"q_id", $"c_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = exact.map { case (q, want) =>
+      val got = approx.getOrElse(q, Set.empty)
+      want.intersect(got).size.toDouble / want.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, s"mean recall@5 too low: $mean (per-q: $recalls)")
+  }
+
+  test("brute force is deterministic and returns k=5 per query") {
+    val rows = SimSearchOps.topkBruteForce(spark, sf0001).collect()
+    assert(rows.length == 50) // 10 queries x 5
+    val again = SimSearchOps.topkBruteForce(spark, sf0001).collect()
+    assert(rows.sameElements(again))
+  }
+}

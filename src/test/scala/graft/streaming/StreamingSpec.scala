@@ -1,0 +1,80 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import graft.SparkTestBase
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** True Structured-Streaming behavior that the batch twins can't cover
+  * (SURVEY.md §2.4): watermark-driven late-data dropping and streaming
+  * window aggregation over MemoryStream, plus batch-twin equivalence. */
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(minute: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 00:$minute%02d:$sec%02d")
+
+  test("watermark drops events later than threshold; on-time events aggregate") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, String)]
+    val counts = stream.toDF().toDF("ts", "event_type")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "5 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select(unix_millis($"window.start").as("start_ms"), $"event_type", $"n")
+    val q = counts.writeStream.format("memory")
+      .queryName("wm_test").outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: events at minutes 1,2,31 — watermark advances to 31-10=21
+      stream.addData((ts(1), "a"), (ts(2), "a"), (ts(31), "a"))
+      q.processAllAvailable()
+      // batch 2: a LATE event at minute 3 (< watermark 21) must be dropped;
+      // minute 32 is on time
+      stream.addData((ts(3), "a"), (ts(32), "a"))
+      q.processAllAvailable()
+      // close the last window
+      stream.addData((ts(59), "a"))
+      q.processAllAvailable()
+      val out = spark.table("wm_test")
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+      val w0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      // window [0,5) emitted with 2 events — the late minute-3 event was
+      // dropped (else it would be 3)
+      assert(out(w0) == 2, s"late event not dropped: $out")
+      val w30 = Timestamp.valueOf("2024-01-01 00:30:00").getTime
+      assert(out(w30) == 2, s"on-time events lost: $out")
+    } finally q.stop()
+  }
+
+  test("streaming session_window matches the batch twin on the same data") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      (1L, ts(0)), (1L, ts(5)), (1L, ts(30)), // user 1: 2 sessions
+      (2L, ts(0)), (2L, ts(25)), (2L, ts(26))) // user 2: 2 sessions
+    val stream = MemoryStream[(Long, Timestamp)]
+    val agg = stream.toDF().toDF("user_id", "ts")
+      .withWatermark("ts", "1 minute")
+      .groupBy(session_window($"ts", "10 minutes").as("sw"), $"user_id")
+      .agg(count(lit(1)).as("n"))
+      .select($"user_id", unix_millis($"sw.start").as("start_ms"), $"n")
+    val q = agg.writeStream.format("memory")
+      .queryName("sess_test").outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(events: _*)
+      q.processAllAvailable()
+      stream.addData((1L, ts(59, 59)), (2L, ts(59, 59))) // advance watermark
+      q.processAllAvailable()
+      val streamed = spark.table("sess_test")
+        .filter($"start_ms" < Timestamp.valueOf("2024-01-01 00:59:00").getTime)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = events.toDF("user_id", "ts")
+        .groupBy(session_window($"ts", "10 minutes").as("sw"), $"user_id")
+        .agg(count(lit(1)).as("n"))
+        .select($"user_id", unix_millis($"sw.start").as("start_ms"), $"n")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == batch,
+        s"stream/batch divergence:\n stream=$streamed\n batch=$batch")
+    } finally q.stop()
+  }
+}
