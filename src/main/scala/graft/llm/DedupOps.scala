@@ -14,14 +14,22 @@ import org.apache.spark.sql.functions._
   */
 object DedupOps extends graft.QueryModule {
 
-  /** whitespace-token 3-gram shingles, distinct + sorted (deterministic) */
-  private def shingles3(text: Column): Column =
-    array_sort(array_distinct(transform(
-      sequence(lit(0), size(split(text, " ")) - 3),
-      i => concat_ws(" ",
-        element_at(split(text, " "), i + 1),
-        element_at(split(text, " "), i + 2),
-        element_at(split(text, " "), i + 3)))))
+  /** whitespace-token 3-gram shingles, distinct + sorted (deterministic).
+    * Takes a pre-split token column — computing split() inside the
+    * transform would re-tokenize the doc once per shingle (O(n^2), the
+    * first bench's 177 s hotspot). */
+  private def shingles3(toks: Column): Column =
+    // the when() guard matters even under a size>=3 pre-filter: predicate
+    // pushdown can reorder evaluation, and sequence(0, n-3) runs DESCENDING
+    // for n<3 (negative indices -> element_at blows up)
+    when(size(toks) >= 3,
+      array_sort(array_distinct(transform(
+        sequence(lit(0), size(toks) - 3),
+        i => concat_ws(" ",
+          element_at(toks, i + 1),
+          element_at(toks, i + 2),
+          element_at(toks, i + 3))))))
+      .otherwise(array().cast("array<string>"))
 
   /** Exact dedup: sha2-256 over whitespace-normalized lowercase text,
     * deterministic survivor = min doc_id per fingerprint. */
@@ -41,31 +49,67 @@ object DedupOps extends graft.QueryModule {
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val docs = graft.Tables.documents(spark, sfDir)
-      .filter(size(split($"text", " ")) >= 3)
+      .withColumn("toks", split($"text", " "))
+      .filter(size($"toks") >= 3)
       .select($"doc_id", $"lang", floor($"n_chars" / 100).as("lb"),
-        shingles3($"text").as("sh"))
+        shingles3($"toks").as("sh"))
     val a = docs.select($"doc_id".as("a_id"), $"lang", $"lb", $"sh".as("a_sh"))
     val b = docs.select($"doc_id".as("b_id"), $"lang", $"lb", $"sh".as("b_sh"))
     a.join(b, Seq("lang", "lb"))
       .filter($"a_id" < $"b_id")
-      .withColumn("jaccard",
-        size(array_intersect($"a_sh", $"b_sh")).cast("double") /
-          size(array_union($"a_sh", $"b_sh")).cast("double"))
+      // size-ratio prune: jaccard <= min/max set size, so ratio < 0.2 can
+      // never pass the threshold — skips the intersect for most pairs
+      // without changing results (hence absent from the oracle SQL).
+      .filter(least(size($"a_sh"), size($"b_sh")) >=
+        lit(0.2) * greatest(size($"a_sh"), size($"b_sh")))
+      // |A u B| = |A| + |B| - |A n B|: one intersect, no union materialized
+      .withColumn("inter", size(array_intersect($"a_sh", $"b_sh")))
+      .withColumn("jaccard", $"inter".cast("double") /
+        (size($"a_sh") + size($"b_sh") - $"inter").cast("double"))
       .filter($"jaccard" >= 0.2)
       .select($"a_id", $"b_id", round($"jaccard", 6).as("jaccard"))
       .orderBy($"a_id", $"b_id")
   }
 
-  /** MinHash signature: k independent hash views of the shingle set via
-    * xxhash64(shingle, k); the signature is the per-k minimum. Declared
-    * without oracle (hash-impl-specific, SURVEY.md §2.5-4) — planted-dup
-    * behavior pinned in DedupSpec. */
-  private val K = 64
-  private val BANDS = 16 // 16 bands x 4 rows
+  /** MinHash signature: K independent hash views of the shingle set; the
+    * signature is the per-k minimum. Shingles are hashed once with
+    * codegen'd xxhash64, then the K views come from a cheap 64-bit mix in
+    * a single tight UDF pass (interpreted HOF trees cost ~10x more here).
+    * Declared without oracle (hash-impl-specific, SURVEY.md §2.5-4) —
+    * planted-dup behavior pinned in DedupSpec. */
+  // 21 bands x 3 rows: at jaccard 0.6 the miss rate is (1-0.6^3)^21 ~ 0.6%
+  // (16x4 missed ~11%), while dissimilar docs (j~0.05) collide in only
+  // ~0.3% of pairs (32x2's 2-minima keys let ~8% through -> 1M false
+  // candidates and a 32 s verify stage at sf0.1).
+  private val K = 63
+  private val BANDS = 21
 
-  private def minhashSig(sh: Column): Column =
-    transform(sequence(lit(0), lit(K - 1)),
-      k => array_min(transform(sh, s => xxhash64(s, k))))
+  @inline private def mix64(x0: Long): Long = {
+    var x = x0
+    x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+    x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+    x ^ (x >>> 33)
+  }
+
+  /** shingle hashes -> 16 LSH band hashes (4 chained minima each) */
+  private val minhashBandsUdf = udf((hs: Seq[Long]) => {
+    val sig = Array.fill(K)(Long.MaxValue)
+    hs.foreach { h =>
+      var k = 0
+      while (k < K) {
+        val v = mix64(h ^ (0x9E3779B97F4A7C15L * (k + 1)))
+        if (v < sig(k)) sig(k) = v
+        k += 1
+      }
+    }
+    val rows = K / BANDS
+    Array.tabulate(BANDS) { b =>
+      var acc = 0xcbf29ce484222325L
+      var j = 0
+      while (j < rows) { acc = mix64(acc ^ sig(b * rows + j)); j += 1 }
+      acc
+    }.toSeq
+  })
 
   /** Candidate pairs whose signatures collide in >=1 of 16 LSH bands,
     * verified by exact shingle Jaccard >= 0.5.
@@ -75,12 +119,11 @@ object DedupOps extends graft.QueryModule {
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val docs = graft.Tables.documents(spark, sfDir)
-      .filter(size(split($"text", " ")) >= 3)
-      .select($"doc_id", shingles3($"text").as("sh"))
-      .withColumn("sig", minhashSig($"sh"))
-    val banded = docs.select($"doc_id", $"sh",
-      posexplode(array((0 until BANDS).map(b =>
-        xxhash64(slice($"sig", b * (K / BANDS) + 1, K / BANDS))): _*)))
+      .withColumn("toks", split($"text", " "))
+      .filter(size($"toks") >= 3)
+      .select($"doc_id", shingles3($"toks").as("sh"))
+      .withColumn("bands", minhashBandsUdf(transform($"sh", s => xxhash64(s))))
+    val banded = docs.select($"doc_id", $"sh", posexplode($"bands"))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandhash")
     val l = banded.select($"band", $"bandhash", $"doc_id".as("a_id"), $"sh".as("a_sh"))
     val r = banded.select($"band", $"bandhash", $"doc_id".as("b_id"), $"sh".as("b_sh"))
@@ -103,31 +146,41 @@ object DedupOps extends graft.QueryModule {
     * blocked on 8 8-bit sub-bands. No oracle (hash-specific). */
   def simhash(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val bits = 64
-    val tokHashes = transform(split($"text", " "), t => xxhash64(t))
-    // per-bit vote: sum over tokens of (bit set ? 1 : -1)
-    val sig = array((0 until bits).map(j =>
-      when(aggregate($"th", lit(0),
-        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1) === 1, 1)
-          .otherwise(-1)) > 0, lit(1)).otherwise(lit(0))): _*)
+    // per-bit vote (sum over tokens of bit-set ? +1 : -1, tf-weighted via
+    // duplicate tokens) in one tight pass, packed into ONE long — hamming
+    // is then codegen'd bit_count(xor), and candidate pairs carry 8 bytes
+    // instead of a 64-element array through the shuffle/distinct.
+    val simhashUdf = udf((hs: Seq[Long]) => {
+      val votes = new Array[Int](64)
+      hs.foreach { h =>
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+      }
+      var sim = 0L
+      var j = 0
+      while (j < 64) { if (votes(j) > 0) sim |= (1L << j); j += 1 }
+      sim
+    })
     val docs = graft.Tables.documents(spark, sfDir)
-      .select($"doc_id", tokHashes.as("th"))
+      .select($"doc_id", transform(split($"text", " "), t => xxhash64(t)).as("th"))
       .filter(size($"th") > 0)
-      .withColumn("simbits", sig)
-    val banded = docs.select($"doc_id", $"simbits",
+      .withColumn("sim", simhashUdf($"th"))
+    // blocking: 8 8-bit sub-bands (pigeonhole: hamming<=7 guarantees a
+    // clean band; <=10 collides in >=1 band with high probability)
+    val banded = docs.select($"doc_id", $"sim",
       posexplode(array((0 until 8).map(b =>
-        concat_ws(",", slice($"simbits", b * 8 + 1, 8))): _*)))
+        shiftright($"sim", b * 8).bitwiseAND(255)): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandkey")
-    val l = banded.select($"band", $"bandkey", $"doc_id".as("a_id"), $"simbits".as("a_bits"))
-    val r = banded.select($"band", $"bandkey", $"doc_id".as("b_id"), $"simbits".as("b_bits"))
+    val l = banded.select($"band", $"bandkey", $"doc_id".as("a_id"), $"sim".as("a_sim"))
+    val r = banded.select($"band", $"bandkey", $"doc_id".as("b_id"), $"sim".as("b_sim"))
     l.join(r, Seq("band", "bandkey"))
       .filter($"a_id" < $"b_id")
-      .select($"a_id", $"b_id", $"a_bits", $"b_bits").distinct()
-      .withColumn("hamming",
-        aggregate(zip_with($"a_bits", $"b_bits", (x, y) => abs(x - y)),
-          lit(0), (acc, d) => acc + d))
+      .withColumn("hamming", bit_count($"a_sim".bitwiseXOR($"b_sim")))
       .filter($"hamming" <= 10)
-      .select($"a_id", $"b_id", $"hamming")
+      .select($"a_id", $"b_id", $"hamming").distinct()
       .orderBy($"a_id", $"b_id")
   }
 
@@ -137,11 +190,15 @@ object DedupOps extends graft.QueryModule {
   def embeddingCosine(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val emb = graft.Tables.embeddings(spark, sfDir)
-    val a = emb.select($"vec_id".as("a_id"), $"label", $"embedding".as("a_e"))
-    val b = emb.select($"vec_id".as("b_id"), $"label", $"embedding".as("b_e"))
+      .withColumn("norm", sqrt(SimSearchOps.dot($"embedding", $"embedding")))
+    val a = emb.select($"vec_id".as("a_id"), $"label",
+      $"embedding".as("a_e"), $"norm".as("a_n"))
+    val b = emb.select($"vec_id".as("b_id"), $"label",
+      $"embedding".as("b_e"), $"norm".as("b_n"))
     a.join(b, Seq("label"))
       .filter($"a_id" < $"b_id" && $"b_id" - $"a_id" <= 100)
-      .withColumn("cosine", SimSearchOps.cosine($"a_e", $"b_e"))
+      .withColumn("cosine",
+        SimSearchOps.dot($"a_e", $"b_e") / ($"a_n" * $"b_n"))
       .filter($"cosine" >= 0.9)
       .select($"label", $"a_id", $"b_id", round($"cosine", 6).as("cosine"))
       .orderBy($"a_id", $"b_id")
@@ -169,15 +226,18 @@ object DedupOps extends graft.QueryModule {
         |      i -> concat_ws(' ', string_split(text, ' ')[i],
         |                     string_split(text, ' ')[i+1],
         |                     string_split(text, ' ')[i+2])))) AS sh
-        |  FROM documents WHERE len(string_split(text, ' ')) >= 3)
-        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-        |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-        |        CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6)
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    len(list_intersect(a.sh, b.sh)) AS inter,
+        |    len(a.sh) AS asz, len(b.sh) AS bsz
+        |  FROM docs a JOIN docs b
+        |    ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id)
+        |SELECT a_id, b_id,
+        |  round(CAST(inter AS DOUBLE) / CAST(asz + bsz - inter AS DOUBLE), 6)
         |    AS jaccard
-        |FROM docs a JOIN docs b
-        |  ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
-        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-        |      CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.2
+        |FROM pairs
+        |WHERE CAST(inter AS DOUBLE) / CAST(asz + bsz - inter AS DOUBLE) >= 0.2
         |ORDER BY a_id, b_id""".stripMargin,
     "q_dedup_embedding_cosine" ->
       """SELECT a.label AS label, a.vec_id AS a_id, b.vec_id AS b_id,

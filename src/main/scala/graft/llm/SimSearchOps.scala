@@ -22,23 +22,39 @@ import org.apache.spark.sql.functions._
   */
 object SimSearchOps extends graft.QueryModule {
 
-  /** exact double dot product, left-to-right (matches DuckDB list_dot_product) */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** exact double dot product, left-to-right (matches DuckDB
+    * list_dot_product over DOUBLE[] bit-for-bit). A UDF with a while-loop:
+    * same float->double promotion and fold order as the equivalent
+    * zip_with+aggregate tree, but those HOFs are CodegenFallback and ~10x
+    * slower. */
+  private val dotUdf = udf((a: Seq[Float], b: Seq[Float]) => {
+    val n = math.min(a.length, b.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+    acc
+  })
+  def dot(a: Column, b: Column): Column = dotUdf(a, b)
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
-  /** Brute-force cosine top-5 neighbors for query vectors vec_id < 10. */
+  /** Brute-force cosine top-5 neighbors for query vectors vec_id < 10.
+    * Norms are computed ONCE per row before the pair join (per-pair norm
+    * recomputation tripled the dot products — 38 s vs ~3 s at sf0.1);
+    * sqrt of the same dot value keeps the doubles bit-identical to the
+    * per-pair formula the oracle uses. */
   def topkBruteForce(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val emb = graft.Tables.embeddings(spark, sfDir)
     val queries = emb.filter($"vec_id" < 10)
-      .select($"vec_id".as("q_id"), $"embedding".as("q_e"))
-    val corpus = emb.select($"vec_id".as("c_id"), $"embedding".as("c_e"))
+      .select($"vec_id".as("q_id"), $"embedding".as("q_e"),
+        sqrt(dot($"embedding", $"embedding")).as("q_n"))
+    val corpus = emb.select($"vec_id".as("c_id"), $"embedding".as("c_e"),
+      sqrt(dot($"embedding", $"embedding")).as("c_n"))
     val scored = corpus.join(broadcast(queries), $"q_id" =!= $"c_id")
-      .withColumn("score", round(cosine($"q_e", $"c_e"), 6))
+      .withColumn("score",
+        round(dot($"q_e", $"c_e") / ($"q_n" * $"c_n"), 6))
     val w = Window.partitionBy($"q_id").orderBy($"score".desc, $"c_id")
     scored.withColumn("rk", row_number().over(w))
       .filter($"rk" <= 5)
@@ -62,17 +78,25 @@ object SimSearchOps extends graft.QueryModule {
     Array.fill(LSH_BANDS, BITS_PER_BAND, DIMS)(rnd.nextDouble() * 2 - 1)
   }
 
-  /** sign-pattern bucket key of `e` under band `b` */
-  private def bandKey(e: Column, b: Int): Column = {
-    val bits = (0 until BITS_PER_BAND).map { j =>
-      val plane = planes(b)(j)
-      val proj = aggregate(
-        zip_with(e, lit(plane), (x, p) => x.cast("double") * p),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj >= 0, lit(1)).otherwise(lit(0)).cast("string")
-    }
-    concat_ws("", bits: _*)
-  }
+  /** all band keys of an embedding in one tight pass (24x5 projections of
+    * dim 64 as interpreted HOFs cost ~6 s at sf0.1; this UDF ~1 s).
+    * Key format "band:bits" so a single explode+join covers all bands. */
+  private val bandKeysUdf = udf((e: Seq[Float]) => {
+    val arr = e.toArray
+    Array.tabulate(LSH_BANDS) { b =>
+      var key = 0
+      var j = 0
+      while (j < BITS_PER_BAND) {
+        val plane = planes(b)(j)
+        var proj = 0.0
+        var d = 0
+        while (d < arr.length && d < DIMS) { proj += arr(d) * plane(d); d += 1 }
+        key = (key << 1) | (if (proj >= 0) 1 else 0)
+        j += 1
+      }
+      s"$b:$key"
+    }.toSeq
+  })
 
   /** LSH-bucketed approximate top-5 for vec_id < 10: candidates share a
     * band bucket with the query, then exact cosine re-rank. Declared
@@ -81,19 +105,15 @@ object SimSearchOps extends graft.QueryModule {
   def topkLsh(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val emb = graft.Tables.embeddings(spark, sfDir)
-    def withBands(df: DataFrame, idCol: String, eCol: String): DataFrame = {
-      val bandCols = array((0 until LSH_BANDS).map(b =>
-        struct(lit(b).as("band"), bandKey(col(eCol), b).as("bkey"))): _*)
-      df.select(col(idCol), col(eCol), explode(bandCols).as("bk"))
-        .select(col(idCol), col(eCol),
-          $"bk.band".as("band"), $"bk.bkey".as("bkey"))
-    }
+    def withBands(df: DataFrame, idCol: String, eCol: String): DataFrame =
+      df.select(col(idCol), col(eCol),
+        explode(bandKeysUdf(col(eCol))).as("bkey"))
     val queries = withBands(
       emb.filter($"vec_id" < 10)
         .select($"vec_id".as("q_id"), $"embedding".as("q_e")), "q_id", "q_e")
     val corpus = withBands(
       emb.select($"vec_id".as("c_id"), $"embedding".as("c_e")), "c_id", "c_e")
-    val candidates = corpus.join(broadcast(queries), Seq("band", "bkey"))
+    val candidates = corpus.join(broadcast(queries), Seq("bkey"))
       .filter($"q_id" =!= $"c_id")
       .select($"q_id", $"q_e", $"c_id", $"c_e").distinct()
     val w = Window.partitionBy($"q_id").orderBy($"score".desc, $"c_id")

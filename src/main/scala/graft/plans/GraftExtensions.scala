@@ -1,0 +1,39 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL-surface registration for graft's native expressions.
+  *
+  * Two entry points:
+  *  - `spark.sql.extensions=graft.plans.GraftExtensions` at session build
+  *    (the standard SparkSessionExtensions route for spark-submit users);
+  *  - `GraftExtensions.register(spark)` at runtime (idempotent) — used by
+  *    the declared queries so they work against ANY session the driver
+  *    hands us, extensions configured or not.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+  private type Builder = Seq[Expression] => Expression
+
+  val functions: Seq[(String, ExpressionInfo, Builder)] = Seq(
+    ("porter_stem",
+      new ExpressionInfo(classOf[PorterStemExpression].getName, "porter_stem"),
+      (args: Seq[Expression]) => PorterStemExpression(args.head)))
+
+  /** Idempotent runtime registration into an existing session. */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+}

@@ -24,12 +24,14 @@ object TextOps extends graft.QueryModule {
     filter(toks, t => !t.isin(Stopwords.tokensOnly: _*))
   }
 
-  private val stemArrayUdf =
-    udf((toks: Seq[String]) => if (toks == null) null else toks.map(Porter2.stem))
-
-  /** full reference Clean: tokens → stem → space-join (D13-D14). */
+  /** full reference Clean: tokens → stem → space-join (D13-D14), stemming
+    * via the native codegen PorterStemExpression (graft.plans) applied
+    * per-token inside transform — stays in the codegen span, no UDF
+    * serialization. Porter2.stem is also wrapped as a plain UDF in
+    * text.Clean for row-level use. */
   def cleanedWords(text: Column): Column =
-    array_join(stemArrayUdf(cleanTokens(text)), " ")
+    array_join(
+      transform(cleanTokens(text), t => call_function("porter_stem", t)), " ")
 
   /** q_text_clean — oracle-checkable part of the chain (stemming excluded;
     * SURVEY.md §2.4 pins the stopword list inline on both sides). */
@@ -46,6 +48,7 @@ object TextOps extends graft.QueryModule {
     * reference's own daily/<date>/cleaned.csv in TextCleanGoldenSpec. */
   def textCleanStemmed(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    graft.plans.GraftExtensions.register(spark)
     graft.Tables.documents(spark, sfDir)
       .select($"doc_id", cleanedWords($"text").as("cleaned_words"))
       .orderBy($"doc_id")
