@@ -121,7 +121,31 @@ object JoinOps extends graft.QueryModule {
       .orderBy($"e_id")
   }
 
+  /** Salted skew join (SURVEY.md §4.4): fact rows get a deterministic salt,
+    * the dim side is replicated across all salts, the join key becomes
+    * (key, salt) so one hot key spreads over SALTS reducers. The oracle is
+    * the PLAIN join aggregate — proving salting changes the shuffle layout,
+    * not the result. (AQE skew-split is the runtime alternative; salting is
+    * the declarative one that also works pre-shuffle.) */
+  def saltedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val SALTS = 8
+    val events = graft.Tables.events(spark, sfDir)
+      .withColumn("salt", pmod($"event_id", lit(SALTS)))
+    val users = graft.Tables.customer(spark, sfDir)
+      .select($"c_custkey", $"c_mktsegment")
+      .withColumn("salt", explode(array((0 until SALTS).map(lit(_)): _*)))
+    events.join(users,
+        events("user_id") === users("c_custkey") &&
+        events("salt") === users("salt"))
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_events"),
+        AggOps.dsum($"value").as("sum_value"))
+      .orderBy($"c_mktsegment")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_salted_skew" -> (saltedJoin _),
     "q_join_inner" -> (innerJoin _),
     "q_join_broadcast" -> (broadcastJoin _),
     "q_join_left" -> (leftJoin _),
@@ -132,6 +156,11 @@ object JoinOps extends graft.QueryModule {
     "q_join_asof" -> (asofJoin _))
 
   def oracle: Map[String, String] = Map(
+    "q_join_salted_skew" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q_join_inner" ->
       """SELECT o_orderkey, c_custkey, c_name, o_totalprice
         |FROM orders JOIN customer ON o_custkey = c_custkey

@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.ml.feature.{HashingTF, Tokenizer}
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ML-adjacent declared operators (reference D17/D18/D20/D22):
+  * label derivation, deterministic splits, HashingTF featurization.
+  * Full train/score lives in graft.flow.Pipelines (the reference's
+  * pipelines); these are the query-surface pieces.
+  */
+object MlOps extends graft.QueryModule {
+
+  /** D16-D18: LIKE -> boolean -> double label (the reference's
+    * `withColumn("label", subreddit.like("datascience").cast("double"))`,
+    * 00_training_pipeline.py:135), over documents.lang. */
+  def deriveLabel(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.documents(spark, sfDir)
+      .withColumn("label", $"lang".like("e%").cast("double"))
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"label")
+  }
+
+  /** D20's oracle-checkable twin: randomSplit is seed/partitioning
+    * dependent, so the deterministic 80/20 split is arithmetic on the key
+    * (SURVEY.md §2.3 "q_deterministic_split"). */
+  def deterministicSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.orders(spark, sfDir)
+      .withColumn("split",
+        when(pmod($"o_orderkey", lit(5)) < 4, "train").otherwise("test"))
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n"), AggOps.dsum($"o_totalprice").as("sum_price"))
+      .orderBy($"split")
+  }
+
+  /** D21-D22: Tokenizer -> HashingTF(1000, binary=false), the persisted
+    * stage config of the reference model. Declared WITHOUT oracle (bucket
+    * ids are murmur3-specific); summarized per doc so the rows-only check
+    * is stable: nnz buckets + total term count. */
+  def hashingTf(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text")
+    val tokenized = new Tokenizer().setInputCol("text")
+      .setOutputCol("tokens").transform(docs)
+    val featurized = new HashingTF().setInputCol("tokens")
+      .setOutputCol("features").setNumFeatures(1000).setBinary(false)
+      .transform(tokenized)
+    featurized
+      .select($"doc_id", vector_to_array($"features").as("f"))
+      .select($"doc_id",
+        size(filter($"f", v => v > 0)).as("nnz"),
+        aggregate($"f", lit(0.0), (a, v) => a + v).cast("long").as("total_tf"))
+      .orderBy($"doc_id")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ml_derive_label" -> (deriveLabel _),
+    "q_ml_deterministic_split" -> (deterministicSplit _),
+    "q_ml_hashing_tf" -> (hashingTf _))
+
+  def oracle: Map[String, String] = Map(
+    "q_ml_derive_label" ->
+      """SELECT CASE WHEN lang LIKE 'e%' THEN 1.0 ELSE 0.0 END AS label,
+        |  COUNT(*) AS n
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_ml_deterministic_split" ->
+      """SELECT CASE WHEN o_orderkey % 5 < 4 THEN 'train' ELSE 'test' END
+        |    AS split,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)
+}

@@ -85,6 +85,20 @@ object ScalarOps extends graft.QueryModule {
       .orderBy($"event_id")
   }
 
+  /** Map/struct JSON pack: from_json with explicit schemas (§7.3-7 —
+    * events.props is a JSON string) — struct field access + map_keys. */
+  def mapPack(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.events(spark, sfDir)
+      .withColumn("st", from_json($"props", lit("k INT")))
+      .withColumn("m", from_json($"props", lit("map<string,string>")))
+      .select($"event_id",
+        $"st.k".as("k_typed"),
+        array_join(map_keys($"m"), ",").as("keys_csv"),
+        size(map_keys($"m")).as("n_keys"))
+      .orderBy($"event_id")
+  }
+
   /** Conditional pack: when/otherwise chain (D19), coalesce/nullif (D8). */
   def conditionalPack(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -104,6 +118,7 @@ object ScalarOps extends graft.QueryModule {
     "q_scalar_math" -> (mathPack _),
     "q_scalar_array" -> (arrayPack _),
     "q_scalar_json" -> (jsonPack _),
+    "q_scalar_map" -> (mapPack _),
     "q_scalar_conditional" -> (conditionalPack _))
 
   def oracle: Map[String, String] = Map(
@@ -147,6 +162,12 @@ object ScalarOps extends graft.QueryModule {
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS INT) AS k,
         |  json_extract_string(props, '$.missing') AS absent
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_scalar_map" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k_typed,
+        |  array_to_string(json_keys(props), ',') AS keys_csv,
+        |  len(json_keys(props)) AS n_keys
         |FROM events ORDER BY event_id""".stripMargin,
     "q_scalar_conditional" ->
       """SELECT event_id,
