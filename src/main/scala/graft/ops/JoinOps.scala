@@ -144,8 +144,42 @@ object JoinOps extends graft.QueryModule {
       .orderBy($"c_mktsegment")
   }
 
+  /** Bucketed co-located join (SURVEY.md §2.3 "broadcast/bucketing" scale
+    * note): both sides written bucketBy(8, key) + sortBy, then joined —
+    * with bucketing the sort-merge join reads bucket-aligned files and the
+    * plan has NO shuffle Exchange on either side (verify with Explain).
+    * At 100 TB this is the "pay the shuffle once at ingest, never again"
+    * pattern. Oracle = the identical join on the raw tables. */
+  def bucketedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val key = java.lang.Integer.toHexString(sfDir.hashCode)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_buckets_$key"
+    def bucketize(df: DataFrame, table: String, col: String): Unit =
+      df.write.mode("overwrite")
+        .bucketBy(8, col).sortBy(col)
+        .option("path", s"$base/$table")
+        .saveAsTable(table)
+    bucketize(graft.Tables.orders(spark, sfDir)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice"),
+      s"orders_b_$key", "o_custkey")
+    bucketize(graft.Tables.customer(spark, sfDir)
+      .select($"c_custkey", $"c_mktsegment"),
+      s"customer_b_$key", "c_custkey")
+    // hint("merge") forces the sort-merge path (a broadcast would hide the
+    // bucket co-location); as a hint it rides the plan, so no session conf
+    // is mutated under the driver's feet
+    spark.table(s"orders_b_$key").hint("merge")
+      .join(spark.table(s"customer_b_$key"),
+        $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        AggOps.dsum($"o_totalprice").as("sum_price"))
+      .orderBy($"c_mktsegment")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_join_salted_skew" -> (saltedJoin _),
+    "q_join_bucketed_colocated" -> (bucketedJoin _),
     "q_join_inner" -> (innerJoin _),
     "q_join_broadcast" -> (broadcastJoin _),
     "q_join_left" -> (leftJoin _),
@@ -156,6 +190,11 @@ object JoinOps extends graft.QueryModule {
     "q_join_asof" -> (asofJoin _))
 
   def oracle: Map[String, String] = Map(
+    "q_join_bucketed_colocated" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q_join_salted_skew" ->
       """SELECT c_mktsegment, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
