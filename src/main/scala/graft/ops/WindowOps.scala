@@ -57,10 +57,28 @@ object WindowOps extends graft.QueryModule {
       .orderBy($"o_orderkey")
   }
 
+  /** RANGE frame: trailing-30-day spend per customer, ordered by a numeric
+    * day offset so the frame bound is engine-portable (Spark's interval
+    * range frames and DuckDB's RANGE INTERVAL disagree on types; integer
+    * days agree everywhere). */
+  def rangeFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"day")
+      .rangeBetween(-30, Window.currentRow)
+    graft.Tables.orders(spark, sfDir)
+      .withColumn("day",
+        datediff($"o_orderdate", lit("1995-01-01").cast("date")))
+      .select($"o_orderkey", $"o_custkey", $"day",
+        sum(AggOps.dec($"o_totalprice")).over(w).cast("double")
+          .as("trailing_30d_spend"))
+      .orderBy($"o_orderkey")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_window_ranking" -> (ranking _),
     "q_window_analytic" -> (analytic _),
-    "q_window_running_sum" -> (runningSum _))
+    "q_window_running_sum" -> (runningSum _),
+    "q_window_range_frame" -> (rangeFrame _))
 
   def oracle: Map[String, String] = Map(
     "q_window_ranking" ->
@@ -79,6 +97,15 @@ object WindowOps extends graft.QueryModule {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY event_id""".stripMargin,
+    "q_window_range_frame" ->
+      """SELECT o_orderkey, o_custkey,
+        |  datediff('day', DATE '1995-01-01', o_orderdate) AS day,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) OVER (
+        |    PARTITION BY o_custkey
+        |    ORDER BY datediff('day', DATE '1995-01-01', o_orderdate)
+        |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS trailing_30d_spend
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_window_running_sum" ->
       """SELECT o_orderkey, o_custkey,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) OVER (

@@ -1,0 +1,73 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import graft.SparkTestBase
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Custom stateful streaming (SURVEY.md §2.4 "custom state" row):
+  * flatMapGroupsWithState keeping a per-user running event count +
+  * last-value, emitting an update row per input batch; plus a real
+  * file-source readStream over the fixture parquet (availableNow). */
+// top-level: encoders can't be derived for test-class inner case classes
+final case class Ev(user_id: Long, ts: Timestamp, value: Double)
+final case class UserRun(user_id: Long, n: Long, lastValue: Double)
+
+class StatefulStreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("flatMapGroupsWithState keeps per-user running state across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    def update(user: Long, evs: Iterator[Ev],
+               state: GroupState[UserRun]): Iterator[UserRun] = {
+      val sorted = evs.toSeq.sortBy(_.ts.getTime)
+      if (sorted.isEmpty) Iterator.empty
+      else {
+        val prev = state.getOption.getOrElse(UserRun(user, 0L, 0.0))
+        val next = UserRun(user, prev.n + sorted.size, sorted.last.value)
+        state.update(next)
+        Iterator.single(next)
+      }
+    }
+    val out = stream.toDS()
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(update)
+    val q = out.writeStream.format("memory").queryName("state_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def t(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+      stream.addData(Ev(1, t(0), 10.0), Ev(1, t(1), 11.0), Ev(2, t(0), 5.0))
+      q.processAllAvailable()
+      stream.addData(Ev(1, t(2), 12.0))
+      q.processAllAvailable()
+      val rows = spark.table("state_test").as[UserRun].collect()
+      // user 1: batch1 -> n=2 last=11.0; batch2 -> n=3 last=12.0 (state kept)
+      assert(rows.contains(UserRun(1, 2, 11.0)), rows.mkString(","))
+      assert(rows.contains(UserRun(1, 3, 12.0)), rows.mkString(","))
+      assert(rows.contains(UserRun(2, 1, 5.0)), rows.mkString(","))
+    } finally q.stop()
+  }
+
+  test("file-source readStream (availableNow) matches the batch count") {
+    graft.Tables.events(spark, sf0001) // sets the nanosAsLong conf
+    val batchCount = graft.Tables.events(spark, sf0001).count()
+    // the streaming file source needs a DIRECTORY; select just the events
+    // file from the fixture dir with a glob filter
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$sf0001/events.parquet").schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sf0001)
+    val q = stream.groupBy().count()
+      .writeStream.format("memory").queryName("file_stream_test")
+      .outputMode(OutputMode.Complete())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(60000)
+      val streamed = spark.table("file_stream_test").head.getLong(0)
+      assert(streamed == batchCount, s"stream=$streamed batch=$batchCount")
+    } finally q.stop()
+  }
+}
