@@ -125,9 +125,60 @@ object SimSearchOps extends graft.QueryModule {
       .orderBy($"q_id", $"rk")
   }
 
+  /** IVF-style approximate top-k: a KMeans coarse quantizer (seeded,
+    * deterministic) partitions the corpus into nlist cells; each query
+    * probes its nprobe nearest cells and exact-reranks only those
+    * candidates. This is the partition-pruning ANN path at 100 TB: corpus
+    * written partitioned by cell id means a query touches nprobe/nlist of
+    * the data. Declared without oracle (centroids are impl-specific);
+    * recall pinned in SimSearchSpec. */
+  def topkIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val NLIST = 16
+    val NPROBE = 4
+    val emb = graft.Tables.embeddings(spark, sfDir)
+      .withColumn("fv", array_to_vector($"embedding".cast("array<double>")))
+    val model = new KMeans().setK(NLIST).setSeed(42L).setMaxIter(5)
+      .setFeaturesCol("fv").setPredictionCol("cell")
+      .fit(emb.select($"fv"))
+    val assigned = model.transform(emb)
+      .select($"vec_id", $"embedding", $"cell")
+    val centroids = model.clusterCenters.map(_.toArray)
+    // nprobe nearest cells per query, via a literal centroid table
+    val probeUdf = udf((e: Seq[Float]) => {
+      val arr = e.toArray
+      centroids.zipWithIndex.map { case (c, i) =>
+        var d = 0.0
+        var j = 0
+        while (j < arr.length && j < c.length) {
+          val diff = arr(j) - c(j); d += diff * diff; j += 1
+        }
+        (d, i)
+      }.sortBy(_._1).take(NPROBE).map(_._2).toSeq
+    })
+    val queries = assigned.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_e"),
+        explode(probeUdf($"embedding")).as("cell"))
+    val candidates = assigned
+      .select($"vec_id".as("c_id"), $"embedding".as("c_e"), $"cell")
+      .join(broadcast(queries), Seq("cell"))
+      .filter($"q_id" =!= $"c_id")
+      .select($"q_id", $"q_e", $"c_id", $"c_e").distinct()
+    val w = Window.partitionBy($"q_id").orderBy($"score".desc, $"c_id")
+    candidates
+      .withColumn("score", round(cosine($"q_e", $"c_e"), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 5)
+      .select($"q_id", $"rk", $"c_id", $"score")
+      .orderBy($"q_id", $"rk")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_simsearch_topk" -> (topkBruteForce _),
-    "q_simsearch_topk_lsh" -> (topkLsh _))
+    "q_simsearch_topk_lsh" -> (topkLsh _),
+    "q_simsearch_topk_ivf" -> (topkIvf _))
 
   def oracle: Map[String, String] = Map(
     "q_simsearch_topk" ->

@@ -115,7 +115,22 @@ object AggOps extends graft.QueryModule {
       .orderBy($"l_returnflag", $"l_linestatus")
   }
 
+  /** Exact interpolated percentiles (Spark `percentile` == DuckDB
+    * `quantile_cont`: linear interpolation between closest ranks). */
+  def percentiles(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(
+        round(percentile($"l_quantity", lit(0.25)), 6).as("p25"),
+        round(percentile($"l_quantity", lit(0.5)), 6).as("p50"),
+        round(percentile($"l_quantity", lit(0.75)), 6).as("p75"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_percentiles" -> (percentiles _),
     "q_agg_pricing_summary" -> (pricingSummary _),
     "q_agg_count_distinct" -> (countDistinctAgg _),
     "q_agg_approx_distinct" -> (approxDistinct _),
@@ -124,6 +139,13 @@ object AggOps extends graft.QueryModule {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_agg_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+        |  round(quantile_cont(l_quantity, 0.75), 6) AS p75,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_agg_pricing_summary" -> pricingSummaryOracle,
     "q_agg_count_distinct" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_supp,
