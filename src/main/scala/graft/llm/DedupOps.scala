@@ -48,24 +48,31 @@ object DedupOps extends graft.QueryModule {
     * tokens are excluded (no shingles). */
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // inverted-index formulation: explode shingles into postings, pair
+    // docs through the (block, shingle) join, count shared shingles per
+    // pair. Equivalent to the array-intersect version (pairs with zero
+    // shared shingles have jaccard 0 < threshold) but nothing larger than
+    // a posting row ever crosses the shuffle — the block-pairwise version
+    // carried both shingle ARRAYS per candidate pair (2x wall time here,
+    // unboundedly worse at 100 TB).
     val docs = graft.Tables.documents(spark, sfDir)
       .withColumn("toks", split($"text", " "))
       .filter(size($"toks") >= 3)
       .select($"doc_id", $"lang", floor($"n_chars" / 100).as("lb"),
         shingles3($"toks").as("sh"))
-    val a = docs.select($"doc_id".as("a_id"), $"lang", $"lb", $"sh".as("a_sh"))
-    val b = docs.select($"doc_id".as("b_id"), $"lang", $"lb", $"sh".as("b_sh"))
-    a.join(b, Seq("lang", "lb"))
+      .withColumn("sz", size($"sh"))
+    val postings = docs.select($"doc_id", $"lang", $"lb", $"sz",
+      explode($"sh").as("shingle"))
+    val a = postings.select($"lang", $"lb", $"shingle",
+      $"doc_id".as("a_id"), $"sz".as("a_sz"))
+    val b = postings.select($"lang", $"lb", $"shingle",
+      $"doc_id".as("b_id"), $"sz".as("b_sz"))
+    a.join(b, Seq("lang", "lb", "shingle"))
       .filter($"a_id" < $"b_id")
-      // size-ratio prune: jaccard <= min/max set size, so ratio < 0.2 can
-      // never pass the threshold — skips the intersect for most pairs
-      // without changing results (hence absent from the oracle SQL).
-      .filter(least(size($"a_sh"), size($"b_sh")) >=
-        lit(0.2) * greatest(size($"a_sh"), size($"b_sh")))
-      // |A u B| = |A| + |B| - |A n B|: one intersect, no union materialized
-      .withColumn("inter", size(array_intersect($"a_sh", $"b_sh")))
+      .groupBy($"a_id", $"b_id", $"a_sz", $"b_sz")
+      .agg(count(lit(1)).as("inter"))
       .withColumn("jaccard", $"inter".cast("double") /
-        (size($"a_sh") + size($"b_sh") - $"inter").cast("double"))
+        ($"a_sz" + $"b_sz" - $"inter").cast("double"))
       .filter($"jaccard" >= 0.2)
       .select($"a_id", $"b_id", round($"jaccard", 6).as("jaccard"))
       .orderBy($"a_id", $"b_id")
@@ -125,6 +132,9 @@ object DedupOps extends graft.QueryModule {
       .withColumn("bands", minhashBandsUdf(transform($"sh", s => xxhash64(s))))
     val banded = docs.select($"doc_id", $"sh", posexplode($"bands"))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandhash")
+      // self-joined below; without persist the shingle+signature pipeline
+      // runs twice (renamed projections defeat ReusedExchange)
+      .persist()
     val l = banded.select($"band", $"bandhash", $"doc_id".as("a_id"), $"sh".as("a_sh"))
     val r = banded.select($"band", $"bandhash", $"doc_id".as("b_id"), $"sh".as("b_sh"))
     l.join(r, Seq("band", "bandhash"))
