@@ -40,7 +40,9 @@ object MultimodalOps extends graft.QueryModule {
 
   final case class MediaRow(doc_id: Long, modality: String, payload: Array[Byte])
   final case class MediaFeatures(doc_id: Long, modality: String, width: Int,
-                                 height: Int, n_frames: Int, feat: Array[Float])
+                                 height: Int, n_frames: Int,
+                                 resized_w: Int, resized_h: Int,
+                                 sampled_frames: Array[Int], feat: Array[Float])
 
   /** Batched decode + feature extraction. STUB: the container has no
     * image/audio codecs, so `decodeStub` fabricates deterministic metadata
@@ -61,19 +63,32 @@ object MultimodalOps extends graft.QueryModule {
       it.map(decoder)
     }.toDF()
       .select($"doc_id", $"modality", $"width", $"height", $"n_frames",
+        $"resized_w", $"resized_h", size($"sampled_frames").as("n_sampled"),
         round(element_at($"feat", 1), 6).as("feat0"))
       .orderBy($"doc_id")
   }
 
-  /** STUB decoder — deterministic fake, NOT a real codec. */
+  /** STUB decoder — deterministic fake, NOT a real codec. The decode/
+    * resize/frame-sample steps a real pipeline needs are shaped here:
+    * resize = aspect-preserving fit into 224x224; frame-sample = uniform
+    * stride down to <=16 frames. */
   private def decodeStub(m: MediaRow): MediaFeatures = {
     val h = m.payload.foldLeft(1469598103934665603L)((a, b) => (a ^ b) * 1099511628211L)
     val feat = Array.tabulate(8)(i =>
       (((h >>> (i * 8)) & 0xff).toFloat - 128f) / 128f)
+    val w = 64 + (math.abs(h) % 1024).toInt
+    val ht = 64 + (math.abs(h >>> 10) % 1024).toInt
+    val frames = if (m.modality == "image") 1
+      else 1 + (math.abs(h >>> 20) % 300).toInt
+    // resize: fit longest edge to 224, preserve aspect
+    val scale = 224.0 / math.max(w, ht)
+    // frame sampling: uniform stride to at most 16 frames
+    val stride = math.max(1, frames / 16)
     MediaFeatures(m.doc_id, m.modality,
-      width = 64 + (math.abs(h) % 1024).toInt,
-      height = 64 + (math.abs(h >>> 10) % 1024).toInt,
-      n_frames = if (m.modality == "image") 1 else 1 + (math.abs(h >>> 20) % 300).toInt,
+      width = w, height = ht, n_frames = frames,
+      resized_w = math.max(1, math.round(w * scale).toInt),
+      resized_h = math.max(1, math.round(ht * scale).toInt),
+      sampled_frames = (0 until frames by stride).take(16).toArray,
       feat = feat)
   }
 

@@ -110,6 +110,53 @@ object TextOps extends graft.QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** q_text_winnow — rolling-hash (Rabin-Karp) winnowing fingerprint:
+    * hash every k-char window with a true rolling update, then keep the
+    * minimum per w-window (MOSS-style winnowing). The surviving minima
+    * identify near-duplicate passages cheaply. Declared without oracle
+    * (hash-impl-specific); determinism + shape via the rows-only check. */
+  def winnowFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val K = 8  // gram length (chars)
+    val W = 16 // winnow window
+    val winnowUdf = udf((text: String) => {
+      if (text == null || text.length < K) Seq.empty[Long]
+      else {
+        val B = 257L
+        var pow = 1L
+        var i = 1
+        while (i < K) { pow *= B; i += 1 }
+        val hashes = new Array[Long](text.length - K + 1)
+        var h = 0L
+        var j = 0
+        while (j < K) { h = h * B + text.charAt(j); j += 1 }
+        hashes(0) = h
+        var p = 1
+        while (p <= text.length - K) {
+          h = (h - text.charAt(p - 1) * pow) * B + text.charAt(p + K - 1)
+          hashes(p) = h
+          p += 1
+        }
+        // winnow: min of each window of W consecutive gram hashes, deduped
+        val out = scala.collection.mutable.LinkedHashSet.empty[Long]
+        var s = 0
+        while (s <= hashes.length - W) {
+          var m = hashes(s)
+          var t = s + 1
+          while (t < s + W) { if (hashes(t) < m) m = hashes(t); t += 1 }
+          out += m
+          s += 1
+        }
+        if (out.isEmpty) Seq(hashes.min) else out.toSeq
+      }
+    })
+    graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", winnowUdf($"text").as("fps"))
+      .select($"doc_id", size($"fps").as("n_fingerprints"),
+        array_min($"fps").as("fp_min"))
+      .orderBy($"doc_id")
+  }
+
   /** q_text_langid — n-gram/markers language ID heuristic. Declared without
     * oracle (heuristic, not SQL-portable); shape-tested in TextOpsSpec.
     * Scores each language by marker-token hits; deterministic argmax. */
@@ -139,6 +186,7 @@ object TextOps extends graft.QueryModule {
     "q_text_token_count" -> (tokenCount _),
     "q_text_quality" -> (quality _),
     "q_text_fingerprint" -> (fingerprint _),
+    "q_text_winnow" -> (winnowFingerprint _),
     "q_text_langid" -> (langId _))
 
   def oracle: Map[String, String] = Map(
