@@ -140,9 +140,12 @@ object SimSearchOps extends graft.QueryModule {
     val NPROBE = 4
     val emb = graft.Tables.embeddings(spark, sfDir)
       .withColumn("fv", array_to_vector($"embedding".cast("array<double>")))
-    val model = new KMeans().setK(NLIST).setSeed(42L).setMaxIter(5)
+    // train the quantizer on a bounded slice — IVF centroids don't need
+    // the full corpus (at 100 TB you'd never fit on all of it); limit() is
+    // deterministic for a fixed file layout
+    val model = new KMeans().setK(NLIST).setSeed(42L).setMaxIter(4)
       .setFeaturesCol("fv").setPredictionCol("cell")
-      .fit(emb.select($"fv"))
+      .fit(emb.select($"fv").limit(4096))
     val assigned = model.transform(emb)
       .select($"vec_id", $"embedding", $"cell")
     val centroids = model.clusterCenters.map(_.toArray)
