@@ -157,25 +157,45 @@ object TextOps extends graft.QueryModule {
       .orderBy($"doc_id")
   }
 
-  /** q_text_langid — n-gram/markers language ID heuristic. Declared without
-    * oracle (heuristic, not SQL-portable); shape-tested in TextOpsSpec.
-    * Scores each language by marker-token hits; deterministic argmax. */
+  /** q_text_langid — character-n-gram language ID heuristic: score each
+    * language by hits of its characteristic char-trigrams over the text's
+    * trigram stream (one tight pass), deterministic argmax (score desc,
+    * language asc). Declared without oracle (heuristic, not SQL-portable).
+    * Profiles are pinned real-language trigrams — on the synthetic fixture
+    * corpus (same vocab for every lang label) accuracy is undefined by
+    * construction; the operator contract is shape + determinism. */
+  private val langProfiles: Seq[(String, Set[String])] = Seq(
+    "de" -> Set("der", "sch", "ein", "ich", "und", "die", "cht", "ung", "gen"),
+    "en" -> Set("the", "and", "ing", "ion", "ent", "her", "for", "tha", "ter"),
+    "es" -> Set("que", "los", "ión", "nte", "con", "ado", "una", "par", "ent"),
+    "fr" -> Set("les", "que", "ent", "des", "une", "ait", "eur", "our", "ois"),
+    "zh" -> Set("shi", "zhe", "ian", "ang", "eng", "ing", "uan", "hao", "wei"))
+
+  private val langIdUdf = udf((text: String) => {
+    if (text == null || text.length < 3) "unknown"
+    else {
+      val lower = text.toLowerCase
+      val counts = new Array[Int](langProfiles.size)
+      var i = 0
+      while (i <= lower.length - 3) {
+        val tri = lower.substring(i, i + 3)
+        var l = 0
+        while (l < langProfiles.size) {
+          if (langProfiles(l)._2.contains(tri)) counts(l) += 1
+          l += 1
+        }
+        i += 1
+      }
+      val best = counts.indices.maxBy(j => (counts(j), -j))
+      if (counts(best) == 0) "unknown" else langProfiles(best)._1
+    }
+  })
+
   def langId(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val markers: Map[String, Seq[String]] = Map(
-      "en" -> Seq("the", "and", "of", "to", "is", "a"),
-      "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
-      "fr" -> Seq("le", "la", "les", "et", "est", "une"),
-      "es" -> Seq("el", "los", "las", "es", "una", "y"),
-      "zh" -> Seq("de", "shi", "le", "bu", "wo", "zai"))
-    val toks = split(lower($"text"), " ")
-    val scores = markers.toSeq.sortBy(_._1).map { case (langName, ws) =>
-      struct(size(filter(toks, t => t.isin(ws: _*))).as("score"),
-        lit(langName).as("lang"))
-    }
     graft.Tables.documents(spark, sfDir)
       .select($"doc_id", $"lang".as("labeled_lang"),
-        greatest(scores: _*).getField("lang").as("predicted_lang"))
+        langIdUdf($"text").as("predicted_lang"))
       .orderBy($"doc_id")
   }
 
