@@ -16,10 +16,23 @@ object Runner {
     extends RuntimeException(s"dependency cycle at task $at")
 
   def run(root: Task, spark: SparkSession,
-          log: String => Unit = _ => ()): Seq[String] = {
+          log: String => Unit = _ => (),
+          retries: Int = 0): Seq[String] = {
     val executed = mutable.ArrayBuffer.empty[String]
     val done = mutable.Set.empty[Task]
     val inStack = mutable.Set.empty[Task]
+
+    def attempt(t: Task): Unit = {
+      var tries = 0
+      var lastErr: Throwable = null
+      while (tries <= retries && !t.complete) {
+        if (tries > 0) log(s"RETRY ${t.name} (attempt ${tries + 1})")
+        try { t.run(spark); lastErr = null }
+        catch { case e: Throwable => lastErr = e }
+        tries += 1
+      }
+      if (lastErr != null) throw lastErr
+    }
 
     def visit(t: Task): Unit = {
       if (done.contains(t)) return
@@ -29,7 +42,7 @@ object Runner {
       inStack -= t
       if (!t.complete) {
         log(s"RUN  ${t.name} -> ${t.output.uri}")
-        t.run(spark)
+        attempt(t)
         if (!t.complete) throw new IllegalStateException(
           s"task ${t.name} ran but target ${t.output.uri} still missing")
         executed += t.name

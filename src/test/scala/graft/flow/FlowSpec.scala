@@ -75,6 +75,29 @@ class FlowSpec extends SparkTestBase {
     assert(leftovers.isEmpty, s"temp junk: ${leftovers.mkString(",")}")
   }
 
+  test("retry policy: transient failures retried, budget exhaustion rethrows") {
+    val cfg = freshCfg()
+    def flaky(failures: Int, tag: String): Task = new Task {
+      override def name = "Flaky"
+      val output = DirTarget(s"${cfg.baseDir}/flaky_$tag")
+      private var remaining = failures
+      def run(s: SparkSession): Unit = {
+        if (remaining > 0) { remaining -= 1; throw new RuntimeException("transient") }
+        output.atomicWrite { tmp =>
+          Files.createDirectories(Paths.get(tmp))
+          Files.writeString(Paths.get(tmp, "ok"), "ok")
+        }
+      }
+    }
+    // 2 transient failures, 2 retries allowed -> succeeds on 3rd attempt
+    assert(Runner.run(flaky(2, "a"), spark, retries = 2) == Seq("Flaky"))
+    // 2 failures, 1 retry -> budget exhausted, error surfaces
+    val err = intercept[RuntimeException] {
+      Runner.run(flaky(2, "b"), spark, retries = 1)
+    }
+    assert(err.getMessage == "transient")
+  }
+
   test("cycle detection") {
     lazy val a: Task = new Task {
       override def name = "A"
