@@ -26,5 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] needs headroom: 32 concurrent tasks sharing one unified
+  // memory pool thrash GC/spill under 8g (round-1 bench: 5-100x slowdowns).
+  // The box has 128 GiB; -Xmx is a cap, not a reservation.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

@@ -14,22 +14,36 @@ import org.apache.spark.sql.functions._
   */
 object DedupOps extends graft.QueryModule {
 
-  /** whitespace-token 3-gram shingles, distinct + sorted (deterministic).
-    * Takes a pre-split token column — computing split() inside the
-    * transform would re-tokenize the doc once per shingle (O(n^2), the
-    * first bench's 177 s hotspot). */
-  private def shingles3(toks: Column): Column =
-    // the when() guard matters even under a size>=3 pre-filter: predicate
-    // pushdown can reorder evaluation, and sequence(0, n-3) runs DESCENDING
-    // for n<3 (negative indices -> element_at blows up)
-    when(size(toks) >= 3,
-      array_sort(array_distinct(transform(
-        sequence(lit(0), size(toks) - 3),
-        i => concat_ws(" ",
-          element_at(toks, i + 1),
-          element_at(toks, i + 2),
-          element_at(toks, i + 3))))))
-      .otherwise(array().cast("array<string>"))
+  /** whitespace-token 3-gram shingles, distinct, one tight pass.
+    * A UDF on purpose, not a transform()/element_at() column tree: HOFs are
+    * CodegenFallback AND predicate pushdown inlines the aliased split()
+    * into every element_at inside the lambda (visible in the pushed
+    * Generate filter), re-tokenizing the doc once per shingle reference —
+    * O(n^2) interpreted work per row that cost ~250 s cold at sf0.1.
+    * Pushdown may still duplicate the UDF into a filter, but each
+    * evaluation is a single linear pass. Docs under 3 tokens yield an
+    * empty set (same rows as the oracle's `len(...) >= 3` guard).
+    * split(" ", -1) matches Spark/DuckDB split semantics (trailing
+    * empties kept); set order is irrelevant downstream (intersection
+    * sizes and per-k minima are order-free). */
+  private val shinglesUdf = udf((text: String) => {
+    if (text == null) Array.empty[String]
+    else {
+      val toks = text.split(" ", -1)
+      if (toks.length < 3) Array.empty[String]
+      else {
+        val seen = new java.util.LinkedHashSet[String]
+        var i = 0
+        while (i <= toks.length - 3) {
+          seen.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+          i += 1
+        }
+        val out = new Array[String](seen.size)
+        seen.toArray(out)
+        out
+      }
+    }
+  })
 
   /** Exact dedup: sha2-256 over whitespace-normalized lowercase text,
     * deterministic survivor = min doc_id per fingerprint. */
@@ -56,10 +70,9 @@ object DedupOps extends graft.QueryModule {
     // carried both shingle ARRAYS per candidate pair (2x wall time here,
     // unboundedly worse at 100 TB).
     val docs = graft.Tables.documents(spark, sfDir)
-      .withColumn("toks", split($"text", " "))
-      .filter(size($"toks") >= 3)
       .select($"doc_id", $"lang", floor($"n_chars" / 100).as("lb"),
-        shingles3($"toks").as("sh"))
+        shinglesUdf($"text").as("sh"))
+      .filter(size($"sh") > 0)
       .withColumn("sz", size($"sh"))
     val postings = docs.select($"doc_id", $"lang", $"lb", $"sz",
       explode($"sh").as("shingle"))
@@ -98,7 +111,8 @@ object DedupOps extends graft.QueryModule {
     x ^ (x >>> 33)
   }
 
-  /** shingle hashes -> 16 LSH band hashes (4 chained minima each) */
+  /** shingle hashes -> BANDS (=21) LSH band hashes, each chaining
+    * K/BANDS (=3) per-k minima */
   private val minhashBandsUdf = udf((hs: Seq[Long]) => {
     val sig = Array.fill(K)(Long.MaxValue)
     hs.foreach { h =>
@@ -118,28 +132,39 @@ object DedupOps extends graft.QueryModule {
     }.toSeq
   })
 
-  /** Candidate pairs whose signatures collide in >=1 of 16 LSH bands,
+  /** all ordered (min,max) pairs from one LSH bucket's member list */
+  private val bucketPairsUdf = udf((ids: Seq[Long]) => {
+    val s = ids.sorted
+    for (i <- s.indices; j <- (i + 1) until s.length) yield (s(i), s(j))
+  })
+
+  /** Candidate pairs whose signatures collide in >=1 of the 21 LSH bands,
     * verified by exact shingle Jaccard >= 0.5.
-    * Plan shape: explode bands -> shuffle on (band, bandHash) -> in-bucket
-    * pairing -> distinct -> verify. Bucket sizes stay tiny because a band
-    * hash is 4 chained 64-bit minima. */
+    * Plan shape: explode bands -> ONE shuffle on (band, bandhash) ->
+    * collect_list per bucket -> pairwise expansion inside the bucket ->
+    * distinct pairs -> join back to docs for the verify arrays. No
+    * self-join and no persist: only doc_ids cross the bucket shuffle
+    * (bucket sizes stay tiny because a band hash chains 3 64-bit minima,
+    * so the pairwise expansion is bounded), and the shingle pipeline is a
+    * cheap single-pass UDF recomputed per verify-side join input instead
+    * of a session-lifetime cached block. */
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val docs = graft.Tables.documents(spark, sfDir)
-      .withColumn("toks", split($"text", " "))
-      .filter(size($"toks") >= 3)
-      .select($"doc_id", shingles3($"toks").as("sh"))
-      .withColumn("bands", minhashBandsUdf(transform($"sh", s => xxhash64(s))))
-    val banded = docs.select($"doc_id", $"sh", posexplode($"bands"))
+      .select($"doc_id", shinglesUdf($"text").as("sh"))
+      .filter(size($"sh") > 0)
+    val banded = docs
+      .select($"doc_id", posexplode(minhashBandsUdf(transform($"sh", s => xxhash64(s)))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandhash")
-      // self-joined below; without persist the shingle+signature pipeline
-      // runs twice (renamed projections defeat ReusedExchange)
-      .persist()
-    val l = banded.select($"band", $"bandhash", $"doc_id".as("a_id"), $"sh".as("a_sh"))
-    val r = banded.select($"band", $"bandhash", $"doc_id".as("b_id"), $"sh".as("b_sh"))
-    l.join(r, Seq("band", "bandhash"))
-      .filter($"a_id" < $"b_id")
-      .select($"a_id", $"b_id", $"a_sh", $"b_sh").distinct()
+    val pairs = banded.groupBy($"band", $"bandhash")
+      .agg(collect_list($"doc_id").as("ids"))
+      .filter(size($"ids") > 1)
+      .select(explode(bucketPairsUdf($"ids")).as("p"))
+      .select($"p._1".as("a_id"), $"p._2".as("b_id"))
+      .distinct()
+    pairs
+      .join(docs.select($"doc_id".as("a_id"), $"sh".as("a_sh")), Seq("a_id"))
+      .join(docs.select($"doc_id".as("b_id"), $"sh".as("b_sh")), Seq("b_id"))
       .withColumn("jaccard",
         size(array_intersect($"a_sh", $"b_sh")).cast("double") /
           size(array_union($"a_sh", $"b_sh")).cast("double"))
@@ -194,6 +219,40 @@ object DedupOps extends graft.QueryModule {
       .orderBy($"a_id", $"b_id")
   }
 
+  /** Duplicate-cluster assignment: connected components over the n-gram
+    * Jaccard near-dup pair graph, component id = min doc_id reachable.
+    * Iterative min-label propagation (the simple variant of the
+    * large-star/small-star CC algorithm) — each round is one shuffle
+    * (neighbor-min groupBy), rounds bounded by component diameter, which
+    * for dup clusters is tiny. localCheckpoint truncates the per-round
+    * lineage AND materializes the edge list once (the ngram pipeline would
+    * otherwise rerun every round); no session-lifetime persist. */
+  def components(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = ngramJaccard(spark, sfDir).select($"a_id", $"b_id")
+    val edges = pairs.select($"a_id".as("src"), $"b_id".as("dst"))
+      .union(pairs.select($"b_id".as("src"), $"a_id".as("dst")))
+      .localCheckpoint()
+    var labels = edges.select($"src".as("id")).distinct()
+      .withColumn("comp", $"id").localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 25) {
+      val viaNbr = edges.join(labels, edges("dst") === labels("id"))
+        .select(edges("src").as("id"), labels("comp"))
+      val next = viaNbr.union(labels.select($"id", $"comp"))
+        .groupBy($"id").agg(min($"comp").as("comp"))
+        .localCheckpoint()
+      changed = next
+        .join(labels.withColumnRenamed("comp", "prev"), Seq("id"))
+        .filter($"comp" =!= $"prev").count()
+      labels = next
+      rounds += 1
+    }
+    labels.select($"id".as("doc_id"), $"comp".as("component_id"))
+      .orderBy($"doc_id")
+  }
+
   /** Embedding-cosine near-dup: windowed blocking (same label, id distance
     * <= 100 — deterministic, bounded fan-out), exact cosine in double.
     * Oracle: DuckDB list ops over DOUBLE[] (same left-to-right fold). */
@@ -219,6 +278,7 @@ object DedupOps extends graft.QueryModule {
     "q_dedup_ngram_jaccard" -> (ngramJaccard _),
     "q_dedup_minhash_lsh" -> (minhashLsh _),
     "q_dedup_simhash" -> (simhash _),
+    "q_dedup_components" -> (components _),
     "q_dedup_embedding_cosine" -> (embeddingCosine _))
 
   def oracle: Map[String, String] = Map(

@@ -71,7 +71,7 @@ object SimSearchOps extends graft.QueryModule {
   private val BITS_PER_BAND = 5
 
   /** deterministic hyperplanes: seeded uniform in [-1,1); shipped as a
-    * literal array (8 bands x 8 planes x 64 dims ~ 4k doubles — broadcast
+    * literal array (24 bands x 5 planes x 64 dims ~ 8k doubles — broadcast
     * by Catalyst as a constant, no shuffle). */
   private lazy val planes: Array[Array[Array[Double]]] = {
     val rnd = new scala.util.Random(42)

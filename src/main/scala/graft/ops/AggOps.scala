@@ -129,7 +129,72 @@ object AggOps extends graft.QueryModule {
       .orderBy($"l_returnflag")
   }
 
+  /** Statistical moments + bivariate stats. Rounding discipline: corr is
+    * scale-free (round 6 safe); stddev/var/covar arguments are small
+    * (quantity ≤ 50, discount ≤ 0.1) so double partial-sum noise sits far
+    * below 1e-6 — covar against extendedprice (1e5-magnitude) would NOT
+    * survive the hash-match and is deliberately avoided. */
+  def statsAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(
+        round(stddev_samp($"l_quantity"), 6).as("sd_qty"),
+        round(var_samp($"l_quantity"), 6).as("var_qty"),
+        round(corr($"l_quantity", $"l_extendedprice"), 6).as("corr_qty_price"),
+        round(covar_samp($"l_quantity", $"l_discount"), 6).as("covar_qty_disc"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Filtered aggregation: count_if / conditional sums (FILTER clause
+    * semantics) — nulls from the unmatched branch are skipped by sum(). */
+  def conditionalAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.orders(spark, sfDir)
+      .groupBy($"o_orderstatus")
+      .agg(
+        count_if($"o_totalprice" > 100000).as("n_big"),
+        count_if($"o_totalprice" <= 100000).as("n_small"),
+        coalesce(sum(when($"o_orderpriority".like("1%"), dec($"o_totalprice"))),
+          lit(BigDecimal(0))).cast("double").as("sum_urgent"),
+        count(lit(1)).as("n"))
+      .orderBy($"o_orderstatus")
+  }
+
+  /** max_by / min_by (argmax-style pick). Ordering value o_orderkey is
+    * unique -> deterministic pick, no tiebreaker gymnastics needed. */
+  def minmaxBy(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.orders(spark, sfDir)
+      .groupBy($"o_orderstatus")
+      .agg(
+        max_by($"o_orderpriority", $"o_orderkey").as("last_priority"),
+        min_by($"o_orderpriority", $"o_orderkey").as("first_priority"),
+        max($"o_orderkey").as("max_key"),
+        min($"o_orderkey").as("min_key"))
+      .orderBy($"o_orderstatus")
+  }
+
+  /** Set collection surfaced as a deterministic string: sorted distinct
+    * members joined with ',' (array columns hash differently between
+    * engines; a canonical string is oracle-stable). Nation names are
+    * ASCII so binary sort order agrees between Spark and DuckDB. */
+  def collectAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.nation(spark, sfDir)
+      .groupBy($"n_regionkey")
+      .agg(
+        concat_ws(",", sort_array(collect_set($"n_name"))).as("names"),
+        countDistinct($"n_name").as("n_nations"))
+      .orderBy($"n_regionkey")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_stats" -> (statsAgg _),
+    "q_agg_conditional" -> (conditionalAgg _),
+    "q_agg_minmax_by" -> (minmaxBy _),
+    "q_agg_collect" -> (collectAgg _),
     "q_agg_percentiles" -> (percentiles _),
     "q_agg_pricing_summary" -> (pricingSummary _),
     "q_agg_count_distinct" -> (countDistinctAgg _),
@@ -139,6 +204,33 @@ object AggOps extends graft.QueryModule {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_agg_stats" ->
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_quantity), 6) AS sd_qty,
+        |  round(var_samp(l_quantity), 6) AS var_qty,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        |  round(covar_samp(l_quantity, l_discount), 6) AS covar_qty_disc,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_agg_conditional" ->
+      """SELECT o_orderstatus,
+        |  COUNT(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
+        |  COUNT(*) FILTER (WHERE o_totalprice <= 100000) AS n_small,
+        |  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(14,2)))
+        |    FILTER (WHERE o_orderpriority LIKE '1%'), 0) AS DOUBLE) AS sum_urgent,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_agg_minmax_by" ->
+      """SELECT o_orderstatus,
+        |  arg_max(o_orderpriority, o_orderkey) AS last_priority,
+        |  arg_min(o_orderpriority, o_orderkey) AS first_priority,
+        |  max(o_orderkey) AS max_key, min(o_orderkey) AS min_key
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_agg_collect" ->
+      """SELECT n_regionkey,
+        |  array_to_string(list_sort(list(DISTINCT n_name)), ',') AS names,
+        |  COUNT(DISTINCT n_name) AS n_nations
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
     "q_agg_percentiles" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_quantity, 0.25), 6) AS p25,

@@ -177,7 +177,22 @@ object JoinOps extends graft.QueryModule {
       .orderBy($"c_mktsegment")
   }
 
+  /** Explicit cross join (cartesian) — only ever sane when both sides are
+    * tiny (region x region = 25 rows); anything larger must go through an
+    * equi/range condition instead. */
+  def crossJoinSmall(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val a = graft.Tables.region(spark, sfDir)
+      .select($"r_regionkey".as("a_key"), $"r_name".as("a_name"))
+    val b = graft.Tables.region(spark, sfDir)
+      .select($"r_regionkey".as("b_key"), $"r_name".as("b_name"))
+    a.crossJoin(b)
+      .select($"a_key", $"b_key", concat_ws("-", $"a_name", $"b_name").as("pair"))
+      .orderBy($"a_key", $"b_key")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_cross" -> (crossJoinSmall _),
     "q_join_salted_skew" -> (saltedJoin _),
     "q_join_bucketed_colocated" -> (bucketedJoin _),
     "q_join_inner" -> (innerJoin _),
@@ -190,6 +205,11 @@ object JoinOps extends graft.QueryModule {
     "q_join_asof" -> (asofJoin _))
 
   def oracle: Map[String, String] = Map(
+    "q_join_cross" ->
+      """SELECT a.r_regionkey AS a_key, b.r_regionkey AS b_key,
+        |  concat_ws('-', a.r_name, b.r_name) AS pair
+        |FROM region a CROSS JOIN region b
+        |ORDER BY a_key, b_key""".stripMargin,
     "q_join_bucketed_colocated" ->
       """SELECT c_mktsegment, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price

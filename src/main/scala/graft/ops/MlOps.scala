@@ -18,7 +18,10 @@ object MlOps extends graft.QueryModule {
   def deriveLabel(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     graft.Tables.documents(spark, sfDir)
-      .withColumn("label", $"lang".like("e%").cast("double"))
+      // coalesce: like() on NULL lang is NULL, but the oracle's
+      // CASE ... ELSE 0.0 maps NULL to 0.0 — pin both to 0.0
+      .withColumn("label",
+        coalesce($"lang".like("e%").cast("double"), lit(0.0)))
       .groupBy($"label")
       .agg(count(lit(1)).as("n"))
       .orderBy($"label")

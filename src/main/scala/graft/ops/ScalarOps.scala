@@ -112,7 +112,23 @@ object ScalarOps extends graft.QueryModule {
       .orderBy($"event_id")
   }
 
+  /** Bitwise scalar pack: and/xor/shifts/popcount on key columns. All
+    * outputs pinned to BIGINT on both sides (DuckDB's bit_count returns a
+    * narrow int; the driver hash-compares typed values). */
+  def bitwisePack(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.orders(spark, sfDir)
+      .select($"o_orderkey",
+        $"o_orderkey".bitwiseAND(lit(255L)).as("key_and"),
+        $"o_orderkey".bitwiseXOR($"o_custkey").as("key_xor"),
+        shiftleft($"o_orderkey", 2).as("key_shl"),
+        shiftright($"o_orderkey", 3).as("key_shr"),
+        bit_count($"o_orderkey").cast("long").as("key_bits"))
+      .orderBy($"o_orderkey")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scalar_bitwise" -> (bitwisePack _),
     "q_scalar_string" -> (stringPack _),
     "q_scalar_date" -> (datePack _),
     "q_scalar_math" -> (mathPack _),
@@ -122,6 +138,14 @@ object ScalarOps extends graft.QueryModule {
     "q_scalar_conditional" -> (conditionalPack _))
 
   def oracle: Map[String, String] = Map(
+    "q_scalar_bitwise" ->
+      """SELECT o_orderkey,
+        |  o_orderkey & 255 AS key_and,
+        |  xor(o_orderkey, o_custkey) AS key_xor,
+        |  o_orderkey << 2 AS key_shl,
+        |  o_orderkey >> 3 AS key_shr,
+        |  CAST(bit_count(o_orderkey) AS BIGINT) AS key_bits
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_scalar_string" ->
       """SELECT p_partkey,
         |  lower(p_name) AS lo, upper(p_brand) AS up,

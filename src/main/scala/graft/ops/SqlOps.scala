@@ -25,7 +25,7 @@ object SqlOps extends graft.QueryModule {
 
   final case class OrderRow(o_orderkey: Long, o_custkey: Long,
                             o_orderstatus: String, o_totalprice: Double)
-  final case class StatusSpend(status: String, n: Long, spend_bucket: String)
+  final case class StatusSpend(status: String, spend_bucket: String)
 
   /** Typed Dataset ops: case-class Encoder, typed filter/map, then back to
     * the relational surface for the aggregate (keeps codegen'd agg). */
@@ -36,7 +36,7 @@ object SqlOps extends graft.QueryModule {
       .as[OrderRow]
     orders
       .filter(o => o.o_totalprice > 1000.0)
-      .map(o => StatusSpend(o.o_orderstatus, o.o_orderkey,
+      .map(o => StatusSpend(o.o_orderstatus,
         if (o.o_totalprice >= 200000.0) "high"
         else if (o.o_totalprice >= 50000.0) "mid" else "low"))
       .groupBy($"status", $"spend_bucket")
@@ -44,11 +44,67 @@ object SqlOps extends graft.QueryModule {
       .orderBy($"status", $"spend_bucket")
   }
 
+  /** Uncorrelated scalar subquery in a predicate. max() is exact (no
+    * summation order), and the 20x scaling is a single correctly-rounded
+    * double multiply — identical threshold on both engines. */
+  def scalarSubquery(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.Tables.orders(spark, sfDir).createOrReplaceTempView("orders_v")
+    graft.Tables.customer(spark, sfDir).createOrReplaceTempView("customer_v")
+    spark.sql(
+      """SELECT o_orderkey, o_totalprice FROM orders_v
+        |WHERE o_totalprice > 20 * (SELECT max(c_acctbal) FROM customer_v)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** IN (subquery) predicate — planned as a left-semi join. */
+  def inSubquery(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.Tables.orders(spark, sfDir).createOrReplaceTempView("orders_v")
+    graft.Tables.customer(spark, sfDir).createOrReplaceTempView("customer_v")
+    spark.sql(
+      """SELECT o_orderkey, o_custkey FROM orders_v
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer_v
+        |                    WHERE c_mktsegment = 'BUILDING')
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** Multi-CTE pipeline: per-customer totals re-aggregated per segment.
+    * Decimal sums all the way; one text works verbatim in both engines
+    * (the oracle reuses it with the _v suffixes stripped). */
+  private def cteSql(orders: String, customer: String): String =
+    s"""WITH tot AS (
+       |  SELECT o_custkey, COUNT(*) AS n_orders,
+       |    SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS spend
+       |  FROM $orders GROUP BY o_custkey)
+       |SELECT c_mktsegment, COUNT(*) AS n_cust,
+       |  CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+       |  CAST(SUM(spend) AS DOUBLE) AS total_spend
+       |FROM $customer JOIN tot ON c_custkey = o_custkey
+       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  def cte(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.Tables.orders(spark, sfDir).createOrReplaceTempView("orders_v")
+    graft.Tables.customer(spark, sfDir).createOrReplaceTempView("customer_v")
+    spark.sql(cteSql("orders_v", "customer_v"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sql_grouping_sets" -> (groupingSets _),
+    "q_sql_scalar_subquery" -> (scalarSubquery _),
+    "q_sql_in_subquery" -> (inSubquery _),
+    "q_sql_cte" -> (cte _),
     "q_typed_dataset" -> (typedDataset _))
 
   def oracle: Map[String, String] = Map(
+    "q_sql_scalar_subquery" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > 20 * (SELECT max(c_acctbal) FROM customer)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_sql_in_subquery" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer
+        |                    WHERE c_mktsegment = 'BUILDING')
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_sql_cte" -> cteSql("orders", "customer"),
     "q_sql_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
         |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 6) AS DOUBLE)

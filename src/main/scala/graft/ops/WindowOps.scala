@@ -74,13 +74,36 @@ object WindowOps extends graft.QueryModule {
       .orderBy($"o_orderkey")
   }
 
+  /** percent_rank / cume_dist distribution functions. The window ordering
+    * (c_acctbal, c_custkey) is tie-free, so both engines see identical
+    * rank positions; outputs are rationals of row counts, exact in double
+    * up to the 6-dp rounding. */
+  def distribution(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"c_mktsegment")
+      .orderBy($"c_acctbal", $"c_custkey")
+    graft.Tables.customer(spark, sfDir)
+      .select($"c_custkey", $"c_mktsegment", $"c_acctbal",
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"))
+      .orderBy($"c_custkey")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_distribution" -> (distribution _),
     "q_window_ranking" -> (ranking _),
     "q_window_analytic" -> (analytic _),
     "q_window_running_sum" -> (runningSum _),
     "q_window_range_frame" -> (rangeFrame _))
 
   def oracle: Map[String, String] = Map(
+    "q_window_distribution" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        |  round(percent_rank() OVER w, 6) AS pr,
+        |  round(cume_dist() OVER w, 6) AS cd
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
     "q_window_ranking" ->
       """SELECT c_custkey, c_mktsegment, c_acctbal,
         |  ROW_NUMBER() OVER w AS rn, RANK() OVER w AS rk,
