@@ -80,9 +80,43 @@ object ScanOps extends graft.QueryModule {
       .orderBy($"l_returnflag")
   }
 
+  /** JSON-lines sink+scan roundtrip (the interchange format of most
+    * LLM-corpus tooling): write documents as jsonl, read back with an
+    * explicit schema. Doubles/longs/strings survive JSON exactly; the
+    * oracle is the source table. */
+  def jsonRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val path = tmpDir("orders_json", sfDir)
+    graft.Tables.orders(spark, sfDir)
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      .write.mode("overwrite").json(path)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType)))
+    spark.read.schema(schema).json(path)
+      .orderBy($"o_orderkey")
+  }
+
+  /** ORC sink+scan roundtrip — the other columnar format Spark ships.
+    * DuckDB can't read ORC, but it doesn't need to: lossless roundtrip
+    * means result == source table, which IS the oracle. */
+  def orcRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val path = tmpDir("part_orc", sfDir)
+    graft.Tables.part(spark, sfDir)
+      .select($"p_partkey", $"p_brand", $"p_size", $"p_retailprice")
+      .write.mode("overwrite").orc(path)
+    spark.read.orc(path)
+      .filter($"p_size" >= 10)
+      .orderBy($"p_partkey")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scan_parquet" -> (scanParquet _),
     "q_scan_csv_roundtrip" -> (csvRoundtrip _),
+    "q_scan_json_roundtrip" -> (jsonRoundtrip _),
+    "q_scan_orc_roundtrip" -> (orcRoundtrip _),
     "q_sink_partitioned_write" -> (partitionedWrite _))
 
   def oracle: Map[String, String] = Map(
@@ -92,6 +126,12 @@ object ScanOps extends graft.QueryModule {
     "q_scan_csv_roundtrip" ->
       """SELECT c_custkey, c_name, c_mktsegment
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_scan_json_roundtrip" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_scan_orc_roundtrip" ->
+      """SELECT p_partkey, p_brand, p_size, p_retailprice
+        |FROM part WHERE p_size >= 10 ORDER BY p_partkey""".stripMargin,
     "q_sink_partitioned_write" ->
       """SELECT l_returnflag, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty

@@ -64,6 +64,27 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("components: transitive cluster collapses to min id; unrelated isolated") {
+    // chain A(10)~B(11)~C(12) where A~C may be below threshold — transitivity
+    // must still put all three in component 10; D/E form a separate pair.
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val b = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    val c = "alpha beta gamma delta epsilon zeta eta theta mu lambda"
+    val d = "one two three four five six seven eight nine ten"
+    val e = "one two three four five six seven eight nine eleven"
+    val docs = Seq(
+      (10L, a), (11L, b), (12L, c), (20L, d), (21L, e))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val comp = DedupOps.components(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp(10L) == 10L && comp(11L) == 10L && comp(12L) == 10L,
+      s"chain not merged: $comp")
+    assert(comp(20L) == 20L && comp(21L) == 20L, s"pair not merged: $comp")
+  }
+
   test("ngram jaccard: near dup scores high, sf0.001 run is deterministic") {
     withPlanted { dir =>
       val j = DedupOps.ngramJaccard(spark, dir)

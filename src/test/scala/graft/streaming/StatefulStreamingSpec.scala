@@ -50,6 +50,52 @@ class StatefulStreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches only within the time bound") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.expr
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val clicks = MemoryStream[Ev]
+    val imps = MemoryStream[Ev]
+    val l = clicks.toDS().withWatermark("ts", "10 minutes")
+      .select($"user_id".as("c_user"), $"ts".as("c_ts"), $"value".as("c_val"))
+    val r = imps.toDS().withWatermark("ts", "10 minutes")
+      .select($"user_id".as("i_user"), $"ts".as("i_ts"))
+    val joined = l.join(r, expr(
+      "c_user = i_user AND c_ts BETWEEN i_ts AND i_ts + interval 5 minutes"))
+    val q = joined.writeStream.format("memory").queryName("ssj_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      imps.addData(Ev(1, t(0), 0.0))
+      clicks.addData(Ev(1, t(2), 1.0)) // within 5 min of the impression
+      clicks.addData(Ev(1, t(9), 2.0)) // same user, outside the bound
+      clicks.addData(Ev(2, t(2), 3.0)) // no impression at all
+      q.processAllAvailable()
+      val vals = spark.table("ssj_test").select($"c_val")
+        .collect().map(_.getDouble(0)).toSet
+      assert(vals == Set(1.0), s"joined: $vals")
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark suppresses replays across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val s = MemoryStream[Ev]
+    val out = s.toDS().withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "ts")
+    val q = out.writeStream.format("memory").queryName("dedup_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      s.addData(Ev(1, t(0), 1.0), Ev(1, t(0), 1.0)) // in-batch replay
+      q.processAllAvailable()
+      s.addData(Ev(1, t(0), 1.0)) // cross-batch replay within watermark
+      s.addData(Ev(1, t(3), 2.0)) // genuinely new event
+      q.processAllAvailable()
+      val rows = spark.table("dedup_test").as[Ev].collect()
+      assert(rows.length == 2, rows.mkString(","))
+      assert(rows.map(_.value).toSet == Set(1.0, 2.0), rows.mkString(","))
+    } finally q.stop()
+  }
+
   test("file-source readStream (availableNow) matches the batch count") {
     graft.Tables.events(spark, sf0001) // sets the nanosAsLong conf
     val batchCount = graft.Tables.events(spark, sf0001).count()
