@@ -21,7 +21,7 @@ object SparkEntry {
     ops.WindowOps, ops.SortSetOps, ops.ScalarOps, ops.UdafOps, ops.MlOps,
     ops.SqlOps, ops.ReshapeOps,
     text.TextOps,
-    llm.DedupOps, llm.SimSearchOps, llm.MultimodalOps,
+    llm.DedupOps, llm.SimSearchOps, llm.MultimodalOps, llm.CorpusPipeline,
     streaming.StreamOps
   ) // widened as milestones land
 
