@@ -112,7 +112,35 @@ object ScanOps extends graft.QueryModule {
       .orderBy($"p_partkey")
   }
 
+  /** Upsert / MERGE-INTO semantics on a parquet target (no table format
+    * needed): source rows update matching keys and insert new ones, via
+    * full-outer join + coalesce, then atomic overwrite + readback. This is
+    * the batch SCD pattern; at 100 TB the join shuffles on the key once —
+    * same cost class as any MERGE — and the rewrite is partition-scoped
+    * when the target is partitioned. Source derives deterministically from
+    * the fixture (key%7 -> update, key%13 -> shifted-key insert) so the
+    * oracle can replay the merge in SQL. */
+  def upsertMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val target = graft.Tables.customer(spark, sfDir)
+      .select($"c_custkey", $"c_name", $"c_acctbal", $"c_mktsegment")
+    val source = target.filter($"c_custkey" % 7 === 0)
+      .withColumn("c_acctbal", $"c_acctbal" + lit(100.0))
+      .unionByName(target.filter($"c_custkey" % 13 === 0)
+        .withColumn("c_custkey", $"c_custkey" + 1000000L))
+    val merged = target.alias("t")
+      .join(source.alias("s"), Seq("c_custkey"), "full")
+      .select($"c_custkey",
+        coalesce($"s.c_name", $"t.c_name").as("c_name"),
+        coalesce($"s.c_acctbal", $"t.c_acctbal").as("c_acctbal"),
+        coalesce($"s.c_mktsegment", $"t.c_mktsegment").as("c_mktsegment"))
+    val path = tmpDir("customer_merged", sfDir)
+    merged.write.mode("overwrite").parquet(path)
+    spark.read.parquet(path).orderBy($"c_custkey")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sink_upsert_merge" -> (upsertMerge _),
     "q_scan_parquet" -> (scanParquet _),
     "q_scan_csv_roundtrip" -> (csvRoundtrip _),
     "q_scan_json_roundtrip" -> (jsonRoundtrip _),
@@ -126,6 +154,21 @@ object ScanOps extends graft.QueryModule {
     "q_scan_csv_roundtrip" ->
       """SELECT c_custkey, c_name, c_mktsegment
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_sink_upsert_merge" ->
+      """WITH source AS (
+        |  SELECT c_custkey, c_name, c_acctbal + 100.0 AS c_acctbal,
+        |         c_mktsegment
+        |  FROM customer WHERE c_custkey % 7 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_name, c_acctbal, c_mktsegment
+        |  FROM customer WHERE c_custkey % 13 = 0)
+        |SELECT COALESCE(s.c_custkey, t.c_custkey) AS c_custkey,
+        |  COALESCE(s.c_name, t.c_name) AS c_name,
+        |  COALESCE(s.c_acctbal, t.c_acctbal) AS c_acctbal,
+        |  COALESCE(s.c_mktsegment, t.c_mktsegment) AS c_mktsegment
+        |FROM customer t FULL OUTER JOIN source s
+        |  ON t.c_custkey = s.c_custkey
+        |ORDER BY c_custkey""".stripMargin,
     "q_scan_json_roundtrip" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice
         |FROM orders ORDER BY o_orderkey""".stripMargin,

@@ -199,7 +199,26 @@ object TextOps extends graft.QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** q_text_edit_distance — character-level fuzzy near-dup: levenshtein
+    * over (lang, length-bucket, id-window) blocked pairs. The id-distance
+    * bound keeps per-row fan-out constant (levenshtein is O(len_a*len_b)
+    * per pair — unblocked it would be the whole job's cost at scale). */
+  def editDistance(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang", floor($"n_chars" / 100).as("lb"), $"text")
+    val a = docs.select($"doc_id".as("a_id"), $"lang", $"lb", $"text".as("a_text"))
+    val b = docs.select($"doc_id".as("b_id"), $"lang", $"lb", $"text".as("b_text"))
+    a.join(b, Seq("lang", "lb"))
+      .filter($"a_id" < $"b_id" && $"b_id" - $"a_id" <= 10)
+      .withColumn("edit_dist", levenshtein($"a_text", $"b_text"))
+      .filter($"edit_dist" <= 60)
+      .select($"a_id", $"b_id", $"edit_dist")
+      .orderBy($"a_id", $"b_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_edit_distance" -> (editDistance _),
     "q_text_clean" -> (textClean _),
     "q_text_clean_stemmed" -> (textCleanStemmed _),
     "q_text_token_stats" -> (tokenStats _),
@@ -210,6 +229,16 @@ object TextOps extends graft.QueryModule {
     "q_text_langid" -> (langId _))
 
   def oracle: Map[String, String] = Map(
+    "q_text_edit_distance" ->
+      """SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  levenshtein(a.text, b.text) AS edit_dist
+        |FROM documents a JOIN documents b
+        |  ON a.lang = b.lang
+        | AND CAST(floor(a.n_chars / 100) AS BIGINT)
+        |     = CAST(floor(b.n_chars / 100) AS BIGINT)
+        | AND a.doc_id < b.doc_id AND b.doc_id - a.doc_id <= 10
+        |WHERE levenshtein(a.text, b.text) <= 60
+        |ORDER BY a_id, b_id""".stripMargin,
     "q_text_clean" ->
       s"""SELECT doc_id,
          |  array_to_string(list_filter(regexp_extract_all(lower(text), '\\w+'),
