@@ -227,30 +227,46 @@ object DedupOps extends graft.QueryModule {
     * for dup clusters is tiny. localCheckpoint truncates the per-round
     * lineage AND materializes the edge list once (the ngram pipeline would
     * otherwise rerun every round); no session-lifetime persist. */
-  def components(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val pairs = ngramJaccard(spark, sfDir).select($"a_id", $"b_id")
-    val edges = pairs.select($"a_id".as("src"), $"b_id".as("dst"))
-      .union(pairs.select($"b_id".as("src"), $"a_id".as("dst")))
+  def components(spark: SparkSession, sfDir: String): DataFrame =
+    propagateMinLabel(ngramJaccard(spark, sfDir).select("a_id", "b_id"))
+      .toDF("doc_id", "component_id")
+      .orderBy("doc_id")
+
+  /** Min-label propagation to fixpoint over an undirected edge list
+    * (a_id, b_id) -> (id, comp=min reachable id). Exposed for property
+    * testing against a driver-side union-find (DedupSpec).
+    * Per round: ONE shuffle (neighbor-min groupBy); convergence is read
+    * off the label sum — comp values only ever decrease, so the sum is
+    * strictly monotone until fixpoint, replacing a join+count with a
+    * single tiny aggregate. Labels initialize at min(self, direct
+    * neighbors), which is the first round for free. */
+  private[llm] def propagateMinLabel(pairs: DataFrame): DataFrame = {
+    import pairs.sparkSession.implicits._
+    val cols = pairs.columns
+    val edges = pairs.select(col(cols(0)).as("src"), col(cols(1)).as("dst"))
+      .union(pairs.select(col(cols(1)).as("src"), col(cols(0)).as("dst")))
       .localCheckpoint()
-    var labels = edges.select($"src".as("id")).distinct()
-      .withColumn("comp", $"id").localCheckpoint()
-    var changed = 1L
+    def sumOf(df: DataFrame): Long =
+      df.agg(coalesce(sum($"comp"), lit(0L))).head().getLong(0)
+    var labels = edges.select($"src".as("id"), $"dst".as("comp"))
+      .union(edges.select($"src".as("id"), $"src".as("comp")))
+      .groupBy($"id").agg(min($"comp").as("comp"))
+      .localCheckpoint()
+    var prevSum = sumOf(labels)
     var rounds = 0
-    while (changed > 0 && rounds < 25) {
-      val viaNbr = edges.join(labels, edges("dst") === labels("id"))
+    while (rounds < 25) {
+      val next = edges.join(labels, edges("dst") === labels("id"))
         .select(edges("src").as("id"), labels("comp"))
-      val next = viaNbr.union(labels.select($"id", $"comp"))
+        .union(labels.select($"id", $"comp"))
         .groupBy($"id").agg(min($"comp").as("comp"))
         .localCheckpoint()
-      changed = next
-        .join(labels.withColumnRenamed("comp", "prev"), Seq("id"))
-        .filter($"comp" =!= $"prev").count()
+      val s = sumOf(next)
       labels = next
       rounds += 1
+      if (s == prevSum) rounds = 25
+      prevSum = s
     }
-    labels.select($"id".as("doc_id"), $"comp".as("component_id"))
-      .orderBy($"doc_id")
+    labels.select($"id", $"comp")
   }
 
   /** Embedding-cosine near-dup: windowed blocking (same label, id distance

@@ -85,6 +85,32 @@ class DedupSpec extends SparkTestBase {
     assert(comp(20L) == 20L && comp(21L) == 20L, s"pair not merged: $comp")
   }
 
+  test("propagateMinLabel matches driver-side union-find on random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val n = 30
+      val edges = Seq.fill(25)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      // driver-side union-find ground truth
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val vertices = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val expect = vertices.map(v => v -> find(v)).toMap
+      val got = DedupOps.propagateMinLabel(edges.toDF("a_id", "b_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expect, s"trial $trial: $got vs $expect (edges $edges)")
+    }
+  }
+
   test("ngram jaccard: near dup scores high, sf0.001 run is deterministic") {
     withPlanted { dir =>
       val j = DedupOps.ngramJaccard(spark, dir)
