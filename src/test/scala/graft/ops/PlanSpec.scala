@@ -1,0 +1,61 @@
+package graft.ops
+
+import graft.SparkTestBase
+
+/** Physical-plan contracts: the plan SHAPES the 100 TB design depends on,
+  * pinned as tests so they can't silently regress (SURVEY.md §2.3 scale
+  * notes). String-matching executedPlan is deliberate — these are the
+  * same signals a human reads in explain("formatted"). */
+class PlanSpec extends SparkTestBase {
+
+  private def plan(name: String): String = {
+    // explain("formatted") text, not executedPlan.toString: the scan
+    // node's one-line rendering truncates PushedFilters/ReadSchema
+    val df = graft.SparkEntry.queries(name)(spark, sf0001)
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) { df.explain("formatted") }
+    out.toString
+  }
+
+  test("q_scan_parquet prunes to the 4 projected columns") {
+    val p = plan("q_scan_parquet")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int," +
+      "l_quantity:double,l_returnflag:string>"), p.take(2000))
+  }
+
+  test("q_agg_pricing_summary pushes the shipdate filter into the scan") {
+    val p = plan("q_agg_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), " +
+      "LessThanOrEqual(l_shipdate,"), p.take(2000))
+    assert(p.contains("HashAggregate"), "partial+final hash agg expected")
+  }
+
+  test("q_join_broadcast plans BroadcastHashJoin for both small dims") {
+    val p = plan("q_join_broadcast")
+    // formatted explain lists each node twice (tree + detail section)
+    assert("BroadcastHashJoin".r.findAllIn(p).length == 4, p.take(2000))
+    assert(!p.contains("SortMergeJoin"), "dims must broadcast, not SMJ")
+  }
+
+  test("q_join_bucketed_colocated has no shuffle between scan and join") {
+    val p = plan("q_join_bucketed_colocated")
+    assert(p.contains("SortMergeJoin"), p.take(2000))
+    // the only exchange allowed is the post-agg/sort one ABOVE the join;
+    // below the SMJ the bucketed scans must feed it directly
+    val joinIdx = p.indexOf("SortMergeJoin")
+    val below = p.substring(joinIdx)
+    assert(!below.contains("Exchange hashpartitioning"),
+      "bucketed sides must not re-shuffle: " + below.take(1500))
+  }
+
+  test("q_sort_topk plans TakeOrderedAndProject (no global sort)") {
+    val p = plan("q_sort_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("q_filter_compound pushes even the OR-disjunction into the scan") {
+    val p = plan("q_filter_compound")
+    assert(p.contains("Or(LessThan(l_quantity,10.0),EqualTo(l_returnflag,R))"),
+      p.take(2000))
+  }
+}
