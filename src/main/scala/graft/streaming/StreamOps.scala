@@ -54,17 +54,49 @@ object StreamOps extends graft.QueryModule {
       .orderBy($"user_id", $"session_start_ms")
   }
 
+  /** TRUE streaming execution of the tumbling aggregate: parquet file
+    * source -> readStream -> windowed agg -> memory sink, driven to
+    * completion with Trigger.AvailableNow. Complete-mode final state is
+    * exactly the batch aggregate, so this one IS oracle-checkable (same
+    * SQL as q_stream_tumbling) — the micro-batch engine itself is under
+    * the t2 contract, not just the window expressions. */
+  def liveTumbling(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.events(spark, sfDir) // sets the nanosAsLong conf
+    val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val ev = spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = ev
+      .groupBy(window($"ts", "15 minutes").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"), graft.ops.AggOps.dsum($"value").as("sum_value"))
+    val name = "live_tumbling_" + java.lang.Integer.toHexString(sfDir.hashCode)
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(unix_millis($"w.start").as("win_start_ms"), $"event_type",
+        $"n", $"sum_value")
+      .orderBy($"win_start_ms", $"event_type")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_live_tumbling" -> (liveTumbling _),
     "q_stream_tumbling" -> (tumbling _),
     "q_stream_sliding" -> (sliding _),
     "q_stream_session" -> (sessions _))
 
+  private val tumblingOracle: String =
+    """SELECT (epoch_ms(ts) // 900000) * 900000 AS win_start_ms, event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def oracle: Map[String, String] = Map(
-    "q_stream_tumbling" ->
-      """SELECT (epoch_ms(ts) // 900000) * 900000 AS win_start_ms, event_type,
-        |  COUNT(*) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_stream_tumbling" -> tumblingOracle,
+    "q_stream_live_tumbling" -> tumblingOracle,
     "q_stream_sliding" ->
       """WITH assigned AS (
         |  SELECT (epoch_ms(ts) // 1800000) * 1800000 AS win_start_ms,
