@@ -19,7 +19,7 @@ object SparkEntry {
   private def modules: Seq[QueryModule] = Seq(
     ops.AggOps, ops.ScanOps, ops.FilterOps, ops.JoinOps,
     ops.WindowOps, ops.SortSetOps, ops.ScalarOps, ops.UdafOps, ops.MlOps,
-    ops.SqlOps, ops.ReshapeOps,
+    ops.SqlOps, ops.ReshapeOps, ops.QualityOps,
     text.TextOps,
     llm.DedupOps, llm.SimSearchOps, llm.MultimodalOps, llm.CorpusPipeline,
     streaming.StreamOps

@@ -32,5 +32,10 @@ object Tables {
         .timestamp_micros(org.apache.spark.sql.functions.expr("ts div 1000")))
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+  /** also registers graft's native SQL functions (dot_f32) — every
+    * embedding consumer resolves dot products through the registry */
+  def embeddings(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftExtensions.register(s)
+    table(s, d, "embeddings")
+  }
 }

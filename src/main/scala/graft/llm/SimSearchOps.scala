@@ -23,18 +23,13 @@ import org.apache.spark.sql.functions._
 object SimSearchOps extends graft.QueryModule {
 
   /** exact double dot product, left-to-right (matches DuckDB
-    * list_dot_product over DOUBLE[] bit-for-bit). A UDF with a while-loop:
-    * same float->double promotion and fold order as the equivalent
-    * zip_with+aggregate tree, but those HOFs are CodegenFallback and ~10x
-    * slower. */
-  private val dotUdf = udf((a: Seq[Float], b: Seq[Float]) => {
-    val n = math.min(a.length, b.length)
-    var acc = 0.0
-    var i = 0
-    while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
-    acc
-  })
-  def dot(a: Column, b: Column): Column = dotUdf(a, b)
+    * list_dot_product over DOUBLE[] bit-for-bit). Resolves to the native
+    * plans.DotProductExpression — registered by Tables.embeddings, which
+    * every embedding query loads through. Evolution: zip_with+aggregate
+    * HOF tree (CodegenFallback, ~10x slow) -> tight Scala UDF -> native
+    * Expression on ArrayData (no Seq[Float] conversion/boxing, stays in
+    * whole-stage codegen). Same fold order at every step. */
+  def dot(a: Column, b: Column): Column = call_function("dot_f32", a, b)
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))

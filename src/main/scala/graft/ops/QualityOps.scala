@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-quality constraint auditing — the "production-ready" layer every
+  * scheduled pipeline needs before publishing a table (the reference's
+  * whole premise; its Clean tasks are trust boundaries between stages).
+  * Each check is one aggregate/anti-join over the audited table; the
+  * result is a tiny (check_name, violations) report, so the audit costs
+  * one pass per table regardless of scale and the checks compose into
+  * the task DAG as a gate (fail the run iff any violations > 0).
+  */
+object QualityOps extends graft.QueryModule {
+
+  def constraintAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val orders = graft.Tables.orders(spark, sfDir)
+    val customer = graft.Tables.customer(spark, sfDir)
+    val lineitem = graft.Tables.lineitem(spark, sfDir)
+    // an ungrouped count() always yields exactly one non-null row
+    def report(name: String, violations: DataFrame): DataFrame =
+      violations.select(lit(name).as("check_name"), $"violations")
+    val nullKey = report("orders_null_key",
+      orders.agg(count(when($"o_orderkey".isNull, 1)).as("violations")))
+    val dupKey = report("orders_dup_key",
+      orders.groupBy($"o_orderkey").agg(count(lit(1)).as("n"))
+        .filter($"n" > 1).agg(count(lit(1)).as("violations")))
+    val orphanCust = report("orders_orphan_custkey",
+      orders.join(customer, $"o_custkey" === $"c_custkey", "left_anti")
+        .agg(count(lit(1)).as("violations")))
+    val orphanOrder = report("lineitem_orphan_orderkey",
+      lineitem.join(orders, $"l_orderkey" === $"o_orderkey", "left_anti")
+        .agg(count(lit(1)).as("violations")))
+    val negPrice = report("orders_negative_price",
+      orders.agg(count(when($"o_totalprice" < 0, 1)).as("violations")))
+    nullKey.unionByName(dupKey).unionByName(orphanCust)
+      .unionByName(orphanOrder).unionByName(negPrice)
+      .orderBy($"check_name")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quality_constraint_audit" -> (constraintAudit _))
+
+  def oracle: Map[String, String] = Map(
+    "q_quality_constraint_audit" ->
+      """SELECT * FROM (
+        |  SELECT 'orders_null_key' AS check_name,
+        |    COUNT(*) FILTER (WHERE o_orderkey IS NULL) AS violations
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'orders_dup_key', COUNT(*) FROM (
+        |    SELECT o_orderkey FROM orders
+        |    GROUP BY o_orderkey HAVING COUNT(*) > 1)
+        |  UNION ALL
+        |  SELECT 'orders_orphan_custkey', COUNT(*) FROM orders o
+        |  WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                    WHERE c.c_custkey = o.o_custkey)
+        |  UNION ALL
+        |  SELECT 'lineitem_orphan_orderkey', COUNT(*) FROM lineitem l
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                    WHERE o.o_orderkey = l.l_orderkey)
+        |  UNION ALL
+        |  SELECT 'orders_negative_price',
+        |    COUNT(*) FILTER (WHERE o_totalprice < 0)
+        |  FROM orders)
+        |ORDER BY check_name""".stripMargin)
+}

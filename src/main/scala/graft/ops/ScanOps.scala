@@ -139,7 +139,29 @@ object ScanOps extends graft.QueryModule {
     spark.read.parquet(path).orderBy($"c_custkey")
   }
 
+  /** Schema evolution on read: two parquet batches written with different
+    * schemas (the second adds a column), unified by mergeSchema — rows
+    * from the old batch surface the new column as NULL. This is how a
+    * long-lived 100 TB table absorbs schema drift without rewriting
+    * history. Batches split deterministically on key parity so the
+    * oracle can reconstruct which rows carry the column. */
+  def schemaEvolution(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val path = tmpDir("orders_evolved", sfDir)
+    val orders = graft.Tables.orders(spark, sfDir)
+    orders.filter($"o_orderkey" % 2 === 0)
+      .select($"o_orderkey", $"o_totalprice")
+      .write.mode("overwrite").parquet(s"$path/batch=1")
+    orders.filter($"o_orderkey" % 2 === 1)
+      .select($"o_orderkey", $"o_totalprice", $"o_orderpriority")
+      .write.mode("overwrite").parquet(s"$path/batch=2")
+    spark.read.option("mergeSchema", true).parquet(path)
+      .select($"o_orderkey", $"o_totalprice", $"o_orderpriority")
+      .orderBy($"o_orderkey")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scan_schema_evolution" -> (schemaEvolution _),
     "q_sink_upsert_merge" -> (upsertMerge _),
     "q_scan_parquet" -> (scanParquet _),
     "q_scan_csv_roundtrip" -> (csvRoundtrip _),
@@ -154,6 +176,11 @@ object ScanOps extends graft.QueryModule {
     "q_scan_csv_roundtrip" ->
       """SELECT c_custkey, c_name, c_mktsegment
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_scan_schema_evolution" ->
+      """SELECT o_orderkey, o_totalprice,
+        |  CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END
+        |    AS o_orderpriority
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_sink_upsert_merge" ->
       """WITH source AS (
         |  SELECT c_custkey, c_name, c_acctbal + 100.0 AS c_acctbal,

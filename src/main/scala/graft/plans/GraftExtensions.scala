@@ -28,7 +28,10 @@ object GraftExtensions {
   val functions: Seq[(String, ExpressionInfo, Builder)] = Seq(
     ("porter_stem",
       new ExpressionInfo(classOf[PorterStemExpression].getName, "porter_stem"),
-      (args: Seq[Expression]) => PorterStemExpression(args.head)))
+      (args: Seq[Expression]) => PorterStemExpression(args.head)),
+    ("dot_f32",
+      new ExpressionInfo(classOf[DotProductExpression].getName, "dot_f32"),
+      (args: Seq[Expression]) => DotProductExpression(args(0), args(1))))
 
   /** Idempotent runtime registration into an existing session. */
   def register(spark: SparkSession): Unit =
