@@ -77,7 +77,22 @@ object SortSetOps extends graft.QueryModule {
       .orderBy($"o_custkey")
   }
 
+  /** Top-3 orders per status through the custom TopKPerKey operator
+    * (graft.plans: LogicalPlan + Strategy + Exec with per-key bounded
+    * heaps — no per-partition full sort). Ordering includes the unique
+    * o_orderkey so heap membership is deterministic; the trailing
+    * orderBy is presentation-only. */
+  def topKPerKey(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val df = graft.Tables.orders(spark, sfDir)
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+    graft.plans.TopKPerKey(df, 3, Seq("o_orderstatus"),
+      Seq("o_totalprice" -> false, "o_orderkey" -> true))
+      .orderBy($"o_orderstatus", $"o_totalprice".desc, $"o_orderkey")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sort_topk_per_key" -> (topKPerKey _),
     "q_sort_topk" -> (topK _),
     "q_set_union_all" -> (unionAll _),
     "q_set_union_distinct" -> (unionDistinct _),
@@ -86,6 +101,14 @@ object SortSetOps extends graft.QueryModule {
     "q_dedup_first_per_key" -> (dedupFirstPerKey _))
 
   def oracle: Map[String, String] = Map(
+    "q_sort_topk_per_key" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3
+        |ORDER BY o_orderstatus, o_totalprice DESC, o_orderkey""".stripMargin,
     "q_sort_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,

@@ -1,0 +1,43 @@
+package graft.plans
+
+import graft.SparkTestBase
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The custom TopKPerKey operator must agree with the window-function
+  * formulation on every input, and must actually plan through its own
+  * exec node (not fall back to something Catalyst substitutes). */
+class TopKPerKeySpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("matches window row_number<=k on the fixture and on skewed data") {
+    val fixture = graft.Tables.orders(spark, sf0001)
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+    // skewed twin: one key holds ~90% of rows, plus a key with < k rows
+    val skew = spark.range(0, 1000)
+      .select($"id".as("o_orderkey"),
+        when($"id" % 10 === 0, concat(lit("k"), $"id" % 3))
+          .otherwise(lit("hot")).as("o_orderstatus"),
+        ($"id" % 97).cast("double").as("o_totalprice"))
+    for (df <- Seq(fixture, skew)) {
+      val custom = TopKPerKey(df, 3, Seq("o_orderstatus"),
+        Seq("o_totalprice" -> false, "o_orderkey" -> true))
+        .collect().map(_.toSeq).toSet
+      val w = Window.partitionBy($"o_orderstatus")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+      val expected = df.withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3).drop("rn")
+        .collect().map(_.toSeq).toSet
+      assert(custom == expected)
+    }
+  }
+
+  test("plans through TopKPerKeyExec") {
+    val df = graft.Tables.orders(spark, sf0001)
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+    val plan = TopKPerKey(df, 2, Seq("o_orderstatus"),
+      Seq("o_totalprice" -> false, "o_orderkey" -> true))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), plan)
+  }
+}
