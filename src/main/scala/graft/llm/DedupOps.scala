@@ -181,28 +181,14 @@ object DedupOps extends graft.QueryModule {
     * blocked on 8 8-bit sub-bands. No oracle (hash-specific). */
   def simhash(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    // per-bit vote (sum over tokens of bit-set ? +1 : -1, tf-weighted via
-    // duplicate tokens) in one tight pass, packed into ONE long — hamming
-    // is then codegen'd bit_count(xor), and candidate pairs carry 8 bytes
-    // instead of a 64-element array through the shuffle/distinct.
-    val simhashUdf = udf((hs: Seq[Long]) => {
-      val votes = new Array[Int](64)
-      hs.foreach { h =>
-        var j = 0
-        while (j < 64) {
-          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
-          j += 1
-        }
-      }
-      var sim = 0L
-      var j = 0
-      while (j < 64) { if (votes(j) > 0) sim |= (1L << j); j += 1 }
-      sim
-    })
+    // one-pass native expression (plans.SimHash64Expression): tokenize +
+    // xxhash64 + per-bit tf-weighted vote packed into ONE long, inside
+    // whole-stage codegen — hamming is then codegen'd bit_count(xor), and
+    // candidate pairs carry 8 bytes through the shuffle/distinct.
+    graft.plans.GraftExtensions.register(spark)
     val docs = graft.Tables.documents(spark, sfDir)
-      .select($"doc_id", transform(split($"text", " "), t => xxhash64(t)).as("th"))
-      .filter(size($"th") > 0)
-      .withColumn("sim", simhashUdf($"th"))
+      .select($"doc_id", call_function("simhash64", $"text").as("sim"))
+      .filter($"sim".isNotNull)
     // blocking: 8 8-bit sub-bands (pigeonhole: hamming<=7 guarantees a
     // clean band; <=10 collides in >=1 band with high probability)
     val banded = docs.select($"doc_id", $"sim",

@@ -31,7 +31,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => PorterStemExpression(args.head)),
     ("dot_f32",
       new ExpressionInfo(classOf[DotProductExpression].getName, "dot_f32"),
-      (args: Seq[Expression]) => DotProductExpression(args(0), args(1))))
+      (args: Seq[Expression]) => DotProductExpression(args(0), args(1))),
+    ("simhash64",
+      new ExpressionInfo(classOf[SimHash64Expression].getName, "simhash64"),
+      (args: Seq[Expression]) => SimHash64Expression(args.head)))
 
   /** Idempotent runtime registration into an existing session. */
   def register(spark: SparkSession): Unit =
