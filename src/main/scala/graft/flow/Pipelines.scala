@@ -150,8 +150,8 @@ object Pipelines {
 }
 
 /** Pipeline launch CLI (O9; reference run_pipeline.sh):
-  *   graft.flow.Main train --base DIR --source DIR [--version N] [--limit N]
-  *   graft.flow.Main classify --base DIR --source DIR --stop MM-dd-yyyy --days-back N
+  *   graft.flow.Main train --base DIR --source DIR [--version N] [--limit N] [--workers N]
+  *   graft.flow.Main classify --base DIR --source DIR --stop MM-dd-yyyy --days-back N [--workers N]
   */
 object Main {
   def main(args: Array[String]): Unit = {
@@ -167,8 +167,13 @@ object Main {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val log = (s: String) => println(s"[graft.flow] $s")
+    // Luigi's --workers N: >1 selects the parallel wave scheduler
+    val workers = opts.getOrElse("workers", "1").toInt
+    def exec(root: Task): Seq[String] =
+      if (workers > 1) Runner.runParallel(root, spark, workers, log)
+      else Runner.run(root, spark, log)
     cmd match {
-      case "train" => Runner.run(Pipelines.TrainModel(cfg), spark, log)
+      case "train" => exec(Pipelines.TrainModel(cfg))
       case "classify" =>
         val fmt = DateTimeFormatter.ofPattern("MM-dd-yyyy")
         val stop = LocalDate.parse(opts("stop"), fmt)

@@ -61,7 +61,25 @@ object MlOps extends graft.QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** Seeded Bernoulli sample (D20's randomSplit generalized to corpus
+    * subsampling) + per-key stratified sampleBy, summarized per group.
+    * Declared WITHOUT oracle (sampler is Spark-impl-specific; DuckDB
+    * cannot replay the XORShift draw) — determinism and fraction bounds
+    * are pinned in SampleSpec instead. */
+  def sampleSeeded(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = graft.Tables.lineitem(spark, sfDir)
+    val bern = li.sample(withReplacement = false, 0.1, seed = 42)
+      .groupBy($"l_returnflag").agg(count(lit(1)).as("n_bernoulli"))
+    val strat = li.stat.sampleBy("l_returnflag",
+      Map("A" -> 0.05, "N" -> 0.10, "R" -> 0.20), seed = 42)
+      .groupBy($"l_returnflag").agg(count(lit(1)).as("n_stratified"))
+    bern.join(strat, Seq("l_returnflag"), "left")
+      .orderBy($"l_returnflag")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ml_sample_seeded" -> (sampleSeeded _),
     "q_ml_derive_label" -> (deriveLabel _),
     "q_ml_deterministic_split" -> (deterministicSplit _),
     "q_ml_hashing_tf" -> (hashingTf _))

@@ -98,6 +98,33 @@ class FlowSpec extends SparkTestBase {
     assert(err.getMessage == "transient")
   }
 
+  test("runParallel: independent tasks truly overlap; wave order deterministic") {
+    val base = Files.createTempDirectory("graft_par").toString
+    val latchA = new java.util.concurrent.CountDownLatch(1)
+    val latchB = new java.util.concurrent.CountDownLatch(1)
+    def await(l: java.util.concurrent.CountDownLatch): Unit =
+      assert(l.await(20, java.util.concurrent.TimeUnit.SECONDS),
+        "peer task never ran concurrently")
+    case class FT(n: String, deps: Seq[Task], body: () => Unit) extends Task {
+      override def name: String = n
+      override def requires: Seq[Task] = deps
+      val output: Target = FileTarget(s"$base/$n")
+      def run(spark: SparkSession): Unit = {
+        body(); Files.write(Paths.get(s"$base/$n"), "x".getBytes)
+      }
+    }
+    val src = FT("a_src", Seq.empty, () => ())
+    // each middle task releases its latch then waits for the OTHER's —
+    // only a genuinely parallel wave can finish
+    val mid1 = FT("b_mid1", Seq(src), () => { latchA.countDown(); await(latchB) })
+    val mid2 = FT("c_mid2", Seq(src), () => { latchB.countDown(); await(latchA) })
+    val sink = FT("d_sink", Seq(mid1, mid2), () => ())
+    val executed = Runner.runParallel(sink, spark, workers = 2)
+    assert(executed == Seq("a_src", "b_mid1", "c_mid2", "d_sink"))
+    // idempotent re-run skips everything (O3 under the parallel scheduler)
+    assert(Runner.runParallel(sink, spark, workers = 2).isEmpty)
+  }
+
   test("cycle detection") {
     lazy val a: Task = new Task {
       override def name = "A"
