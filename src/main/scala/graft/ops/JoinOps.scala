@@ -191,7 +191,19 @@ object JoinOps extends graft.QueryModule {
       .orderBy($"a_key", $"b_key")
   }
 
+  /** Right outer join (symmetric twin of q_join_left, kept for surface
+    * completeness — Catalyst plans it as the mirrored left join). */
+  def rightJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.orders(spark, sfDir)
+      .join(graft.Tables.customer(spark, sfDir),
+        $"o_custkey" === $"c_custkey", "right")
+      .select($"c_custkey", $"o_orderkey", $"o_totalprice")
+      .orderBy($"c_custkey", $"o_orderkey")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_right" -> (rightJoin _),
     "q_join_cross" -> (crossJoinSmall _),
     "q_join_salted_skew" -> (saltedJoin _),
     "q_join_bucketed_colocated" -> (bucketedJoin _),
@@ -205,6 +217,10 @@ object JoinOps extends graft.QueryModule {
     "q_join_asof" -> (asofJoin _))
 
   def oracle: Map[String, String] = Map(
+    "q_join_right" ->
+      """SELECT c_custkey, o_orderkey, o_totalprice
+        |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+        |ORDER BY c_custkey, o_orderkey""".stripMargin,
     "q_join_cross" ->
       """SELECT a.r_regionkey AS a_key, b.r_regionkey AS b_key,
         |  concat_ws('-', a.r_name, b.r_name) AS pair

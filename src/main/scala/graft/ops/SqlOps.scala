@@ -87,7 +87,21 @@ object SqlOps extends graft.QueryModule {
     spark.sql(cteSql("orders_v", "customer_v"))
   }
 
+  /** Correlated scalar subquery — Catalyst decorrelates it into an outer
+    * aggregate join; the COALESCE pins customers with no orders to 0 on
+    * both engines. */
+  def correlatedSubquery(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.Tables.orders(spark, sfDir).createOrReplaceTempView("orders_v")
+    graft.Tables.customer(spark, sfDir).createOrReplaceTempView("customer_v")
+    spark.sql(
+      """SELECT c_custkey,
+        |  COALESCE((SELECT COUNT(*) FROM orders_v
+        |            WHERE o_custkey = c_custkey), 0) AS n_orders
+        |FROM customer_v ORDER BY c_custkey""".stripMargin)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_correlated_subquery" -> (correlatedSubquery _),
     "q_sql_grouping_sets" -> (groupingSets _),
     "q_sql_scalar_subquery" -> (scalarSubquery _),
     "q_sql_in_subquery" -> (inSubquery _),
@@ -95,6 +109,11 @@ object SqlOps extends graft.QueryModule {
     "q_typed_dataset" -> (typedDataset _))
 
   def oracle: Map[String, String] = Map(
+    "q_sql_correlated_subquery" ->
+      """SELECT c_custkey,
+        |  COALESCE((SELECT COUNT(*) FROM orders
+        |            WHERE o_custkey = c_custkey), 0) AS n_orders
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "q_sql_scalar_subquery" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE o_totalprice > 20 * (SELECT max(c_acctbal) FROM customer)
