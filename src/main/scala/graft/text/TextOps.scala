@@ -217,7 +217,51 @@ object TextOps extends graft.QueryModule {
       .orderBy($"a_id", $"b_id")
   }
 
+  /** q_text_chunk — sliding-window document chunking for training-context
+    * prep: 50-token windows, stride 40 (10-token overlap), last chunk
+    * ragged. Pure per-row expression work (explode of a chunk-index
+    * sequence + slice) — linear in output tokens, no shuffle until the
+    * presentation sort. */
+  def chunk(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val win = 50
+    val stride = 40
+    val d = graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .withColumn("n", size($"toks"))
+    d.select($"doc_id", $"toks", $"n",
+      explode(sequence(lit(0),
+        (lit(1) + ceil(greatest($"n" - win, lit(0)) / stride.toDouble))
+          .cast("int") - 1)).as("chunk_id"))
+      .withColumn("start", $"chunk_id" * stride)
+      .withColumn("n_tokens", least(lit(win), $"n" - $"start"))
+      .select($"doc_id", $"chunk_id".cast("long").as("chunk_id"), $"n_tokens",
+        array_join(slice($"toks", $"start" + 1, $"n_tokens"), " ")
+          .as("chunk_text"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
+  /** q_text_pack — sequence packing: assign docs (per lang, id order) to
+    * fixed token-budget bins via running token count, the shuffle-free
+    * formulation of greedy context packing (bin = completed budget
+    * multiples BEFORE this doc). One window shuffle on lang. */
+  def pack(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val budget = 2000
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang", size(split($"text", " ")).as("n_tokens"))
+      .withColumn("cum", sum($"n_tokens").over(w))
+      .select($"doc_id", $"lang", $"n_tokens",
+        floor(($"cum" - $"n_tokens") / budget).as("bin"))
+      .orderBy($"doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_chunk" -> (chunk _),
+    "q_text_pack" -> (pack _),
     "q_text_edit_distance" -> (editDistance _),
     "q_text_clean" -> (textClean _),
     "q_text_clean_stemmed" -> (textCleanStemmed _),
@@ -229,6 +273,33 @@ object TextOps extends graft.QueryModule {
     "q_text_langid" -> (langId _))
 
   def oracle: Map[String, String] = Map(
+    "q_text_chunk" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |         len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks, n,
+        |    unnest(generate_series(0,
+        |      CAST(1 + ceil(greatest(n - 50, 0) / 40.0) AS BIGINT) - 1))
+        |      AS chunk_id
+        |  FROM d)
+        |SELECT doc_id, chunk_id,
+        |  CAST(least(50, n - chunk_id * 40) AS INTEGER) AS n_tokens,
+        |  array_to_string(list_slice(toks, chunk_id * 40 + 1,
+        |    chunk_id * 40 + least(50, n - chunk_id * 40)), ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    "q_text_pack" ->
+      """SELECT doc_id, lang, n_tokens,
+        |  CAST(floor((cum - n_tokens) / 2000.0) AS BIGINT) AS bin
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    len(string_split(text, ' ')) AS n_tokens,
+        |    SUM(len(string_split(text, ' '))) OVER
+        |      (PARTITION BY lang ORDER BY doc_id
+        |       ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     "q_text_edit_distance" ->
       """SELECT a.doc_id AS a_id, b.doc_id AS b_id,
         |  levenshtein(a.text, b.text) AS edit_dist
