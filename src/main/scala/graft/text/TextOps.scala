@@ -259,7 +259,35 @@ object TextOps extends graft.QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** q_text_tfidf — top-3 TF-IDF terms per document (first 50 docs, to
+    * bound the report): tf from one explode+groupBy, df from a distinct
+    * explode+groupBy, idf = ln(N/df) in double (identical transcendental
+    * on both engines' libm), deterministic tiebreak on the token. Two
+    * shuffles (tf, df) + the ranking window — the df side is the one to
+    * df-threshold at 100 TB. */
+  def tfidf(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sfDir)
+    val nDocs = docs.count().toDouble
+    val toks = docs.select($"doc_id", explode(split($"text", " ")).as("token"))
+    val tf = toks.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+    val df = toks.select($"doc_id", $"token").distinct()
+      .groupBy($"token").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id")
+      .orderBy($"tfidf".desc, $"token")
+    tf.join(df, Seq("token"))
+      .withColumn("tfidf",
+        round($"tf" * log(lit(nDocs) / $"df"), 6))
+      .filter($"doc_id" < 50)
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select($"doc_id", $"rk", $"token", $"tf", $"df", $"tfidf")
+      .orderBy($"doc_id", $"rk")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_tfidf" -> (tfidf _),
     "q_text_chunk" -> (chunk _),
     "q_text_pack" -> (pack _),
     "q_text_edit_distance" -> (editDistance _),
@@ -273,6 +301,27 @@ object TextOps extends graft.QueryModule {
     "q_text_langid" -> (langId _))
 
   def oracle: Map[String, String] = Map(
+    "q_text_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (
+        |  SELECT token, COUNT(*) AS df
+        |  FROM (SELECT DISTINCT doc_id, token FROM toks) GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+        |    round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf
+        |  FROM tf JOIN df USING (token) CROSS JOIN n
+        |  WHERE tf.doc_id < 50),
+        |ranked AS (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rk
+        |  FROM scored)
+        |SELECT doc_id, rk, token, tf, df, tfidf
+        |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
     "q_text_chunk" ->
       """WITH d AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks,
