@@ -78,7 +78,37 @@ object MlOps extends graft.QueryModule {
       .orderBy($"l_returnflag")
   }
 
+  /** The reference's CORE dataflow as one declared query: train the
+    * Tokenizer -> HashingTF(1000) -> DecisionTree pipeline
+    * (00_training_pipeline.py:137-141) on the documents fixture
+    * (label = english, D16-18) and score the corpus
+    * (01_classification_pipeline.py:188). DT training on fixed input is
+    * deterministic; declared rows-only (no SQL oracle for tree
+    * induction), e2e behavior also pinned by FlowSpec on the reference
+    * goldens. */
+  def trainPredict(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text",
+        coalesce($"lang".like("e%").cast("double"), lit(0.0)).as("label"))
+    val pipeline = new org.apache.spark.ml.Pipeline().setStages(Array(
+      new org.apache.spark.ml.feature.Tokenizer()
+        .setInputCol("text").setOutputCol("tokenized"),
+      new org.apache.spark.ml.feature.HashingTF()
+        .setInputCol("tokenized").setOutputCol("features")
+        .setNumFeatures(1000),
+      new org.apache.spark.ml.classification.DecisionTreeClassifier()
+        .setLabelCol("label").setFeaturesCol("features")
+        .setMaxDepth(5).setMaxBins(32)))
+    val model = pipeline.fit(docs)
+    model.transform(docs)
+      .select($"doc_id", $"label", $"prediction")
+      .filter($"doc_id" < 100)
+      .orderBy($"doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ml_train_predict" -> (trainPredict _),
     "q_ml_sample_seeded" -> (sampleSeeded _),
     "q_ml_derive_label" -> (deriveLabel _),
     "q_ml_deterministic_split" -> (deterministicSplit _),
