@@ -16,10 +16,13 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *    hands us, extensions configured or not.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    ext.injectOptimizerRule(_ => RewriteTopKWindow)
+    ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
+  }
 }
 
 object GraftExtensions {
@@ -37,9 +40,11 @@ object GraftExtensions {
       (args: Seq[Expression]) => SimHash64Expression(args.head)))
 
   /** Idempotent runtime registration into an existing session. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     functions.foreach { case (name, _, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "scala_udf")
     }
+    RewriteTopKWindowInstaller.install(spark)
+  }
 }

@@ -1,0 +1,63 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Window}
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Optimizer rule (the Rule[LogicalPlan] rung of the Catalyst ladder):
+  * rewrites the idiomatic per-key top-k pattern
+  *
+  *   Filter(rn <= k, Window(row_number() over (partition, order) as rn))
+  *
+  * into the same Window over TopKPerKeyPlan(k, ...): the bounded-heap
+  * operator shrinks each key to k rows FIRST, then row_number runs over
+  * k*keys rows instead of the full input — so users keep writing the
+  * standard window formulation and still get the heap plan. The
+  * filter + window stay on top (now near-free), which keeps the rn
+  * column available to downstream projections and preserves output
+  * semantics exactly (modulo row_number's own tie arbitrariness, which
+  * the pattern already had).
+  *
+  * Installed idempotently via experimental.extraOptimizations
+  * (GraftExtensions.register) — the TopKPerKeyPlan child guard stops
+  * re-application on the rewritten plan.
+  */
+object RewriteTopKWindow extends Rule[LogicalPlan] {
+
+  private def boundOf(cond: Expression, rnId: ExprId): Option[Int] = cond match {
+    case LessThanOrEqual(a: AttributeReference, Literal(k: Int, _))
+      if a.exprId == rnId && k > 0 => Some(k)
+    case LessThan(a: AttributeReference, Literal(k: Int, _))
+      if a.exprId == rnId && k > 1 => Some(k - 1)
+    case EqualTo(a: AttributeReference, Literal(1, _))
+      if a.exprId == rnId => Some(1)
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond,
+        w @ Window(Seq(a @ Alias(
+          WindowExpression(RowNumber(), WindowSpecDefinition(part, order, _)),
+          _)), _, _, child, _))
+        if part.nonEmpty && order.nonEmpty &&
+          !child.isInstanceOf[TopKPerKeyPlan] =>
+      boundOf(cond, a.exprId) match {
+        case Some(k) =>
+          Filter(cond, w.copy(child = TopKPerKeyPlan(k, part, order, child)))
+        case None => f
+      }
+  }
+}
+
+object RewriteTopKWindowInstaller {
+  /** idempotent runtime install */
+  def install(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.contains(RewriteTopKWindow)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RewriteTopKWindow
+      if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy))
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ TopKPerKeyStrategy
+    }
+}

@@ -32,6 +32,29 @@ class TopKPerKeySpec extends SparkTestBase {
     }
   }
 
+  test("RewriteTopKWindow: idiomatic window filter plans through the heap operator") {
+    RewriteTopKWindowInstaller.install(spark)
+    val w = Window.partitionBy($"o_orderstatus")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    val idiomatic = graft.Tables.orders(spark, sf0001)
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+    // the rule injected the heap operator below the window
+    assert(idiomatic.queryExecution.optimizedPlan.toString.contains("TopKPerKeyPlan"),
+      idiomatic.queryExecution.optimizedPlan.toString.take(1500))
+    // and results (including the rn column) are unchanged
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == RewriteTopKWindow)
+    val plain = graft.Tables.orders(spark, sf0001)
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+    assert(!plain.queryExecution.optimizedPlan.toString.contains("TopKPerKeyPlan"))
+    assert(idiomatic.collect().map(_.toSeq).toSet == plain.collect().map(_.toSeq).toSet)
+    RewriteTopKWindowInstaller.install(spark)
+  }
+
   test("plans through TopKPerKeyExec") {
     val df = graft.Tables.orders(spark, sf0001)
       .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
