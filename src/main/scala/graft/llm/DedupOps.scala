@@ -255,6 +255,73 @@ object DedupOps extends graft.QueryModule {
     labels.select($"id", $"comp")
   }
 
+  /** Alternating large-star/small-star connected components (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", SoCC'14 — the
+    * published algorithm, reimplemented on DataFrames): converges in
+    * O(log²) rounds on ANY diameter, vs min-label propagation's
+    * O(diameter). The SCALE.md upgrade path for deep dup graphs, kept
+    * result-equivalent to [[propagateMinLabel]] (property-tested against
+    * a union-find in DedupSpec).
+    *
+    * Each round is two grouped-min joins (no adjacency lists collected —
+    * high-degree nodes never materialize their neighbor sets on one
+    * task, which is the algorithm's whole point):
+    *  - large-star: every neighbor v > u links to m(u) = min(N(u) ∪ u)
+    *  - small-star: every neighbor v <= u (plus u) links to m(u)
+    * At fixpoint every node's edge set is a star rooted at its
+    * component min. */
+  private[llm] def starContraction(pairs: DataFrame): DataFrame = {
+    import pairs.sparkSession.implicits._
+    val cols = pairs.columns
+    def canon(df: DataFrame): DataFrame =
+      df.filter($"u" =!= $"v")
+        .select(least($"u", $"v").as("a"), greatest($"u", $"v").as("b"))
+        .distinct()
+    def sym(df: DataFrame): DataFrame =
+      df.select($"a".as("u"), $"b".as("v"))
+        .union(df.select($"b".as("u"), $"a".as("v")))
+    def mins(symEdges: DataFrame): DataFrame =
+      symEdges.groupBy($"u").agg(least(min($"v"), first($"u")).as("m"))
+    val vertices = sym(canon(
+      pairs.select(col(cols(0)).as("u"), col(cols(1)).as("v"))))
+      .select($"u".as("id")).distinct().localCheckpoint()
+    var edges = canon(
+      pairs.select(col(cols(0)).as("u"), col(cols(1)).as("v")))
+      .localCheckpoint()
+    var prevSig = (-1L, -1L)
+    var rounds = 0
+    while (rounds < 50) {
+      val s = sym(edges)
+      // large-star: (v, m(u)) for v > u
+      val large = canon(
+        s.join(mins(s), Seq("u"))
+          .filter($"v" > $"u")
+          .select($"v".as("u"), $"m".as("v")))
+      val sl = sym(large)
+      // small-star: (v, m(u)) for v <= u, plus (u, m(u))
+      val byU = sl.filter($"v" <= $"u")
+      val m2 = mins(sl)
+      val small = canon(
+        byU.join(m2, Seq("u")).select($"v".as("u"), $"m".as("v"))
+          .union(m2.select($"u", $"m".as("v"))))
+        .localCheckpoint()
+      // fixpoint signature: (edge count, label sum) of the canonical set
+      val sigRow = small.agg(count(lit(1)),
+        coalesce(sum($"a" + $"b"), lit(0L))).head()
+      val sig = (sigRow.getLong(0), sigRow.getLong(1))
+      edges = small
+      rounds += 1
+      if (sig == prevSig) rounds = 50
+      prevSig = sig
+    }
+    // stars: every edge (min, v); vertices not in any edge are their own root
+    val labels = sym(edges).groupBy($"u".as("id"))
+      .agg(min($"v").as("nbrMin"))
+      .select($"id", least($"id", $"nbrMin").as("comp"))
+    vertices.join(labels, Seq("id"), "left")
+      .select($"id", coalesce($"comp", $"id").as("comp"))
+  }
+
   /** Embedding-cosine near-dup: windowed blocking (same label, id distance
     * <= 100 — deterministic, bounded fan-out), exact cosine in double.
     * Oracle: DuckDB list ops over DOUBLE[] (same left-to-right fold). */

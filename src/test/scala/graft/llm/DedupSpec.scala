@@ -108,7 +108,20 @@ class DedupSpec extends SparkTestBase {
       val got = DedupOps.propagateMinLabel(edges.toDF("a_id", "b_id"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == expect, s"trial $trial: $got vs $expect (edges $edges)")
+      // the O(log^2)-round large-star/small-star variant must agree too
+      val star = DedupOps.starContraction(edges.toDF("a_id", "b_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(star == expect, s"trial $trial star: $star vs $expect (edges $edges)")
     }
+  }
+
+  test("starContraction handles a long path graph (high diameter)") {
+    // path 0-1-2-...-19: diameter 19, min-label would need ~19 rounds;
+    // star contraction must still land everything on component 0
+    val path = (0L until 19L).map(i => (i, i + 1))
+    val got = DedupOps.starContraction(path.toDF("a_id", "b_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L to 19L).map(_ -> 0L).toMap, got.toString)
   }
 
   test("ngram jaccard: near dup scores high, sf0.001 run is deterministic") {
