@@ -91,6 +91,44 @@ object DedupOps extends graft.QueryModule {
       .orderBy($"a_id", $"b_id")
   }
 
+  /** The SCALE.md stop-shingle variant of [[ngramJaccard]]: shingles
+    * hotter than `maxDf` docs within their block are excluded from
+    * CANDIDATE GENERATION (they are the m² pair-explosion risk at
+    * 100 TB), then every surviving candidate pair is verified EXACTLY
+    * via full-array intersection — so there are no false positives, and
+    * the only recall loss is pairs whose shared shingles are ALL hotter
+    * than the cutoff (the prefix-filtering trade). Not declared (the
+    * declared query stays exact end-to-end, matching the oracle);
+    * behavior pinned in DedupSpec. */
+  private[llm] def ngramJaccardWithCutoff(
+      spark: SparkSession, sfDir: String, maxDf: Int): DataFrame = {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang", floor($"n_chars" / 100).as("lb"),
+        shinglesUdf($"text").as("sh"))
+      .filter(size($"sh") > 0)
+    val postings = docs.select($"doc_id", $"lang", $"lb",
+      explode($"sh").as("shingle"))
+    val rare = postings.groupBy($"lang", $"lb", $"shingle")
+      .agg(count(lit(1)).as("df")).filter($"df" <= maxDf)
+      .select($"lang", $"lb", $"shingle")
+    val rp = postings.join(rare, Seq("lang", "lb", "shingle"))
+    val cand = rp.select($"lang", $"lb", $"shingle", $"doc_id".as("a_id"))
+      .join(rp.select($"lang", $"lb", $"shingle", $"doc_id".as("b_id")),
+        Seq("lang", "lb", "shingle"))
+      .filter($"a_id" < $"b_id")
+      .select($"a_id", $"b_id").distinct()
+    cand
+      .join(docs.select($"doc_id".as("a_id"), $"sh".as("a_sh")), Seq("a_id"))
+      .join(docs.select($"doc_id".as("b_id"), $"sh".as("b_sh")), Seq("b_id"))
+      .withColumn("jaccard",
+        size(array_intersect($"a_sh", $"b_sh")).cast("double") /
+          size(array_union($"a_sh", $"b_sh")).cast("double"))
+      .filter($"jaccard" >= 0.2)
+      .select($"a_id", $"b_id", round($"jaccard", 6).as("jaccard"))
+      .orderBy($"a_id", $"b_id")
+  }
+
   /** MinHash signature: K independent hash views of the shingle set; the
     * signature is the per-k minimum. Shingles are hashed once with
     * codegen'd xxhash64, then the K views come from a cheap 64-bit mix in

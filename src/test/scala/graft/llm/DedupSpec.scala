@@ -115,6 +115,19 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("ngram cutoff: generous df = exact result; tight df only loses recall") {
+    val full = DedupOps.ngramJaccard(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    // cutoff above any block's shingle df: identical to the exact query
+    val generous = DedupOps.ngramJaccardWithCutoff(spark, sf0001, 1000000)
+      .collect().map(_.toSeq).toSet
+    assert(generous == full)
+    // tight cutoff: a subset (no false positives — exact verify stage)
+    val tight = DedupOps.ngramJaccardWithCutoff(spark, sf0001, 2)
+      .collect().map(_.toSeq).toSet
+    assert(tight.subsetOf(full), s"extra pairs: ${tight.diff(full)}")
+  }
+
   test("starContraction handles a long path graph (high diameter)") {
     // path 0-1-2-...-19: diameter 19, min-label would need ~19 rounds;
     // star contraction must still land everything on component 0
