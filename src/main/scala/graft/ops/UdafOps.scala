@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
@@ -41,7 +42,67 @@ object UdafOps extends graft.QueryModule {
       .orderBy($"o_orderstatus")
   }
 
+  /** Count-Min Sketch (Cormode & Muthukrishnan 2005) as a typed
+    * Aggregator — the "novel sketch" custom-aggregate path for unbounded
+    * token cardinality: buffer is a fixed depth*width counter table
+    * (4x1024 longs = 32 KB per partial, independent of input size),
+    * merge is elementwise add (associative/commutative — safe under any
+    * partial-agg split), estimate = min over rows. Overestimates only. */
+  object CountMin {
+    val Depth = 4
+    val Width = 1024
+
+    @inline private def mix64(x0: Long): Long = {
+      var x = x0
+      x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+      x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+      x ^ (x >>> 33)
+    }
+    def slot(token: String, row: Int): Int = {
+      val h = mix64(token.hashCode.toLong ^ (0x9E3779B97F4A7C15L * (row + 1)))
+      ((h % Width + Width) % Width).toInt
+    }
+    def estimate(table: Array[Long], token: String): Long =
+      (0 until Depth).map(r => table(r * Width + slot(token, r))).min
+
+    object Agg extends Aggregator[String, Array[Long], Array[Long]] {
+      def zero: Array[Long] = new Array[Long](Depth * Width)
+      def reduce(b: Array[Long], tok: String): Array[Long] = {
+        var r = 0
+        while (r < Depth) { b(r * Width + slot(tok, r)) += 1; r += 1 }
+        b
+      }
+      def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+        var i = 0
+        while (i < b1.length) { b1(i) += b2(i); i += 1 }
+        b1
+      }
+      def finish(b: Array[Long]): Array[Long] = b
+      def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+      def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+    }
+  }
+
+  /** Estimated frequencies of a fixed probe list from ONE distributed
+    * CMS pass over all tokens. The final sketch (32 KB, size independent
+    * of corpus) is the one thing brought to the driver — the legitimate
+    * collect of a sketch aggregate. Declared rows-only (estimates are
+    * hash-layout-specific); bounds pinned in CountMinSpec. */
+  def cmsTokenFreq(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cms = udaf(CountMin.Agg)
+    val sketch = graft.Tables.documents(spark, sfDir)
+      .select(explode(split($"text", " ")).as("token"))
+      .agg(cms($"token")).head().getSeq[Long](0).toArray
+    val probes = Seq("the", "and", "data", "model", "spark",
+      "der", "les", "los", "we", "of")
+    probes.map(t => (t, CountMin.estimate(sketch, t)))
+      .toDF("token", "est_count")
+      .orderBy($"token")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_cms_token_freq" -> (cmsTokenFreq _),
     "q_agg_udaf_median" -> (medianByStatus _))
 
   def oracle: Map[String, String] = Map(
