@@ -278,7 +278,8 @@ object DedupOps extends graft.QueryModule {
       .localCheckpoint()
     var prevSum = sumOf(labels)
     var rounds = 0
-    while (rounds < 25) {
+    var converged = false
+    while (rounds < 25 && !converged) {
       val next = edges.join(labels, edges("dst") === labels("id"))
         .select(edges("src").as("id"), labels("comp"))
         .union(labels.select($"id", $"comp"))
@@ -287,10 +288,16 @@ object DedupOps extends graft.QueryModule {
       val s = sumOf(next)
       labels = next
       rounds += 1
-      if (s == prevSum) rounds = 25
+      converged = s == prevSum
       prevSum = s
     }
-    labels.select($"id", $"comp")
+    // Round cap without sum convergence means the graph's diameter
+    // exceeds what label propagation can close here (long near-dup
+    // chains). Silent return would hand out WRONG component ids — fall
+    // back to the O(log²)-round star contraction, which is
+    // property-tested equivalent and diameter-independent.
+    if (!converged) starContraction(pairs)
+    else labels.select($"id", $"comp")
   }
 
   /** Alternating large-star/small-star connected components (Kiveris et

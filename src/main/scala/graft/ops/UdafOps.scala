@@ -17,18 +17,42 @@ import org.apache.spark.sql.functions._
   */
 object UdafOps extends graft.QueryModule {
 
-  object ExactMedian extends Aggregator[Double, Array[Double], Double] {
-    def zero: Array[Double] = Array.empty
-    def reduce(b: Array[Double], a: Double): Array[Double] = b :+ a
-    def merge(b1: Array[Double], b2: Array[Double]): Array[Double] = b1 ++ b2
-    def finish(b: Array[Double]): Double = {
-      if (b.isEmpty) return Double.NaN
-      val s = b.sorted
+  /** Growable primitive buffer: amortized O(1) append (doubling), O(n)
+    * merge — reduce/merge mutate in place between (de)serializations, so
+    * accumulating a 1 M-value group is linear, not the O(n²) a
+    * copy-per-row `Array :+` would be. Kryo handles the two-field class
+    * (a primitive array + an int) compactly. */
+  final class DoubleBuf(var arr: Array[Double], var n: Int) extends Serializable {
+    def add(x: Double): DoubleBuf = {
+      if (n == arr.length) {
+        val grown = new Array[Double](math.max(8, arr.length * 2))
+        System.arraycopy(arr, 0, grown, 0, n)
+        arr = grown
+      }
+      arr(n) = x; n += 1; this
+    }
+    def mergeWith(o: DoubleBuf): DoubleBuf = {
+      if (n + o.n > arr.length) {
+        val grown = new Array[Double](math.max(n + o.n, arr.length * 2))
+        System.arraycopy(arr, 0, grown, 0, n)
+        arr = grown
+      }
+      System.arraycopy(o.arr, 0, arr, n, o.n); n += o.n; this
+    }
+  }
+
+  object ExactMedian extends Aggregator[Double, DoubleBuf, Double] {
+    def zero: DoubleBuf = new DoubleBuf(Array.empty, 0)
+    def reduce(b: DoubleBuf, a: Double): DoubleBuf = b.add(a)
+    def merge(b1: DoubleBuf, b2: DoubleBuf): DoubleBuf = b1.mergeWith(b2)
+    def finish(b: DoubleBuf): Double = {
+      if (b.n == 0) return Double.NaN
+      val s = java.util.Arrays.copyOf(b.arr, b.n)
+      java.util.Arrays.sort(s)
       val n = s.length
       if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
     }
-    def bufferEncoder: Encoder[Array[Double]] =
-      Encoders.javaSerialization[Array[Double]]
+    def bufferEncoder: Encoder[DoubleBuf] = Encoders.kryo[DoubleBuf]
     def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 
@@ -58,18 +82,32 @@ object UdafOps extends graft.QueryModule {
       x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
       x ^ (x >>> 33)
     }
-    def slot(token: String, row: Int): Int = {
-      val h = mix64(token.hashCode.toLong ^ (0x9E3779B97F4A7C15L * (row + 1)))
+    /** Per-row INDEPENDENT hash: seeded FNV-1a over the token's UTF-8
+      * bytes (the row seed perturbs the full 64-bit state before any
+      * byte is folded in), finished with a murmur mix. Unlike salting a
+      * single 32-bit `hashCode`, two tokens that collide in one row are
+      * independent coin-flips in every other row — the property the
+      * classic min-over-rows error bound actually requires. */
+    def slot(bytes: Array[Byte], row: Int): Int = {
+      var h = 0xcbf29ce484222325L ^ mix64(0x9E3779B97F4A7C15L * (row + 1))
+      var i = 0
+      while (i < bytes.length) { h = (h ^ (bytes(i) & 0xffL)) * 0x100000001b3L; i += 1 }
+      h = mix64(h)
       ((h % Width + Width) % Width).toInt
     }
-    def estimate(table: Array[Long], token: String): Long =
-      (0 until Depth).map(r => table(r * Width + slot(token, r))).min
+    def slot(token: String, row: Int): Int =
+      slot(token.getBytes(java.nio.charset.StandardCharsets.UTF_8), row)
+    def estimate(table: Array[Long], token: String): Long = {
+      val bytes = token.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      (0 until Depth).map(r => table(r * Width + slot(bytes, r))).min
+    }
 
     object Agg extends Aggregator[String, Array[Long], Array[Long]] {
       def zero: Array[Long] = new Array[Long](Depth * Width)
       def reduce(b: Array[Long], tok: String): Array[Long] = {
+        val bytes = tok.getBytes(java.nio.charset.StandardCharsets.UTF_8)
         var r = 0
-        while (r < Depth) { b(r * Width + slot(tok, r)) += 1; r += 1 }
+        while (r < Depth) { b(r * Width + slot(bytes, r)) += 1; r += 1 }
         b
       }
       def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {

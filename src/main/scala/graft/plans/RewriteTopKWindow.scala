@@ -51,13 +51,16 @@ object RewriteTopKWindow extends Rule[LogicalPlan] {
 }
 
 object RewriteTopKWindowInstaller {
-  /** idempotent runtime install */
-  def install(spark: SparkSession): Unit =
-    if (!spark.experimental.extraOptimizations.contains(RewriteTopKWindow)) {
+  /** Idempotent runtime install. Rule and strategy are checked
+    * INDEPENDENTLY: if a caller installed (or cleared) one without the
+    * other, a later install() still completes the pair — a rewritten
+    * TopKPerKeyPlan must never reach planning without its strategy. */
+  def install(spark: SparkSession): Unit = {
+    if (!spark.experimental.extraOptimizations.contains(RewriteTopKWindow))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RewriteTopKWindow
-      if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy))
-        spark.experimental.extraStrategies =
-          spark.experimental.extraStrategies :+ TopKPerKeyStrategy
-    }
+    if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKPerKeyStrategy
+  }
 }
