@@ -8,8 +8,9 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeSet, Descending, Expression, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 
 /** Whole-operator Catalyst extension (SURVEY.md preference order (c):
   * custom LogicalPlan + SparkStrategy + SparkPlan): top-k rows per key.
@@ -38,7 +39,14 @@ case class TopKPerKeyPlan(
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKeyPlan(k, part, order, child) =>
-      TopKPerKeyExec(k, part, order, planLater(child)) :: Nil
+      // two-phase: a partial pass heaps WITHIN each map partition first
+      // (no distribution requirement), so the exchange that satisfies the
+      // final pass's ClusteredDistribution carries at most k rows per key
+      // per mapper instead of every input row — the map-side-combine shape
+      // of aggregation, applied to top-k. Top-k composes: the global top-k
+      // of a key is the top-k of the union of per-partition top-ks.
+      TopKPerKeyExec(k, part, order,
+        TopKPerKeyExec(k, part, order, planLater(child), partial = true)) :: Nil
     case _ => Nil
   }
 }
@@ -47,16 +55,27 @@ case class TopKPerKeyExec(
     k: Int,
     partExprs: Seq[Expression],
     order: Seq[SortOrder],
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan,
+    partial: Boolean = false) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
 
+  /** Partial pass: any distribution (runs where the data already is).
+    * Final pass with keys: cluster on them. Final pass with NO keys
+    * (global top-k): AllTuples — one partition must see every surviving
+    * row, otherwise each partition would emit its own "top" k (the
+    * silent-wrong-answer mode of the bare public API). */
   override def requiredChildDistribution: Seq[Distribution] =
-    if (partExprs.isEmpty) UnspecifiedDistribution :: Nil
+    if (partial) UnspecifiedDistribution :: Nil
+    else if (partExprs.isEmpty) AllTuples :: Nil
     else ClusteredDistribution(partExprs) :: Nil
+
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
 
   override protected def doExecute(): RDD[InternalRow] = {
     val schema = child.output
     val (kk, part, ord) = (k, partExprs, order)
+    val numOutputRows = longMetric("numOutputRows")
     child.execute().mapPartitions ({ iter =>
       val keyProj = UnsafeProjection.create(part, schema)
       val ordering = GenerateOrdering.generate(ord, schema)
@@ -77,7 +96,7 @@ case class TopKPerKeyExec(
         val rows = q.asScala.toArray
         java.util.Arrays.sort(rows, ordering)
         rows.iterator
-      }
+      }.map { r => numOutputRows += 1; r }
     }, preservesPartitioning = true)
   }
 

@@ -63,4 +63,46 @@ class TopKPerKeySpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TopKPerKey"), plan)
   }
+
+  test("empty partCols is a GLOBAL top-k, not top-k per partition") {
+    val df = graft.Tables.orders(spark, sf0001)
+      .select($"o_orderkey", $"o_totalprice")
+      .repartition(8) // force multiple partitions so the old bug would surface
+    val custom = TopKPerKey(df, 5, Seq(),
+      Seq("o_totalprice" -> false, "o_orderkey" -> true))
+      .collect().map(_.toSeq).toSet
+    val expected = df.orderBy($"o_totalprice".desc, $"o_orderkey")
+      .limit(5).collect().map(_.toSeq).toSet
+    assert(custom.size == 5 && custom == expected)
+  }
+
+  test("map-side partial caps shuffled rows at k*keys per mapper") {
+    val result = TopKPerKey(
+      graft.Tables.orders(spark, sf0001)
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice"),
+      3, Seq("o_orderstatus"),
+      Seq("o_totalprice" -> false, "o_orderkey" -> true))
+    val inputRows = graft.Tables.orders(spark, sf0001).count()
+    result.collect()
+    // unwrap AQE (query stages hide their subtree from collect)
+    def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p.flatMap {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        allNodes(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        q +: allNodes(q.plan)
+      case other => Seq(other)
+    }
+    val execs = allNodes(result.queryExecution.executedPlan).collect {
+      case t: TopKPerKeyExec => t
+    }
+    assert(execs.exists(_.partial) && execs.exists(!_.partial),
+      s"expected partial+final TopKPerKeyExec pair:\n${result.queryExecution.executedPlan}")
+    val partialOut = execs.find(_.partial).get.longMetric("numOutputRows").value
+    val mappers = spark.sparkContext.defaultParallelism
+    // 3 order statuses in the fixture; the partial pass must shrink the
+    // exchange input from all rows to <= k*keys per mapper
+    assert(partialOut <= 3L * 3 * mappers && partialOut < inputRows,
+      s"partial emitted $partialOut rows (input $inputRows)")
+  }
 }
