@@ -25,9 +25,19 @@ object SparkEntry {
     streaming.StreamOps
   ) // widened as milestones land
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2.
+    *
+    * Every query is wrapped with GraftExtensions.register (idempotent):
+    * the optimizer rule / strategy / SQL functions are installed at query
+    * entry, so the physical plan a query gets (e.g. whether a
+    * row_number<=k window becomes TopKPerKeyExec) is the same on a fresh
+    * session regardless of which query ran earlier. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    modules.flatMap(_.queries).toMap
+    modules.flatMap(_.queries).toMap.map { case (name, fn) =>
+      name -> { (s: SparkSession, dir: String) =>
+        plans.GraftExtensions.register(s); fn(s, dir)
+      }
+    }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
