@@ -170,43 +170,70 @@ object DedupOps extends graft.QueryModule {
     }.toSeq
   })
 
-  /** all ordered (min,max) pairs from one LSH bucket's member list */
-  private val bucketPairsUdf = udf((ids: Seq[Long]) => {
-    val s = ids.sorted
-    for (i <- s.indices; j <- (i + 1) until s.length) yield (s(i), s(j))
-  })
-
   /** Candidate pairs whose signatures collide in >=1 of the 21 LSH bands,
     * verified by exact shingle Jaccard >= 0.5.
-    * Plan shape: explode bands -> ONE shuffle on (band, bandhash) ->
-    * collect_list per bucket -> pairwise expansion inside the bucket ->
-    * distinct pairs -> join back to docs for the verify arrays. No
-    * self-join and no persist: only doc_ids cross the bucket shuffle
-    * (bucket sizes stay tiny because a band hash chains 3 64-bit minima,
-    * so the pairwise expansion is bounded), and the shingle pipeline is a
-    * cheap single-pass UDF recomputed per verify-side join input instead
-    * of a session-lifetime cached block. */
-  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val docs = graft.Tables.documents(spark, sfDir)
+    *
+    * Dup-heavy corpora are the reason dedup exists, so the plan must
+    * survive thousands of IDENTICAL documents without concentrating
+    * their m² pair expansion in one task. Shape:
+    *  1. collapse identical shingle sets to one representative per
+    *     fingerprint (xxhash64 of the sorted shingle array) — exact
+    *     duplicates never reach the banding stage;
+    *  2. band the representatives, pair them through a self-join on
+    *     (band, bandhash) — a streamed join, so a hot bucket buffers its
+    *     member fingerprints (not its pair cross-product) in memory;
+    *  3. verify candidates exactly on the representatives' shingle sets
+    *     (identical sets share one verification, not m² of them);
+    *  4. expand verified representative pairs back to member pairs via
+    *     joins (distributed; a pair's jaccard equals its reps' jaccard
+    *     because members have identical sets), and emit intra-group
+    *     pairs at jaccard exactly 1.0 through a members self-join on the
+    *     fingerprint (streamed — the inherent m² OUTPUT of m identical
+    *     docs is produced incrementally, never materialized per-task).
+    * Output is identical to banding the raw docs: same-fp pairs always
+    * collide in every band (jaccard 1 >= 0.5), and cross-fp collisions
+    * depend only on the shingle sets, which the reps preserve. */
+  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame =
+    minhashPairs(graft.Tables.documents(spark, sfDir))
+
+  /** Core of [[minhashLsh]] over any (doc_id, text, ...) frame —
+    * exposed for the degenerate-corpus spec (DedupSpec). */
+  private[llm] def minhashPairs(docsIn: DataFrame): DataFrame = {
+    import docsIn.sparkSession.implicits._
+    val docs = docsIn
       .select($"doc_id", shinglesUdf($"text").as("sh"))
       .filter(size($"sh") > 0)
-    val banded = docs
-      .select($"doc_id", posexplode(minhashBandsUdf(transform($"sh", s => xxhash64(s)))))
+      .withColumn("fp", xxhash64(array_sort($"sh")))
+    val members = docs.select($"fp", $"doc_id")
+    val reps = docs.groupBy($"fp")
+      .agg(min_by($"sh", $"doc_id").as("sh"))
+    val banded = reps
+      .select($"fp", posexplode(minhashBandsUdf(transform($"sh", s => xxhash64(s)))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandhash")
-    val pairs = banded.groupBy($"band", $"bandhash")
-      .agg(collect_list($"doc_id").as("ids"))
-      .filter(size($"ids") > 1)
-      .select(explode(bucketPairsUdf($"ids")).as("p"))
-      .select($"p._1".as("a_id"), $"p._2".as("b_id"))
-      .distinct()
-    pairs
-      .join(docs.select($"doc_id".as("a_id"), $"sh".as("a_sh")), Seq("a_id"))
-      .join(docs.select($"doc_id".as("b_id"), $"sh".as("b_sh")), Seq("b_id"))
+      .select($"band", $"bandhash", $"fp")
+    val candidates = banded.select($"band", $"bandhash", $"fp".as("a_fp"))
+      .join(banded.select($"band", $"bandhash", $"fp".as("b_fp")),
+        Seq("band", "bandhash"))
+      .filter($"a_fp" < $"b_fp")
+      .select($"a_fp", $"b_fp").distinct()
+    val verified = candidates
+      .join(reps.select($"fp".as("a_fp"), $"sh".as("a_sh")), Seq("a_fp"))
+      .join(reps.select($"fp".as("b_fp"), $"sh".as("b_sh")), Seq("b_fp"))
       .withColumn("jaccard",
         size(array_intersect($"a_sh", $"b_sh")).cast("double") /
           size(array_union($"a_sh", $"b_sh")).cast("double"))
       .filter($"jaccard" >= 0.5)
+      .select($"a_fp", $"b_fp", $"jaccard")
+    val crossGroup = verified
+      .join(members.select($"fp".as("a_fp"), $"doc_id".as("x")), Seq("a_fp"))
+      .join(members.select($"fp".as("b_fp"), $"doc_id".as("y")), Seq("b_fp"))
+      .select(least($"x", $"y").as("a_id"), greatest($"x", $"y").as("b_id"),
+        $"jaccard")
+    val intraGroup = members.select($"fp", $"doc_id".as("x"))
+      .join(members.select($"fp", $"doc_id".as("y")), Seq("fp"))
+      .filter($"x" < $"y")
+      .select($"x".as("a_id"), $"y".as("b_id"), lit(1.0).as("jaccard"))
+    crossGroup.union(intraGroup)
       .select($"a_id", $"b_id", round($"jaccard", 6).as("jaccard"))
       .orderBy($"a_id", $"b_id")
   }

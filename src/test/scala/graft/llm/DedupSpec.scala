@@ -42,6 +42,20 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("minhash LSH survives a degenerate corpus of 5k identical docs") {
+    // the worst case for bucket-based pairing: every doc collides in
+    // every band. The fp pre-collapse sends ONE representative through
+    // LSH and the m² output pairs stream out of a distributed join —
+    // completing here (vs OOM on a single collected bucket) is the test.
+    val n = 5000
+    val docs = spark.range(n)
+      .selectExpr("id AS doc_id", s"'$base' AS text")
+    val pairs = DedupOps.minhashPairs(docs)
+    assert(pairs.count() == n.toLong * (n - 1) / 2)
+    // and every pair is an exact dup at jaccard 1.0
+    assert(pairs.filter($"jaccard" =!= 1.0).isEmpty)
+  }
+
   test("simhash: exact dup at distance 0, near dup within radius, unrelated apart") {
     withPlanted { dir =>
       val rows = DedupOps.simhash(spark, dir)
