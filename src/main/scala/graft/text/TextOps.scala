@@ -268,7 +268,10 @@ object TextOps extends graft.QueryModule {
   def tfidf(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val docs = graft.Tables.documents(spark, sfDir)
-    val nDocs = docs.count().toDouble
+    // corpus size as a broadcast 1-row aggregate inside THE SAME plan
+    // (the oracle's CROSS JOIN n) — an eager docs.count() here would be
+    // a second full scan per invocation, a separate job at 100 TB
+    val nDocs = broadcast(docs.agg(count(lit(1)).cast("double").as("n_docs")))
     val toks = docs.select($"doc_id", explode(split($"text", " ")).as("token"))
     val tf = toks.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
     val df = toks.select($"doc_id", $"token").distinct()
@@ -277,8 +280,9 @@ object TextOps extends graft.QueryModule {
       .partitionBy($"doc_id")
       .orderBy($"tfidf".desc, $"token")
     tf.join(df, Seq("token"))
+      .crossJoin(nDocs)
       .withColumn("tfidf",
-        round($"tf" * log(lit(nDocs) / $"df"), 6))
+        round($"tf" * log($"n_docs" / $"df"), 6))
       .filter($"doc_id" < 50)
       .withColumn("rk", row_number().over(w))
       .filter($"rk" <= 3)
