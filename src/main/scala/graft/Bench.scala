@@ -16,10 +16,20 @@ object Bench {
     // charged Spark's one-time startup (~5 s)
     spark.range(1000000).selectExpr("sum(id)").collect()
     try Tables.lineitem(spark, sfDir).limit(1).count() catch { case _: Throwable => }
+    // min of two passes per query: a single cold pass charges a query
+    // whatever I/O or GC stall the box happens to throw at it (measured
+    // 10-30x inflation of trivial projections under ambient load —
+    // BASELINE.md). The min is the defensible per-query cost; plans are
+    // rebuilt per pass, so no shuffle-output reuse flatters the second.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => -1.0 }
+      }
+      val a = once()
+      val best = if (a < 0) a else { val b = once(); if (b < 0) a else math.min(a, b) }
+      name -> best
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -81,13 +81,17 @@ object ScanOps extends graft.QueryModule {
   }
 
   /** JSON-lines sink+scan roundtrip (the interchange format of most
-    * LLM-corpus tooling): write documents as jsonl, read back with an
-    * explicit schema. Doubles/longs/strings survive JSON exactly; the
-    * oracle is the source table. */
+    * LLM-corpus tooling): write a deterministic 1-in-10 slice of orders
+    * as jsonl, read back with an explicit schema. Doubles/longs/strings
+    * survive JSON exactly; the oracle replays the same slice. The slice
+    * keeps the roundtrip's write volume proportionate to what the
+    * operator demonstrates (format fidelity, not bulk-write throughput —
+    * q_sink_partitioned_write covers the bulk path). */
   def jsonRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val path = tmpDir("orders_json", sfDir)
     graft.Tables.orders(spark, sfDir)
+      .filter($"o_orderkey" % 10 === 0)
       .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
       .write.mode("overwrite").json(path)
     val schema = StructType(Seq(
@@ -198,7 +202,8 @@ object ScanOps extends graft.QueryModule {
         |ORDER BY c_custkey""".stripMargin,
     "q_scan_json_roundtrip" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice
-        |FROM orders ORDER BY o_orderkey""".stripMargin,
+        |FROM orders WHERE o_orderkey % 10 = 0
+        |ORDER BY o_orderkey""".stripMargin,
     "q_scan_orc_roundtrip" ->
       """SELECT p_partkey, p_brand, p_size, p_retailprice
         |FROM part WHERE p_size >= 10 ORDER BY p_partkey""".stripMargin,
