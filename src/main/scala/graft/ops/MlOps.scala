@@ -107,6 +107,26 @@ object MlOps extends graft.QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** D24/D25 inference parity: load a persisted PipelineModel and score
+    * one day of cleaned posts exactly as the reference's classification
+    * task does (01_classification_pipeline.py:179-207): `;`-csv scan,
+    * PipelineModel.transform, project id/subreddit/probability/
+    * prediction, derive prediction_label (class 1 = "datascience").
+    * Spark 4 ML loads the reference's committed Spark 2.2.0 model
+    * layout directly — byte-parity with the 4 days of committed scored
+    * outputs is pinned in ModelParitySpec. */
+  def scoreWithModel(spark: SparkSession, modelPath: String,
+                     cleanedCsv: String): DataFrame = {
+    import spark.implicits._
+    val df = spark.read.option("delimiter", ";").option("header", "true")
+      .csv(cleanedCsv)
+    val model = org.apache.spark.ml.PipelineModel.load(modelPath)
+    model.transform(df)
+      .select($"id", $"subreddit", $"probability", $"prediction")
+      .withColumn("prediction_label",
+        when($"prediction" === 1, "datascience").otherwise("gameofthrones"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ml_train_predict" -> (trainPredict _),
     "q_ml_sample_seeded" -> (sampleSeeded _),
