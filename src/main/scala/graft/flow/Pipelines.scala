@@ -43,19 +43,29 @@ object Pipelines {
 
   // ---- training pipeline ------------------------------------------------
 
-  /** Download-equivalent (D1/D3/D4/D5): union the per-class slices of every
-    * available source day, capped at `limit` rows per class. */
+  /** Download-equivalent (D1/D3/D4/D5): per-class slices of the source,
+    * capped at `limit` rows per class. Two source modes:
+    *  - `<sourceDir>/pages/` present: the pull goes through the
+    *    DataSource V2 paged source (graft.sources.PagedJsonSource) —
+    *    the real D1 shape, API pages read as input partitions;
+    *  - otherwise: union the per-day roh.csv fixtures (sorted day order). */
   final case class Ingest(cfg: FlowConfig) extends Task {
     val output: DirTarget = DirTarget(s"${cfg.baseDir}/model/${cfg.version}/raw.csv")
     def run(spark: SparkSession): Unit = {
       import spark.implicits._
-      val days = new java.io.File(cfg.sourceDir).listFiles()
-        .filter(_.isDirectory).map(_.getName).sorted
+      val pagesDir = new java.io.File(s"${cfg.sourceDir}/pages")
+      val source =
+        if (pagesDir.isDirectory)
+          spark.read.format("graft.sources.PagedJsonSource")
+            .option("path", pagesDir.getAbsolutePath).load()
+        else {
+          val days = new java.io.File(cfg.sourceDir).listFiles()
+            .filter(_.isDirectory).map(_.getName).sorted
+          days.map(d => readSemiCsv(spark, s"${cfg.sourceDir}/$d/roh.csv"))
+            .reduce(_ unionByName _)
+        }
       val perClass = Seq("datascience", "gameofthrones").map { cls =>
-        days.map(d => readSemiCsv(spark, s"${cfg.sourceDir}/$d/roh.csv"))
-          .reduce(_ unionByName _)
-          .filter($"subreddit" === cls)
-          .limit(cfg.limit)
+        source.filter($"subreddit" === cls).limit(cfg.limit)
       }
       output.atomicWrite(tmp => writeSemiCsv(perClass.reduce(_ unionByName _), tmp))
     }

@@ -1,0 +1,81 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkTestBase
+import graft.flow.{FlowConfig, Pipelines, Runner}
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+/** The D1 DataSource V2 source: page files read as input partitions,
+  * pushed-down LIMIT pruning whole pages, and the training pipeline's
+  * Ingest running through it end-to-end. */
+class PagedJsonSourceSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def goldenDir: String = getClass.getResource("/golden").getPath
+
+  /** golden roh days re-materialized as JSON-lines API pages of 25 */
+  private def buildPages(pageSize: Int = 25): String = {
+    val days = new java.io.File(goldenDir).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    val rows = days.flatMap(d => graft.text.Clean
+      .readRohCsv(spark, s"$goldenDir/$d/roh.csv").toJSON.collect())
+    val dir = Files.createTempDirectory("graft_pages")
+    rows.grouped(pageSize).zipWithIndex.foreach { case (page, i) =>
+      Files.write(dir.resolve(s"page-$i.json"),
+        page.mkString("", "\n", "\n").getBytes("UTF-8"))
+    }
+    dir.toString
+  }
+
+  test("reads all pages; schema and row set match the csv fixtures") {
+    val pages = buildPages()
+    val viaSource = spark.read.format("graft.sources.PagedJsonSource")
+      .option("path", pages).load()
+    assert(viaSource.columns.toSeq ==
+      Seq("id", "title", "selftext", "subreddit"))
+    val days = new java.io.File(goldenDir).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    val viaCsv = days.map(d => graft.text.Clean
+      .readRohCsv(spark, s"$goldenDir/$d/roh.csv")).reduce(_ unionByName _)
+    assert(viaSource.count() == viaCsv.count())
+    assert(viaSource.select($"id").collect().map(_.getString(0)).toSet ==
+      viaCsv.select($"id").collect().map(_.getString(0)).toSet)
+  }
+
+  test("pushed limit prunes trailing pages at planning time") {
+    val pages = buildPages(pageSize = 25)
+    val limited = spark.read.format("graft.sources.PagedJsonSource")
+      .option("path", pages).option("pageSize", "25").load()
+      .limit(30)
+    val scan = limited.queryExecution.sparkPlan.collect {
+      case b: BatchScanExec => b.scan
+    } match {
+      case Seq(s: PagedJsonScan) => s
+      case other => fail(s"expected one PagedJsonScan, got $other")
+    }
+    assert(scan.limit == 30, s"limit not pushed: $scan")
+    // ceil(30/25) = 2 of the 6 pages planned
+    assert(scan.planInputPartitions().length == 2)
+    // partial push: Spark's own limit still trims the 2nd page's overshoot
+    assert(limited.count() == 30)
+  }
+
+  test("Ingest pulls through the DSv2 source; same rows as the csv mode") {
+    val srcDir = Files.createTempDirectory("graft_pagesrc").toString
+    val pages = buildPages()
+    Files.move(Paths.get(pages), Paths.get(s"$srcDir/pages"))
+    val cfgPages = FlowConfig(
+      Files.createTempDirectory("graft_flow_dsv2").toString, srcDir)
+    val cfgCsv = FlowConfig(
+      Files.createTempDirectory("graft_flow_csv").toString, goldenDir)
+    assert(Runner.run(Pipelines.Ingest(cfgPages), spark) == Seq("Ingest"))
+    assert(Runner.run(Pipelines.Ingest(cfgCsv), spark) == Seq("Ingest"))
+    def ids(cfg: FlowConfig): Set[String] = graft.text.Clean
+      .readRohCsv(spark, Pipelines.Ingest(cfg).output.uri)
+      .select($"id").collect().map(_.getString(0)).toSet
+    val (p, c) = (ids(cfgPages), ids(cfgCsv))
+    assert(p == c && p.nonEmpty)
+  }
+}
