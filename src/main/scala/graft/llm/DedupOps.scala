@@ -414,9 +414,18 @@ object DedupOps extends graft.QueryModule {
       .orderBy($"a_id", $"b_id")
   }
 
+  /** The 100 TB-safe ngram path as a DECLARED query (rows-only — the
+    * df-cutoff is a candidate-generation heuristic, not SQL-expressible
+    * at matching cost): generous maxDf=50 keeps the fixture result equal
+    * to the exact query (DedupSpec pins the equality), while hot-shingle
+    * pair explosion is structurally bounded at scale. */
+  def ngramJaccardCutoff(spark: SparkSession, sfDir: String): DataFrame =
+    ngramJaccardWithCutoff(spark, sfDir, maxDf = 50)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (exactDedup _),
     "q_dedup_ngram_jaccard" -> (ngramJaccard _),
+    "q_dedup_ngram_jaccard_cutoff" -> (ngramJaccardCutoff _),
     "q_dedup_minhash_lsh" -> (minhashLsh _),
     "q_dedup_simhash" -> (simhash _),
     "q_dedup_components" -> (components _),
