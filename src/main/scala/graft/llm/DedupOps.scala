@@ -431,7 +431,53 @@ object DedupOps extends graft.QueryModule {
     "q_dedup_components" -> (components _),
     "q_dedup_embedding_cosine" -> (embeddingCosine _))
 
+  /** shared CTE text: the ngram-jaccard pair query (the declared
+    * q_dedup_ngram_jaccard oracle), reused as the edge source of the
+    * components oracle */
+  private val ngramPairsSql =
+    """docs AS (
+      |  SELECT doc_id, lang, CAST(floor(n_chars / 100) AS BIGINT) AS lb,
+      |    list_sort(list_distinct(list_transform(
+      |      generate_series(1, len(string_split(text, ' ')) - 2),
+      |      i -> concat_ws(' ', string_split(text, ' ')[i],
+      |                     string_split(text, ' ')[i+1],
+      |                     string_split(text, ' ')[i+2])))) AS sh
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      |pairs AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |    len(list_intersect(a.sh, b.sh)) AS inter,
+      |    len(a.sh) AS asz, len(b.sh) AS bsz
+      |  FROM docs a JOIN docs b
+      |    ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id),
+      |nearpairs AS (
+      |  SELECT a_id, b_id,
+      |    round(CAST(inter AS DOUBLE) / CAST(asz + bsz - inter AS DOUBLE), 6)
+      |      AS jaccard
+      |  FROM pairs
+      |  WHERE CAST(inter AS DOUBLE) / CAST(asz + bsz - inter AS DOUBLE) >= 0.2)
+      |""".stripMargin
+
   def oracle: Map[String, String] = Map(
+    // the generous-cutoff variant equals the exact query on the fixture
+    // (hottest block-level shingle df is 8 << maxDf=50; DedupSpec pins
+    // the equality), so the exact SQL is its oracle at oracle scale
+    "q_dedup_ngram_jaccard_cutoff" ->
+      s"""WITH $ngramPairsSql
+         |SELECT a_id, b_id, jaccard FROM nearpairs
+         |ORDER BY a_id, b_id""".stripMargin,
+    // connected components as a recursive CTE: comp = min doc_id
+    // reachable over the near-dup pair graph (tiny at oracle scale)
+    "q_dedup_components" ->
+      s"""WITH RECURSIVE $ngramPairsSql,
+         |edges(src, dst) AS (
+         |  SELECT a_id, b_id FROM nearpairs
+         |  UNION ALL SELECT b_id, a_id FROM nearpairs),
+         |reach(id, comp) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id)
+         |SELECT id AS doc_id, MIN(comp) AS component_id
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     "q_dedup_exact" ->
       """SELECT fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies FROM (
         |  SELECT doc_id,
