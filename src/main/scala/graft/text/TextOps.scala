@@ -110,6 +110,33 @@ object TextOps extends graft.QueryModule {
       .orderBy($"doc_id")
   }
 
+  // PII patterns shared by query and spec: kept to constructs with
+  // IDENTICAL semantics in Java regex (Spark) and RE2 (DuckDB) — no
+  // backrefs, no lookaround, anchored digit runs via \b
+  private[text] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[text] val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private[text] val LongDigitsRe = "\\b\\d{10,}\\b"
+
+  /** q_text_pii_redact — corpus PII scrub (a standard pre-training
+    * hygiene pass): emails, IPv4s, and 10+-digit runs (phone/account
+    * shaped) are replaced with typed placeholders, with per-category
+    * counts from the ORIGINAL text for audit. Chain order matters
+    * (email before ip before digits — placeholders contain no digits,
+    * so later rules never re-match earlier redactions); the oracle
+    * replays the same chain with RE2. Narrow map, zero shuffles. */
+  def piiRedact(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        regexp_replace(regexp_replace(regexp_replace($"text",
+          EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"), LongDigitsRe, "<NUMBER>")
+          .as("redacted"),
+        regexp_count($"text", lit(EmailRe)).as("n_emails"),
+        regexp_count($"text", lit(Ipv4Re)).as("n_ips"),
+        regexp_count($"text", lit(LongDigitsRe)).as("n_numbers"))
+      .orderBy($"doc_id")
+  }
+
   /** q_text_winnow — rolling-hash (Rabin-Karp) winnowing fingerprint:
     * hash every k-char window with a true rolling update, then keep the
     * minimum per w-window (MOSS-style winnowing). The surviving minima
@@ -301,6 +328,7 @@ object TextOps extends graft.QueryModule {
     "q_text_token_count" -> (tokenCount _),
     "q_text_quality" -> (quality _),
     "q_text_fingerprint" -> (fingerprint _),
+    "q_text_pii_redact" -> (piiRedact _),
     "q_text_winnow" -> (winnowFingerprint _),
     "q_text_langid" -> (langId _))
 
@@ -374,6 +402,16 @@ object TextOps extends graft.QueryModule {
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
         |  FROM documents)
         |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin,
+    "q_text_pii_redact" ->
+      s"""SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$EmailRe', '<EMAIL>', 'g'),
+         |    '$Ipv4Re', '<IP>', 'g'),
+         |    '$LongDigitsRe', '<NUMBER>', 'g') AS redacted,
+         |  len(regexp_extract_all(text, '$EmailRe')) AS n_emails,
+         |  len(regexp_extract_all(text, '$Ipv4Re')) AS n_ips,
+         |  len(regexp_extract_all(text, '$LongDigitsRe')) AS n_numbers
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_text_token_count" ->
       """SELECT doc_id,
         |  len(string_split(text, ' ')) AS ws_tokens,
