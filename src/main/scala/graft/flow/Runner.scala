@@ -15,14 +15,39 @@ object Runner {
   final case class CycleException(at: String)
     extends RuntimeException(s"dependency cycle at task $at")
 
+  /** Scheduler lifecycle events (Luigi's event-handler surface —
+    * Event.START/SUCCESS/FAILURE — plus the skip that Luigi reports as
+    * "already done"). SUCCESS carries the processing time, Luigi's
+    * PROCESSING_TIME event folded in. Handlers run on the scheduler
+    * thread that ran the task; a history sink is just a handler that
+    * appends. */
+  sealed trait TaskEvent { def task: String }
+  object TaskEvent {
+    final case class Start(task: String) extends TaskEvent
+    final case class Success(task: String, millis: Long) extends TaskEvent
+    final case class Failure(task: String, error: Throwable) extends TaskEvent
+    final case class Skipped(task: String) extends TaskEvent
+  }
+  type EventHandler = TaskEvent => Unit
+  private val noEvents: EventHandler = _ => ()
+
   private def attempt(t: Task, spark: SparkSession,
-                      log: String => Unit, retries: Int): Unit = {
+                      log: String => Unit, retries: Int,
+                      events: EventHandler): Unit = {
     var tries = 0
     var lastErr: Throwable = null
     while (tries <= retries && !t.complete) {
       if (tries > 0) log(s"RETRY ${t.name} (attempt ${tries + 1})")
-      try { t.run(spark); lastErr = null }
-      catch { case e: Throwable => lastErr = e }
+      events(TaskEvent.Start(t.name))
+      val t0 = System.nanoTime()
+      try {
+        t.run(spark); lastErr = null
+        events(TaskEvent.Success(t.name, (System.nanoTime() - t0) / 1000000))
+      } catch {
+        case e: Throwable =>
+          lastErr = e
+          events(TaskEvent.Failure(t.name, e))
+      }
       tries += 1
     }
     if (lastErr != null) throw lastErr
@@ -30,7 +55,8 @@ object Runner {
 
   def run(root: Task, spark: SparkSession,
           log: String => Unit = _ => (),
-          retries: Int = 0): Seq[String] = {
+          retries: Int = 0,
+          events: EventHandler = noEvents): Seq[String] = {
     val executed = mutable.ArrayBuffer.empty[String]
     val done = mutable.Set.empty[Task]
     val inStack = mutable.Set.empty[Task]
@@ -43,11 +69,11 @@ object Runner {
       inStack -= t
       if (!t.complete) {
         log(s"RUN  ${t.name} -> ${t.output.uri}")
-        attempt(t, spark, log, retries)
+        attempt(t, spark, log, retries, events)
         if (!t.complete) throw new IllegalStateException(
           s"task ${t.name} ran but target ${t.output.uri} still missing")
         executed += t.name
-      } else log(s"SKIP ${t.name} (complete)")
+      } else { log(s"SKIP ${t.name} (complete)"); events(TaskEvent.Skipped(t.name)) }
       done += t
     }
     visit(root)
@@ -59,10 +85,19 @@ object Runner {
     * dependencies are all done, sorted by name so the reported execution
     * order stays deterministic even though the wave itself is parallel.
     * Spark's scheduler is thread-safe, so concurrent tasks become
-    * concurrent Spark jobs sharing the session (FAIR-pool-ready). */
+    * concurrent Spark jobs sharing the session (FAIR-pool-ready).
+    *
+    * `resourceCaps` is Luigi's `[resources]` section: each named unit
+    * has a capacity (default 1); a ready task joins a wave only if all
+    * its declared `Task.resources` units fit within what the wave has
+    * left — tasks sharing a capacity-1 resource therefore never overlap.
+    * A task demanding more than a resource's total capacity runs alone
+    * (with a log note) instead of deadlocking the schedule. */
   def runParallel(root: Task, spark: SparkSession, workers: Int,
                   log: String => Unit = _ => (),
-                  retries: Int = 0): Seq[String] = {
+                  retries: Int = 0,
+                  events: EventHandler = noEvents,
+                  resourceCaps: Map[String, Int] = Map.empty): Seq[String] = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     val all = mutable.LinkedHashSet.empty[Task]
@@ -81,17 +116,36 @@ object Runner {
     pending ++= all
     try {
       while (pending.nonEmpty) {
-        val wave = pending.filter(_.requires.forall(done)).toSeq.sortBy(_.name)
-        if (wave.isEmpty) throw CycleException(pending.head.name)
+        val ready = pending.filter(_.requires.forall(done)).toSeq.sortBy(_.name)
+        if (ready.isEmpty) throw CycleException(pending.head.name)
+        // greedy admission in name order under the resource capacities
+        def cap(r: String): Int = resourceCaps.getOrElse(r, 1)
+        val used = mutable.Map.empty[String, Int].withDefaultValue(0)
+        val admitted = ready.filter { t =>
+          val fits = t.resources.forall { case (r, n) => used(r) + n <= cap(r) }
+          if (fits) t.resources.foreach { case (r, n) => used(r) += n }
+          fits
+        }
+        val wave =
+          if (admitted.nonEmpty) admitted
+          else {
+            log(s"RESOURCE-OVERSIZED ${ready.head.name} " +
+              s"(demands ${ready.head.resources}) — running alone")
+            Seq(ready.head)
+          }
         val results = wave.map { t =>
           Future {
             if (!t.complete) {
               log(s"RUN  ${t.name} -> ${t.output.uri}")
-              attempt(t, spark, log, retries)
+              attempt(t, spark, log, retries, events)
               if (!t.complete) throw new IllegalStateException(
                 s"task ${t.name} ran but target ${t.output.uri} still missing")
               Some(t.name)
-            } else { log(s"SKIP ${t.name} (complete)"); None }
+            } else {
+              log(s"SKIP ${t.name} (complete)")
+              events(TaskEvent.Skipped(t.name))
+              None
+            }
           }
         }
         executed ++= Await.result(Future.sequence(results), Duration.Inf).flatten

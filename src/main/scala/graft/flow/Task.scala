@@ -20,6 +20,12 @@ import org.apache.spark.sql.SparkSession
 trait Task {
   def name: String = getClass.getSimpleName.stripSuffix("$")
   def requires: Seq[Task] = Seq.empty
+  /** Luigi `resources`: named units this task holds for its whole run.
+    * The parallel scheduler admits a task only when every resource has
+    * that many units free (capacities from its `resourceCaps` argument,
+    * default 1 per name) — how Luigi rate-limits e.g. concurrent
+    * writers against one database. Empty = unconstrained. */
+  def resources: Map[String, Int] = Map.empty
   def output: Target
   def run(spark: SparkSession): Unit
   final def complete: Boolean = output.exists

@@ -125,6 +125,80 @@ class FlowSpec extends SparkTestBase {
     assert(Runner.runParallel(sink, spark, workers = 2).isEmpty)
   }
 
+  test("resources: capacity-1 unit serializes tasks; roomy capacity overlaps") {
+    import java.util.concurrent.atomic.AtomicInteger
+    def build(tag: String): (Task, AtomicInteger) = {
+      val base = Files.createTempDirectory(s"graft_res_$tag").toString
+      val active = new AtomicInteger(0)
+      val peak = new AtomicInteger(0)
+      case class RT(n: String, deps: Seq[Task]) extends Task {
+        override def name: String = n
+        override def requires: Seq[Task] = deps
+        override def resources: Map[String, Int] =
+          if (n.contains("db")) Map("db" -> 1) else Map.empty
+        val output: Target = FileTarget(s"$base/$n")
+        def run(spark: SparkSession): Unit = {
+          val now = active.incrementAndGet()
+          peak.updateAndGet(p => math.max(p, now))
+          Thread.sleep(150)
+          active.decrementAndGet()
+          Files.write(Paths.get(s"$base/$n"), "x".getBytes)
+        }
+      }
+      val a = RT("a_db_writer", Seq.empty)
+      val b = RT("b_db_writer", Seq.empty)
+      (RT("c_sink", Seq(a, b)), peak)
+    }
+    // default capacity 1 for any named resource: the two db tasks
+    // must never hold the resource concurrently
+    val (root1, peak1) = build("serial")
+    Runner.runParallel(root1, spark, workers = 2)
+    assert(peak1.get() == 1, s"capacity-1 resource overlapped: peak ${peak1.get()}")
+    // capacity 2: the same shape is allowed to overlap (and with the
+    // 150 ms holds it reliably does)
+    val (root2, peak2) = build("overlap")
+    Runner.runParallel(root2, spark, workers = 2,
+      resourceCaps = Map("db" -> 2))
+    assert(peak2.get() == 2, s"capacity-2 resource never overlapped")
+  }
+
+  test("events: start/success with timing, skip on re-run, failure per attempt") {
+    val base = Files.createTempDirectory("graft_events").toString
+    val events = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[Runner.TaskEvent]())
+    case class ET(n: String, deps: Seq[Task]) extends Task {
+      override def name: String = n
+      override def requires: Seq[Task] = deps
+      val output: Target = FileTarget(s"$base/$n")
+      def run(spark: SparkSession): Unit =
+        Files.write(Paths.get(s"$base/$n"), "x".getBytes)
+    }
+    val chain = ET("b_down", Seq(ET("a_up", Seq.empty)))
+    Runner.run(chain, spark, events = events.add(_))
+    import scala.jdk.CollectionConverters._
+    assert(events.asScala.toList.map(_.getClass.getSimpleName) ==
+      List("Start", "Success", "Start", "Success"))
+    assert(events.asScala.collect {
+      case Runner.TaskEvent.Success(t, ms) if ms >= 0 => t
+    }.toList == List("a_up", "b_down"))
+    events.clear()
+    Runner.run(chain, spark, events = events.add(_))
+    assert(events.asScala.toList ==
+      List(Runner.TaskEvent.Skipped("a_up"), Runner.TaskEvent.Skipped("b_down")))
+    // failure fires once per attempt, then the error surfaces
+    events.clear()
+    val boom = new Task {
+      override def name = "boom"
+      val output: Target = FileTarget(s"$base/never")
+      def run(spark: SparkSession): Unit = throw new RuntimeException("nope")
+    }
+    intercept[RuntimeException] {
+      Runner.run(boom, spark, retries = 1, events = events.add(_))
+    }
+    assert(events.asScala.toList.map(_.getClass.getSimpleName) ==
+      List("Start", "Failure", "Start", "Failure"))
+  }
+
   test("cycle detection") {
     lazy val a: Task = new Task {
       override def name = "A"
