@@ -7,11 +7,14 @@ import org.apache.spark.sql.functions._
   * opaque `binary` payloads + typed metadata, with decode/feature-extract
   * as batched per-partition transforms.
   *
-  * The fixture corpus has no real media, so `payload` is the utf-8 byte
-  * encoding of documents.text and the DECODE STEP IS A STUB — a
-  * deterministic fake deriving pseudo width/height/frames from the payload
-  * bytes (clearly marked below). Everything AROUND the stub is the real
-  * Spark plumbing this operator family needs at 100 TB:
+  * The fixture corpus has no real media (`payload` is the utf-8 byte
+  * encoding of documents.text), but the decode step is REAL for images:
+  * ImageIO (JDK-built-in) decodes PNG/JPEG/GIF/BMP payloads into true
+  * dimensions + luminance features (proved on generated PNGs in
+  * MultimodalSpec); payloads no codec claims fall back to a clearly
+  * marked deterministic stub, which is what the fixture and the
+  * audio/video modalities exercise. Around the decoder is the Spark
+  * plumbing this operator family needs at 100 TB:
   *  - binary column + metadata struct schema,
   *  - mapPartitions with an iterator (batch-shaped: one decoder init per
   *    partition, not per row — the same shape a Pandas-UDF/mapInPandas or
@@ -44,12 +47,17 @@ object MultimodalOps extends graft.QueryModule {
                                  resized_w: Int, resized_h: Int,
                                  sampled_frames: Array[Int], feat: Array[Float])
 
-  /** Batched decode + feature extraction. STUB: the container has no
-    * image/audio codecs, so `decodeStub` fabricates deterministic metadata
-    * and an 8-dim feature from the payload bytes; swap it for a real
-    * decoder (e.g. JNI/ffmpeg behind the same iterator) without touching
-    * the plan. The mapPartitions shape, schema and partitioning are real
-    * and exercised by MultimodalSpec + the declared query (rows-only check). */
+  /** Batched decode + feature extraction. The decode step is REAL for
+    * image payloads — `decodeImage` goes through the JDK's ImageIO
+    * (PNG/JPEG/GIF/BMP; magic-byte sniff first, so non-media payloads
+    * skip the codec) and emits true width/height plus an 8-band mean-
+    * luminance feature. Payloads no codec claims (the synthetic fixture's
+    * utf-8 text bytes; audio/video, which the JDK cannot decode) fall
+    * back to `decodeStub`, the clearly-marked deterministic fake — so the
+    * declared query is stable on the fixture while MultimodalSpec proves
+    * the real path on generated PNGs. The mapPartitions shape (one
+    * decoder configuration per partition, iterator in/out) is exactly
+    * what a JNI/ffmpeg codec needs at 100 TB. */
   def mediaFeatures(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val rows: Dataset[MediaRow] = graft.Tables.documents(spark, sfDir)
@@ -57,21 +65,72 @@ object MultimodalOps extends graft.QueryModule {
         when($"source" === "src0", "image").otherwise("text").as("modality"),
         encode($"text", "UTF-8").as("payload"))
       .as[MediaRow]
-    rows.mapPartitions { it =>
-      // one "decoder" per partition — where a real codec would init
-      val decoder = decodeStub _
-      it.map(decoder)
-    }.toDF()
+    featuresOf(rows)
       .select($"doc_id", $"modality", $"width", $"height", $"n_frames",
         $"resized_w", $"resized_h", size($"sampled_frames").as("n_sampled"),
         round(element_at($"feat", 1), 6).as("feat0"))
       .orderBy($"doc_id")
   }
 
-  /** STUB decoder — deterministic fake, NOT a real codec. The decode/
-    * resize/frame-sample steps a real pipeline needs are shaped here:
-    * resize = aspect-preserving fit into 224x224; frame-sample = uniform
-    * stride down to <=16 frames. */
+  /** Core decode pipeline over any media rows (spec entry). */
+  private[llm] def featuresOf(rows: Dataset[MediaRow]): DataFrame = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      // per-partition decoder setup: no disk-backed ImageIO cache
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map(m => decodeImage(m).getOrElse(decodeStub(m)))
+    }.toDF()
+  }
+
+  private def looksLikeImage(p: Array[Byte]): Boolean =
+    p.length > 8 && (
+      (p(0) == 0x89.toByte && p(1) == 'P') ||      // PNG
+      (p(0) == 0xFF.toByte && p(1) == 0xD8.toByte) || // JPEG
+      (p(0) == 'G' && p(1) == 'I' && p(2) == 'F') ||  // GIF
+      (p(0) == 'B' && p(1) == 'M'))                   // BMP
+
+  /** REAL image decode via the JDK's ImageIO: true dimensions,
+    * aspect-preserving 224 resize plan, and an 8-dim feature = mean
+    * luminance (ITU-R 601 weights) of 8 equal vertical bands in [0,1].
+    * Returns None when no installed codec claims the payload. */
+  private def decodeImage(m: MediaRow): Option[MediaFeatures] = {
+    if (!looksLikeImage(m.payload)) None
+    else Option(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(m.payload))).map { img =>
+      val (w, ht) = (img.getWidth, img.getHeight)
+      val bands = 8
+      val feat = Array.tabulate(bands) { b =>
+        val x0 = w * b / bands
+        val x1 = math.max(x0 + 1, w * (b + 1) / bands)
+        var sum = 0.0
+        var n = 0
+        var y = 0
+        while (y < ht) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            sum += (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+              (rgb & 0xff) * 114) / 1000.0
+            n += 1; x += 1
+          }
+          y += 1
+        }
+        (sum / n / 255.0).toFloat
+      }
+      val scale = 224.0 / math.max(w, ht)
+      MediaFeatures(m.doc_id, m.modality,
+        width = w, height = ht, n_frames = 1,
+        resized_w = math.max(1, math.round(w * scale).toInt),
+        resized_h = math.max(1, math.round(ht * scale).toInt),
+        sampled_frames = Array(0), feat = feat)
+    }
+  }
+
+  /** STUB decoder — deterministic fake, NOT a real codec; the fallback
+    * for payloads no installed codec claims (non-media bytes, audio and
+    * video in this JDK-only container). Shapes the same decode/resize/
+    * frame-sample contract as the real path: resize = aspect-preserving
+    * fit into 224x224; frame-sample = uniform stride down to <=16. */
   private def decodeStub(m: MediaRow): MediaFeatures = {
     val h = m.payload.foldLeft(1469598103934665603L)((a, b) => (a ^ b) * 1099511628211L)
     val feat = Array.tabulate(8)(i =>

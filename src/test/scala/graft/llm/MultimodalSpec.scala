@@ -2,11 +2,45 @@ package graft.llm
 
 import graft.SparkTestBase
 
-/** Plumbing invariants of the multimodal path (the decode itself is a
-  * documented stub; what must be REAL: schema, batching shape, and the
-  * resize/frame-sample contracts). */
+/** The multimodal path: REAL ImageIO decode on genuine image payloads
+  * (generated PNGs with known shape and luminance), stub fallback for
+  * everything else, plus the plumbing invariants (schema, batching
+  * shape, resize/frame-sample contracts). */
 class MultimodalSpec extends SparkTestBase {
   import spark.implicits._
+
+  /** a w×h PNG: left half black, right half white */
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, if (x < w / 2) 0x000000 else 0xFFFFFF)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("real PNG payloads decode with true dimensions and luminance features") {
+    val rows = Seq(
+      MultimodalOps.MediaRow(1L, "image", pngBytes(448, 224)),
+      MultimodalOps.MediaRow(2L, "image", pngBytes(64, 128)),
+      MultimodalOps.MediaRow(3L, "text", "just text bytes".getBytes("UTF-8")))
+    val out = MultimodalOps.featuresOf(spark.createDataset(rows))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // true decoded dimensions, not stub pseudo-dims
+    val one = out(1L)
+    assert((one.getInt(2), one.getInt(3)) == ((448, 224)))
+    assert((one.getInt(5), one.getInt(6)) == ((224, 112))) // fit 448->224
+    val feat = one.getSeq[Float](8)
+    // left half black (bands 0-3 ~ 0), right half white (bands 4-7 ~ 1)
+    assert(feat.take(4).forall(_ < 0.05f), feat.mkString(","))
+    assert(feat.drop(4).forall(_ > 0.95f), feat.mkString(","))
+    val two = out(2L)
+    assert((two.getInt(2), two.getInt(3)) == ((64, 128)))
+    assert((two.getInt(5), two.getInt(6)) == ((112, 224)))
+    // non-media payload fell back to the deterministic stub (pseudo-dims)
+    assert(out(3L).getInt(2) >= 64)
+  }
 
   test("media features: schema, determinism, resize + frame-sample bounds") {
     val df = MultimodalOps.mediaFeatures(spark, sf0001)
