@@ -100,6 +100,51 @@ object TextOps extends graft.QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** q_text_gopher_rules — repetition/composition quality gates in the
+    * Gopher (Rae et al. 2021) / C4 style, the second quality axis next
+    * to q_text_quality's ratio scores: repeated 3-gram fraction (bulk
+    * duplication inside a doc), top-token dominance (max single-token
+    * frequency / tokens), digit-char fraction, and alpha-word fraction,
+    * plus the combined keep/drop verdict. All exact arithmetic rounded
+    * at 6dp so the DuckDB twin matches bit-for-bit; narrow map + one
+    * explode/groupBy for the dominance term. */
+  def gopherRules(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sfDir)
+    val toks = split($"text", " ")
+    val nTok = size(toks).cast("double")
+    // duplicated-shingle fraction: 1 - distinct/total 3-grams (0 when < 3 tokens)
+    // sequence(0, n-3) inclusive = n-2 shingles; the n<3 case is guarded
+    // by the when() below (greatest keeps the unevaluated branch sane)
+    val sh = expr("""transform(
+        sequence(0, greatest(size(split(text, ' ')) - 3, 0)),
+        i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1],
+                       split(text, ' ')[i+2]))""")
+    val base = docs.select($"doc_id", $"n_chars", $"text",
+      size(toks).as("n_tokens"),
+      when(size(toks) < 3, lit(0.0))
+        .otherwise(lit(1.0) - size(array_distinct(sh)).cast("double") /
+          size(sh).cast("double")).as("rep3_frac_raw"),
+      (length(regexp_replace($"text", "[^0-9]", "")).cast("double") /
+        $"n_chars").as("digit_frac_raw"),
+      (size(filter(toks, t => t.rlike("^[a-z]+$"))).cast("double") / nTok)
+        .as("alpha_frac_raw"))
+    val dominance = docs
+      .select($"doc_id", explode(split($"text", " ")).as("token"))
+      .groupBy($"doc_id", $"token").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id").agg(max($"c").as("top_tok"))
+    base.join(dominance, Seq("doc_id"))
+      .select($"doc_id", $"n_tokens",
+        round($"rep3_frac_raw", 6).as("rep3_frac"),
+        round($"top_tok".cast("double") / $"n_tokens", 6).as("dominance"),
+        round($"digit_frac_raw", 6).as("digit_frac"),
+        round($"alpha_frac_raw", 6).as("alpha_frac"),
+        ($"rep3_frac_raw" <= 0.2 && $"top_tok".cast("double") / $"n_tokens" <= 0.2 &&
+          $"digit_frac_raw" <= 0.2 && $"alpha_frac_raw" >= 0.6)
+          .cast("int").as("keep"))
+      .orderBy($"doc_id")
+  }
+
   /** q_text_fingerprint — document fingerprint: sha2-256 over
     * whitespace-normalized lowercase text (exact-dedup key; north star). */
   def fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
@@ -329,6 +374,7 @@ object TextOps extends graft.QueryModule {
     "q_text_quality" -> (quality _),
     "q_text_fingerprint" -> (fingerprint _),
     "q_text_pii_redact" -> (piiRedact _),
+    "q_text_gopher_rules" -> (gopherRules _),
     "q_text_winnow" -> (winnowFingerprint _),
     "q_text_langid" -> (langId _))
 
@@ -402,6 +448,42 @@ object TextOps extends graft.QueryModule {
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
         |  FROM documents)
         |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin,
+    "q_text_gopher_rules" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars, text, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, n_chars, text, toks, len(toks) AS n,
+        |    CASE WHEN len(toks) < 3 THEN NULL
+        |         ELSE list_transform(generate_series(1, len(toks) - 2),
+        |              i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+        |    END AS sh
+        |  FROM d),
+        |m AS (
+        |  SELECT doc_id, n_chars, n,
+        |    CASE WHEN sh IS NULL THEN 0.0
+        |         ELSE 1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh)
+        |    END AS rep3,
+        |    CAST(len(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+        |      / n_chars AS digitf,
+        |    CAST(len(list_filter(toks,
+        |      t -> regexp_matches(t, '^[a-z]+$'))) AS DOUBLE) / len(toks)
+        |      AS alphaf
+        |  FROM s),
+        |dom AS (
+        |  SELECT doc_id, MAX(c) AS top_tok FROM (
+        |    SELECT doc_id, token, COUNT(*) AS c FROM (
+        |      SELECT doc_id, unnest(toks) AS token FROM d) GROUP BY 1, 2)
+        |  GROUP BY doc_id)
+        |SELECT m.doc_id, CAST(m.n AS INTEGER) AS n_tokens,
+        |  round(m.rep3, 6) AS rep3_frac,
+        |  round(CAST(dom.top_tok AS DOUBLE) / m.n, 6) AS dominance,
+        |  round(m.digitf, 6) AS digit_frac,
+        |  round(m.alphaf, 6) AS alpha_frac,
+        |  CAST(m.rep3 <= 0.2 AND CAST(dom.top_tok AS DOUBLE) / m.n <= 0.2
+        |    AND m.digitf <= 0.2 AND m.alphaf >= 0.6 AS INTEGER) AS keep
+        |FROM m JOIN dom ON m.doc_id = dom.doc_id
+        |ORDER BY m.doc_id""".stripMargin,
     "q_text_pii_redact" ->
       s"""SELECT doc_id,
          |  regexp_replace(regexp_replace(regexp_replace(text,
