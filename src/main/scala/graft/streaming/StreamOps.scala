@@ -82,8 +82,70 @@ object StreamOps extends graft.QueryModule {
       .orderBy($"win_start_ms", $"event_type")
   }
 
+  /** Streaming UPSERT sink (foreachBatch): the tumbling aggregate runs
+    * in update mode and each micro-batch's changed (window, type) rows
+    * MERGE into a parquet target — read-modify-atomic-swap keyed on the
+    * window. This is the standard Spark pattern for maintaining a
+    * serving table from a stream without a lakehouse format; with one,
+    * foreachBatch's body becomes MERGE INTO and nothing else changes.
+    * Final table state equals the batch aggregate, so the declared query
+    * shares the tumbling oracle; INCREMENTAL multi-batch behavior is
+    * pinned by StreamingSpec (MemoryStream, two add/process rounds). */
+  def liveTumblingUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.events(spark, sfDir) // sets the nanosAsLong conf
+    val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val ev = spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = ev
+      .groupBy(window($"ts", "15 minutes").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"), graft.ops.AggOps.dsum($"value").as("sum_value"))
+      .select(unix_millis($"w.start").as("win_start_ms"), $"event_type",
+        $"n", $"sum_value")
+    val target = s"${System.getProperty("java.io.tmpdir")}/graft_stream_upsert/" +
+      java.lang.Integer.toHexString(sfDir.hashCode)
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(target))
+    val q = agg.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        upsertInto(target, batch, Seq("win_start_ms", "event_type"))
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(target)
+      .orderBy($"win_start_ms", $"event_type")
+  }
+
+  /** MERGE a micro-batch into a parquet target: new rows win on key
+    * collision, everything else carries over; written to a temp sibling
+    * and atomically swapped (flow.DirTarget), so readers never see a
+    * torn table. */
+  private[streaming] def upsertInto(target: String, batch: DataFrame,
+                                    keys: Seq[String]): Unit = {
+    val spark = batch.sparkSession
+    val exists = new java.io.File(target).exists()
+    val merged =
+      if (!exists) batch
+      else {
+        val existing = spark.read.parquet(target)
+        // anti-join keeps only unreplaced old keys; union-by-name merges
+        existing.join(batch.select(keys.map(col): _*), keys, "left_anti")
+          .unionByName(batch)
+      }
+    // the merge plan reads the OLD target while writing the temp
+    // sibling (different paths — executor-side throughout); the swap
+    // happens only after the write commits. At 100 TB the same shape
+    // scopes to touched partitions instead of the whole table.
+    graft.flow.DirTarget(target).atomicWrite { tmp =>
+      merged.write.mode("overwrite").parquet(tmp)
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_live_tumbling" -> (liveTumbling _),
+    "q_stream_upsert_sink" -> (liveTumblingUpsert _),
     "q_stream_tumbling" -> (tumbling _),
     "q_stream_sliding" -> (sliding _),
     "q_stream_session" -> (sessions _))
@@ -97,6 +159,7 @@ object StreamOps extends graft.QueryModule {
   def oracle: Map[String, String] = Map(
     "q_stream_tumbling" -> tumblingOracle,
     "q_stream_live_tumbling" -> tumblingOracle,
+    "q_stream_upsert_sink" -> tumblingOracle,
     "q_stream_sliding" ->
       """WITH assigned AS (
         |  SELECT (epoch_ms(ts) // 1800000) * 1800000 AS win_start_ms,

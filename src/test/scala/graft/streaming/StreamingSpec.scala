@@ -47,6 +47,37 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("foreachBatch upsert sink merges incrementally across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val target = java.nio.file.Files
+      .createTempDirectory("graft_upsert_sink").toString + "/table"
+    val stream = MemoryStream[(Timestamp, String)]
+    val agg = stream.toDF().toDF("ts", "event_type")
+      .groupBy(window($"ts", "5 minutes").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select(unix_millis($"w.start").as("win_start_ms"), $"event_type", $"n")
+    val q = agg.writeStream.outputMode(OutputMode.Update())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        StreamOps.upsertInto(target, batch, Seq("win_start_ms", "event_type"))
+      }.start()
+    try {
+      // batch 1: two windows
+      stream.addData((ts(1), "a"), (ts(2), "a"), (ts(7), "b"))
+      q.processAllAvailable()
+      val after1 = spark.read.parquet(target)
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      val (w0, w5) = (ts(0).getTime, ts(5).getTime)
+      assert(after1 == Map((w0, "a") -> 2L, (w5, "b") -> 1L), after1.toString)
+      // batch 2: window (w0,a) UPDATES to 3, (w5,a) inserts; (w5,b) untouched
+      stream.addData((ts(3), "a"), (ts(6), "a"))
+      q.processAllAvailable()
+      val after2 = spark.read.parquet(target)
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(after2 == Map((w0, "a") -> 3L, (w5, "a") -> 1L, (w5, "b") -> 1L),
+        after2.toString)
+    } finally q.stop()
+  }
+
   test("streaming session_window matches the batch twin on the same data") {
     implicit val sqlCtx = spark.sqlContext
     val events = Seq(
