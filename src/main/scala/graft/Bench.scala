@@ -16,20 +16,25 @@ object Bench {
     // charged Spark's one-time startup (~5 s)
     spark.range(1000000).selectExpr("sum(id)").collect()
     try Tables.lineitem(spark, sfDir).limit(1).count() catch { case _: Throwable => }
-    // min of two passes per query: a single cold pass charges a query
+    // min over two FULL sweeps: a single cold pass charges a query
     // whatever I/O or GC stall the box happens to throw at it (measured
     // 10-30x inflation of trivial projections under ambient load —
-    // BASELINE.md). The min is the defensible per-query cost; plans are
-    // rebuilt per pass, so no shuffle-output reuse flatters the second.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-        catch { case _: Throwable => -1.0 }
-      }
-      val a = once()
-      val best = if (a < 0) a else { val b = once(); if (b < 0) a else math.min(a, b) }
-      name -> best
+    // BASELINE.md). Sweep-separated passes put minutes between a query's
+    // two timings, so one transient stall window cannot inflate both;
+    // plans are rebuilt per pass, so no shuffle-output reuse flatters
+    // the second. The min is the defensible per-query cost.
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    def sweep(): Seq[(String, Double)] = ordered.map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      val t = try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+              catch { case _: Throwable => -1.0 }
+      name -> t
+    }
+    val p1 = sweep().toMap
+    val p2 = sweep().toMap
+    val results = ordered.map { case (name, _) =>
+      val (a, b) = (p1(name), p2(name))
+      name -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

