@@ -173,10 +173,139 @@ object SimSearchOps extends graft.QueryModule {
       .orderBy($"q_id", $"rk")
   }
 
+  /** Product-quantization ANN (Jégou, Douze, Schmid: "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011 — the
+    * published algorithm, reimplemented on DataFrames): the
+    * memory-compression path at 100 TB. 64-dim float vectors (256 B)
+    * encode as M=8 one-byte sub-space codes (32x smaller), and query
+    * scoring becomes M table lookups (asymmetric distance computation)
+    * instead of a 64-dim dot product — so the full-corpus candidate
+    * scan reads codes, not vectors. Codebooks are seeded Lloyd's
+    * iterations per sub-space on a BOUNDED sample (codebook training is
+    * a driver-side constant-size step; encode and ADC scan are the
+    * distributed parts), shipped as literals into codegen'd UDF calls.
+    * Top-32 ADC candidates per query re-rank by exact cosine (the
+    * standard PQ + re-rank recipe). Declared without oracle (centroids
+    * impl-specific); recall vs brute force pinned in SimSearchSpec. */
+  def topkPq(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val M = 8
+    val K = 16
+    val SUBDIM = DIMS / M
+    val NCAND = 32
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val sample = emb.select($"embedding").limit(4096)
+      .collect().map(_.getSeq[Float](0).toArray)
+    val codebooks = trainCodebooks(sample, M, K, SUBDIM, iters = 5, seed = 42L)
+    val encodeUdf = udf((e: Seq[Float]) => {
+      val arr = e.toArray
+      Array.tabulate(M) { m =>
+        var best = 0
+        var bestD = Double.MaxValue
+        var k = 0
+        while (k < K) {
+          val c = codebooks(m)(k)
+          var d = 0.0
+          var j = 0
+          while (j < SUBDIM) {
+            val diff = arr(m * SUBDIM + j) - c(j); d += diff * diff; j += 1
+          }
+          if (d < bestD) { bestD = d; best = k }
+          k += 1
+        }
+        best
+      }.toSeq
+    })
+    // per-query ADC lookup table: distance from the query's sub-vector
+    // to every centroid of every sub-space (M*K doubles)
+    val lutUdf = udf((e: Seq[Float]) => {
+      val arr = e.toArray
+      val lut = new Array[Double](M * K)
+      var m = 0
+      while (m < M) {
+        var k = 0
+        while (k < K) {
+          val c = codebooks(m)(k)
+          var d = 0.0
+          var j = 0
+          while (j < SUBDIM) {
+            val diff = arr(m * SUBDIM + j) - c(j); d += diff * diff; j += 1
+          }
+          lut(m * K + k) = d
+          k += 1
+        }
+        m += 1
+      }
+      lut.toSeq
+    })
+    val adcUdf = udf((lut: Seq[Double], codes: Seq[Int]) => {
+      var d = 0.0
+      var m = 0
+      while (m < M) { d += lut(m * K + codes(m)); m += 1 }
+      d
+    })
+    val corpus = emb.select($"vec_id".as("c_id"), encodeUdf($"embedding").as("codes"))
+    val queries = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_e"),
+        lutUdf($"embedding").as("lut"))
+    val wAdc = Window.partitionBy($"q_id").orderBy($"adc", $"c_id")
+    val candidates = corpus.join(broadcast(queries), $"q_id" =!= $"c_id")
+      .withColumn("adc", round(adcUdf($"lut", $"codes"), 9))
+      .withColumn("crk", row_number().over(wAdc))
+      .filter($"crk" <= NCAND)
+      .select($"q_id", $"q_e", $"c_id")
+    val w = Window.partitionBy($"q_id").orderBy($"score".desc, $"c_id")
+    candidates
+      .join(emb.select($"vec_id".as("c_id"), $"embedding".as("c_e")), Seq("c_id"))
+      .withColumn("score", round(cosine($"q_e", $"c_e"), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 5)
+      .select($"q_id", $"rk", $"c_id", $"score")
+      .orderBy($"q_id", $"rk")
+  }
+
+  /** seeded Lloyd's per sub-space over the bounded sample — deterministic
+    * for a fixed sample order and seed */
+  private def trainCodebooks(sample: Array[Array[Float]], m: Int, k: Int,
+                             subDim: Int, iters: Int, seed: Long)
+      : Array[Array[Array[Double]]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.tabulate(m) { mi =>
+      val pts = sample.map(v =>
+        Array.tabulate(subDim)(j => v(mi * subDim + j).toDouble))
+      var cents = rnd.shuffle(pts.indices.toVector).take(k)
+        .map(i => pts(i).clone).toArray
+      for (_ <- 0 until iters) {
+        val sums = Array.fill(k, subDim)(0.0)
+        val counts = new Array[Int](k)
+        pts.foreach { p =>
+          var best = 0
+          var bestD = Double.MaxValue
+          var ki = 0
+          while (ki < k) {
+            var d = 0.0
+            var j = 0
+            while (j < subDim) { val diff = p(j) - cents(ki)(j); d += diff * diff; j += 1 }
+            if (d < bestD) { bestD = d; best = ki }
+            ki += 1
+          }
+          counts(best) += 1
+          var j = 0
+          while (j < subDim) { sums(best)(j) += p(j); j += 1 }
+        }
+        cents = Array.tabulate(k) { ki =>
+          if (counts(ki) > 0) sums(ki).map(_ / counts(ki)) else cents(ki)
+        }
+      }
+      cents
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_simsearch_topk" -> (topkBruteForce _),
     "q_simsearch_topk_lsh" -> (topkLsh _),
-    "q_simsearch_topk_ivf" -> (topkIvf _))
+    "q_simsearch_topk_ivf" -> (topkIvf _),
+    "q_simsearch_topk_pq" -> (topkPq _))
 
   def oracle: Map[String, String] = Map(
     "q_simsearch_topk" ->

@@ -36,6 +36,23 @@ class SimSearchSpec extends SparkTestBase {
     assert(mean >= 0.5, s"mean IVF recall@5 too low: $mean (per-q: $recalls)")
   }
 
+  test("PQ+re-rank top-5 recalls most of the exact top-5 on sf0.001") {
+    val exact = SimSearchOps.topkBruteForce(spark, sf0001)
+      .select($"q_id", $"c_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val approx = SimSearchOps.topkPq(spark, sf0001)
+      .select($"q_id", $"c_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = exact.map { case (q, want) =>
+      want.intersect(approx.getOrElse(q, Set.empty)).size.toDouble / want.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, s"mean PQ recall@5 too low: $mean (per-q: $recalls)")
+    // deterministic across runs (seeded codebooks, fixed sample order)
+    assert(SimSearchOps.topkPq(spark, sf0001).collect()
+      .sameElements(SimSearchOps.topkPq(spark, sf0001).collect()))
+  }
+
   test("brute force is deterministic and returns k=5 per query") {
     val rows = SimSearchOps.topkBruteForce(spark, sf0001).collect()
     assert(rows.length == 50) // 10 queries x 5
