@@ -31,6 +31,36 @@ object Runner {
   type EventHandler = TaskEvent => Unit
   private val noEvents: EventHandler = _ => ()
 
+  /** Luigi's task-history database as an event sink: one JSON line per
+    * lifecycle event, appended (thread-safe — parallel waves share the
+    * handler) to a local file. Line shape:
+    * {"ts_ms":…,"event":"start|success|failure|skipped","task":…,
+    *  "millis":…,"error":…} with absent fields omitted. */
+  def historySink(path: String): EventHandler = {
+    val file = java.nio.file.Paths.get(path)
+    Option(file.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    def esc(s: String): String =
+      s.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replace("\n", "\\n").replace("\r", "\\r")
+    ev => {
+      val fields = Seq(s""""ts_ms":${System.currentTimeMillis()}""") ++ (ev match {
+        case TaskEvent.Start(t) => Seq(s""""event":"start","task":"${esc(t)}"""")
+        case TaskEvent.Success(t, ms) =>
+          Seq(s""""event":"success","task":"${esc(t)}"""", s""""millis":$ms""")
+        case TaskEvent.Failure(t, e) =>
+          Seq(s""""event":"failure","task":"${esc(t)}"""",
+            s""""error":"${esc(String.valueOf(e.getMessage))}"""")
+        case TaskEvent.Skipped(t) => Seq(s""""event":"skipped","task":"${esc(t)}"""")
+      })
+      val line = fields.mkString("{", ",", "}") + "\n"
+      file.synchronized {
+        java.nio.file.Files.writeString(file, line,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+      }
+    }
+  }
+
   private def attempt(t: Task, spark: SparkSession,
                       log: String => Unit, retries: Int,
                       events: EventHandler): Unit = {

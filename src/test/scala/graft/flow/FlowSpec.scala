@@ -199,6 +199,26 @@ class FlowSpec extends SparkTestBase {
       List("Start", "Failure", "Start", "Failure"))
   }
 
+  test("history sink: task history lands as valid jsonl, readable by Spark") {
+    val cfg = freshCfg()
+    val hist = s"${cfg.baseDir}/history.jsonl"
+    Runner.run(Pipelines.TrainModel(cfg), spark,
+      events = Runner.historySink(hist))
+    // re-run records skips
+    Runner.run(Pipelines.TrainModel(cfg), spark,
+      events = Runner.historySink(hist))
+    val df = spark.read
+      .schema("ts_ms LONG, event STRING, task STRING, millis LONG, error STRING")
+      .json(hist)
+    val byEvent = df.groupBy("event").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 3 tasks: start+success each on run 1, skipped each on run 2
+    assert(byEvent == Map("start" -> 3L, "success" -> 3L, "skipped" -> 3L),
+      byEvent.toString)
+    assert(df.filter("event = 'success' AND millis < 0").count() == 0)
+    assert(df.filter("task IS NULL OR ts_ms IS NULL").count() == 0)
+  }
+
   test("cycle detection") {
     lazy val a: Task = new Task {
       override def name = "A"
