@@ -53,6 +53,26 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
   }
 
+  test("q_text_pii_redact is a narrow map: no hash-partition exchange") {
+    val p = plan("q_text_pii_redact")
+    // the only exchange allowed is the final presentation sort's range
+    // partitioning — redaction itself must not shuffle
+    assert(!p.contains("Exchange hashpartitioning"), p.take(2000))
+  }
+
+  test("q_text_tfidf carries the corpus count as a broadcast, not a second job") {
+    val p = plan("q_text_tfidf")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "corpus count must join in-plan as a broadcast: " + p.take(2000))
+  }
+
+  test("q_sort_topk_per_key plans partial+final heap passes around one exchange") {
+    val p = plan("q_sort_topk_per_key")
+    val hits = "TopKPerKey".r.findAllIn(p).length
+    assert(hits >= 2, s"expected partial+final TopKPerKeyExec, got $hits:\n" +
+      p.take(2000))
+  }
+
   test("q_filter_compound pushes even the OR-disjunction into the scan") {
     val p = plan("q_filter_compound")
     assert(p.contains("Or(LessThan(l_quantity,10.0),EqualTo(l_returnflag,R))"),
