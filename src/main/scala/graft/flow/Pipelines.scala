@@ -160,8 +160,10 @@ object Pipelines {
 }
 
 /** Pipeline launch CLI (O9; reference run_pipeline.sh):
-  *   graft.flow.Main train --base DIR --source DIR [--version N] [--limit N] [--workers N]
-  *   graft.flow.Main classify --base DIR --source DIR --stop MM-dd-yyyy --days-back N [--workers N]
+  *   graft.flow.Main train --base DIR --source DIR [--version N] [--limit N] [--workers N] [--history FILE]
+  *   graft.flow.Main classify --base DIR --source DIR --stop MM-dd-yyyy --days-back N [--workers N] [--history FILE]
+  * --history FILE appends one JSON line per task lifecycle event
+  * (Runner.historySink — Luigi's task-history surface).
   */
 object Main {
   def main(args: Array[String]): Unit = {
@@ -177,18 +179,21 @@ object Main {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val log = (s: String) => println(s"[graft.flow] $s")
+    val events: Runner.EventHandler =
+      opts.get("history").map(Runner.historySink).getOrElse(_ => ())
     // Luigi's --workers N: >1 selects the parallel wave scheduler
     val workers = opts.getOrElse("workers", "1").toInt
     def exec(root: Task): Seq[String] =
-      if (workers > 1) Runner.runParallel(root, spark, workers, log)
-      else Runner.run(root, spark, log)
+      if (workers > 1) Runner.runParallel(root, spark, workers, log, events = events)
+      else Runner.run(root, spark, log, events = events)
     cmd match {
       case "train" => exec(Pipelines.TrainModel(cfg))
       case "classify" =>
         val fmt = DateTimeFormatter.ofPattern("MM-dd-yyyy")
         val stop = LocalDate.parse(opts("stop"), fmt)
         Runner.backfill(d => Pipelines.Classify(cfg, d), stop,
-          opts.getOrElse("days-back", "4").toInt, spark, reverse = true, log)
+          opts.getOrElse("days-back", "4").toInt, spark, reverse = true, log,
+          events = events)
       case other => sys.error(s"unknown command $other")
     }
     spark.stop()

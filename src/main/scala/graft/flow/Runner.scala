@@ -192,9 +192,10 @@ object Runner {
     * run_pipeline.sh:6-11); only-missing via O3 skip. */
   def backfill(mk: LocalDate => Task, stop: LocalDate, daysBack: Int,
                spark: SparkSession, reverse: Boolean = true,
-               log: String => Unit = _ => ()): Seq[String] = {
+               log: String => Unit = _ => (),
+               events: EventHandler = noEvents): Seq[String] = {
     val dates0 = (0 until daysBack).map(d => stop.minusDays(d.toLong))
     val dates = if (reverse) dates0 else dates0.reverse
-    dates.flatMap(d => run(mk(d), spark, log))
+    dates.flatMap(d => run(mk(d), spark, log, events = events))
   }
 }
