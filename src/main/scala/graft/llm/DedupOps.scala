@@ -270,6 +270,28 @@ object DedupOps extends graft.QueryModule {
       .orderBy($"a_id", $"b_id")
   }
 
+  /** Incremental dedup: the production shape — dedup a NEW batch against
+    * an EXISTING corpus without ever re-processing the corpus. The batch
+    * (deterministic slice doc_id % 3 = 0) keeps a doc iff its fingerprint
+    * (1) does not appear in the existing corpus (left-anti join — at
+    * 100 TB the corpus side is a bloom/fp index, same plan shape) and
+    * (2) is not an intra-batch duplicate (min-id survivor). One shuffle
+    * on fp for the anti join + one for the survivor pick. */
+  def incrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val fpOf = (c: Column) =>
+      sha2(regexp_replace(lower(c), "\\s+", " "), 256)
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", fpOf($"text").as("fp"))
+    val existing = docs.filter($"doc_id" % 3 =!= 0)
+    val batch = docs.filter($"doc_id" % 3 === 0)
+    batch
+      .join(existing.select($"fp"), Seq("fp"), "left_anti")
+      .groupBy($"fp")
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_batch_copies"))
+      .orderBy($"keep_id")
+  }
+
   /** Duplicate-cluster assignment: connected components over the n-gram
     * Jaccard near-dup pair graph, component id = min doc_id reachable.
     * Iterative min-label propagation (the simple variant of the
@@ -424,6 +446,7 @@ object DedupOps extends graft.QueryModule {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (exactDedup _),
+    "q_dedup_incremental" -> (incrementalDedup _),
     "q_dedup_ngram_jaccard" -> (ngramJaccard _),
     "q_dedup_ngram_jaccard_cutoff" -> (ngramJaccardCutoff _),
     "q_dedup_minhash_lsh" -> (minhashLsh _),
@@ -478,6 +501,17 @@ object DedupOps extends graft.QueryModule {
          |  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id)
          |SELECT id AS doc_id, MIN(comp) AS component_id
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    "q_dedup_incremental" ->
+      """WITH fps AS (
+        |  SELECT doc_id,
+        |         sha256(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        |  FROM documents),
+        |batch AS (SELECT * FROM fps WHERE doc_id % 3 = 0),
+        |existing AS (SELECT fp FROM fps WHERE doc_id % 3 <> 0)
+        |SELECT fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_batch_copies
+        |FROM batch
+        |WHERE fp NOT IN (SELECT fp FROM existing)
+        |GROUP BY fp ORDER BY keep_id""".stripMargin,
     "q_dedup_exact" ->
       """SELECT fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies FROM (
         |  SELECT doc_id,
