@@ -143,6 +143,34 @@ object ScanOps extends graft.QueryModule {
     spark.read.parquet(path).orderBy($"c_custkey")
   }
 
+  /** SCD Type-2 apply (the history-keeping sibling of [[upsertMerge]]):
+    * applying a change batch to a dimension produces versioned history —
+    * a changed key's current row closes (valid_to = batch id) and the
+    * new values open a fresh row (valid_from = batch id, valid_to NULL);
+    * untouched keys carry through. One shuffle on the key; at 100 TB the
+    * rewrite scopes to changed partitions exactly like any MERGE. The
+    * change batch derives deterministically from the fixture
+    * (key % 7 = 0 -> +100 balance) so the oracle replays the apply. */
+  def scd2Apply(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dim = graft.Tables.customer(spark, sfDir)
+      .select($"c_custkey", $"c_name", $"c_acctbal", $"c_mktsegment")
+      .withColumn("valid_from", lit(0))
+      .withColumn("valid_to", lit(null).cast("int"))
+    val changes = dim.filter($"c_custkey" % 7 === 0)
+      .withColumn("c_acctbal", $"c_acctbal" + lit(100.0))
+    val changedKeys = changes.select($"c_custkey")
+    val closed = dim.join(changedKeys, Seq("c_custkey"), "left_semi")
+      .withColumn("valid_to", lit(1))
+    val untouched = dim.join(changedKeys, Seq("c_custkey"), "left_anti")
+    val opened = changes.withColumn("valid_from", lit(1))
+    val path = tmpDir("customer_scd2", sfDir)
+    closed.unionByName(untouched).unionByName(opened)
+      .write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+      .orderBy($"c_custkey", $"valid_from")
+  }
+
   /** Schema evolution on read: two parquet batches written with different
     * schemas (the second adds a column), unified by mergeSchema — rows
     * from the old batch surface the new column as NULL. This is how a
@@ -170,6 +198,7 @@ object ScanOps extends graft.QueryModule {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scan_schema_evolution" -> (schemaEvolution _),
     "q_sink_upsert_merge" -> (upsertMerge _),
+    "q_sink_scd2" -> (scd2Apply _),
     "q_scan_parquet" -> (scanParquet _),
     "q_scan_csv_roundtrip" -> (csvRoundtrip _),
     "q_scan_json_roundtrip" -> (jsonRoundtrip _),
@@ -204,6 +233,23 @@ object ScanOps extends graft.QueryModule {
         |FROM customer t FULL OUTER JOIN source s
         |  ON t.c_custkey = s.c_custkey
         |ORDER BY c_custkey""".stripMargin,
+    "q_sink_scd2" ->
+      """WITH dim AS (
+        |  SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer),
+        |changed AS (SELECT c_custkey FROM dim WHERE c_custkey % 7 = 0)
+        |SELECT * FROM (
+        |  SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+        |    0 AS valid_from, 1 AS valid_to
+        |  FROM dim WHERE c_custkey IN (SELECT c_custkey FROM changed)
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+        |    0 AS valid_from, NULL AS valid_to
+        |  FROM dim WHERE c_custkey NOT IN (SELECT c_custkey FROM changed)
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_acctbal + 100.0, c_mktsegment,
+        |    1 AS valid_from, NULL AS valid_to
+        |  FROM dim WHERE c_custkey % 7 = 0)
+        |ORDER BY c_custkey, valid_from""".stripMargin,
     "q_scan_json_roundtrip" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice
         |FROM orders WHERE o_orderkey % 10 = 0
