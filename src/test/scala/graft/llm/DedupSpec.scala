@@ -42,6 +42,25 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("incremental dedup drops corpus-known fps, keeps one per new fp") {
+    // doc_id % 3 == 0 is the batch: 0/3 share a fp already present in
+    // the existing corpus (1,2,4), 6 and 9 are a NEW duplicated pair
+    val docs = Seq(
+      (0L, "known text"), (3L, "known text"),
+      (1L, "known text"), (2L, "other corpus doc"), (4L, "third corpus doc"),
+      (6L, "fresh text"), (9L, "fresh text"), (12L, "unique fresh"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_incr").toString
+    docs.toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'s' AS source",
+        "CAST(length(text) AS LONG) AS n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = DedupOps.incrementalDedup(spark, dir)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    // "known text" (batch ids 0,3) is in the corpus via id 1 -> dropped;
+    // "fresh text" keeps min id 6 with 2 batch copies; 12 is unique
+    assert(out == Map(6L -> 2L, 12L -> 1L), out.toString)
+  }
+
   test("minhash LSH survives a degenerate corpus of 5k identical docs") {
     // the worst case for bucket-based pairing: every doc collides in
     // every band. The fp pre-collapse sends ONE representative through
