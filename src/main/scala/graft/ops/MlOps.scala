@@ -61,6 +61,23 @@ object MlOps extends graft.QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** The oracle-checkable twin of [[hashingTf]]: same bucketize-tokens
+    * capability, but with an ENGINE-NEUTRAL hash (first 8 hex chars of
+    * sha256 mod 1000) both engines compute identically — so the
+    * hashing-TF shape gets a full value-level oracle, while the
+    * murmur3-backed ml.HashingTF stays rows-only per SURVEY §2.5-4. */
+  def hashingTfSql(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", explode(split($"text", " ")).as("token"))
+      .withColumn("bucket",
+        pmod(conv(substring(sha2($"token", 256), 1, 8), 16, 10).cast("long"),
+          lit(1000)))
+      .groupBy($"doc_id")
+      .agg(countDistinct($"bucket").as("nnz"), count(lit(1)).as("total_tf"))
+      .orderBy($"doc_id")
+  }
+
   /** Seeded Bernoulli sample (D20's randomSplit generalized to corpus
     * subsampling) + per-key stratified sampleBy, summarized per group.
     * Declared WITHOUT oracle (sampler is Spark-impl-specific; DuckDB
@@ -132,9 +149,19 @@ object MlOps extends graft.QueryModule {
     "q_ml_sample_seeded" -> (sampleSeeded _),
     "q_ml_derive_label" -> (deriveLabel _),
     "q_ml_deterministic_split" -> (deterministicSplit _),
-    "q_ml_hashing_tf" -> (hashingTf _))
+    "q_ml_hashing_tf" -> (hashingTf _),
+    "q_ml_hashing_tf_sql" -> (hashingTfSql _))
 
   def oracle: Map[String, String] = Map(
+    "q_ml_hashing_tf_sql" ->
+      """SELECT doc_id, COUNT(DISTINCT bucket) AS nnz, COUNT(*) AS total_tf
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(sha256(token), 1, 8)) AS BIGINT) % 1000
+        |      AS bucket
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |        FROM documents))
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_ml_derive_label" ->
       """SELECT CASE WHEN lang LIKE 'e%' THEN 1.0 ELSE 0.0 END AS label,
         |  COUNT(*) AS n
