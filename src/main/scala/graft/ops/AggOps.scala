@@ -190,7 +190,29 @@ object AggOps extends graft.QueryModule {
       .orderBy($"n_regionkey")
   }
 
+  /** q_agg_histogram — 20 equal-width buckets over o_totalprice with the
+    * min/max bounds computed in the SAME plan (broadcast 1-row agg, the
+    * tfidf pattern — no driver round-trip, no second scan job). Bucket
+    * arithmetic is two IEEE double ops in identical order on both
+    * engines, so floor() agrees bit-for-bit; the max value clamps into
+    * the last bucket with least(). */
+  def histogram(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val nb = 20
+    val orders = graft.Tables.orders(spark, sfDir)
+    val bounds = broadcast(orders.agg(
+      min($"o_totalprice").as("lo"), max($"o_totalprice").as("hi")))
+    orders.crossJoin(bounds)
+      .withColumn("bucket",
+        least(floor(($"o_totalprice" - $"lo") / ($"hi" - $"lo") * nb),
+          lit(nb - 1)).cast("int"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("sum_price"))
+      .orderBy($"bucket")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_histogram" -> (histogram _),
     "q_agg_stats" -> (statsAgg _),
     "q_agg_conditional" -> (conditionalAgg _),
     "q_agg_minmax_by" -> (minmaxBy _),
@@ -204,6 +226,17 @@ object AggOps extends graft.QueryModule {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_agg_histogram" ->
+      """WITH bounds AS (
+        |  SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+        |  FROM orders)
+        |SELECT CAST(least(floor((o_totalprice - lo) / (hi - lo) * 20), 19)
+        |         AS INTEGER) AS bucket,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders CROSS JOIN bounds
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_agg_stats" ->
       """SELECT l_returnflag,
         |  round(stddev_samp(l_quantity), 6) AS sd_qty,

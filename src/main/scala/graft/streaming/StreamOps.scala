@@ -143,9 +143,37 @@ object StreamOps extends graft.QueryModule {
     }
   }
 
+  /** Stream-static enrichment join (the standard streaming-ETL shape:
+    * events enrich against a slowly-changing dimension without any
+    * stream-side state): the events stream broadcast-joins the static
+    * customer dim per micro-batch, then aggregates per (segment, type).
+    * At 100 TB the dim broadcast refreshes per batch — no watermark, no
+    * state store. TRUE readStream execution; final complete-mode state
+    * equals the batch join+agg, so the query is fully oracled. */
+  def streamStaticJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.events(spark, sfDir) // sets the nanosAsLong conf
+    val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val ev = spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+    val dim = graft.Tables.customer(spark, sfDir)
+      .select($"c_custkey", $"c_mktsegment")
+    val agg = ev.join(broadcast(dim), ev("user_id") === dim("c_custkey"))
+      .groupBy($"c_mktsegment", $"event_type")
+      .agg(count(lit(1)).as("n"), graft.ops.AggOps.dsum($"value").as("sum_value"))
+    val name = "stream_static_" + java.lang.Integer.toHexString(sfDir.hashCode)
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy($"c_mktsegment", $"event_type")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_live_tumbling" -> (liveTumbling _),
     "q_stream_upsert_sink" -> (liveTumblingUpsert _),
+    "q_stream_static_join" -> (streamStaticJoin _),
     "q_stream_tumbling" -> (tumbling _),
     "q_stream_sliding" -> (sliding _),
     "q_stream_session" -> (sessions _))
@@ -160,6 +188,11 @@ object StreamOps extends graft.QueryModule {
     "q_stream_tumbling" -> tumblingOracle,
     "q_stream_live_tumbling" -> tumblingOracle,
     "q_stream_upsert_sink" -> tumblingOracle,
+    "q_stream_static_join" ->
+      """SELECT c.c_mktsegment, e.event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_stream_sliding" ->
       """WITH assigned AS (
         |  SELECT (epoch_ms(ts) // 1800000) * 1800000 AS win_start_ms,
