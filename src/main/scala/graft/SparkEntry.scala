@@ -22,6 +22,7 @@ object SparkEntry {
     ops.SqlOps, ops.ReshapeOps, ops.QualityOps,
     text.TextOps,
     llm.DedupOps, llm.SimSearchOps, llm.MultimodalOps, llm.CorpusPipeline,
+    llm.Decontaminate,
     streaming.StreamOps
   ) // widened as milestones land
 
