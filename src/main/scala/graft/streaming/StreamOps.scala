@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Streaming operators, declared as their deterministic BATCH TWINS
@@ -109,38 +109,84 @@ object StreamOps extends graft.QueryModule {
     val q = agg.writeStream
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        upsertInto(target, batch, Seq("win_start_ms", "event_type"))
+        upsertInto(target, batch, Seq("win_start_ms", "event_type"),
+          "win_date",
+          date_format(timestamp_millis(col("win_start_ms")), "yyyy-MM-dd"))
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
     spark.read.parquet(target)
+      .select($"win_start_ms", $"event_type", $"n", $"sum_value")
       .orderBy($"win_start_ms", $"event_type")
   }
 
-  /** MERGE a micro-batch into a parquet target: new rows win on key
-    * collision, everything else carries over; written to a temp sibling
-    * and atomically swapped (flow.DirTarget), so readers never see a
-    * torn table. */
+  /** MERGE a micro-batch into a parquet target PARTITION-SCOPED: the
+    * target is partitioned on a window-derived key (`partCol` =
+    * `partExpr`, e.g. the window's calendar date) and each micro-batch
+    * rewrites ONLY the partitions containing touched keys, via dynamic
+    * partition overwrite. Untouched partitions' files are never read,
+    * never rewritten, never deleted — the property that makes a
+    * continuously-upserted serving table survive 100 TB, where the
+    * previous full-table read-merge-swap did not (a day's partition is
+    * rewritten per batch; the other 10 years of history are not).
+    *
+    * Per batch: (1) the batch's distinct partition keys come to the
+    * driver — bounded by the micro-batch's window span (a handful of
+    * dates), not by table size; (2) survivors = partition-pruned scan of
+    * ONLY those partitions, anti-joined against the batch's keys, then
+    * localCheckpoint'd (materializing survivors breaks the
+    * read-the-path-being-overwritten cycle, and they are at most a few
+    * partitions' rows); (3) survivors ∪ batch written with
+    * `partitionOverwriteMode=dynamic`, which stages and commits just the
+    * partitions present in the written data. */
   private[streaming] def upsertInto(target: String, batch: DataFrame,
-                                    keys: Seq[String]): Unit = {
+                                    keys: Seq[String], partCol: String,
+                                    partExpr: Column): Unit = {
     val spark = batch.sparkSession
-    val exists = new java.io.File(target).exists()
-    val merged =
-      if (!exists) batch
-      else {
-        val existing = spark.read.parquet(target)
-        // anti-join keeps only unreplaced old keys; union-by-name merges
-        existing.join(batch.select(keys.map(col): _*), keys, "left_anti")
-          .unionByName(batch)
-      }
-    // the merge plan reads the OLD target while writing the temp
-    // sibling (different paths — executor-side throughout); the swap
-    // happens only after the write commits. At 100 TB the same shape
-    // scopes to touched partitions instead of the whole table.
-    graft.flow.DirTarget(target).atomicWrite { tmp =>
-      merged.write.mode("overwrite").parquet(tmp)
+    if (batch.isEmpty) return // empty micro-batch: touch nothing
+    val withPart = batch.withColumn(partCol, partExpr)
+    val partType = withPart.schema(partCol).dataType
+    if (!new java.io.File(target).exists()) {
+      withPart.write.mode("overwrite").partitionBy(partCol).parquet(target)
+    } else {
+      val touched = withPart.select(col(partCol)).distinct()
+        .collect().map(_.get(0)).toSeq
+      val survivors = spark.read.parquet(target)
+        .filter(col(partCol).isin(touched: _*)) // partition-pruned scan
+        .withColumn(partCol, col(partCol).cast(partType)) // undo inference
+        .join(withPart.select(keys.map(col): _*), keys, "left_anti")
+        .localCheckpoint()
+      survivors.unionByName(withPart)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partCol)
+        .parquet(target)
     }
+  }
+
+  /** Stream-stream interval join, declared as its deterministic batch
+    * twin (both sides bounded — exactly the q_join_range precedent):
+    * click events attribute to the view by the same user within the
+    * preceding 5 minutes. The TRUE streaming execution of this shape —
+    * two watermarked streams, state kept only inside the interval bound —
+    * is pinned by StatefulStreamingSpec ("stream-stream interval join
+    * matches only within the time bound"); append-mode emission at
+    * stream end is watermark-gated, so the batch twin is the
+    * oracle-checkable declaration. */
+  def streamStreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, sfDir)
+    val views = ev.filter($"event_type" === "view")
+      .select($"event_id".as("v_id"), $"user_id", $"ts".as("v_ts"))
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id".as("c_id"), $"user_id", $"ts".as("c_ts"))
+    views.join(clicks, Seq("user_id"))
+      .filter($"c_ts" >= $"v_ts" &&
+        $"c_ts" <= $"v_ts" + expr("interval 5 minutes"))
+      .select($"user_id", $"v_id", $"c_id",
+        (unix_millis($"c_ts") - unix_millis($"v_ts")).as("lag_ms"))
+      .orderBy($"v_id", $"c_id")
   }
 
   /** Stream-static enrichment join (the standard streaming-ETL shape:
@@ -174,6 +220,7 @@ object StreamOps extends graft.QueryModule {
     "q_stream_live_tumbling" -> (liveTumbling _),
     "q_stream_upsert_sink" -> (liveTumblingUpsert _),
     "q_stream_static_join" -> (streamStaticJoin _),
+    "q_stream_stream_join" -> (streamStreamJoin _),
     "q_stream_tumbling" -> (tumbling _),
     "q_stream_sliding" -> (sliding _),
     "q_stream_session" -> (sessions _))
@@ -188,6 +235,14 @@ object StreamOps extends graft.QueryModule {
     "q_stream_tumbling" -> tumblingOracle,
     "q_stream_live_tumbling" -> tumblingOracle,
     "q_stream_upsert_sink" -> tumblingOracle,
+    "q_stream_stream_join" ->
+      """SELECT v.user_id AS user_id, v.event_id AS v_id, c.event_id AS c_id,
+        |  epoch_ms(c.ts) - epoch_ms(v.ts) AS lag_ms
+        |FROM (SELECT * FROM events WHERE event_type = 'view') v
+        |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON v.user_id = c.user_id
+        | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 5 MINUTE
+        |ORDER BY v_id, c_id""".stripMargin,
     "q_stream_static_join" ->
       """SELECT c.c_mktsegment, e.event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(e.value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value

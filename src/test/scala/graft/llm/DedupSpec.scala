@@ -61,6 +61,26 @@ class DedupSpec extends SparkTestBase {
     assert(out == Map(6L -> 2L, 12L -> 1L), out.toString)
   }
 
+  test("incremental dedup consumes the persisted fp index; documents scanned once") {
+    val docs = Seq((0L, "a doc"), (1L, "corpus doc"), (3L, "new doc"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_incr_idx").toString
+    docs.toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'s' AS source",
+        "CAST(length(text) AS LONG) AS n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val idxPath = DedupOps.buildFpIndex(spark, dir)
+    assert(graft.flow.DirTarget(idxPath).exists, s"index not committed: $idxPath")
+    val plan = DedupOps.incrementalDedup(spark, dir).queryExecution.sparkPlan
+    val scanned = plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.relation.location.rootPaths.mkString(",")
+    }
+    // ONE scan of the documents table (the batch slice); the corpus side
+    // is the index artifact, never the documents parquet
+    assert(scanned.count(_.contains("documents.parquet")) == 1, scanned)
+    assert(scanned.exists(_.contains(idxPath)), scanned)
+  }
+
   test("minhash LSH survives a degenerate corpus of 5k identical docs") {
     // the worst case for bucket-based pairing: every doc collides in
     // every band. The fp pre-collapse sends ONE representative through

@@ -53,6 +53,28 @@ class SimSearchSpec extends SparkTestBase {
       .sameElements(SimSearchOps.topkPq(spark, sf0001).collect()))
   }
 
+  test("HNSW top-5 recall >= LSH recall on sf0.001 (superset by construction)") {
+    def recallOf(df: org.apache.spark.sql.DataFrame,
+                 exact: Map[Long, Set[Long]]): Double = {
+      val got = df.select($"q_id", $"c_id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      val rs = exact.map { case (q, want) =>
+        want.intersect(got.getOrElse(q, Set.empty)).size.toDouble / want.size
+      }
+      rs.sum / rs.size
+    }
+    val exact = SimSearchOps.topkBruteForce(spark, sf0001)
+      .select($"q_id", $"c_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val lsh = recallOf(SimSearchOps.topkLsh(spark, sf0001), exact)
+    val hnsw = recallOf(SimSearchOps.topkHnsw(spark, sf0001), exact)
+    assert(hnsw >= lsh, s"hnsw recall $hnsw < lsh recall $lsh")
+    assert(hnsw >= 0.5, s"hnsw recall@5 too low: $hnsw")
+    // deterministic across runs (seeded planes + hash layers)
+    assert(SimSearchOps.topkHnsw(spark, sf0001).collect()
+      .sameElements(SimSearchOps.topkHnsw(spark, sf0001).collect()))
+  }
+
   test("brute force is deterministic and returns k=5 per query") {
     val rows = SimSearchOps.topkBruteForce(spark, sf0001).collect()
     assert(rows.length == 50) // 10 queries x 5

@@ -58,7 +58,9 @@ class StreamingSpec extends SparkTestBase {
       .select(unix_millis($"w.start").as("win_start_ms"), $"event_type", $"n")
     val q = agg.writeStream.outputMode(OutputMode.Update())
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        StreamOps.upsertInto(target, batch, Seq("win_start_ms", "event_type"))
+        StreamOps.upsertInto(target, batch, Seq("win_start_ms", "event_type"),
+          "win_date",
+          date_format(timestamp_millis(col("win_start_ms")), "yyyy-MM-dd"))
       }.start()
     try {
       // batch 1: two windows
@@ -75,6 +77,47 @@ class StreamingSpec extends SparkTestBase {
         .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
       assert(after2 == Map((w0, "a") -> 3L, (w5, "a") -> 1L, (w5, "b") -> 1L),
         after2.toString)
+    } finally q.stop()
+  }
+
+  test("upsert sink rewrites only touched partitions; others stay byte-identical") {
+    implicit val sqlCtx = spark.sqlContext
+    val target = java.nio.file.Files
+      .createTempDirectory("graft_upsert_part").toString + "/table"
+    val stream = MemoryStream[(Timestamp, String)]
+    val agg = stream.toDF().toDF("ts", "event_type")
+      .groupBy(window($"ts", "5 minutes").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select(unix_millis($"w.start").as("win_start_ms"), $"event_type", $"n")
+    // partition on the window HOUR so the two batches land in different dirs
+    val q = agg.writeStream.outputMode(OutputMode.Update())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        StreamOps.upsertInto(target, batch, Seq("win_start_ms", "event_type"),
+          "win_hour",
+          date_format(timestamp_millis(col("win_start_ms")), "yyyy-MM-dd-HH"))
+      }.start()
+    def snapshot(dir: java.io.File): Map[String, (Long, Long)] =
+      dir.listFiles().filter(_.isFile)
+        .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+    try {
+      // batch 1: hour 00 and hour 01 partitions
+      stream.addData((ts(1), "a"), (Timestamp.valueOf("2024-01-01 01:01:00"), "b"))
+      q.processAllAvailable()
+      val hour0 = new java.io.File(target, "win_hour=2024-01-01-00")
+      val hour1 = new java.io.File(target, "win_hour=2024-01-01-01")
+      assert(hour0.isDirectory && hour1.isDirectory,
+        new java.io.File(target).listFiles().mkString(","))
+      val before = snapshot(hour0)
+      // batch 2 touches ONLY hour 01 (updates b's window count to 2)
+      stream.addData((Timestamp.valueOf("2024-01-01 01:02:00"), "b"))
+      q.processAllAvailable()
+      assert(snapshot(hour0) == before,
+        s"untouched partition rewritten: before=$before after=${snapshot(hour0)}")
+      val rows = spark.read.parquet(target)
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      val w0 = ts(0).getTime
+      val w61 = Timestamp.valueOf("2024-01-01 01:00:00").getTime
+      assert(rows == Map((w0, "a") -> 1L, (w61, "b") -> 2L), rows.toString)
     } finally q.stop()
   }
 
