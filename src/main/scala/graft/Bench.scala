@@ -39,7 +39,12 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // field order matters to the DRIVER's artifact, not to JSON: its
+    // bench log keeps the TAIL of this line, so the scalar summary
+    // (total, count, sf) sits after the long per-query map — a truncated
+    // capture loses individual timings, never the headline number
+    println(s"""{"metric":"total","unit":"sec","queries":$qs,""" +
+      s""""n_queries":${results.size},"sf":"$sfDir","value":$total}""")
     spark.stop()
   }
 }

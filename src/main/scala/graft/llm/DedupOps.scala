@@ -452,7 +452,15 @@ object DedupOps extends graft.QueryModule {
 
   /** Embedding-cosine near-dup: windowed blocking (same label, id distance
     * <= 100 — deterministic, bounded fan-out), exact cosine in double.
-    * Oracle: DuckDB list ops over DOUBLE[] (same left-to-right fold). */
+    * Oracle: DuckDB list ops over DOUBLE[] (same left-to-right fold).
+    *
+    * RECALL CONTRACT: the (label, id-window <= 100) block is part of the
+    * DECLARED semantics, not an approximation — pairs whose ids are more
+    * than 100 apart are out of scope by definition (the shape fits
+    * ingest-ordered corpora, where near-dups arrive close together), and
+    * the oracle checks exactly that contract. For order-independent
+    * recall use [[embeddingCosineLsh]] (hyperplane-bucket blocking, no
+    * id window) or the SimHash/MinHash paths. */
   def embeddingCosine(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val emb = graft.Tables.embeddings(spark, sfDir)
@@ -463,6 +471,41 @@ object DedupOps extends graft.QueryModule {
       $"embedding".as("b_e"), $"norm".as("b_n"))
     a.join(b, Seq("label"))
       .filter($"a_id" < $"b_id" && $"b_id" - $"a_id" <= 100)
+      .withColumn("cosine",
+        SimSearchOps.dot($"a_e", $"b_e") / ($"a_n" * $"b_n"))
+      .filter($"cosine" >= 0.9)
+      .select($"label", $"a_id", $"b_id", round($"cosine", 6).as("cosine"))
+      .orderBy($"a_id", $"b_id")
+  }
+
+  /** Embedding-cosine near-dup, LSH-blocked (order-independent recall):
+    * candidate pairs share a hyperplane band bucket (the same 24x5-bit
+    * seeded buckets as SimSearchOps.topkLsh) in ANY band, then exact
+    * cosine >= 0.9 inside the same label. No id window — recall does not
+    * depend on ingest order. At cosine >= 0.9 (angle <= 26 deg) the
+    * per-pair miss probability is (1 - 0.857^5)^24 ~ 3.5e-7, and on the
+    * DETERMINISTIC fixture (seeded planes, fixed data) the block is
+    * exhaustive — proven by the oracle itself, which is the UNBLOCKED
+    * all-pairs-within-label SQL: the CORRECTNESS row goes red if the
+    * buckets ever drop a qualifying pair (the q_dedup_ngram_jaccard_cutoff
+    * fixture-equality pattern). At 100 TB the bucket self-join is the
+    * same plan as minhashLsh's banding — no quadratic side. */
+  def embeddingCosineLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val emb = graft.Tables.embeddings(spark, sfDir)
+      .withColumn("norm", sqrt(SimSearchOps.dot($"embedding", $"embedding")))
+    val banded = emb.select($"vec_id", $"label",
+      explode(SimSearchOps.bandKeysUdf($"embedding")).as("bkey"))
+    val cand = banded.select($"bkey", $"label", $"vec_id".as("a_id"))
+      .join(banded.select($"bkey", $"label", $"vec_id".as("b_id")),
+        Seq("bkey", "label"))
+      .filter($"a_id" < $"b_id")
+      .select($"label", $"a_id", $"b_id").distinct()
+    cand
+      .join(emb.select($"vec_id".as("a_id"),
+        $"embedding".as("a_e"), $"norm".as("a_n")), Seq("a_id"))
+      .join(emb.select($"vec_id".as("b_id"),
+        $"embedding".as("b_e"), $"norm".as("b_n")), Seq("b_id"))
       .withColumn("cosine",
         SimSearchOps.dot($"a_e", $"b_e") / ($"a_n" * $"b_n"))
       .filter($"cosine" >= 0.9)
@@ -486,7 +529,8 @@ object DedupOps extends graft.QueryModule {
     "q_dedup_minhash_lsh" -> (minhashLsh _),
     "q_dedup_simhash" -> (simhash _),
     "q_dedup_components" -> (components _),
-    "q_dedup_embedding_cosine" -> (embeddingCosine _))
+    "q_dedup_embedding_cosine" -> (embeddingCosine _),
+    "q_dedup_embedding_cosine_lsh" -> (embeddingCosineLsh _))
 
   /** shared CTE text: the ngram-jaccard pair query (the declared
     * q_dedup_ngram_jaccard oracle), reused as the edge source of the
@@ -584,6 +628,25 @@ object DedupOps extends graft.QueryModule {
         |FROM embeddings a JOIN embeddings b
         |  ON a.label = b.label AND a.vec_id < b.vec_id
         | AND b.vec_id - a.vec_id <= 100
+        |WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]),
+        |                       CAST(b.embedding AS DOUBLE[])) /
+        |    (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+        |                           CAST(a.embedding AS DOUBLE[]))) *
+        |     sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+        |                           CAST(b.embedding AS DOUBLE[])))) >= 0.9
+        |ORDER BY a_id, b_id""".stripMargin,
+    // the UNBLOCKED all-pairs-within-label twin: proves the LSH blocking
+    // loses nothing on the fixture (fixture-equality oracle)
+    "q_dedup_embedding_cosine_lsh" ->
+      """SELECT a.label AS label, a.vec_id AS a_id, b.vec_id AS b_id,
+        |  round(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+        |                         CAST(b.embedding AS DOUBLE[])) /
+        |    (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+        |                           CAST(a.embedding AS DOUBLE[]))) *
+        |     sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+        |                           CAST(b.embedding AS DOUBLE[])))), 6) AS cosine
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]),
         |                       CAST(b.embedding AS DOUBLE[])) /
         |    (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),

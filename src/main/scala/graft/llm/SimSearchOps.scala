@@ -76,7 +76,7 @@ object SimSearchOps extends graft.QueryModule {
   /** all band keys of an embedding in one tight pass (24x5 projections of
     * dim 64 as interpreted HOFs cost ~6 s at sf0.1; this UDF ~1 s).
     * Key format "band:bits" so a single explode+join covers all bands. */
-  private val bandKeysUdf = udf((e: Seq[Float]) => {
+  private[llm] val bandKeysUdf = udf((e: Seq[Float]) => {
     val arr = e.toArray
     Array.tabulate(LSH_BANDS) { b =>
       var key = 0

@@ -121,20 +121,27 @@ object UdafOps extends graft.QueryModule {
     }
   }
 
-  /** Estimated frequencies of a fixed probe list from ONE distributed
-    * CMS pass over all tokens. The final sketch (32 KB, size independent
-    * of corpus) is the one thing brought to the driver — the legitimate
-    * collect of a sketch aggregate. Declared rows-only (estimates are
-    * hash-layout-specific); bounds pinned in CountMinSpec. */
+  /** CMS heavy-hitters end-to-end: estimated frequencies of the corpus's
+    * OWN top-10 tokens, from ONE distributed CMS pass over all tokens.
+    * The probe list is derived in-plan — a distributed exact top-k
+    * (TakeOrderedAndProject: count desc, token asc ties) whose 10-row
+    * result is the only probe-side driver object; the sketch (32 KB,
+    * size independent of corpus) is the only other thing collected —
+    * the legitimate collect of a sketch aggregate. At 100 TB the probe
+    * pass would itself ride the sketch (or a sampled top-k); here exact
+    * counts keep the declared query deterministic. Declared rows-only
+    * (estimates are hash-layout-specific); bounds pinned in
+    * CountMinSpec. */
   def cmsTokenFreq(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val cms = udaf(CountMin.Agg)
-    val sketch = graft.Tables.documents(spark, sfDir)
+    val toks = graft.Tables.documents(spark, sfDir)
       .select(explode(split($"text", " ")).as("token"))
-      .agg(cms($"token")).head().getSeq[Long](0).toArray
-    val probes = Seq("the", "and", "data", "model", "spark",
-      "der", "les", "los", "we", "of")
-    probes.map(t => (t, CountMin.estimate(sketch, t)))
+    val sketch = toks.agg(cms($"token")).head().getSeq[Long](0).toArray
+    val probes = toks.groupBy($"token").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"token").limit(10)
+      .collect().map(_.getString(0))
+    probes.toSeq.map(t => (t, CountMin.estimate(sketch, t)))
       .toDF("token", "est_count")
       .orderBy($"token")
   }

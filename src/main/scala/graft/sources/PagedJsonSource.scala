@@ -16,29 +16,42 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Minimal DataSource V2 batch source for the reference's one true
   * external source (D1): the paginated subreddit pull of
   * `00_training_pipeline.py:37-42` (`.hot(limit=N)` cursors through
-  * fixed-size API pages). Local JSON-lines page files stand in for the
-  * API pages, with the API's paging contract: every page holds exactly
-  * `pageSize` records except the last.
+  * fixed-size API pages). Two page transports share one reader:
   *
-  * Layout: `<path>/page-0.json`, `page-1.json`, … — one JSON object per
-  * line with string fields (id, title, selftext, subreddit).
+  *  - FILE mode (`option("path", dir)`): local JSON-lines page files
+  *    `<path>/page-0.json`, `page-1.json`, … stand in for API pages.
+  *  - HTTP mode (`option("url", base)`): each page is fetched from
+  *    `<base>?page=N&size=<pageSize>` by the EXECUTOR that owns the
+  *    partition — the fetch itself is distributed, unlike the
+  *    reference's sequential driver loop. The total record cap comes
+  *    from `option("limit", N)` (the PRAW `limit=` contract: the caller
+  *    states up front how much to pull, which fixes the page count at
+  *    planning time with no probe requests); a short or empty page just
+  *    yields fewer rows.
   *
-  * Spark-first mapping of "fetch": one InputPartition per page, so a
-  * 1000-page source fetches with 1000-way parallelism instead of the
-  * reference's sequential driver loop; a pushed-down LIMIT prunes whole
-  * trailing pages at planning time (exact under the full-pages contract)
-  * and is declared partial, so Spark still applies the global limit.
+  * Shared paging contract: every page holds exactly `pageSize` records
+  * except the last. One InputPartition per page, so a 1000-page source
+  * fetches with 1000-way parallelism; a pushed-down LIMIT prunes whole
+  * trailing pages at planning time (exact under the full-pages
+  * contract) and is declared partial, so Spark still applies the global
+  * limit.
   *
   *   spark.read.format("graft.sources.PagedJsonSource")
   *     .option("path", dir).option("pageSize", 25).load()
+  *   spark.read.format("graft.sources.PagedJsonSource")
+  *     .option("url", "http://host/posts").option("pageSize", 25)
+  *     .option("limit", 100).load()
   */
 class PagedJsonSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     PagedJsonSource.Schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
-    new PagedJsonTable(properties.get("path"),
-      Option(properties.get("pageSize")).map(_.toInt).getOrElse(25))
+    new PagedJsonTable(
+      properties.get("path"),
+      properties.get("url"),
+      Option(properties.get("pageSize")).map(_.toInt).getOrElse(25),
+      Option(properties.get("limit")).map(_.toInt).getOrElse(Int.MaxValue))
 }
 
 object PagedJsonSource {
@@ -54,56 +67,81 @@ object PagedJsonSource {
       .sortBy(_.getName.stripPrefix("page-").stripSuffix(".json").toInt)
 }
 
-class PagedJsonTable(path: String, pageSize: Int) extends Table with SupportsRead {
-  override def name(): String = s"paged_json($path)"
+class PagedJsonTable(path: String, url: String, pageSize: Int,
+                     totalLimit: Int) extends Table with SupportsRead {
+  override def name(): String =
+    s"paged_json(${if (url != null) url else path})"
   override def schema(): StructType = PagedJsonSource.Schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new PagedJsonScanBuilder(path, pageSize)
+    new PagedJsonScanBuilder(path, url, pageSize, totalLimit)
 }
 
-class PagedJsonScanBuilder(path: String, pageSize: Int)
+class PagedJsonScanBuilder(path: String, url: String, pageSize: Int,
+                           totalLimit: Int)
     extends ScanBuilder with SupportsPushDownLimit {
   private var limit: Int = Int.MaxValue
   override def pushLimit(l: Int): Boolean = { limit = l; true }
   // partial: the source prunes pages/rows, Spark keeps the global limit
   override def isPartiallyPushed: Boolean = true
-  override def build(): Scan = new PagedJsonScan(path, pageSize, limit)
+  override def build(): Scan =
+    new PagedJsonScan(path, url, pageSize, math.min(limit, totalLimit))
 }
 
-case class PagedJsonScan(path: String, pageSize: Int, limit: Int)
+case class PagedJsonScan(path: String, url: String, pageSize: Int, limit: Int)
     extends Scan with Batch {
   override def readSchema(): StructType = PagedJsonSource.Schema
   override def toBatch: Batch = this
   override def description(): String =
-    s"paged_json path=$path pageSize=$pageSize" +
+    s"paged_json ${if (url != null) s"url=$url" else s"path=$path"} " +
+      s"pageSize=$pageSize" +
       (if (limit != Int.MaxValue) s" pushedLimit=$limit" else "")
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val files = PagedJsonSource.pageFiles(path)
-    // full-pages contract: the first ceil(limit/pageSize) pages are
-    // guaranteed to contain the first `limit` records
-    val needed =
-      if (limit == Int.MaxValue) files.length
-      else math.min(files.length,
-        ((limit.toLong + pageSize - 1) / pageSize).toInt)
-    files.take(needed)
-      .map(f => PagedJsonInputPartition(f.getAbsolutePath, limit): InputPartition)
-  }
+  /** pages needed under the full-pages contract: the first
+    * ceil(limit/pageSize) pages are guaranteed to contain the first
+    * `limit` records */
+  private def neededPages(available: Int): Int =
+    if (limit == Int.MaxValue) available
+    else math.min(available,
+      ((limit.toLong + pageSize - 1) / pageSize).toInt)
+
+  override def planInputPartitions(): Array[InputPartition] =
+    if (url != null) {
+      require(limit != Int.MaxValue,
+        "HTTP mode needs option(\"limit\", N) to fix the page count " +
+          "(the PRAW limit= contract)")
+      Array.tabulate(neededPages(Int.MaxValue)) { i =>
+        PagedJsonInputPartition(s"$url?page=$i&size=$pageSize", limit)
+          : InputPartition
+      }
+    } else {
+      val files = PagedJsonSource.pageFiles(path)
+      files.take(neededPages(files.length))
+        .map(f =>
+          PagedJsonInputPartition(f.getAbsolutePath, limit): InputPartition)
+    }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PagedJsonReaderFactory
 }
 
-case class PagedJsonInputPartition(file: String, maxRows: Int)
+case class PagedJsonInputPartition(location: String, maxRows: Int)
     extends InputPartition
 
 class PagedJsonReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[PagedJsonInputPartition]
     new PartitionReader[InternalRow] {
-      private val source = scala.io.Source.fromFile(part.file, "UTF-8")
+      // file or http: the same JSON-lines page body either way
+      private val source =
+        if (part.location.startsWith("http:") ||
+            part.location.startsWith("https:")) {
+          val conn = new java.net.URL(part.location).openConnection()
+          conn.setConnectTimeout(10000)
+          conn.setReadTimeout(30000)
+          scala.io.Source.fromInputStream(conn.getInputStream, "UTF-8")
+        } else scala.io.Source.fromFile(part.location, "UTF-8")
       private val lines =
         source.getLines().filter(_.nonEmpty).take(part.maxRows)
       private val mapper = new ObjectMapper()

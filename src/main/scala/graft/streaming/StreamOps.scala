@@ -189,6 +189,25 @@ object StreamOps extends graft.QueryModule {
       .orderBy($"v_id", $"c_id")
   }
 
+  /** Replay suppression, declared as the batch twin of
+    * dropDuplicatesWithinWatermark (whose true cross-micro-batch replay
+    * behavior is pinned by StatefulStreamingSpec): events dedup on the
+    * idempotency key (user, type, event-time minute), first arrival
+    * (min event_id) survives, replay count kept for observability. The
+    * streaming form holds only a watermark-bounded slice of keys in
+    * state; the batch twin sees the bounded fixture whole, so the
+    * result is the oracle-checkable fixpoint of the same contract. */
+  def dedupReplays(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.events(spark, sfDir)
+      .withColumn("minute_ms",
+        (unix_millis($"ts") / 60000L).cast("long") * 60000L)
+      .groupBy($"user_id", $"event_type", $"minute_ms")
+      .agg(min($"event_id").as("keep_event_id"),
+        count(lit(1)).as("n_replays"))
+      .orderBy($"user_id", $"event_type", $"minute_ms")
+  }
+
   /** Stream-static enrichment join (the standard streaming-ETL shape:
     * events enrich against a slowly-changing dimension without any
     * stream-side state): the events stream broadcast-joins the static
@@ -221,6 +240,7 @@ object StreamOps extends graft.QueryModule {
     "q_stream_upsert_sink" -> (liveTumblingUpsert _),
     "q_stream_static_join" -> (streamStaticJoin _),
     "q_stream_stream_join" -> (streamStreamJoin _),
+    "q_stream_dedup_replays" -> (dedupReplays _),
     "q_stream_tumbling" -> (tumbling _),
     "q_stream_sliding" -> (sliding _),
     "q_stream_session" -> (sessions _))
@@ -243,6 +263,12 @@ object StreamOps extends graft.QueryModule {
         |  ON v.user_id = c.user_id
         | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 5 MINUTE
         |ORDER BY v_id, c_id""".stripMargin,
+    "q_stream_dedup_replays" ->
+      """SELECT user_id, event_type,
+        |  (epoch_ms(ts) // 60000) * 60000 AS minute_ms,
+        |  MIN(event_id) AS keep_event_id, COUNT(*) AS n_replays
+        |FROM events GROUP BY 1, 2, 3
+        |ORDER BY user_id, event_type, minute_ms""".stripMargin,
     "q_stream_static_join" ->
       """SELECT c.c_mktsegment, e.event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(e.value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value

@@ -185,8 +185,11 @@ object TextOps extends graft.QueryModule {
   /** q_text_winnow — rolling-hash (Rabin-Karp) winnowing fingerprint:
     * hash every k-char window with a true rolling update, then keep the
     * minimum per w-window (MOSS-style winnowing). The surviving minima
-    * identify near-duplicate passages cheaply. Declared without oracle
-    * (hash-impl-specific); determinism + shape via the rows-only check. */
+    * identify near-duplicate passages cheaply. The polynomial hash is
+    * taken mod the prime 1e9+7 — every intermediate fits a BIGINT
+    * without wraparound, so the DuckDB oracle reproduces the exact hash
+    * values with list ops (Long-overflow wrapping would not be
+    * SQL-portable) and the query is FULLY oracled, not rows-only. */
   def winnowFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val K = 8  // gram length (chars)
@@ -195,17 +198,19 @@ object TextOps extends graft.QueryModule {
       if (text == null || text.length < K) Seq.empty[Long]
       else {
         val B = 257L
+        val P = 1000000007L
         var pow = 1L
         var i = 1
-        while (i < K) { pow *= B; i += 1 }
+        while (i < K) { pow = pow * B % P; i += 1 }
         val hashes = new Array[Long](text.length - K + 1)
         var h = 0L
         var j = 0
-        while (j < K) { h = h * B + text.charAt(j); j += 1 }
+        while (j < K) { h = (h * B + text.charAt(j)) % P; j += 1 }
         hashes(0) = h
         var p = 1
         while (p <= text.length - K) {
-          h = (h - text.charAt(p - 1) * pow) * B + text.charAt(p + K - 1)
+          h = ((h - text.charAt(p - 1) * pow % P + P) % P * B +
+            text.charAt(p + K - 1)) % P
           hashes(p) = h
           p += 1
         }
@@ -224,7 +229,7 @@ object TextOps extends graft.QueryModule {
     })
     graft.Tables.documents(spark, sfDir)
       .select($"doc_id", winnowUdf($"text").as("fps"))
-      .select($"doc_id", size($"fps").as("n_fingerprints"),
+      .select($"doc_id", size($"fps").cast("long").as("n_fingerprints"),
         array_min($"fps").as("fp_min"))
       .orderBy($"doc_id")
   }
@@ -232,10 +237,11 @@ object TextOps extends graft.QueryModule {
   /** q_text_langid — character-n-gram language ID heuristic: score each
     * language by hits of its characteristic char-trigrams over the text's
     * trigram stream (one tight pass), deterministic argmax (score desc,
-    * language asc). Declared without oracle (heuristic, not SQL-portable).
+    * profile order asc). FULLY oracled: the trigram hit counts and the
+    * argmax tie-break are plain SQL over the unnested trigram positions.
     * Profiles are pinned real-language trigrams — on the synthetic fixture
     * corpus (same vocab for every lang label) accuracy is undefined by
-    * construction; the operator contract is shape + determinism. */
+    * construction; the operator contract is the exact scoring function. */
   private val langProfiles: Seq[(String, Set[String])] = Seq(
     "de" -> Set("der", "sch", "ein", "ich", "und", "die", "cht", "ung", "gen"),
     "en" -> Set("the", "and", "ing", "ion", "ent", "her", "for", "tha", "ter"),
@@ -379,6 +385,54 @@ object TextOps extends graft.QueryModule {
     "q_text_langid" -> (langId _))
 
   def oracle: Map[String, String] = Map(
+    "q_text_winnow" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    CASE WHEN text IS NULL OR len(text) < 8 THEN CAST([] AS BIGINT[])
+        |    ELSE list_transform(range(1, len(text) - 8 + 2), i ->
+        |      list_reduce(
+        |        list_transform(range(0, 8), j ->
+        |          CAST(unicode(substr(text, CAST(i + j AS INT), 1)) AS BIGINT)),
+        |        (acc, c) -> (acc * 257 + c) % 1000000007))
+        |    END AS hashes
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(hashes) = 0 THEN CAST([] AS BIGINT[])
+        |         WHEN len(hashes) < 16 THEN [list_min(hashes)]
+        |         ELSE list_transform(range(1, len(hashes) - 16 + 2), s ->
+        |                list_min(hashes[CAST(s AS INT):CAST(s + 15 AS INT)]))
+        |    END AS fps
+        |  FROM h)
+        |SELECT doc_id, len(list_distinct(fps)) AS n_fingerprints,
+        |  list_min(fps) AS fp_min
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "q_text_langid" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang AS labeled_lang, lower(text) AS lt
+        |  FROM documents),
+        |tri AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, greatest(len(lt) - 1, 1)),
+        |      i -> substr(lt, CAST(i AS INT), 3))) AS g
+        |  FROM t),
+        |c AS (
+        |  SELECT doc_id,
+        |    COUNT(*) FILTER (WHERE g IN ('der','sch','ein','ich','und','die','cht','ung','gen')) AS de,
+        |    COUNT(*) FILTER (WHERE g IN ('the','and','ing','ion','ent','her','for','tha','ter')) AS en,
+        |    COUNT(*) FILTER (WHERE g IN ('que','los','ión','nte','con','ado','una','par','ent')) AS es,
+        |    COUNT(*) FILTER (WHERE g IN ('les','que','ent','des','une','ait','eur','our','ois')) AS fr,
+        |    COUNT(*) FILTER (WHERE g IN ('shi','zhe','ian','ang','eng','ing','uan','hao','wei')) AS zh
+        |  FROM tri GROUP BY doc_id)
+        |SELECT t.doc_id, t.labeled_lang,
+        |  CASE WHEN coalesce(greatest(de, en, es, fr, zh), 0) = 0 THEN 'unknown'
+        |       WHEN de >= en AND de >= es AND de >= fr AND de >= zh THEN 'de'
+        |       WHEN en >= es AND en >= fr AND en >= zh THEN 'en'
+        |       WHEN es >= fr AND es >= zh THEN 'es'
+        |       WHEN fr >= zh THEN 'fr'
+        |       ELSE 'zh' END AS predicted_lang
+        |FROM t LEFT JOIN c USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "q_text_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token

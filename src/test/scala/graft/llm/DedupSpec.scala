@@ -61,6 +61,31 @@ class DedupSpec extends SparkTestBase {
     assert(out == Map(6L -> 2L, 12L -> 1L), out.toString)
   }
 
+  test("LSH-blocked embedding cosine finds planted near-dups without an id window") {
+    // planted pair (0, 900): cos ~ 0.999, ids 900 apart — invisible to the
+    // windowed variant's <=100 contract, found by bucket blocking. The
+    // fixture corpora have no same-label pairs above 0.51, so this planted
+    // run is what makes the fixture-equality oracle non-vacuous.
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextFloat() * 2 - 1)
+    val v = vec()
+    val nearV = v.zipWithIndex.map { case (x, i) =>
+      x + (if (i == 0) 0.05f else 0f) }
+    val rows = Seq((0L, v.toSeq, 1L), (900L, nearV.toSeq, 1L)) ++
+      (1L to 50L).map(i => (i, vec().toSeq, 1L))
+    val dir = java.nio.file.Files.createTempDirectory("graft_emb").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<FLOAT>) AS embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val lsh = DedupOps.embeddingCosineLsh(spark, dir)
+      .select($"a_id", $"b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.contains((0L, 900L)), s"planted far-id pair missed: $lsh")
+    val windowed = DedupOps.embeddingCosine(spark, dir)
+      .select($"a_id", $"b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!windowed.contains((0L, 900L)),
+      "windowed variant unexpectedly sees a pair outside its declared window")
+  }
+
   test("incremental dedup consumes the persisted fp index; documents scanned once") {
     val docs = Seq((0L, "a doc"), (1L, "corpus doc"), (3L, "new doc"))
     val dir = java.nio.file.Files.createTempDirectory("graft_incr_idx").toString

@@ -62,6 +62,43 @@ class PagedJsonSourceSpec extends SparkTestBase {
     assert(limited.count() == 30)
   }
 
+  test("HTTP mode fetches pages from a live server; pushed limit prunes requests") {
+    import scala.jdk.CollectionConverters._
+    val records = (0 until 60).map(i =>
+      s"""{"id":"r$i","title":"t$i","selftext":"body $i","subreddit":"s"}""")
+    val hits = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/posts",
+      (exchange: com.sun.net.httpserver.HttpExchange) => {
+        val params = Option(exchange.getRequestURI.getQuery).getOrElse("")
+          .split("&").filter(_.contains("="))
+          .map(_.split("=", 2)).map(a => a(0) -> a(1)).toMap
+        val page = params("page").toInt
+        val size = params("size").toInt
+        hits.add(page)
+        val body = records.slice(page * size, (page + 1) * size)
+          .mkString("", "\n", "\n").getBytes("UTF-8")
+        exchange.sendResponseHeaders(200, body.length.toLong)
+        exchange.getResponseBody.write(body)
+        exchange.close()
+      })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}/posts"
+      def read() = spark.read.format("graft.sources.PagedJsonSource")
+        .option("url", base).option("pageSize", "25").option("limit", "60")
+        .load()
+      assert(read().count() == 60) // 3 pages: 25 + 25 + 10
+      assert(read().select($"id").collect().map(_.getString(0)).toSet ==
+        (0 until 60).map(i => s"r$i").toSet)
+      hits.clear()
+      // ceil(30/25) = 2: the pushed limit must stop page 2 from being hit
+      assert(read().limit(30).count() == 30)
+      assert(hits.asScala.toSet == Set(0, 1), s"pages fetched: $hits")
+    } finally server.stop(0)
+  }
+
   test("Ingest pulls through the DSv2 source; same rows as the csv mode") {
     val srcDir = Files.createTempDirectory("graft_pagesrc").toString
     val pages = buildPages()
