@@ -103,16 +103,34 @@ object DedupOps extends graft.QueryModule {
   private[llm] def ngramJaccardWithCutoff(
       spark: SparkSession, sfDir: String, maxDf: Int): DataFrame = {
     import spark.implicits._
+    // the shingled docs feed FOUR plan legs (postings for df counts,
+    // both candidate sides, and the exact verify's two array joins);
+    // localCheckpoint materializes the one linear shingling pass instead
+    // of re-running the UDF per leg — the same lineage-cut the CC loop
+    // uses, and at scale the shingled corpus would be a persisted
+    // artifact anyway (it is the dedup pipeline's working set)
     val docs = graft.Tables.documents(spark, sfDir)
       .select($"doc_id", $"lang", floor($"n_chars" / 100).as("lb"),
         shinglesUdf($"text").as("sh"))
       .filter(size($"sh") > 0)
-    val postings = docs.select($"doc_id", $"lang", $"lb",
-      explode($"sh").as("shingle"))
+      .localCheckpoint()
+    // candidate generation runs on xxhash64(shingle) LONGs, not the
+    // 20-30 byte shingle strings: the df-count shuffle, the rare-join,
+    // and the candidate self-join all carry 8-byte keys (a 64-bit
+    // collision can only ADD a candidate, and the exact verify below
+    // discards it — recall is untouched)
+    val postings = docs
+      .select($"doc_id", $"lang", $"lb", explode($"sh").as("s"))
+      .select($"doc_id", $"lang", $"lb", xxhash64($"s").as("shingle"))
     val rare = postings.groupBy($"lang", $"lb", $"shingle")
       .agg(count(lit(1)).as("df")).filter($"df" <= maxDf)
       .select($"lang", $"lb", $"shingle")
+    // materialize the PRUNED posting list once: both self-join legs feed
+    // from it, so the df-count aggregate and the rare-join run once per
+    // query instead of once per leg (the physical plan otherwise clones
+    // the whole subtree under each side of the join)
     val rp = postings.join(rare, Seq("lang", "lb", "shingle"))
+      .localCheckpoint()
     val cand = rp.select($"lang", $"lb", $"shingle", $"doc_id".as("a_id"))
       .join(rp.select($"lang", $"lb", $"shingle", $"doc_id".as("b_id")),
         Seq("lang", "lb", "shingle"))

@@ -287,11 +287,16 @@ object SimSearchOps extends graft.QueryModule {
     val EF = 16
     val emb = graft.Tables.embeddings(spark, sfDir)
     // geometric levels with decay 1/8: P(lvl>=1)=1/8, P(lvl>=2)=1/64
+    // materialized once: five plan legs read it (entry scan, two
+    // layer-band sides, two beam-embedding lookups) — without the
+    // checkpoint each leg re-scans and re-derives norms/levels. At scale
+    // this IS the persisted ANN base table (vectors + norms + levels).
     val corpus = emb.select($"vec_id".as("c_id"), $"embedding".as("c_e"),
         sqrt(dot($"embedding", $"embedding")).as("c_n"),
         pmod(xxhash64($"vec_id", lit(42)), lit(512)).as("h"))
       .withColumn("lvl", when($"h" < 8, 2).when($"h" < 64, 1).otherwise(0))
       .drop("h")
+      .localCheckpoint()
     val queries = emb.filter($"vec_id" < 10)
       .select($"vec_id".as("q_id"), $"embedding".as("q_e"),
         sqrt(dot($"embedding", $"embedding")).as("q_n"))

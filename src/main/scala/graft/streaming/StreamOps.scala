@@ -145,7 +145,12 @@ object StreamOps extends graft.QueryModule {
                                     partExpr: Column): Unit = {
     val spark = batch.sparkSession
     if (batch.isEmpty) return // empty micro-batch: touch nothing
+    // one shuffle on the partition key before every write: each partition
+    // value lands in ONE task, so a write emits one file per partition dir
+    // instead of (tasks x values) small files — the standard pre-write
+    // clustering for partitioned targets
     val withPart = batch.withColumn(partCol, partExpr)
+      .repartition(col(partCol))
     val partType = withPart.schema(partCol).dataType
     if (!new java.io.File(target).exists()) {
       withPart.write.mode("overwrite").partitionBy(partCol).parquet(target)
@@ -158,6 +163,7 @@ object StreamOps extends graft.QueryModule {
         .join(withPart.select(keys.map(col): _*), keys, "left_anti")
         .localCheckpoint()
       survivors.unionByName(withPart)
+        .repartition(col(partCol))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(partCol)
