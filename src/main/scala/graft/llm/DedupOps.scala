@@ -547,8 +547,42 @@ object DedupOps extends graft.QueryModule {
     "q_dedup_minhash_lsh" -> (minhashLsh _),
     "q_dedup_simhash" -> (simhash _),
     "q_dedup_components" -> (components _),
+    "q_dedup_cluster_stats" -> (clusterStats _),
+    "q_dedup_keep_list" -> (keepList _),
     "q_dedup_embedding_cosine" -> (embeddingCosine _),
     "q_dedup_embedding_cosine_lsh" -> (embeddingCosineLsh _))
+
+  /** The dedup END PRODUCT — the survivor keep-list a training run
+    * actually consumes: every document outside the near-dup graph, plus
+    * one representative (min doc_id = its component id) per duplicate
+    * cluster. Left-join against the component labels; no second pass
+    * over text. */
+  def keepList(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val comps = components(spark, sfDir)
+    graft.Tables.documents(spark, sfDir).select($"doc_id")
+      .join(comps, Seq("doc_id"), "left")
+      .filter($"component_id".isNull || $"doc_id" === $"component_id")
+      .select($"doc_id",
+        coalesce($"component_id", $"doc_id").as("component_id"))
+      .orderBy($"doc_id")
+  }
+
+  /** Dup-cluster size distribution — the corpus-health readout every
+    * dedup run ends with (how much is duplicated, and in how big
+    * clusters): component sizes from [[components]], folded to
+    * (cluster_size -> n_clusters, n_docs). Composition over the CC
+    * operator, so its oracle extends the recursive-CTE components
+    * oracle with two plain GROUP BYs. */
+  def clusterStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    components(spark, sfDir)
+      .groupBy($"component_id").agg(count(lit(1)).as("cluster_size"))
+      .groupBy($"cluster_size")
+      .agg(count(lit(1)).as("n_clusters"),
+        (count(lit(1)) * $"cluster_size").as("n_docs"))
+      .orderBy($"cluster_size")
+  }
 
   /** shared CTE text: the ngram-jaccard pair query (the declared
     * q_dedup_ngram_jaccard oracle), reused as the edge source of the
@@ -597,6 +631,41 @@ object DedupOps extends graft.QueryModule {
          |  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id)
          |SELECT id AS doc_id, MIN(comp) AS component_id
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    "q_dedup_keep_list" ->
+      s"""WITH RECURSIVE $ngramPairsSql,
+         |edges(src, dst) AS (
+         |  SELECT a_id, b_id FROM nearpairs
+         |  UNION ALL SELECT b_id, a_id FROM nearpairs),
+         |reach(id, comp) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id),
+         |comps AS (
+         |  SELECT id AS doc_id, MIN(comp) AS component_id
+         |  FROM reach GROUP BY id)
+         |SELECT d.doc_id,
+         |  coalesce(c.component_id, d.doc_id) AS component_id
+         |FROM documents d LEFT JOIN comps c ON d.doc_id = c.doc_id
+         |WHERE c.component_id IS NULL OR d.doc_id = c.component_id
+         |ORDER BY d.doc_id""".stripMargin,
+    "q_dedup_cluster_stats" ->
+      s"""WITH RECURSIVE $ngramPairsSql,
+         |edges(src, dst) AS (
+         |  SELECT a_id, b_id FROM nearpairs
+         |  UNION ALL SELECT b_id, a_id FROM nearpairs),
+         |reach(id, comp) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id),
+         |comps AS (
+         |  SELECT id AS doc_id, MIN(comp) AS component_id
+         |  FROM reach GROUP BY id),
+         |sizes AS (
+         |  SELECT component_id, COUNT(*) AS cluster_size
+         |  FROM comps GROUP BY component_id)
+         |SELECT cluster_size, COUNT(*) AS n_clusters,
+         |  COUNT(*) * cluster_size AS n_docs
+         |FROM sizes GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
     "q_dedup_incremental" ->
       """WITH fps AS (
         |  SELECT doc_id,

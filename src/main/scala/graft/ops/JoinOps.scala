@@ -202,7 +202,37 @@ object JoinOps extends graft.QueryModule {
       .orderBy($"c_custkey", $"o_orderkey")
   }
 
+  /** Bloom-pruned semi-join (the runtime-filter pattern, built by hand):
+    * the selective side's join keys go into a BloomFilter sketch (bounded
+    * size, the one driver-side object — same legitimacy as the CMS), the
+    * big fact side is pre-filtered with might_contain BEFORE its shuffle,
+    * and the exact join afterwards removes the bloom's false positives —
+    * so the result is EXACTLY the plain join (the oracle) while the fact
+    * shuffle carries ~selectivity x rows instead of all of them. This is
+    * what Spark's own runtime bloom filter injection does; materializing
+    * it as an operator makes the 100 TB shuffle-pruning contract explicit
+    * and testable. */
+  def bloomPrunedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val urgent = graft.Tables.orders(spark, sfDir)
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_orderkey", $"o_custkey")
+    // ~20% of orders; 0.1% fpp keeps the sketch ~ a few hundred KB at
+    // fixture scale and O(n_keys) at any scale — never O(rows x width)
+    val bloom = urgent.stat.bloomFilter($"o_orderkey",
+      expectedNumItems = math.max(urgent.count(), 1L), fpp = 0.001)
+    val mightContain = udf((k: Long) => bloom.mightContain(k))
+    graft.Tables.lineitem(spark, sfDir)
+      .filter(mightContain($"l_orderkey")) // prunes BEFORE the shuffle
+      .join(urgent, $"l_orderkey" === $"o_orderkey") // exact: kills FPs
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_items"),
+        graft.ops.AggOps.dsum($"l_extendedprice").as("sum_price"))
+      .orderBy($"o_custkey")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_bloom_pruned" -> (bloomPrunedJoin _),
     "q_join_right" -> (rightJoin _),
     "q_join_cross" -> (crossJoinSmall _),
     "q_join_salted_skew" -> (saltedJoin _),
@@ -217,6 +247,14 @@ object JoinOps extends graft.QueryModule {
     "q_join_asof" -> (asofJoin _))
 
   def oracle: Map[String, String] = Map(
+    // the bloom is pruning-only: the oracle is the PLAIN join
+    "q_join_bloom_pruned" ->
+      """SELECT o_custkey, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "q_join_right" ->
       """SELECT c_custkey, o_orderkey, o_totalprice
         |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey

@@ -89,7 +89,39 @@ object WindowOps extends graft.QueryModule {
       .orderBy($"c_custkey")
   }
 
+  /** Ordered event funnel (the windowFunnel shape of OLAP engines): per
+    * user, the first view, the first click AFTER that view, the first
+    * purchase AFTER that click — funnel_stage = how deep the user got.
+    * Three stage aggregates chained by (user equi-join + strictly-later
+    * filter): each stage shuffles only users who survived the previous
+    * one, never a per-user event sort. */
+  def eventFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, sfDir)
+    val users = ev.select($"user_id").distinct()
+    val v = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("v_ts"))
+    val c = ev.filter($"event_type" === "click")
+      .join(v, Seq("user_id")).filter($"ts" > $"v_ts")
+      .groupBy($"user_id").agg(min($"ts").as("c_ts"))
+    val p = ev.filter($"event_type" === "purchase")
+      .join(c, Seq("user_id")).filter($"ts" > $"c_ts")
+      .groupBy($"user_id").agg(min($"ts").as("p_ts"))
+    users
+      .join(v, Seq("user_id"), "left")
+      .join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .withColumn("funnel_stage",
+        when($"p_ts".isNotNull, 3).when($"c_ts".isNotNull, 2)
+          .when($"v_ts".isNotNull, 1).otherwise(0))
+      .select($"user_id", $"funnel_stage",
+        unix_millis($"v_ts").as("v_ms"), unix_millis($"c_ts").as("c_ms"),
+        unix_millis($"p_ts").as("p_ms"))
+      .orderBy($"user_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_event_funnel" -> (eventFunnel _),
     "q_window_distribution" -> (distribution _),
     "q_window_ranking" -> (ranking _),
     "q_window_analytic" -> (analytic _),
@@ -97,6 +129,25 @@ object WindowOps extends graft.QueryModule {
     "q_window_range_frame" -> (rangeFrame _))
 
   def oracle: Map[String, String] = Map(
+    "q_window_event_funnel" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |v AS (SELECT user_id, MIN(ts) AS v_ts FROM events
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, MIN(e.ts) AS c_ts
+        |      FROM events e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.v_ts GROUP BY 1),
+        |p AS (SELECT e.user_id, MIN(e.ts) AS p_ts
+        |      FROM events e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.c_ts GROUP BY 1)
+        |SELECT u.user_id,
+        |  CASE WHEN p.p_ts IS NOT NULL THEN 3
+        |       WHEN c.c_ts IS NOT NULL THEN 2
+        |       WHEN v.v_ts IS NOT NULL THEN 1 ELSE 0 END AS funnel_stage,
+        |  epoch_ms(v.v_ts) AS v_ms, epoch_ms(c.c_ts) AS c_ms,
+        |  epoch_ms(p.p_ts) AS p_ms
+        |FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+        |  LEFT JOIN p USING (user_id)
+        |ORDER BY user_id""".stripMargin,
     "q_window_distribution" ->
       """SELECT c_custkey, c_mktsegment, c_acctbal,
         |  round(percent_rank() OVER w, 6) AS pr,

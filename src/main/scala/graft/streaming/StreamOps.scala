@@ -214,6 +214,26 @@ object StreamOps extends graft.QueryModule {
       .orderBy($"user_id", $"event_type", $"minute_ms")
   }
 
+  /** Per-user running state, declared as the batch twin of the
+    * flatMapGroupsWithState pipeline pinned by StatefulStreamingSpec:
+    * the streaming op keeps (event count, last value) per user and
+    * emits on every batch; over a bounded input its FINAL state is this
+    * aggregate — count plus the value of the (ts, event_id)-max event
+    * (the same deterministic tie-break the spec's update function
+    * applies within a batch). */
+  def userRunningState(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val byUser = org.apache.spark.sql.expressions.Window.partitionBy($"user_id")
+    val latest = byUser.orderBy($"ts".desc, $"event_id".desc)
+    graft.Tables.events(spark, sfDir)
+      .withColumn("rk", row_number().over(latest))
+      .withColumn("n_events", count(lit(1)).over(byUser))
+      .filter($"rk" === 1)
+      .select($"user_id", $"n_events", $"value".as("last_value"),
+        unix_millis($"ts").as("last_ts_ms"))
+      .orderBy($"user_id")
+  }
+
   /** Stream-static enrichment join (the standard streaming-ETL shape:
     * events enrich against a slowly-changing dimension without any
     * stream-side state): the events stream broadcast-joins the static
@@ -247,6 +267,7 @@ object StreamOps extends graft.QueryModule {
     "q_stream_static_join" -> (streamStaticJoin _),
     "q_stream_stream_join" -> (streamStreamJoin _),
     "q_stream_dedup_replays" -> (dedupReplays _),
+    "q_stream_user_state" -> (userRunningState _),
     "q_stream_tumbling" -> (tumbling _),
     "q_stream_sliding" -> (sliding _),
     "q_stream_session" -> (sessions _))
@@ -269,6 +290,15 @@ object StreamOps extends graft.QueryModule {
         |  ON v.user_id = c.user_id
         | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 5 MINUTE
         |ORDER BY v_id, c_id""".stripMargin,
+    "q_stream_user_state" ->
+      """SELECT user_id, n_events, last_value, last_ts_ms FROM (
+        |  SELECT user_id,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |                       ORDER BY ts DESC, event_id DESC) AS rk,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n_events,
+        |    value AS last_value, epoch_ms(ts) AS last_ts_ms
+        |  FROM events)
+        |WHERE rk = 1 ORDER BY user_id""".stripMargin,
     "q_stream_dedup_replays" ->
       """SELECT user_id, event_type,
         |  (epoch_ms(ts) // 60000) * 60000 AS minute_ms,

@@ -368,7 +368,59 @@ object TextOps extends graft.QueryModule {
       .orderBy($"doc_id", $"rk")
   }
 
+  /** q_text_unigram_logprob — corpus-LM quality score (the CCNet/Gopher
+    * perplexity-gate shape with the LM reduced to the corpus's own
+    * unigram distribution): avg per-token log p(token), where
+    * p = count(token)/total_tokens over the whole corpus. Low scores =
+    * rare-token-heavy docs (boilerplate, codes, mojibake) — the standard
+    * cheap quality signal before an expensive LM pass. All in one plan:
+    * unigram counts are a token-keyed aggregate joined back to the
+    * postings; the total is a broadcast 1-row aggregate (tfidf pattern).
+    * Determinism discipline: per-token logprob is rounded to 6 dp and
+    * summed as DECIMAL(18,6) (exact, order-free), then divided once in
+    * double — the ln() inputs are int-ratio doubles exactly as in the
+    * proven-portable tfidf oracle. */
+  def unigramLogprob(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sfDir)
+    val toks = docs.select($"doc_id", explode(split($"text", " ")).as("token"))
+    val uni = toks.groupBy($"token").agg(count(lit(1)).as("cnt"))
+    val nToks = broadcast(toks.agg(count(lit(1)).cast("double").as("n_total")))
+    toks.join(uni, Seq("token"))
+      .crossJoin(nToks)
+      .withColumn("lp",
+        round(log($"cnt".cast("double") / $"n_total"), 6)
+          .cast("decimal(18,6)"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round((sum($"lp").cast("double") / count(lit(1))), 6)
+          .as("avg_logprob"))
+      .orderBy($"doc_id")
+  }
+
+  /** q_text_sentences — sentence segmentation with stable positions:
+    * sentences are maximal runs of non-terminator chars plus their
+    * trailing `[.!?]` terminators (an RE2-compatible extraction — no
+    * lookbehind, so the DuckDB oracle runs the IDENTICAL pattern),
+    * whitespace-trimmed, empties dropped, per-sentence index and char
+    * length kept. sent_idx is the position in the raw extraction, so
+    * it is stable even if an element trims away. */
+  def sentences(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        posexplode(regexp_extract_all($"text",
+          lit("[^.!?]+[.!?]*"), lit(0))))
+      .withColumn("sentence", trim($"col"))
+      .filter(length($"sentence") > 0)
+      .select($"doc_id", $"pos".cast("long").as("sent_idx"),
+        length($"sentence").cast("long").as("n_chars"), $"sentence")
+      .orderBy($"doc_id", $"sent_idx")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_unigram_logprob" -> (unigramLogprob _),
+    "q_text_sentences" -> (sentences _),
     "q_text_tfidf" -> (tfidf _),
     "q_text_chunk" -> (chunk _),
     "q_text_pack" -> (pack _),
@@ -385,6 +437,31 @@ object TextOps extends graft.QueryModule {
     "q_text_langid" -> (langId _))
 
   def oracle: Map[String, String] = Map(
+    "q_text_unigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |uni AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY 1),
+        |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_total FROM toks)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  round(CAST(SUM(CAST(round(ln(CAST(cnt AS DOUBLE) / n_total), 6)
+        |                      AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+        |    AS avg_logprob
+        |FROM toks JOIN uni USING (token) CROSS JOIN n
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_text_sentences" ->
+      """WITH ex AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(text, '[^.!?]+[.!?]*') AS l
+        |  FROM documents),
+        |raw AS (
+        |  SELECT doc_id, unnest(l) AS r,
+        |    unnest(range(0, len(l))) AS sent_idx
+        |  FROM ex)
+        |SELECT doc_id, sent_idx, len(trim(r)) AS n_chars,
+        |  trim(r) AS sentence
+        |FROM raw WHERE len(trim(r)) > 0
+        |ORDER BY doc_id, sent_idx""".stripMargin,
     "q_text_winnow" ->
       """WITH h AS (
         |  SELECT doc_id,
