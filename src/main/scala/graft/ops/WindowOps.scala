@@ -120,8 +120,35 @@ object WindowOps extends graft.QueryModule {
       .orderBy($"user_id")
   }
 
+  /** Time-series resample + gap fill: daily per-user activity on a dense
+    * calendar spine — days with no events appear as explicit zeros (the
+    * shape every downstream window/trend computation needs). The spine is
+    * users x sequence(min_day, max_day): the corpus bounds come from a
+    * broadcast 1-row aggregate in the same plan, and the explode is
+    * bounded by the calendar length, never by event count. */
+  def resampleGapfill(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, sfDir)
+    val daily = ev
+      .groupBy($"user_id", date_trunc("DAY", $"ts").as("day"))
+      .agg(count(lit(1)).as("n"), AggOps.dsum($"value").as("sum_value"))
+    val bounds = broadcast(ev.agg(
+      date_trunc("DAY", min($"ts")).as("d0"),
+      date_trunc("DAY", max($"ts")).as("d1")))
+    val spine = ev.select($"user_id").distinct()
+      .crossJoin(bounds)
+      .select($"user_id",
+        explode(sequence($"d0", $"d1", expr("interval 1 day"))).as("day"))
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .select($"user_id", unix_millis($"day").as("day_ms"),
+        coalesce($"n", lit(0L)).as("n"),
+        coalesce($"sum_value", lit(0.0)).as("sum_value"))
+      .orderBy($"user_id", $"day_ms")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_window_event_funnel" -> (eventFunnel _),
+    "q_window_resample_gapfill" -> (resampleGapfill _),
     "q_window_distribution" -> (distribution _),
     "q_window_ranking" -> (ranking _),
     "q_window_analytic" -> (analytic _),
@@ -129,6 +156,23 @@ object WindowOps extends graft.QueryModule {
     "q_window_range_frame" -> (rangeFrame _))
 
   def oracle: Map[String, String] = Map(
+    "q_window_resample_gapfill" ->
+      """WITH b AS (
+        |  SELECT date_trunc('day', MIN(ts)) AS d0,
+        |         date_trunc('day', MAX(ts)) AS d1 FROM events),
+        |u AS (SELECT DISTINCT user_id FROM events),
+        |spine AS (
+        |  SELECT user_id,
+        |    unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+        |  FROM u, b),
+        |daily AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day, COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+        |  FROM events GROUP BY 1, 2)
+        |SELECT s.user_id, epoch_ms(s.day) AS day_ms,
+        |  coalesce(d.n, 0) AS n, coalesce(d.sum_value, 0.0) AS sum_value
+        |FROM spine s LEFT JOIN daily d USING (user_id, day)
+        |ORDER BY user_id, day_ms""".stripMargin,
     "q_window_event_funnel" ->
       """WITH u AS (SELECT DISTINCT user_id FROM events),
         |v AS (SELECT user_id, MIN(ts) AS v_ts FROM events
