@@ -36,8 +36,27 @@ object CorpusPipeline extends graft.QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** The NEXT pipeline stage, composed in the same single plan: the
+    * cleaned/deduped survivors pack into fixed token-budget training
+    * bins per language (greedy running-sum, the q_text_pack shape, fed
+    * by the gate->dedup survivors instead of the raw corpus). Still one
+    * plan end-to-end: narrow gates -> fp window -> lang running-sum
+    * window — two shuffles total, each the minimum its stage can pay. */
+  def corpusPack(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val budget = 2000
+    val w = Window.partitionBy($"lang").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    corpusClean(spark, sfDir)
+      .withColumn("cum", sum($"n_tokens").over(w))
+      .select($"doc_id", $"lang", $"n_tokens",
+        floor(($"cum" - $"n_tokens") / budget).as("bin"))
+      .orderBy($"doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_pipeline_corpus_clean" -> (corpusClean _))
+    "q_pipeline_corpus_clean" -> (corpusClean _),
+    "q_pipeline_corpus_pack" -> (corpusPack _))
 
   def oracle: Map[String, String] = Map(
     "q_pipeline_corpus_clean" ->
@@ -56,5 +75,30 @@ object CorpusPipeline extends graft.QueryModule {
         |  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
         |  FROM kept)
         |SELECT doc_id, lang, n_tokens, unique_ratio
-        |FROM deduped WHERE rn = 1 ORDER BY doc_id""".stripMargin)
+        |FROM deduped WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q_pipeline_corpus_pack" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang,
+        |    len(string_split(text, ' ')) AS n_tokens,
+        |    round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |      / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS unique_ratio,
+        |    sha256(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        |  FROM documents),
+        |kept AS (
+        |  SELECT * FROM scored
+        |  WHERE n_tokens >= 10 AND unique_ratio >= 0.3
+        |    AND lang IN ('en', 'de', 'fr')),
+        |deduped AS (
+        |  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        |  FROM kept),
+        |clean AS (
+        |  SELECT doc_id, lang, n_tokens FROM deduped WHERE rn = 1),
+        |packed AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |                        ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM clean)
+        |SELECT doc_id, lang, n_tokens,
+        |  CAST(floor((cum - n_tokens) / 2000.0) AS BIGINT) AS bin
+        |FROM packed ORDER BY doc_id""".stripMargin)
 }

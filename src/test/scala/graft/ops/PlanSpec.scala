@@ -17,6 +17,22 @@ class PlanSpec extends SparkTestBase {
     out.toString
   }
 
+  test("q_join_bloom_pruned applies the bloom filter on the fact scan, below the join") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, FilterExec}
+    val df = JoinOps.bloomPrunedJoin(spark, sf0001)
+    val bloomFilters = df.queryExecution.sparkPlan.collect {
+      case f: FilterExec if f.condition.toString.contains("UDF") &&
+        f.collectLeaves().exists {
+          case s: FileSourceScanExec =>
+            s.relation.location.rootPaths.mkString(",").contains("lineitem")
+          case _ => false
+        } => f
+    }
+    // the might_contain UDF must sit directly over the lineitem scan —
+    // pruning happens before any join/exchange touches the fact rows
+    assert(bloomFilters.nonEmpty, df.queryExecution.sparkPlan.toString)
+  }
+
   test("q_scan_parquet prunes to the 4 projected columns") {
     val p = plan("q_scan_parquet")
     assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int," +
