@@ -91,7 +91,22 @@ object SortSetOps extends graft.QueryModule {
       .orderBy($"o_orderstatus", $"o_totalprice".desc, $"o_orderkey")
   }
 
+  /** GLOBAL top-k through the same custom operator with NO keys — the
+    * path that requires AllTuples (every surviving row on one partition
+    * after the partial heap pass caps each mapper's contribution at k).
+    * Declared so the driver exercises the key-less distribution contract
+    * every round, not just the spec. */
+  def topKGlobalCustom(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val df = graft.Tables.orders(spark, sfDir)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    graft.plans.TopKPerKey(df, 100, Seq(),
+      Seq("o_totalprice" -> false, "o_orderkey" -> true))
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sort_topk_global_custom" -> (topKGlobalCustom _),
     "q_sort_topk_per_key" -> (topKPerKey _),
     "q_sort_topk" -> (topK _),
     "q_set_union_all" -> (unionAll _),
@@ -101,6 +116,9 @@ object SortSetOps extends graft.QueryModule {
     "q_dedup_first_per_key" -> (dedupFirstPerKey _))
 
   def oracle: Map[String, String] = Map(
+    "q_sort_topk_global_custom" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
     "q_sort_topk_per_key" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM (
         |  SELECT o_orderkey, o_orderstatus, o_totalprice,

@@ -139,7 +139,12 @@ object StreamOps extends graft.QueryModule {
     * read-the-path-being-overwritten cycle, and they are at most a few
     * partitions' rows); (3) survivors ∪ batch written with
     * `partitionOverwriteMode=dynamic`, which stages and commits just the
-    * partitions present in the written data. */
+    * partitions present in the written data.
+    *
+    * Retry-safe: foreachBatch can re-deliver a batch after a failure;
+    * replaying the merge rewrites the same partitions with the same
+    * content, so the sink is idempotent without a batchId ledger
+    * (StreamingSpec pins this). */
   private[streaming] def upsertInto(target: String, batch: DataFrame,
                                     keys: Seq[String], partCol: String,
                                     partExpr: Column): Unit = {

@@ -418,7 +418,50 @@ object TextOps extends graft.QueryModule {
       .orderBy($"doc_id", $"sent_idx")
   }
 
+  /** one tight pass; duplicates kept (counts need them). Same rationale
+    * as shinglesUdf: a transform/element_at column tree re-inlines the
+    * aliased split into every element under pushdown. */
+  private val bigramsUdf = udf((text: String) => {
+    if (text == null) Array.empty[String]
+    else {
+      val t = text.split(" ", -1)
+      if (t.length < 2) Array.empty[String]
+      else Array.tabulate(t.length - 1)(i => t(i) + " " + t(i + 1))
+    }
+  })
+
+  /** q_text_bigram_pmi — collocation mining: pointwise mutual
+    * information ln(p(ab) / (p(a)p(b))) over corpus bigrams (Church &
+    * Hanks 1990), the classic signal for multi-word expressions worth
+    * protecting from tokenization. Counts are exact distributed
+    * aggregates; the two totals are broadcast 1-row aggregates over the
+    * count tables (no second corpus scan); min count 5 kills the noisy
+    * tail; top-20 by rounded PMI with the bigram string as total
+    * tie-break. */
+  def bigramPmi(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sfDir)
+    val uni = docs.select(explode(split($"text", " ")).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("c"))
+    val bc = docs.select(explode(bigramsUdf($"text")).as("bg"))
+      .groupBy($"bg").agg(count(lit(1)).as("c_ab"))
+    val nUni = broadcast(uni.agg(sum($"c").cast("double").as("n_uni")))
+    val nBig = broadcast(bc.agg(sum($"c_ab").cast("double").as("n_big")))
+    bc.filter($"c_ab" >= 5)
+      .withColumn("a", split($"bg", " ").getItem(0))
+      .withColumn("b", split($"bg", " ").getItem(1))
+      .join(uni.select($"tok".as("a"), $"c".as("c_a")), Seq("a"))
+      .join(uni.select($"tok".as("b"), $"c".as("c_b")), Seq("b"))
+      .crossJoin(nUni).crossJoin(nBig)
+      .withColumn("pmi", round(log(($"c_ab" / $"n_big") /
+        (($"c_a" / $"n_uni") * ($"c_b" / $"n_uni"))), 6))
+      .select($"bg", $"c_ab", $"c_a", $"c_b", $"pmi")
+      .orderBy($"pmi".desc, $"bg")
+      .limit(20)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_bigram_pmi" -> (bigramPmi _),
     "q_text_unigram_logprob" -> (unigramLogprob _),
     "q_text_sentences" -> (sentences _),
     "q_text_tfidf" -> (tfidf _),
@@ -437,6 +480,30 @@ object TextOps extends graft.QueryModule {
     "q_text_langid" -> (langId _))
 
   def oracle: Map[String, String] = Map(
+    "q_text_bigram_pmi" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |uni AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY 1),
+        |nu AS (SELECT CAST(SUM(c) AS DOUBLE) AS n_uni FROM uni),
+        |bgs AS (
+        |  SELECT unnest(list_transform(
+        |    range(1, greatest(len(string_split(text, ' ')), 1)),
+        |    i -> string_split(text, ' ')[CAST(i AS INT)] || ' ' ||
+        |         string_split(text, ' ')[CAST(i + 1 AS INT)])) AS bg
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        |bc AS (SELECT bg, COUNT(*) AS c_ab FROM bgs GROUP BY 1),
+        |nb AS (SELECT CAST(SUM(c_ab) AS DOUBLE) AS n_big FROM bc),
+        |scored AS (
+        |  SELECT bg, c_ab, ua.c AS c_a, ub.c AS c_b,
+        |    round(ln((c_ab / n_big) /
+        |      ((ua.c / n_uni) * (ub.c / n_uni))), 6) AS pmi
+        |  FROM bc
+        |  JOIN uni ua ON string_split(bg, ' ')[1] = ua.tok
+        |  JOIN uni ub ON string_split(bg, ' ')[2] = ub.tok
+        |  CROSS JOIN nu CROSS JOIN nb
+        |  WHERE c_ab >= 5)
+        |SELECT bg, c_ab, c_a, c_b, pmi FROM scored
+        |ORDER BY pmi DESC, bg LIMIT 20""".stripMargin,
     "q_text_unigram_logprob" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
