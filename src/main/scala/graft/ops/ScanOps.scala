@@ -203,9 +203,51 @@ object ScanOps extends graft.QueryModule {
     "q_scan_csv_roundtrip" -> (csvRoundtrip _),
     "q_scan_json_roundtrip" -> (jsonRoundtrip _),
     "q_scan_orc_roundtrip" -> (orcRoundtrip _),
-    "q_sink_partitioned_write" -> (partitionedWrite _))
+    "q_sink_partitioned_write" -> (partitionedWrite _),
+    "q_join_dpp_pruned" -> (dppJoin _))
+
+  /** Dynamic partition pruning: the fact table is PARTITIONED on the
+    * join key (event_type); the dim side's selective filter is only
+    * known at runtime, so Catalyst injects a dynamicpruning subquery
+    * into the fact scan's PartitionFilters — the fact reads 2 of 5
+    * partition directories without any static filter on it. This is the
+    * flagship star-schema scale feature (a 100 TB fact joined to a
+    * filtered date/category dim reads only matching partitions); the
+    * dynamicpruning PartitionFilter is pinned in PlanSpec and the result
+    * is fully oracled (pruning never changes the answer). Both sides
+    * are one-time parquet artifacts so the pruning acts on real
+    * directories, not an in-memory relation. */
+  def dppJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val factPath = tmpDir("events_by_type", sfDir)
+    if (!new java.io.File(factPath + "/_SUCCESS").exists()) {
+      graft.Tables.events(spark, sfDir)
+        .select($"event_id", $"user_id", $"value", $"event_type")
+        .write.mode("overwrite").partitionBy("event_type").parquet(factPath)
+    }
+    val dimPath = tmpDir("event_type_dim", sfDir)
+    if (!new java.io.File(dimPath + "/_SUCCESS").exists()) {
+      Seq(("purchase", "conversion"), ("signup", "conversion"),
+        ("view", "browse"), ("click", "browse"), ("error", "ops"))
+        .toDF("event_type", "category")
+        .coalesce(1).write.mode("overwrite").parquet(dimPath)
+    }
+    val fact = spark.read.parquet(factPath)
+    val dim = spark.read.parquet(dimPath).filter($"category" === "conversion")
+    fact.join(dim, Seq("event_type"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), AggOps.dsum($"value").as("sum_value"))
+      .orderBy($"event_type")
+  }
 
   def oracle: Map[String, String] = Map(
+    // the dim is the literal 5-row type->category map; pruning never
+    // changes the answer, so the oracle is the equivalent IN-filter
+    "q_join_dpp_pruned" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+        |FROM events WHERE event_type IN ('purchase', 'signup')
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_scan_parquet" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,

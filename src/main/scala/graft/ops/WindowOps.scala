@@ -146,9 +146,29 @@ object WindowOps extends graft.QueryModule {
       .orderBy($"user_id", $"day_ms")
   }
 
+  /** 7-day trailing moving average over the gap-filled series — the
+    * composition resampling exists for (a moving average over sparse
+    * days silently shrinks its window; over the dense spine it is the
+    * true calendar average). Determinism: the frame sum is DECIMAL-exact
+    * (window sums of doubles may be computed incrementally/sliding and
+    * differ across engines in the last ulp), divided once by the frame
+    * count. */
+  def movingAvg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"day_ms")
+      .rowsBetween(-6, 0)
+    resampleGapfill(spark, sfDir)
+      .withColumn("ma7", round(
+        sum($"sum_value".cast("decimal(14,2)")).over(w).cast("double") /
+          count(lit(1)).over(w), 6))
+      .select($"user_id", $"day_ms", $"n", $"sum_value", $"ma7")
+      .orderBy($"user_id", $"day_ms")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_window_event_funnel" -> (eventFunnel _),
     "q_window_resample_gapfill" -> (resampleGapfill _),
+    "q_window_moving_avg" -> (movingAvg _),
     "q_window_distribution" -> (distribution _),
     "q_window_ranking" -> (ranking _),
     "q_window_analytic" -> (analytic _),
@@ -156,6 +176,30 @@ object WindowOps extends graft.QueryModule {
     "q_window_range_frame" -> (rangeFrame _))
 
   def oracle: Map[String, String] = Map(
+    "q_window_moving_avg" ->
+      """WITH b AS (
+        |  SELECT date_trunc('day', MIN(ts)) AS d0,
+        |         date_trunc('day', MAX(ts)) AS d1 FROM events),
+        |u AS (SELECT DISTINCT user_id FROM events),
+        |spine AS (
+        |  SELECT user_id,
+        |    unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+        |  FROM u, b),
+        |daily AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day, COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+        |  FROM events GROUP BY 1, 2),
+        |dense AS (
+        |  SELECT s.user_id, epoch_ms(s.day) AS day_ms,
+        |    coalesce(d.n, 0) AS n, coalesce(d.sum_value, 0.0) AS sum_value
+        |  FROM spine s LEFT JOIN daily d USING (user_id, day))
+        |SELECT user_id, day_ms, n, sum_value,
+        |  round(CAST(SUM(CAST(sum_value AS DECIMAL(14,2))) OVER w AS DOUBLE)
+        |        / COUNT(*) OVER w, 6) AS ma7
+        |FROM dense
+        |WINDOW w AS (PARTITION BY user_id ORDER BY day_ms
+        |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, day_ms""".stripMargin,
     "q_window_resample_gapfill" ->
       """WITH b AS (
         |  SELECT date_trunc('day', MIN(ts)) AS d0,

@@ -33,6 +33,12 @@ class PlanSpec extends SparkTestBase {
     assert(bloomFilters.nonEmpty, df.queryExecution.sparkPlan.toString)
   }
 
+  test("q_join_dpp_pruned carries a dynamicpruning PartitionFilter on the fact scan") {
+    val p = plan("q_join_dpp_pruned")
+    assert(p.contains("dynamicpruning"), p)
+    assert(p.contains("PartitionFilters"), p)
+  }
+
   test("q_scan_parquet prunes to the 4 projected columns") {
     val p = plan("q_scan_parquet")
     assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int," +
