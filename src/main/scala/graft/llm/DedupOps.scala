@@ -549,6 +549,7 @@ object DedupOps extends graft.QueryModule {
     "q_dedup_components" -> (components _),
     "q_dedup_cluster_stats" -> (clusterStats _),
     "q_dedup_keep_list" -> (keepList _),
+    "q_dedup_triangles" -> (triangles _),
     "q_dedup_embedding_cosine" -> (embeddingCosine _),
     "q_dedup_embedding_cosine_lsh" -> (embeddingCosineLsh _))
 
@@ -566,6 +567,24 @@ object DedupOps extends graft.QueryModule {
       .select($"doc_id",
         coalesce($"component_id", $"doc_id").as("component_id"))
       .orderBy($"doc_id")
+  }
+
+  /** Triangle enumeration over the near-dup pair graph — the classic
+    * graph-quality signal (triangle-dense regions are true duplicate
+    * clusters; bridges with no triangles are often false positives
+    * worth re-verifying). Edges are canonical (a<b), so each triangle
+    * appears exactly once as a<b<c: two self-joins, both on edge
+    * endpoints — never an adjacency list on one task. The edge list is
+    * materialized once for its three legs (CC-loop precedent). */
+  def triangles(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = ngramJaccard(spark, sfDir).select($"a_id", $"b_id")
+      .localCheckpoint()
+    e.select($"a_id", $"b_id")
+      .join(e.select($"a_id".as("b_id"), $"b_id".as("c_id")), Seq("b_id"))
+      .join(e.select($"a_id", $"b_id".as("c_id")), Seq("a_id", "c_id"))
+      .select($"a_id", $"b_id", $"c_id")
+      .orderBy($"a_id", $"b_id", $"c_id")
   }
 
   /** Dup-cluster size distribution — the corpus-health readout every
@@ -631,6 +650,13 @@ object DedupOps extends graft.QueryModule {
          |  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id)
          |SELECT id AS doc_id, MIN(comp) AS component_id
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    "q_dedup_triangles" ->
+      s"""WITH $ngramPairsSql
+         |SELECT e1.a_id AS a_id, e1.b_id AS b_id, e2.b_id AS c_id
+         |FROM nearpairs e1
+         |JOIN nearpairs e2 ON e2.a_id = e1.b_id
+         |JOIN nearpairs e3 ON e3.a_id = e1.a_id AND e3.b_id = e2.b_id
+         |ORDER BY a_id, b_id, c_id""".stripMargin,
     "q_dedup_keep_list" ->
       s"""WITH RECURSIVE $ngramPairsSql,
          |edges(src, dst) AS (

@@ -117,6 +117,24 @@ object AggOps extends graft.QueryModule {
 
   /** Exact interpolated percentiles (Spark `percentile` == DuckDB
     * `quantile_cont`: linear interpolation between closest ranks). */
+  /** Sketch-based quantiles (approx_percentile — Greenwald-Khanna with
+    * bounded accuracy=10000): the 100 TB path where an exact percentile's
+    * per-group sort buffer is unaffordable; the sketch is mergeable
+    * across partials like HLL/CMS. Declared rows-only (GK internals are
+    * engine-specific); ApproxSpec pins |approx - exact| within the 1/acc
+    * rank bound against q_agg_percentiles. */
+  def approxPercentiles(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(
+        round(approx_percentile($"l_quantity", lit(0.25), lit(10000)), 6).as("p25"),
+        round(approx_percentile($"l_quantity", lit(0.5), lit(10000)), 6).as("p50"),
+        round(approx_percentile($"l_quantity", lit(0.75), lit(10000)), 6).as("p75"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+  }
+
   def percentiles(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     graft.Tables.lineitem(spark, sfDir)
@@ -218,6 +236,7 @@ object AggOps extends graft.QueryModule {
     "q_agg_minmax_by" -> (minmaxBy _),
     "q_agg_collect" -> (collectAgg _),
     "q_agg_percentiles" -> (percentiles _),
+    "q_agg_approx_percentiles" -> (approxPercentiles _),
     "q_agg_pricing_summary" -> (pricingSummary _),
     "q_agg_count_distinct" -> (countDistinctAgg _),
     "q_agg_approx_distinct" -> (approxDistinct _),

@@ -106,6 +106,21 @@ class DedupSpec extends SparkTestBase {
     assert(scanned.exists(_.contains(idxPath)), scanned)
   }
 
+  test("triangles: a 3-clique of near-dups is one canonical triangle") {
+    // fixture corpora have pairwise-disjoint dup pairs (0 triangles), so
+    // the enumeration semantics are pinned here: docs 0,1,2 are mutually
+    // similar -> exactly one (0,1,2); the 4th similar-to-none doc adds none
+    val docs = Seq(
+      (0L, base), (1L, exactDup), (2L, nearDup), (3L, unrelated))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+    val dir = java.nio.file.Files.createTempDirectory("graft_tri").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val tri = DedupOps.triangles(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(tri == Seq((0L, 1L, 2L)), tri.toString)
+  }
+
   test("minhash LSH survives a degenerate corpus of 5k identical docs") {
     // the worst case for bucket-based pairing: every doc collides in
     // every band. The fp pre-collapse sends ONE representative through
