@@ -308,8 +308,8 @@ object SimSearchOps extends graft.QueryModule {
       scored.withColumn("rk", row_number().over(w)).filter($"rk" <= n)
     // beam expansion through bucket adjacency, restricted to layer >= lvl
     def expand(beam: DataFrame, lvl: Int): DataFrame = {
-      val beamBuckets = beam
-        .join(corpus.select($"c_id", $"c_e"), Seq("c_id"))
+      val beamBuckets = corpus.select($"c_id", $"c_e")
+        .join(broadcast(beam), Seq("c_id")) // beam <= EF*10 rows
         .select($"q_id", explode(bandKeysUdf($"c_e")).as("bkey"))
       val probes = beamBuckets.union(qBuckets).distinct() // <= (EF+1)*10*24 rows
       val layerBands = corpus.filter($"lvl" >= lvl)
