@@ -231,7 +231,27 @@ object JoinOps extends graft.QueryModule {
       .orderBy($"o_custkey")
   }
 
+  /** Null-safe equi join (`<=>` / IS NOT DISTINCT FROM): NULL keys match
+    * each other instead of vanishing — the semantics dimension the other
+    * twelve flavors don't cover. Keys are made nullable in-plan (every
+    * custkey divisible by 10 becomes NULL) so the NULL bucket is
+    * non-empty and deterministic. */
+  def nullSafeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val o = graft.Tables.orders(spark, sfDir)
+      .select($"o_orderkey",
+        when($"o_custkey" % 10 === 0, lit(null)).otherwise($"o_custkey")
+          .as("k"))
+    val a = o.groupBy($"k").agg(count(lit(1)).as("n_all"))
+    val b = o.filter($"o_orderkey" % 2 === 0)
+      .groupBy($"k").agg(count(lit(1)).as("n_even"))
+    a.join(b, a("k") <=> b("k"))
+      .select(a("k").as("k"), $"n_all", $"n_even")
+      .orderBy($"k")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_null_safe" -> (nullSafeJoin _),
     "q_join_bloom_pruned" -> (bloomPrunedJoin _),
     "q_join_right" -> (rightJoin _),
     "q_join_cross" -> (crossJoinSmall _),
@@ -247,6 +267,17 @@ object JoinOps extends graft.QueryModule {
     "q_join_asof" -> (asofJoin _))
 
   def oracle: Map[String, String] = Map(
+    "q_join_null_safe" ->
+      """WITH o AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_custkey % 10 = 0 THEN NULL ELSE o_custkey END AS k
+        |  FROM orders),
+        |a AS (SELECT k, COUNT(*) AS n_all FROM o GROUP BY k),
+        |b AS (SELECT k, COUNT(*) AS n_even FROM o
+        |      WHERE o_orderkey % 2 = 0 GROUP BY k)
+        |SELECT a.k AS k, a.n_all, b.n_even
+        |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+        |ORDER BY k""".stripMargin,
     // the bloom is pruning-only: the oracle is the PLAIN join
     "q_join_bloom_pruned" ->
       """SELECT o_custkey, COUNT(*) AS n_items,

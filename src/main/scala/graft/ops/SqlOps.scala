@@ -23,6 +23,57 @@ object SqlOps extends graft.QueryModule {
         |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)
   }
 
+  /** LATERAL correlated subquery (SQL:1999, Spark 3.2+): per outer row,
+    * a dependent subquery with its own ORDER BY/LIMIT — the SQL-text
+    * spelling of top-k-per-group. Catalyst decorrelates it into a
+    * window/join plan, so the lateral is planning sugar, not a
+    * nested-loop execution. */
+  def lateralTopPerRegion(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.Tables.region(spark, sfDir).createOrReplaceTempView("region_v")
+    graft.Tables.nation(spark, sfDir).createOrReplaceTempView("nation_v")
+    graft.Tables.supplier(spark, sfDir).createOrReplaceTempView("supplier_v")
+    spark.sql(
+      """SELECT r.r_name, t.n_name, t.n_suppliers
+        |FROM region_v r,
+        |LATERAL (
+        |  SELECT n.n_name, COUNT(s.s_suppkey) AS n_suppliers
+        |  FROM nation_v n JOIN supplier_v s ON s.s_nationkey = n.n_nationkey
+        |  WHERE n.n_regionkey = r.r_regionkey
+        |  GROUP BY n.n_name
+        |  ORDER BY n_suppliers DESC, n.n_name
+        |  LIMIT 2
+        |) t
+        |ORDER BY r.r_name, t.n_suppliers DESC, t.n_name""".stripMargin)
+  }
+
+  /** SQL-text PIVOT (parser surface; the DSL pivot is q_reshape_pivot):
+    * pinned IN-list, so no distinct-values pre-job. */
+  def sqlPivot(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.Tables.orders(spark, sfDir).createOrReplaceTempView("orders_v")
+    spark.sql(
+      """SELECT o_orderstatus,
+        |  coalesce(urgent, 0L) AS urgent, coalesce(medium, 0L) AS medium,
+        |  coalesce(low, 0L) AS low
+        |FROM (
+        |  SELECT o_orderstatus, o_orderpriority FROM orders_v)
+        |PIVOT (COUNT(*) FOR o_orderpriority IN
+        |  ('1-URGENT' AS urgent, '3-MEDIUM' AS medium, '5-LOW' AS low))
+        |ORDER BY o_orderstatus""".stripMargin)
+  }
+
+  /** Deterministic string aggregation: per group, the DISTINCT values
+    * joined in sorted order — collect_set is unordered by contract, so
+    * array_sort pins the one canonical rendering both engines agree on. */
+  def stringAgg(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        array_join(array_sort(collect_set(col("o_orderpriority"))), ",")
+          .as("priorities"),
+        size(collect_set(col("o_orderpriority"))).cast("long")
+          .as("n_distinct"))
+      .orderBy(col("o_orderstatus"))
+
   final case class OrderRow(o_orderkey: Long, o_custkey: Long,
                             o_orderstatus: String, o_totalprice: Double)
   final case class StatusSpend(status: String, spend_bucket: String)
@@ -106,6 +157,9 @@ object SqlOps extends graft.QueryModule {
     "q_sql_scalar_subquery" -> (scalarSubquery _),
     "q_sql_in_subquery" -> (inSubquery _),
     "q_sql_cte" -> (cte _),
+    "q_sql_lateral" -> (lateralTopPerRegion _),
+    "q_sql_pivot" -> (sqlPivot _),
+    "q_agg_string_agg" -> (stringAgg _),
     "q_typed_dataset" -> (typedDataset _))
 
   def oracle: Map[String, String] = Map(
@@ -124,6 +178,33 @@ object SqlOps extends graft.QueryModule {
         |                    WHERE c_mktsegment = 'BUILDING')
         |ORDER BY o_orderkey""".stripMargin,
     "q_sql_cte" -> cteSql("orders", "customer"),
+    "q_sql_pivot" ->
+      """SELECT o_orderstatus,
+        |  COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS urgent,
+        |  COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS medium,
+        |  COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS low
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+    "q_agg_string_agg" ->
+      """WITH d AS (
+        |  SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders)
+        |SELECT o_orderstatus,
+        |  string_agg(o_orderpriority, ',' ORDER BY o_orderpriority)
+        |    AS priorities,
+        |  COUNT(*) AS n_distinct
+        |FROM d GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_sql_lateral" ->
+      """SELECT r.r_name, t.n_name, t.n_suppliers
+        |FROM region r,
+        |LATERAL (
+        |  SELECT n.n_name, COUNT(s.s_suppkey) AS n_suppliers
+        |  FROM nation n JOIN supplier s ON s.s_nationkey = n.n_nationkey
+        |  WHERE n.n_regionkey = r.r_regionkey
+        |  GROUP BY n.n_name
+        |  ORDER BY n_suppliers DESC, n.n_name
+        |  LIMIT 2
+        |) t
+        |ORDER BY r.r_name, t.n_suppliers DESC, t.n_name""".stripMargin,
     "q_sql_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
         |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 6) AS DOUBLE)
