@@ -37,6 +37,11 @@ object Pipelines {
   private def readSemiCsv(spark: SparkSession, path: String) =
     graft.text.Clean.readRohCsv(spark, path)
 
+  /** coalesce(1) is the reference's ONE-FILE csv contract
+    * (00_training_pipeline.py writes a single roh.csv per day), not an
+    * engine limitation: the write stays executor-side, and the contract
+    * itself — one file — is what serializes it. Multi-file consumers
+    * would drop the coalesce and keep everything else. */
   private def writeSemiCsv(df: org.apache.spark.sql.DataFrame, dir: String): Unit =
     df.coalesce(1).write.option("header", true).option("delimiter", ";")
       .option("escape", "\"").csv(dir)
