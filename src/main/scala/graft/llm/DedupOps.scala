@@ -91,20 +91,11 @@ object DedupOps extends graft.QueryModule {
       .orderBy($"a_id", $"b_id")
   }
 
-  /** The SCALE.md stop-shingle variant of [[ngramJaccard]]: shingles
-    * hotter than `maxDf` docs within their block are excluded from
-    * CANDIDATE GENERATION (they are the m² pair-explosion risk at
-    * 100 TB), then every surviving candidate pair is verified EXACTLY
-    * via full-array intersection — so there are no false positives, and
-    * the only recall loss is pairs whose shared shingles are ALL hotter
-    * than the cutoff (the prefix-filtering trade). Not declared (the
-    * declared query stays exact end-to-end, matching the oracle);
-    * behavior pinned in DedupSpec. */
   /** Location of the persisted shingled-corpus artifact (doc_id, lang,
     * length-bucket, shingle set) — the dedup pipeline's FIRST working
     * set, built once per corpus and read by the scale-path queries. */
   private[llm] def shingleIndexPath(sfDir: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_shingle_index/" +
+    s"${System.getProperty("java.io.tmpdir")}/graft_shingle_index/$ArtifactVersion-" +
       java.lang.Integer.toHexString(sfDir.hashCode)
 
   private[llm] def buildShingleIndex(spark: SparkSession, sfDir: String): String = {
@@ -121,6 +112,15 @@ object DedupOps extends graft.QueryModule {
     path
   }
 
+  /** The SCALE.md stop-shingle variant of [[ngramJaccard]]: shingles
+    * hotter than `maxDf` docs within their block are excluded from
+    * CANDIDATE GENERATION (they are the m² pair-explosion risk at
+    * 100 TB), then every surviving candidate pair is verified EXACTLY
+    * via full-array intersection — so there are no false positives, and
+    * the only recall loss is pairs whose shared shingles are ALL hotter
+    * than the cutoff (the prefix-filtering trade). Declared as
+    * q_dedup_ngram_jaccard_cutoff, oracled by fixture-equality with the
+    * exact SQL; behavior also pinned in DedupSpec. */
   private[llm] def ngramJaccardWithCutoff(
       spark: SparkSession, sfDir: String, maxDf: Int): DataFrame = {
     import spark.implicits._
@@ -309,9 +309,14 @@ object DedupOps extends graft.QueryModule {
   private def contentFp(c: Column): Column =
     sha2(regexp_replace(lower(c), "\\s+", " "), 256)
 
+  /** Artifact schema version: part of every artifact path, so changing
+    * a fingerprint/shingle/pair definition can never silently reuse a
+    * stale artifact built by older code — bump it with the definition. */
+  private val ArtifactVersion = "v1"
+
   /** Location of the persisted corpus-fingerprint index for one sf dir. */
   private[llm] def fpIndexPath(sfDir: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_fp_index/" +
+    s"${System.getProperty("java.io.tmpdir")}/graft_fp_index/$ArtifactVersion-" +
       java.lang.Integer.toHexString(sfDir.hashCode)
 
   /** Materialize the EXISTING corpus's fingerprint set ONCE as a parquet
@@ -598,7 +603,7 @@ object DedupOps extends graft.QueryModule {
   /** Location of the persisted near-dup pair-graph artifact (the edge
     * list every dup-graph analytics query consumes). */
   private[llm] def pairIndexPath(sfDir: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_pair_index/" +
+    s"${System.getProperty("java.io.tmpdir")}/graft_pair_index/$ArtifactVersion-" +
       java.lang.Integer.toHexString(sfDir.hashCode)
 
   /** Materialize the exact ngram-Jaccard pair graph ONCE as a parquet
