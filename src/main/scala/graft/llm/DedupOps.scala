@@ -50,8 +50,7 @@ object DedupOps extends graft.QueryModule {
   def exactDedup(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     graft.Tables.documents(spark, sfDir)
-      .select($"doc_id",
-        sha2(regexp_replace(lower($"text"), "\\s+", " "), 256).as("fp"))
+      .select($"doc_id", contentFp($"text").as("fp"))
       .groupBy($"fp")
       .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy($"keep_id")
@@ -95,8 +94,7 @@ object DedupOps extends graft.QueryModule {
     * length-bucket, shingle set) — the dedup pipeline's FIRST working
     * set, built once per corpus and read by the scale-path queries. */
   private[llm] def shingleIndexPath(sfDir: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_shingle_index/$ArtifactVersion-" +
-      java.lang.Integer.toHexString(sfDir.hashCode)
+    s"${System.getProperty("java.io.tmpdir")}/graft_shingle_index/${artifactKey(sfDir)}"
 
   private[llm] def buildShingleIndex(spark: SparkSession, sfDir: String): String = {
     import spark.implicits._
@@ -211,7 +209,7 @@ object DedupOps extends graft.QueryModule {
     * survive thousands of IDENTICAL documents without concentrating
     * their m² pair expansion in one task. Shape:
     *  1. collapse identical shingle sets to one representative per
-    *     fingerprint (xxhash64 of the sorted shingle array) — exact
+    *     fingerprint (sha2-256 of the sorted shingle array) — exact
     *     duplicates never reach the banding stage;
     *  2. band the representatives, pair them through a self-join on
     *     (band, bandhash) — a streamed join, so a hot bucket buffers its
@@ -234,10 +232,18 @@ object DedupOps extends graft.QueryModule {
     * exposed for the degenerate-corpus spec (DedupSpec). */
   private[llm] def minhashPairs(docsIn: DataFrame): DataFrame = {
     import docsIn.sparkSession.implicits._
+    // fp identity must need NO verification (same-fp docs merge into one
+    // rep and their pairs are emitted at jaccard 1.0 unverified), so it
+    // is 256-bit sha2 over the NUL-joined sorted shingles — collision
+    // probability stays negligible at any corpus size, unlike a 64-bit
+    // hash whose birthday bound bites at billions of docs. docs is
+    // materialized once: it feeds seven plan legs (reps, banding, both
+    // verify sides, members x3), which Catalyst would otherwise clone.
     val docs = docsIn
       .select($"doc_id", shinglesUdf($"text").as("sh"))
       .filter(size($"sh") > 0)
-      .withColumn("fp", xxhash64(array_sort($"sh")))
+      .withColumn("fp", sha2(concat_ws("\u0000", array_sort($"sh")), 256))
+      .localCheckpoint()
     val members = docs.select($"fp", $"doc_id")
     val reps = docs.groupBy($"fp")
       .agg(min_by($"sh", $"doc_id").as("sh"))
@@ -312,12 +318,23 @@ object DedupOps extends graft.QueryModule {
   /** Artifact schema version: part of every artifact path, so changing
     * a fingerprint/shingle/pair definition can never silently reuse a
     * stale artifact built by older code — bump it with the definition. */
-  private val ArtifactVersion = "v1"
+  private val ArtifactVersion = "v2"
+
+  /** Full artifact cache key: code version + corpus dir + the source
+    * table's (length, mtime). A corpus REBUILT at the same path gets a
+    * fresh artifact (the data key changes), and two different corpus
+    * paths cannot cross-wire through a 32-bit path-hash collision alone
+    * (they would also need identical file size and mtime). */
+  private def artifactKey(sfDir: String): String = {
+    val f = new java.io.File(s"$sfDir/documents.parquet")
+    s"$ArtifactVersion-" +
+      java.lang.Integer.toHexString(sfDir.hashCode) + "-" +
+      java.lang.Long.toHexString(f.length() ^ (f.lastModified() * 31L))
+  }
 
   /** Location of the persisted corpus-fingerprint index for one sf dir. */
   private[llm] def fpIndexPath(sfDir: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_fp_index/$ArtifactVersion-" +
-      java.lang.Integer.toHexString(sfDir.hashCode)
+    s"${System.getProperty("java.io.tmpdir")}/graft_fp_index/${artifactKey(sfDir)}"
 
   /** Materialize the EXISTING corpus's fingerprint set ONCE as a parquet
     * artifact (distinct fp, hash-partitioned and sorted within partitions
@@ -334,7 +351,7 @@ object DedupOps extends graft.QueryModule {
     val target = graft.flow.DirTarget(path)
     if (!target.exists) target.atomicWrite { tmp =>
       graft.Tables.documents(spark, sfDir)
-        .filter($"doc_id" % 3 =!= 0) // the EXISTING corpus slice
+        .filter($"doc_id" % 3 =!= 0 && $"text".isNotNull) // EXISTING slice
         .select(contentFp($"text").as("fp"))
         .distinct()
         .repartition(8, $"fp").sortWithinPartitions($"fp")
@@ -355,8 +372,11 @@ object DedupOps extends graft.QueryModule {
   def incrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val index = spark.read.parquet(buildFpIndex(spark, sfDir))
+    // null text would make the anti-join and the oracle's NOT IN
+    // disagree (null never equi-matches; NOT IN goes three-valued) —
+    // null-text docs are out of the dedup contract on both sides
     val batch = graft.Tables.documents(spark, sfDir)
-      .filter($"doc_id" % 3 === 0)
+      .filter($"doc_id" % 3 === 0 && $"text".isNotNull)
       .select($"doc_id", contentFp($"text").as("fp"))
     batch
       .join(index, Seq("fp"), "left_anti")
@@ -603,8 +623,7 @@ object DedupOps extends graft.QueryModule {
   /** Location of the persisted near-dup pair-graph artifact (the edge
     * list every dup-graph analytics query consumes). */
   private[llm] def pairIndexPath(sfDir: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_pair_index/$ArtifactVersion-" +
-      java.lang.Integer.toHexString(sfDir.hashCode)
+    s"${System.getProperty("java.io.tmpdir")}/graft_pair_index/${artifactKey(sfDir)}"
 
   /** Materialize the exact ngram-Jaccard pair graph ONCE as a parquet
     * artifact (canonical a<b edges), committed atomically — the fp-index
@@ -755,7 +774,7 @@ object DedupOps extends graft.QueryModule {
       """WITH fps AS (
         |  SELECT doc_id,
         |         sha256(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
-        |  FROM documents),
+        |  FROM documents WHERE text IS NOT NULL),
         |batch AS (SELECT * FROM fps WHERE doc_id % 3 = 0),
         |existing AS (SELECT fp FROM fps WHERE doc_id % 3 <> 0)
         |SELECT fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_batch_copies

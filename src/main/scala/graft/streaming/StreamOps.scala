@@ -54,6 +54,19 @@ object StreamOps extends graft.QueryModule {
       .orderBy($"user_id", $"session_start_ms")
   }
 
+  /** The file-source events STREAM shared by every TRUE-streaming query:
+    * batch loader side-effect sets the nanosAsLong conf, the raw schema
+    * is read once, and the ns->micros ts conversion matches
+    * Tables.events — one place to change the events source contract. */
+  private def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.events(spark, sfDir) // sets the nanosAsLong conf
+    val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   /** TRUE streaming execution of the tumbling aggregate: parquet file
     * source -> readStream -> windowed agg -> memory sink, driven to
     * completion with Trigger.AvailableNow. Complete-mode final state is
@@ -62,12 +75,7 @@ object StreamOps extends graft.QueryModule {
     * the t2 contract, not just the window expressions. */
   def liveTumbling(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    graft.Tables.events(spark, sfDir) // sets the nanosAsLong conf
-    val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val ev = spark.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    val agg = ev
+    val agg = eventsStream(spark, sfDir)
       .groupBy(window($"ts", "15 minutes").as("w"), $"event_type")
       .agg(count(lit(1)).as("n"), graft.ops.AggOps.dsum($"value").as("sum_value"))
     val name = "live_tumbling_" + java.lang.Integer.toHexString(sfDir.hashCode)
@@ -93,12 +101,7 @@ object StreamOps extends graft.QueryModule {
     * pinned by StreamingSpec (MemoryStream, two add/process rounds). */
   def liveTumblingUpsert(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    graft.Tables.events(spark, sfDir) // sets the nanosAsLong conf
-    val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val ev = spark.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    val agg = ev
+    val agg = eventsStream(spark, sfDir)
       .groupBy(window($"ts", "15 minutes").as("w"), $"event_type")
       .agg(count(lit(1)).as("n"), graft.ops.AggOps.dsum($"value").as("sum_value"))
       .select(unix_millis($"w.start").as("win_start_ms"), $"event_type",
@@ -156,15 +159,17 @@ object StreamOps extends graft.QueryModule {
     // clustering for partitioned targets
     val withPart = batch.withColumn(partCol, partExpr)
       .repartition(col(partCol))
-    val partType = withPart.schema(partCol).dataType
     if (!new java.io.File(target).exists()) {
       withPart.write.mode("overwrite").partitionBy(partCol).parquet(target)
     } else {
       val touched = withPart.select(col(partCol)).distinct()
         .collect().map(_.get(0)).toSeq
-      val survivors = spark.read.parquet(target)
+      // explicit schema: partition-column TYPE INFERENCE is off the table
+      // (an inferred type whose string form differs from the written
+      // value — "007" read back as INT 7 — would empty the survivor set
+      // and silently drop every non-batch row of a touched partition)
+      val survivors = spark.read.schema(withPart.schema).parquet(target)
         .filter(col(partCol).isin(touched: _*)) // partition-pruned scan
-        .withColumn(partCol, col(partCol).cast(partType)) // undo inference
         .join(withPart.select(keys.map(col): _*), keys, "left_anti")
         .localCheckpoint()
       survivors.unionByName(withPart)
@@ -212,7 +217,7 @@ object StreamOps extends graft.QueryModule {
     import spark.implicits._
     graft.Tables.events(spark, sfDir)
       .withColumn("minute_ms",
-        (unix_millis($"ts") / 60000L).cast("long") * 60000L)
+        expr("unix_millis(ts) div 60000") * 60000L)
       .groupBy($"user_id", $"event_type", $"minute_ms")
       .agg(min($"event_id").as("keep_event_id"),
         count(lit(1)).as("n_replays"))
@@ -248,10 +253,7 @@ object StreamOps extends graft.QueryModule {
     * equals the batch join+agg, so the query is fully oracled. */
   def streamStaticJoin(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    graft.Tables.events(spark, sfDir) // sets the nanosAsLong conf
-    val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val ev = spark.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+    val ev = eventsStream(spark, sfDir)
     val dim = graft.Tables.customer(spark, sfDir)
       .select($"c_custkey", $"c_mktsegment")
     val agg = ev.join(broadcast(dim), ev("user_id") === dim("c_custkey"))
