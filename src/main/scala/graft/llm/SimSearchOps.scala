@@ -108,9 +108,17 @@ object SimSearchOps extends graft.QueryModule {
         .select($"vec_id".as("q_id"), $"embedding".as("q_e")), "q_id", "q_e")
     val corpus = withBands(
       emb.select($"vec_id".as("c_id"), $"embedding".as("c_e")), "c_id", "c_e")
+    // dedup the (24x-duplicated) band collisions on 16-byte id pairs,
+    // THEN join the vectors back — distinct() over rows carrying two
+    // 64-float arrays would shuffle ~512B per duplicated candidate (the
+    // PQ re-rank already uses this lookup shape)
     val candidates = corpus.join(broadcast(queries), Seq("bkey"))
       .filter($"q_id" =!= $"c_id")
-      .select($"q_id", $"q_e", $"c_id", $"c_e").distinct()
+      .select($"q_id", $"c_id").distinct()
+      .join(broadcast(emb.filter($"vec_id" < 10)
+        .select($"vec_id".as("q_id"), $"embedding".as("q_e"))), Seq("q_id"))
+      .join(emb.select($"vec_id".as("c_id"), $"embedding".as("c_e")),
+        Seq("c_id"))
     val w = Window.partitionBy($"q_id").orderBy($"score".desc, $"c_id")
     candidates
       .withColumn("score", round(cosine($"q_e", $"c_e"), 6))
@@ -159,11 +167,17 @@ object SimSearchOps extends graft.QueryModule {
     val queries = assigned.filter($"vec_id" < 10)
       .select($"vec_id".as("q_id"), $"embedding".as("q_e"),
         explode(probeUdf($"embedding")).as("cell"))
+    // same id-only dedup + vector lookup as topkLsh (nprobe cells
+    // duplicate a candidate up to NPROBE times)
     val candidates = assigned
-      .select($"vec_id".as("c_id"), $"embedding".as("c_e"), $"cell")
+      .select($"vec_id".as("c_id"), $"cell")
       .join(broadcast(queries), Seq("cell"))
       .filter($"q_id" =!= $"c_id")
-      .select($"q_id", $"q_e", $"c_id", $"c_e").distinct()
+      .select($"q_id", $"c_id").distinct()
+      .join(broadcast(assigned.filter($"vec_id" < 10)
+        .select($"vec_id".as("q_id"), $"embedding".as("q_e"))), Seq("q_id"))
+      .join(assigned.select($"vec_id".as("c_id"), $"embedding".as("c_e")),
+        Seq("c_id"))
     val w = Window.partitionBy($"q_id").orderBy($"score".desc, $"c_id")
     candidates
       .withColumn("score", round(cosine($"q_e", $"c_e"), 6))

@@ -217,10 +217,13 @@ object JoinOps extends graft.QueryModule {
     val urgent = graft.Tables.orders(spark, sfDir)
       .filter($"o_orderpriority" === "1-URGENT")
       .select($"o_orderkey", $"o_custkey")
-    // ~20% of orders; 0.1% fpp keeps the sketch ~ a few hundred KB at
-    // fixture scale and O(n_keys) at any scale — never O(rows x width)
+    // capacity is a fixed overestimate, NOT urgent.count(): sizing the
+    // sketch exactly would cost a full extra scan of the selective side
+    // before any pruning benefit; a bloom only degrades gracefully (less
+    // full = lower fpp), and 4M keys x 0.1% fpp is ~7 MB — at a real
+    // deployment the number comes from table statistics, not a job
     val bloom = urgent.stat.bloomFilter($"o_orderkey",
-      expectedNumItems = math.max(urgent.count(), 1L), fpp = 0.001)
+      expectedNumItems = 4000000L, fpp = 0.001)
     val mightContain = udf((k: Long) => bloom.mightContain(k))
     graft.Tables.lineitem(spark, sfDir)
       .filter(mightContain($"l_orderkey")) // prunes BEFORE the shuffle

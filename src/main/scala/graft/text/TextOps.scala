@@ -13,8 +13,13 @@ import org.apache.spark.sql.functions._
   *
   * Tokenization note: Python's re `\w+` (reference tokenizer) is
   * unicode-aware; Java's default is ASCII-only, so the Spark side uses the
-  * embedded (?U) flag for parity. The DuckDB oracle twin uses RE2 `\w+`
-  * (also unicode) — identical on the fixture corpus.
+  * embedded (?U) flag for REFERENCE parity — that contract wins. The
+  * DuckDB oracle's RE2 `\w` is ASCII-ONLY (verified: 'ión' extracts as
+  * ['i','n']), so the oracle twin is exact only for ASCII corpora like
+  * the fixture; a non-ASCII corpus keeps reference parity and would need
+  * the oracle row demoted to golden/spec. The same class of caveat
+  * applies to `\s` (Java includes \x0B, RE2 does not) — fixture text
+  * has no control characters.
   */
 object TextOps extends graft.QueryModule {
 
@@ -113,18 +118,18 @@ object TextOps extends graft.QueryModule {
     val docs = graft.Tables.documents(spark, sfDir)
     val toks = split($"text", " ")
     val nTok = size(toks).cast("double")
-    // duplicated-shingle fraction: 1 - distinct/total 3-grams (0 when < 3 tokens)
-    // sequence(0, n-3) inclusive = n-2 shingles; the n<3 case is guarded
-    // by the when() below (greatest keeps the unevaluated branch sane)
-    val sh = expr("""transform(
-        sequence(0, greatest(size(split(text, ' ')) - 3, 0)),
-        i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1],
-                       split(text, ' ')[i+2]))""")
-    val base = docs.select($"doc_id", $"n_chars", $"text",
+    // duplicated-shingle fraction: 1 - distinct/total 3-grams (0 when
+    // < 3 tokens). One tight UDF pass, duplicates kept — the
+    // transform/[] column-tree alternative re-inlines split(text) into
+    // every lambda element (the O(n^2) pushdown trap this file already
+    // documents at bigramsUdf/shinglesUdf).
+    val base = docs
+      .withColumn("sh3", trigramsUdf($"text"))
+      .select($"doc_id", $"n_chars", $"text",
       size(toks).as("n_tokens"),
       when(size(toks) < 3, lit(0.0))
-        .otherwise(lit(1.0) - size(array_distinct(sh)).cast("double") /
-          size(sh).cast("double")).as("rep3_frac_raw"),
+        .otherwise(lit(1.0) - size(array_distinct($"sh3")).cast("double") /
+          size($"sh3").cast("double")).as("rep3_frac_raw"),
       (length(regexp_replace($"text", "[^0-9]", "")).cast("double") /
         $"n_chars").as("digit_frac_raw"),
       (size(filter(toks, t => t.rlike("^[a-z]+$"))).cast("double") / nTok)
@@ -195,22 +200,30 @@ object TextOps extends graft.QueryModule {
     val K = 8  // gram length (chars)
     val W = 16 // winnow window
     val winnowUdf = udf((text: String) => {
-      if (text == null || text.length < K) Seq.empty[Long]
+      if (text == null) Seq.empty[Long]
       else {
+        // hash over CODE POINTS, not UTF-16 code units: the oracle's
+        // unicode(substr(...)) sees code points, and the two only agree
+        // for BMP text — an emoji would split into two surrogate units
+        // here while DuckDB sees one value. Identical to charAt for the
+        // all-BMP case (every ASCII/Latin corpus).
+        val cps = text.codePoints().toArray
+        if (cps.length < K) Seq.empty[Long]
+        else {
         val B = 257L
         val P = 1000000007L
         var pow = 1L
         var i = 1
         while (i < K) { pow = pow * B % P; i += 1 }
-        val hashes = new Array[Long](text.length - K + 1)
+        val hashes = new Array[Long](cps.length - K + 1)
         var h = 0L
         var j = 0
-        while (j < K) { h = (h * B + text.charAt(j)) % P; j += 1 }
+        while (j < K) { h = (h * B + cps(j)) % P; j += 1 }
         hashes(0) = h
         var p = 1
-        while (p <= text.length - K) {
-          h = ((h - text.charAt(p - 1) * pow % P + P) % P * B +
-            text.charAt(p + K - 1)) % P
+        while (p <= cps.length - K) {
+          h = ((h - cps(p - 1) * pow % P + P) % P * B +
+            cps(p + K - 1)) % P
           hashes(p) = h
           p += 1
         }
@@ -225,6 +238,7 @@ object TextOps extends graft.QueryModule {
           s += 1
         }
         if (out.isEmpty) Seq(hashes.min) else out.toSeq
+        }
       }
     })
     graft.Tables.documents(spark, sfDir)
@@ -252,7 +266,7 @@ object TextOps extends graft.QueryModule {
   private val langIdUdf = udf((text: String) => {
     if (text == null || text.length < 3) "unknown"
     else {
-      val lower = text.toLowerCase
+      val lower = text.toLowerCase(java.util.Locale.ROOT)
       val counts = new Array[Int](langProfiles.size)
       var i = 0
       while (i <= lower.length - 3) {
@@ -421,6 +435,18 @@ object TextOps extends graft.QueryModule {
   /** one tight pass; duplicates kept (counts need them). Same rationale
     * as shinglesUdf: a transform/element_at column tree re-inlines the
     * aliased split into every element under pushdown. */
+  /** consecutive-token 3-grams, duplicates KEPT (repetition metrics
+    * need the multiset; DedupOps.shinglesUdf dedupes and can't be
+    * shared) — same one-tight-pass rationale as bigramsUdf. */
+  private val trigramsUdf = udf((text: String) => {
+    if (text == null) Array.empty[String]
+    else {
+      val t = text.split(" ", -1)
+      if (t.length < 3) Array.empty[String]
+      else Array.tabulate(t.length - 2)(i => t(i) + " " + t(i + 1) + " " + t(i + 2))
+    }
+  })
+
   private val bigramsUdf = udf((text: String) => {
     if (text == null) Array.empty[String]
     else {
