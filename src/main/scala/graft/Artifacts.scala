@@ -1,0 +1,33 @@
+package graft
+
+/** Shared location + cache-key policy for persisted working-set artifacts
+  * (shingle/fingerprint/pair indexes, bucketed join tables, roundtrip
+  * fixtures, streaming upsert targets).
+  *
+  * `root` defaults to the JVM temp dir — right for local[*] and CI — and
+  * is overridden with SPARK_GRAFT_ARTIFACT_DIR so that on a real cluster
+  * the artifacts land on storage every executor and a restarted driver
+  * can see (HDFS/NFS mount, fuse-mounted object store). Without that, a
+  * driver restart orphans the working sets and every index rebuilds from
+  * scratch — correctness survives, the 100 TB economics don't.
+  */
+object Artifacts {
+
+  /** Artifact root directory; see object doc for the env override. */
+  def root: String = sys.env.getOrElse(
+    "SPARK_GRAFT_ARTIFACT_DIR", System.getProperty("java.io.tmpdir"))
+
+  /** Cache key tying an artifact to the CONTENT of its source file, not
+    * just its path: code version (bump when the artifact definition
+    * changes) + source-dir path hash + the source file's (length, mtime).
+    * A fixture regenerated at the same path changes the key, so a stale
+    * artifact can never be silently reused; two different source dirs
+    * cannot cross-wire through a 32-bit path-hash collision alone (they
+    * would also need identical file length and mtime). */
+  def key(version: String, sfDir: String, sourceFile: String): String = {
+    val f = new java.io.File(s"$sfDir/$sourceFile")
+    s"$version-" +
+      java.lang.Integer.toHexString(sfDir.hashCode) + "-" +
+      java.lang.Long.toHexString(f.length() ^ (f.lastModified() * 31L))
+  }
+}

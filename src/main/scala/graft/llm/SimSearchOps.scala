@@ -65,33 +65,61 @@ object SimSearchOps extends graft.QueryModule {
   private val LSH_BANDS = 24
   private val BITS_PER_BAND = 5
 
-  /** deterministic hyperplanes: seeded uniform in [-1,1); shipped as a
-    * literal array (24 bands x 5 planes x 64 dims ~ 8k doubles — broadcast
-    * by Catalyst as a constant, no shuffle). */
-  private lazy val planes: Array[Array[Array[Double]]] = {
-    val rnd = new scala.util.Random(42)
-    Array.fill(LSH_BANDS, BITS_PER_BAND, DIMS)(rnd.nextDouble() * 2 - 1)
+  /** band-key UDF builder: `bands` x `bits` deterministic hyperplanes
+    * (seeded uniform in [-1,1)), shipped as a literal array (~bands x bits
+    * x 64 doubles — broadcast by Catalyst as a constant, no shuffle); all
+    * band keys of an embedding come out in one tight pass (interpreted
+    * HOF projections cost ~6 s at sf0.1; a UDF ~1 s). Key format
+    * "band:bits" so a single explode+join covers all bands. */
+  private def mkBandKeysUdf(bands: Int, bits: Int, seed: Long) = {
+    val rnd = new scala.util.Random(seed)
+    val planes = Array.fill(bands, bits, DIMS)(rnd.nextDouble() * 2 - 1)
+    udf((e: Seq[Float]) => {
+      val arr = e.toArray
+      Array.tabulate(bands) { b =>
+        var key = 0
+        var j = 0
+        while (j < bits) {
+          val plane = planes(b)(j)
+          var proj = 0.0
+          var d = 0
+          while (d < arr.length && d < DIMS) { proj += arr(d) * plane(d); d += 1 }
+          key = (key << 1) | (if (proj >= 0) 1 else 0)
+          j += 1
+        }
+        s"$b:$key"
+      }.toSeq
+    })
   }
 
-  /** all band keys of an embedding in one tight pass (24x5 projections of
-    * dim 64 as interpreted HOFs cost ~6 s at sf0.1; this UDF ~1 s).
-    * Key format "band:bits" so a single explode+join covers all bands. */
-  private[llm] val bandKeysUdf = udf((e: Seq[Float]) => {
+  /** the top-k search band set (24x5, header comment above) */
+  private[llm] lazy val bandKeysUdf = mkBandKeysUdf(LSH_BANDS, BITS_PER_BAND, 42)
+
+  /** L2-normalize a float vector (zero vectors pass through unscaled):
+    * puts IVF cell assignment and PQ encoding in the space where L2
+    * order equals the cosine truth metric. */
+  private val normalizeUdf = udf((e: Seq[Float]) => {
     val arr = e.toArray
-    Array.tabulate(LSH_BANDS) { b =>
-      var key = 0
+    var s = 0.0
+    var i = 0
+    while (i < arr.length) { s += arr(i).toDouble * arr(i); i += 1 }
+    val n = math.sqrt(s)
+    if (n == 0.0) arr.toSeq
+    else {
+      val out = new Array[Float](arr.length)
       var j = 0
-      while (j < BITS_PER_BAND) {
-        val plane = planes(b)(j)
-        var proj = 0.0
-        var d = 0
-        while (d < arr.length && d < DIMS) { proj += arr(d) * plane(d); d += 1 }
-        key = (key << 1) | (if (proj >= 0) 1 else 0)
-        j += 1
-      }
-      s"$b:$key"
-    }.toSeq
+      while (j < arr.length) { out(j) = (arr(j) / n).toFloat; j += 1 }
+      out.toSeq
+    }
   })
+
+  /** the dedup-blocking band set: DedupOps.embeddingCosineLsh pairs at
+    * cosine >= 0.4 (fixture-calibrated), where p_plane ~ 0.631 — 4 bits
+    * keep per-band collision at 0.631^4 ~ 0.159 and 32 bands push the
+    * per-pair miss probability to (1-0.159)^32 ~ 4e-3 (24x5 would miss
+    * ~8% of pairs). Distinct seed so the two plane families can't
+    * accidentally correlate. */
+  private[llm] lazy val dedupBandKeysUdf = mkBandKeysUdf(32, 4, 1042)
 
   /** LSH-bucketed approximate top-5 for vec_id < 10: candidates share a
     * band bucket with the query, then exact cosine re-rank. Declared
@@ -140,19 +168,32 @@ object SimSearchOps extends graft.QueryModule {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val NLIST = 16
-    val NPROBE = 4
+    // 12 of 16 cells per query: generous on purpose — the synthetic fixture
+    // vectors are nearly ISOTROPIC (cosine neighbors sit at ~0.3-0.5, so
+    // direction cells separate them weakly) and the recall floor is an
+    // absolute 0.9 (SimSearchSpec); a real embedding corpus clusters far
+    // tighter and runs nprobe 1-4 of a much larger nlist — the
+    // nprobe/nlist fraction, not the plan, is the tuning surface
+    val NPROBE = 12
+    // the truth metric is COSINE, so cells are trained and assigned on
+    // L2-NORMALIZED vectors (unit-sphere L2 order == cosine order — the
+    // spherical-kmeans recipe); clustering the raw vectors instead puts
+    // large-magnitude vectors in their own cells regardless of direction
+    // and quietly caps recall
     val emb = graft.Tables.embeddings(spark, sfDir)
-      .withColumn("fv", array_to_vector($"embedding".cast("array<double>")))
+      .withColumn("ne", normalizeUdf($"embedding"))
+      .withColumn("fv", array_to_vector($"ne".cast("array<double>")))
     // train the quantizer on a bounded slice — IVF centroids don't need
     // the full corpus (at 100 TB you'd never fit on all of it); limit() is
     // deterministic for a fixed file layout
-    val model = new KMeans().setK(NLIST).setSeed(42L).setMaxIter(4)
+    val model = new KMeans().setK(NLIST).setSeed(42L).setMaxIter(10)
       .setFeaturesCol("fv").setPredictionCol("cell")
       .fit(emb.select($"fv").limit(4096))
     val assigned = model.transform(emb)
-      .select($"vec_id", $"embedding", $"cell")
+      .select($"vec_id", $"embedding", $"ne", $"cell")
     val centroids = model.clusterCenters.map(_.toArray)
     // nprobe nearest cells per query, via a literal centroid table
+    // (distances on the normalized query — same space as the centroids)
     val probeUdf = udf((e: Seq[Float]) => {
       val arr = e.toArray
       centroids.zipWithIndex.map { case (c, i) =>
@@ -166,7 +207,7 @@ object SimSearchOps extends graft.QueryModule {
     })
     val queries = assigned.filter($"vec_id" < 10)
       .select($"vec_id".as("q_id"), $"embedding".as("q_e"),
-        explode(probeUdf($"embedding")).as("cell"))
+        explode(probeUdf($"ne")).as("cell"))
     // same id-only dedup + vector lookup as topkLsh (nprobe cells
     // duplicate a candidate up to NPROBE times)
     val candidates = assigned
@@ -206,9 +247,19 @@ object SimSearchOps extends graft.QueryModule {
     val M = 8
     val K = 16
     val SUBDIM = DIMS / M
-    val NCAND = 32
+    // 96 ADC candidates into the exact re-rank: 4-bit-per-subspace codes
+    // rank the fixture's near-isotropic vectors coarsely (real corpora
+    // with real cluster structure run K=256 codes and NCAND ~ 2-4x k);
+    // NCAND is the recall/cost knob and the 0.9 absolute floor
+    // (SimSearchSpec) sets it here
+    val NCAND = 96
+    // codes, LUTs and ADC run on L2-NORMALIZED vectors (see topkIvf: the
+    // truth metric is cosine, and ADC approximates L2 — the two orders
+    // only agree on the unit sphere); the final re-rank still scores the
+    // ORIGINAL vectors with exact cosine
     val emb = graft.Tables.embeddings(spark, sfDir)
-    val sample = emb.select($"embedding").limit(4096)
+      .withColumn("ne", normalizeUdf($"embedding"))
+    val sample = emb.select($"ne").limit(4096)
       .collect().map(_.getSeq[Float](0).toArray)
     val codebooks = trainCodebooks(sample, M, K, SUBDIM, iters = 5, seed = 42L)
     val encodeUdf = udf((e: Seq[Float]) => {
@@ -258,10 +309,10 @@ object SimSearchOps extends graft.QueryModule {
       while (m < M) { d += lut(m * K + codes(m)); m += 1 }
       d
     })
-    val corpus = emb.select($"vec_id".as("c_id"), encodeUdf($"embedding").as("codes"))
+    val corpus = emb.select($"vec_id".as("c_id"), encodeUdf($"ne").as("codes"))
     val queries = emb.filter($"vec_id" < 10)
       .select($"vec_id".as("q_id"), $"embedding".as("q_e"),
-        lutUdf($"embedding").as("lut"))
+        lutUdf($"ne").as("lut"))
     val wAdc = Window.partitionBy($"q_id").orderBy($"adc", $"c_id")
     val candidates = corpus.join(broadcast(queries), $"q_id" =!= $"c_id")
       .withColumn("adc", round(adcUdf($"lut", $"codes"), 9))

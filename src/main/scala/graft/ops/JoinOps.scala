@@ -73,12 +73,19 @@ object JoinOps extends graft.QueryModule {
       .orderBy($"c_custkey")
   }
 
-  /** Left anti = NOT EXISTS. */
+  /** Left anti = NOT EXISTS. Anti-joined against the HIGH-VALUE order
+    * subset (not all orders — on the fixture every customer has some
+    * order, which made the result empty and its oracle pass vacuously):
+    * customers with no order over 300k. The filter sits on the build
+    * side BEFORE the join, so the anti-join's shuffle carries only the
+    * qualifying orders. */
   def antiJoin(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val customer = graft.Tables.customer(spark, sfDir)
-    val orders = graft.Tables.orders(spark, sfDir)
-    customer.join(orders, customer("c_custkey") === orders("o_custkey"), "left_anti")
+    val bigOrders = graft.Tables.orders(spark, sfDir)
+      .filter($"o_totalprice" > 300000)
+    customer.join(bigOrders,
+        customer("c_custkey") === bigOrders("o_custkey"), "left_anti")
       .select($"c_custkey", $"c_name")
       .orderBy($"c_custkey")
   }
@@ -153,7 +160,7 @@ object JoinOps extends graft.QueryModule {
   def bucketedJoin(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val key = java.lang.Integer.toHexString(sfDir.hashCode)
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_buckets_$key"
+    val base = s"${graft.Artifacts.root}/graft_buckets_$key"
     def bucketize(df: DataFrame, table: String, col: String): Unit =
       df.write.mode("overwrite")
         .bucketBy(8, col).sortBy(col)
@@ -332,7 +339,9 @@ object JoinOps extends graft.QueryModule {
         |ORDER BY c_custkey""".stripMargin,
     "q_join_anti" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_totalprice > 300000)
         |ORDER BY c_custkey""".stripMargin,
     "q_join_range" ->
       """SELECT p.user_id AS user_id, p.event_id AS p_id, e.event_id AS e_id

@@ -18,8 +18,18 @@ object ScanOps extends graft.QueryModule {
 
   private def tmpDir(tag: String, sfDir: String): String = {
     val key = java.lang.Integer.toHexString(sfDir.hashCode)
-    s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip/${tag}_$key"
+    s"${graft.Artifacts.root}/graft_roundtrip/${tag}_$key"
   }
+
+  /** Content-keyed artifact dir for artifacts that are REUSED across runs
+    * (dppJoin's fact/dim tables) rather than rewritten unconditionally
+    * like the roundtrip dirs: Artifacts.key folds in the source file's
+    * (length, mtime), so a fixture regenerated at the same path can never
+    * silently serve a stale artifact. */
+  private def cachedArtifactDir(tag: String, sfDir: String,
+                                source: String): String =
+    s"${graft.Artifacts.root}/graft_roundtrip/" +
+      s"${tag}_${graft.Artifacts.key("v1", sfDir, source)}"
 
   /** Explicit-schema parquet scan: schema declared, not inferred; Catalyst
     * prunes to the 4 projected columns (check ReadSchema in explain). */
@@ -219,13 +229,13 @@ object ScanOps extends graft.QueryModule {
     * directories, not an in-memory relation. */
   def dppJoin(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val factPath = tmpDir("events_by_type", sfDir)
+    val factPath = cachedArtifactDir("events_by_type", sfDir, "events.parquet")
     if (!new java.io.File(factPath + "/_SUCCESS").exists()) {
       graft.Tables.events(spark, sfDir)
         .select($"event_id", $"user_id", $"value", $"event_type")
         .write.mode("overwrite").partitionBy("event_type").parquet(factPath)
     }
-    val dimPath = tmpDir("event_type_dim", sfDir)
+    val dimPath = cachedArtifactDir("event_type_dim", sfDir, "events.parquet")
     if (!new java.io.File(dimPath + "/_SUCCESS").exists()) {
       Seq(("purchase", "conversion"), ("signup", "conversion"),
         ("view", "browse"), ("click", "browse"), ("error", "ops"))

@@ -53,13 +53,19 @@ object SortSetOps extends graft.QueryModule {
     c.select($"c_custkey").intersect(withOrders).orderBy($"c_custkey")
   }
 
-  /** Except (distinct semantics, same as SQL EXCEPT). */
+  /** Except (distinct semantics, same as SQL EXCEPT): customers minus
+    * those with a finished ('F') order. The right side is a FILTERED
+    * subset on purpose — against all orders every customer key was
+    * subtracted and the result (and its oracle pass) was vacuously
+    * empty; the overlap-but-not-containment shape actually exercises
+    * EXCEPT's distinct-and-subtract semantics. */
   def exceptOp(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val c = graft.Tables.customer(spark, sfDir)
-    val withOrders = graft.Tables.orders(spark, sfDir)
+    val finished = graft.Tables.orders(spark, sfDir)
+      .filter($"o_orderstatus" === "F")
       .select($"o_custkey".as("c_custkey"))
-    c.select($"c_custkey").except(withOrders).orderBy($"c_custkey")
+    c.select($"c_custkey").except(finished).orderBy($"c_custkey")
   }
 
   /** Deterministic dedup-by-key: earliest order per customer. A window
@@ -148,7 +154,7 @@ object SortSetOps extends graft.QueryModule {
         |ORDER BY c_custkey""".stripMargin,
     "q_set_except" ->
       """SELECT c_custkey FROM customer
-        |EXCEPT SELECT o_custkey FROM orders
+        |EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
         |ORDER BY c_custkey""".stripMargin,
     "q_dedup_first_per_key" ->
       """SELECT o_custkey, first_orderkey, first_totalprice FROM (

@@ -111,7 +111,15 @@ case class PagedJsonScan(path: String, url: String, pageSize: Int, limit: Int)
       require(limit != Int.MaxValue,
         "HTTP mode needs option(\"limit\", N) to fix the page count " +
           "(the PRAW limit= contract)")
-      Array.tabulate(neededPages(Int.MaxValue)) { i =>
+      val pages = neededPages(Int.MaxValue)
+      // a large-but-finite limit would otherwise plan ceil(limit/pageSize)
+      // InputPartitions (limit=2e9 at pageSize 25 -> 80M partition objects
+      // ON THE DRIVER before a single request is made)
+      require(pages <= PagedJsonScan.MaxHttpPages,
+        s"limit=$limit at pageSize=$pageSize plans $pages HTTP pages " +
+          s"(max ${PagedJsonScan.MaxHttpPages}); raise option(\"pageSize\") " +
+          "or lower option(\"limit\")")
+      Array.tabulate(pages) { i =>
         PagedJsonInputPartition(s"$url?page=$i&size=$pageSize", limit)
           : InputPartition
       }
@@ -124,6 +132,13 @@ case class PagedJsonScan(path: String, url: String, pageSize: Int, limit: Int)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PagedJsonReaderFactory
+}
+
+object PagedJsonScan {
+  /** upper bound on planned HTTP pages: 100k partitions is already far
+    * beyond what a paged-API source should fan out to (and well under
+    * driver-memory trouble); a limit that needs more is a config error */
+  val MaxHttpPages = 100000
 }
 
 case class PagedJsonInputPartition(location: String, maxRows: Int)

@@ -106,7 +106,7 @@ object StreamOps extends graft.QueryModule {
       .agg(count(lit(1)).as("n"), graft.ops.AggOps.dsum($"value").as("sum_value"))
       .select(unix_millis($"w.start").as("win_start_ms"), $"event_type",
         $"n", $"sum_value")
-    val target = s"${System.getProperty("java.io.tmpdir")}/graft_stream_upsert/" +
+    val target = s"${graft.Artifacts.root}/graft_stream_upsert/" +
       java.lang.Integer.toHexString(sfDir.hashCode)
     org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(target))
     val q = agg.writeStream
@@ -244,6 +244,56 @@ object StreamOps extends graft.QueryModule {
       .orderBy($"user_id")
   }
 
+  /** Watermark late-data drop, declared as its deterministic batch twin
+    * (the one streaming-semantics row that previously had no declared
+    * query): tumbling aggregation over the events that a 10-minute
+    * watermark would ACCEPT, under a pinned arrival order.
+    *
+    * Contract. Arrival is simulated deterministically: micro-batch k
+    * carries events with `event_id div 1000 = k`, except events from
+    * laggy sources (`user_id % 50 = 0`), which deliver 3 batches late —
+    * the fixture's event times are monotone in event_id, so without the
+    * lag simulation nothing would ever be late and the query would pin
+    * nothing. Spark's engine rule is applied exactly: the watermark
+    * during batch k is max(event time over batches < k) - 10 min
+    * (watermarks advance at micro-batch END), and an input row is
+    * dropped iff its event time is below that watermark
+    * (watermarkPredicateForData — row-level, not window-level). At
+    * sf0.01 this drops 176 of 10 000 events, so the oracle compares a
+    * real, non-trivially-filtered aggregate; StreamingSpec drives the
+    * same arrival schedule through MemoryStream + withWatermark and
+    * checks the engine agrees with the twin.
+    *
+    * Scale shape: per-batch max event time is a distributed aggregate;
+    * the sequential part (running max over batch index) is ONE ROW PER
+    * BATCH through a window — exactly the driver-side watermark ledger
+    * the real engine keeps — then a broadcast join tags each event with
+    * its batch's cutoff. No global sort, no single-partition pass over
+    * the events themselves. */
+  def lateDrop(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, sfDir)
+      .withColumn("batch", expr("event_id div 1000") +
+        when($"user_id" % 50 === 0, lit(3)).otherwise(lit(0)))
+    val batchMax = ev.groupBy($"batch").agg(max($"ts").as("bmax"))
+    val wm = org.apache.spark.sql.expressions.Window
+      .orderBy($"batch")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    // one row per batch: the tiny frame where a global window is fine
+    val cutoffs = batchMax
+      .withColumn("prev_max", max($"bmax").over(wm))
+      .select($"batch", $"prev_max")
+    val kept = ev.join(broadcast(cutoffs), Seq("batch"))
+      .filter($"prev_max".isNull ||
+        $"ts" >= $"prev_max" - expr("interval 10 minutes"))
+    kept
+      .groupBy(window($"ts", "15 minutes").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"), graft.ops.AggOps.dsum($"value").as("sum_value"))
+      .select(unix_millis($"w.start").as("win_start_ms"), $"event_type",
+        $"n", $"sum_value")
+      .orderBy($"win_start_ms", $"event_type")
+  }
+
   /** Stream-static enrichment join (the standard streaming-ETL shape:
     * events enrich against a slowly-changing dimension without any
     * stream-side state): the events stream broadcast-joins the static
@@ -277,7 +327,8 @@ object StreamOps extends graft.QueryModule {
     "q_stream_user_state" -> (userRunningState _),
     "q_stream_tumbling" -> (tumbling _),
     "q_stream_sliding" -> (sliding _),
-    "q_stream_session" -> (sessions _))
+    "q_stream_session" -> (sessions _),
+    "q_stream_late_drop" -> (lateDrop _))
 
   private val tumblingOracle: String =
     """SELECT (epoch_ms(ts) // 900000) * 900000 AS win_start_ms, event_type,
@@ -286,6 +337,24 @@ object StreamOps extends graft.QueryModule {
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "q_stream_late_drop" ->
+      """WITH b AS (
+        |  SELECT *, event_id // 1000 +
+        |    CASE WHEN user_id % 50 = 0 THEN 3 ELSE 0 END AS batch
+        |  FROM events),
+        |bm AS (SELECT batch, max(ts) AS bmax FROM b GROUP BY batch),
+        |cut AS (
+        |  SELECT batch, max(bmax) OVER (ORDER BY batch
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        |  FROM bm),
+        |kept AS (
+        |  SELECT b.* FROM b JOIN cut USING (batch)
+        |  WHERE cut.prev_max IS NULL
+        |     OR b.ts >= cut.prev_max - INTERVAL 10 MINUTE)
+        |SELECT (epoch_ms(ts) // 900000) * 900000 AS win_start_ms, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+        |FROM kept GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_stream_tumbling" -> tumblingOracle,
     "q_stream_live_tumbling" -> tumblingOracle,
     "q_stream_upsert_sink" -> tumblingOracle,

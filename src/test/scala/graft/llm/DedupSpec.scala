@@ -64,8 +64,10 @@ class DedupSpec extends SparkTestBase {
   test("LSH-blocked embedding cosine finds planted near-dups without an id window") {
     // planted pair (0, 900): cos ~ 0.999, ids 900 apart — invisible to the
     // windowed variant's <=100 contract, found by bucket blocking. The
-    // fixture corpora have no same-label pairs above 0.51, so this planted
-    // run is what makes the fixture-equality oracle non-vacuous.
+    // fixture-equality oracle now exercises real pairs too (threshold 0.4
+    // matches the fixture's cosine range); this planted run pins the
+    // far-id case the fixture cannot produce and a near-1.0 cosine the
+    // fixture tops out below.
     val rnd = new scala.util.Random(7)
     def vec(): Array[Float] = Array.fill(64)(rnd.nextFloat() * 2 - 1)
     val v = vec()
@@ -133,6 +135,58 @@ class DedupSpec extends SparkTestBase {
     assert(pairs.count() == n.toLong * (n - 1) / 2)
     // and every pair is an exact dup at jaccard 1.0
     assert(pairs.filter($"jaccard" =!= 1.0).isEmpty)
+  }
+
+  test("exact ngram path survives a degenerate corpus of 5k identical docs") {
+    // same worst case as the minhash test, on the EXACT jaccard path: all
+    // 5k docs share every shingle, so without the fp pre-collapse the
+    // postings self-join would put 5k x 5k rows PER SHINGLE through one
+    // (lang, lb, shingle) group. With it, ONE representative reaches the
+    // postings join and the m² output streams out of the members join.
+    val n = 5000
+    val dir = java.nio.file.Files.createTempDirectory("graft_ngram_deg").toString
+    spark.range(n)
+      .selectExpr("id AS doc_id", s"'$base' AS text", "'en' AS lang",
+        "'s' AS source", s"CAST(${base.length} AS LONG) AS n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = DedupOps.ngramJaccard(spark, dir)
+    assert(pairs.count() == n.toLong * (n - 1) / 2)
+    assert(pairs.filter($"jaccard" =!= 1.0).isEmpty)
+  }
+
+  test("ngram cutoff consumes the persisted shingle artifact; no document re-scan") {
+    // the shingle-index analogue of the fp-index plan pin: the cutoff
+    // query's final plan must read the artifact parquet, and must NOT
+    // contain a documents.parquet scan (which would mean a refactor
+    // regressed it to re-shingling the corpus per query)
+    val idxPath = DedupOps.buildShingleIndex(spark, sf0001)
+    assert(graft.flow.DirTarget(idxPath).exists, s"artifact not committed: $idxPath")
+    val plan = DedupOps.ngramJaccardWithCutoff(spark, sf0001, 50)
+      .queryExecution.sparkPlan
+    val scanned = plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.relation.location.rootPaths.mkString(",")
+    }
+    assert(scanned.exists(_.contains(idxPath)), scanned)
+    assert(!scanned.exists(_.contains("documents.parquet")), scanned)
+  }
+
+  test("pair-graph artifact is built once and reused by the analytics family") {
+    // cluster stats / keep-list read the persisted pair graph instead of
+    // re-shingling: the artifact must exist after the first call and a
+    // second call must leave it untouched (same directory mtimes — no
+    // rebuild), returning identical results
+    DedupOps.clusterStats(spark, sf0001).collect()
+    val pairPath = DedupOps.pairIndexPath(sf0001)
+    assert(graft.flow.DirTarget(pairPath).exists, s"artifact missing: $pairPath")
+    def snapshot(): Map[String, Long] =
+      new java.io.File(pairPath).listFiles().filter(_.isFile)
+        .map(f => f.getName -> f.lastModified()).toMap
+    val before = snapshot()
+    val first = DedupOps.clusterStats(spark, sf0001).collect()
+    val second = DedupOps.clusterStats(spark, sf0001).collect()
+    assert(snapshot() == before, "pair-graph artifact was rebuilt on reuse")
+    assert(first.sameElements(second))
   }
 
   test("simhash: exact dup at distance 0, near dup within radius, unrelated apart") {

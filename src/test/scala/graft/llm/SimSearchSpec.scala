@@ -33,7 +33,9 @@ class SimSearchSpec extends SparkTestBase {
       want.intersect(approx.getOrElse(q, Set.empty)).size.toDouble / want.size
     }
     val mean = recalls.sum / recalls.size
-    assert(mean >= 0.5, s"mean IVF recall@5 too low: $mean (per-q: $recalls)")
+    // absolute floor, not just >= LSH: a band/cell tuning regression must
+    // not be able to hide behind a simultaneously-degraded baseline
+    assert(mean >= 0.9, s"mean IVF recall@5 too low: $mean (per-q: $recalls)")
   }
 
   test("PQ+re-rank top-5 recalls most of the exact top-5 on sf0.001") {
@@ -47,7 +49,8 @@ class SimSearchSpec extends SparkTestBase {
       want.intersect(approx.getOrElse(q, Set.empty)).size.toDouble / want.size
     }
     val mean = recalls.sum / recalls.size
-    assert(mean >= 0.5, s"mean PQ recall@5 too low: $mean (per-q: $recalls)")
+    // absolute floor (see IVF note)
+    assert(mean >= 0.9, s"mean PQ recall@5 too low: $mean (per-q: $recalls)")
     // deterministic across runs (seeded codebooks, fixed sample order)
     assert(SimSearchOps.topkPq(spark, sf0001).collect()
       .sameElements(SimSearchOps.topkPq(spark, sf0001).collect()))
@@ -69,7 +72,8 @@ class SimSearchSpec extends SparkTestBase {
     val lsh = recallOf(SimSearchOps.topkLsh(spark, sf0001), exact)
     val hnsw = recallOf(SimSearchOps.topkHnsw(spark, sf0001), exact)
     assert(hnsw >= lsh, s"hnsw recall $hnsw < lsh recall $lsh")
-    assert(hnsw >= 0.5, s"hnsw recall@5 too low: $hnsw")
+    // absolute floor (see IVF note)
+    assert(hnsw >= 0.9, s"hnsw recall@5 too low: $hnsw")
     // deterministic across runs (seeded planes + hash layers)
     assert(SimSearchOps.topkHnsw(spark, sf0001).collect()
       .sameElements(SimSearchOps.topkHnsw(spark, sf0001).collect()))

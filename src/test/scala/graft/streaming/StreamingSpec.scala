@@ -142,6 +142,52 @@ class StreamingSpec extends SparkTestBase {
     assert(first == second && first.size == 2, s"$first vs $second")
   }
 
+  test("late-drop twin matches the real engine under the declared arrival schedule") {
+    // q_stream_late_drop's contract says: feeding the fixture through a
+    // real watermarked stream in the declared arrival order (batch =
+    // event_id div 1000, laggy sources +3) produces exactly the twin's
+    // aggregate. This drives precisely that through MemoryStream: update
+    // mode + foreachBatch folds each batch's changed (window, type) rows
+    // into a map whose final state is the accepted-events aggregate.
+    implicit val sqlCtx = spark.sqlContext
+    val ev = graft.Tables.events(spark, sf0001)
+      .select($"event_id", $"ts", $"user_id", $"event_type")
+      .withColumn("batch", expr("event_id div 1000") +
+        when($"user_id" % 50 === 0, lit(3)).otherwise(lit(0)))
+      .collect()
+    val byBatch = ev.groupBy(_.getLong(4)).toSeq.sortBy(_._1)
+    val stream = MemoryStream[(Timestamp, String)]
+    val agg = stream.toDF().toDF("ts", "event_type")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "15 minutes").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select(unix_millis($"w.start").as("win_start_ms"), $"event_type", $"n")
+    val state = scala.collection.mutable.Map[(Long, String), Long]()
+    val q = agg.writeStream.outputMode(OutputMode.Update())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.collect().foreach(r =>
+          state((r.getLong(0), r.getString(1))) = r.getLong(2))
+      }.start()
+    try {
+      byBatch.foreach { case (_, rows) =>
+        stream.addData(rows.map(r => (r.getTimestamp(1), r.getString(3))): _*)
+        q.processAllAvailable() // one arrival batch per micro-batch
+      }
+    } finally q.stop()
+    val twin = StreamOps.lateDrop(spark, sf0001)
+      .select($"win_start_ms", $"event_type", $"n")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(state.toMap == twin,
+      s"engine/twin divergence: onlyEngine=${state.toMap.toSet.diff(twin.toSet)} " +
+        s"onlyTwin=${twin.toSet.diff(state.toMap.toSet)}")
+  }
+
+  test("late-drop schedule drops events (the twin differs from plain tumbling)") {
+    val dropped = StreamOps.tumbling(spark, sf0001).agg(sum($"n")).head.getLong(0) -
+      StreamOps.lateDrop(spark, sf0001).agg(sum($"n")).head.getLong(0)
+    assert(dropped > 0, "arrival schedule produced no late events — twin is vacuous")
+  }
+
   test("streaming session_window matches the batch twin on the same data") {
     implicit val sqlCtx = spark.sqlContext
     val events = Seq(
