@@ -115,11 +115,12 @@ object SimSearchOps extends graft.QueryModule {
 
   /** the dedup-blocking band set: DedupOps.embeddingCosineLsh pairs at
     * cosine >= 0.4 (fixture-calibrated), where p_plane ~ 0.631 — 4 bits
-    * keep per-band collision at 0.631^4 ~ 0.159 and 32 bands push the
-    * per-pair miss probability to (1-0.159)^32 ~ 4e-3 (24x5 would miss
-    * ~8% of pairs). Distinct seed so the two plane families can't
+    * keep per-band collision at 0.631^4 ~ 0.159 and 48 bands push the
+    * per-pair miss probability to (1-0.159)^48 ~ 2.5e-4 (24x5 would miss
+    * ~8% of pairs; 32 bands' ~4e-3 measurably dropped one of sf0.1's 86
+    * qualifying pairs). Distinct seed so the two plane families can't
     * accidentally correlate. */
-  private[llm] lazy val dedupBandKeysUdf = mkBandKeysUdf(32, 4, 1042)
+  private[llm] lazy val dedupBandKeysUdf = mkBandKeysUdf(48, 4, 1042)
 
   /** LSH-bucketed approximate top-5 for vec_id < 10: candidates share a
     * band bucket with the query, then exact cosine re-rank. Declared
