@@ -40,6 +40,52 @@ object MlOps extends graft.QueryModule {
       .orderBy($"split")
   }
 
+  /** Leakage-safe GROUP-AWARE train/test split: the unit of assignment is
+    * the USER, not the row — every event of a user lands in exactly one
+    * split, so user-level signal can never leak from train into test
+    * (the failure mode a row-level split invites on behavioral data).
+    * Assignment is multiplicative hashing (Knuth's 2654435761 mod 1000 <
+    * 800), not `user_id % k`: sequential ids correlate with signup time,
+    * and a plain mod would put early users in train and late users in
+    * test — a time-biased split. Pure bigint arithmetic, so the oracle is
+    * the identical expression in DuckDB. One narrow map + one agg
+    * shuffle; at 100 TB the split column costs nothing and the
+    * assignment needs no driver state, no sampling pass, no join. */
+  def groupSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.events(spark, sfDir)
+      .withColumn("split",
+        when(pmod($"user_id" * 2654435761L, lit(1000)) < 800, "train")
+          .otherwise("test"))
+      .groupBy($"split")
+      .agg(countDistinct($"user_id").as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy($"split")
+  }
+
+  /** Deterministic per-language QUOTA SAMPLING — the data-mixing
+    * primitive: take exactly `quota` docs per lang, chosen by a stable
+    * hash order ((doc_id * 2654435761) mod 1e9+7, doc_id tiebreak) so
+    * the mixture is reproducible across runs and engines, unbiased by
+    * ingest order, and shrinks/grows consistently when the quota moves
+    * (a doc selected at quota 25 is still selected at quota 50 — nested
+    * samples, the property curriculum schedules need). Plan-wise this is
+    * per-key top-k: one shuffle on lang, bounded k-row heaps via the
+    * TopKPerKeyExec rewrite — a hot language costs k rows of memory,
+    * not its corpus share. Pure arithmetic, fully oracled. */
+  def quotaSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.plans.GraftExtensions.register(spark)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"lang")
+      .orderBy(pmod($"doc_id" * 2654435761L, lit(1000000007L)).asc, $"doc_id".asc)
+    graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang")
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 25)
+      .select($"lang", $"rk", $"doc_id")
+      .orderBy($"lang", $"rk")
+  }
+
   /** D21-D22: Tokenizer -> HashingTF(1000, binary=false), the persisted
     * stage config of the reference model. Declared WITHOUT oracle (bucket
     * ids are murmur3-specific); summarized per doc so the rows-only check
@@ -149,10 +195,24 @@ object MlOps extends graft.QueryModule {
     "q_ml_sample_seeded" -> (sampleSeeded _),
     "q_ml_derive_label" -> (deriveLabel _),
     "q_ml_deterministic_split" -> (deterministicSplit _),
+    "q_ml_group_split" -> (groupSplit _),
+    "q_ml_quota_sample" -> (quotaSample _),
     "q_ml_hashing_tf" -> (hashingTf _),
     "q_ml_hashing_tf_sql" -> (hashingTfSql _))
 
   def oracle: Map[String, String] = Map(
+    "q_ml_group_split" ->
+      """SELECT CASE WHEN (user_id * 2654435761) % 1000 < 800
+        |            THEN 'train' ELSE 'test' END AS split,
+        |  COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_ml_quota_sample" ->
+      """SELECT lang, rk, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 25 ORDER BY lang, rk""".stripMargin,
     "q_ml_hashing_tf_sql" ->
       """SELECT doc_id, COUNT(DISTINCT bucket) AS nnz, COUNT(*) AS total_tf
         |FROM (

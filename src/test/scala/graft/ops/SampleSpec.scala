@@ -18,6 +18,50 @@ class SampleSpec extends SparkTestBase {
     assert(acc > 0.6, s"training-set accuracy $acc")
   }
 
+  test("group split is leakage-free: no user appears in both splits") {
+    import org.apache.spark.sql.functions._
+    // the property the operator exists for, asserted directly on the
+    // row-level assignment (the declared query only shows aggregates)
+    val assigned = graft.Tables.events(spark, sf0001)
+      .withColumn("split",
+        when(pmod($"user_id" * 2654435761L, lit(1000)) < 800, "train")
+          .otherwise("test"))
+      .select($"user_id", $"split").distinct()
+    val both = assigned.groupBy($"user_id")
+      .count().filter($"count" > 1).count()
+    assert(both == 0, s"$both users leaked across splits")
+    // and both splits are non-empty (the hash actually partitions)
+    val splits = MlOps.groupSplit(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(splits.keySet == Set("train", "test") &&
+      splits.values.forall(_ > 0), splits.toString)
+  }
+
+  test("quota sample is nested: quota-10 selection is a prefix of quota-25") {
+    import org.apache.spark.sql.functions._
+    // stable-hash-order selection means shrinking the quota never swaps
+    // members in or out — the curriculum-schedule property
+    val q25 = MlOps.quotaSample(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val byLang25 = q25.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    byLang25.foreach { case (lang, ids) =>
+      assert(ids.length <= 25)
+      assert(ids.distinct.length == ids.length, s"$lang: duplicate picks")
+    }
+    // recompute with quota 10 via the same ordering and compare prefixes
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"lang")
+      .orderBy(pmod($"doc_id" * 2654435761L, lit(1000000007L)).asc, $"doc_id".asc)
+    val q10 = graft.Tables.documents(spark, sf0001)
+      .select($"doc_id", $"lang")
+      .withColumn("rk", row_number().over(w)).filter($"rk" <= 10)
+      .collect().map(r => (r.getString(1), r.getInt(2), r.getLong(0)))
+    q10.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+      .foreach { case (lang, ids) =>
+        assert(ids.sameElements(byLang25(lang).take(ids.length)),
+          s"$lang: quota-10 is not a prefix of quota-25")
+      }
+  }
+
   test("q_ml_sample_seeded is deterministic and in-bounds") {
     val once = MlOps.sampleSeeded(spark, sf0001).collect()
     val twice = MlOps.sampleSeeded(spark, sf0001).collect()
