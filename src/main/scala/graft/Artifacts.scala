@@ -26,6 +26,10 @@ object Artifacts {
     * would also need identical file length and mtime). */
   def key(version: String, sfDir: String, sourceFile: String): String = {
     val f = new java.io.File(s"$sfDir/$sourceFile")
+    // a missing source would make length/mtime both 0 — a CONSTANT key
+    // that silently defeats the staleness guard (and would pin the first
+    // artifact ever built for this dir forever). Fail loudly instead.
+    require(f.exists(), s"artifact key source missing: ${f.getPath}")
     s"$version-" +
       java.lang.Integer.toHexString(sfDir.hashCode) + "-" +
       java.lang.Long.toHexString(f.length() ^ (f.lastModified() * 31L))

@@ -240,8 +240,8 @@ object SimSearchOps extends graft.QueryModule {
     * iterations per sub-space on a BOUNDED sample (codebook training is
     * a driver-side constant-size step; encode and ADC scan are the
     * distributed parts), shipped as literals into codegen'd UDF calls.
-    * Top-32 ADC candidates per query re-rank by exact cosine (the
-    * standard PQ + re-rank recipe). Declared without oracle (centroids
+    * The top-NCAND (=96) ADC candidates per query re-rank by exact
+    * cosine (the standard PQ + re-rank recipe). Declared without oracle (centroids
     * impl-specific); recall vs brute force pinned in SimSearchSpec. */
   def topkPq(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._

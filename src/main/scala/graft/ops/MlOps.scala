@@ -48,9 +48,12 @@ object MlOps extends graft.QueryModule {
     * 800), not `user_id % k`: sequential ids correlate with signup time,
     * and a plain mod would put early users in train and late users in
     * test — a time-biased split. Pure bigint arithmetic, so the oracle is
-    * the identical expression in DuckDB. One narrow map + one agg
-    * shuffle; at 100 TB the split column costs nothing and the
-    * assignment needs no driver state, no sampling pass, no join. */
+    * the identical expression in DuckDB (sound for ids < ~3.4e9, where
+    * the product stays inside int64 — beyond that switch the hash to
+    * xxhash64(cast(user_id as string)), losing only DuckDB portability).
+    * One narrow map + one agg shuffle; at 100 TB the split column costs
+    * nothing and the assignment needs no driver state, no sampling pass,
+    * no join. */
   def groupSplit(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     graft.Tables.events(spark, sfDir)
@@ -72,7 +75,9 @@ object MlOps extends graft.QueryModule {
     * samples, the property curriculum schedules need). Plan-wise this is
     * per-key top-k: one shuffle on lang, bounded k-row heaps via the
     * TopKPerKeyExec rewrite — a hot language costs k rows of memory,
-    * not its corpus share. Pure arithmetic, fully oracled. */
+    * not its corpus share. Pure arithmetic, fully oracled (same int64
+    * envelope as [[groupSplit]]: sound for doc_id < ~3.4e9; beyond that
+    * swap the hash for xxhash64, trading away DuckDB portability). */
   def quotaSample(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     graft.plans.GraftExtensions.register(spark)

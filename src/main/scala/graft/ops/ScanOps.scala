@@ -235,13 +235,14 @@ object ScanOps extends graft.QueryModule {
         .select($"event_id", $"user_id", $"value", $"event_type")
         .write.mode("overwrite").partitionBy("event_type").parquet(factPath)
     }
+    // the dim's CONTENT is this 5-row literal, not anything derived from
+    // the source data — a content key can't protect it, so it is simply
+    // rewritten every call (the roundtrip-dir policy; 5 rows)
     val dimPath = cachedArtifactDir("event_type_dim", sfDir, "events.parquet")
-    if (!new java.io.File(dimPath + "/_SUCCESS").exists()) {
-      Seq(("purchase", "conversion"), ("signup", "conversion"),
-        ("view", "browse"), ("click", "browse"), ("error", "ops"))
-        .toDF("event_type", "category")
-        .coalesce(1).write.mode("overwrite").parquet(dimPath)
-    }
+    Seq(("purchase", "conversion"), ("signup", "conversion"),
+      ("view", "browse"), ("click", "browse"), ("error", "ops"))
+      .toDF("event_type", "category")
+      .coalesce(1).write.mode("overwrite").parquet(dimPath)
     val fact = spark.read.parquet(factPath)
     val dim = spark.read.parquet(dimPath).filter($"category" === "conversion")
     fact.join(dim, Seq("event_type"))

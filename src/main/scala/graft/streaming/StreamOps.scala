@@ -256,13 +256,16 @@ object StreamOps extends graft.QueryModule {
     * lag simulation nothing would ever be late and the query would pin
     * nothing. Spark's engine rule is applied exactly: the watermark
     * during batch k is max(event time over batches < k) - 10 min
-    * (watermarks advance at micro-batch END), and an input row is
-    * dropped iff its event time is below that watermark
-    * (watermarkPredicateForData — row-level, not window-level). At
-    * sf0.01 this drops 176 of 10 000 events, so the oracle compares a
-    * real, non-trivially-filtered aggregate; StreamingSpec drives the
-    * same arrival schedule through MemoryStream + withWatermark and
-    * checks the engine agrees with the twin.
+    * (watermarks advance at micro-batch END), and a windowed-aggregation
+    * input row is dropped iff its WINDOW has already expired —
+    * window.end <= watermark (WatermarkSupport builds the late-data
+    * predicate on the window struct's end for aggregations, NOT on the
+    * raw event time; a row 12 min late whose 15-min window is still
+    * open is aggregated). At sf0.01 this drops 176 of 10 000 events, so
+    * the oracle compares a real, non-trivially-filtered aggregate;
+    * StreamingSpec drives the same arrival schedule through
+    * MemoryStream + withWatermark and checks the engine agrees with the
+    * twin.
     *
     * Scale shape: per-batch max event time is a distributed aggregate;
     * the sequential part (running max over batch index) is ONE ROW PER
@@ -283,9 +286,14 @@ object StreamOps extends graft.QueryModule {
     val cutoffs = batchMax
       .withColumn("prev_max", max($"bmax").over(wm))
       .select($"batch", $"prev_max")
+    // drop at WINDOW granularity (the engine's aggregation rule):
+    // a row is late iff its 15-min window's END is at or below the
+    // batch's watermark
     val kept = ev.join(broadcast(cutoffs), Seq("batch"))
+      .withColumn("win_end_ms",
+        (expr("unix_millis(ts) div 900000") * 900000L + 900000L))
       .filter($"prev_max".isNull ||
-        $"ts" >= $"prev_max" - expr("interval 10 minutes"))
+        $"win_end_ms" > unix_millis($"prev_max") - 600000L)
     kept
       .groupBy(window($"ts", "15 minutes").as("w"), $"event_type")
       .agg(count(lit(1)).as("n"), graft.ops.AggOps.dsum($"value").as("sum_value"))
@@ -350,7 +358,8 @@ object StreamOps extends graft.QueryModule {
         |kept AS (
         |  SELECT b.* FROM b JOIN cut USING (batch)
         |  WHERE cut.prev_max IS NULL
-        |     OR b.ts >= cut.prev_max - INTERVAL 10 MINUTE)
+        |     OR (epoch_ms(b.ts) // 900000) * 900000 + 900000
+        |        > epoch_ms(cut.prev_max) - 600000)
         |SELECT (epoch_ms(ts) // 900000) * 900000 AS win_start_ms, event_type,
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
