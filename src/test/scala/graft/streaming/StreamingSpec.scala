@@ -47,6 +47,43 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("late row whose window is still open is AGGREGATED (window-granularity drop)") {
+    // the boundary q_stream_late_drop's twin encodes: Spark's windowed
+    // aggregation drops late input iff the row's WINDOW END <= watermark,
+    // not iff the row's event time is below it. A row at 20:30 with
+    // watermark 21:00 is "late" row-wise but its [20,25) window is open —
+    // the engine must aggregate it (a row-granularity twin would drop it).
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, String)]
+    val counts = stream.toDF().toDF("ts", "event_type")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "5 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select(unix_millis($"window.start").as("start_ms"), $"n")
+    val q = counts.writeStream.format("memory")
+      .queryName("wm_boundary").outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData((ts(1), "a"), (ts(31), "a")) // watermark -> 21:00
+      q.processAllAvailable()
+      // 20:30 < wm 21:00 but window [20,25) end 25 > 21 -> KEEP;
+      // 3:00's window [0,5) end 5 <= 21 -> DROP
+      stream.addData((ts(20, 30), "a"), (ts(3), "a"))
+      q.processAllAvailable()
+      stream.addData((ts(59), "a")) // wm -> 49, then one more batch to emit
+      q.processAllAvailable()
+      stream.addData((ts(59, 30), "a"))
+      q.processAllAvailable()
+      val out = spark.table("wm_boundary")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val w20 = Timestamp.valueOf("2024-01-01 00:20:00").getTime
+      assert(out.get(w20).contains(1L),
+        s"row-late-but-window-open event was not aggregated: $out")
+      val w0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      assert(out.get(w0).contains(1L),
+        s"expired-window late event not dropped: $out")
+    } finally q.stop()
+  }
+
   test("foreachBatch upsert sink merges incrementally across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val target = java.nio.file.Files
