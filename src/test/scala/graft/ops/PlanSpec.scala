@@ -95,6 +95,16 @@ class PlanSpec extends SparkTestBase {
       p.take(2000))
   }
 
+  test("q_ml_quota_sample plans as bounded per-key top-k heaps, not a full sort") {
+    // the docstring's scale claim, pinned: quota selection rewrites to
+    // the two-phase TopKPerKeyExec (a hot language buffers k rows, not
+    // its corpus share)
+    val p = plan("q_ml_quota_sample")
+    val hits = "TopKPerKey".r.findAllIn(p).length
+    assert(hits >= 2, s"expected partial+final TopKPerKeyExec, got $hits:\n" +
+      p.take(2000))
+  }
+
   test("q_filter_compound pushes even the OR-disjunction into the scan") {
     val p = plan("q_filter_compound")
     assert(p.contains("Or(LessThan(l_quantity,10.0),EqualTo(l_returnflag,R))"),
