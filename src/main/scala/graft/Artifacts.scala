@@ -34,4 +34,33 @@ object Artifacts {
       java.lang.Integer.toHexString(sfDir.hashCode) + "-" +
       java.lang.Long.toHexString(f.length() ^ (f.lastModified() * 31L))
   }
+
+  /** Best-effort GC of STALE artifact generations: content-keyed dirs
+    * accumulate one directory per (version, source length/mtime) forever —
+    * harmless in a sandbox tmpdir, a slow leak on the shared storage
+    * `root` points at on a cluster. Called by builders right after the
+    * live generation is ensured: deletes every sibling of `artifactPath`
+    * that shares its (family, version, sfDir-hash) prefix — everything in
+    * the key except the trailing content hash — but is not the live key,
+    * so rebuilding a fixture leaves exactly one generation per family.
+    * Best-effort on purpose: a delete failure is ignored (another run may
+    * sweep it later), and a CONCURRENT run is only exposed if it is still
+    * reading a generation whose source fixture was since regenerated —
+    * the same staleness the content key exists to retire. */
+  def sweepStale(artifactPath: String): Unit = try {
+    val live = new java.io.File(artifactPath)
+    val cut = live.getName.lastIndexOf('-')
+    if (cut > 0) {
+      val prefix = live.getName.substring(0, cut + 1)
+      Option(live.getParentFile.listFiles()).getOrElse(Array.empty)
+        .filter(s => s.getName.startsWith(prefix) && s.getName != live.getName)
+        .foreach(deleteRecursively)
+    }
+  } catch { case _: java.io.IOException => () }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete()
+  }
 }

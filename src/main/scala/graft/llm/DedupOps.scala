@@ -14,6 +14,15 @@ import org.apache.spark.sql.functions._
   */
 object DedupOps extends graft.QueryModule {
 
+  /** Cosine threshold of the two embedding near-dup queries — CALIBRATED
+    * TO THE SYNTHETIC FIXTURE, not a production setting: the fixture's
+    * same-label cosines top out near 0.475, so 0.40 is the value at which
+    * the declared queries (and their oracles) exercise REAL pairs instead
+    * of vacuously matching on empty results. Production near-dup sits at
+    * 0.9+; the knob, not the plan, changes with the corpus (and at 0.9
+    * the LSH variant needs FEWER bands — see [[embeddingCosineLsh]]). */
+  private[llm] val FixtureCosineThreshold = 0.4
+
   /** whitespace-token 3-gram shingles, distinct, one tight pass.
     * A UDF on purpose, not a transform()/element_at() column tree: HOFs are
     * CodegenFallback AND predicate pushdown inlines the aliased split()
@@ -95,7 +104,17 @@ object DedupOps extends graft.QueryModule {
       .withColumn("fp", sha2(concat_ws("\u0000",
         $"lang", $"lb".cast("string"),
         concat_ws("\u0001", array_sort($"sh"))), 256))
-      .localCheckpoint() // feeds reps + members x4; don't re-shingle per leg
+      // feeds reps + members x4; don't re-shingle per leg. CLUSTER
+      // CAVEAT (applies to every localCheckpoint in this family): local
+      // checkpoints live as NON-REPLICATED blocks on executors — an
+      // executor loss or decommission mid-query fails the job and it
+      // restarts from the source scan. That is a fault-RECOVERY cost,
+      // not a correctness or working-set-size issue; where the
+      // materialization must survive executors, persist it under
+      // Artifacts.root instead (the shingle/fp/pair indexes already do
+      // exactly that — this in-plan truncation is for single-query legs
+      // only).
+      .localCheckpoint()
     val members = base.select($"fp", $"doc_id")
     // every member of an fp group has the SAME (lang, lb, sz, sh) by
     // construction, so first() is deterministic here
@@ -147,6 +166,7 @@ object DedupOps extends graft.QueryModule {
         .filter(size($"sh") > 0)
         .write.mode("overwrite").parquet(tmp)
     }
+    graft.Artifacts.sweepStale(path) // retire prior fixture generations
     path
   }
 
@@ -401,6 +421,7 @@ object DedupOps extends graft.QueryModule {
         .repartition(8, $"fp").sortWithinPartitions($"fp")
         .write.mode("overwrite").parquet(tmp)
     }
+    graft.Artifacts.sweepStale(path) // retire prior fixture generations
     path
   }
 
@@ -566,12 +587,8 @@ object DedupOps extends graft.QueryModule {
   /** Embedding-cosine near-dup: windowed blocking (same label, id distance
     * <= 100 — deterministic, bounded fan-out), exact cosine in double.
     * Oracle: DuckDB list ops over DOUBLE[] (same left-to-right fold).
-    *
-    * The 0.40 threshold is calibrated to the synthetic fixture, whose
-    * same-label cosines top out near 0.475 (real near-dup thresholds sit
-    * at 0.9+; the knob, not the plan, changes with the corpus) — chosen
-    * so the oracle comparison exercises REAL pairs at sf0.01 instead of
-    * vacuously matching on empty results.
+    * Threshold: [[FixtureCosineThreshold]] — fixture-calibrated, see the
+    * constant's note before reading 0.40 as a production setting.
     *
     * RECALL CONTRACT: the (label, id-window <= 100) block is part of the
     * DECLARED semantics, not an approximation — pairs whose ids are more
@@ -595,16 +612,16 @@ object DedupOps extends graft.QueryModule {
       .filter($"a_id" < $"b_id" && $"b_id" - $"a_id" <= 100)
       .withColumn("cosine",
         SimSearchOps.dot($"a_e", $"b_e") / ($"a_n" * $"b_n"))
-      .filter($"cosine" >= 0.4)
+      .filter($"cosine" >= FixtureCosineThreshold)
       .select($"label", $"a_id", $"b_id", round($"cosine", 6).as("cosine"))
       .orderBy($"a_id", $"b_id")
   }
 
   /** Embedding-cosine near-dup, LSH-blocked (order-independent recall):
     * candidate pairs share a hyperplane band bucket in ANY band, then
-    * exact cosine >= 0.4 inside the same label (the fixture-calibrated
-    * threshold — see [[embeddingCosine]]; at a production 0.9 the same
-    * plan runs with FEWER bands). No id window — recall does not depend
+    * exact cosine >= [[FixtureCosineThreshold]] inside the same label
+    * (fixture-calibrated — see the constant; at a production 0.9 the
+    * same plan runs with FEWER bands). No id window — recall does not depend
     * on ingest order. The band shape is the dedup-tuned 48x4-bit set
     * (SimSearchOps.dedupBandKeysUdf): at cosine 0.40 (angle ~66.4deg,
     * p_plane ~ 0.631) the per-band collision is 0.631^4 ~ 0.159, so the
@@ -635,7 +652,7 @@ object DedupOps extends graft.QueryModule {
         $"embedding".as("b_e"), $"norm".as("b_n")), Seq("b_id"))
       .withColumn("cosine",
         SimSearchOps.dot($"a_e", $"b_e") / ($"a_n" * $"b_n"))
-      .filter($"cosine" >= 0.4)
+      .filter($"cosine" >= FixtureCosineThreshold)
       .select($"label", $"a_id", $"b_id", round($"cosine", 6).as("cosine"))
       .orderBy($"a_id", $"b_id")
   }
@@ -700,6 +717,7 @@ object DedupOps extends graft.QueryModule {
       ngramJaccard(spark, sfDir).select("a_id", "b_id")
         .write.mode("overwrite").parquet(tmp)
     }
+    graft.Artifacts.sweepStale(path) // retire prior fixture generations
     path
   }
 
@@ -732,7 +750,9 @@ object DedupOps extends graft.QueryModule {
       .select($"lang", $"s")
     val rp = postings.join(rare, Seq("lang", "s"))
       .select($"doc_id", $"lang", xxhash64($"s").as("h"))
-      .localCheckpoint() // both candidate legs feed from one materialization
+      // both candidate legs feed from one materialization (executor-loss
+      // caveat: see ngramJaccard's localCheckpoint note)
+      .localCheckpoint()
     val cand = rp.select($"lang", $"h", $"doc_id".as("a_id"))
       .join(rp.select($"lang", $"h", $"doc_id".as("b_id")), Seq("lang", "h"))
       .filter($"a_id" < $"b_id")
@@ -744,7 +764,9 @@ object DedupOps extends graft.QueryModule {
       .join(docs.select($"doc_id".as("b_id"), $"sh".as("b_sh")), Seq("b_id"))
       .filter(size(array_intersect($"a_sh", $"b_sh")) >= 2)
       .select($"a_id", $"b_id")
-      .localCheckpoint() // three triangle legs share the edge list
+      // three triangle legs share the edge list (executor-loss caveat:
+      // see ngramJaccard's localCheckpoint note)
+      .localCheckpoint()
     edges
       .join(edges.select($"a_id".as("b_id"), $"b_id".as("c_id")), Seq("b_id"))
       .join(edges.select($"a_id", $"b_id".as("c_id")), Seq("a_id", "c_id"))
@@ -793,6 +815,28 @@ object DedupOps extends graft.QueryModule {
       |  FROM pairs
       |  WHERE CAST(inter AS DOUBLE) / CAST(asz + bsz - inter AS DOUBLE) >= 0.2)
       |""".stripMargin
+
+  /** shared DuckDB cosine(a.embedding, b.embedding) over DOUBLE[] casts —
+    * the fold appeared four times inline before round 6 (twice per
+    * embedding oracle: SELECT and WHERE) */
+  private val cosineExprSql =
+    "list_dot_product(CAST(a.embedding AS DOUBLE[]), " +
+      "CAST(b.embedding AS DOUBLE[])) / " +
+      "(sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), " +
+      "CAST(a.embedding AS DOUBLE[]))) * " +
+      "sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), " +
+      "CAST(b.embedding AS DOUBLE[]))))"
+
+  /** within-label embedding pair scan at [[FixtureCosineThreshold]];
+    * `blockPred` is the extra join predicate of the blocked variant
+    * ("" = the unblocked all-pairs twin that proves LSH exhaustiveness) */
+  private def embeddingCosineOracle(blockPred: String): String =
+    s"""SELECT a.label AS label, a.vec_id AS a_id, b.vec_id AS b_id,
+       |  round($cosineExprSql, 6) AS cosine
+       |FROM embeddings a JOIN embeddings b
+       |  ON a.label = b.label AND a.vec_id < b.vec_id$blockPred
+       |WHERE $cosineExprSql >= $FixtureCosineThreshold
+       |ORDER BY a_id, b_id""".stripMargin
 
   def oracle: Map[String, String] = Map(
     // the UNBLOCKED all-pairs truth at the verify threshold: banding only
@@ -934,40 +978,8 @@ object DedupOps extends graft.QueryModule {
         |WHERE CAST(inter AS DOUBLE) / CAST(asz + bsz - inter AS DOUBLE) >= 0.2
         |ORDER BY a_id, b_id""".stripMargin,
     "q_dedup_embedding_cosine" ->
-      """SELECT a.label AS label, a.vec_id AS a_id, b.vec_id AS b_id,
-        |  round(list_dot_product(CAST(a.embedding AS DOUBLE[]),
-        |                         CAST(b.embedding AS DOUBLE[])) /
-        |    (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
-        |                           CAST(a.embedding AS DOUBLE[]))) *
-        |     sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
-        |                           CAST(b.embedding AS DOUBLE[])))), 6) AS cosine
-        |FROM embeddings a JOIN embeddings b
-        |  ON a.label = b.label AND a.vec_id < b.vec_id
-        | AND b.vec_id - a.vec_id <= 100
-        |WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]),
-        |                       CAST(b.embedding AS DOUBLE[])) /
-        |    (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
-        |                           CAST(a.embedding AS DOUBLE[]))) *
-        |     sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
-        |                           CAST(b.embedding AS DOUBLE[])))) >= 0.4
-        |ORDER BY a_id, b_id""".stripMargin,
+      embeddingCosineOracle("\n AND b.vec_id - a.vec_id <= 100"),
     // the UNBLOCKED all-pairs-within-label twin: proves the LSH blocking
     // loses nothing on the fixture (fixture-equality oracle)
-    "q_dedup_embedding_cosine_lsh" ->
-      """SELECT a.label AS label, a.vec_id AS a_id, b.vec_id AS b_id,
-        |  round(list_dot_product(CAST(a.embedding AS DOUBLE[]),
-        |                         CAST(b.embedding AS DOUBLE[])) /
-        |    (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
-        |                           CAST(a.embedding AS DOUBLE[]))) *
-        |     sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
-        |                           CAST(b.embedding AS DOUBLE[])))), 6) AS cosine
-        |FROM embeddings a JOIN embeddings b
-        |  ON a.label = b.label AND a.vec_id < b.vec_id
-        |WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]),
-        |                       CAST(b.embedding AS DOUBLE[])) /
-        |    (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
-        |                           CAST(a.embedding AS DOUBLE[]))) *
-        |     sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
-        |                           CAST(b.embedding AS DOUBLE[])))) >= 0.4
-        |ORDER BY a_id, b_id""".stripMargin)
+    "q_dedup_embedding_cosine_lsh" -> embeddingCosineOracle(""))
 }

@@ -47,10 +47,19 @@ object MlOps extends graft.QueryModule {
     * Assignment is multiplicative hashing (Knuth's 2654435761 mod 1000 <
     * 800), not `user_id % k`: sequential ids correlate with signup time,
     * and a plain mod would put early users in train and late users in
-    * test — a time-biased split. Pure bigint arithmetic, so the oracle is
-    * the identical expression in DuckDB (sound for ids < ~3.4e9, where
-    * the product stays inside int64 — beyond that switch the hash to
-    * xxhash64(cast(user_id as string)), losing only DuckDB portability).
+    * test — a time-biased split. KNOW WHAT THIS HASH IS AND ISN'T:
+    * because (c*u) mod 1000 depends only on u mod 1000, and the odd,
+    * 5-coprime multiplier is invertible mod 1000, the assignment is a
+    * fixed PERMUTATION of the 1000 residue classes of user_id — exactly
+    * 800 classes go to train. Consecutive ids scatter (the anti-time-bias
+    * claim holds), but two users congruent mod 1000 co-assign FOREVER;
+    * on a corpus whose id scheme strides or shards by a multiple of
+    * 1000 (e.g. shard_id*10^k + seq), that is structured bias, and the
+    * right tool is xxhash64(cast(user_id as string)) — full-avalanche,
+    * no residue structure — declared rows-only. Pure bigint arithmetic,
+    * so the oracle is the identical expression in DuckDB (sound for ids
+    * < ~3.4e9, where the product stays inside int64 — beyond that the
+    * same xxhash64 switch applies, losing only DuckDB portability).
     * One narrow map + one agg shuffle; at 100 TB the split column costs
     * nothing and the assignment needs no driver state, no sampling pass,
     * no join. */

@@ -21,6 +21,12 @@ object ScanOps extends graft.QueryModule {
     s"${graft.Artifacts.root}/graft_roundtrip/${tag}_$key"
   }
 
+  /** Run-local scratch root: unique per JVM, so artifacts whose content
+    * comes from CODE (literal dims) can be rewritten freely without ever
+    * racing a concurrent run over the same shared artifact root. */
+  private lazy val runLocalDir: String =
+    java.nio.file.Files.createTempDirectory("graft_run_").toString
+
   /** Content-keyed artifact dir for artifacts that are REUSED across runs
     * (dppJoin's fact/dim tables) rather than rewritten unconditionally
     * like the roundtrip dirs: Artifacts.key folds in the source file's
@@ -235,10 +241,13 @@ object ScanOps extends graft.QueryModule {
         .select($"event_id", $"user_id", $"value", $"event_type")
         .write.mode("overwrite").partitionBy("event_type").parquet(factPath)
     }
+    graft.Artifacts.sweepStale(factPath) // retire prior fixture generations
     // the dim's CONTENT is this 5-row literal, not anything derived from
-    // the source data — a content key can't protect it, so it is simply
-    // rewritten every call (the roundtrip-dir policy; 5 rows)
-    val dimPath = cachedArtifactDir("event_type_dim", sfDir, "events.parquet")
+    // the source data — a content key can't protect it, and rewriting a
+    // SHARED dir every call would let one run's overwrite race another
+    // run's read. 5 literal rows cost nothing to rewrite, so they go to
+    // a RUN-LOCAL dir (unique per JVM, no cross-run visibility at all)
+    val dimPath = s"$runLocalDir/event_type_dim"
     Seq(("purchase", "conversion"), ("signup", "conversion"),
       ("view", "browse"), ("click", "browse"), ("error", "ops"))
       .toDF("event_type", "category")

@@ -407,7 +407,7 @@ object StreamOps extends graft.QueryModule {
         |FROM assigned GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_stream_session" ->
       """WITH marked AS (
-        |  SELECT user_id, ts, value,
+        |  SELECT user_id, ts, event_id, value,
         |    CASE WHEN epoch_ms(ts) - epoch_ms(LAG(ts) OVER
         |           (PARTITION BY user_id ORDER BY ts, event_id)) >= 600000
         |         OR LAG(ts) OVER
@@ -416,7 +416,7 @@ object StreamOps extends graft.QueryModule {
         |  FROM events),
         |sessioned AS (
         |  SELECT user_id, ts, value,
-        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |                     ROWS UNBOUNDED PRECEDING) AS sid
         |  FROM marked)
         |SELECT user_id, epoch_ms(MIN(ts)) AS session_start_ms,

@@ -123,6 +123,52 @@ class DedupSpec extends SparkTestBase {
     assert(tri == Seq((0L, 1L, 2L)), tri.toString)
   }
 
+  test("rebuilding a fixture leaves one live shingle-index generation") {
+    // Artifacts.sweepStale's contract: content-keyed artifact dirs must
+    // not accumulate one generation per fixture rebuild (a slow leak on
+    // the shared storage SPARK_GRAFT_ARTIFACT_DIR points at on a cluster)
+    val dir = java.nio.file.Files.createTempDirectory("graft_gc").toString
+    def regen(tag: String): Unit = {
+      plantedDocs.withColumn("source", lit(tag))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      // key folds in (length, mtime); mtime granularity can be 1s — force
+      // a distinct mtime so the rebuild is a REAL new generation
+      val f = new java.io.File(s"$dir/documents.parquet")
+      f.setLastModified(f.lastModified() + 5000)
+    }
+    regen("gen1")
+    val first = DedupOps.buildShingleIndex(spark, dir)
+    regen("gen2")
+    val second = DedupOps.buildShingleIndex(spark, dir)
+    assert(first != second, "fixture rebuild did not change the content key")
+    val parent = new java.io.File(second).getParentFile
+    val prefix = new java.io.File(second).getName
+      .substring(0, new java.io.File(second).getName.lastIndexOf('-') + 1)
+    val generations = parent.listFiles().map(_.getName)
+      .filter(_.startsWith(prefix)).toSeq
+    assert(generations == Seq(new java.io.File(second).getName),
+      s"stale generations survived the sweep: $generations")
+  }
+
+  test("fixture df histogram stays under triangles' df<=100 prune") {
+    // triangles' oracle-equality argument rests on the df<=100 hot-shingle
+    // prune being a NO-OP on the fixture (the prune exists only in the
+    // Spark plan, not the DuckDB oracle). That was a code comment until
+    // round 6; pin it: if a regenerated fixture ever plants a shingle
+    // hotter than the cutoff, fail HERE with a pointer at the declared
+    // cutoff instead of surfacing as an unexplained red CORRECTNESS row.
+    val docs = spark.read.parquet(DedupOps.buildShingleIndex(spark, sf0001))
+    val maxDf = docs.select($"lang", explode($"sh").as("s"))
+      .groupBy($"lang", $"s").count()
+      .agg(max($"count")).head.getLong(0)
+    assert(maxDf < 100,
+      s"fixture's hottest per-lang shingle df is $maxDf >= 100: " +
+        "DedupOps.triangles' df<=100 candidate prune (a declared " +
+        "heuristic, absent from the DuckDB oracle) is no longer a no-op " +
+        "on this fixture — its oracle equality no longer holds by " +
+        "construction. Regenerate the fixture or re-derive the cutoff.")
+  }
+
   test("minhash LSH survives a degenerate corpus of 5k identical docs") {
     // the worst case for bucket-based pairing: every doc collides in
     // every band. The fp pre-collapse sends ONE representative through

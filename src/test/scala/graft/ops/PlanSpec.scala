@@ -105,6 +105,27 @@ class PlanSpec extends SparkTestBase {
       p.take(2000))
   }
 
+  test("ANN candidate and re-rank windows plan as bounded per-key heaps") {
+    // every ANN variant selects candidates and/or re-ranks them with a
+    // row_number()<=k window per query id; RewriteTopKWindow must turn
+    // each into the two-phase TopKPerKeyExec — a refactor to a window
+    // shape the rule can't match (extra window columns, rank() instead
+    // of row_number) would silently reintroduce a full per-query sort
+    // of the candidate set at corpus scale. brute/LSH have one window
+    // (the re-rank); IVF/PQ have two (NCAND cut + re-rank).
+    for ((q, minWindows) <- Seq(
+        "q_simsearch_topk" -> 1, "q_simsearch_topk_lsh" -> 1,
+        "q_simsearch_topk_ivf" -> 2, "q_simsearch_topk_pq" -> 2)) {
+      val p = plan(q)
+      val hits = "TopKPerKey".r.findAllIn(p).length
+      // formatted explain renders each node twice (tree + details), and
+      // each logical top-k plans as a partial+final pair
+      assert(hits >= 2 * minWindows,
+        s"$q: expected >=$minWindows TopKPerKeyExec pairs, saw $hits:\n" +
+          p.take(2000))
+    }
+  }
+
   test("q_filter_compound pushes even the OR-disjunction into the scan") {
     val p = plan("q_filter_compound")
     assert(p.contains("Or(LessThan(l_quantity,10.0),EqualTo(l_returnflag,R))"),

@@ -255,4 +255,54 @@ class StreamingSpec extends SparkTestBase {
         s"stream/batch divergence:\n stream=$streamed\n batch=$batch")
     } finally q.stop()
   }
+
+  test("session twin tie-break: same-ts events at a session boundary") {
+    // q_stream_session's oracle is a LAG/SUM twin of session_window. The
+    // round-5 latent hole: the session-id running SUM ordered by ts alone,
+    // so two same-user events sharing ONE timestamp at a session boundary
+    // could be ordered either way by the engine — the sid increment (new_s=1
+    // on exactly one of the pair under the LAG's (ts, event_id) order) could
+    // land after the other row, splitting the pair across sessions. The fix
+    // orders the SUM by (ts, event_id), same keys as the LAG above it. This
+    // plants exactly that shape: one stale event, then TWO events sharing a
+    // timestamp >= gap later. session_window (order-insensitive ground
+    // truth) puts both in the new session; the twin must agree under both
+    // input orders.
+    val boundaryPair = Seq((1L, 10L, ts(0)), (1L, 11L, ts(11)), (1L, 12L, ts(11)))
+    val expected = boundaryPair.toDF("user_id", "event_id", "ts")
+      .groupBy(session_window($"ts", "10 minutes").as("sw"), $"user_id")
+      .agg(count(lit(1)).as("n"))
+      .select($"user_id", unix_millis($"sw.start").as("session_start_ms"), $"n")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(expected ==
+      Set((1L, ts(0).getTime, 1L), (1L, ts(11).getTime, 2L)),
+      s"fixture does not plant the boundary it claims: $expected")
+    for (perm <- Seq(boundaryPair, boundaryPair.reverse)) {
+      perm.toDF("user_id", "event_id", "ts").createOrReplaceTempView("sess_tie")
+      // structural mirror of StreamOps.oracleSql("q_stream_session") with
+      // DuckDB's epoch_ms spelled unix_millis — keep the window clauses in
+      // lockstep with the oracle string
+      val twin = spark.sql(
+        """WITH marked AS (
+          |  SELECT user_id, ts, event_id,
+          |    CASE WHEN unix_millis(ts) - unix_millis(LAG(ts) OVER
+          |           (PARTITION BY user_id ORDER BY ts, event_id)) >= 600000
+          |         OR LAG(ts) OVER
+          |           (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+          |         THEN 1 ELSE 0 END AS new_s
+          |  FROM sess_tie),
+          |sessioned AS (
+          |  SELECT user_id, ts,
+          |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |                     ROWS UNBOUNDED PRECEDING) AS sid
+          |  FROM marked)
+          |SELECT user_id, unix_millis(MIN(ts)) AS session_start_ms,
+          |  COUNT(*) AS n
+          |FROM sessioned GROUP BY user_id, sid""".stripMargin)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(twin == expected,
+        s"twin diverged from session_window on planted same-ts boundary " +
+          s"(input order ${perm.map(_._2)}):\n twin=$twin\n expected=$expected")
+    }
+  }
 }
