@@ -53,7 +53,13 @@ object Artifacts {
     if (cut > 0) {
       val prefix = live.getName.substring(0, cut + 1)
       Option(live.getParentFile.listFiles()).getOrElse(Array.empty)
-        .filter(s => s.getName.startsWith(prefix) && s.getName != live.getName)
+        .filter(s => s.getName.startsWith(prefix) && s.getName != live.getName
+          // NEVER touch atomicWrite temps ("<key>.tmp-<uuid>", DirTarget):
+          // they match the prefix, and a CONCURRENT builder of the same key
+          // may be mid-write in one — deleting it would fail its commit
+          // rename. Abandoned temps (hard crash) are the one leak left
+          // unswept; atomicWrite's finally removes its own temp otherwise.
+          && !s.getName.contains(".tmp-"))
         .foreach(deleteRecursively)
     }
   } catch { case _: java.io.IOException => () }

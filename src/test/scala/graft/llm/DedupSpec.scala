@@ -138,14 +138,21 @@ class DedupSpec extends SparkTestBase {
     }
     regen("gen1")
     val first = DedupOps.buildShingleIndex(spark, dir)
+    // a concurrent builder's in-progress atomicWrite temp shares the key
+    // prefix — the sweep must NEVER delete it (it would fail that
+    // builder's commit rename)
+    val inProgress = new java.io.File(first + ".tmp-concurrent-fake")
+    assert(inProgress.mkdirs())
     regen("gen2")
     val second = DedupOps.buildShingleIndex(spark, dir)
     assert(first != second, "fixture rebuild did not change the content key")
     val parent = new java.io.File(second).getParentFile
     val prefix = new java.io.File(second).getName
       .substring(0, new java.io.File(second).getName.lastIndexOf('-') + 1)
+    assert(inProgress.isDirectory,
+      "sweep deleted a concurrent builder's atomicWrite temp")
     val generations = parent.listFiles().map(_.getName)
-      .filter(_.startsWith(prefix)).toSeq
+      .filter(n => n.startsWith(prefix) && !n.contains(".tmp-")).toSeq
     assert(generations == Seq(new java.io.File(second).getName),
       s"stale generations survived the sweep: $generations")
   }
