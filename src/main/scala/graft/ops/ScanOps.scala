@@ -132,6 +132,56 @@ object ScanOps extends graft.QueryModule {
       .orderBy($"p_partkey")
   }
 
+  /** Avro sink+scan roundtrip — the row-wise binary interchange format of
+    * ingest/streaming stacks (Kafka payloads, log shippers), built into
+    * this Spark distribution. Avro's binary encoding roundtrips longs,
+    * doubles and timestamp-micros logical types exactly. DuckDB can't
+    * read Avro and doesn't need to: lossless roundtrip means result ==
+    * source slice, which IS the oracle. The timestamp column is emitted
+    * as epoch millis on both sides (the repo-wide convention for
+    * portable timestamp comparison). */
+  def avroRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // this distribution bundles the avro FileFormat inside spark-sql but
+    // does NOT service-register its short name — address the class
+    // directly (lookupDataSource resolves a FQCN without the registry)
+    val avro = "org.apache.spark.sql.avro.AvroFileFormat"
+    val path = tmpDir("orders_avro", sfDir)
+    graft.Tables.orders(spark, sfDir)
+      .filter($"o_orderkey" % 7 === 0)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderdate")
+      .write.mode("overwrite").format(avro).save(path)
+    spark.read.format(avro).load(path)
+      // avro reads the local-timestamp logical type back as TIMESTAMP_NTZ;
+      // the session is pinned UTC repo-wide, so the cast is lossless
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice",
+        unix_millis($"o_orderdate".cast("timestamp")).as("odate_ms"))
+      .orderBy($"o_orderkey")
+  }
+
+  /** XML sink+scan roundtrip — the remaining text interchange format
+    * Spark 4 ships natively (feeds/exports from legacy enterprise
+    * systems). Write supplier rows as <supplier> elements, read back
+    * with an explicit schema. Doubles survive the text roundtrip exactly
+    * (Java's Double.toString/parseDouble round-trip guarantee); as with
+    * csv, an explicit read schema keeps inference off the hot path. */
+  def xmlRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val path = tmpDir("supplier_xml", sfDir)
+    graft.Tables.supplier(spark, sfDir)
+      .select($"s_suppkey", $"s_name", $"s_nationkey", $"s_acctbal")
+      .write.mode("overwrite").format("xml")
+      .option("rowTag", "supplier").save(path)
+    val schema = StructType(Seq(
+      StructField("s_suppkey", LongType),
+      StructField("s_name", StringType),
+      StructField("s_nationkey", IntegerType),
+      StructField("s_acctbal", DoubleType)))
+    spark.read.schema(schema).format("xml")
+      .option("rowTag", "supplier").load(path)
+      .orderBy($"s_suppkey")
+  }
+
   /** Upsert / MERGE-INTO semantics on a parquet target (no table format
     * needed): source rows update matching keys and insert new ones, via
     * full-outer join + coalesce, then atomic overwrite + readback. This is
@@ -219,6 +269,8 @@ object ScanOps extends graft.QueryModule {
     "q_scan_csv_roundtrip" -> (csvRoundtrip _),
     "q_scan_json_roundtrip" -> (jsonRoundtrip _),
     "q_scan_orc_roundtrip" -> (orcRoundtrip _),
+    "q_scan_avro_roundtrip" -> (avroRoundtrip _),
+    "q_scan_xml_roundtrip" -> (xmlRoundtrip _),
     "q_sink_partitioned_write" -> (partitionedWrite _),
     "q_join_dpp_pruned" -> (dppJoin _))
 
@@ -319,6 +371,14 @@ object ScanOps extends graft.QueryModule {
     "q_scan_orc_roundtrip" ->
       """SELECT p_partkey, p_brand, p_size, p_retailprice
         |FROM part WHERE p_size >= 10 ORDER BY p_partkey""".stripMargin,
+    "q_scan_avro_roundtrip" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  epoch_ms(o_orderdate) AS odate_ms
+        |FROM orders WHERE o_orderkey % 7 = 0
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_scan_xml_roundtrip" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
     "q_sink_partitioned_write" ->
       """SELECT l_returnflag, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty
