@@ -151,9 +151,54 @@ object MultimodalOps extends graft.QueryModule {
       feat = feat)
   }
 
+  /** The at-scale multimodal INGEST path: production media lives as one
+    * FILE PER OBJECT on shared storage (the object-store layout a 100 TB
+    * pipeline actually reads), not as a parquet column. Spark's built-in
+    * binaryFile source turns a directory tree into (path, modTime,
+    * length, content) rows with one split per file. The fixture payloads
+    * are materialized ONCE per corpus as a content-keyed file tree
+    * (doc_<id>.bin, written executor-side via foreachPartition — no
+    * driver collect; atomic publish + stale-generation sweep like every
+    * other artifact), then ingested through format("binaryFile") with a
+    * pathGlobFilter. Doc identity is recovered from the file name and
+    * the projection matches [[mediaMeta]]'s byte accounting — the oracle
+    * is the same projection derived from the TABLE, so the row goes red
+    * if ingest drops, duplicates, or corrupts one payload byte. 1-in-20
+    * slice keeps the file count proportionate to what the operator
+    * demonstrates (ingest fidelity, not bulk throughput). */
+  def mediaIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val path = s"${graft.Artifacts.root}/graft_media_files/" +
+      graft.Artifacts.key("v1", sfDir, "documents.parquet")
+    val target = graft.flow.DirTarget(path)
+    if (!target.exists) target.atomicWrite { tmp =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tmp))
+      graft.Tables.documents(spark, sfDir)
+        .filter($"doc_id" % 20 === 0 && $"text".isNotNull)
+        .select($"doc_id", encode($"text", "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+        .foreachPartition { (it: Iterator[(Long, Array[Byte])]) =>
+          it.foreach { case (id, bytes) =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(s"$tmp/doc_$id.bin"), bytes)
+          }
+        }
+    }
+    graft.Artifacts.sweepStale(path)
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bin").load(path)
+      .select(
+        regexp_extract($"path", "doc_(\\d+)\\.bin$", 1)
+          .cast("long").as("doc_id"),
+        $"length".as("n_bytes"),
+        sha2($"content", 256).as("content_sha256"))
+      .orderBy($"doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_meta" -> (mediaMeta _),
-    "q_multimodal_features" -> (mediaFeatures _))
+    "q_multimodal_features" -> (mediaFeatures _),
+    "q_multimodal_ingest_files" -> (mediaIngest _))
 
   def oracle: Map[String, String] = Map(
     "q_multimodal_meta" ->
@@ -165,5 +210,13 @@ object MultimodalOps extends graft.QueryModule {
         |  lang,
         |  octet_length(CAST(text AS BLOB)) AS n_bytes,
         |  sha256(text) AS content_sha256
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // the table-derived truth of the file-tree ingest: same slice, same
+    // byte accounting — lossless ingest means equality
+    "q_multimodal_ingest_files" ->
+      """SELECT doc_id,
+        |  octet_length(CAST(text AS BLOB)) AS n_bytes,
+        |  sha256(text) AS content_sha256
+        |FROM documents WHERE doc_id % 20 = 0 AND text IS NOT NULL
+        |ORDER BY doc_id""".stripMargin)
 }
