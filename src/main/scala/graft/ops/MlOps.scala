@@ -100,6 +100,48 @@ object MlOps extends graft.QueryModule {
       .orderBy($"lang", $"rk")
   }
 
+  /** Temperature-flattened multilingual RESAMPLING — the mixing step
+    * between quota sampling and a real multilingual training run (the
+    * public mT5/XLM-R recipe: sample language l with probability
+    * proportional to n_l^alpha, alpha < 1, so low-resource languages are
+    * over-represented relative to their corpus share). alpha = 0.5 here,
+    * and on purpose: floor(sqrt(n)) is exact under IEEE correctly-rounded
+    * sqrt in BOTH engines, so the whole quota computation
+    * (quota_l = max(1, (budget * s_l) div S), s_l = floor(sqrt(n_l)),
+    * S = sum s_l, budget = 200) is integer arithmetic the DuckDB oracle
+    * reproduces bit-for-bit — a fractional alpha would hang the oracle on
+    * cross-engine pow() rounding. Selection within a language is the same
+    * stable-hash order as [[quotaSample]] (nested, reproducible,
+    * ingest-order-free). Plan: one count agg, a 1-row broadcast total, a
+    * broadcast quota join, and ONE per-lang top-k window cut at the
+    * constant budget cap (every quota <= budget) — the constant cut sits
+    * directly on the window so RewriteTopKWindow turns it into bounded
+    * heaps, and the per-lang variable trim is a near-free filter above
+    * the broadcast join. Floor-division undershoots the budget by < L
+    * rows (L = n languages); the max(1,·) floor guarantees every
+    * language survives. */
+  def temperatureMix(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.plans.GraftExtensions.register(spark)
+    val docs = graft.Tables.documents(spark, sfDir).select($"doc_id", $"lang")
+    val counts = docs.groupBy($"lang").agg(count(lit(1)).as("n"))
+      .withColumn("s", floor(sqrt($"n".cast("double"))).cast("long"))
+    val total = counts.agg(sum($"s").as("S"))
+    val quotas = counts.crossJoin(broadcast(total))
+      .withColumn("quota", greatest(lit(1L), expr("(s * 200) div S")))
+      .select($"lang", $"quota")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"lang")
+      .orderBy(pmod($"doc_id" * 2654435761L, lit(1000000007L)).asc,
+        $"doc_id".asc)
+    docs
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 200)
+      .join(broadcast(quotas), Seq("lang"))
+      .filter($"rk" <= $"quota")
+      .select($"lang", $"quota", $"rk", $"doc_id")
+      .orderBy($"lang", $"rk")
+  }
+
   /** D21-D22: Tokenizer -> HashingTF(1000, binary=false), the persisted
     * stage config of the reference model. Declared WITHOUT oracle (bucket
     * ids are murmur3-specific); summarized per doc so the rows-only check
@@ -211,6 +253,7 @@ object MlOps extends graft.QueryModule {
     "q_ml_deterministic_split" -> (deterministicSplit _),
     "q_ml_group_split" -> (groupSplit _),
     "q_ml_quota_sample" -> (quotaSample _),
+    "q_ml_temperature_mix" -> (temperatureMix _),
     "q_ml_hashing_tf" -> (hashingTf _),
     "q_ml_hashing_tf_sql" -> (hashingTfSql _))
 
@@ -227,6 +270,26 @@ object MlOps extends graft.QueryModule {
         |      ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rk
         |  FROM documents)
         |WHERE rk <= 25 ORDER BY lang, rk""".stripMargin,
+    // integer-portable by construction: floor(sqrt(bigint)) is exact
+    // under correctly-rounded IEEE sqrt in both engines, everything
+    // after is bigint arithmetic
+    "q_ml_temperature_mix" ->
+      """WITH counts AS (
+        |  SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+        |w AS (
+        |  SELECT lang, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS s
+        |  FROM counts),
+        |q AS (
+        |  SELECT lang, CAST(greatest(1, (s * 200) // (SELECT SUM(s) FROM w))
+        |    AS BIGINT) AS quota
+        |  FROM w),
+        |ranked AS (
+        |  SELECT d.lang, q.quota, d.doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY d.lang
+        |      ORDER BY (d.doc_id * 2654435761) % 1000000007, d.doc_id) AS rk
+        |  FROM documents d JOIN q USING (lang))
+        |SELECT lang, quota, rk, doc_id FROM ranked
+        |WHERE rk <= quota ORDER BY lang, rk""".stripMargin,
     "q_ml_hashing_tf_sql" ->
       """SELECT doc_id, COUNT(DISTINCT bucket) AS nnz, COUNT(*) AS total_tf
         |FROM (
