@@ -50,19 +50,27 @@ object Artifacts {
   def sweepStale(artifactPath: String): Unit = try {
     val live = new java.io.File(artifactPath)
     val cut = live.getName.lastIndexOf('-')
-    if (cut > 0) {
+    // getParentFile is null for a single-segment relative path — inside
+    // the best-effort contract that means "nothing to sweep", not NPE
+    val parent = Option(live.getParentFile)
+    if (cut > 0 && parent.isDefined) {
       val prefix = live.getName.substring(0, cut + 1)
-      Option(live.getParentFile.listFiles()).getOrElse(Array.empty)
-        .filter(s => s.getName.startsWith(prefix) && s.getName != live.getName
-          // NEVER touch atomicWrite temps ("<key>.tmp-<uuid>", DirTarget):
-          // they match the prefix, and a CONCURRENT builder of the same key
-          // may be mid-write in one — deleting it would fail its commit
-          // rename. Abandoned temps (hard crash) are the one leak left
-          // unswept; atomicWrite's finally removes its own temp otherwise.
-          && !s.getName.contains(".tmp-"))
+      val dayMs = 24L * 3600 * 1000
+      val now = System.currentTimeMillis()
+      parent.flatMap(p => Option(p.listFiles())).getOrElse(Array.empty)
+        .filter { s =>
+          s.getName.startsWith(prefix) && s.getName != live.getName &&
+          // NEVER touch FRESH atomicWrite temps ("<key>.tmp-<uuid>",
+          // DirTarget): they match the prefix, and a CONCURRENT builder of
+          // the same key may be mid-write in one — deleting it would fail
+          // its commit rename. A temp older than a day can only be a
+          // crash-abandoned write (atomicWrite's finally removes its own
+          // temp on every non-crash path), so age-sweep closes that leak.
+          (!s.getName.contains(".tmp-") || now - s.lastModified() > dayMs)
+        }
         .foreach(deleteRecursively)
     }
-  } catch { case _: java.io.IOException => () }
+  } catch { case scala.util.control.NonFatal(_) => () }
 
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory)

@@ -24,27 +24,44 @@ object Bench {
     // plans are rebuilt per pass, so no shuffle-output reuse flatters
     // the second. The min is the defensible per-query cost.
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // a throwing query must be LOUD: round 6 let a broken query subtract
+    // its -1.0 sentinel from the total and still exit 0. Failures now go
+    // to stderr immediately, into an "errors" JSON field, are excluded
+    // from value/n_queries, and flip the exit code.
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     def sweep(): Seq[(String, Double)] = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val t = try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-              catch { case _: Throwable => -1.0 }
+              catch { case e: Throwable =>
+                val msg = s"${e.getClass.getSimpleName}: " +
+                  Option(e.getMessage).getOrElse("").linesIterator
+                    .take(1).mkString.take(200)
+                System.err.println(s"BENCH FAIL $name — $msg")
+                failures.getOrElseUpdate(name, msg); -1.0 }
       name -> t
     }
     val p1 = sweep().toMap
     val p2 = sweep().toMap
-    val results = ordered.map { case (name, _) =>
+    val timed = ordered.map { case (name, _) =>
       val (a, b) = (p1(name), p2(name))
       name -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
     }
+    val results = timed.filter(_._2 >= 0)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val errs = timed.filter(_._2 < 0)
+      .map { case (k, _) => jstr(s"$k: ${failures.getOrElse(k, "?")}") }
+      .mkString("[", ",", "]")
     val total = results.map(_._2).sum
     // field order matters to the DRIVER's artifact, not to JSON: its
     // bench log keeps the TAIL of this line, so the scalar summary
-    // (total, count, sf) sits after the long per-query map — a truncated
-    // capture loses individual timings, never the headline number
+    // (errors, total, count, sf) sits after the long per-query map — a
+    // truncated capture loses individual timings, never the headline
     println(s"""{"metric":"total","unit":"sec","queries":$qs,""" +
-      s""""n_queries":${results.size},"sf":"$sfDir","value":$total}""")
+      s""""errors":$errs,"n_queries":${results.size},"sf":"$sfDir",""" +
+      s""""value":$total}""")
     spark.stop()
+    if (timed.exists(_._2 < 0)) sys.exit(1)
   }
 }

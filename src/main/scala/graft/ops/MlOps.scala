@@ -122,13 +122,15 @@ object MlOps extends graft.QueryModule {
     * language survives. */
   def temperatureMix(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    graft.plans.GraftExtensions.register(spark)
     val docs = graft.Tables.documents(spark, sfDir).select($"doc_id", $"lang")
     val counts = docs.groupBy($"lang").agg(count(lit(1)).as("n"))
       .withColumn("s", floor(sqrt($"n".cast("double"))).cast("long"))
-    val total = counts.agg(sum($"s").as("S"))
+    // the sum's alias must be DISTINCT from "s" under Spark's
+    // case-insensitive resolution: after the crossJoin both columns are in
+    // scope, and `expr("... div S")` with alias "S" is AMBIGUOUS_REFERENCE
+    val total = counts.agg(sum($"s").as("s_total"))
     val quotas = counts.crossJoin(broadcast(total))
-      .withColumn("quota", greatest(lit(1L), expr("(s * 200) div S")))
+      .withColumn("quota", greatest(lit(1L), expr("(s * 200) div s_total")))
       .select($"lang", $"quota")
     val w = org.apache.spark.sql.expressions.Window.partitionBy($"lang")
       .orderBy(pmod($"doc_id" * 2654435761L, lit(1000000007L)).asc,

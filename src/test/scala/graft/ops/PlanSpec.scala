@@ -105,6 +105,17 @@ class PlanSpec extends SparkTestBase {
       p.take(2000))
   }
 
+  test("q_ml_temperature_mix's budget-cap window plans as bounded per-key heaps") {
+    // the docstring's scale claim: the constant rk <= 200 cut sits
+    // directly on the window, so RewriteTopKWindow must produce the
+    // partial+final TopKPerKeyExec pair — a hot language buffers 200
+    // rows, never its corpus share
+    val p = plan("q_ml_temperature_mix")
+    val hits = "TopKPerKey".r.findAllIn(p).length
+    assert(hits >= 2, s"expected partial+final TopKPerKeyExec, got $hits:\n" +
+      p.take(2000))
+  }
+
   test("ANN candidate and re-rank windows plan as bounded per-key heaps") {
     // every ANN variant selects candidates and/or re-ranks them with a
     // row_number()<=k window per query id; RewriteTopKWindow must turn

@@ -62,6 +62,42 @@ class SampleSpec extends SparkTestBase {
       }
   }
 
+  test("temperature mix: every language survives, quotas honor the budget") {
+    import org.apache.spark.sql.functions._
+    val langs = graft.Tables.documents(spark, sf0001)
+      .groupBy($"lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val mix = MlOps.temperatureMix(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    val byLang = mix.groupBy(_._1)
+    // max(1, .) floor: no language is sampled away entirely
+    assert(byLang.keySet == langs.keySet,
+      s"missing langs: ${langs.keySet -- byLang.keySet}")
+    // the quota column is a per-lang constant and the selection honors it
+    byLang.foreach { case (lang, rows) =>
+      val quotas = rows.map(_._2).distinct
+      assert(quotas.length == 1, s"$lang: non-constant quota $quotas")
+      val expected = math.min(quotas.head, langs(lang))
+      assert(rows.length == expected,
+        s"$lang: ${rows.length} rows, expected min(quota=${quotas.head}, n=${langs(lang)})")
+      assert(rows.map(_._3).sorted.sameElements(1 to rows.length),
+        s"$lang: rk not contiguous from 1")
+    }
+    // floor division undershoots by < L; the max(1,·) floors add at most
+    // one row per language — total quota stays within budget + L
+    val quotaSum = byLang.values.map(_.head._2).sum
+    assert(quotaSum <= 200 + langs.size,
+      s"quota sum $quotaSum exceeds budget 200 + ${langs.size} langs")
+    // flattening (alpha = 0.5): the rarest language's share of the mix
+    // strictly exceeds its share of the corpus — the property the
+    // operator exists for
+    val rarest = langs.minBy(_._2)._1
+    val mixShare = byLang(rarest).length.toDouble / mix.length
+    val corpusShare = langs(rarest).toDouble / langs.values.sum
+    assert(mixShare > corpusShare,
+      s"$rarest: mix share $mixShare not above corpus share $corpusShare")
+  }
+
   test("q_ml_sample_seeded is deterministic and in-bounds") {
     val once = MlOps.sampleSeeded(spark, sf0001).collect()
     val twice = MlOps.sampleSeeded(spark, sf0001).collect()
