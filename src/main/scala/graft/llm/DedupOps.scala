@@ -450,6 +450,103 @@ object DedupOps extends graft.QueryModule {
       .orderBy($"keep_id")
   }
 
+  private[llm] def minhashIndexPath(sfDir: String): String =
+    s"${graft.Artifacts.root}/graft_minhash_index/${artifactKey(sfDir)}"
+
+  /** Persist the EXISTING corpus's MinHash-LSH index ONCE: three parquet
+    * frames under one atomically-committed dir — `members` (fp, doc_id),
+    * `reps` (fp, shingle set of the min-id representative), `bands`
+    * (band, bandhash, fp). This is what makes NEAR-dup incremental the
+    * way [[buildFpIndex]] makes EXACT dedup incremental: the index is a
+    * fraction of corpus bytes (21 band hashes + one shingle set per
+    * DISTINCT shingle-fingerprint, not per doc), and a daily batch joins
+    * against it without the corpus text ever being re-shingled. In
+    * production the index grows by appending each accepted batch's reps
+    * and bands (same partitioning); here it is built one-shot from the
+    * corpus slice because the fixture corpus is static. */
+  private[llm] def buildMinhashIndex(spark: SparkSession, sfDir: String): String = {
+    import spark.implicits._
+    val path = minhashIndexPath(sfDir)
+    val target = graft.flow.DirTarget(path)
+    if (!target.exists) target.atomicWrite { tmp =>
+      val corpus = graft.Tables.documents(spark, sfDir)
+        .filter($"doc_id" % 3 =!= 0) // EXISTING slice (complement of batch)
+        .select($"doc_id", shinglesUdf($"text").as("sh"))
+        .filter(size($"sh") > 0)
+        .withColumn("fp", sha2(concat_ws("\u0000", array_sort($"sh")), 256))
+        .localCheckpoint() // feeds all three writes once
+      corpus.select($"fp", $"doc_id")
+        .repartition(8, $"fp").sortWithinPartitions($"fp")
+        .write.mode("overwrite").parquet(s"$tmp/members")
+      val reps = corpus.groupBy($"fp")
+        .agg(min_by($"sh", $"doc_id").as("sh"))
+        .localCheckpoint() // feeds reps AND bands writes
+      reps.repartition(8, $"fp").sortWithinPartitions($"fp")
+        .write.mode("overwrite").parquet(s"$tmp/reps")
+      reps
+        .select($"fp",
+          posexplode(minhashBandsUdf(transform($"sh", s => xxhash64(s)))))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandhash")
+        .select($"band", $"bandhash", $"fp")
+        .repartition(8, $"bandhash")
+        .write.mode("overwrite").parquet(s"$tmp/bands")
+    }
+    graft.Artifacts.sweepStale(path) // retire prior fixture generations
+    path
+  }
+
+  /** Incremental NEAR-dup: a NEW batch (doc_id % 3 = 0) against the
+    * EXISTING corpus's persisted MinHash index — the production shape for
+    * continuous ingestion, where re-banding 100 TB per day is the cost
+    * being engineered away. The batch is shingled and banded exactly like
+    * [[minhashLsh]]; candidates are batch-band x index-band collisions
+    * (a streamed equi-join on (band, bandhash) — hot buckets buffer
+    * member fps, never pair cross-products); verification is exact
+    * Jaccard >= 0.5 on the two representative shingle sets; verified rep
+    * pairs expand to (batch doc, corpus doc) via the members frames.
+    * Identical docs across the slices need no special case: equal shingle
+    * sets mean equal fp and equal bands, so they collide in every band
+    * and verify at jaccard 1.0. Oracle: exact all-pairs Jaccard across
+    * the slice boundary (sound for the same reason [[minhashLsh]]'s
+    * all-pairs oracle is — on the fixture the 21x3 banding has full
+    * recall at the 0.5 threshold, and this query's pairs are a subset). */
+  def incrementalMinhash(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val idx = buildMinhashIndex(spark, sfDir)
+    val corpusReps = spark.read.parquet(s"$idx/reps")
+    val corpusBands = spark.read.parquet(s"$idx/bands")
+    val corpusMembers = spark.read.parquet(s"$idx/members")
+    val batch = graft.Tables.documents(spark, sfDir)
+      .filter($"doc_id" % 3 === 0) // NEW batch slice
+      .select($"doc_id", shinglesUdf($"text").as("sh"))
+      .filter(size($"sh") > 0)
+      .withColumn("fp", sha2(concat_ws("\u0000", array_sort($"sh")), 256))
+      .localCheckpoint() // feeds reps, bands, and the member expansion
+    val batchReps = batch.groupBy($"fp").agg(min_by($"sh", $"doc_id").as("sh"))
+    val batchBands = batchReps
+      .select($"fp",
+        posexplode(minhashBandsUdf(transform($"sh", s => xxhash64(s)))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandhash")
+    val candidates = batchBands.select($"band", $"bandhash", $"fp".as("n_fp"))
+      .join(corpusBands.select($"band", $"bandhash", $"fp".as("c_fp")),
+        Seq("band", "bandhash"))
+      .select($"n_fp", $"c_fp").distinct()
+    val verified = candidates
+      .join(batchReps.select($"fp".as("n_fp"), $"sh".as("n_sh")), Seq("n_fp"))
+      .join(corpusReps.select($"fp".as("c_fp"), $"sh".as("c_sh")), Seq("c_fp"))
+      .withColumn("jaccard",
+        size(array_intersect($"n_sh", $"c_sh")).cast("double") /
+          size(array_union($"n_sh", $"c_sh")).cast("double"))
+      .filter($"jaccard" >= 0.5)
+      .select($"n_fp", $"c_fp", $"jaccard")
+    verified
+      .join(batch.select($"fp".as("n_fp"), $"doc_id".as("batch_id")), Seq("n_fp"))
+      .join(corpusMembers.select($"fp".as("c_fp"), $"doc_id".as("corpus_id")),
+        Seq("c_fp"))
+      .select($"batch_id", $"corpus_id", round($"jaccard", 6).as("jaccard"))
+      .orderBy($"batch_id", $"corpus_id")
+  }
+
   /** Duplicate-cluster assignment: connected components over the n-gram
     * Jaccard near-dup pair graph, component id = min doc_id reachable.
     * Iterative min-label propagation (the simple variant of the
@@ -671,6 +768,7 @@ object DedupOps extends graft.QueryModule {
     "q_dedup_ngram_jaccard" -> (ngramJaccard _),
     "q_dedup_ngram_jaccard_cutoff" -> (ngramJaccardCutoff _),
     "q_dedup_minhash_lsh" -> (minhashLsh _),
+    "q_dedup_incremental_minhash" -> (incrementalMinhash _),
     "q_dedup_simhash" -> (simhash _),
     "q_dedup_components" -> (components _),
     "q_dedup_cluster_stats" -> (clusterStats _),
@@ -862,6 +960,30 @@ object DedupOps extends graft.QueryModule {
         |FROM pairs
         |WHERE CAST(inter AS DOUBLE) / CAST(asz + bsz - inter AS DOUBLE) >= 0.5
         |ORDER BY a_id, b_id""".stripMargin,
+    // exact all-pairs jaccard ACROSS the slice boundary (batch = id%3=0,
+    // corpus = the rest) — sound because the full-corpus banding has
+    // measured full recall at 0.5 and this query's pairs are a subset
+    "q_dedup_incremental_minhash" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    list_sort(list_distinct(list_transform(
+        |      generate_series(1, len(string_split(text, ' ')) - 2),
+        |      i -> concat_ws(' ', string_split(text, ' ')[i],
+        |                     string_split(text, ' ')[i+1],
+        |                     string_split(text, ' ')[i+2])))) AS sh
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |pairs AS (
+        |  SELECT n.doc_id AS batch_id, c.doc_id AS corpus_id,
+        |    len(list_intersect(n.sh, c.sh)) AS inter,
+        |    len(n.sh) AS nsz, len(c.sh) AS csz
+        |  FROM docs n JOIN docs c
+        |    ON n.doc_id % 3 = 0 AND c.doc_id % 3 <> 0)
+        |SELECT batch_id, corpus_id,
+        |  round(CAST(inter AS DOUBLE) / CAST(nsz + csz - inter AS DOUBLE), 6)
+        |    AS jaccard
+        |FROM pairs
+        |WHERE CAST(inter AS DOUBLE) / CAST(nsz + csz - inter AS DOUBLE) >= 0.5
+        |ORDER BY batch_id, corpus_id""".stripMargin,
     // the generous-cutoff variant equals the exact query on the fixture
     // (hottest block-level shingle df is 8 << maxDf=50; DedupSpec pins
     // the equality), so the exact SQL is its oracle at oracle scale

@@ -144,6 +144,44 @@ object MlOps extends graft.QueryModule {
       .orderBy($"lang", $"rk")
   }
 
+  /** Deterministic seeded GLOBAL SHUFFLE with round-robin shard
+    * assignment — the last step before a training run reads the corpus:
+    * a reproducible global visit order (pos 1..N over a stable hash of
+    * doc_id) and the shard each example lands in (pos-round-robin over
+    * 8 shards, so shard sizes differ by at most one). The naive plan —
+    * `row_number() OVER (ORDER BY hash)` — is a SINGLE-partition window:
+    * every row funnels through one task, the one shape that cannot
+    * survive 100 TB. Instead the hash space [0, 1e9+7) is cut into 64
+    * contiguous ranges: a per-RANGE window ranks 1/64th of the data per
+    * task (one shuffle on the range id), a 64-row count aggregate turns
+    * into cumulative offsets under a window over 64 rows (trivially
+    * single-task), and pos = offset + within-range rank, broadcast-joined
+    * back. Because the ranges are contiguous in h, the concatenation IS
+    * the global (h, doc_id) order — the oracle's one global ROW_NUMBER
+    * proves it. Same int64 hash envelope as [[groupSplit]]. */
+  def globalShuffle(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val M = 1000000007L
+    val nBuckets = 64
+    val width = (M + nBuckets - 1) / nBuckets
+    val hashed = graft.Tables.documents(spark, sfDir)
+      .select($"doc_id")
+      .withColumn("h", pmod($"doc_id" * 2654435761L + 17L, lit(M)))
+      .withColumn("bucket", ($"h" / lit(width)).cast("int"))
+    val wb = org.apache.spark.sql.expressions.Window.partitionBy($"bucket")
+      .orderBy($"h".asc, $"doc_id".asc)
+    val ranked = hashed.withColumn("rk", row_number().over(wb).cast("long"))
+    val wo = org.apache.spark.sql.expressions.Window.orderBy($"bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = ranked.groupBy($"bucket").agg(count(lit(1)).as("n"))
+      .withColumn("offset", coalesce(sum($"n").over(wo), lit(0L)))
+      .select($"bucket", $"offset")
+    ranked.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("pos", $"offset" + $"rk")
+      .select($"pos", pmod($"pos" - 1L, lit(8L)).as("shard_id"), $"doc_id")
+      .orderBy($"pos")
+  }
+
   /** D21-D22: Tokenizer -> HashingTF(1000, binary=false), the persisted
     * stage config of the reference model. Declared WITHOUT oracle (bucket
     * ids are murmur3-specific); summarized per doc so the rows-only check
@@ -256,6 +294,7 @@ object MlOps extends graft.QueryModule {
     "q_ml_group_split" -> (groupSplit _),
     "q_ml_quota_sample" -> (quotaSample _),
     "q_ml_temperature_mix" -> (temperatureMix _),
+    "q_ml_global_shuffle" -> (globalShuffle _),
     "q_ml_hashing_tf" -> (hashingTf _),
     "q_ml_hashing_tf_sql" -> (hashingTfSql _))
 
@@ -292,6 +331,17 @@ object MlOps extends graft.QueryModule {
         |  FROM documents d JOIN q USING (lang))
         |SELECT lang, quota, rk, doc_id FROM ranked
         |WHERE rk <= quota ORDER BY lang, rk""".stripMargin,
+    // the bucketed two-level rank must equal ONE global row_number over
+    // (h, doc_id) — contiguous hash ranges concatenate in order
+    "q_ml_global_shuffle" ->
+      """WITH h AS (
+        |  SELECT doc_id, (doc_id * 2654435761 + 17) % 1000000007 AS h
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY h, doc_id) AS pos
+        |  FROM h)
+        |SELECT pos, (pos - 1) % 8 AS shard_id, doc_id
+        |FROM ranked ORDER BY pos""".stripMargin,
     "q_ml_hashing_tf_sql" ->
       """SELECT doc_id, COUNT(DISTINCT bucket) AS nnz, COUNT(*) AS total_tf
         |FROM (

@@ -108,6 +108,47 @@ class DedupSpec extends SparkTestBase {
     assert(scanned.exists(_.contains(idxPath)), scanned)
   }
 
+  test("incremental minhash = cross-slice restriction of the full LSH pairs") {
+    // the full-corpus pairs are oracle-green, so equality here proves
+    // the index path loses nothing at the slice boundary
+    val full = DedupOps.minhashLsh(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .flatMap { case (a, b, j) =>
+        // normalize to (batch, corpus): keep pairs with EXACTLY one
+        // batch-side (%3==0) endpoint, in either position
+        (a % 3 == 0, b % 3 == 0) match {
+          case (true, false) => Some((a, b, j))
+          case (false, true) => Some((b, a, j))
+          case _ => None
+        }
+      }.toSet
+    val incr = DedupOps.incrementalMinhash(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(incr == full,
+      s"missing: ${full -- incr}\nextra: ${incr -- full}")
+    assert(incr.nonEmpty, "fixture has no cross-slice near-dups — vacuous")
+  }
+
+  test("incremental minhash consumes the persisted band index; one batch scan") {
+    val idxPath = DedupOps.buildMinhashIndex(spark, sf0001)
+    assert(graft.flow.DirTarget(idxPath).exists, s"index not committed: $idxPath")
+    for (part <- Seq("members", "reps", "bands"))
+      assert(new java.io.File(s"$idxPath/$part").isDirectory,
+        s"index frame missing: $idxPath/$part")
+    val plan = DedupOps.incrementalMinhash(spark, sf0001)
+      .queryExecution.sparkPlan
+    val scanned = plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.relation.location.rootPaths.mkString(",")
+    }
+    // corpus text is never re-read: every documents.parquet scan in the
+    // plan is the batch slice (the localCheckpoint collapses them to 0;
+    // the index side reads only the three artifact frames)
+    assert(scanned.exists(_.contains(idxPath)), scanned)
+    assert(scanned.count(_.contains("documents.parquet")) == 0,
+      s"batch is localCheckpointed, corpus must come from the index: $scanned")
+  }
+
   test("triangles: a 3-clique of near-dups is one canonical triangle") {
     // fixture corpora have pairwise-disjoint dup pairs (0 triangles), so
     // the enumeration semantics are pinned here: docs 0,1,2 are mutually

@@ -98,6 +98,25 @@ class SampleSpec extends SparkTestBase {
       s"$rarest: mix share $mixShare not above corpus share $corpusShare")
   }
 
+  test("global shuffle: pos is a permutation, shards balanced, deterministic") {
+    import org.apache.spark.sql.functions._
+    val n = graft.Tables.documents(spark, sf0001).count()
+    val rows = MlOps.globalShuffle(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // pos is exactly 1..N (the bucketed two-level rank composes into one
+    // gap-free global order) and every doc appears exactly once
+    assert(rows.map(_._1).sorted.sameElements(1L to n), "pos not 1..N")
+    assert(rows.map(_._3).distinct.length == n, "doc_id not a permutation")
+    // round-robin shards differ by at most one row
+    val sizes = rows.groupBy(_._2).values.map(_.size)
+    assert(sizes.max - sizes.min <= 1, s"shard imbalance: $sizes")
+    assert(rows.groupBy(_._2).size == math.min(8L, n), "wrong shard count")
+    // same input -> same order, run to run
+    val again = MlOps.globalShuffle(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.sameElements(again), "shuffle order not deterministic")
+  }
+
   test("q_ml_sample_seeded is deterministic and in-bounds") {
     val once = MlOps.sampleSeeded(spark, sf0001).collect()
     val twice = MlOps.sampleSeeded(spark, sf0001).collect()
