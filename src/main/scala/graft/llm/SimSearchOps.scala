@@ -157,44 +157,78 @@ object SimSearchOps extends graft.QueryModule {
       .orderBy($"q_id", $"rk")
   }
 
-  /** IVF-style approximate top-k: a KMeans coarse quantizer (seeded,
-    * deterministic) partitions the corpus into nlist cells; each query
-    * probes its nprobe nearest cells and exact-reranks only those
-    * candidates. This is the partition-pruning ANN path at 100 TB: corpus
-    * written partitioned by cell id means a query touches nprobe/nlist of
-    * the data. Declared without oracle (centroids are impl-specific);
-    * recall pinned in SimSearchSpec. */
-  def topkIvf(spark: SparkSession, sfDir: String): DataFrame = {
+  private val NLIST = 16
+  // 12 of 16 cells per query: generous on purpose — the synthetic fixture
+  // vectors are nearly ISOTROPIC (cosine neighbors sit at ~0.3-0.5, so
+  // direction cells separate them weakly) and the recall floor is an
+  // absolute 0.9 (SimSearchSpec); a real embedding corpus clusters far
+  // tighter and runs nprobe 1-4 of a much larger nlist — the
+  // nprobe/nlist fraction, not the plan, is the tuning surface
+  private val NPROBE = 12
+
+  private[llm] def ivfIndexPath(sfDir: String): String =
+    s"${graft.Artifacts.root}/graft_ivf_index/" +
+      graft.Artifacts.key("v1", sfDir, "embeddings.parquet")
+
+  /** Persist the IVF index ONCE: `centroids` (cell, double[] center) and
+    * `cells` — the corpus REWRITTEN `partitionBy(cell)`, the piece that
+    * makes the docstring's 100 TB claim literal: a probed query does a
+    * PARTITION-PRUNED scan of nprobe/nlist of the data, not a join
+    * against a full corpus scan. The quantizer is seeded KMeans on a
+    * bounded 4096-row slice (IVF centroids don't need the full corpus —
+    * at 100 TB you'd never fit on all of it; limit() is deterministic
+    * for a fixed file layout). Cells are trained and assigned on
+    * L2-NORMALIZED vectors — the truth metric is COSINE, and unit-sphere
+    * L2 order == cosine order (the spherical-kmeans recipe); clustering
+    * raw vectors puts large-magnitude vectors in their own cells
+    * regardless of direction and quietly caps recall. In production the
+    * index refreshes on corpus change (same content-keyed generations as
+    * the dedup artifacts). */
+  private[llm] def buildIvfIndex(spark: SparkSession, sfDir: String): String = {
     import spark.implicits._
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val NLIST = 16
-    // 12 of 16 cells per query: generous on purpose — the synthetic fixture
-    // vectors are nearly ISOTROPIC (cosine neighbors sit at ~0.3-0.5, so
-    // direction cells separate them weakly) and the recall floor is an
-    // absolute 0.9 (SimSearchSpec); a real embedding corpus clusters far
-    // tighter and runs nprobe 1-4 of a much larger nlist — the
-    // nprobe/nlist fraction, not the plan, is the tuning surface
-    val NPROBE = 12
-    // the truth metric is COSINE, so cells are trained and assigned on
-    // L2-NORMALIZED vectors (unit-sphere L2 order == cosine order — the
-    // spherical-kmeans recipe); clustering the raw vectors instead puts
-    // large-magnitude vectors in their own cells regardless of direction
-    // and quietly caps recall
-    val emb = graft.Tables.embeddings(spark, sfDir)
-      .withColumn("ne", normalizeUdf($"embedding"))
-      .withColumn("fv", array_to_vector($"ne".cast("array<double>")))
-    // train the quantizer on a bounded slice — IVF centroids don't need
-    // the full corpus (at 100 TB you'd never fit on all of it); limit() is
-    // deterministic for a fixed file layout
-    val model = new KMeans().setK(NLIST).setSeed(42L).setMaxIter(10)
-      .setFeaturesCol("fv").setPredictionCol("cell")
-      .fit(emb.select($"fv").limit(4096))
-    val assigned = model.transform(emb)
-      .select($"vec_id", $"embedding", $"ne", $"cell")
-    val centroids = model.clusterCenters.map(_.toArray)
-    // nprobe nearest cells per query, via a literal centroid table
-    // (distances on the normalized query — same space as the centroids)
+    val path = ivfIndexPath(sfDir)
+    val target = graft.flow.DirTarget(path)
+    if (!target.exists) target.atomicWrite { tmp =>
+      val emb = graft.Tables.embeddings(spark, sfDir)
+        .withColumn("ne", normalizeUdf($"embedding"))
+        .withColumn("fv", array_to_vector($"ne".cast("array<double>")))
+      val model = new KMeans().setK(NLIST).setSeed(42L).setMaxIter(10)
+        .setFeaturesCol("fv").setPredictionCol("cell")
+        .fit(emb.select($"fv").limit(4096))
+      model.transform(emb)
+        .select($"vec_id", $"embedding", $"ne", $"cell")
+        .repartition($"cell") // one file per cell, not tasks x cells
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$tmp/cells")
+      model.clusterCenters.map(_.toArray).zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cell", "center")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/centroids")
+    }
+    graft.Artifacts.sweepStale(path)
+    path
+  }
+
+  /** IVF-style approximate top-k over the PERSISTED index: each query
+    * ranks the NLIST centroids (a driver-side constant-size table),
+    * probes its nprobe nearest cells through a partition-pruned scan of
+    * the cell-partitioned corpus, and exact-reranks only those
+    * candidates. The only corpus bytes read per query batch are the
+    * probed partitions — at 100 TB, nprobe/nlist of the data; the
+    * centroid collect is NLIST rows and the probed-cell list is bounded
+    * by min(NLIST, queries x nprobe). Build cost (KMeans + rewrite) is
+    * paid once per corpus generation, not per query. Declared without
+    * oracle (centroids are impl-specific); recall pinned in
+    * SimSearchSpec, partition pruning pinned in PlanSpec. */
+  def topkIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val idx = buildIvfIndex(spark, sfDir)
+    // NLIST rows — the coarse quantizer IS a driver-side constant
+    val centroids = spark.read.parquet(s"$idx/centroids")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
     val probeUdf = udf((e: Seq[Float]) => {
       val arr = e.toArray
       centroids.zipWithIndex.map { case (c, i) =>
@@ -206,20 +240,20 @@ object SimSearchOps extends graft.QueryModule {
         (d, i)
       }.sortBy(_._1).take(NPROBE).map(_._2).toSeq
     })
-    val queries = assigned.filter($"vec_id" < 10)
+    // queries come from the base table (vec_id pushdown reads ~10 rows)
+    val queries = graft.Tables.embeddings(spark, sfDir)
+      .filter($"vec_id" < 10)
       .select($"vec_id".as("q_id"), $"embedding".as("q_e"),
-        explode(probeUdf($"ne")).as("cell"))
-    // same id-only dedup + vector lookup as topkLsh (nprobe cells
-    // duplicate a candidate up to NPROBE times)
-    val candidates = assigned
-      .select($"vec_id".as("c_id"), $"cell")
+        explode(probeUdf(normalizeUdf($"embedding"))).as("cell"))
+    // bounded collect (<= min(NLIST, queries x nprobe) values) drives the
+    // partition-pruned scan — the IVF read path at any scale
+    val probedCells = queries.select($"cell").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val candidates = spark.read.parquet(s"$idx/cells")
+      .filter($"cell".isin(probedCells.map(Integer.valueOf): _*))
+      .select($"vec_id".as("c_id"), $"embedding".as("c_e"), $"cell")
       .join(broadcast(queries), Seq("cell"))
       .filter($"q_id" =!= $"c_id")
-      .select($"q_id", $"c_id").distinct()
-      .join(broadcast(assigned.filter($"vec_id" < 10)
-        .select($"vec_id".as("q_id"), $"embedding".as("q_e"))), Seq("q_id"))
-      .join(assigned.select($"vec_id".as("c_id"), $"embedding".as("c_e")),
-        Seq("c_id"))
     val w = Window.partitionBy($"q_id").orderBy($"score".desc, $"c_id")
     candidates
       .withColumn("score", round(cosine($"q_e", $"c_e"), 6))

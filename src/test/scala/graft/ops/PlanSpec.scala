@@ -116,6 +116,19 @@ class PlanSpec extends SparkTestBase {
       p.take(2000))
   }
 
+  test("q_simsearch_topk_ivf reads only probed cells via partition pruning") {
+    // the IVF scale claim made literal (round 7): the corpus lives
+    // cell-PARTITIONED in the persisted index, and the query's scan must
+    // carry the probed-cell INSET as a PartitionFilter — a refactor that
+    // reintroduces a full-corpus scan + join on cell would read
+    // nlist/nprobe times more bytes at 100 TB
+    val p = plan("q_simsearch_topk_ivf")
+    assert(p.contains("PartitionFilters: [cell"),
+      s"cells scan not partition-pruned:\n${p.take(3000)}")
+    assert(p.contains("INSET"),
+      s"probed-cell INSET missing from partition filters:\n${p.take(3000)}")
+  }
+
   test("ANN candidate and re-rank windows plan as bounded per-key heaps") {
     // every ANN variant selects candidates and/or re-ranks them with a
     // row_number()<=k window per query id; RewriteTopKWindow must turn
