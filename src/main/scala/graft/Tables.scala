@@ -20,16 +20,33 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS) which Spark 4 refuses to read as
-    * a timestamp (PARQUET_TYPE_ILLEGAL). Read it as raw nanos via the legacy
-    * conf and truncate to µs ourselves. `div` (integer division) is
+  /** events.ts has shipped in two physical forms across testdata
+    * generations: parquet TIMESTAMP(NANOS) (which Spark 4 refuses to read
+    * as a timestamp — PARQUET_TYPE_ILLEGAL — so we read raw nanos via the
+    * legacy conf and truncate to µs), and plain TIMESTAMP(MICROS) without
+    * timezone (which Spark 4 reads as TIMESTAMP_NTZ). Normalize both to
+    * TimestampType here so every downstream consumer sees one contract.
+    * The session is pinned UTC repo-wide, so the NTZ→instant cast is a
+    * numeric no-op. For the nanos form, `div` (integer division) is
     * mandatory: `/` on longs goes through double, which cannot represent
     * ~1.7e18 ns exactly. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions
-        .timestamp_micros(org.apache.spark.sql.functions.expr("ts div 1000")))
+    normalizeEventTs(table(s, d, "events"))
+  }
+
+  /** ts-column normalizer shared by the batch loader and the streaming
+    * file source (StreamOps.eventsStream): long nanos → µs-truncated
+    * timestamp; TIMESTAMP_NTZ → instant (UTC session); TimestampType
+    * passes through. */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType      => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => df
+      case _             => df.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   /** also registers graft's native SQL functions (dot_f32) — every

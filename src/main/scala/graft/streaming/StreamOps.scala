@@ -56,15 +56,15 @@ object StreamOps extends graft.QueryModule {
 
   /** The file-source events STREAM shared by every TRUE-streaming query:
     * batch loader side-effect sets the nanosAsLong conf, the raw schema
-    * is read once, and the ns->micros ts conversion matches
-    * Tables.events — one place to change the events source contract. */
+    * is read once, and the ts normalization is Tables.normalizeEventTs —
+    * one place to change the events source contract (it adapts to both
+    * the nanos-long and the TIMESTAMP_NTZ physical forms of events.ts). */
   private def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
     graft.Tables.events(spark, sfDir) // sets the nanosAsLong conf
     val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    spark.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.Tables.normalizeEventTs(
+      spark.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(sfDir))
   }
 
   /** TRUE streaming execution of the tumbling aggregate: parquet file
