@@ -21,8 +21,8 @@ object SparkEntry {
     ops.WindowOps, ops.SortSetOps, ops.ScalarOps, ops.UdafOps, ops.MlOps,
     ops.SqlOps, ops.ReshapeOps, ops.QualityOps,
     text.TextOps,
-    llm.DedupOps, llm.SimSearchOps, llm.MultimodalOps, llm.CorpusPipeline,
-    llm.Decontaminate,
+    llm.DedupOps, llm.SpanDedup, llm.SimSearchOps, llm.MultimodalOps,
+    llm.CorpusPipeline, llm.Decontaminate,
     streaming.StreamOps
   ) // widened as milestones land
 

@@ -144,6 +144,52 @@ object MlOps extends graft.QueryModule {
       .orderBy($"lang", $"rk")
   }
 
+  /** Fixed-proportion DOMAIN MIXTURE sampling — the other half of the
+    * mixing story next to [[temperatureMix]]: there the weights are
+    * DERIVED from corpus counts (n^alpha); here they are DECLARED
+    * config (the "web 50% / books 30% / code 20%" recipe every
+    * production data mix is specified as — cf. the published GPT-3 /
+    * The Pile / Dolma mixture tables). The config is a 20-row weight
+    * dim table built inline and broadcast — exactly how a mixture
+    * config joins against a 100 TB corpus (the weights always fit on
+    * the driver; the corpus never does). Integer arithmetic throughout
+    * (quota_s = least(n_s, greatest(1, (B*w_s) div W)), B = 400,
+    * W = sum of weights over sources present), so the DuckDB oracle
+    * reproduces it bit-for-bit; availability-capped quotas UNDERFILL
+    * the budget rather than silently reweighting — the honest contract
+    * for a reproducible mix (redistribution is a second pass a caller
+    * can compose). Selection within a source is the stable-hash order
+    * shared with [[quotaSample]]/[[temperatureMix]]; the constant
+    * rk <= 400 cut sits on the window so RewriteTopKWindow lowers it
+    * to bounded per-source heaps, and the per-source variable trim is
+    * a filter above the broadcast quota join. */
+  def domainMix(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // declared mixture config: high-quality sources oversampled 4x,
+    // mid-tier 2x, long tail 1x (fixture calibration of the knob)
+    val weights = (0 until 20)
+      .map(i => (s"src$i", if (i < 5) 4L else if (i < 10) 2L else 1L))
+      .toDF("source", "w")
+    val docs = graft.Tables.documents(spark, sfDir).select($"doc_id", $"source")
+    val counts = docs.groupBy($"source").agg(count(lit(1)).as("n"))
+      .join(broadcast(weights), Seq("source"))
+    val total = counts.agg(sum($"w").as("w_total"))
+    val quotas = counts.crossJoin(broadcast(total))
+      .withColumn("quota",
+        least($"n", greatest(lit(1L), expr("(w * 400) div w_total"))))
+      .select($"source", $"quota")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"source")
+      .orderBy(pmod($"doc_id" * 2654435761L, lit(1000000007L)).asc,
+        $"doc_id".asc)
+    docs
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 400)
+      .join(broadcast(quotas), Seq("source"))
+      .filter($"rk" <= $"quota")
+      .select($"source", $"quota", $"rk", $"doc_id")
+      .orderBy($"source", $"rk")
+  }
+
   /** Deterministic seeded GLOBAL SHUFFLE with round-robin shard
     * assignment — the last step before a training run reads the corpus:
     * a reproducible global visit order (pos 1..N over a stable hash of
@@ -294,6 +340,7 @@ object MlOps extends graft.QueryModule {
     "q_ml_group_split" -> (groupSplit _),
     "q_ml_quota_sample" -> (quotaSample _),
     "q_ml_temperature_mix" -> (temperatureMix _),
+    "q_ml_domain_mix" -> (domainMix _),
     "q_ml_global_shuffle" -> (globalShuffle _),
     "q_ml_hashing_tf" -> (hashingTf _),
     "q_ml_hashing_tf_sql" -> (hashingTfSql _))
@@ -331,6 +378,30 @@ object MlOps extends graft.QueryModule {
         |  FROM documents d JOIN q USING (lang))
         |SELECT lang, quota, rk, doc_id FROM ranked
         |WHERE rk <= quota ORDER BY lang, rk""".stripMargin,
+    // declared-weight mixture; all-bigint arithmetic (DuckDB `//` floors
+    // and Spark `div` truncates, identical on these non-negative
+    // operands — the sign-dependent trap is documented in SNIPPETS)
+    "q_ml_domain_mix" ->
+      """WITH wts AS (
+        |  SELECT 'src' || CAST(i AS VARCHAR) AS source,
+        |    CASE WHEN i < 5 THEN 4 WHEN i < 10 THEN 2 ELSE 1 END AS w
+        |  FROM (SELECT unnest(generate_series(0, 19)) AS i)),
+        |counts AS (
+        |  SELECT d.source, COUNT(*) AS n, MIN(w.w) AS w
+        |  FROM documents d JOIN wts w ON d.source = w.source
+        |  GROUP BY d.source),
+        |q AS (
+        |  SELECT source,
+        |    least(n, greatest(1, (w * 400) // (SELECT SUM(w) FROM counts)))
+        |      AS quota
+        |  FROM counts),
+        |ranked AS (
+        |  SELECT d.source, q.quota, d.doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY d.source
+        |      ORDER BY (d.doc_id * 2654435761) % 1000000007, d.doc_id) AS rk
+        |  FROM documents d JOIN q ON d.source = q.source)
+        |SELECT source, quota, rk, doc_id FROM ranked
+        |WHERE rk <= quota ORDER BY source, rk""".stripMargin,
     // the bucketed two-level rank must equal ONE global row_number over
     // (h, doc_id) — contiguous hash ranges concatenate in order
     "q_ml_global_shuffle" ->

@@ -116,6 +116,15 @@ class PlanSpec extends SparkTestBase {
       p.take(2000))
   }
 
+  test("q_ml_domain_mix's budget-cap window plans as bounded per-key heaps") {
+    // same scale contract as temperature mix: the constant rk <= 400 cut
+    // on the window must lower to the partial+final TopKPerKeyExec pair
+    val p = plan("q_ml_domain_mix")
+    val hits = "TopKPerKey".r.findAllIn(p).length
+    assert(hits >= 2, s"expected partial+final TopKPerKeyExec, got $hits:\n" +
+      p.take(2000))
+  }
+
   test("q_simsearch_topk_ivf reads only probed cells via partition pruning") {
     // the IVF scale claim made literal (round 7): the corpus lives
     // cell-PARTITIONED in the persisted index, and the query's scan must

@@ -98,6 +98,39 @@ class SampleSpec extends SparkTestBase {
       s"$rarest: mix share $mixShare not above corpus share $corpusShare")
   }
 
+  test("domain mix: declared weights drive shares, availability caps") {
+    import org.apache.spark.sql.functions._
+    val srcN = graft.Tables.documents(spark, sf0001)
+      .groupBy($"source").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val mix = MlOps.domainMix(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    val bySrc = mix.groupBy(_._1)
+    // the max(1,·) floor keeps every source present in the mix
+    assert(bySrc.keySet == srcN.keySet,
+      s"missing sources: ${srcN.keySet -- bySrc.keySet}")
+    bySrc.foreach { case (src, rows) =>
+      val quota = rows.map(_._2).distinct
+      assert(quota.length == 1, s"$src: non-constant quota $quota")
+      // availability cap: quota never exceeds what the source has
+      assert(quota.head <= srcN(src), s"$src: quota above availability")
+      assert(rows.length == quota.head,
+        s"$src: ${rows.length} rows for quota ${quota.head}")
+      assert(rows.map(_._3).sorted.sameElements(1 to rows.length),
+        s"$src: rk not contiguous from 1")
+    }
+    // the declared 4/2/1 weighting is visible in uncapped quotas: a
+    // weight-4 source's quota is exactly double a weight-2 source's and
+    // 4x a weight-1 source's wherever availability didn't bite
+    val uncapped = bySrc.collect { case (s, rows)
+      if rows.head._2 < srcN(s) => s -> rows.head._2 }
+    def tier(s: String): Int = s.stripPrefix("src").toInt match {
+      case i if i < 5 => 4; case i if i < 10 => 2; case _ => 1
+    }
+    for ((a, qa) <- uncapped; (b, qb) <- uncapped if tier(a) == 4 && tier(b) == 1)
+      assert(qa == 4 * qb, s"$a quota $qa is not 4x $b quota $qb")
+  }
+
   test("global shuffle: pos is a permutation, shards balanced, deterministic") {
     import org.apache.spark.sql.functions._
     val n = graft.Tables.documents(spark, sf0001).count()
