@@ -20,7 +20,7 @@ object SparkEntry {
     ops.AggOps, ops.ScanOps, ops.FilterOps, ops.JoinOps,
     ops.WindowOps, ops.SortSetOps, ops.ScalarOps, ops.UdafOps, ops.MlOps,
     ops.SqlOps, ops.ReshapeOps, ops.QualityOps,
-    text.TextOps,
+    text.TextOps, text.BpeOps,
     llm.DedupOps, llm.SpanDedup, llm.SimSearchOps, llm.MultimodalOps,
     llm.CorpusPipeline, llm.Decontaminate,
     streaming.StreamOps

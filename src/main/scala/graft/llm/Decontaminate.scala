@@ -63,8 +63,48 @@ object Decontaminate extends graft.QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** The composed eval-harness shape every training run needs: a
+    * deterministic hash split (same multiplicative-hash envelope as
+    * MlOps.deterministicSplit: 80% train / 20% eval on doc_id) followed
+    * by decontamination of the EVAL side against the TRAIN side — an
+    * eval doc whose distinct 3-gram shingles leak >= half into the
+    * train shingle set is dropped, so reported eval numbers cannot be
+    * inflated by train/eval leakage. The threshold is the pure-integer
+    * predicate 2*n_leak >= n_shingles — nothing fractional crosses the
+    * engine boundary — and is fixture calibration in the
+    * FixtureCosineThreshold sense: on this ~30-word synthetic
+    * vocabulary EVERY eval doc shares some common trigram with train
+    * (an any-overlap rule returns zero rows — vacuous), while
+    * production corpora with real vocabularies would run the same
+    * shape at a stricter cut. Unlike [[decontaminate]]'s
+    * small-benchmark broadcast, the train shingle set here is
+    * corpus-sized: the overlap count is a SHUFFLE join on the shingle
+    * key (never a broadcast), then one join back on doc_id — both
+    * linear, both AQE-skew-safe. Fully oracled (plain SQL
+    * composition). */
+  def evalSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang", $"source", shinglesUdf($"text").as("sh"),
+        (pmod($"doc_id" * 2654435761L, lit(1000L)) < 800).as("is_train"))
+    val trainShingles = docs.filter($"is_train" && size($"sh") > 0)
+      .select(explode($"sh").as("shingle")).distinct()
+    val evalDocs = docs.filter(!$"is_train")
+    val leaks = evalDocs.select($"doc_id", explode($"sh").as("shingle"))
+      .join(trainShingles, Seq("shingle"), "left_semi")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_leak"))
+    evalDocs.join(leaks, Seq("doc_id"), "left")
+      // keep: under-threshold leakage, or no shingles at all (a doc
+      // below the 3-token shingle floor cannot leak)
+      .filter(size($"sh") === 0 ||
+        coalesce($"n_leak", lit(0L)) * 2 < size($"sh"))
+      .select($"doc_id", $"lang", $"source")
+      .orderBy($"doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("q_dedup_decontaminate" -> (decontaminate _))
+    Map("q_dedup_decontaminate" -> (decontaminate _),
+      "q_pipeline_eval_split" -> (evalSplit _))
 
   def oracle: Map[String, String] = Map(
     "q_dedup_decontaminate" ->
@@ -83,5 +123,30 @@ object Decontaminate extends graft.QueryModule {
         |  WHERE doc_id % 50 <> 0)
         |SELECT c.doc_id, COUNT(*) AS n_leaked_shingles
         |FROM corpus c JOIN bench b USING (shingle)
-        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin)
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+    "q_pipeline_eval_split" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lang, source,
+        |    (doc_id * 2654435761) % 1000 < 800 AS is_train,
+        |    CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+        |      list_distinct(list_transform(
+        |        generate_series(1, len(string_split(text, ' ')) - 2),
+        |        i -> concat_ws(' ', string_split(text, ' ')[i],
+        |                       string_split(text, ' ')[i+1],
+        |                       string_split(text, ' ')[i+2])))
+        |      ELSE [] END AS sh
+        |  FROM documents),
+        |train_sh AS (
+        |  SELECT DISTINCT unnest(sh) AS shingle FROM docs WHERE is_train),
+        |leaks AS (
+        |  SELECT e.doc_id, count(*) AS n_leak
+        |  FROM (SELECT doc_id, unnest(sh) AS shingle FROM docs
+        |        WHERE NOT is_train) e
+        |  JOIN train_sh t USING (shingle)
+        |  GROUP BY e.doc_id)
+        |SELECT d.doc_id, d.lang, d.source
+        |FROM docs d LEFT JOIN leaks l ON d.doc_id = l.doc_id
+        |WHERE NOT d.is_train
+        |  AND (len(d.sh) = 0 OR coalesce(l.n_leak, 0) * 2 < len(d.sh))
+        |ORDER BY d.doc_id""".stripMargin)
 }

@@ -1,0 +1,103 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE vocabulary induction (Sennrich, Haddow & Birch,
+  * "Neural Machine Translation of Rare Words with Subword Units",
+  * ACL'16 — the published merge loop re-expressed on DataFrames): count
+  * word frequencies once across the corpus, represent each DISTINCT
+  * word as a symbol sequence, then repeatedly (a) sum adjacent-pair
+  * frequencies, (b) pick the most frequent pair, (c) merge it in every
+  * word. The merge table IS a tokenizer's training artifact — the core
+  * piece of the LLM-data pipeline the plain token-count queries stop
+  * short of.
+  *
+  * Scale shape: the ONLY pass over corpus text is the word-frequency
+  * aggregate (explode + groupBy, partial-agg'd, linear). Every merge
+  * round then runs on the DISTINCT-word table — bounded by vocabulary
+  * size (< millions at 100 TB), orders of magnitude below corpus size —
+  * as one explode+groupBy shuffle plus a 1-row argmax collect; the
+  * per-round localCheckpoint keeps the loop's lineage flat exactly like
+  * the CC label-propagation loop. No driver-side corpus state: the
+  * driver only ever sees one (l, r, n) row per round.
+  *
+  * Declared rows-only (SURVEY §2.5-4: iterative model training — the
+  * argmax-then-rewrite loop is not SQL-expressible at matching cost);
+  * the merge semantics are pinned in BpeSpec on the paper's own
+  * low/lower/newest/widest fixture with hand-computed expected merges,
+  * including the deterministic (n desc, l asc, r asc) tie-break. */
+object BpeOps extends graft.QueryModule {
+
+  /** Greedy left-to-right non-overlapping merge of adjacent (l, r) —
+    * the standard BPE apply step. */
+  private val mergeUdf = udf((s: Seq[String], l: String, r: String) => {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < s.length) {
+      if (i + 1 < s.length && s(i) == l && s(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += s(i); i += 1 }
+    }
+    out.toSeq
+  })
+
+  /** Run `rounds` BPE merges over a (word, freq) frame; returns
+    * (step, left, right, merged, n) — stops early when no pair occurs
+    * at least twice. */
+  private[text] def merges(words: DataFrame, rounds: Int)
+      : Seq[(Int, String, String, String, Long)] = {
+    import words.sparkSession.implicits._
+    var syms = words.select($"word", $"freq",
+      expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+        .as("s"))
+      .localCheckpoint()
+    val acc = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long)]
+    var step = 1
+    var done = false
+    while (step <= rounds && !done) {
+      // size >= 2 guard: Spark's sequence(1, 0) DESCENDS ([1, 0]), so a
+      // single-symbol word would index out of bounds instead of
+      // contributing zero pairs
+      val best = syms.filter(size($"s") >= 2)
+        .select($"freq", explode(expr(
+          "transform(sequence(1, size(s) - 1), i -> struct(s[i-1] AS l, s[i] AS r))"))
+          .as("p"))
+        .groupBy($"p.l".as("l"), $"p.r".as("r"))
+        .agg(sum($"freq").as("n"))
+        .orderBy($"n".desc, $"l".asc, $"r".asc)
+        .limit(1).collect()
+      if (best.isEmpty || best(0).getAs[Long]("n") < 2) done = true
+      else {
+        val (l, r, n) = (best(0).getAs[String]("l"),
+          best(0).getAs[String]("r"), best(0).getAs[Long]("n"))
+        acc += ((step, l, r, l + r, n))
+        syms = syms.withColumn("s", mergeUdf($"s", lit(l), lit(r)))
+          .localCheckpoint()
+        step += 1
+      }
+    }
+    acc.toSeq
+  }
+
+  /** q_text_bpe_merges — the first 10 BPE merges learned from the
+    * documents corpus (whitespace words, no end-of-word marker — the
+    * in-word variant; the marker is a preprocessing choice orthogonal
+    * to the merge loop). */
+  def bpeMerges(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val words = graft.Tables.documents(spark, sfDir)
+      .select(explode(split($"text", " ")).as("word"))
+      .filter(length($"word") > 0)
+      .groupBy($"word").agg(count(lit(1)).as("freq"))
+    merges(words, rounds = 10)
+      .toDF("step", "left", "right", "merged", "n")
+      .orderBy("step")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map("q_text_bpe_merges" -> (bpeMerges _))
+
+  def oracle: Map[String, String] = Map.empty
+}

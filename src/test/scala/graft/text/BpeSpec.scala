@@ -1,0 +1,57 @@
+package graft.text
+
+import graft.SparkTestBase
+
+/** BPE merge-loop semantics pinned on the ACL'16 paper's own fixture
+  * plus greedy-apply and tie-break edges. */
+class BpeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("Sennrich low/lower/newest/widest fixture learns the textbook merges") {
+    val words = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+      .toDF("word", "freq")
+    val m = BpeOps.merges(words, rounds = 4)
+    // hand-computed: pair counts r1 -> es=9, st=9 tie broken (l,r)-lexic
+    // to (e,s); then (es,t)=9; then lo=7, ow=7 tie -> (l,o); then (lo,w)=7
+    assert(m == Seq(
+      (1, "e", "s", "es", 9L),
+      (2, "es", "t", "est", 9L),
+      (3, "l", "o", "lo", 7L),
+      (4, "lo", "w", "low", 7L)))
+  }
+
+  test("greedy left-to-right apply never overlaps merged pairs") {
+    val words = Seq(("aaaa", 5L)).toDF("word", "freq")
+    val m = BpeOps.merges(words, rounds = 10)
+    // r1: three (a,a) positions x freq 5 = 15; apply greedily -> [aa, aa]
+    // r2: one (aa,aa) position x 5; apply -> [aaaa]; r3: no pairs, stop
+    assert(m == Seq(
+      (1, "a", "a", "aa", 15L),
+      (2, "aa", "aa", "aaaa", 5L)))
+  }
+
+  test("loop stops when no pair reaches frequency 2") {
+    val words = Seq(("ab", 1L), ("cd", 1L)).toDF("word", "freq")
+    assert(BpeOps.merges(words, rounds = 10).isEmpty)
+  }
+
+  test("single-character words contribute no pairs and do not crash") {
+    val words = Seq(("a", 100L), ("bc", 3L)).toDF("word", "freq")
+    val m = BpeOps.merges(words, rounds = 3)
+    assert(m == Seq((1, "b", "c", "bc", 3L)))
+  }
+
+  test("declared query returns 10 deterministic steps on the fixture") {
+    val out = BpeOps.bpeMerges(spark, sf0001).collect()
+    assert(out.map(_.getAs[Int]("step")).toSeq == (1 to 10))
+    // merged is always left+right concatenated
+    assert(out.forall(r => r.getAs[String]("merged") ==
+      r.getAs[String]("left") + r.getAs[String]("right")))
+    // frequencies are non-increasing is NOT guaranteed (merges create new
+    // pairs), but every merge must have been seen at least twice
+    assert(out.forall(_.getAs[Long]("n") >= 2))
+    // determinism: a second run reproduces the table exactly
+    val again = BpeOps.bpeMerges(spark, sf0001).collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+}
