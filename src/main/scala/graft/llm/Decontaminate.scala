@@ -67,21 +67,23 @@ object Decontaminate extends graft.QueryModule {
     * deterministic hash split (same multiplicative-hash envelope as
     * MlOps.deterministicSplit: 80% train / 20% eval on doc_id) followed
     * by decontamination of the EVAL side against the TRAIN side — an
-    * eval doc whose distinct 3-gram shingles leak >= half into the
-    * train shingle set is dropped, so reported eval numbers cannot be
-    * inflated by train/eval leakage. The threshold is the pure-integer
-    * predicate 2*n_leak >= n_shingles — nothing fractional crosses the
-    * engine boundary — and is fixture calibration in the
-    * FixtureCosineThreshold sense: on this ~30-word synthetic
-    * vocabulary EVERY eval doc shares some common trigram with train
-    * (an any-overlap rule returns zero rows — vacuous), while
-    * production corpora with real vocabularies would run the same
-    * shape at a stricter cut. Unlike [[decontaminate]]'s
-    * small-benchmark broadcast, the train shingle set here is
-    * corpus-sized: the overlap count is a SHUFFLE join on the shingle
-    * key (never a broadcast), then one join back on doc_id — both
-    * linear, both AQE-skew-safe. Fully oracled (plain SQL
-    * composition). */
+    * eval doc is dropped when its ENTIRE distinct-3-gram shingle set
+    * appears in the train side (complete containment: the doc is a
+    * tiling of training n-grams — the exact-contamination rule), so
+    * reported eval numbers cannot be inflated by train/eval leakage.
+    * The predicate is pure-integer (n_leak = n_shingles; nothing
+    * fractional crosses the engine boundary). Complete containment is
+    * the one cut that stays NON-VACUOUS at both fixture scales: on
+    * this ~30-word synthetic vocabulary every eval doc shares SOME
+    * trigram with train (any-overlap keeps nothing at either scale)
+    * and at sf0.1 the leak-fraction floor is 0.889 (a half-leak cut
+    * keeps nothing there either); production corpora with real
+    * vocabularies would run the same shape with a tunable fraction.
+    * Unlike [[decontaminate]]'s small-benchmark broadcast, the train
+    * shingle set here is corpus-sized: the overlap count is a SHUFFLE
+    * join on the shingle key (never a broadcast), then one join back
+    * on doc_id — both linear, both AQE-skew-safe. Fully oracled (plain
+    * SQL composition). */
   def evalSplit(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val docs = graft.Tables.documents(spark, sfDir)
@@ -94,10 +96,10 @@ object Decontaminate extends graft.QueryModule {
       .join(trainShingles, Seq("shingle"), "left_semi")
       .groupBy($"doc_id").agg(count(lit(1)).as("n_leak"))
     evalDocs.join(leaks, Seq("doc_id"), "left")
-      // keep: under-threshold leakage, or no shingles at all (a doc
-      // below the 3-token shingle floor cannot leak)
+      // keep: at least one shingle of its own, or no shingles at all
+      // (a doc below the 3-token shingle floor cannot leak)
       .filter(size($"sh") === 0 ||
-        coalesce($"n_leak", lit(0L)) * 2 < size($"sh"))
+        coalesce($"n_leak", lit(0L)) < size($"sh"))
       .select($"doc_id", $"lang", $"source")
       .orderBy($"doc_id")
   }
@@ -147,6 +149,6 @@ object Decontaminate extends graft.QueryModule {
         |SELECT d.doc_id, d.lang, d.source
         |FROM docs d LEFT JOIN leaks l ON d.doc_id = l.doc_id
         |WHERE NOT d.is_train
-        |  AND (len(d.sh) = 0 OR coalesce(l.n_leak, 0) * 2 < len(d.sh))
+        |  AND (len(d.sh) = 0 OR coalesce(l.n_leak, 0) < len(d.sh))
         |ORDER BY d.doc_id""".stripMargin)
 }
