@@ -565,11 +565,15 @@ object DedupOps extends graft.QueryModule {
     * (neighbor-min groupBy), rounds bounded by component diameter, which
     * for dup clusters is tiny. localCheckpoint truncates the per-round
     * lineage AND materializes the edge list once (the ngram pipeline would
-    * otherwise rerun every round); no session-lifetime persist. */
+    * otherwise rerun every round); no session-lifetime persist.
+    *
+    * Edges come from the persisted pair-graph artifact (round 9 — the
+    * same source its downstream analytics already read): the artifact IS
+    * ngramJaccard's exact declared output, built once per corpus
+    * generation, so the labeling is value-identical to propagating over
+    * a fresh pair computation while re-shingling nothing per query. */
   def components(spark: SparkSession, sfDir: String): DataFrame =
-    propagateMinLabel(ngramJaccard(spark, sfDir).select("a_id", "b_id"))
-      .toDF("doc_id", "component_id")
-      .orderBy("doc_id")
+    componentsOfIndex(spark, sfDir)
 
   /** Same labeling, fed by the persisted pair-graph artifact — the form
     * the downstream analytics (cluster stats, keep-list) consume so they

@@ -81,23 +81,87 @@ object BpeOps extends graft.QueryModule {
     acc.toSeq
   }
 
+  /** Persisted merge-table artifact — the tokenizer's training output,
+    * the train-once/apply-everywhere shape: learned once per corpus
+    * generation (content-keyed like the shingle/fp/pair indexes),
+    * committed atomically, read by both declared queries. */
+  private[text] def mergeIndexPath(sfDir: String): String =
+    s"${graft.Artifacts.root}/graft_bpe_merges/" +
+      graft.Artifacts.key("v1", sfDir, "documents.parquet")
+
+  private[text] def buildMergeIndex(spark: SparkSession, sfDir: String): String = {
+    import spark.implicits._
+    val path = mergeIndexPath(sfDir)
+    val target = graft.flow.DirTarget(path)
+    if (!target.exists) target.atomicWrite { tmp =>
+      val words = graft.Tables.documents(spark, sfDir)
+        .select(explode(split($"text", " ")).as("word"))
+        .filter(length($"word") > 0)
+        .groupBy($"word").agg(count(lit(1)).as("freq"))
+      merges(words, rounds = 10)
+        .toDF("step", "left", "right", "merged", "n")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+    }
+    graft.Artifacts.sweepStale(path)
+    path
+  }
+
   /** q_text_bpe_merges — the first 10 BPE merges learned from the
     * documents corpus (whitespace words, no end-of-word marker — the
     * in-word variant; the marker is a preprocessing choice orthogonal
     * to the merge loop). */
-  def bpeMerges(spark: SparkSession, sfDir: String): DataFrame = {
+  def bpeMerges(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(buildMergeIndex(spark, sfDir)).orderBy("step")
+
+  /** Apply a learned merge table to one symbol sequence: merges run in
+    * LEARNED ORDER, each applied greedily left-to-right — the canonical
+    * Sennrich apply (priority-queue apply is equivalent: a merge's
+    * operands only exist once every earlier merge has fired). */
+  private[text] def applyMerges(word: String,
+      merges: Seq[(String, String)]): Seq[String] = {
+    var s: Seq[String] = word.map(_.toString)
+    merges.foreach { case (l, r) =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < s.length) {
+        if (i + 1 < s.length && s(i) == l && s(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += s(i); i += 1 }
+      }
+      s = out.toSeq
+    }
+    s
+  }
+
+  /** q_text_bpe_tokenize — the apply side of the tokenizer story: learn
+    * the 10-merge table from the corpus ([[bpeMerges]]), then tokenize
+    * every document with it. Output is the per-doc compression readout
+    * (whitespace words vs BPE tokens) a pipeline uses for token
+    * accounting and sequence budgeting. The merge table is driver-sized
+    * (10 rows) and rides into the tokenize UDF's closure — the corpus
+    * pass is a single narrow map, no join. Rows-only (inherits the
+    * merge loop's §2.5-4 status); apply semantics pinned in BpeSpec. */
+  def bpeTokenize(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val words = graft.Tables.documents(spark, sfDir)
-      .select(explode(split($"text", " ")).as("word"))
-      .filter(length($"word") > 0)
-      .groupBy($"word").agg(count(lit(1)).as("freq"))
-    merges(words, rounds = 10)
-      .toDF("step", "left", "right", "merged", "n")
-      .orderBy("step")
+    // the learned table is 10 rows: collect from the artifact (driver-
+    // sized by construction) and ship it in the UDF closure
+    val table = spark.read.parquet(buildMergeIndex(spark, sfDir))
+      .orderBy("step").collect()
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq
+    val nTokensUdf = udf((toks: Seq[String]) =>
+      toks.iterator.filter(_.nonEmpty).map(applyMerges(_, table).length).sum)
+    graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .select($"doc_id",
+        size(filter($"ws", w => length(w) > 0)).cast("long").as("n_words"),
+        nTokensUdf($"ws").cast("long").as("n_tokens"))
+      .orderBy($"doc_id")
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("q_text_bpe_merges" -> (bpeMerges _))
+    Map("q_text_bpe_merges" -> (bpeMerges _),
+      "q_text_bpe_tokenize" -> (bpeTokenize _))
 
   def oracle: Map[String, String] = Map.empty
 }

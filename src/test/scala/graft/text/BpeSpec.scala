@@ -41,6 +41,28 @@ class BpeSpec extends SparkTestBase {
     assert(m == Seq((1, "b", "c", "bc", 3L)))
   }
 
+  test("applyMerges follows learned order with greedy non-overlap") {
+    val table = Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w"))
+    assert(BpeOps.applyMerges("newest", table) == Seq("n", "e", "w", "est"))
+    assert(BpeOps.applyMerges("lowest", table) == Seq("low", "est"))
+    assert(BpeOps.applyMerges("low", table) == Seq("low"))
+    // unknown word falls back to characters
+    assert(BpeOps.applyMerges("zq", table) == Seq("z", "q"))
+    // a later merge can consume an earlier merge's output, never reorder
+    assert(BpeOps.applyMerges("test", table) == Seq("t", "est"))
+  }
+
+  test("tokenize counts BPE tokens per doc, never exceeding word chars") {
+    val out = BpeOps.bpeTokenize(spark, sf0001).collect()
+    assert(out.length ==
+      graft.Tables.documents(spark, sf0001).count())
+    // merges only ever shrink: n_words <= n_tokens <= total chars
+    assert(out.forall(r =>
+      r.getAs[Long]("n_tokens") >= r.getAs[Long]("n_words")))
+    val again = BpeOps.bpeTokenize(spark, sf0001).collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("declared query returns 10 deterministic steps on the fixture") {
     val out = BpeOps.bpeMerges(spark, sf0001).collect()
     assert(out.map(_.getAs[Int]("step")).toSeq == (1 to 10))
