@@ -159,13 +159,21 @@ object JoinOps extends graft.QueryModule {
     * pattern. Oracle = the identical join on the raw tables. */
   def bucketedJoin(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val key = java.lang.Integer.toHexString(sfDir.hashCode)
+    // content key in the TABLE NAME: a regenerated fixture gets fresh
+    // names, so the exists-check below can never serve stale buckets —
+    // and within a session the ingest shuffle is paid ONCE, which is the
+    // claim this operator exists to demonstrate (bucket metadata lives
+    // in the in-memory catalog, so a fresh JVM re-ingests)
+    val key = (graft.Artifacts.key("v1", sfDir, "orders.parquet") + "_" +
+      java.lang.Integer.toHexString(sfDir.hashCode))
+      .replaceAll("[^A-Za-z0-9_]", "_")
     val base = s"${graft.Artifacts.root}/graft_buckets_$key"
-    def bucketize(df: DataFrame, table: String, col: String): Unit =
-      df.write.mode("overwrite")
-        .bucketBy(8, col).sortBy(col)
-        .option("path", s"$base/$table")
-        .saveAsTable(table)
+    def bucketize(df: => DataFrame, table: String, col: String): Unit =
+      if (!spark.catalog.tableExists(table))
+        df.write.mode("overwrite")
+          .bucketBy(8, col).sortBy(col)
+          .option("path", s"$base/$table")
+          .saveAsTable(table)
     bucketize(graft.Tables.orders(spark, sfDir)
       .select($"o_orderkey", $"o_custkey", $"o_totalprice"),
       s"orders_b_$key", "o_custkey")
