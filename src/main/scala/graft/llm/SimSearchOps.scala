@@ -425,13 +425,19 @@ object SimSearchOps extends graft.QueryModule {
         .distinct()
       keep(scored, EF).select($"q_id", $"c_id", $"score")
     }
-    // entry: exact scan of the tiny top layer
+    // entry: exact scan of the tiny top layer. Each beam is materialized
+    // (localCheckpoint) before the next descent: inside expand() the beam
+    // feeds TWO legs (bucket derivation + the union), so without the cut
+    // the lvl-1 subtree would be cloned into the lvl-0 plan several times
+    // over — plan size, not data size, was the cost (beams are <= EF*10
+    // rows; measured ~25% of the query's wall time at sf0.1).
     val entry = keep(
       corpus.filter($"lvl" >= 2).crossJoin(broadcast(queries))
         .filter($"q_id" =!= $"c_id")
         .withColumn("score", scoreOf), EF)
       .select($"q_id", $"c_id", $"score")
-    val beam0 = expand(expand(entry, 1), 0)
+      .localCheckpoint()
+    val beam0 = expand(expand(entry, 1).localCheckpoint(), 0)
     keep(beam0, 5)
       .select($"q_id", $"rk", $"c_id", $"score")
       .orderBy($"q_id", $"rk")
