@@ -37,15 +37,21 @@ object Tables {
 
   /** ts-column normalizer shared by the batch loader and the streaming
     * file source (StreamOps.eventsStream): long nanos → µs-truncated
-    * timestamp; TIMESTAMP_NTZ → instant (UTC session); TimestampType
-    * passes through. */
+    * timestamp; TIMESTAMP_NTZ → instant (UTC session, a numeric no-op);
+    * TimestampType passes through. Any OTHER physical form fails
+    * loudly: a silent cast would mangle batch and stream IDENTICALLY,
+    * keeping the fixture-equality oracles green on wrong instants —
+    * the silent-drift mode the round-8 hard crash at least surfaced. */
   def normalizeEventTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
     df.schema("ts").dataType match {
-      case LongType      => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampType => df
-      case _             => df.withColumn("ts", col("ts").cast(TimestampType))
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType    => df
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case other => throw new IllegalStateException(
+        s"events.ts arrived as unhandled physical type $other — " +
+          "extend Tables.normalizeEventTs deliberately instead of casting blind")
     }
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")

@@ -86,20 +86,32 @@ object Decontaminate extends graft.QueryModule {
     * SQL composition). */
   def evalSplit(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val docs = graft.Tables.documents(spark, sfDir)
-      .select($"doc_id", $"lang", $"source", shinglesUdf($"text").as("sh"),
+    // shingles come from the dedup family's PERSISTED shingle artifact
+    // (DedupOps.shinglesUdf has the same contract as this module's —
+    // distinct whitespace 3-grams, < 3 tokens → absent row), so the
+    // query re-shingles NOTHING after the artifact's one-time build;
+    // the three shingle-consuming legs read parquet
+    val shingled = spark.read
+      .parquet(DedupOps.buildShingleIndex(spark, sfDir))
+      .select($"doc_id", $"sh",
         (pmod($"doc_id" * 2654435761L, lit(1000L)) < 800).as("is_train"))
-    val trainShingles = docs.filter($"is_train" && size($"sh") > 0)
+    val trainShingles = shingled.filter($"is_train")
       .select(explode($"sh").as("shingle")).distinct()
-    val evalDocs = docs.filter(!$"is_train")
-    val leaks = evalDocs.select($"doc_id", explode($"sh").as("shingle"))
+    val evalSh = shingled.filter(!$"is_train")
+    val leaks = evalSh.select($"doc_id", explode($"sh").as("shingle"))
       .join(trainShingles, Seq("shingle"), "left_semi")
       .groupBy($"doc_id").agg(count(lit(1)).as("n_leak"))
-    evalDocs.join(leaks, Seq("doc_id"), "left")
-      // keep: at least one shingle of its own, or no shingles at all
-      // (a doc below the 3-token shingle floor cannot leak)
-      .filter(size($"sh") === 0 ||
-        coalesce($"n_leak", lit(0L)) < size($"sh"))
+    graft.Tables.documents(spark, sfDir)
+      .filter(pmod($"doc_id" * 2654435761L, lit(1000L)) >= 800)
+      .select($"doc_id", $"lang", $"source")
+      .join(evalSh.select($"doc_id", size($"sh").as("n_sh")),
+        Seq("doc_id"), "left")
+      .join(leaks, Seq("doc_id"), "left")
+      // keep: under-containment leakage, or no shingles at all (a doc
+      // below the 3-token shingle floor is absent from the artifact and
+      // cannot leak)
+      .filter(coalesce($"n_sh", lit(0)) === 0 ||
+        coalesce($"n_leak", lit(0L)) < $"n_sh")
       .select($"doc_id", $"lang", $"source")
       .orderBy($"doc_id")
   }

@@ -1,7 +1,6 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for LLM training-data pipelines (north star;
@@ -202,18 +201,22 @@ object DedupOps extends graft.QueryModule {
     val postings = docs
       .select($"doc_id", $"lang", $"lb", explode($"sh").as("s"))
       .select($"doc_id", $"lang", $"lb", xxhash64($"s").as("shingle"))
-    // df-prune via a window count over the shingle key instead of an
-    // aggregate + join-back: ONE shuffle of the postings, partitioned on
-    // (lang, lb, shingle) — exactly the partitioning the candidate
-    // self-join below requires, so both join legs feed from a single
-    // ReusedExchange with no further shuffle, no broadcast, and no
-    // localCheckpoint. (The previous agg+join shape broadcast the rare
-    // set, which at corpus scale is nearly ALL distinct shingles — an
-    // unbounded broadcast — and paid a checkpoint write; this shape is
-    // both ~2x faster at sf0.1 and the honest 100 TB plan.)
-    val shingleW = Window.partitionBy($"lang", $"lb", $"shingle")
-    val rp = postings.withColumn("df", count(lit(1)).over(shingleW))
-      .filter($"df" <= maxDf).drop("df")
+    // df-prune: partial-agg'd groupBy count + a SHUFFLE-HASH join-back
+    // with the one-row-per-distinct-shingle count side as the build side.
+    // This keeps BOTH scale properties at once: the count is map-side
+    // combined (a boilerplate shingle in 10M docs contributes one partial
+    // row per mapper, never 10M rows on one task — the skew blind spot a
+    // window count would reintroduce), and nothing is broadcast (the
+    // sub-cutoff set is nearly ALL distinct shingles at corpus scale; the
+    // earlier broadcast-join shape shipped it to every executor). The
+    // postings side STREAMS through the join probe, so hot shingles never
+    // buffer, and both sides already share (lang, lb, shingle)
+    // partitioning with the candidate self-join below.
+    val rare = postings.groupBy($"lang", $"lb", $"shingle")
+      .agg(count(lit(1)).as("df")).filter($"df" <= maxDf)
+      .select($"lang", $"lb", $"shingle")
+    val rp = postings.join(rare.hint("shuffle_hash"),
+      Seq("lang", "lb", "shingle"))
     val cand = rp.select($"lang", $"lb", $"shingle", $"doc_id".as("a_id"))
       .join(rp.select($"lang", $"lb", $"shingle", $"doc_id".as("b_id")),
         Seq("lang", "lb", "shingle"))
@@ -819,10 +822,12 @@ object DedupOps extends graft.QueryModule {
     * stats, keep-list, triangles) reads these edges instead of each
     * re-shingling the corpus, which is also the production shape (the
     * pair graph is the dedup pipeline's second persisted working set,
-    * right after the shingled docs). The DECLARED pair/components
-    * queries still compute from scratch — this artifact only feeds the
-    * downstream analytics, and its content is exactly their oracle's
-    * nearpairs CTE. */
+    * right after the shingled docs). The DECLARED pair query
+    * (q_dedup_ngram_jaccard) still computes from scratch — it IS the
+    * pair computation — while q_dedup_components and the downstream
+    * analytics read this artifact (round 9), whose content is exactly
+    * their oracle's nearpairs CTE; changing the artifact layout or
+    * ArtifactVersion therefore requires re-verifying those oracles. */
   private[llm] def buildPairIndex(spark: SparkSession, sfDir: String): String = {
     val path = pairIndexPath(sfDir)
     val target = graft.flow.DirTarget(path)

@@ -51,25 +51,32 @@ object SpanDedup extends graft.QueryModule {
       .select($"doc_id", ($"pos" + 1).as("i"), $"col".as("span"))
   }
 
-  /** Spans occurring in >= 2 distinct docs. */
-  private[llm] def dupSpans(docs: DataFrame): DataFrame = {
-    import docs.sparkSession.implicits._
-    windows(docs).groupBy($"span")
+  /** Spans occurring in >= 2 distinct docs, derived from an
+    * already-built [[windows]] frame (taking the frame instead of the
+    * docs keeps flag/scrub at ONE corpus-wide window pass per plan —
+    * Catalyst clones subtrees per reference, it does not CSE them). */
+  private[llm] def dupSpans(wins: DataFrame): DataFrame = {
+    import wins.sparkSession.implicits._
+    wins.groupBy($"span")
       .agg(countDistinct($"doc_id").as("n_docs"), count(lit(1)).as("n_occ"))
       .filter($"n_docs" >= 2)
   }
 
   /** The corpus-wide duplicated-span index: (span, n_docs, n_occ). */
   private[llm] def spanIndexOf(docs: DataFrame): DataFrame =
-    dupSpans(docs).orderBy("span")
+    dupSpans(windows(docs)).orderBy("span")
 
   /** Per-doc duplicated-window readout — the quality-gate form: a doc
     * whose window set is mostly duplicated is boilerplate or a near-copy
     * and gets dropped before training. */
   private[llm] def spanFlagOf(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
+    // the windows subtree is cloned under the agg and the join legs —
+    // deliberate: it is a narrow no-shuffle pass, and re-running it is
+    // cheaper than materializing ~1 row per corpus token (measured: a
+    // localCheckpoint here made the query slower at sf0.1)
     val w = windows(docs)
-    val dup = dupSpans(docs).select($"span", lit(1).as("isdup"))
+    val dup = dupSpans(w).select($"span", lit(1).as("isdup"))
     w.join(dup, Seq("span"), "left")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_windows"), count($"isdup").as("n_dup_windows"))
@@ -83,10 +90,10 @@ object SpanDedup extends graft.QueryModule {
     * (fully-duplicated docs come back with n_kept=0, text_clean=''). */
   private[llm] def spanScrubOf(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    val w = windows(docs)
+    val w = windows(docs) // cloned per leg on purpose — see spanFlagOf
     // covered positions: each duplicated window contributes its W token
     // positions; left_semi keeps the join skinny (no dup-side columns)
-    val cov = w.join(dupSpans(docs).select($"span"), Seq("span"), "left_semi")
+    val cov = w.join(dupSpans(w).select($"span"), Seq("span"), "left_semi")
       .select($"doc_id", explode(expr(s"sequence(i, i + ${W - 1})")).as("p"))
       .distinct()
     val toks = docs.select($"doc_id", posexplode(split($"text", " ")))

@@ -159,12 +159,14 @@ object JoinOps extends graft.QueryModule {
     * pattern. Oracle = the identical join on the raw tables. */
   def bucketedJoin(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    // content key in the TABLE NAME: a regenerated fixture gets fresh
-    // names, so the exists-check below can never serve stale buckets —
-    // and within a session the ingest shuffle is paid ONCE, which is the
-    // claim this operator exists to demonstrate (bucket metadata lives
-    // in the in-memory catalog, so a fresh JVM re-ingests)
+    // content key in the TABLE NAME, covering BOTH source tables: a
+    // regeneration of either side gets fresh names, so the exists-check
+    // below can never serve stale buckets — and within a session the
+    // ingest shuffle is paid ONCE, which is the claim this operator
+    // exists to demonstrate (bucket metadata lives in the in-memory
+    // catalog, so a fresh JVM re-ingests)
     val key = (graft.Artifacts.key("v1", sfDir, "orders.parquet") + "_" +
+      graft.Artifacts.key("v1", sfDir, "customer.parquet") + "_" +
       java.lang.Integer.toHexString(sfDir.hashCode))
       .replaceAll("[^A-Za-z0-9_]", "_")
     val base = s"${graft.Artifacts.root}/graft_buckets_$key"

@@ -30,8 +30,10 @@ import org.apache.spark.sql.functions._
 object BpeOps extends graft.QueryModule {
 
   /** Greedy left-to-right non-overlapping merge of adjacent (l, r) —
-    * the standard BPE apply step. */
-  private val mergeUdf = udf((s: Seq[String], l: String, r: String) => {
+    * the standard BPE apply step, shared by the training loop (mergeUdf)
+    * and the tokenizer apply path (applyMerges) so the two can never
+    * drift semantically. */
+  private def mergeOnce(s: Seq[String], l: String, r: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0
     while (i < s.length) {
@@ -40,7 +42,10 @@ object BpeOps extends graft.QueryModule {
       } else { out += s(i); i += 1 }
     }
     out.toSeq
-  })
+  }
+
+  private val mergeUdf = udf((s: Seq[String], l: String, r: String) =>
+    mergeOnce(s, l, r))
 
   /** Run `rounds` BPE merges over a (word, freq) frame; returns
     * (step, left, right, merged, n) — stops early when no pair occurs
@@ -121,16 +126,7 @@ object BpeOps extends graft.QueryModule {
   private[text] def applyMerges(word: String,
       merges: Seq[(String, String)]): Seq[String] = {
     var s: Seq[String] = word.map(_.toString)
-    merges.foreach { case (l, r) =>
-      val out = scala.collection.mutable.ArrayBuffer.empty[String]
-      var i = 0
-      while (i < s.length) {
-        if (i + 1 < s.length && s(i) == l && s(i + 1) == r) {
-          out += (l + r); i += 2
-        } else { out += s(i); i += 1 }
-      }
-      s = out.toSeq
-    }
+    merges.foreach { case (l, r) => s = mergeOnce(s, l, r) }
     s
   }
 
@@ -149,8 +145,17 @@ object BpeOps extends graft.QueryModule {
     val table = spark.read.parquet(buildMergeIndex(spark, sfDir))
       .orderBy("step").collect()
       .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq
-    val nTokensUdf = udf((toks: Seq[String]) =>
-      toks.iterator.filter(_.nonEmpty).map(applyMerges(_, table).length).sum)
+    val nTokensUdf = udf(new (Seq[String] => Long) with Serializable {
+      // per-executor memo: tokenization cost is vocabulary-bounded, not
+      // corpus-bounded — the same distinction the merge loop is built on
+      // (ConcurrentHashMap: UDF closures are shared across task threads)
+      @transient private lazy val memo =
+        new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+      def apply(toks: Seq[String]): Long =
+        toks.iterator.filter(_.nonEmpty).map { w =>
+          memo.computeIfAbsent(w, t => applyMerges(t, table).length).toLong
+        }.sum
+    })
     graft.Tables.documents(spark, sfDir)
       .select($"doc_id", split($"text", " ").as("ws"))
       .select($"doc_id",

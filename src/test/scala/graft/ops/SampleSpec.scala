@@ -119,16 +119,20 @@ class SampleSpec extends SparkTestBase {
       assert(rows.map(_._3).sorted.sameElements(1 to rows.length),
         s"$src: rk not contiguous from 1")
     }
-    // the declared 4/2/1 weighting is visible in uncapped quotas: a
-    // weight-4 source's quota is exactly double a weight-2 source's and
-    // 4x a weight-1 source's wherever availability didn't bite
-    val uncapped = bySrc.collect { case (s, rows)
-      if rows.head._2 < srcN(s) => s -> rows.head._2 }
-    def tier(s: String): Int = s.stripPrefix("src").toInt match {
-      case i if i < 5 => 4; case i if i < 10 => 2; case _ => 1
+    // every quota equals the declared formula exactly — asserting the
+    // formula (not a derived identity like "4x the weight-1 quota",
+    // which only holds for weight totals where integer division
+    // cooperates) keeps the test valid under any fixture regeneration
+    def tier(s: String): Long = s.stripPrefix("src").toInt match {
+      case i if i < 5 => 4L; case i if i < 10 => 2L; case _ => 1L
     }
-    for ((a, qa) <- uncapped; (b, qb) <- uncapped if tier(a) == 4 && tier(b) == 1)
-      assert(qa == 4 * qb, s"$a quota $qa is not 4x $b quota $qb")
+    val wTotal = srcN.keySet.toSeq.map(tier).sum
+    bySrc.foreach { case (s, rows) =>
+      val expected = math.min(srcN(s),
+        math.max(1L, (tier(s) * 400L) / wTotal))
+      assert(rows.head._2 == expected,
+        s"$s: quota ${rows.head._2}, formula says $expected (W=$wTotal)")
+    }
   }
 
   test("global shuffle: pos is a permutation, shards balanced, deterministic") {
