@@ -117,10 +117,56 @@ object SpanDedup extends graft.QueryModule {
   def spanScrub(spark: SparkSession, sfDir: String): DataFrame =
     spanScrubOf(graft.Tables.documents(spark, sfDir))
 
+  /** Persisted CORPUS span set (distinct spans of the non-batch slice)
+    * — the incremental-ingestion state for span dedup, the same
+    * discipline as the fingerprint / MinHash-band indexes: one column,
+    * pre-distinct, a fraction of corpus bytes, built once per corpus
+    * generation and committed atomically. In production each accepted
+    * batch appends its new spans. */
+  private[llm] def corpusSpanIndexPath(sfDir: String): String =
+    s"${graft.Artifacts.root}/graft_span_index/" +
+      graft.Artifacts.key("v1", sfDir, "documents.parquet")
+
+  private[llm] def buildCorpusSpanIndex(spark: SparkSession, sfDir: String): String = {
+    import spark.implicits._
+    val path = corpusSpanIndexPath(sfDir)
+    val target = graft.flow.DirTarget(path)
+    if (!target.exists) target.atomicWrite { tmp =>
+      windows(graft.Tables.documents(spark, sfDir)
+          .filter($"doc_id" % 3 =!= 0))
+        .select($"span").distinct()
+        .write.mode("overwrite").parquet(tmp)
+    }
+    graft.Artifacts.sweepStale(path)
+    path
+  }
+
+  /** q_dedup_span_incremental — the continuous-ingestion form: a new
+    * batch (doc_id % 3 = 0, the slice convention the incremental
+    * exact/MinHash queries share) is flagged against the PERSISTED
+    * corpus span set; the corpus text is never re-windowed per batch.
+    * Cross-slice contamination only — intra-batch duplication is
+    * [[spanFlag]]'s job on the batch itself. */
+  def spanIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val corpusSpans = spark.read
+      .parquet(buildCorpusSpanIndex(spark, sfDir))
+      .withColumn("isdup", lit(1))
+    windows(graft.Tables.documents(spark, sfDir)
+        .filter($"doc_id" % 3 === 0))
+      .join(corpusSpans, Seq("span"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_windows"), count($"isdup").as("n_dup_windows"))
+      .withColumn("dup_frac",
+        round($"n_dup_windows".cast("double") / $"n_windows", 6))
+      .orderBy($"doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_span_index" -> (spanIndex _),
     "q_dedup_span_flag" -> (spanFlag _),
-    "q_dedup_span_scrub" -> (spanScrub _))
+    "q_dedup_span_scrub" -> (spanScrub _),
+    "q_dedup_span_incremental" -> (spanIncremental _))
 
   // shared CTE text: W-token windows + the duplicated-span set
   private val winsSql =
@@ -135,6 +181,22 @@ object SpanDedup extends graft.QueryModule {
        |  FROM wins GROUP BY span HAVING count(DISTINCT doc_id) >= 2)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "q_dedup_span_incremental" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |wins AS (
+         |  SELECT doc_id, array_to_string(t[i:i+${W - 1}], ' ') AS span
+         |  FROM toks, LATERAL (
+         |    SELECT unnest(generate_series(1, len(t) - ${W - 1})) AS i) g
+         |  WHERE len(t) >= $W),
+         |corpus_spans AS (
+         |  SELECT DISTINCT span FROM wins WHERE doc_id % 3 <> 0)
+         |SELECT b.doc_id, count(*) AS n_windows,
+         |  count(c.span) AS n_dup_windows,
+         |  round(CAST(count(c.span) AS DOUBLE) / count(*), 6) AS dup_frac
+         |FROM (SELECT * FROM wins WHERE doc_id % 3 = 0) b
+         |LEFT JOIN corpus_spans c ON b.span = c.span
+         |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
     "q_dedup_span_index" ->
       s"""WITH $winsSql
          |SELECT span, n_docs, n_occ FROM dup ORDER BY span""".stripMargin,

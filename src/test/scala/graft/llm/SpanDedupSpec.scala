@@ -74,6 +74,27 @@ class SpanDedupSpec extends SparkTestBase {
     assert(SpanDedup.spanIndexOf(d).count() == 0)
   }
 
+  test("incremental flags cross-slice spans only, off the persisted index") {
+    // the declared query at fixture scale: every batch doc present,
+    // non-vacuous in both directions (some contaminated, some clean)
+    val out = SpanDedup.spanIncremental(spark, sf0001).collect()
+    val batchIds = graft.Tables.documents(spark, sf0001)
+      .filter("doc_id % 3 = 0 and size(split(text, ' ')) >= 8")
+      .count()
+    assert(out.length == batchIds)
+    val dup = out.count(_.getAs[Long]("n_dup_windows") > 0)
+    assert(dup > 0, "no cross-slice contamination found - vacuous fixture")
+    assert(dup < out.length, "every batch doc contaminated - vacuous fixture")
+    // the corpus side comes from the persisted span index: the plan scans
+    // documents exactly once (the batch slice), never the corpus text
+    val plan = SpanDedup.spanIncremental(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert("documents\\.parquet".r.findAllIn(plan).length == 1,
+      s"corpus text re-windowed per batch:\n${plan.take(1500)}")
+    assert(plan.contains("graft_span_index"),
+      "persisted span index not in the read path")
+  }
+
   test("declared queries run against the fixture with matching shapes") {
     val idx = SpanDedup.spanIndex(spark, sf0001)
     assert(idx.columns.toSeq == Seq("span", "n_docs", "n_occ"))
