@@ -20,8 +20,9 @@ object SparkEntry {
     ops.AggOps, ops.ScanOps, ops.FilterOps, ops.JoinOps,
     ops.WindowOps, ops.SortSetOps, ops.ScalarOps, ops.UdafOps, ops.MlOps,
     ops.SqlOps, ops.ReshapeOps, ops.QualityOps,
-    text.TextOps, text.BpeOps,
-    llm.DedupOps, llm.SpanDedup, llm.SimSearchOps, llm.MultimodalOps,
+    text.TextOps, text.BpeOps, text.SearchOps,
+    llm.DedupOps, llm.SpanDedup, llm.GraphOps, llm.SimSearchOps,
+    llm.MultimodalOps,
     llm.CorpusPipeline, llm.Decontaminate,
     streaming.StreamOps
   ) // widened as milestones land

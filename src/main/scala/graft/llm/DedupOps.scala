@@ -914,7 +914,7 @@ object DedupOps extends graft.QueryModule {
   /** shared CTE text: the ngram-jaccard pair query (the declared
     * q_dedup_ngram_jaccard oracle), reused as the edge source of the
     * components oracle */
-  private val ngramPairsSql =
+  private[llm] val ngramPairsSql =
     """docs AS (
       |  SELECT doc_id, lang, CAST(floor(n_chars / 100) AS BIGINT) AS lb,
       |    list_sort(list_distinct(list_transform(

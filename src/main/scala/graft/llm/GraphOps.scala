@@ -1,0 +1,111 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over the near-dup pair graph beyond connected
+  * components: PageRank-style centrality, the classic "which node is the
+  * canonical member of its cluster" signal (Page et al., "The PageRank
+  * Citation Ranking", Stanford InfoLab 1999). On a dup graph, high-rank
+  * nodes are the densely-connected cluster cores — a better survivor
+  * choice than min-id when clusters are chains of pairwise near-dups —
+  * and on a crawl's link graph the same operator is the standard
+  * quality-weighting signal a training-data pipeline feeds into sampling
+  * weights.
+  *
+  * Determinism contract: the textbook formulation iterates in IEEE
+  * doubles, whose grouped sums are partial-aggregation-order-dependent —
+  * un-oracle-able and, worse, not bit-reproducible run-to-run on a real
+  * cluster. This implementation runs the SAME recurrence in scaled
+  * 64-bit integer arithmetic (rank scale 1e12, damping 0.85 as the
+  * exact rational 85/100, every division integral): integer sums are
+  * associative-commutative with NO rounding, so the result is
+  * bit-identical regardless of partition count or reduce order — on
+  * local[32] today, on 1000 executors tomorrow, and in DuckDB's
+  * unrolled-CTE twin, which is what lets the driver hash-compare it.
+  * The truncation each step loses < 1 part in 1e9 of a node's rank —
+  * noise far below any ranking decision — and unlike float rounding it
+  * is deterministic.
+  *
+  * Scale shape: per iteration exactly one shuffle (the contribution sum,
+  * partial-aggregated map-side) plus one src-keyed join of ranks onto
+  * the edge list; the edge list and degrees are computed once and
+  * localCheckpointed (per-iteration lineage truncation — the
+  * propagateMinLabel discipline; on a cluster the checkpoint lands under
+  * SPARK_GRAFT_ARTIFACT_DIR-backed storage instead, see SCALE.md). A
+  * fixed iteration count (3) rather than convergence detection keeps the
+  * oracle expressible as a finite unrolled CTE chain; production would
+  * loop the same body to a residual threshold.
+  */
+object GraphOps extends graft.QueryModule {
+
+  private val Iters = 3
+  /** rank fixed-point scale: 1.0 == 1e12 */
+  private val Scale = 1000000000000L
+  /** 0.15 * Scale — the teleport mass per node */
+  private val Base = 150000000000L
+
+  /** q_graph_pagerank — 3-iteration integer-scaled PageRank over the
+    * persisted exact n-gram-Jaccard pair graph (undirected: each pair
+    * contributes both directed edges). Every node in the pair graph has
+    * degree >= 1, so there is no dangling-mass term. */
+  def pagerank(spark: SparkSession, sfDir: String): DataFrame =
+    pagerankOf(
+      spark.read.parquet(DedupOps.buildPairIndex(spark, sfDir)))
+
+  /** The recurrence over an explicit canonical (a_id, b_id) pair list —
+    * exposed for property testing (GraphSpec runs it on hand-built
+    * graphs against a driver-side double-precision reference). */
+  private[llm] def pagerankOf(pairs: DataFrame): DataFrame = {
+    import pairs.sparkSession.implicits._
+    val edges = pairs.select($"a_id".as("src"), $"b_id".as("dst"))
+      .union(pairs.select($"b_id".as("src"), $"a_id".as("dst")))
+      .localCheckpoint() // read the artifact once, feed every iteration
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    var pr = deg.select($"src".as("id"), $"deg", lit(Scale).as("pr"))
+    for (_ <- 1 to Iters) {
+      // each node sends pr div deg to every neighbor; integral div —
+      // see the determinism contract in the object doc
+      val sums = edges.join(pr, edges("src") === pr("id"))
+        .select($"dst", expr("pr div deg").as("c"))
+        .groupBy($"dst").agg(sum($"c").as("s"))
+      pr = deg.select($"src".as("id"), $"deg")
+        .join(sums, $"id" === $"dst", "left")
+        .select($"id", $"deg",
+          expr(s"${Base}L + (85L * coalesce(s, 0L)) div 100L").as("pr"))
+    }
+    pr.select($"id".as("doc_id"), $"deg".as("degree"),
+        $"pr".as("pr_scaled"))
+      .orderBy($"doc_id")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_pagerank" -> (pagerank _))
+
+  /** The identical integer recurrence unrolled as CTEs (DuckDB `//` is
+    * floor division, Spark `div` truncates toward zero — identical on
+    * the non-negative ranks here; sum() promotes to HUGEINT in DuckDB,
+    * cast back per iteration so the final schema is BIGINT). */
+  private def prIterSql(k: Int): String =
+    s"""s$k AS (
+       |  SELECT e.dst AS id, sum(p.pr // p.deg) AS s
+       |  FROM edges e JOIN pr${k - 1} p ON e.src = p.id GROUP BY e.dst),
+       |pr$k AS (
+       |  SELECT d.src AS id, d.deg,
+       |    CAST($Base + (85 * coalesce(s.s, 0)) // 100 AS BIGINT) AS pr
+       |  FROM deg d LEFT JOIN s$k s ON d.src = s.id)""".stripMargin
+
+  def oracle: Map[String, String] = Map(
+    "q_graph_pagerank" ->
+      s"""WITH ${DedupOps.ngramPairsSql},
+         |edges(src, dst) AS (
+         |  SELECT a_id, b_id FROM nearpairs
+         |  UNION ALL SELECT b_id, a_id FROM nearpairs),
+         |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         |pr0 AS (
+         |  SELECT src AS id, deg, CAST($Scale AS BIGINT) AS pr FROM deg),
+         |${(1 to Iters).map(prIterSql).mkString(",\n")}
+         |SELECT id AS doc_id, deg AS degree, pr AS pr_scaled
+         |FROM pr$Iters ORDER BY doc_id""".stripMargin)
+}
