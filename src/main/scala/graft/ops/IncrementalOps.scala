@@ -1,0 +1,131 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental-maintenance operators — the patterns that keep a 100 TB
+  * pipeline from ever recomputing what it already knows:
+  *
+  *   q_scan_snapshot_diff — CDC between two corpus snapshots by content
+  *     hash: added / removed / changed / unchanged per doc_id. The diff
+  *     join carries (doc_id, 32-byte sha2) — never document text — so
+  *     its shuffle is O(corpus rows × 40 B) regardless of corpus bytes;
+  *     on date-partitioned snapshots the same plan prunes to changed
+  *     partitions. This is the feed for incremental index updates
+  *     (exact/MinHash/span indexes all consume "added ∪ changed").
+  *
+  *   q_agg_incremental — incremental view maintenance for the daily
+  *     rollup: the historical aggregate is a PERSISTED artifact (one
+  *     row per (day, event_type), decimal-exact partial sums); a new
+  *     day's batch aggregates only itself and MERGES by re-aggregating
+  *     the union — decimal sums merge exactly, so the result is
+  *     hash-identical to a full recompute (which is precisely what the
+  *     DuckDB oracle runs). Cost per day at 100 TB: one scan of the
+  *     day's partition + a merge over the agg table (KBs), not the
+  *     history. Late-arriving days need no special case: the union
+  *     re-aggregate folds them wherever they land.
+  */
+object IncrementalOps extends graft.QueryModule {
+
+  /** Snapshot derivation (deterministic fixture slices of `documents`):
+    * old = doc_id % 5 != 0, new = doc_id % 3 != 0 with doc_id % 11 == 0
+    * texts revised ("v2" suffix). Real deployments read two dated
+    * snapshot roots instead; the operator is the full-outer hash
+    * compare, not the slicing. */
+  def snapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sfDir)
+    val old = docs.filter($"doc_id" % 5 =!= 0)
+      .select($"doc_id", sha2($"text", 256).as("h_old"))
+    val neu = docs.filter($"doc_id" % 3 =!= 0)
+      .select($"doc_id", sha2(
+        when($"doc_id" % 11 === 0, concat($"text", lit(" v2")))
+          .otherwise($"text"), 256).as("h_new"))
+    old.join(neu, Seq("doc_id"), "full")
+      .select($"doc_id",
+        when($"h_old".isNull, lit("added"))
+          .when($"h_new".isNull, lit("removed"))
+          .when($"h_old" =!= $"h_new", lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+      .orderBy($"doc_id")
+  }
+
+  /** Per-(day, event_type) partial aggregate with MERGEABLE state:
+    * count + decimal-exact sum (not yet cast to double — the cast
+    * happens once, after the last merge). */
+  private def dailyAgg(ev: DataFrame): DataFrame = {
+    import ev.sparkSession.implicits._
+    ev.groupBy(to_date($"ts").as("day"), $"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(AggOps.dec($"value")).as("rev_dec"))
+  }
+
+  private[ops] def aggIndexPath(sfDir: String): String =
+    s"${graft.Artifacts.root}/graft_dayagg/" +
+      graft.Artifacts.key("v1", sfDir, "events.parquet")
+
+  /** Persist the HISTORY rollup (all days strictly before the newest) —
+    * in production this is yesterday's agg table; the newest day plays
+    * the arriving batch. The 1-row max-day collect is bounded by
+    * construction (the upsert-sink precedent). */
+  private[ops] def buildAggIndex(spark: SparkSession, sfDir: String): String = {
+    import spark.implicits._
+    val path = aggIndexPath(sfDir)
+    val target = graft.flow.DirTarget(path)
+    if (!target.exists) target.atomicWrite { tmp =>
+      val ev = graft.Tables.events(spark, sfDir)
+      val last = ev.agg(max(to_date($"ts"))).collect()(0).getDate(0)
+      dailyAgg(ev.filter(to_date($"ts") < lit(last)))
+        .write.mode("overwrite").parquet(tmp)
+    }
+    graft.Artifacts.sweepStale(path)
+    path
+  }
+
+  /** q_agg_incremental — merge(history artifact, newest-day batch);
+    * value-identical to the full recompute the oracle runs. */
+  def incrementalAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val hist = spark.read.parquet(buildAggIndex(spark, sfDir))
+    val ev = graft.Tables.events(spark, sfDir)
+    val last = broadcast(ev.agg(max(to_date($"ts")).as("last_day")))
+    val batch = dailyAgg(
+      ev.crossJoin(last).filter(to_date($"ts") === $"last_day")
+        .select(ev.columns.map(col): _*))
+    hist.unionByName(batch)
+      .groupBy($"day", $"event_type")
+      .agg(sum($"n_events").as("n_events"),
+        sum($"rev_dec").as("rev"))
+      .select($"day", $"event_type", $"n_events",
+        $"rev".cast("double").as("revenue"))
+      .orderBy($"day", $"event_type")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scan_snapshot_diff" -> (snapshotDiff _),
+    "q_agg_incremental" -> (incrementalAgg _))
+
+  def oracle: Map[String, String] = Map(
+    "q_scan_snapshot_diff" ->
+      """WITH a AS (
+        |  SELECT doc_id, sha256(text) AS h FROM documents
+        |  WHERE doc_id % 5 <> 0),
+        |b AS (
+        |  SELECT doc_id,
+        |    sha256(CASE WHEN doc_id % 11 = 0 THEN text || ' v2'
+        |                ELSE text END) AS h
+        |  FROM documents WHERE doc_id % 3 <> 0)
+        |SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+        |  CASE WHEN a.h IS NULL THEN 'added'
+        |       WHEN b.h IS NULL THEN 'removed'
+        |       WHEN a.h <> b.h THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM a FULL JOIN b ON a.doc_id = b.doc_id
+        |ORDER BY doc_id""".stripMargin,
+    "q_agg_incremental" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+        |FROM events GROUP BY 1, 2
+        |ORDER BY day, event_type""".stripMargin)
+}

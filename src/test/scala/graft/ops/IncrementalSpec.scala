@@ -1,0 +1,41 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Incremental maintenance: CDC diff semantics and merge-equals-recompute. */
+class IncrementalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("snapshot diff covers A∪B once each, all four statuses non-vacuous") {
+    val out = IncrementalOps.snapshotDiff(spark, sf0001)
+      .select("doc_id", "status").as[(Long, String)].collect()
+    val ids = graft.Tables.documents(spark, sf0001)
+      .select("doc_id").as[Long].collect().toSet
+    val inA = ids.filter(_ % 5 != 0)
+    val inB = ids.filter(_ % 3 != 0)
+    assert(out.map(_._1).toSet == (inA ++ inB))
+    assert(out.length == (inA ++ inB).size, "one row per doc")
+    val byStatus = out.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byStatus("added") == inB -- inA)
+    assert(byStatus("removed") == inA -- inB)
+    // changed = revised docs present in both snapshots
+    assert(byStatus("changed") == (inA & inB).filter(_ % 11 == 0))
+    assert(byStatus.keySet == Set("added", "removed", "changed", "unchanged"))
+  }
+
+  test("incremental merge is value-identical to the full recompute") {
+    val inc = IncrementalOps.incrementalAgg(spark, sf0001).collect()
+    val full = graft.Tables.events(spark, sf0001)
+      .groupBy(to_date($"ts").as("day"), $"event_type")
+      .agg(count(lit(1)).as("n_events"), AggOps.dsum($"value").as("revenue"))
+      .orderBy($"day", $"event_type").collect()
+    assert(inc.toSeq == full.toSeq)
+    // the artifact really is history-only: strictly fewer days than full
+    val histDays = spark.read
+      .parquet(IncrementalOps.buildAggIndex(spark, sf0001))
+      .select("day").distinct().count()
+    val allDays = full.map(_.getDate(0)).distinct.length
+    assert(histDays == allDays - 1)
+  }
+}
