@@ -780,7 +780,79 @@ object DedupOps extends graft.QueryModule {
   def ngramJaccardCutoff(spark: SparkSession, sfDir: String): DataFrame =
     ngramJaccardWithCutoff(spark, sfDir, maxDf = 50)
 
+  /** q_dedup_containment — Broder CONTAINMENT near-dup (Broder, "On the
+    * resemblance and containment of documents", SEQUENCES'97): flags
+    * pairs where the smaller doc's shingle set is mostly inside the
+    * larger's — the small-doc-embedded-in-big-doc case (quoted article
+    * in an aggregator page, README pasted into a repo dump) that
+    * Jaccard MISSES by construction (a 30-shingle doc inside a
+    * 300-shingle doc has containment 1.0 but Jaccard ≤ 0.1, below any
+    * sane threshold), and that the (lang, length-bucket) blocking of
+    * [[ngramJaccard]] can never see because the pair spans buckets.
+    *
+    * Declared semantics (exactly what the oracle runs): candidate
+    * pairs share ≥ 3 distinct shingles — ANY lang/length, computed on
+    * raw shingle strings off the persisted shingle artifact — and
+    * qualify at inter / min(|A|,|B|) ≥ 0.8. At 100 TB the candidate
+    * count gets the same df-cutoff knob as ngramJaccardWithCutoff
+    * (hot-shingle pair explosion is the identical risk; not needed at
+    * fixture df ≤ ~30). Pair-side shuffle-hash hints for the size
+    * joins — the anti-corpus-broadcast discipline. */
+  def containment(spark: SparkSession, sfDir: String): DataFrame =
+    containmentOf(spark.read.parquet(buildShingleIndex(spark, sfDir)))
+
+  /** The declared containment rule over an explicit (doc_id, sh) frame —
+    * exposed so CurationSpec can plant the size-asymmetric
+    * small-doc-inside-big-doc case the synthetic fixture never produces
+    * (its near-dups are all same-length, so containment ≈ Jaccard
+    * there; the planted case is where the two metrics diverge). */
+  private[llm] def containmentOf(docsIn: DataFrame): DataFrame = {
+    import docsIn.sparkSession.implicits._
+    val docs = docsIn.select($"doc_id", $"sh")
+    val post = docs.select($"doc_id", explode($"sh").as("s"))
+    val cand = post.select($"s", $"doc_id".as("a_id"))
+      .join(post.select($"s", $"doc_id".as("b_id")), Seq("s"))
+      .filter($"a_id" < $"b_id")
+      .groupBy($"a_id", $"b_id").agg(count(lit(1)).as("inter"))
+      .filter($"inter" >= 3)
+    val sz = docs.select($"doc_id", size($"sh").cast("long").as("n"))
+    cand.hint("shuffle_hash")
+      .join(sz.select($"doc_id".as("a_id"), $"n".as("a_n")), Seq("a_id"))
+      .hint("shuffle_hash")
+      .join(sz.select($"doc_id".as("b_id"), $"n".as("b_n")), Seq("b_id"))
+      .filter($"inter".cast("double") / least($"a_n", $"b_n") >= 0.8)
+      .select($"a_id", $"b_id", $"inter",
+        round($"inter".cast("double") / least($"a_n", $"b_n"), 6)
+          .as("containment"))
+      .orderBy($"a_id", $"b_id")
+  }
+
+  /** q_text_novelty — per-doc novelty score for curation order: the
+    * fraction of a doc's distinct shingles whose FIRST corpus
+    * occurrence (min doc_id — ingest order on the fixture) is this
+    * doc. Low-novelty docs add nothing the corpus hasn't seen — the
+    * streaming-curation complement of dup_frac: span_flag asks "is
+    * this doc made of duplicated windows", novelty asks "did this doc
+    * arrive first with its content". One postings shuffle for the
+    * min-doc_id per shingle, one join back (first-occurrence side as
+    * shuffle-hash build — one row per distinct shingle). */
+  def novelty(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val post = spark.read.parquet(buildShingleIndex(spark, sfDir))
+      .select($"doc_id", explode($"sh").as("s"))
+    val first = post.groupBy($"s").agg(min($"doc_id").as("fd"))
+    post.join(first.hint("shuffle_hash"), Seq("s"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when($"fd" === $"doc_id", 1L).otherwise(0L)).as("n_novel"))
+      .select($"doc_id", $"n_shingles", $"n_novel",
+        round($"n_novel".cast("double") / $"n_shingles", 6).as("novelty"))
+      .orderBy($"doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_containment" -> (containment _),
+    "q_text_novelty" -> (novelty _),
     "q_dedup_exact" -> (exactDedup _),
     "q_dedup_incremental" -> (incrementalDedup _),
     "q_dedup_ngram_jaccard" -> (ngramJaccard _),
@@ -960,6 +1032,47 @@ object DedupOps extends graft.QueryModule {
        |ORDER BY a_id, b_id""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "q_dedup_containment" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      generate_series(1, len(string_split(text, ' ')) - 2),
+        |      i -> concat_ws(' ', string_split(text, ' ')[i],
+        |                     string_split(text, ' ')[i+1],
+        |                     string_split(text, ' ')[i+2]))) AS sh
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |post AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+        |cand AS (
+        |  SELECT p1.doc_id AS a_id, p2.doc_id AS b_id, count(*) AS inter
+        |  FROM post p1 JOIN post p2
+        |    ON p1.s = p2.s AND p1.doc_id < p2.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |sz AS (SELECT doc_id, len(sh) AS n FROM docs)
+        |SELECT c.a_id, c.b_id, c.inter,
+        |  round(CAST(c.inter AS DOUBLE) / least(sa.n, sb.n), 6)
+        |    AS containment
+        |FROM cand c JOIN sz sa ON c.a_id = sa.doc_id
+        |JOIN sz sb ON c.b_id = sb.doc_id
+        |WHERE CAST(c.inter AS DOUBLE) / least(sa.n, sb.n) >= 0.8
+        |ORDER BY a_id, b_id""".stripMargin,
+    "q_text_novelty" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      generate_series(1, len(string_split(text, ' ')) - 2),
+        |      i -> concat_ws(' ', string_split(text, ' ')[i],
+        |                     string_split(text, ' ')[i+1],
+        |                     string_split(text, ' ')[i+2]))) AS sh
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |post AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+        |first AS (SELECT s, min(doc_id) AS fd FROM post GROUP BY s)
+        |SELECT p.doc_id, count(*) AS n_shingles,
+        |  CAST(sum(CASE WHEN f.fd = p.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_novel,
+        |  round(CAST(sum(CASE WHEN f.fd = p.doc_id THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / count(*), 6) AS novelty
+        |FROM post p JOIN first f ON p.s = f.s
+        |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
     // the UNBLOCKED all-pairs truth at the verify threshold: banding only
     // generates candidates, exact jaccard >= 0.5 decides — equality holds
     // iff no qualifying pair misses every band (fixture-measured: none)

@@ -39,8 +39,29 @@ object QualityOps extends graft.QueryModule {
       .orderBy($"check_name")
   }
 
+  /** q_quality_k_anonymity — re-identification audit (Sweeney's
+    * k-anonymity, IJUFKS 2002) over the events table: group by the
+    * quasi-identifier (event_type, day, value decile band) and flag
+    * every group observed for FEWER than k=5 distinct users — rows in
+    * those groups are re-identifiable by their quasi-identifier alone
+    * and must be suppressed or generalized before the table is shared
+    * as training data. One partial-agg'd groupBy; the distinct-user
+    * count two-phases on (qid, user_id). The report is the VIOLATION
+    * set (small by construction at any scale); the gate is rows == 0. */
+  def kAnonymity(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.events(spark, sfDir)
+      .groupBy($"event_type", to_date($"ts").as("day"),
+        floor($"value" / 10).cast("long").as("value_band"))
+      .agg(countDistinct($"user_id").as("n_users"),
+        count(lit(1)).as("n_rows"))
+      .filter($"n_users" < 5)
+      .orderBy($"event_type", $"day", $"value_band")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_quality_constraint_audit" -> (constraintAudit _))
+    "q_quality_constraint_audit" -> (constraintAudit _),
+    "q_quality_k_anonymity" -> (kAnonymity _))
 
   def oracle: Map[String, String] = Map(
     "q_quality_constraint_audit" ->
@@ -64,5 +85,12 @@ object QualityOps extends graft.QueryModule {
         |  SELECT 'orders_negative_price',
         |    COUNT(*) FILTER (WHERE o_totalprice < 0)
         |  FROM orders)
-        |ORDER BY check_name""".stripMargin)
+        |ORDER BY check_name""".stripMargin,
+    "q_quality_k_anonymity" ->
+      """SELECT event_type, CAST(ts AS DATE) AS day,
+        |  CAST(floor(value / 10) AS BIGINT) AS value_band,
+        |  count(DISTINCT user_id) AS n_users, count(*) AS n_rows
+        |FROM events GROUP BY 1, 2, 3
+        |HAVING count(DISTINCT user_id) < 5
+        |ORDER BY event_type, day, value_band""".stripMargin)
 }

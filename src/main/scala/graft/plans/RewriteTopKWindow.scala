@@ -19,6 +19,12 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * semantics exactly (modulo row_number's own tie arbitrariness, which
   * the pattern already had).
   *
+  * An EMPTY partition list is the global-top-k form (rank over the
+  * whole input, e.g. BM25's top-20): the rewrite plugs in the
+  * operator's AllTuples mode, so the single-partition Window sorts k
+  * rows after per-partition heaps + a k-row merge, instead of pulling
+  * every scored row through one global Sort.
+  *
   * Installed idempotently via experimental.extraOptimizations
   * (GraftExtensions.register) — the TopKPerKeyPlan child guard stops
   * re-application on the rewritten plan.
@@ -40,7 +46,7 @@ object RewriteTopKWindow extends Rule[LogicalPlan] {
         w @ Window(Seq(a @ Alias(
           WindowExpression(RowNumber(), WindowSpecDefinition(part, order, _)),
           _)), _, _, child, _))
-        if part.nonEmpty && order.nonEmpty &&
+        if order.nonEmpty &&
           !child.isInstanceOf[TopKPerKeyPlan] =>
       boundOf(cond, a.exprId) match {
         case Some(k) =>

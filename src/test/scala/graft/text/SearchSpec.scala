@@ -60,4 +60,14 @@ class SearchSpec extends SparkTestBase {
     // at 100 TB this is what keeps a 3-term query from reading the index
     assert(p.contains("PartitionFilters: [bucket"), p.take(3000))
   }
+
+  test("bm25's global top-20 plans as two-phase TopKPerKey heaps, not a full Sort") {
+    val df = SearchOps.bm25TopK(spark, sf0001)
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) { df.explain("formatted") }
+    val p = out.toString
+    // keyless RewriteTopKWindow form: a partial heap per mapper + k-row
+    // final merge; the Window then ranks 20 rows, not every scored doc
+    assert("TopKPerKey \\(".r.findAllIn(p).length >= 2, p.take(3000))
+  }
 }
