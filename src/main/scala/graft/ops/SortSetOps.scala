@@ -111,7 +111,25 @@ object SortSetOps extends graft.QueryModule {
       .orderBy($"o_totalprice".desc, $"o_orderkey")
   }
 
+  /** q_sort_zorder — Z-order (Morton) clustering key via the native
+    * zorder64 expression: one shipdate month of lineitem, keyed on
+    * (l_partkey, l_suppkey) and totally ordered by (zval, orderkey,
+    * linenumber). Sorting a write by zval is the multi-column layout
+    * that lets parquet row-group stats prune conjunctive range
+    * predicates on BOTH key columns (ZOrderSpec measures the actual
+    * row-group skip); the query itself is the key computation under the
+    * driver's oracle — the DuckDB twin interleaves bits arithmetically. */
+  def zorderKey(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.lineitem(spark, sfDir)
+      .filter($"l_shipdate" >= "1995-03-01" && $"l_shipdate" < "1995-04-01")
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey",
+        call_function("zorder64", $"l_partkey", $"l_suppkey").as("zval"))
+      .orderBy($"zval", $"l_orderkey", $"l_linenumber")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sort_zorder" -> (zorderKey _),
     "q_sort_topk_global_custom" -> (topKGlobalCustom _),
     "q_sort_topk_per_key" -> (topKPerKey _),
     "q_sort_topk" -> (topK _),
@@ -122,6 +140,17 @@ object SortSetOps extends graft.QueryModule {
     "q_dedup_first_per_key" -> (dedupFirstPerKey _))
 
   def oracle: Map[String, String] = Map(
+    // arithmetic bit-interleave twin of the native zorder64 expression
+    "q_sort_zorder" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |  CAST(list_sum(list_transform(generate_series(0, 30),
+        |    i -> (((l_partkey >> i) & 1) << (2 * i)) +
+        |         (((l_suppkey >> i) & 1) << (2 * i + 1)))) AS BIGINT)
+        |    AS zval
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-03-01'
+        |  AND l_shipdate < TIMESTAMP '1995-04-01'
+        |ORDER BY zval, l_orderkey, l_linenumber""".stripMargin,
     "q_sort_topk_global_custom" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,

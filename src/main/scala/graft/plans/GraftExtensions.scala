@@ -37,7 +37,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => DotProductExpression(args(0), args(1))),
     ("simhash64",
       new ExpressionInfo(classOf[SimHash64Expression].getName, "simhash64"),
-      (args: Seq[Expression]) => SimHash64Expression(args.head)))
+      (args: Seq[Expression]) => SimHash64Expression(args.head)),
+    ("zorder64",
+      new ExpressionInfo(classOf[ZOrder64Expression].getName, "zorder64"),
+      (args: Seq[Expression]) => ZOrder64Expression(args(0), args(1))))
 
   /** Idempotent runtime registration into an existing session. */
   def register(spark: SparkSession): Unit = {
