@@ -809,6 +809,13 @@ object DedupOps extends graft.QueryModule {
   private[llm] def containmentOf(docsIn: DataFrame): DataFrame = {
     import docsIn.sparkSession.implicits._
     val docs = docsIn.select($"doc_id", $"sh")
+    // the candidate self-join runs on RAW shingle strings so the pair
+    // counts ARE the declared `inter` (no re-verify leg). An
+    // xxhash64-key + exact-array-verify variant was measured at parity
+    // at sf0.1 (the cost is the Σ df² candidate fan-out, identical
+    // either way) — at corpus scale the hot-shingle df-cutoff
+    // (ngramJaccardWithCutoff's knob) is the control that matters, not
+    // key width.
     val post = docs.select($"doc_id", explode($"sh").as("s"))
     val cand = post.select($"s", $"doc_id".as("a_id"))
       .join(post.select($"s", $"doc_id".as("b_id")), Seq("s"))
