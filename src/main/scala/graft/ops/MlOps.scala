@@ -332,7 +332,30 @@ object MlOps extends graft.QueryModule {
         when($"prediction" === 1, "datascience").otherwise("gameofthrones"))
   }
 
+  /** q_ml_lag_features — per-user time-series feature engineering (the
+    * standard churn/CTR feature block): previous event's value (lag 1),
+    * trailing 7-ROW mean, and events-since-start, over the
+    * deterministic total order (user_id, ts, event_id). One shuffle on
+    * user_id; per-row state is the 7-row frame. The trailing mean is
+    * decimal-exact-sum / count divided in double space (the davg
+    * discipline), so frame evaluation order can't wiggle the result. */
+  def lagFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val w7 = w.rowsBetween(-6, 0)
+    graft.Tables.events(spark, sfDir)
+      .select($"user_id", $"event_id", unix_millis($"ts").as("ts_ms"),
+        $"value",
+        lag($"value", 1).over(w).as("value_lag1"),
+        (sum(AggOps.dec($"value")).over(w7).cast("double") /
+          count(lit(1)).over(w7).cast("double")).as("value_avg7"),
+        (row_number().over(w) - 1).as("n_prior"))
+      .orderBy($"user_id", $"ts_ms", $"event_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ml_lag_features" -> (lagFeatures _),
     "q_ml_train_predict" -> (trainPredict _),
     "q_ml_sample_seeded" -> (sampleSeeded _),
     "q_ml_derive_label" -> (deriveLabel _),
@@ -346,6 +369,18 @@ object MlOps extends graft.QueryModule {
     "q_ml_hashing_tf_sql" -> (hashingTfSql _))
 
   def oracle: Map[String, String] = Map(
+    "q_ml_lag_features" ->
+      """SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value,
+        |  lag(value, 1) OVER w AS value_lag1,
+        |  CAST(sum(CAST(value AS DECIMAL(14,2)))
+        |      OVER (w ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / CAST(count(*)
+        |      OVER (w ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS value_avg7,
+        |  CAST(row_number() OVER w - 1 AS INT) AS n_prior
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, ts_ms, event_id""".stripMargin,
     "q_ml_group_split" ->
       """SELECT CASE WHEN (user_id * 2654435761) % 1000 < 800
         |            THEN 'train' ELSE 'test' END AS split,
