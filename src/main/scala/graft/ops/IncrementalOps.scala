@@ -52,13 +52,16 @@ object IncrementalOps extends graft.QueryModule {
 
   /** Per-(day, event_type) partial aggregate with MERGEABLE state:
     * count + decimal-exact sum (not yet cast to double — the cast
-    * happens once, after the last merge). */
+    * happens once, after the last merge). Input must carry `day`. */
   private def dailyAgg(ev: DataFrame): DataFrame = {
     import ev.sparkSession.implicits._
-    ev.groupBy(to_date($"ts").as("day"), $"event_type")
+    ev.groupBy($"day", $"event_type")
       .agg(count(lit(1)).as("n_events"),
         sum(AggOps.dec($"value")).as("rev_dec"))
   }
+
+  private def withDay(ev: DataFrame): DataFrame =
+    ev.withColumn("day", to_date(col("ts")))
 
   private[ops] def aggIndexPath(sfDir: String): String =
     s"${graft.Artifacts.root}/graft_dayagg/" +
@@ -73,25 +76,29 @@ object IncrementalOps extends graft.QueryModule {
     val path = aggIndexPath(sfDir)
     val target = graft.flow.DirTarget(path)
     if (!target.exists) target.atomicWrite { tmp =>
-      val ev = graft.Tables.events(spark, sfDir)
-      val last = ev.agg(max(to_date($"ts"))).collect()(0).getDate(0)
-      dailyAgg(ev.filter(to_date($"ts") < lit(last)))
+      val ev = withDay(graft.Tables.events(spark, sfDir))
+      val last = ev.agg(max($"day")).collect()(0).getDate(0)
+      dailyAgg(ev.filter($"day" < lit(last)))
         .write.mode("overwrite").parquet(tmp)
     }
     graft.Artifacts.sweepStale(path)
     path
   }
 
-  /** q_agg_incremental — merge(history artifact, newest-day batch);
-    * value-identical to the full recompute the oracle runs. */
+  /** q_agg_incremental — merge(history artifact, missing-day batch);
+    * value-identical to the full recompute the oracle runs. The batch
+    * is "every day the artifact does not know" via a broadcast
+    * anti-join on the artifact's (tiny) day set — ONE scan of the raw
+    * table total (IncrementalSpec pins it), and any number of new days
+    * fold in at once. The unit of increment is the DAY: a mutated
+    * historical day means invalidating that day's artifact rows
+    * (partition overwrite), not this query's job. */
   def incrementalAgg(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val hist = spark.read.parquet(buildAggIndex(spark, sfDir))
-    val ev = graft.Tables.events(spark, sfDir)
-    val last = broadcast(ev.agg(max(to_date($"ts")).as("last_day")))
-    val batch = dailyAgg(
-      ev.crossJoin(last).filter(to_date($"ts") === $"last_day")
-        .select(ev.columns.map(col): _*))
+    val ev = withDay(graft.Tables.events(spark, sfDir))
+    val batch = dailyAgg(ev.join(
+      broadcast(hist.select($"day").distinct()), Seq("day"), "left_anti"))
     hist.unionByName(batch)
       .groupBy($"day", $"event_type")
       .agg(sum($"n_events").as("n_events"),
