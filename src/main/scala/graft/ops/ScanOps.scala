@@ -82,6 +82,66 @@ object ScanOps extends graft.QueryModule {
   /** Partitioned parquet write (D27's dynamic-partition intent done the
     * Spark way: write.partitionBy) then a partition-pruned scan: only the
     * l_returnflag='R' directory is read back (PartitionFilters in explain). */
+  /** q_sink_compaction — the small-files maintenance pass every
+    * long-lived 100 TB table needs: a streaming/CDC-ingested partition
+    * accumulates one file per micro-batch until the NameNode/manifest
+    * chokes and every scan pays per-file open cost. The operator reads
+    * a fragmented partitioned table, rewrites each partition to
+    * ceil(rows / targetRowsPerFile) files (row-count-based sizing —
+    * deterministic, unlike byte-based — via a day repartition plus the
+    * writer's maxRecordsPerFile cap), and reports
+    * (day, files_before, files_after, n_rows). Dynamic partition
+    * overwrite scopes the rewrite to compacted partitions — on a real
+    * table you'd gate on files_before exceeding a threshold so healthy
+    * partitions are never rewritten. Declared rows-only (file layout
+    * is not SQL-observable); ScanSinkSpec/the spec below pin the
+    * invariant that matters: rows survive byte-identically and the
+    * file count drops to the computed target. */
+  def compaction(spark: SparkSession, sfDir: String): DataFrame =
+    compactionWith(spark, sfDir, targetRows = 4096)
+
+  /** targetRows exposed for the spec, which uses a tiny target to
+    * exercise the multi-file-per-partition split path. */
+  private[ops] def compactionWith(
+      spark: SparkSession, sfDir: String, targetRows: Int): DataFrame = {
+    import spark.implicits._
+    val target = targetRows // rows per output file (the tuning knob)
+    val frag = tmpDir("events_frag", sfDir)
+    val compacted = tmpDir("events_compact", sfDir)
+    val ev = graft.Tables.events(spark, sfDir)
+      .withColumn("day", to_date($"ts"))
+    // build the pathology deterministically: 8 files per day
+    ev.repartition(8, $"event_id").write
+      .mode("overwrite").partitionBy("day").parquet(frag)
+    def filesPerDay(path: String) =
+      spark.read.parquet(path)
+        // project the (deterministic) _metadata.file_path column first —
+        // input_file_name() is non-deterministic and rejected in aggs
+        .select($"day", col("_metadata.file_path").as("f"))
+        .groupBy($"day").agg(
+          countDistinct($"f").as("n_files"), count(lit(1)).as("n_rows"))
+    val before = filesPerDay(frag)
+    // compact: repartition on day co-locates each partition's rows in
+    // one task (AQE may merge small days into one task — the writer
+    // still splits per day directory), and maxRecordsPerFile caps each
+    // file, so files_after = ceil(rows/target) EXACTLY — the writer's
+    // split is deterministic where a bucketized-shuffle assignment
+    // depends on hash-bucket occupancy
+    spark.read.parquet(frag)
+      .repartition($"day")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", target.toLong)
+      .partitionBy("day").parquet(compacted)
+    val after = filesPerDay(compacted)
+    before.select($"day", $"n_files".as("files_before"),
+        $"n_rows")
+      .join(after.select($"day", $"n_files".as("files_after"),
+        $"n_rows".as("rows_after")), Seq("day"))
+      .select($"day", $"files_before", $"files_after", $"n_rows",
+        ($"n_rows" === $"rows_after").as("rows_preserved"))
+      .orderBy($"day")
+  }
+
   def partitionedWrite(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val path = tmpDir("lineitem_part", sfDir)
@@ -272,6 +332,7 @@ object ScanOps extends graft.QueryModule {
     "q_scan_avro_roundtrip" -> (avroRoundtrip _),
     "q_scan_xml_roundtrip" -> (xmlRoundtrip _),
     "q_sink_partitioned_write" -> (partitionedWrite _),
+    "q_sink_compaction" -> (compaction _),
     "q_join_dpp_pruned" -> (dppJoin _))
 
   /** Dynamic partition pruning: the fact table is PARTITIONED on the
