@@ -354,7 +354,46 @@ object MlOps extends graft.QueryModule {
       .orderBy($"user_id", $"ts_ms", $"event_id")
   }
 
+  /** q_ml_class_weights — inverse-frequency class weights (the sklearn
+    * "balanced" heuristic: total / (k * n_class)) over documents.lang,
+    * the standard rebalancing input for a loss-weighted trainer. One
+    * partial-agg'd groupBy; the (k, total) scalar rides in on a 1-row
+    * broadcast crossJoin, so cost is a single pass at any scale. All
+    * inputs are exact bigints divided once in double space and rounded
+    * to 6dp — engine-portable. */
+  def classWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val counts = graft.Tables.documents(spark, sfDir)
+      .groupBy($"lang").agg(count(lit(1)).as("n_docs"))
+    val totals = counts.agg(sum($"n_docs").as("total"),
+      count(lit(1)).as("k"))
+    counts.crossJoin(broadcast(totals))
+      .select($"lang", $"n_docs",
+        round($"total".cast("double") /
+          ($"k" * $"n_docs").cast("double"), 6).as("class_weight"))
+      .orderBy($"lang")
+  }
+
+  /** q_ml_kfold — deterministic k-fold assignment (k=5) for
+    * cross-validation: fold = (doc_id * Knuth-multiplier) mod 5, the
+    * same engine-portable pseudo-shuffle the split/sample queries use
+    * (non-negative operands, so DuckDB's flooring % and Spark's
+    * truncating pmod agree; the product stays far inside int64 at any
+    * realistic doc_id). Per-fold summary proves the folds are balanced
+    * and class-complete — the property a CV harness actually needs. */
+  def kfold(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.documents(spark, sfDir)
+      .groupBy(pmod($"doc_id" * 2654435761L, lit(5)).as("fold"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"lang").as("n_langs"),
+        sum($"n_chars").as("chars"))
+      .orderBy($"fold")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ml_class_weights" -> (classWeights _),
+    "q_ml_kfold" -> (kfold _),
     "q_ml_lag_features" -> (lagFeatures _),
     "q_ml_train_predict" -> (trainPredict _),
     "q_ml_sample_seeded" -> (sampleSeeded _),
@@ -369,6 +408,18 @@ object MlOps extends graft.QueryModule {
     "q_ml_hashing_tf_sql" -> (hashingTfSql _))
 
   def oracle: Map[String, String] = Map(
+    "q_ml_class_weights" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents
+        |           GROUP BY lang),
+        |t AS (SELECT SUM(n_docs) AS total, COUNT(*) AS k FROM c)
+        |SELECT lang, n_docs,
+        |  round(CAST(total AS DOUBLE) / CAST(k * n_docs AS DOUBLE), 6)
+        |    AS class_weight
+        |FROM c CROSS JOIN t ORDER BY lang""".stripMargin,
+    "q_ml_kfold" ->
+      """SELECT (doc_id * 2654435761) % 5 AS fold, COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT lang) AS n_langs, SUM(n_chars) AS chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_ml_lag_features" ->
       """SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value,
         |  lag(value, 1) OVER w AS value_lag1,

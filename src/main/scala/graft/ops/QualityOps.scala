@@ -59,9 +59,36 @@ object QualityOps extends graft.QueryModule {
       .orderBy($"event_type", $"day", $"value_band")
   }
 
+  /** q_quality_outlier_iqr — Tukey-fence outlier audit (EDA, Tukey
+    * 1977) on events.value per event_type: values beyond 1.5×IQR of
+    * their group are flagged and summarized. Two passes over events:
+    * one partial-agg'd percentile per group, then a BROADCAST of the
+    * tiny per-group fence table back onto the scan (groups are bounded
+    * by the event-type vocabulary, never by data volume, so the
+    * broadcast is safe at 100 TB). Fences are rounded to 6dp in both
+    * engines before comparing so the interpolated quartile is
+    * bit-identical across Spark and DuckDB. */
+  def outlierIqr(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, sfDir)
+    val fences = ev.groupBy($"event_type").agg(
+      round(percentile($"value", lit(0.25)), 6).as("q1"),
+      round(percentile($"value", lit(0.75)), 6).as("q3"))
+    val lo = $"q1" - lit(1.5) * ($"q3" - $"q1")
+    val hi = $"q3" + lit(1.5) * ($"q3" - $"q1")
+    ev.join(broadcast(fences), "event_type")
+      .filter($"value" < lo || $"value" > hi)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_outliers"),
+        round(min($"value"), 2).as("min_out"),
+        round(max($"value"), 2).as("max_out"))
+      .orderBy($"event_type")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_quality_constraint_audit" -> (constraintAudit _),
-    "q_quality_k_anonymity" -> (kAnonymity _))
+    "q_quality_k_anonymity" -> (kAnonymity _),
+    "q_quality_outlier_iqr" -> (outlierIqr _))
 
   def oracle: Map[String, String] = Map(
     "q_quality_constraint_audit" ->
@@ -92,5 +119,16 @@ object QualityOps extends graft.QueryModule {
         |  count(DISTINCT user_id) AS n_users, count(*) AS n_rows
         |FROM events GROUP BY 1, 2, 3
         |HAVING count(DISTINCT user_id) < 5
-        |ORDER BY event_type, day, value_band""".stripMargin)
+        |ORDER BY event_type, day, value_band""".stripMargin,
+    "q_quality_outlier_iqr" ->
+      """WITH fences AS (
+        |  SELECT event_type,
+        |    round(quantile_cont(value, 0.25), 6) AS q1,
+        |    round(quantile_cont(value, 0.75), 6) AS q3
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_type, COUNT(*) AS n_outliers,
+        |  round(min(value), 2) AS min_out, round(max(value), 2) AS max_out
+        |FROM events e JOIN fences f ON e.event_type = f.event_type
+        |WHERE value < q1 - 1.5 * (q3 - q1) OR value > q3 + 1.5 * (q3 - q1)
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin)
 }

@@ -151,8 +151,40 @@ object SqlOps extends graft.QueryModule {
         |FROM customer_v ORDER BY c_custkey""".stripMargin)
   }
 
+  /** WITH RECURSIVE through Spark 4's UnionLoop operator (SPARK-24497):
+    * a month calendar generated by recursion from the orders date range,
+    * then LEFT JOINed back so empty months surface as zero rows — the
+    * canonical gap-fill that a non-recursive GROUP BY cannot produce.
+    * The recursion depth is the number of distinct months (bounded by
+    * the data's date span, ~80 here), NOT the row count, so each
+    * iteration is a single-row step and the subsequent join is an
+    * ordinary shuffle join at any scale. The max/min bounds ride along
+    * inside the loop row to keep the recursive leg subquery-free.
+    * (Iterative self-join algorithms with data-sized recursion depth —
+    * e.g. connected components — stay on the label-propagation path in
+    * DedupOps: recursion depth there would be the graph diameter per
+    * UnionLoop iteration over the FULL edge set, which does not scale.) */
+  def recursiveCalendar(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.Tables.orders(spark, sfDir).createOrReplaceTempView("orders_v")
+    spark.sql(
+      """WITH RECURSIVE months AS (
+        |  (SELECT trunc(CAST(min(o_orderdate) AS DATE), 'MM') AS m,
+        |          trunc(CAST(max(o_orderdate) AS DATE), 'MM') AS hi
+        |   FROM orders_v)
+        |  UNION ALL
+        |  SELECT add_months(m, 1), hi FROM months WHERE m < hi
+        |)
+        |SELECT m AS month_start, COUNT(o_orderkey) AS n_orders,
+        |  CAST(ROUND(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 0),
+        |       2) AS DOUBLE) AS total
+        |FROM months LEFT JOIN orders_v
+        |  ON trunc(CAST(o_orderdate AS DATE), 'MM') = m
+        |GROUP BY m ORDER BY m""".stripMargin)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sql_correlated_subquery" -> (correlatedSubquery _),
+    "q_sql_recursive_cte" -> (recursiveCalendar _),
     "q_sql_grouping_sets" -> (groupingSets _),
     "q_sql_scalar_subquery" -> (scalarSubquery _),
     "q_sql_in_subquery" -> (inSubquery _),
@@ -163,6 +195,20 @@ object SqlOps extends graft.QueryModule {
     "q_typed_dataset" -> (typedDataset _))
 
   def oracle: Map[String, String] = Map(
+    "q_sql_recursive_cte" ->
+      """WITH RECURSIVE months AS (
+        |  SELECT date_trunc('month', min(o_orderdate))::DATE AS m,
+        |         date_trunc('month', max(o_orderdate))::DATE AS hi
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT (m + INTERVAL 1 MONTH)::DATE, hi FROM months WHERE m < hi
+        |)
+        |SELECT m AS month_start, COUNT(o_orderkey) AS n_orders,
+        |  CAST(ROUND(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 0),
+        |       2) AS DOUBLE) AS total
+        |FROM months LEFT JOIN orders
+        |  ON date_trunc('month', o_orderdate)::DATE = m
+        |GROUP BY m ORDER BY m""".stripMargin,
     "q_sql_correlated_subquery" ->
       """SELECT c_custkey,
         |  COALESCE((SELECT COUNT(*) FROM orders

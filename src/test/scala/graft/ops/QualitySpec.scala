@@ -26,4 +26,35 @@ class QualitySpec extends SparkTestBase {
     assert(want.nonEmpty && want.size < rows.length,
       "audit must be non-vacuous and selective at sf0.001")
   }
+
+  test("IQR outlier audit matches a driver-side Tukey-fence recompute") {
+    val got = QualityOps.outlierIqr(spark, sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSet
+    val rows = graft.Tables.events(spark, sf0001)
+      .select($"event_type", $"value").as[(String, Double)].collect()
+    def q(sorted: Array[Double], p: Double): Double = {
+      val pos = p * (sorted.length - 1)
+      val lo = pos.toInt
+      val frac = pos - lo
+      if (lo + 1 < sorted.length)
+        sorted(lo) + frac * (sorted(lo + 1) - sorted(lo))
+      else sorted(lo)
+    }
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r2(x: Double) = BigDecimal(x)
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = rows.groupBy(_._1).flatMap { case (t, xs) =>
+      val vs = xs.map(_._2).sorted
+      val (q1, q3) = (r6(q(vs, 0.25)), r6(q(vs, 0.75)))
+      val (lo, hi) = (q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1))
+      val out = vs.filter(v => v < lo || v > hi)
+      if (out.isEmpty) None
+      else Some((t, out.length.toLong, r2(out.min), r2(out.max)))
+    }.toSet
+    assert(got == want)
+    assert(want.nonEmpty, "fence audit must be non-vacuous at sf0.001")
+  }
 }

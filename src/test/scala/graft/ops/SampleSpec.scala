@@ -167,4 +167,29 @@ class SampleSpec extends SparkTestBase {
       assert(frac > 0.05 && frac < 0.16, s"$flag bernoulli frac $frac")
     }
   }
+
+  test("class weights are the balanced heuristic: weight*k*n == total") {
+    val rows = MlOps.classWeights(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val total = rows.map(_._2).sum
+    val k = rows.length
+    rows.foreach { case (lang, n, w) =>
+      val expect = BigDecimal(total.toDouble / (k * n))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(w == expect, s"$lang weight $w != $expect")
+    }
+    // rarest class gets the largest weight
+    val byN = rows.sortBy(_._2)
+    assert(byN.head._3 == rows.map(_._3).max)
+  }
+
+  test("kfold covers all docs with balanced, class-complete folds") {
+    val rows = MlOps.kfold(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSet == Set(0L, 1L, 2L, 3L, 4L))
+    val nDocs = graft.Tables.documents(spark, sf0001).count()
+    assert(rows.map(_._2).sum == nDocs, "folds must partition the corpus")
+    val (mn, mx) = (rows.map(_._2).min, rows.map(_._2).max)
+    assert(mx <= 2 * mn, s"folds badly skewed: $mn..$mx")
+  }
 }
