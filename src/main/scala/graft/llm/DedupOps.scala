@@ -857,7 +857,59 @@ object DedupOps extends graft.QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** q_dedup_semantic — SemDeDup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the embedding space, then call two items semantic
+    * duplicates when their cosine inside a shared cluster exceeds the
+    * threshold, keeping — per the paper — the member with the LOWEST
+    * centroid similarity (the most atypical example survives; its
+    * duplicates are the redundant ones). The pairwise form of that
+    * keep rule: DROP v iff some same-cell u has cos(u,v) >= t and u
+    * sits farther from the centroid than v (tie on centroid-sim broken
+    * by lower vec_id surviving), so every duplicate group keeps at
+    * least its centroid-sim minimum.
+    *
+    * Scale shape: reuses the PERSISTED IVF index (spherical-KMeans
+    * cells, L2-normalized vectors, corpus partitioned by cell — built
+    * once per corpus generation, SimSearchOps.buildIvfIndex), so the
+    * pair scan is a self-join CO-PARTITIONED on `cell`: no all-pairs
+    * side exists, and the quadratic term is bounded per cell — exactly
+    * the SemDeDup argument for clustering before comparing (k grows
+    * with the corpus; cells stay bounded). Centroids join in as a
+    * 16-row broadcast. Declared rows-only (KMeans cells are
+    * impl-specific, SURVEY §2.5 rule 4); the keep rule, exhaustiveness
+    * within cells, and determinism are pinned in SemDedupSpec against
+    * a driver-side brute-force recompute. */
+  def semanticDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val idx = SimSearchOps.buildIvfIndex(spark, sfDir)
+    val centroids = spark.read.parquet(s"$idx/centroids")
+      .select($"cell", $"center".cast("array<float>").as("center"))
+    // ne is L2-normalized, so dot == cosine; centroid similarity uses
+    // the same expression against the (unit-ish) KMeans center
+    val scored = spark.read.parquet(s"$idx/cells")
+      .join(broadcast(centroids), Seq("cell"))
+      .select($"cell", $"vec_id", $"ne",
+        SimSearchOps.dot($"ne", $"center").as("c_sim"))
+    val a = scored.select($"cell", $"vec_id".as("a_id"), $"ne".as("a_e"),
+      $"c_sim".as("a_cs"))
+    val b = scored.select($"cell", $"vec_id".as("b_id"), $"ne".as("b_e"),
+      $"c_sim".as("b_cs"))
+    a.join(b, Seq("cell"))
+      .filter($"a_id" =!= $"b_id")
+      .withColumn("cos", SimSearchOps.dot($"a_e", $"b_e"))
+      .filter($"cos" >= FixtureCosineThreshold)
+      // rows where the OTHER side dominates (farther from centroid, or
+      // equal-distance with smaller id): b_id is the dropped member
+      .filter($"a_cs" < $"b_cs" ||
+        ($"a_cs" === $"b_cs" && $"a_id" < $"b_id"))
+      .groupBy($"b_id".as("vec_id"), $"cell")
+      .agg(count(lit(1)).as("n_dups"),
+        round(max($"cos"), 6).as("max_cosine"))
+      .orderBy($"vec_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_semantic" -> (semanticDedup _),
     "q_dedup_containment" -> (containment _),
     "q_text_novelty" -> (novelty _),
     "q_dedup_exact" -> (exactDedup _),
