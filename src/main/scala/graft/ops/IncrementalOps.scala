@@ -108,9 +108,43 @@ object IncrementalOps extends graft.QueryModule {
       .orderBy($"day", $"event_type")
   }
 
+  /** q_agg_hll_merge — mergeable-sketch distinct counting (Apache
+    * DataSketches HLL through Spark's hll_sketch_agg/hll_union_agg,
+    * SPARK-16484): per-day sketches union into the range answer
+    * WITHOUT rescanning rows, the property that makes distinct-count
+    * rollups incremental — a 100 TB events table keeps one ~1.5 KB
+    * sketch per (day) partition, and "distinct users over any day
+    * range" is a union over that tiny state, the same merge shape as
+    * [[incrementalAgg]]'s decimal sums. The query PROVES the identity
+    * on real data by computing the estimate both ways: merged
+    * per-day partials vs one direct pass. HLL register-max union is
+    * exact (union-of-sketches == sketch-of-union), so est_merged ==
+    * est_direct to the bit, pinned in IncrementalSpec along with a
+    * relative-error bound against the exact count. Declared rows-only
+    * (the estimator is impl-specific; DuckDB's approx_count_distinct
+    * is a different sketch). */
+  def hllMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = withDay(graft.Tables.events(spark, sfDir))
+    val daily = ev.groupBy($"day")
+      .agg(hll_sketch_agg($"user_id").as("sk"),
+        count(lit(1)).as("n_events"))
+    val merged = daily.agg(
+      count(lit(1)).as("n_days"),
+      sum($"n_events").as("n_events"),
+      hll_sketch_estimate(hll_union_agg($"sk")).as("est_merged"))
+    val direct = ev.agg(
+      hll_sketch_estimate(hll_sketch_agg($"user_id")).as("est_direct"),
+      countDistinct($"user_id").as("exact_distinct"))
+    merged.crossJoin(direct)
+      .select($"n_days", $"n_events", $"est_merged", $"est_direct",
+        $"exact_distinct")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scan_snapshot_diff" -> (snapshotDiff _),
-    "q_agg_incremental" -> (incrementalAgg _))
+    "q_agg_incremental" -> (incrementalAgg _),
+    "q_agg_hll_merge" -> (hllMerge _))
 
   def oracle: Map[String, String] = Map(
     "q_scan_snapshot_diff" ->

@@ -53,4 +53,18 @@ class IncrementalSpec extends SparkTestBase {
     assert(scanned.count(_.contains("events.parquet")) == 1, scanned)
     assert(scanned.exists(_.contains(idx)), scanned)
   }
+
+  test("HLL union of daily sketches equals the direct sketch, near the exact count") {
+    val r = IncrementalOps.hllMerge(spark, sf0001).collect().head
+    val (nDays, nEvents, merged, direct, exact) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    val rawEvents = graft.Tables.events(spark, sf0001).count()
+    assert(nDays > 1, "fixture must span multiple days for the merge to matter")
+    assert(nEvents == rawEvents)
+    // register-max union: merging per-day partials must lose nothing
+    assert(merged == direct, s"merged $merged != direct $direct")
+    // default lgConfigK=12 => relative error ~1.6%/sqrt(m) band; 5% is loose
+    val relErr = math.abs(merged.toDouble - exact) / exact
+    assert(relErr < 0.05, s"estimate $merged vs exact $exact (err $relErr)")
+  }
 }
