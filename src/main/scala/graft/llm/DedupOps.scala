@@ -870,12 +870,14 @@ object DedupOps extends graft.QueryModule {
     *
     * Scale shape: reuses the PERSISTED IVF index (spherical-KMeans
     * cells, L2-normalized vectors, corpus partitioned by cell — built
-    * once per corpus generation, SimSearchOps.buildIvfIndex), so the
-    * pair scan is a self-join CO-PARTITIONED on `cell`: no all-pairs
-    * side exists, and the quadratic term is bounded per cell — exactly
-    * the SemDeDup argument for clustering before comparing (k grows
-    * with the corpus; cells stay bounded). Centroids join in as a
-    * 16-row broadcast. Declared rows-only (KMeans cells are
+    * once per corpus generation, SimSearchOps.buildIvfIndex). The pair
+    * scan self-joins ON `cell`, so the shuffle moves n ROWS keyed by
+    * cell (linear — no all-pairs side ever exists) and the quadratic
+    * term is bounded per cell — exactly the SemDeDup argument for
+    * clustering before comparing (k grows with the corpus; cells stay
+    * bounded, and a hot cell is the same skew problem salting already
+    * solves for joins). Centroids join in as a 16-row broadcast.
+    * Declared rows-only (KMeans cells are
     * impl-specific, SURVEY §2.5 rule 4); the keep rule, exhaustiveness
     * within cells, and determinism are pinned in SemDedupSpec against
     * a driver-side brute-force recompute. */

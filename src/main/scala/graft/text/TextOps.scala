@@ -424,6 +424,40 @@ object TextOps extends graft.QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** q_text_ppl_bucket — CCNet-style perplexity bucketing (Wenzek et
+    * al., LREC 2020): per-language deciles of the unigram-LM score
+    * ([[unigramLogprob]]'s avg_logprob as the cheap LM stand-in), with
+    * the keep rule that drops the worst-scoring tail (buckets 8-10 ≈
+    * CCNet's "tail" third) — the standard head/middle filter a
+    * pretraining corpus applies per language so high-resource languages
+    * don't set the bar for low-resource ones. Deterministic: the decile
+    * order is (avg_logprob DESC, doc_id), both engines' ntile splits
+    * remainder buckets identically, and the report aggregates per
+    * (lang, bucket) so the output is vocabulary-bounded. Scale: exact
+    * ntile is a per-language sort — fine while per-lang volumes sort in
+    * a stage; at 100 TB swap the decile edges to approx_percentile
+    * cutoffs broadcast back (same keep decision, one pass, no sort) —
+    * the declared exact form is the oracle-able contract for that
+    * rewrite. */
+  def pplBucket(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val lp = unigramLogprob(spark, sfDir)
+      .select($"doc_id", $"avg_logprob")
+    val langs = graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang")
+    val w = Window.partitionBy($"lang")
+      .orderBy($"avg_logprob".desc, $"doc_id")
+    lp.join(langs, Seq("doc_id"))
+      .withColumn("bucket", ntile(10).over(w))
+      .groupBy($"lang", $"bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        round(min($"avg_logprob"), 6).as("lp_min"),
+        round(max($"avg_logprob"), 6).as("lp_max"))
+      .withColumn("kept", ($"bucket" <= 7).cast("int"))
+      .orderBy($"lang", $"bucket")
+  }
+
   /** q_text_sentences — sentence segmentation with stable positions:
     * sentences are maximal runs of non-terminator chars plus their
     * trailing `[.!?]` terminators (an RE2-compatible extraction — no
@@ -501,6 +535,7 @@ object TextOps extends graft.QueryModule {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_bigram_pmi" -> (bigramPmi _),
     "q_text_unigram_logprob" -> (unigramLogprob _),
+    "q_text_ppl_bucket" -> (pplBucket _),
     "q_text_sentences" -> (sentences _),
     "q_text_tfidf" -> (tfidf _),
     "q_text_chunk" -> (chunk _),
@@ -554,6 +589,30 @@ object TextOps extends graft.QueryModule {
         |    AS avg_logprob
         |FROM toks JOIN uni USING (token) CROSS JOIN n
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_text_ppl_bucket" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |uni AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY 1),
+        |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_total FROM toks),
+        |lp AS (
+        |  SELECT doc_id,
+        |    round(CAST(SUM(CAST(round(ln(CAST(cnt AS DOUBLE) / n_total), 6)
+        |                        AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+        |      AS avg_logprob
+        |  FROM toks JOIN uni USING (token) CROSS JOIN n
+        |  GROUP BY doc_id),
+        |b AS (
+        |  SELECT d.lang, lp.avg_logprob,
+        |    ntile(10) OVER (PARTITION BY d.lang
+        |      ORDER BY lp.avg_logprob DESC, lp.doc_id) AS bucket
+        |  FROM lp JOIN documents d USING (doc_id))
+        |SELECT lang, bucket, COUNT(*) AS n_docs,
+        |  round(min(avg_logprob), 6) AS lp_min,
+        |  round(max(avg_logprob), 6) AS lp_max,
+        |  CASE WHEN bucket <= 7 THEN 1 ELSE 0 END AS kept
+        |FROM b GROUP BY lang, bucket
+        |ORDER BY lang, bucket""".stripMargin,
     "q_text_sentences" ->
       """WITH ex AS (
         |  SELECT doc_id,
