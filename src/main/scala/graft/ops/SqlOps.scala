@@ -182,9 +182,43 @@ object SqlOps extends graft.QueryModule {
         |GROUP BY m ORDER BY m""".stripMargin)
   }
 
+  /** q_sql_tpch_q3 — the TPC-H Q3 shape (shipping-priority top-10):
+    * the flagship 3-table star join customer⋈orders⋈lineitem with
+    * filters on all three legs, decimal-exact revenue, and a
+    * revenue-ranked top-10. The plan-quality showcase: each filter
+    * pushes to its own scan (ReadSchema carries only the 7 used
+    * columns of 22), the segment-filtered customer side falls under
+    * the AQE broadcast threshold at fixture scale (and shuffles
+    * cleanly when it wouldn't at 100 TB — nothing here pins a
+    * broadcast), and orderBy+limit plans as TakeOrderedAndProject —
+    * a bounded heap, never a global sort. Revenue follows the
+    * pricing-summary decimal discipline (exact DECIMAL sum, one
+    * round-6, then double). */
+  def tpchQ3(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cut = lit("1998-01-01").cast("timestamp")
+    val cust = graft.Tables.customer(spark, sfDir)
+      .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+    val ord = graft.Tables.orders(spark, sfDir)
+      .filter($"o_orderdate" < cut)
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+    val li = graft.Tables.lineitem(spark, sfDir)
+      .filter($"l_shipdate" > cut)
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    ord.join(cust, $"o_custkey" === $"c_custkey")
+      .join(li, $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_orderkey", $"o_orderdate".cast("date").as("o_orderdate"))
+      .agg(round(sum(AggOps.dec($"l_extendedprice") *
+          (lit(BigDecimal(1)) - AggOps.rate($"l_discount"))), 6)
+        .cast("double").as("revenue"))
+      .orderBy($"revenue".desc, $"o_orderkey")
+      .limit(10)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sql_correlated_subquery" -> (correlatedSubquery _),
     "q_sql_recursive_cte" -> (recursiveCalendar _),
+    "q_sql_tpch_q3" -> (tpchQ3 _),
     "q_sql_grouping_sets" -> (groupingSets _),
     "q_sql_scalar_subquery" -> (scalarSubquery _),
     "q_sql_in_subquery" -> (inSubquery _),
@@ -195,6 +229,18 @@ object SqlOps extends graft.QueryModule {
     "q_typed_dataset" -> (typedDataset _))
 
   def oracle: Map[String, String] = Map(
+    "q_sql_tpch_q3" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(8,4)))), 6) AS DOUBLE)
+        |    AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1, 2 ORDER BY revenue DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
     "q_sql_recursive_cte" ->
       """WITH RECURSIVE months AS (
         |  SELECT date_trunc('month', min(o_orderdate))::DATE AS m,

@@ -164,4 +164,24 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("Or(LessThan(l_quantity,10.0),EqualTo(l_returnflag,R))"),
       p.take(2000))
   }
+
+  test("q_sql_tpch_q3 plans a heap top-10, never a global sort") {
+    val p = plan("q_sql_tpch_q3")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    // revenue filters pushed to each leg's scan
+    assert(p.contains("PushedFilters: [IsNotNull(c_mktsegment), " +
+      "EqualTo(c_mktsegment,BUILDING)"), p.take(4000))
+    assert(p.contains("GreaterThan(l_shipdate,"), p.take(4000))
+  }
+
+  test("q_sql_recursive_cte actually executes through UnionLoop") {
+    val df = graft.SparkEntry.queries("q_sql_recursive_cte")(spark, sf0001)
+    val s = df.queryExecution.optimizedPlan.toString
+    assert(s.contains("UnionLoop"), s.take(2000))
+  }
+
+  test("q_quality_outlier_iqr broadcasts the fence table back onto the scan") {
+    val p = plan("q_quality_outlier_iqr")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
 }
