@@ -141,10 +141,55 @@ object IncrementalOps extends graft.QueryModule {
         $"exact_distinct")
   }
 
+  /** q_agg_theta_sets — audience-overlap set algebra on Theta sketches
+    * (DataSketches via Spark 4's theta_sketch_agg/theta_intersection/
+    * theta_union/theta_difference): distinct-user intersection /
+    * union / difference between two event cohorts WITHOUT the
+    * user_id-keyed shuffle an exact distinct-intersection needs —
+    * each cohort folds to one ~KB sketch and the set ops run on the
+    * sketch pair, which is why overlap questions on a 100 TB events
+    * table are a sketch-exchange, not a join (and why HLL alone is
+    * not enough: HLL unions but cannot intersect; Theta is the
+    * mergeable state for set ALGEBRA). The exact per-user recompute
+    * rides along so the declared result self-documents the estimate
+    * error; at fixture cardinality (150 users < the sketch's nominal
+    * entries) Theta runs in exact mode and IncrementalSpec pins
+    * estimate == exact plus the inclusion-exclusion identity.
+    * Declared rows-only (sketch internals are impl-specific). */
+  def thetaSets(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, sfDir)
+    val p = ev.filter($"event_type" === "purchase")
+      .agg(expr("theta_sketch_agg(user_id)").as("sk_p"),
+        countDistinct($"user_id").as("exact_purchase"))
+    val s = ev.filter($"event_type" === "signup")
+      .agg(expr("theta_sketch_agg(user_id)").as("sk_s"),
+        countDistinct($"user_id").as("exact_signup"))
+    val exact = ev
+      .groupBy($"user_id")
+      .agg(max(when($"event_type" === "purchase", 1).otherwise(0)).as("p"),
+        max(when($"event_type" === "signup", 1).otherwise(0)).as("s"))
+      .agg(sum(when($"p" === 1 && $"s" === 1, 1L).otherwise(0L))
+          .as("exact_both"),
+        sum(when($"p" === 1 || $"s" === 1, 1L).otherwise(0L))
+          .as("exact_either"))
+    p.crossJoin(s).crossJoin(exact)
+      .select(
+        expr("theta_sketch_estimate(theta_intersection(sk_p, sk_s))")
+          .as("est_both"),
+        expr("theta_sketch_estimate(theta_union(sk_p, sk_s))")
+          .as("est_either"),
+        expr("theta_sketch_estimate(theta_difference(sk_p, sk_s))")
+          .as("est_only_purchase"),
+        $"exact_both", $"exact_either",
+        $"exact_purchase", $"exact_signup")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scan_snapshot_diff" -> (snapshotDiff _),
     "q_agg_incremental" -> (incrementalAgg _),
-    "q_agg_hll_merge" -> (hllMerge _))
+    "q_agg_hll_merge" -> (hllMerge _),
+    "q_agg_theta_sets" -> (thetaSets _))
 
   def oracle: Map[String, String] = Map(
     "q_scan_snapshot_diff" ->

@@ -67,4 +67,37 @@ class IncrementalSpec extends SparkTestBase {
     val relErr = math.abs(merged.toDouble - exact) / exact
     assert(relErr < 0.05, s"estimate $merged vs exact $exact (err $relErr)")
   }
+
+  test("theta set algebra is exact below nominal entries, with inclusion-exclusion") {
+    val r = IncrementalOps.thetaSets(spark, sf0001).collect().head
+    val (estBoth, estEither, estOnlyP) =
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    val (exBoth, exEither, exP, exS) =
+      (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+    // fixture cardinality < nominal entries => sketches are exact
+    assert(estBoth == exBoth, s"both $estBoth != $exBoth")
+    assert(estEither == exEither, s"either $estEither != $exEither")
+    assert(estOnlyP == exP - exBoth, s"diff $estOnlyP != ${exP - exBoth}")
+    assert(estEither == exP + exS - estBoth, "inclusion-exclusion")
+    assert(exBoth > 0, "overlap must be non-vacuous")
+  }
+
+  test("theta set algebra separates planted partially-overlapping cohorts") {
+    import spark.implicits._
+    // users 1-10 purchase, 6-15 signup: both=5, either=15, only-purchase=5
+    // (sf0.001's 15 users all do every event type, so cohort DIFFERENCE
+    // needs a planted fixture)
+    val rows =
+      (1L to 10L).map(u => (u, u, "purchase")) ++
+      (6L to 15L).map(u => (u + 100, u, "signup"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_theta").toString
+    rows.toDF("event_id", "user_id", "event_type")
+      .selectExpr("event_id", "timestamp_micros(event_id * 1000000) AS ts",
+        "user_id", "event_type", "CAST(1.0 AS DOUBLE) AS value",
+        "'{}' AS props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = IncrementalOps.thetaSets(spark, dir).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((5L, 15L, 5L)),
+      r.toString)
+  }
 }
