@@ -321,7 +321,47 @@ object ScanOps extends graft.QueryModule {
       .orderBy($"o_orderkey")
   }
 
+  /** q_scan_corrupt_records — PERMISSIVE ingestion of a dirty JSONL
+    * feed: well-formed rows parse (missing fields become NULL),
+    * type-mismatched rows keep their salvageable fields and land the
+    * RAW line in the corrupt-record column, syntactically-broken rows
+    * go all-NULL + raw — nothing is ever silently dropped, which is
+    * the ingestion contract a production pipeline needs before a
+    * quarantine split (the FAILFAST/DROPMALFORMED alternatives either
+    * kill the job or destroy evidence). The planted feed is
+    * code-literal (run-local scratch, same discipline as dppJoin's
+    * dim), so the expected output is a constant the DuckDB oracle
+    * states as VALUES — the oracle pins Spark's exact per-row
+    * PERMISSIVE semantics. Sort keys are null-coalesced so both
+    * engines' NULL ordering is irrelevant. */
+  def corruptRecords(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val path = s"$runLocalDir/dirty_feed.jsonl"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+      """{"rec_id":1,"name":"alpha","score":1.5}
+        |{"rec_id":2,"name":"beta","score":2.0}
+        |{"rec_id":3,"name":"gamma"}
+        |{"rec_id":"four","name":"delta","score":3.0}
+        |not json at all
+        |{"rec_id":6,"name":"zeta","score":
+        |""".stripMargin)
+    val sch = StructType(Seq(
+      StructField("rec_id", LongType), StructField("name", StringType),
+      StructField("score", DoubleType), StructField("_corrupt", StringType)))
+    spark.read.schema(sch)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(path)
+      .select($"rec_id", $"name", $"score",
+        $"_corrupt".isNotNull.cast("int").as("quarantined"),
+        coalesce($"_corrupt", lit("")).as("corrupt_raw"))
+      .orderBy($"quarantined", coalesce($"rec_id", lit(-1L)),
+        coalesce($"name", lit("")), $"corrupt_raw")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scan_corrupt_records" -> (corruptRecords _),
     "q_scan_schema_evolution" -> (schemaEvolution _),
     "q_sink_upsert_merge" -> (upsertMerge _),
     "q_sink_scd2" -> (scd2Apply _),
@@ -381,6 +421,21 @@ object ScanOps extends graft.QueryModule {
         |  CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
         |FROM events WHERE event_type IN ('purchase', 'signup')
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_scan_corrupt_records" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'alpha', CAST(1.5 AS DOUBLE), 0, ''),
+        |  (CAST(2 AS BIGINT), 'beta', CAST(2.0 AS DOUBLE), 0, ''),
+        |  (CAST(3 AS BIGINT), 'gamma', CAST(NULL AS DOUBLE), 0, ''),
+        |  (CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+        |   CAST(NULL AS DOUBLE), 1, 'not json at all'),
+        |  (CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+        |   CAST(NULL AS DOUBLE), 1,
+        |   '{"rec_id":6,"name":"zeta","score":'),
+        |  (CAST(NULL AS BIGINT), 'delta', CAST(3.0 AS DOUBLE), 1,
+        |   '{"rec_id":"four","name":"delta","score":3.0}')
+        |) t(rec_id, name, score, quarantined, corrupt_raw)
+        |ORDER BY quarantined, COALESCE(rec_id, -1), COALESCE(name, ''),
+        |  corrupt_raw""".stripMargin,
     "q_scan_parquet" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
