@@ -128,6 +128,39 @@ object JoinOps extends graft.QueryModule {
       .orderBy($"e_id")
   }
 
+  /** As-of join with TOLERANCE (pandas merge_asof semantics): LEFT
+    * as-of — every error event survives — matched to the latest prior
+    * purchase by the same user no older than 7 days; staler matches
+    * are as-good-as-none (the feature-engineering contract: "recent
+    * purchase context or NULL", where an unbounded as-of would happily
+    * attach a years-old row). Same bounded-range-join + row_number
+    * pick as [[asofJoin]] (rewritten to a TopKPerKey heap); the
+    * tolerance ALSO caps the range-join fan-out per event at scale —
+    * the unbounded variant's worst case (one user's full history per
+    * event) cannot occur. Lag is computed in exact integer ms on both
+    * engines. */
+  def asofTolerance(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, sfDir)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"ts".as("p_ts"),
+        $"event_id".as("p_id"))
+    val errors = ev.filter($"event_type" === "error")
+      .select($"user_id".as("e_user"), $"ts".as("e_ts"),
+        $"event_id".as("e_id"))
+    val joined = errors.join(purchases,
+      $"e_user" === $"p_user" && $"p_ts" <= $"e_ts" &&
+        $"p_ts" >= $"e_ts" - expr("INTERVAL 7 DAYS"), "left")
+    val w = Window.partitionBy($"e_id")
+      .orderBy($"p_ts".desc_nulls_last, $"p_id".desc_nulls_last)
+    joined.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"e_id", $"e_user".as("user_id"),
+        $"p_id".as("asof_purchase_id"),
+        (unix_millis($"e_ts") - unix_millis($"p_ts")).as("lag_ms"))
+      .orderBy($"e_id")
+  }
+
   /** Salted skew join (SURVEY.md §4.4): fact rows get a deterministic salt,
     * the dim side is replicated across all salts, the join key becomes
     * (key, salt) so one hot key spreads over SALTS reducers. The oracle is
@@ -284,7 +317,8 @@ object JoinOps extends graft.QueryModule {
     "q_join_semi" -> (semiJoin _),
     "q_join_anti" -> (antiJoin _),
     "q_join_range" -> (rangeJoin _),
-    "q_join_asof" -> (asofJoin _))
+    "q_join_asof" -> (asofJoin _),
+    "q_join_asof_tolerance" -> (asofTolerance _))
 
   def oracle: Map[String, String] = Map(
     "q_join_null_safe" ->
@@ -369,5 +403,19 @@ object JoinOps extends graft.QueryModule {
         |  FROM (SELECT * FROM events WHERE event_type = 'error') e
         |  JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
         |    ON e.user_id = p.user_id AND p.ts <= e.ts)
+        |WHERE rn = 1 ORDER BY e_id""".stripMargin,
+    "q_join_asof_tolerance" ->
+      """SELECT e_id, user_id, asof_purchase_id, lag_ms FROM (
+        |  SELECT e.event_id AS e_id, e.user_id AS user_id,
+        |         p.event_id AS asof_purchase_id,
+        |         epoch_ms(e.ts) - epoch_ms(p.ts) AS lag_ms,
+        |         ROW_NUMBER() OVER (PARTITION BY e.event_id
+        |                            ORDER BY p.ts DESC NULLS LAST,
+        |                                     p.event_id DESC NULLS LAST)
+        |           AS rn
+        |  FROM (SELECT * FROM events WHERE event_type = 'error') e
+        |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |    ON e.user_id = p.user_id AND p.ts <= e.ts
+        |   AND p.ts >= e.ts - INTERVAL 7 DAY)
         |WHERE rn = 1 ORDER BY e_id""".stripMargin)
 }

@@ -85,10 +85,100 @@ object QualityOps extends graft.QueryModule {
       .orderBy($"event_type")
   }
 
+  /** q_quality_profile — Deequ-style column profiling (Schelter et al.,
+    * VLDB'18 "Automating large-scale data quality verification"): one
+    * aggregate pass computes completeness + exact distinct per column
+    * and numeric stats where they apply, unpivoted to the long
+    * (column, metric, value) report a metadata store ingests. ONE job
+    * over the table regardless of column count (all metrics ride one
+    * groupBy-less agg; distincts are the only shuffle-bearing terms —
+    * at 100 TB swap them to approx_count_distinct without changing the
+    * report shape). */
+  def profile(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val o = graft.Tables.orders(spark, sfDir)
+    val n = count(lit(1)).cast("double")
+    def compl(c: String) =
+      round(count(col(c)).cast("double") / n, 6)
+    val agg = o.agg(
+      compl("o_orderkey").as("c_o_orderkey"),
+      compl("o_custkey").as("c_o_custkey"),
+      compl("o_orderstatus").as("c_o_orderstatus"),
+      compl("o_totalprice").as("c_o_totalprice"),
+      compl("o_orderpriority").as("c_o_orderpriority"),
+      countDistinct($"o_orderkey").cast("double").as("d_o_orderkey"),
+      countDistinct($"o_custkey").cast("double").as("d_o_custkey"),
+      countDistinct($"o_orderstatus").cast("double").as("d_o_orderstatus"),
+      countDistinct($"o_totalprice").cast("double").as("d_o_totalprice"),
+      countDistinct($"o_orderpriority").cast("double")
+        .as("d_o_orderpriority"),
+      round(min($"o_totalprice"), 6).as("min_price"),
+      round(max($"o_totalprice"), 6).as("max_price"),
+      (round(sum(AggOps.dec($"o_totalprice")), 6).cast("double") /
+        count($"o_totalprice").cast("double")).as("mean_price"))
+    agg.select(expr(
+      """stack(13,
+        |'o_orderkey','completeness',c_o_orderkey,
+        |'o_custkey','completeness',c_o_custkey,
+        |'o_orderstatus','completeness',c_o_orderstatus,
+        |'o_totalprice','completeness',c_o_totalprice,
+        |'o_orderpriority','completeness',c_o_orderpriority,
+        |'o_orderkey','n_distinct',d_o_orderkey,
+        |'o_custkey','n_distinct',d_o_custkey,
+        |'o_orderstatus','n_distinct',d_o_orderstatus,
+        |'o_totalprice','n_distinct',d_o_totalprice,
+        |'o_orderpriority','n_distinct',d_o_orderpriority,
+        |'o_totalprice','min',min_price,
+        |'o_totalprice','max',max_price,
+        |'o_totalprice','mean',round(mean_price, 6)
+        |) AS (column_name, metric, value)""".stripMargin))
+      .orderBy($"column_name", $"metric")
+  }
+
+  /** q_quality_psi_drift — population-stability-index drift monitor on
+    * events.value: decile edges come from the REFERENCE slice (even
+    * days), both slices histogram against those fixed edges, and
+    * PSI = Σ (q-p)·ln(q/p) accumulates per bucket — the standard
+    * deployed-model input-drift gate (PSI < 0.1 stable, > 0.25 act).
+    * Two passes (edge percentiles on the reference, then one bucketed
+    * count of everything with the 9-edge row broadcast); the ln terms
+    * are rounded 6dp before the decimal-exact sum, the
+    * unigram-logprob portability discipline, and frequencies carry a
+    * 1e-4 floor so an empty bucket cannot NaN the index. */
+  def psiDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, sfDir)
+      .withColumn("slice", pmod(dayofmonth($"ts"), lit(2)))
+    val refSide = ev.filter($"slice" === 0)
+    val edgeCols = (1 to 9).map(i =>
+      round(percentile($"value", lit(i / 10.0)), 6).as(s"e$i"))
+    val edges = refSide.agg(edgeCols.head, edgeCols.tail: _*)
+    val bucket = (1 to 9).map(i => ($"value" > col(s"e$i")).cast("int"))
+      .reduce(_ + _)
+    val counts = ev.crossJoin(broadcast(edges))
+      .withColumn("bucket", bucket)
+      .groupBy($"bucket")
+      .agg(count(when($"slice" === 0, 1)).as("n_ref"),
+        count(when($"slice" === 1, 1)).as("n_cur"))
+    val tot = counts.agg(sum($"n_ref").as("t_ref"), sum($"n_cur").as("t_cur"))
+    counts.crossJoin(broadcast(tot))
+      .select($"bucket",
+        round(greatest($"n_ref".cast("double") / $"t_ref", lit(0.0001)), 6)
+          .as("p_frac"),
+        round(greatest($"n_cur".cast("double") / $"t_cur", lit(0.0001)), 6)
+          .as("q_frac"))
+      .withColumn("psi_term",
+        round(($"q_frac" - $"p_frac") * round(log($"q_frac" / $"p_frac"), 6),
+          6))
+      .orderBy($"bucket")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_quality_constraint_audit" -> (constraintAudit _),
     "q_quality_k_anonymity" -> (kAnonymity _),
-    "q_quality_outlier_iqr" -> (outlierIqr _))
+    "q_quality_outlier_iqr" -> (outlierIqr _),
+    "q_quality_profile" -> (profile _),
+    "q_quality_psi_drift" -> (psiDrift _))
 
   def oracle: Map[String, String] = Map(
     "q_quality_constraint_audit" ->
@@ -120,6 +210,80 @@ object QualityOps extends graft.QueryModule {
         |FROM events GROUP BY 1, 2, 3
         |HAVING count(DISTINCT user_id) < 5
         |ORDER BY event_type, day, value_band""".stripMargin,
+    "q_quality_profile" ->
+      """WITH a AS (
+        |  SELECT
+        |    round(CAST(COUNT(o_orderkey) AS DOUBLE) / COUNT(*), 6) AS c1,
+        |    round(CAST(COUNT(o_custkey) AS DOUBLE) / COUNT(*), 6) AS c2,
+        |    round(CAST(COUNT(o_orderstatus) AS DOUBLE) / COUNT(*), 6) AS c3,
+        |    round(CAST(COUNT(o_totalprice) AS DOUBLE) / COUNT(*), 6) AS c4,
+        |    round(CAST(COUNT(o_orderpriority) AS DOUBLE) / COUNT(*), 6)
+        |      AS c5,
+        |    CAST(COUNT(DISTINCT o_orderkey) AS DOUBLE) AS d1,
+        |    CAST(COUNT(DISTINCT o_custkey) AS DOUBLE) AS d2,
+        |    CAST(COUNT(DISTINCT o_orderstatus) AS DOUBLE) AS d3,
+        |    CAST(COUNT(DISTINCT o_totalprice) AS DOUBLE) AS d4,
+        |    CAST(COUNT(DISTINCT o_orderpriority) AS DOUBLE) AS d5,
+        |    round(min(o_totalprice), 6) AS mn,
+        |    round(max(o_totalprice), 6) AS mx,
+        |    round(CAST(round(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 6)
+        |               AS DOUBLE) / COUNT(o_totalprice), 6) AS mean_p
+        |  FROM orders)
+        |SELECT * FROM (
+        |  SELECT 'o_orderkey' AS column_name, 'completeness' AS metric,
+        |         c1 AS value FROM a
+        |  UNION ALL SELECT 'o_custkey', 'completeness', c2 FROM a
+        |  UNION ALL SELECT 'o_orderstatus', 'completeness', c3 FROM a
+        |  UNION ALL SELECT 'o_totalprice', 'completeness', c4 FROM a
+        |  UNION ALL SELECT 'o_orderpriority', 'completeness', c5 FROM a
+        |  UNION ALL SELECT 'o_orderkey', 'n_distinct', d1 FROM a
+        |  UNION ALL SELECT 'o_custkey', 'n_distinct', d2 FROM a
+        |  UNION ALL SELECT 'o_orderstatus', 'n_distinct', d3 FROM a
+        |  UNION ALL SELECT 'o_totalprice', 'n_distinct', d4 FROM a
+        |  UNION ALL SELECT 'o_orderpriority', 'n_distinct', d5 FROM a
+        |  UNION ALL SELECT 'o_totalprice', 'min', mn FROM a
+        |  UNION ALL SELECT 'o_totalprice', 'max', mx FROM a
+        |  UNION ALL SELECT 'o_totalprice', 'mean', mean_p FROM a)
+        |ORDER BY column_name, metric""".stripMargin,
+    "q_quality_psi_drift" ->
+      """WITH ev AS (
+        |  SELECT value, day(ts) % 2 AS slice FROM events),
+        |edges AS (
+        |  SELECT round(quantile_cont(value, 0.1), 6) AS e1,
+        |         round(quantile_cont(value, 0.2), 6) AS e2,
+        |         round(quantile_cont(value, 0.3), 6) AS e3,
+        |         round(quantile_cont(value, 0.4), 6) AS e4,
+        |         round(quantile_cont(value, 0.5), 6) AS e5,
+        |         round(quantile_cont(value, 0.6), 6) AS e6,
+        |         round(quantile_cont(value, 0.7), 6) AS e7,
+        |         round(quantile_cont(value, 0.8), 6) AS e8,
+        |         round(quantile_cont(value, 0.9), 6) AS e9
+        |  FROM ev WHERE slice = 0),
+        |b AS (
+        |  SELECT slice,
+        |    (value > e1)::INT + (value > e2)::INT + (value > e3)::INT +
+        |    (value > e4)::INT + (value > e5)::INT + (value > e6)::INT +
+        |    (value > e7)::INT + (value > e8)::INT + (value > e9)::INT
+        |      AS bucket
+        |  FROM ev CROSS JOIN edges),
+        |c AS (
+        |  SELECT bucket,
+        |    COUNT(*) FILTER (WHERE slice = 0) AS n_ref,
+        |    COUNT(*) FILTER (WHERE slice = 1) AS n_cur
+        |  FROM b GROUP BY bucket),
+        |t AS (SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM c)
+        |SELECT bucket,
+        |  round(greatest(CAST(n_ref AS DOUBLE) / t_ref, 0.0001), 6)
+        |    AS p_frac,
+        |  round(greatest(CAST(n_cur AS DOUBLE) / t_cur, 0.0001), 6)
+        |    AS q_frac,
+        |  round((round(greatest(CAST(n_cur AS DOUBLE) / t_cur, 0.0001), 6)
+        |       - round(greatest(CAST(n_ref AS DOUBLE) / t_ref, 0.0001), 6))
+        |    * round(ln(round(greatest(CAST(n_cur AS DOUBLE) / t_cur,
+        |                              0.0001), 6)
+        |             / round(greatest(CAST(n_ref AS DOUBLE) / t_ref,
+        |                              0.0001), 6)), 6), 6) AS psi_term
+        |FROM c CROSS JOIN t ORDER BY bucket""".stripMargin,
     "q_quality_outlier_iqr" ->
       """WITH fences AS (
         |  SELECT event_type,

@@ -57,4 +57,30 @@ class QualitySpec extends SparkTestBase {
     assert(got == want)
     assert(want.nonEmpty, "fence audit must be non-vacuous at sf0.001")
   }
+
+  test("profile reports every (column, metric) cell with sane values") {
+    val rows = QualityOps.profile(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    assert(rows.length == 13)
+    // fixture has no nulls -> completeness exactly 1.0 everywhere
+    rows.filter(_._2 == "completeness").foreach { case (c, _, v) =>
+      assert(v == 1.0, s"$c completeness $v") }
+    val m = rows.map(r => (r._1, r._2) -> r._3).toMap
+    val nOrders = graft.Tables.orders(spark, sf0001).count().toDouble
+    assert(m(("o_orderkey", "n_distinct")) == nOrders)
+    assert(m(("o_totalprice", "min")) <= m(("o_totalprice", "mean")) &&
+      m(("o_totalprice", "mean")) <= m(("o_totalprice", "max")))
+  }
+
+  test("PSI drift is complete over deciles and near zero on a parity split") {
+    val rows = QualityOps.psiDrift(spark, sf0001)
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(rows.map(_._1).sorted.toSeq == (0 to 9), "all 10 buckets")
+    val (pSum, qSum) = (rows.map(_._2).sum, rows.map(_._3).sum)
+    assert(math.abs(pSum - 1.0) < 0.01 && math.abs(qSum - 1.0) < 0.01)
+    // even/odd days of the same generator: distributions agree -> stable
+    val psi = rows.map(_._4).sum
+    assert(psi >= 0.0 - 1e-9 && psi < 0.1, s"parity-split PSI $psi")
+  }
 }
