@@ -101,15 +101,21 @@ object GraphOps extends graft.QueryModule {
     * is real.) */
   def marketBasket(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val bi = graft.Tables.lineitem(spark, sfDir)
-      .select($"l_orderkey".as("basket"), $"l_partkey".as("item"))
-      .distinct()
-      .localCheckpoint() // one scan feeds both legs + the frequencies
-    val nBaskets = bi.select($"basket").distinct().count()
-    val freq = bi.groupBy($"item").agg(count(lit(1)).as("n_item"))
-    val pairs = bi.as("x").join(bi.as("y"),
-        $"x.basket" === $"y.basket" && $"x.item" < $"y.item")
-      .groupBy($"x.item".as("a_id"), $"y.item".as("b_id"))
+    // ONE basket-keyed shuffle builds the item sets (collect_set also
+    // dedupes, so no separate distinct pass); pair enumeration is then
+    // MAP-side over each basket's sorted items — the self-join
+    // alternative reshuffles the full (basket, item) frame once per
+    // join leg for the same pairs (measured 2.7 -> 1.8-2.2 s at sf0.1).
+    val baskets = graft.Tables.lineitem(spark, sfDir)
+      .groupBy($"l_orderkey".as("basket"))
+      .agg(sort_array(collect_set($"l_partkey")).as("items"))
+      .localCheckpoint() // feeds pair-gen, frequencies, and the count
+    val nBaskets = baskets.count()
+    val freq = baskets.select(explode($"items").as("item"))
+      .groupBy($"item").agg(count(lit(1)).as("n_item"))
+    val pairs = baskets
+      .select(explode(basketPairsUdf($"items")).as("p"))
+      .groupBy($"p._1".as("a_id"), $"p._2".as("b_id"))
       .agg(count(lit(1)).as("support"))
       .filter($"support" >= 2)
     pairs
@@ -120,6 +126,24 @@ object GraphOps extends graft.QueryModule {
           ($"n_a" * $"n_b").cast("double"), 6).as("lift"))
       .orderBy($"a_id", $"b_id")
   }
+
+  /** all (a < b) pairs of an already-sorted, already-distinct item set;
+    * a tight JVM loop (the higher-order-function spelling is a
+    * CodegenFallback and re-inlines the array per element — the
+    * documented O(n²)-tree trap) */
+  private val basketPairsUdf =
+    udf((items: Seq[Long]) => {
+      val n = items.length
+      val out = Array.newBuilder[(Long, Long)]
+      out.sizeHint(n * (n - 1) / 2)
+      var i = 0
+      while (i < n) {
+        var j = i + 1
+        while (j < n) { out += ((items(i), items(j))); j += 1 }
+        i += 1
+      }
+      out.result()
+    })
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_graph_pagerank" -> (pagerank _),
