@@ -86,13 +86,15 @@ object GraphOps extends graft.QueryModule {
     * pairs sharing >= 2 distinct orders, scored by
     * lift = P(a,b) / (P(a)·P(b)). The same co-occurrence shape scores
     * token collocations (bigram PMI is this operator in log space)
-    * and doc-pair co-citation. Shape: distinct (basket, item) once,
-    * one self-join keyed on the BASKET (fan-out = items-per-basket,
-    * ~4 here — never all-pairs over items), support filter BEFORE the
-    * per-item-frequency joins so the frequency lookups run on the
-    * ~3k surviving pairs, not the 112k raw ones. At 100 TB the
-    * hot-basket cap (drop degenerate mega-baskets) bounds the
-    * self-join exactly like the shingle df-cutoff. Lift is an
+    * and doc-pair co-citation. Shape: ONE basket-keyed shuffle folds
+    * each basket to its sorted distinct item set, pairs are generated
+    * MAP-side from those sets (fan-out = items-per-basket choose 2,
+    * ~15 here — never all-pairs over items, and no join reshuffle of
+    * the big frame), and the support filter runs BEFORE the
+    * per-item-frequency joins so the frequency lookups see the ~3k
+    * surviving pairs, not the 1.2M raw ones. At 100 TB the hot-basket
+    * cap (drop degenerate mega-baskets before pair-gen) bounds the
+    * quadratic term exactly like the shingle df-cutoff. Lift is an
     * integer-ratio double rounded at 6dp — engine-portable. (A
     * common-neighbors link-prediction variant over the NEAR-DUP graph
     * was measured structurally vacuous on the fixture: planted dup
