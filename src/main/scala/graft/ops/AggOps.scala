@@ -229,7 +229,34 @@ object AggOps extends graft.QueryModule {
       .orderBy($"bucket")
   }
 
+  /** q_agg_retention_cohorts — the classic cohort-retention triangle:
+    * users grouped by first-activity day, retention(k) = the fraction
+    * of a cohort still active k days later. Three aggregates over the
+    * DISTINCT (user, day) activity frame — dedup, per-user min-day, the
+    * (cohort, k) distinct count — plus a broadcast of the tiny k=0
+    * cohort-size row back on. The activity dedup is the only
+    * data-sized shuffle; the triangle itself is bounded by days² at
+    * any scale. Fraction is an integer-ratio double rounded 6dp. */
+  def retentionCohorts(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val activity = graft.Tables.events(spark, sfDir)
+      .select($"user_id", to_date($"ts").as("day")).distinct()
+    val first = activity.groupBy($"user_id")
+      .agg(min($"day").as("cohort_day"))
+    val grid = activity.join(first, Seq("user_id"))
+      .groupBy($"cohort_day", datediff($"day", $"cohort_day").as("k"))
+      .agg(count(lit(1)).as("n_users")) // (user, day) already distinct
+    val sizes = grid.filter($"k" === 0)
+      .select($"cohort_day", $"n_users".as("cohort_size"))
+    grid.join(broadcast(sizes), Seq("cohort_day"))
+      .select($"cohort_day", $"k", $"n_users",
+        round($"n_users".cast("double") / $"cohort_size", 6)
+          .as("retention"))
+      .orderBy($"cohort_day", $"k")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_retention_cohorts" -> (retentionCohorts _),
     "q_agg_histogram" -> (histogram _),
     "q_agg_stats" -> (statsAgg _),
     "q_agg_conditional" -> (conditionalAgg _),
@@ -245,6 +272,23 @@ object AggOps extends graft.QueryModule {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_agg_retention_cohorts" ->
+      """WITH activity AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |first AS (
+        |  SELECT user_id, min(day) AS cohort_day FROM activity
+        |  GROUP BY user_id),
+        |grid AS (
+        |  SELECT cohort_day, date_diff('day', cohort_day, day) AS k,
+        |         COUNT(*) AS n_users
+        |  FROM activity JOIN first USING (user_id)
+        |  GROUP BY 1, 2),
+        |sizes AS (
+        |  SELECT cohort_day, n_users AS cohort_size FROM grid WHERE k = 0)
+        |SELECT g.cohort_day, CAST(k AS INT) AS k, n_users,
+        |  round(CAST(n_users AS DOUBLE) / cohort_size, 6) AS retention
+        |FROM grid g JOIN sizes s ON g.cohort_day = s.cohort_day
+        |ORDER BY g.cohort_day, k""".stripMargin,
     "q_agg_histogram" ->
       """WITH bounds AS (
         |  SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
