@@ -255,7 +255,42 @@ object AggOps extends graft.QueryModule {
       .orderBy($"cohort_day", $"k")
   }
 
+  /** q_agg_ab_test — two-proportion z-test (the standard experiment
+    * readout): arms split deterministically on o_orderkey parity,
+    * success = a high-value order (>200k), z computed from the pooled
+    * rate. One aggregate pass builds all four counts FILTER-style; the
+    * scalar algebra runs on a 1-row frame. Engine-portable because
+    * every step is IEEE-exact on identical inputs: integer-ratio
+    * divisions and a correctly-rounded sqrt (required by IEEE 754 —
+    * unlike ln, which needs the rounded-term discipline elsewhere);
+    * the 6dp rounds are display stability, not correctness. */
+  def abTest(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val counts = graft.Tables.orders(spark, sfDir)
+      .agg(
+        count(when(pmod($"o_orderkey", lit(2)) === 0, 1)).as("n_a"),
+        count(when(pmod($"o_orderkey", lit(2)) === 1, 1)).as("n_b"),
+        count(when(pmod($"o_orderkey", lit(2)) === 0 &&
+          $"o_totalprice" > 200000, 1)).as("c_a"),
+        count(when(pmod($"o_orderkey", lit(2)) === 1 &&
+          $"o_totalprice" > 200000, 1)).as("c_b"))
+    counts
+      .withColumn("p_a", $"c_a".cast("double") / $"n_a")
+      .withColumn("p_b", $"c_b".cast("double") / $"n_b")
+      .withColumn("p_pool",
+        ($"c_a" + $"c_b").cast("double") / ($"n_a" + $"n_b"))
+      .withColumn("z",
+        ($"p_a" - $"p_b") /
+          sqrt($"p_pool" * (lit(1.0) - $"p_pool") *
+            (lit(1.0) / $"n_a" + lit(1.0) / $"n_b")))
+      .select($"n_a", $"n_b", $"c_a", $"c_b",
+        round($"p_a", 6).as("p_a"), round($"p_b", 6).as("p_b"),
+        round($"z", 6).as("z"),
+        (abs($"z") > 1.959964).cast("int").as("significant"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_ab_test" -> (abTest _),
     "q_agg_retention_cohorts" -> (retentionCohorts _),
     "q_agg_histogram" -> (histogram _),
     "q_agg_stats" -> (statsAgg _),
@@ -272,6 +307,30 @@ object AggOps extends graft.QueryModule {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_agg_ab_test" ->
+      """WITH c AS (
+        |  SELECT
+        |    COUNT(*) FILTER (WHERE o_orderkey % 2 = 0) AS n_a,
+        |    COUNT(*) FILTER (WHERE o_orderkey % 2 = 1) AS n_b,
+        |    COUNT(*) FILTER (WHERE o_orderkey % 2 = 0
+        |                     AND o_totalprice > 200000) AS c_a,
+        |    COUNT(*) FILTER (WHERE o_orderkey % 2 = 1
+        |                     AND o_totalprice > 200000) AS c_b
+        |  FROM orders),
+        |s AS (
+        |  SELECT *,
+        |    CAST(c_a AS DOUBLE) / n_a AS pa,
+        |    CAST(c_b AS DOUBLE) / n_b AS pb,
+        |    CAST(c_a + c_b AS DOUBLE) / (n_a + n_b) AS pp
+        |  FROM c)
+        |SELECT n_a, n_b, c_a, c_b,
+        |  round(pa, 6) AS p_a, round(pb, 6) AS p_b,
+        |  round((pa - pb) / sqrt(pp * (1.0 - pp)
+        |        * (1.0 / n_a + 1.0 / n_b)), 6) AS z,
+        |  CASE WHEN abs((pa - pb) / sqrt(pp * (1.0 - pp)
+        |       * (1.0 / n_a + 1.0 / n_b))) > 1.959964
+        |       THEN 1 ELSE 0 END AS significant
+        |FROM s""".stripMargin,
     "q_agg_retention_cohorts" ->
       """WITH activity AS (
         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),

@@ -165,7 +165,48 @@ object WindowOps extends graft.QueryModule {
       .orderBy($"user_id", $"day_ms")
   }
 
+  /** q_window_rfm_segments — RFM customer segmentation (Hughes,
+    * "Strategic Database Marketing" 1994; the standard CRM quintile
+    * recipe): per customer recency (days since last order, vs the
+    * corpus max date), frequency (order count), monetary (decimal-exact
+    * spend), each scored 1-5 by ntile over a deterministic
+    * (metric, c_custkey) order — recency ASCENDS so "most recent" gets
+    * score 5 after the 6-x flip, matching the convention that 555 is
+    * the best cell. Output is the segment-cell census (≤125 rows at
+    * any scale): one orders pass for the per-customer rollup, three
+    * ntile windows over the CUSTOMER frame, one groupBy. Honest scale
+    * note: a keyless ntile is a single-partition sort of the
+    * per-customer rollup — fine while customers fit one task's sort
+    * (they are orders/10 here), and it is the declared oracle-exact
+    * contract; at true 100 TB customer counts the same scores come
+    * from percentile quintile EDGES broadcast back (one agg + a
+    * comparison ladder, no global sort), with ties then falling on
+    * edge equality instead of ntile's equal-count split. */
+  def rfmSegments(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val o = graft.Tables.orders(spark, sfDir)
+    val maxDay = o.agg(max(to_date($"o_orderdate")).as("max_day"))
+    val per = o.groupBy($"o_custkey")
+      .agg(max(to_date($"o_orderdate")).as("last_day"),
+        count(lit(1)).as("frequency"),
+        sum(AggOps.dec($"o_totalprice")).as("monetary"))
+      .crossJoin(broadcast(maxDay))
+      .select($"o_custkey",
+        datediff($"max_day", $"last_day").as("recency"),
+        $"frequency", $"monetary")
+    def score(metric: org.apache.spark.sql.Column) =
+      ntile(5).over(Window.orderBy(metric, $"o_custkey"))
+    val scored = per.select($"o_custkey",
+      (lit(6) - score($"recency")).as("r"), // fewest days -> score 5
+      score($"frequency").as("f"),
+      score($"monetary").as("m"))
+    scored.groupBy($"r", $"f", $"m")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy($"r", $"f", $"m")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_rfm_segments" -> (rfmSegments _),
     "q_window_event_funnel" -> (eventFunnel _),
     "q_window_resample_gapfill" -> (resampleGapfill _),
     "q_window_moving_avg" -> (movingAvg _),
@@ -176,6 +217,24 @@ object WindowOps extends graft.QueryModule {
     "q_window_range_frame" -> (rangeFrame _))
 
   def oracle: Map[String, String] = Map(
+    "q_window_rfm_segments" ->
+      """WITH maxd AS (
+        |  SELECT max(CAST(o_orderdate AS DATE)) AS max_day FROM orders),
+        |per AS (
+        |  SELECT o_custkey,
+        |    date_diff('day', max(CAST(o_orderdate AS DATE)),
+        |              (SELECT max_day FROM maxd)) AS recency,
+        |    COUNT(*) AS frequency,
+        |    SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS monetary
+        |  FROM orders GROUP BY o_custkey),
+        |scored AS (
+        |  SELECT o_custkey,
+        |    6 - ntile(5) OVER (ORDER BY recency, o_custkey) AS r,
+        |    ntile(5) OVER (ORDER BY frequency, o_custkey) AS f,
+        |    ntile(5) OVER (ORDER BY monetary, o_custkey) AS m
+        |  FROM per)
+        |SELECT r, f, m, COUNT(*) AS n_customers
+        |FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "q_window_moving_avg" ->
       """WITH b AS (
         |  SELECT date_trunc('day', MIN(ts)) AS d0,
