@@ -173,12 +173,46 @@ object QualityOps extends graft.QueryModule {
       .orderBy($"bucket")
   }
 
+  /** q_quality_benford — Benford first-digit audit (Benford 1938;
+    * Nigrini's fraud-screening use): the observed first-digit
+    * distribution of o_totalprice vs the log10(1+1/d) expectation,
+    * with per-digit chi-square contributions. The Benford constants
+    * are 6dp LITERALS baked into both engines — no runtime log, so
+    * the only portability surface is integer-ratio division. One
+    * groupBy over a 9-value key; the report is 9 rows at any scale.
+    * (TPC-H-ish synthetic prices are roughly uniform, so the audit
+    * correctly reports large deviations — the operator's job is the
+    * report, not a verdict.) */
+  def benford(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // log10(1 + 1/d), d = 1..9, rounded to 6dp
+    val expFrac = Seq(0.301030, 0.176091, 0.124939, 0.096910, 0.079181,
+      0.066947, 0.057992, 0.051153, 0.045757)
+    val o = graft.Tables.orders(spark, sfDir)
+      .select(substring(floor($"o_totalprice").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+    val n = o.agg(count(lit(1)).as("n_total"))
+    o.groupBy($"digit").agg(count(lit(1)).as("n_obs"))
+      .crossJoin(broadcast(n))
+      .withColumn("exp_frac",
+        element_at(array(expFrac.map(lit): _*), $"digit"))
+      .select($"digit", $"n_obs",
+        round($"n_obs".cast("double") / $"n_total", 6).as("obs_frac"),
+        $"exp_frac",
+        round(
+          ($"n_obs".cast("double") - $"exp_frac" * $"n_total") *
+            ($"n_obs".cast("double") - $"exp_frac" * $"n_total") /
+            ($"exp_frac" * $"n_total"), 6).as("chi2_term"))
+      .orderBy($"digit")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_quality_constraint_audit" -> (constraintAudit _),
     "q_quality_k_anonymity" -> (kAnonymity _),
     "q_quality_outlier_iqr" -> (outlierIqr _),
     "q_quality_profile" -> (profile _),
-    "q_quality_psi_drift" -> (psiDrift _))
+    "q_quality_psi_drift" -> (psiDrift _),
+    "q_quality_benford" -> (benford _))
 
   def oracle: Map[String, String] = Map(
     "q_quality_constraint_audit" ->
@@ -210,6 +244,25 @@ object QualityOps extends graft.QueryModule {
         |FROM events GROUP BY 1, 2, 3
         |HAVING count(DISTINCT user_id) < 5
         |ORDER BY event_type, day, value_band""".stripMargin,
+    "q_quality_benford" ->
+      """WITH d AS (
+        |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+        |              AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM orders),
+        |n AS (SELECT COUNT(*) AS n_total FROM d),
+        |e AS (SELECT digit, CAST(ef AS DOUBLE) AS exp_frac FROM (VALUES
+        |  (1, 0.301030), (2, 0.176091), (3, 0.124939), (4, 0.096910),
+        |  (5, 0.079181), (6, 0.066947), (7, 0.057992), (8, 0.051153),
+        |  (9, 0.045757)) t(digit, ef)),
+        |c AS (SELECT digit, COUNT(*) AS n_obs FROM d GROUP BY digit)
+        |SELECT c.digit, n_obs,
+        |  round(CAST(n_obs AS DOUBLE) / n_total, 6) AS obs_frac,
+        |  exp_frac,
+        |  round((CAST(n_obs AS DOUBLE) - exp_frac * n_total)
+        |      * (CAST(n_obs AS DOUBLE) - exp_frac * n_total)
+        |      / (exp_frac * n_total), 6) AS chi2_term
+        |FROM c JOIN e ON c.digit = e.digit CROSS JOIN n
+        |ORDER BY c.digit""".stripMargin,
     "q_quality_profile" ->
       """WITH a AS (
         |  SELECT
