@@ -239,13 +239,18 @@ object AggOps extends graft.QueryModule {
     * any scale. Fraction is an integer-ratio double rounded 6dp. */
   def retentionCohorts(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
     val activity = graft.Tables.events(spark, sfDir)
       .select($"user_id", to_date($"ts").as("day")).distinct()
-    val first = activity.groupBy($"user_id")
-      .agg(min($"day").as("cohort_day"))
-    val grid = activity.join(first, Seq("user_id"))
+    // cohort via a user-partitioned min window, NOT a groupBy+self-join:
+    // the join spelling scans events once per branch (4 scans with the
+    // sizes reuse below); this reads it ONCE
+    val withCohort = activity.withColumn("cohort_day",
+      min($"day").over(Window.partitionBy($"user_id")))
+    val grid = withCohort
       .groupBy($"cohort_day", datediff($"day", $"cohort_day").as("k"))
       .agg(count(lit(1)).as("n_users")) // (user, day) already distinct
+      .localCheckpoint() // <= days^2 rows; reused by sizes AND output
     val sizes = grid.filter($"k" === 0)
       .select($"cohort_day", $"n_users".as("cohort_size"))
     grid.join(broadcast(sizes), Seq("cohort_day"))

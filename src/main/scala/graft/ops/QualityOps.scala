@@ -160,6 +160,7 @@ object QualityOps extends graft.QueryModule {
       .groupBy($"bucket")
       .agg(count(when($"slice" === 0, 1)).as("n_ref"),
         count(when($"slice" === 1, 1)).as("n_cur"))
+      .localCheckpoint() // 10 rows; reused by the totals AND the output
     val tot = counts.agg(sum($"n_ref").as("t_ref"), sum($"n_cur").as("t_cur"))
     counts.crossJoin(broadcast(tot))
       .select($"bucket",

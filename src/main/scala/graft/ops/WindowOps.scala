@@ -184,12 +184,15 @@ object WindowOps extends graft.QueryModule {
     * edge equality instead of ntile's equal-count split. */
   def rfmSegments(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val o = graft.Tables.orders(spark, sfDir)
-    val maxDay = o.agg(max(to_date($"o_orderdate")).as("max_day"))
-    val per = o.groupBy($"o_custkey")
+    val rolled = graft.Tables.orders(spark, sfDir)
+      .groupBy($"o_custkey")
       .agg(max(to_date($"o_orderdate")).as("last_day"),
         count(lit(1)).as("frequency"),
         sum(AggOps.dec($"o_totalprice")).as("monetary"))
+      .localCheckpoint() // one orders scan feeds max-day AND the rollup
+    // corpus max date derived from the rollup, not a second orders scan
+    val maxDay = rolled.agg(max($"last_day").as("max_day"))
+    val per = rolled
       .crossJoin(broadcast(maxDay))
       .select($"o_custkey",
         datediff($"max_day", $"last_day").as("recency"),
