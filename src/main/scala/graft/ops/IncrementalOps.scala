@@ -159,20 +159,26 @@ object IncrementalOps extends graft.QueryModule {
   def thetaSets(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val ev = graft.Tables.events(spark, sfDir)
-    val p = ev.filter($"event_type" === "purchase")
-      .agg(expr("theta_sketch_agg(user_id)").as("sk_p"),
-        countDistinct($"user_id").as("exact_purchase"))
-    val s = ev.filter($"event_type" === "signup")
-      .agg(expr("theta_sketch_agg(user_id)").as("sk_s"),
-        countDistinct($"user_id").as("exact_signup"))
-    val exact = ev
+    // ONE events pass: the per-user cohort membership bits; everything
+    // else (sketches, exact counts, set algebra) derives from this
+    // users-sized frame — the three-separate-aggregates spelling read
+    // events once per cohort plus once for the exact recompute
+    val perUser = ev
+      .filter($"event_type" === "purchase" || $"event_type" === "signup")
       .groupBy($"user_id")
       .agg(max(when($"event_type" === "purchase", 1).otherwise(0)).as("p"),
         max(when($"event_type" === "signup", 1).otherwise(0)).as("s"))
+      .localCheckpoint()
+    val p = perUser.filter($"p" === 1)
+      .agg(expr("theta_sketch_agg(user_id)").as("sk_p"),
+        count(lit(1)).as("exact_purchase"))
+    val s = perUser.filter($"s" === 1)
+      .agg(expr("theta_sketch_agg(user_id)").as("sk_s"),
+        count(lit(1)).as("exact_signup"))
+    val exact = perUser
       .agg(sum(when($"p" === 1 && $"s" === 1, 1L).otherwise(0L))
           .as("exact_both"),
-        sum(when($"p" === 1 || $"s" === 1, 1L).otherwise(0L))
-          .as("exact_either"))
+        count(lit(1)).as("exact_either"))
     p.crossJoin(s).crossJoin(exact)
       .select(
         expr("theta_sketch_estimate(theta_intersection(sk_p, sk_s))")

@@ -365,6 +365,7 @@ object MlOps extends graft.QueryModule {
     import spark.implicits._
     val counts = graft.Tables.documents(spark, sfDir)
       .groupBy($"lang").agg(count(lit(1)).as("n_docs"))
+      .localCheckpoint() // k rows; totals below must not rescan documents
     val totals = counts.agg(sum($"n_docs").as("total"),
       count(lit(1)).as("k"))
     counts.crossJoin(broadcast(totals))

@@ -189,11 +189,13 @@ object QualityOps extends graft.QueryModule {
     // log10(1 + 1/d), d = 1..9, rounded to 6dp
     val expFrac = Seq(0.301030, 0.176091, 0.124939, 0.096910, 0.079181,
       0.066947, 0.057992, 0.051153, 0.045757)
-    val o = graft.Tables.orders(spark, sfDir)
+    val byDigit = graft.Tables.orders(spark, sfDir)
       .select(substring(floor($"o_totalprice").cast("string"), 1, 1)
         .cast("int").as("digit"))
-    val n = o.agg(count(lit(1)).as("n_total"))
-    o.groupBy($"digit").agg(count(lit(1)).as("n_obs"))
+      .groupBy($"digit").agg(count(lit(1)).as("n_obs"))
+      .localCheckpoint() // 9 rows; total derives from it, no second scan
+    val n = byDigit.agg(sum($"n_obs").as("n_total"))
+    byDigit
       .crossJoin(broadcast(n))
       .withColumn("exp_frac",
         element_at(array(expFrac.map(lit): _*), $"digit"))
