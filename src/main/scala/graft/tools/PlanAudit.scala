@@ -1,0 +1,114 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Systematic plan QA over EVERY declared query: flags the plan shapes
+  * that are scale bugs when unintentional — cartesian products,
+  * single-partition exchanges (global sorts/windows), and
+  * driver-surprising nested-loop joins — so a regression in any one
+  * query's plan shows up as a diff in this report, not as a cluster
+  * incident later. Declared exceptions (bounded by construction or
+  * documented contracts) are listed per query below; audit FAILS
+  * (exit 1) on any UNDECLARED flag.
+  *
+  * Usage: scripts/run.sh graft.tools.PlanAudit [sfDir]
+  */
+object PlanAudit {
+
+  /** query -> flags that are DECLARED-OK, with the reason in the
+    * operator's scaladoc. A flag here is a reviewed contract, not a
+    * waiver: tightening one requires re-reviewing its docstring. */
+  private val allowed: Map[String, Set[String]] = Map(
+    // 1-row scalar frames broadcast/cross-joined into the plan (a
+    // global ungrouped aggregate's final stage is single-partition by
+    // definition, and its 1-row product joins back as a
+    // BroadcastNestedLoopJoin — bounded by construction)
+    "q_agg_ab_test" -> Set("SinglePartition"),
+    "q_agg_histogram" -> Set("SinglePartition", "NestedLoop"),
+    "q_agg_hll_merge" -> Set("SinglePartition", "NestedLoop"),
+    "q_quality_constraint_audit" -> Set("SinglePartition"),
+    "q_quality_profile" -> Set("SinglePartition"),
+    // 1-row watermark ledger (documented sequential piece)
+    "q_stream_late_drop" -> Set("SinglePartition"),
+    // 1-row corpus totals / bounded config dims joined non-equi
+    "q_text_bm25_topk" -> Set("SinglePartition", "NestedLoop"),
+    // day-spine generation: 1-row (min,max) date frame crossed to the
+    // bounded user dim before the dense-calendar explode
+    "q_window_moving_avg" -> Set("SinglePartition", "NestedLoop"),
+    "q_window_resample_gapfill" -> Set("SinglePartition", "NestedLoop"),
+    "q_agg_theta_sets" -> Set("SinglePartition", "Cartesian", "NestedLoop"),
+    "q_ml_class_weights" -> Set("SinglePartition", "Cartesian", "NestedLoop"),
+    "q_quality_benford" -> Set("SinglePartition", "NestedLoop"),
+    "q_quality_psi_drift" -> Set("SinglePartition", "Cartesian", "NestedLoop"),
+    "q_text_ppl_bucket" -> Set("SinglePartition", "NestedLoop"),
+    "q_text_tfidf" -> Set("SinglePartition", "NestedLoop"),
+    "q_text_unigram_logprob" -> Set("SinglePartition", "NestedLoop"),
+    "q_text_bigram_pmi" -> Set("SinglePartition", "NestedLoop"),
+    "q_ml_temperature_mix" -> Set("SinglePartition", "Cartesian", "NestedLoop"),
+    "q_ml_domain_mix" -> Set("SinglePartition", "NestedLoop"),
+    "q_dedup_decontaminate" -> Set("SinglePartition"),
+    "q_pipeline_eval_split" -> Set("SinglePartition"),
+    "q_text_novelty" -> Set("SinglePartition"),
+    "q_quality_outlier_iqr" -> Set("SinglePartition"),
+    "q_window_rfm_segments" -> Set("SinglePartition", "Cartesian", "NestedLoop"),
+    "q_agg_retention_cohorts" -> Set("SinglePartition"),
+    "q_graph_market_basket" -> Set("SinglePartition", "Cartesian", "NestedLoop"),
+    "q_sql_tpch_q3" -> Set("SinglePartition"),
+    "q_sql_recursive_cte" -> Set("SinglePartition"),
+    "q_sql_scalar_subquery" -> Set("SinglePartition"),
+    "q_sql_grouping_sets" -> Set("SinglePartition"),
+    // declared tiny cross join / documented global orders
+    "q_join_cross" -> Set("Cartesian", "NestedLoop", "SinglePartition"),
+    "q_sort_topk_global_custom" -> Set("SinglePartition"),
+    "q_ml_global_shuffle" -> Set("SinglePartition"),
+    "q_text_pack" -> Set("SinglePartition"),
+    "q_pipeline_corpus_pack" -> Set("SinglePartition"),
+    // ANN/HNSW bounded-beam expansions (constant-size frames)
+    "q_simsearch_topk" -> Set("SinglePartition", "Cartesian", "NestedLoop"),
+    "q_simsearch_topk_lsh" -> Set("SinglePartition"),
+    "q_simsearch_topk_ivf" -> Set("SinglePartition", "Cartesian", "NestedLoop"),
+    "q_simsearch_topk_pq" -> Set("SinglePartition", "Cartesian", "NestedLoop"),
+    "q_simsearch_topk_hnsw" ->
+      Set("SinglePartition", "Cartesian", "NestedLoop"),
+    "q_dedup_embedding_cosine" -> Set("SinglePartition"),
+    "q_dedup_embedding_cosine_lsh" -> Set("SinglePartition"),
+    "q_dedup_semantic" -> Set("SinglePartition")
+  ).withDefaultValue(Set.empty)
+
+  private val probes: Seq[(String, String => Boolean)] = Seq(
+    "Cartesian" -> (_.contains("CartesianProduct")),
+    "NestedLoop" -> (_.contains("BroadcastNestedLoopJoin")),
+    "SinglePartition" -> (_.contains("Exchange SinglePartition")))
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    var bad = 0
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach {
+      case (name, fn) =>
+        val plan =
+          try fn(spark, sfDir).queryExecution.executedPlan.toString
+          catch { case e: Throwable =>
+            println(f"$name%-36s CONSTRUCT-FAIL ${e.getMessage.take(80)}")
+            bad += 1; ""
+          }
+        val flags = probes.collect {
+          case (tag, hit) if hit(plan) => tag
+        }.toSet
+        val undeclared = flags -- allowed(name)
+        if (undeclared.nonEmpty) {
+          bad += 1
+          println(f"$name%-36s UNDECLARED ${undeclared.mkString(",")}")
+        } else if (flags.nonEmpty)
+          println(f"$name%-36s ok (declared: ${flags.mkString(",")})")
+    }
+    println(if (bad == 0) "PLAN AUDIT PASS" else s"PLAN AUDIT FAIL: $bad")
+    spark.stop()
+    if (bad > 0) sys.exit(1)
+  }
+}
