@@ -70,4 +70,29 @@ class GraphSpec extends SparkTestBase {
       .toMap
     assert(a.map { case (k, (_, s)) => k -> s } == rep)
   }
+
+  test("market basket matches a driver-side support/lift recompute") {
+    val got = GraphOps.marketBasket(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    val rows = graft.Tables.lineitem(spark, sf0001)
+      .select($"l_orderkey", $"l_partkey").as[(Long, Long)]
+      .collect().distinct
+    val nBaskets = rows.map(_._1).distinct.length
+    val freq = rows.groupBy(_._2).map { case (i, xs) => i -> xs.length }
+    val want = rows.groupBy(_._1).values.toSeq
+      .flatMap { basket =>
+        val items = basket.map(_._2).distinct.sorted
+        for (i <- items.indices; j <- i + 1 until items.length)
+          yield (items(i), items(j))
+      }
+      .groupBy(identity).collect { case ((a, b), xs) if xs.length >= 2 =>
+        val lift = BigDecimal(
+          xs.length.toDouble * nBaskets / (freq(a).toDouble * freq(b)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (a, b, xs.length.toLong, lift)
+      }.toSet
+    assert(got.toSet == want)
+    assert(want.nonEmpty, "support>=2 pairs must exist at sf0.001")
+  }
 }
