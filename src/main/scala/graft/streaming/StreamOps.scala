@@ -90,6 +90,31 @@ object StreamOps extends graft.QueryModule {
       .orderBy($"win_start_ms", $"event_type")
   }
 
+  /** TRUE streaming execution of the SESSION-window aggregate: the
+    * micro-batch engine's session_window state machine (merge-on-gap,
+    * not just the window expression) runs under the oracle — complete
+    * mode's final state equals the batch session twin, so this shares
+    * q_stream_session's sessionization-SQL oracle. With tumbling
+    * ([[liveTumbling]]) this puts both stateful window KINDS the
+    * engine supports through the real readStream path. */
+  def liveSession(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val agg = eventsStream(spark, sfDir)
+      .groupBy(session_window($"ts", "10 minutes").as("sw"), $"user_id")
+      .agg(count(lit(1)).as("n"),
+        graft.ops.AggOps.dsum($"value").as("sum_value"))
+    val name = "live_session_" + java.lang.Integer.toHexString(sfDir.hashCode)
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .select($"user_id", unix_millis($"sw.start").as("session_start_ms"),
+        $"n", $"sum_value")
+      .orderBy($"user_id", $"session_start_ms")
+  }
+
   /** Streaming UPSERT sink (foreachBatch): the tumbling aggregate runs
     * in update mode and each micro-batch's changed (window, type) rows
     * MERGE into a parquet target — read-modify-atomic-swap keyed on the
@@ -328,6 +353,7 @@ object StreamOps extends graft.QueryModule {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_live_tumbling" -> (liveTumbling _),
+    "q_stream_live_session" -> (liveSession _),
     "q_stream_upsert_sink" -> (liveTumblingUpsert _),
     "q_stream_static_join" -> (streamStaticJoin _),
     "q_stream_stream_join" -> (streamStreamJoin _),
@@ -405,7 +431,10 @@ object StreamOps extends graft.QueryModule {
         |SELECT win_start_ms, event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
         |FROM assigned GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    "q_stream_session" ->
+    "q_stream_live_session" -> sessionOracle,
+    "q_stream_session" -> sessionOracle)
+
+  private val sessionOracle: String =
       """WITH marked AS (
         |  SELECT user_id, ts, event_id, value,
         |    CASE WHEN epoch_ms(ts) - epoch_ms(LAG(ts) OVER
@@ -423,5 +452,5 @@ object StreamOps extends graft.QueryModule {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
         |FROM sessioned GROUP BY user_id, sid
-        |ORDER BY user_id, session_start_ms""".stripMargin)
+        |ORDER BY user_id, session_start_ms""".stripMargin
 }
