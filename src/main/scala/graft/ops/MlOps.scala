@@ -392,7 +392,38 @@ object MlOps extends graft.QueryModule {
       .orderBy($"fold")
   }
 
+  /** q_ml_weighted_sample — weight-proportional sampling WITHOUT
+    * replacement (Efraimidis-Spirakis, IPL 2006: take the top-k by
+    * u^(1/w), here ranked by the equivalent ln(u)/w): longer documents
+    * (w = n_chars, the stand-in for a quality score) are
+    * proportionally likelier to be kept, unlike the uniform
+    * hash-order sampling of quota/temperature mixes which weight
+    * GROUPS, not items. Deterministic and engine-portable: u is an
+    * integer-hash ratio (the shared Knuth multiplier), ln is rounded
+    * to 6dp before the division (the logprob discipline), and the
+    * top-100 cut is a (key, doc_id) row_number — which
+    * RewriteTopKWindow plans as a bounded heap, so the op is one
+    * narrow map + one top-k at any corpus size. */
+  def weightedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val keyed = graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang", $"n_chars",
+        (pmod($"doc_id" * 2654435761L + 7L, lit(1000000007L))
+          .cast("double") / 1.0e9).as("u"))
+      .withColumn("es_key",
+        round(log(greatest($"u", lit(1.0e-9))), 6) /
+          $"n_chars".cast("double"))
+    val w = Window.orderBy($"es_key".desc, $"doc_id")
+    keyed.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 100)
+      .select($"rk", $"doc_id", $"lang", $"n_chars",
+        round($"es_key", 9).as("es_key"))
+      .orderBy($"rk")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ml_weighted_sample" -> (weightedSample _),
     "q_ml_class_weights" -> (classWeights _),
     "q_ml_kfold" -> (kfold _),
     "q_ml_lag_features" -> (lagFeatures _),
@@ -409,6 +440,23 @@ object MlOps extends graft.QueryModule {
     "q_ml_hashing_tf_sql" -> (hashingTfSql _))
 
   def oracle: Map[String, String] = Map(
+    "q_ml_weighted_sample" ->
+      """WITH k AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    CAST((doc_id * 2654435761 + 7) % 1000000007 AS DOUBLE) / 1e9
+        |      AS u
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    round(ln(greatest(u, 0.000000001)), 6)
+        |      / CAST(n_chars AS DOUBLE) AS es_key
+        |  FROM k)
+        |SELECT CAST(rk AS INT) AS rk, doc_id, lang, n_chars,
+        |  round(es_key, 9) AS es_key
+        |FROM (
+        |  SELECT *, ROW_NUMBER() OVER (ORDER BY es_key DESC, doc_id)
+        |    AS rk FROM r)
+        |WHERE rk <= 100 ORDER BY rk""".stripMargin,
     "q_ml_class_weights" ->
       """WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents
         |           GROUP BY lang),

@@ -168,6 +168,21 @@ class SampleSpec extends SparkTestBase {
     }
   }
 
+  test("weighted sample leans toward heavy documents and is deterministic") {
+    val rows = MlOps.weightedSample(spark, sf0001)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(3)))
+    assert(rows.length == 100 && rows.map(_._1).toSeq == (1 to 100))
+    val corpusMean = graft.Tables.documents(spark, sf0001)
+      .agg(org.apache.spark.sql.functions.avg("n_chars"))
+      .collect().head.getDouble(0)
+    val sampleMean = rows.map(_._3).sum.toDouble / rows.length
+    assert(sampleMean > corpusMean,
+      s"ES sampling must favor heavy docs: $sampleMean <= $corpusMean")
+    val again = MlOps.weightedSample(spark, sf0001)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(3)))
+    assert(rows.sameElements(again))
+  }
+
   test("class weights are the balanced heuristic: weight*k*n == total") {
     val rows = MlOps.classWeights(spark, sf0001)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
