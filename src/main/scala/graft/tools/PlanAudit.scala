@@ -36,43 +36,29 @@ object PlanAudit {
     // bounded user dim before the dense-calendar explode
     "q_window_moving_avg" -> Set("SinglePartition", "NestedLoop"),
     "q_window_resample_gapfill" -> Set("SinglePartition", "NestedLoop"),
-    "q_agg_theta_sets" -> Set("SinglePartition", "Cartesian", "NestedLoop"),
-    "q_ml_class_weights" -> Set("SinglePartition", "Cartesian", "NestedLoop"),
+    "q_agg_theta_sets" -> Set("SinglePartition", "NestedLoop"),
+    "q_ml_class_weights" -> Set("SinglePartition", "NestedLoop"),
     "q_quality_benford" -> Set("SinglePartition", "NestedLoop"),
-    "q_quality_psi_drift" -> Set("SinglePartition", "Cartesian", "NestedLoop"),
+    "q_quality_psi_drift" -> Set("SinglePartition", "NestedLoop"),
     "q_text_ppl_bucket" -> Set("SinglePartition", "NestedLoop"),
     "q_text_tfidf" -> Set("SinglePartition", "NestedLoop"),
     "q_text_unigram_logprob" -> Set("SinglePartition", "NestedLoop"),
     "q_text_bigram_pmi" -> Set("SinglePartition", "NestedLoop"),
-    "q_ml_temperature_mix" -> Set("SinglePartition", "Cartesian", "NestedLoop"),
+    "q_ml_temperature_mix" -> Set("SinglePartition", "NestedLoop"),
     "q_ml_domain_mix" -> Set("SinglePartition", "NestedLoop"),
-    "q_dedup_decontaminate" -> Set("SinglePartition"),
-    "q_pipeline_eval_split" -> Set("SinglePartition"),
-    "q_text_novelty" -> Set("SinglePartition"),
-    "q_quality_outlier_iqr" -> Set("SinglePartition"),
-    "q_window_rfm_segments" -> Set("SinglePartition", "Cartesian", "NestedLoop"),
-    "q_agg_retention_cohorts" -> Set("SinglePartition"),
-    "q_graph_market_basket" -> Set("SinglePartition", "Cartesian", "NestedLoop"),
-    "q_sql_tpch_q3" -> Set("SinglePartition"),
-    "q_sql_recursive_cte" -> Set("SinglePartition"),
+    "q_window_rfm_segments" -> Set("SinglePartition", "NestedLoop"),
     "q_sql_scalar_subquery" -> Set("SinglePartition"),
-    "q_sql_grouping_sets" -> Set("SinglePartition"),
     // declared tiny cross join / documented global orders
-    "q_join_cross" -> Set("Cartesian", "NestedLoop", "SinglePartition"),
+    "q_join_cross" -> Set("Cartesian", "NestedLoop"),
     "q_sort_topk_global_custom" -> Set("SinglePartition"),
+    // keyless TopKPerKey: partial per-partition heaps -> one final
+    // partition over <= partitions x k partial rows, not the data
+    "q_ml_weighted_sample" -> Set("SinglePartition"),
     "q_ml_global_shuffle" -> Set("SinglePartition"),
-    "q_text_pack" -> Set("SinglePartition"),
-    "q_pipeline_corpus_pack" -> Set("SinglePartition"),
     // ANN/HNSW bounded-beam expansions (constant-size frames)
-    "q_simsearch_topk" -> Set("SinglePartition", "Cartesian", "NestedLoop"),
-    "q_simsearch_topk_lsh" -> Set("SinglePartition"),
-    "q_simsearch_topk_ivf" -> Set("SinglePartition", "Cartesian", "NestedLoop"),
-    "q_simsearch_topk_pq" -> Set("SinglePartition", "Cartesian", "NestedLoop"),
-    "q_simsearch_topk_hnsw" ->
-      Set("SinglePartition", "Cartesian", "NestedLoop"),
-    "q_dedup_embedding_cosine" -> Set("SinglePartition"),
-    "q_dedup_embedding_cosine_lsh" -> Set("SinglePartition"),
-    "q_dedup_semantic" -> Set("SinglePartition")
+    "q_simsearch_topk" -> Set("Cartesian", "NestedLoop"),
+    "q_simsearch_topk_pq" -> Set("NestedLoop"),
+    "q_simsearch_topk_hnsw" -> Set("SinglePartition", "NestedLoop")
   ).withDefaultValue(Set.empty)
 
   private val probes: Seq[(String, String => Boolean)] = Seq(
