@@ -208,7 +208,45 @@ object WindowOps extends graft.QueryModule {
       .orderBy($"r", $"f", $"m")
   }
 
+  /** q_window_transitions — the session path transition matrix (the
+    * Markov-chain readout behind "where do users go next"): within
+    * each 10-minute-gap session (the q_stream_session sessionization,
+    * re-derived here with the lag>gap + running-sum trick so the
+    * semantics stay the oracle's), count event_type -> NEXT event_type
+    * transitions and their within-source probability. Two windows over
+    * the same (user_id, ts, event_id) sort — Catalyst evaluates them
+    * in one partition-local pass — then a vocabulary-bounded groupBy:
+    * the matrix is |event types|² rows at any scale. Probabilities are
+    * integer ratios rounded 6dp over a broadcast per-source total. */
+  def transitions(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val wOrd = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val marked = graft.Tables.events(spark, sfDir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("new_s",
+        when(unix_millis($"ts") -
+          unix_millis(lag($"ts", 1).over(wOrd)) >= 600000L, 1)
+          .when(lag($"ts", 1).over(wOrd).isNull, 1).otherwise(0))
+      .withColumn("sid", sum($"new_s")
+        .over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+    val wSess = Window.partitionBy($"user_id", $"sid")
+      .orderBy($"ts", $"event_id")
+    val pairs = marked
+      .withColumn("to_type", lead($"event_type", 1).over(wSess))
+      .filter($"to_type".isNotNull)
+      .groupBy($"event_type".as("from_type"), $"to_type")
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // |types|^2 rows; totals derive from it
+    val totals = pairs.groupBy($"from_type")
+      .agg(sum($"n").as("n_from"))
+    pairs.join(broadcast(totals), Seq("from_type"))
+      .select($"from_type", $"to_type", $"n",
+        round($"n".cast("double") / $"n_from", 6).as("p"))
+      .orderBy($"from_type", $"to_type")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_transitions" -> (transitions _),
     "q_window_rfm_segments" -> (rfmSegments _),
     "q_window_event_funnel" -> (eventFunnel _),
     "q_window_resample_gapfill" -> (resampleGapfill _),
@@ -220,6 +258,31 @@ object WindowOps extends graft.QueryModule {
     "q_window_range_frame" -> (rangeFrame _))
 
   def oracle: Map[String, String] = Map(
+    "q_window_transitions" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN epoch_ms(ts) - epoch_ms(LAG(ts) OVER w) >= 600000
+        |         OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked),
+        |pairs AS (
+        |  SELECT event_type AS from_type,
+        |    LEAD(event_type, 1) OVER (PARTITION BY user_id, sid
+        |                              ORDER BY ts, event_id) AS to_type
+        |  FROM sess),
+        |c AS (
+        |  SELECT from_type, to_type, COUNT(*) AS n FROM pairs
+        |  WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, SUM(n) AS n_from FROM c GROUP BY 1)
+        |SELECT c.from_type, to_type, n,
+        |  round(CAST(n AS DOUBLE) / n_from, 6) AS p
+        |FROM c JOIN t ON c.from_type = t.from_type
+        |ORDER BY c.from_type, to_type""".stripMargin,
     "q_window_rfm_segments" ->
       """WITH maxd AS (
         |  SELECT max(CAST(o_orderdate AS DATE)) AS max_day FROM orders),
