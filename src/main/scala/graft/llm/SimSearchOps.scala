@@ -480,7 +480,32 @@ object SimSearchOps extends graft.QueryModule {
     }
   }
 
+  /** q_simsearch_norm_stats — embedding-space health report per label:
+    * count + L2-norm avg/min/max and dimensionality. The norm check is
+    * the standard pre-index audit (un-normalized or zero vectors break
+    * cosine recall silently); one partial-agg'd groupBy. Norms are
+    * rounded 6dp per ROW then summed as DECIMAL(18,6) (the
+    * decimal-exact-mean discipline — a grouped double sum would be
+    * partial-agg-order-dependent and un-oracle-able). */
+  def normStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.embeddings(spark, sfDir)
+      .select($"label",
+        size($"embedding").as("dim"),
+        round(sqrt(dot($"embedding", $"embedding")), 6)
+          .cast("decimal(18,6)").as("norm_r"))
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n"),
+        countDistinct($"dim").as("n_dims"),
+        round(sum($"norm_r").cast("double") / count(lit(1)), 6)
+          .as("avg_norm"),
+        min($"norm_r").cast("double").as("min_norm"),
+        max($"norm_r").cast("double").as("max_norm"))
+      .orderBy($"label")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_simsearch_norm_stats" -> (normStats _),
     "q_simsearch_topk" -> (topkBruteForce _),
     "q_simsearch_topk_lsh" -> (topkLsh _),
     "q_simsearch_topk_ivf" -> (topkIvf _),
@@ -488,6 +513,18 @@ object SimSearchOps extends graft.QueryModule {
     "q_simsearch_topk_hnsw" -> (topkHnsw _))
 
   def oracle: Map[String, String] = Map(
+    "q_simsearch_norm_stats" ->
+      """WITH r AS (
+        |  SELECT label, len(embedding) AS dim,
+        |    CAST(round(sqrt(list_dot_product(
+        |      CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))),
+        |      6) AS DECIMAL(18,6)) AS norm_r
+        |  FROM embeddings)
+        |SELECT label, COUNT(*) AS n, COUNT(DISTINCT dim) AS n_dims,
+        |  round(CAST(SUM(norm_r) AS DOUBLE) / COUNT(*), 6) AS avg_norm,
+        |  CAST(MIN(norm_r) AS DOUBLE) AS min_norm,
+        |  CAST(MAX(norm_r) AS DOUBLE) AS max_norm
+        |FROM r GROUP BY label ORDER BY label""".stripMargin,
     "q_simsearch_topk" ->
       """WITH scored AS (
         |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
