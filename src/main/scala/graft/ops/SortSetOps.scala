@@ -68,6 +68,32 @@ object SortSetOps extends graft.QueryModule {
     c.select($"c_custkey").except(finished).orderBy($"c_custkey")
   }
 
+  /** EXCEPT ALL — BAG subtraction (multiplicity-aware, SQL:1999): a
+    * custkey with 3 open and 1 finished orders survives TWICE, where
+    * distinct EXCEPT would drop it entirely. Catalyst plans both ALL
+    * variants as a count-aggregate + generate (no row-by-row matching),
+    * so they shuffle once on the value like any groupBy. */
+  def exceptAllOp(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val orders = graft.Tables.orders(spark, sfDir)
+    val open = orders.filter($"o_orderstatus" === "O")
+      .select($"o_custkey")
+    val finished = orders.filter($"o_orderstatus" === "F")
+      .select($"o_custkey")
+    open.exceptAll(finished).orderBy($"o_custkey")
+  }
+
+  /** INTERSECT ALL — BAG intersection: min(multiplicity) copies kept. */
+  def intersectAllOp(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val orders = graft.Tables.orders(spark, sfDir)
+    val open = orders.filter($"o_orderstatus" === "O")
+      .select($"o_custkey")
+    val finished = orders.filter($"o_orderstatus" === "F")
+      .select($"o_custkey")
+    open.intersectAll(finished).orderBy($"o_custkey")
+  }
+
   /** Deterministic dedup-by-key: earliest order per customer. A window
     * row_number pick, NOT dropDuplicates (which keeps an arbitrary row and
     * would be nondeterministic under shuffle). */
@@ -137,6 +163,8 @@ object SortSetOps extends graft.QueryModule {
     "q_set_union_distinct" -> (unionDistinct _),
     "q_set_intersect" -> (intersectOp _),
     "q_set_except" -> (exceptOp _),
+    "q_set_except_all" -> (exceptAllOp _),
+    "q_set_intersect_all" -> (intersectAllOp _),
     "q_dedup_first_per_key" -> (dedupFirstPerKey _))
 
   def oracle: Map[String, String] = Map(
@@ -185,6 +213,16 @@ object SortSetOps extends graft.QueryModule {
       """SELECT c_custkey FROM customer
         |EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
         |ORDER BY c_custkey""".stripMargin,
+    "q_set_except_all" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |EXCEPT ALL
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_custkey""".stripMargin,
+    "q_set_intersect_all" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |INTERSECT ALL
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_custkey""".stripMargin,
     "q_dedup_first_per_key" ->
       """SELECT o_custkey, first_orderkey, first_totalprice FROM (
         |  SELECT o_custkey, o_orderkey AS first_orderkey,
