@@ -422,7 +422,38 @@ object MlOps extends graft.QueryModule {
       .orderBy($"rk")
   }
 
+  /** q_ml_eval_metrics — the classifier eval readout (confusion cells +
+    * accuracy/precision/recall/F1) over [[trainPredict]]'s scored rows,
+    * in the long (metric, value) shape an experiment tracker ingests.
+    * The cells are ONE groupBy over the scored frame; the derived
+    * metrics are integer ratios rounded 6dp off the checkpointed 4-row
+    * cell table. Declared rows-only (tree induction has no SQL
+    * oracle); the spec recomputes every metric from the same scored
+    * rows. */
+  def evalMetrics(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cells = trainPredict(spark, sfDir)
+      .groupBy($"label", $"prediction").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // <= 4 rows
+    def cell(l: Double, p: Double) =
+      sum(when($"label" === l && $"prediction" === p, $"n").otherwise(0L))
+    val m = cells.agg(
+      cell(1.0, 1.0).as("tp"), cell(0.0, 1.0).as("fp"),
+      cell(1.0, 0.0).as("fn"), cell(0.0, 0.0).as("tn"))
+    m.select(expr(
+      """stack(8,
+        |'tp', CAST(tp AS DOUBLE), 'fp', CAST(fp AS DOUBLE),
+        |'fn', CAST(fn AS DOUBLE), 'tn', CAST(tn AS DOUBLE),
+        |'accuracy',  round((tp + tn) / CAST(tp+fp+fn+tn AS DOUBLE), 6),
+        |'precision', round(tp / CAST(greatest(tp+fp, 1) AS DOUBLE), 6),
+        |'recall',    round(tp / CAST(greatest(tp+fn, 1) AS DOUBLE), 6),
+        |'f1', round(2.0*tp / CAST(greatest(2*tp+fp+fn, 1) AS DOUBLE), 6)
+        |) AS (metric, value)""".stripMargin))
+      .orderBy($"metric")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ml_eval_metrics" -> (evalMetrics _),
     "q_ml_weighted_sample" -> (weightedSample _),
     "q_ml_class_weights" -> (classWeights _),
     "q_ml_kfold" -> (kfold _),

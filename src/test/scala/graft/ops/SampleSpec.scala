@@ -168,6 +168,23 @@ class SampleSpec extends SparkTestBase {
     }
   }
 
+  test("eval metrics agree with a driver-side recompute from the scored rows") {
+    val m = MlOps.evalMetrics(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val scored = MlOps.trainPredict(spark, sf0001)
+      .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    def n(l: Double, p: Double) = scored.count(x => x._1 == l && x._2 == p)
+    val (tp, fp, fn, tn) = (n(1, 1), n(0, 1), n(1, 0), n(0, 0))
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(m("tp") == tp && m("fp") == fp && m("fn") == fn && m("tn") == tn)
+    assert(m("accuracy") == r6((tp + tn).toDouble / scored.length))
+    assert(m("precision") == r6(tp.toDouble / math.max(tp + fp, 1)))
+    assert(m("recall") == r6(tp.toDouble / math.max(tp + fn, 1)))
+    assert(m("f1") == r6(2.0 * tp / math.max(2 * tp + fp + fn, 1)))
+    assert(tp + fp + fn + tn == scored.length && scored.nonEmpty)
+  }
+
   test("weighted sample leans toward heavy documents and is deterministic") {
     val rows = MlOps.weightedSample(spark, sf0001)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(3)))
