@@ -209,7 +209,35 @@ object QualityOps extends graft.QueryModule {
       .orderBy($"digit")
   }
 
+  /** q_quality_mad — median-absolute-deviation dispersion + robust
+    * outliers per event_type (Hampel's 3-sigma-equivalent: |x - med| >
+    * 3 * 1.4826 * MAD; the estimator a single wild value cannot drag,
+    * unlike stddev — the reason monitoring pipelines prefer it). Two
+    * percentile passes (median, then median of absolute deviations
+    * against the broadcast medians) + one counting pass over the same
+    * broadcast — group count is vocabulary-bounded throughout. Median
+    * and MAD round 6dp before the fence compare, the IQR-audit
+    * portability discipline. */
+  def madDispersion(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, sfDir)
+    val med = ev.groupBy($"event_type")
+      .agg(round(percentile($"value", lit(0.5)), 6).as("med"))
+    val mad = ev.join(broadcast(med), Seq("event_type"))
+      .groupBy($"event_type", $"med")
+      .agg(round(percentile(abs($"value" - $"med"), lit(0.5)), 6)
+        .as("mad"))
+    ev.join(broadcast(mad), Seq("event_type"))
+      .groupBy($"event_type", $"med", $"mad")
+      .agg(count(lit(1)).as("n"),
+        count(when(abs($"value" - $"med") > lit(4.4478) * $"mad", 1))
+          .as("n_robust_outliers"))
+      .select($"event_type", $"n", $"med", $"mad", $"n_robust_outliers")
+      .orderBy($"event_type")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quality_mad" -> (madDispersion _),
     "q_quality_constraint_audit" -> (constraintAudit _),
     "q_quality_k_anonymity" -> (kAnonymity _),
     "q_quality_outlier_iqr" -> (outlierIqr _),
@@ -247,6 +275,21 @@ object QualityOps extends graft.QueryModule {
         |FROM events GROUP BY 1, 2, 3
         |HAVING count(DISTINCT user_id) < 5
         |ORDER BY event_type, day, value_band""".stripMargin,
+    "q_quality_mad" ->
+      """WITH med AS (
+        |  SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+        |  FROM events GROUP BY event_type),
+        |mad AS (
+        |  SELECT e.event_type, m.med,
+        |    round(quantile_cont(abs(value - m.med), 0.5), 6) AS mad
+        |  FROM events e JOIN med m ON e.event_type = m.event_type
+        |  GROUP BY e.event_type, m.med)
+        |SELECT e.event_type, COUNT(*) AS n, d.med, d.mad,
+        |  COUNT(*) FILTER (WHERE abs(value - d.med) > 4.4478 * d.mad)
+        |    AS n_robust_outliers
+        |FROM events e JOIN mad d ON e.event_type = d.event_type
+        |GROUP BY e.event_type, d.med, d.mad
+        |ORDER BY e.event_type""".stripMargin,
     "q_quality_benford" ->
       """WITH d AS (
         |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)

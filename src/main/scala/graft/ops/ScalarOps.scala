@@ -127,7 +127,28 @@ object ScalarOps extends graft.QueryModule {
       .orderBy($"o_orderkey")
   }
 
+  /** ANSI-safe arithmetic pack: try_divide / TRY_CAST degrade to NULL
+    * instead of throwing — the error-tolerant spelling a pipeline
+    * needs when ANSI mode is on (Spark 4 default) and a poison row
+    * must not kill a 100 TB job. Division-by-zero and malformed
+    * numeric text land as NULLs the downstream quarantine counts
+    * (same philosophy as the PERMISSIVE corrupt-record scan). DuckDB
+    * twin: TRY_CAST + NULLIF, the portable equivalents. */
+  def tryArith(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.events(spark, sfDir)
+      .withColumn("maybe_num",
+        when($"event_type" === "error", lit("oops"))
+          .otherwise(round($"value", 2).cast("string")))
+      .select($"event_id",
+        try_divide($"value", pmod($"user_id", lit(7))).as("per_bucket"),
+        expr("try_cast(maybe_num AS DOUBLE)").as("parsed_value"),
+        try_divide(lit(1.0), $"value" - $"value").as("div_zero"))
+      .orderBy($"event_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scalar_try_arith" -> (tryArith _),
     "q_scalar_bitwise" -> (bitwisePack _),
     "q_scalar_string" -> (stringPack _),
     "q_scalar_date" -> (datePack _),
@@ -138,6 +159,14 @@ object ScalarOps extends graft.QueryModule {
     "q_scalar_conditional" -> (conditionalPack _))
 
   def oracle: Map[String, String] = Map(
+    "q_scalar_try_arith" ->
+      """SELECT event_id,
+        |  value / NULLIF(user_id % 7, 0) AS per_bucket,
+        |  TRY_CAST(CASE WHEN event_type = 'error' THEN 'oops'
+        |                ELSE CAST(round(value, 2) AS VARCHAR) END
+        |           AS DOUBLE) AS parsed_value,
+        |  1.0 / NULLIF(value - value, 0) AS div_zero
+        |FROM events ORDER BY event_id""".stripMargin,
     "q_scalar_bitwise" ->
       """SELECT o_orderkey,
         |  o_orderkey & 255 AS key_and,
