@@ -24,6 +24,7 @@ object PlanAudit {
     // definition, and its 1-row product joins back as a
     // BroadcastNestedLoopJoin — bounded by construction)
     "q_agg_ab_test" -> Set("SinglePartition"),
+    "q_ml_eval_metrics" -> Set("SinglePartition"),
     "q_agg_histogram" -> Set("SinglePartition", "NestedLoop"),
     "q_agg_hll_merge" -> Set("SinglePartition", "NestedLoop"),
     "q_quality_constraint_audit" -> Set("SinglePartition"),
