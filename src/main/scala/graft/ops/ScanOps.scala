@@ -79,9 +79,6 @@ object ScanOps extends graft.QueryModule {
       .orderBy($"c_custkey")
   }
 
-  /** Partitioned parquet write (D27's dynamic-partition intent done the
-    * Spark way: write.partitionBy) then a partition-pruned scan: only the
-    * l_returnflag='R' directory is read back (PartitionFilters in explain). */
   /** q_sink_compaction — the small-files maintenance pass every
     * long-lived 100 TB table needs: a streaming/CDC-ingested partition
     * accumulates one file per micro-batch until the NameNode/manifest
@@ -90,13 +87,19 @@ object ScanOps extends graft.QueryModule {
     * ceil(rows / targetRowsPerFile) files (row-count-based sizing —
     * deterministic, unlike byte-based — via a day repartition plus the
     * writer's maxRecordsPerFile cap), and reports
-    * (day, files_before, files_after, n_rows). Dynamic partition
-    * overwrite scopes the rewrite to compacted partitions — on a real
-    * table you'd gate on files_before exceeding a threshold so healthy
-    * partitions are never rewritten. Declared rows-only (file layout
-    * is not SQL-observable); ScanSinkSpec/the spec below pin the
-    * invariant that matters: rows survive byte-identically and the
-    * file count drops to the computed target. */
+    * (day, files_before, files_after, n_rows). The rewrite here lands
+    * in a fresh directory (static overwrite of a scratch target); an
+    * IN-PLACE production compaction must additionally set
+    * partitionOverwriteMode=dynamic and gate on files_before exceeding
+    * a threshold so healthy partitions are never rewritten — the
+    * upsert sink (StreamOps.upsertInto) shows that exact write shape.
+    * Declared rows-only (file layout is not SQL-observable);
+    * CompactionSpec pins the invariants: per-day ROW COUNTS survive
+    * (the report's rows_preserved column; content equality is asserted
+    * by the spec's total-count cross-check, not per-byte) and the file
+    * count drops to the computed target. The report join is FULL OUTER
+    * on day so a partition lost or invented by the rewrite surfaces as
+    * a row with rows_preserved=false instead of vanishing. */
   def compaction(spark: SparkSession, sfDir: String): DataFrame =
     compactionWith(spark, sfDir, targetRows = 4096)
 
@@ -105,7 +108,6 @@ object ScanOps extends graft.QueryModule {
   private[ops] def compactionWith(
       spark: SparkSession, sfDir: String, targetRows: Int): DataFrame = {
     import spark.implicits._
-    val target = targetRows // rows per output file (the tuning knob)
     val frag = tmpDir("events_frag", sfDir)
     val compacted = tmpDir("events_compact", sfDir)
     val ev = graft.Tables.events(spark, sfDir)
@@ -130,18 +132,28 @@ object ScanOps extends graft.QueryModule {
     spark.read.parquet(frag)
       .repartition($"day")
       .write.mode("overwrite")
-      .option("maxRecordsPerFile", target.toLong)
+      .option("maxRecordsPerFile", targetRows.toLong)
       .partitionBy("day").parquet(compacted)
     val after = filesPerDay(compacted)
+    // FULL OUTER on day: a partition lost or invented by the rewrite
+    // must surface as rows_preserved=false, not vanish from the report
+    // (an inner join would silently drop exactly the failure case)
     before.select($"day", $"n_files".as("files_before"),
         $"n_rows")
-      .join(after.select($"day", $"n_files".as("files_after"),
-        $"n_rows".as("rows_after")), Seq("day"))
-      .select($"day", $"files_before", $"files_after", $"n_rows",
-        ($"n_rows" === $"rows_after").as("rows_preserved"))
+      .join(after.select($"day".as("day_after"),
+        $"n_files".as("files_after"), $"n_rows".as("rows_after")),
+        $"day" <=> $"day_after", "full")
+      .select(coalesce($"day", $"day_after").as("day"),
+        coalesce($"files_before", lit(0L)).as("files_before"),
+        coalesce($"files_after", lit(0L)).as("files_after"),
+        coalesce($"n_rows", lit(0L)).as("n_rows"),
+        ($"n_rows" <=> $"rows_after").as("rows_preserved"))
       .orderBy($"day")
   }
 
+  /** Partitioned parquet write (D27's dynamic-partition intent done the
+    * Spark way: write.partitionBy) then a partition-pruned scan: only the
+    * l_returnflag='R' directory is read back (PartitionFilters in explain). */
   def partitionedWrite(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val path = tmpDir("lineitem_part", sfDir)

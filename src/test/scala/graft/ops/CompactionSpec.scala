@@ -22,7 +22,9 @@ class CompactionSpec extends SparkTestBase {
     // 8 hash buckets per day; a bucket can be empty on a thin fixture
     // day, but the hottest days must show the full fragmentation
     assert(rep.exists(_._2 == 8), rep.take(3).mkString(","))
-    assert(rep.forall(r => r._2 > 1 && r._3 == 1L), rep.take(3).mkString(","))
+    // >= 1, not > 1: a thin fixture day can land in a single hash
+    // bucket; the pathology is pinned by the exists(== 8) above
+    assert(rep.forall(r => r._2 >= 1 && r._3 == 1L), rep.take(3).mkString(","))
     assert(rep.forall(_._5), "every day must preserve its rows")
     val total = rep.map(_._4).sum
     assert(total == graft.Tables.events(spark, sf0001).count())
