@@ -379,13 +379,17 @@ object MlOps extends graft.QueryModule {
     * cross-validation: fold = (doc_id * Knuth-multiplier) mod 5, the
     * same engine-portable pseudo-shuffle the split/sample queries use
     * (non-negative operands, so DuckDB's flooring % and Spark's
-    * truncating pmod agree; the product stays far inside int64 at any
-    * realistic doc_id). Per-fold summary proves the folds are balanced
+    * truncating pmod agree). The id is reduced mod 1e9+7 BEFORE the
+    * multiply: the raw product overflows int64 at doc_id ~3.5e9 — a
+    * real id range for a 100 TB corpus — and ANSI Spark/DuckDB both
+    * hard-fail on overflow; (1e9+6) * 2654435761 stays under 2^63 for
+    * every possible id. Per-fold summary proves the folds are balanced
     * and class-complete — the property a CV harness actually needs. */
   def kfold(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     graft.Tables.documents(spark, sfDir)
-      .groupBy(pmod($"doc_id" * 2654435761L, lit(5)).as("fold"))
+      .groupBy(pmod(pmod($"doc_id", lit(1000000007L)) * 2654435761L,
+        lit(5)).as("fold"))
       .agg(count(lit(1)).as("n_docs"),
         countDistinct($"lang").as("n_langs"),
         sum($"n_chars").as("chars"))
@@ -399,7 +403,7 @@ object MlOps extends graft.QueryModule {
     * proportionally likelier to be kept, unlike the uniform
     * hash-order sampling of quota/temperature mixes which weight
     * GROUPS, not items. Deterministic and engine-portable: u is an
-    * integer-hash ratio (the shared Knuth multiplier), ln is rounded
+    * integer-hash ratio (the shared Knuth multiplier, id reduced mod 1e9+7 first so the product never overflows int64 — see kfold), ln is rounded
     * to 6dp before the division (the logprob discipline), and the
     * top-100 cut is a (key, doc_id) row_number — which
     * RewriteTopKWindow plans as a bounded heap, so the op is one
@@ -409,8 +413,8 @@ object MlOps extends graft.QueryModule {
     import org.apache.spark.sql.expressions.Window
     val keyed = graft.Tables.documents(spark, sfDir)
       .select($"doc_id", $"lang", $"n_chars",
-        (pmod($"doc_id" * 2654435761L + 7L, lit(1000000007L))
-          .cast("double") / 1.0e9).as("u"))
+        (pmod(pmod($"doc_id", lit(1000000007L)) * 2654435761L + 7L,
+          lit(1000000007L)).cast("double") / 1.0e9).as("u"))
       .withColumn("es_key",
         round(log(greatest($"u", lit(1.0e-9))), 6) /
           $"n_chars".cast("double"))
@@ -474,8 +478,8 @@ object MlOps extends graft.QueryModule {
     "q_ml_weighted_sample" ->
       """WITH k AS (
         |  SELECT doc_id, lang, n_chars,
-        |    CAST((doc_id * 2654435761 + 7) % 1000000007 AS DOUBLE) / 1e9
-        |      AS u
+        |    CAST(((doc_id % 1000000007) * 2654435761 + 7) % 1000000007
+        |         AS DOUBLE) / 1e9 AS u
         |  FROM documents),
         |r AS (
         |  SELECT doc_id, lang, n_chars,
@@ -497,7 +501,8 @@ object MlOps extends graft.QueryModule {
         |    AS class_weight
         |FROM c CROSS JOIN t ORDER BY lang""".stripMargin,
     "q_ml_kfold" ->
-      """SELECT (doc_id * 2654435761) % 5 AS fold, COUNT(*) AS n_docs,
+      """SELECT ((doc_id % 1000000007) * 2654435761) % 5 AS fold,
+        |  COUNT(*) AS n_docs,
         |  COUNT(DISTINCT lang) AS n_langs, SUM(n_chars) AS chars
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_ml_lag_features" ->

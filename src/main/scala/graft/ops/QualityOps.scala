@@ -189,8 +189,12 @@ object QualityOps extends graft.QueryModule {
     // log10(1 + 1/d), d = 1..9, rounded to 6dp
     val expFrac = Seq(0.301030, 0.176091, 0.124939, 0.096910, 0.079181,
       0.066947, 0.057992, 0.051153, 0.045757)
+    // Benford applies to magnitudes >= 1: NULLs and |x| < 1 are excluded
+    // in BOTH engines (digit 0 would also crash element_at — arrays are
+    // 1-indexed), and the digit comes from abs() so negatives audit too
     val byDigit = graft.Tables.orders(spark, sfDir)
-      .select(substring(floor($"o_totalprice").cast("string"), 1, 1)
+      .filter($"o_totalprice".isNotNull && abs($"o_totalprice") >= 1)
+      .select(substring(floor(abs($"o_totalprice")).cast("string"), 1, 1)
         .cast("int").as("digit"))
       .groupBy($"digit").agg(count(lit(1)).as("n_obs"))
       .localCheckpoint() // 9 rows; total derives from it, no second scan
@@ -292,9 +296,10 @@ object QualityOps extends graft.QueryModule {
         |ORDER BY e.event_type""".stripMargin,
     "q_quality_benford" ->
       """WITH d AS (
-        |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+        |  SELECT CAST(substr(CAST(CAST(floor(abs(o_totalprice)) AS BIGINT)
         |              AS VARCHAR), 1, 1) AS INT) AS digit
-        |  FROM orders),
+        |  FROM orders
+        |  WHERE o_totalprice IS NOT NULL AND abs(o_totalprice) >= 1),
         |n AS (SELECT COUNT(*) AS n_total FROM d),
         |e AS (SELECT digit, CAST(ef AS DOUBLE) AS exp_frac FROM (VALUES
         |  (1, 0.301030), (2, 0.176091), (3, 0.124939), (4, 0.096910),

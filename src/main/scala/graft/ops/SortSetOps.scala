@@ -75,23 +75,25 @@ object SortSetOps extends graft.QueryModule {
     * so they shuffle once on the value like any groupBy. */
   def exceptAllOp(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val orders = graft.Tables.orders(spark, sfDir)
-    val open = orders.filter($"o_orderstatus" === "O")
-      .select($"o_custkey")
-    val finished = orders.filter($"o_orderstatus" === "F")
-      .select($"o_custkey")
+    val (open, finished) = statusCohorts(spark, sfDir)
     open.exceptAll(finished).orderBy($"o_custkey")
   }
 
   /** INTERSECT ALL — BAG intersection: min(multiplicity) copies kept. */
   def intersectAllOp(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val orders = graft.Tables.orders(spark, sfDir)
-    val open = orders.filter($"o_orderstatus" === "O")
-      .select($"o_custkey")
-    val finished = orders.filter($"o_orderstatus" === "F")
-      .select($"o_custkey")
+    val (open, finished) = statusCohorts(spark, sfDir)
     open.intersectAll(finished).orderBy($"o_custkey")
+  }
+
+  /** the (open, finished) custkey bags both ALL variants subtract over —
+    * one definition so the cohorts can never silently diverge */
+  private def statusCohorts(
+      spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val orders = graft.Tables.orders(spark, sfDir)
+    (orders.filter($"o_orderstatus" === "O").select($"o_custkey"),
+      orders.filter($"o_orderstatus" === "F").select($"o_custkey"))
   }
 
   /** Deterministic dedup-by-key: earliest order per customer. A window

@@ -437,8 +437,14 @@ object StreamOps extends graft.QueryModule {
   private val sessionOracle: String =
       """WITH marked AS (
         |  SELECT user_id, ts, event_id, value,
-        |    CASE WHEN epoch_ms(ts) - epoch_ms(LAG(ts) OVER
-        |           (PARTITION BY user_id ORDER BY ts, event_id)) >= 600000
+        |    -- gap compared in MICROSECONDS: session_window merges at full
+        |    -- timestamp precision, and an ms-truncated oracle would split
+        |    -- a pair whose exact gap is 599999.9 ms (latent mismatch on
+        |    -- any future sub-ms fixture; ts is us-precision after
+        |    -- Tables.normalizeEventTs)
+        |    CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER
+        |           (PARTITION BY user_id ORDER BY ts, event_id))
+        |           >= 600000000
         |         OR LAG(ts) OVER
         |           (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
         |         THEN 1 ELSE 0 END AS new_s

@@ -11,6 +11,15 @@ import org.apache.spark.sql.SparkSession
   * documented contracts) are listed per query below; audit FAILS
   * (exit 1) on any UNDECLARED flag.
   *
+  * Coverage boundary, stated honestly: the audit sees the RETURNED
+  * frame's executed plan. Queries that localCheckpoint an intermediate
+  * (the tiny-frame reuse discipline) or build a persisted artifact run
+  * those upstream jobs during construction, and their plans start at a
+  * LogicalRDD/artifact scan here — the upstream shape is pinned by each
+  * operator's docstring + PlanSpec/Explain evidence, not by this sweep.
+  * Constructing the plans therefore also EXECUTES those eager stages:
+  * the audit doubles as a partial suite run.
+  *
   * Usage: scripts/run.sh graft.tools.PlanAudit [sfDir]
   */
 object PlanAudit {
@@ -81,7 +90,8 @@ object PlanAudit {
         val plan =
           try fn(spark, sfDir).queryExecution.executedPlan.toString
           catch { case e: Throwable =>
-            println(f"$name%-36s CONSTRUCT-FAIL ${e.getMessage.take(80)}")
+            println(f"$name%-36s CONSTRUCT-FAIL " +
+              String.valueOf(e.getMessage).take(80))
             bad += 1; ""
           }
         val flags = probes.collect {
