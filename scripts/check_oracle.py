@@ -23,7 +23,17 @@ for name, sql in sorted(oracle.items()):
     if not os.path.isdir(spark_path):
         print(f"FAIL {name}: spark output missing"); fails += 1; continue
     try:
-        duck = con.execute(sql).df()
+        rel = con.sql(sql)
+        # dtype lint: the driver's hash is dtype-aware, so a DuckDB
+        # HUGEINT column (uncast SUM(BIGINT) etc.) hash-mismatches a
+        # value-identical Spark int64. Catch that class locally.
+        bad_types = [(c, str(t)) for c, t in zip(rel.columns, rel.types)
+                     if str(t).upper() in ("HUGEINT", "UHUGEINT")]
+        if bad_types:
+            print(f"FAIL {name}: oracle emits non-portable dtype(s) "
+                  f"{bad_types} — add CAST(... AS BIGINT)")
+            fails += 1; continue
+        duck = rel.df()
     except Exception as e:
         print(f"FAIL {name}: duckdb error: {e}"); fails += 1; continue
     spark = con.execute(
@@ -33,6 +43,14 @@ for name, sql in sorted(oracle.items()):
     if list(duck.columns) != list(spark.columns):
         print(f"FAIL {name}: columns duck={list(duck.columns)} spark={list(spark.columns)}")
         fails += 1; continue
+    for c in duck.columns:
+        d, s = str(duck[c].dtype), str(spark[c].dtype)
+        # integer WIDTH differences hash identically on the driver
+        # (r9 evidence: int32 Spark ntile vs int64 DuckDB was green);
+        # warn only on cross-kind drift (int vs float/object/etc.)
+        if d != s and not (d.startswith("int") and s.startswith("int")):
+            print(f"WARN {name}: dtype of {c}: duck={d} spark={s} "
+                  f"(driver hash is dtype-aware)")
     if len(duck) != len(spark):
         print(f"FAIL {name}: rows duck={len(duck)} spark={len(spark)}")
         fails += 1; continue

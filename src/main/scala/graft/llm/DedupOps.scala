@@ -791,46 +791,70 @@ object DedupOps extends graft.QueryModule {
     * [[ngramJaccard]] can never see because the pair spans buckets.
     *
     * Declared semantics (exactly what the oracle runs): candidate
-    * pairs share ≥ 3 distinct shingles — ANY lang/length, computed on
-    * raw shingle strings off the persisted shingle artifact — and
-    * qualify at inter / min(|A|,|B|) ≥ 0.8. At 100 TB the candidate
-    * count gets the same df-cutoff knob as ngramJaccardWithCutoff
-    * (hot-shingle pair explosion is the identical risk; not needed at
-    * fixture df ≤ ~30). Pair-side shuffle-hash hints for the size
-    * joins — the anti-corpus-broadcast discipline. */
+    * pairs share ≥ 3 distinct shingles — ANY lang/length, off the
+    * persisted shingle artifact — and qualify at
+    * inter / min(|A|,|B|) ≥ 0.8. Candidate GENERATION carries the same
+    * df-cutoff knob as [[ngramJaccardWithCutoff]] (hot-shingle Σdf²
+    * pair explosion is the identical risk): shingles hotter than
+    * maxDf docs are excluded from the self-join, then every surviving
+    * pair is verified EXACTLY via full-array intersection, so `inter`
+    * and `containment` in the output are the true values and the only
+    * recall loss at scale is pairs sharing < 3 sub-cutoff shingles.
+    * At fixture df ≤ ~30 the maxDf=100 prune drops nothing, so the
+    * declared query remains equal to the exact oracle (DedupSpec pins
+    * the cutoff ≡ no-cutoff equality). Pair-side shuffle-hash hints
+    * for the verify joins — the anti-corpus-broadcast discipline. */
   def containment(spark: SparkSession, sfDir: String): DataFrame =
-    containmentOf(spark.read.parquet(buildShingleIndex(spark, sfDir)))
+    containmentOf(spark.read.parquet(buildShingleIndex(spark, sfDir)),
+      maxDf = 100)
 
   /** The declared containment rule over an explicit (doc_id, sh) frame —
     * exposed so CurationSpec can plant the size-asymmetric
     * small-doc-inside-big-doc case the synthetic fixture never produces
     * (its near-dups are all same-length, so containment ≈ Jaccard
     * there; the planted case is where the two metrics diverge). */
-  private[llm] def containmentOf(docsIn: DataFrame): DataFrame = {
+  private[llm] def containmentOf(
+      docsIn: DataFrame, maxDf: Int = Int.MaxValue): DataFrame = {
     import docsIn.sparkSession.implicits._
     val docs = docsIn.select($"doc_id", $"sh")
-    // the candidate self-join runs on RAW shingle strings so the pair
-    // counts ARE the declared `inter` (no re-verify leg). An
-    // xxhash64-key + exact-array-verify variant was measured at parity
-    // at sf0.1 (the cost is the Σ df² candidate fan-out, identical
-    // either way) — at corpus scale the hot-shingle df-cutoff
-    // (ngramJaccardWithCutoff's knob) is the control that matters, not
-    // key width.
+    // candidate generation on xxhash64(shingle) LONGs — 8-byte shuffle
+    // keys; a 64-bit collision only ADDs a candidate (discarded by the
+    // exact verify below) or, in the df leg, can merge two rare
+    // shingles' counts past maxDf (negligible odds, same trade
+    // documented at ngramJaccardWithCutoff).
     val post = docs.select($"doc_id", explode($"sh").as("s"))
-    val cand = post.select($"s", $"doc_id".as("a_id"))
-      .join(post.select($"s", $"doc_id".as("b_id")), Seq("s"))
+      .select($"doc_id", xxhash64($"s").as("shingle"))
+    // df-prune BEFORE the self-join: map-side-combined count, sub-cutoff
+    // set joined back shuffle-hash (build side = one row per distinct
+    // shingle; nothing broadcast, postings stream through the probe).
+    // This is what bounds the Σdf² candidate fan-out on a hot shingle
+    // (a boilerplate header at corpus df 10⁶ would otherwise emit
+    // ~5·10¹¹ pairs from this one key).
+    val rare = post.groupBy($"shingle")
+      .agg(count(lit(1)).as("df")).filter($"df" <= maxDf)
+      .select($"shingle")
+    val rp = post.join(rare.hint("shuffle_hash"), Seq("shingle"))
+    val cand = rp.select($"shingle", $"doc_id".as("a_id"))
+      .join(rp.select($"shingle", $"doc_id".as("b_id")), Seq("shingle"))
       .filter($"a_id" < $"b_id")
-      .groupBy($"a_id", $"b_id").agg(count(lit(1)).as("inter"))
-      .filter($"inter" >= 3)
-    val sz = docs.select($"doc_id", size($"sh").cast("long").as("n"))
+      .groupBy($"a_id", $"b_id").agg(count(lit(1)).as("shared_rare"))
+      .filter($"shared_rare" >= 3)
+      .select($"a_id", $"b_id")
+    // exact verify: recompute the TRUE inter from the full shingle
+    // arrays (so the output values are cutoff-independent), pair side
+    // as shuffle-hash build — never broadcast the shingled corpus
     cand.hint("shuffle_hash")
-      .join(sz.select($"doc_id".as("a_id"), $"n".as("a_n")), Seq("a_id"))
+      .join(docs.select($"doc_id".as("a_id"), $"sh".as("a_sh")), Seq("a_id"))
       .hint("shuffle_hash")
-      .join(sz.select($"doc_id".as("b_id"), $"n".as("b_n")), Seq("b_id"))
-      .filter($"inter".cast("double") / least($"a_n", $"b_n") >= 0.8)
+      .join(docs.select($"doc_id".as("b_id"), $"sh".as("b_sh")), Seq("b_id"))
+      .withColumn("inter",
+        size(array_intersect($"a_sh", $"b_sh")).cast("long"))
+      .withColumn("mn",
+        least(size($"a_sh"), size($"b_sh")).cast("long"))
+      .filter($"inter" >= 3 &&
+        $"inter".cast("double") / $"mn" >= 0.8)
       .select($"a_id", $"b_id", $"inter",
-        round($"inter".cast("double") / least($"a_n", $"b_n"), 6)
-          .as("containment"))
+        round($"inter".cast("double") / $"mn", 6).as("containment"))
       .orderBy($"a_id", $"b_id")
   }
 

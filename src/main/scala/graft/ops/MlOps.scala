@@ -503,7 +503,8 @@ object MlOps extends graft.QueryModule {
     "q_ml_kfold" ->
       """SELECT ((doc_id % 1000000007) * 2654435761) % 5 AS fold,
         |  COUNT(*) AS n_docs,
-        |  COUNT(DISTINCT lang) AS n_langs, SUM(n_chars) AS chars
+        |  COUNT(DISTINCT lang) AS n_langs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_ml_lag_features" ->
       """SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value,
@@ -563,7 +564,8 @@ object MlOps extends graft.QueryModule {
         |  GROUP BY d.source),
         |q AS (
         |  SELECT source,
-        |    least(n, greatest(1, (w * 400) // (SELECT SUM(w) FROM counts)))
+        |    CAST(least(n, greatest(1,
+        |        (w * 400) // (SELECT SUM(w) FROM counts))) AS BIGINT)
         |      AS quota
         |  FROM counts),
         |ranked AS (

@@ -173,15 +173,23 @@ object WindowOps extends graft.QueryModule {
     * (metric, c_custkey) order — recency ASCENDS so "most recent" gets
     * score 5 after the 6-x flip, matching the convention that 555 is
     * the best cell. Output is the segment-cell census (≤125 rows at
-    * any scale): one orders pass for the per-customer rollup, three
-    * ntile windows over the CUSTOMER frame, one groupBy. Honest scale
-    * note: a keyless ntile is a single-partition sort of the
-    * per-customer rollup — fine while customers fit one task's sort
-    * (they are orders/10 here), and it is the declared oracle-exact
-    * contract; at true 100 TB customer counts the same scores come
-    * from percentile quintile EDGES broadcast back (one agg + a
-    * comparison ladder, no global sort), with ties then falling on
-    * edge equality instead of ntile's equal-count split. */
+    * any scale): one orders pass for the per-customer rollup, then the
+    * three quintile scores computed WITHOUT any keyless window — a
+    * keyless ntile would single-partition-sort the billion-customer
+    * rollup on a real cluster. Instead, ntile's exact equal-count
+    * semantics (so the ntile-based oracle is unchanged) come from the
+    * two-level global rank already proven on q_ml_global_shuffle: the
+    * three metrics go to long format (3n rows), each value is
+    * range-bucketed by approx-percentile boundaries (boundaries affect
+    * only BALANCE — per-bucket ranks plus exact bucket-count offsets
+    * reconstruct the exact global row_number wherever the cuts fall),
+    * ranked inside (metric, bucket) partitions in parallel, offset by
+    * the ≤3×33-row bucket-count ledger (bounded driver collect, the
+    * reviewed k-centroids pattern), and mapped to tiles with the
+    * standard SQL ntile formula (first n%5 tiles take one extra row)
+    * as integer DIV arithmetic on the reconstructed position. No
+    * Exchange SinglePartition anywhere in the declared plan — this
+    * query runs PlanAudit with no allowance. */
   def rfmSegments(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val rolled = graft.Tables.orders(spark, sfDir)
@@ -190,19 +198,65 @@ object WindowOps extends graft.QueryModule {
         count(lit(1)).as("frequency"),
         sum(AggOps.dec($"o_totalprice")).as("monetary"))
       .localCheckpoint() // one orders scan feeds max-day AND the rollup
-    // corpus max date derived from the rollup, not a second orders scan
-    val maxDay = rolled.agg(max($"last_day").as("max_day"))
-    val per = rolled
-      .crossJoin(broadcast(maxDay))
-      .select($"o_custkey",
-        datediff($"max_day", $"last_day").as("recency"),
-        $"frequency", $"monetary")
-    def score(metric: org.apache.spark.sql.Column) =
-      ntile(5).over(Window.orderBy(metric, $"o_custkey"))
-    val scored = per.select($"o_custkey",
-      (lit(6) - score($"recency")).as("r"), // fewest days -> score 5
-      score($"frequency").as("f"),
-      score($"monetary").as("m"))
+    // corpus max date: 1-row bounded collect off the rollup (keeps the
+    // global-agg SinglePartition exchange out of the declared plan)
+    val maxDay = rolled.agg(max($"last_day")).head.getDate(0)
+    // long format: (custkey, metric, value) with DECIMAL-exact ordering
+    // values (recency days / order count / cents-exact spend all embed
+    // exactly in DECIMAL(26,6)); `dv` is the double shadow used only
+    // for range-bucketing, where monotone-but-lossy is sufficient
+    val per = rolled.select($"o_custkey",
+      datediff(lit(maxDay), $"last_day").cast("decimal(26,6)").as("recency"),
+      $"frequency".cast("decimal(26,6)").as("frequency"),
+      $"monetary".cast("decimal(26,6)").as("monetary"))
+    val long = per.select($"o_custkey", expr(
+      """stack(3, 'r', recency, 'f', frequency, 'm', monetary)
+        |AS (metric, value)""".stripMargin))
+      .withColumn("dv", $"value".cast("double"))
+    val nCust = rolled.count()
+    val nB = 32
+    val probs = (1 until nB).map(_.toDouble / nB)
+    val bndRows = long.groupBy($"metric")
+      .agg(percentile_approx($"dv", lit(probs.toArray), lit(10000)).as("b"))
+      .as[(String, Seq[Double])].collect() // 3 rows
+    val bnds = bndRows.toSeq.map { case (m, b) =>
+      (m, b.distinct.sorted.toArray) }
+      .toDF("metric", "bnds")
+    val bucketed = long.join(broadcast(bnds), Seq("metric"))
+      .withColumn("__b", size(filter($"bnds", x => x < $"dv")))
+      .drop("bnds", "dv")
+    val wb = Window.partitionBy($"metric", $"__b")
+      .orderBy($"value".asc, $"o_custkey".asc)
+    val ranked = bucketed
+      .withColumn("__rk", row_number().over(wb).cast("long"))
+    // exact per-bucket counts -> global offsets, computed driver-side
+    // over the <= 3*(nB+1)-row ledger (bounded by construction)
+    val counts = ranked.groupBy($"metric", $"__b")
+      .agg(count(lit(1)).as("c"))
+      .as[(String, Int, Long)].collect()
+    val offsets = counts.groupBy(_._1).toSeq.flatMap { case (m, rows) =>
+      rows.sortBy(_._2).scanLeft((m, -1, 0L, 0L)) {
+        case ((_, _, off, n), (_, b, c)) => (m, b, off + n, c)
+      }.drop(1).map { case (mm, b, off, _) => (mm, b, off) }
+    }.toDF("metric", "__b", "__off")
+    // standard SQL ntile(5) over n rows from the exact global position:
+    // q = n/5, r = n%5; the first r tiles take q+1 rows
+    val q = nCust / 5; val r = nCust % 5
+    val tile =
+      if (q == 0L) expr("CAST(__pos AS INT)")
+      else expr(
+        s"""CAST(CASE WHEN __pos <= ${r * (q + 1)}
+           |  THEN (__pos - 1) DIV ${q + 1} + 1
+           |  ELSE $r + (__pos - ${r * (q + 1)} - 1) DIV $q + 1
+           |END AS INT)""".stripMargin)
+    val scored = ranked.join(broadcast(offsets), Seq("metric", "__b"))
+      .withColumn("__pos", $"__off" + $"__rk")
+      .withColumn("tile", tile)
+      .groupBy($"o_custkey")
+      .agg( // recency flips so fewest days -> score 5
+        (lit(6) - max(when($"metric" === "r", $"tile"))).as("r"),
+        max(when($"metric" === "f", $"tile")).as("f"),
+        max(when($"metric" === "m", $"tile")).as("m"))
     scored.groupBy($"r", $"f", $"m")
       .agg(count(lit(1)).as("n_customers"))
       .orderBy($"r", $"f", $"m")

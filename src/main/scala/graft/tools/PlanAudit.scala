@@ -56,7 +56,6 @@ object PlanAudit {
     "q_text_bigram_pmi" -> Set("SinglePartition", "NestedLoop"),
     "q_ml_temperature_mix" -> Set("SinglePartition", "NestedLoop"),
     "q_ml_domain_mix" -> Set("SinglePartition", "NestedLoop"),
-    "q_window_rfm_segments" -> Set("SinglePartition", "NestedLoop"),
     "q_sql_scalar_subquery" -> Set("SinglePartition"),
     // declared tiny cross join / documented global orders
     "q_join_cross" -> Set("Cartesian", "NestedLoop"),

@@ -52,6 +52,22 @@ class CurationSpec extends SparkTestBase {
     assert(jaccard < 0.2)
   }
 
+  test("containment df-cutoff: generous maxDf ≡ exact; tiny maxDf prunes candidates") {
+    // the declared query's maxDf=100 is generous vs fixture df ≤ ~30, so
+    // the cutoff path must equal the no-cutoff exact rule bit-for-bit
+    val docs = spark.read.parquet(DedupOps.buildShingleIndex(spark, sf0001))
+    val exact = DedupOps.containmentOf(docs)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val cut = DedupOps.containmentOf(docs, maxDf = 100)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(cut == exact)
+    assert(exact.nonEmpty)
+    // and the knob is actually wired: maxDf=0 excludes every shingle
+    // from candidate generation, so no pair can reach the verify stage
+    val none = DedupOps.containmentOf(docs, maxDf = 0).count()
+    assert(none == 0L)
+  }
+
   test("novelty = first-arrival fractions recomputed driver-side") {
     val got = DedupOps.novelty(spark, sf0001)
       .select("doc_id", "n_shingles", "n_novel")
