@@ -59,9 +59,20 @@ object Bench {
     // bench log keeps the TAIL of this line, so the scalar summary
     // (errors, total, count, sf) sits after the long per-query map — a
     // truncated capture loses individual timings, never the headline
-    println(s"""{"metric":"total","unit":"sec","queries":$qs,""" +
+    val line = s"""{"metric":"total","unit":"sec","queries":$qs,""" +
       s""""errors":$errs,"n_queries":${results.size},"sf":"$sfDir",""" +
-      s""""value":$total}""")
+      s""""value":$total}"""
+    println(line)
+    // the full JSON also goes to a file (BENCH_r08's captured tail was
+    // all error text and the per-query map was unrecoverable) — default
+    // BENCH_local.json in the repo root, overridable for round dumps
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/root/repo/BENCH_local.json")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(outFile), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"BENCH could not write $outFile: ${e.getMessage}")
+    }
     spark.stop()
     if (timed.exists(_._2 < 0)) sys.exit(1)
   }

@@ -362,21 +362,40 @@ object DedupOps extends graft.QueryModule {
       .orderBy($"a_id", $"b_id")
   }
 
-  /** 64-bit SimHash over token xxhashes, computed with pure column
-    * expressions: bit j of each token hash votes +1/-1 weighted by term
-    * frequency (tokens kept with duplicates); the sign of the per-bit sum
-    * forms the fingerprint. Near-dups = Hamming distance <= 10 (a one-token
+  /** 64-bit SimHash near-dup (Charikar, STOC'02; Manku et al., WWW'07):
+    * bit j of each token hash votes +1/-1 weighted by term frequency
+    * (tokens kept with duplicates); the sign of the per-bit sum forms
+    * the fingerprint. Near-dups = Hamming distance <= 10 (a one-token
     * edit on a ~15-token doc flips ~7 bits in expectation), candidates
-    * blocked on 8 8-bit sub-bands. No oracle (hash-specific). */
-  def simhash(spark: SparkSession, sfDir: String): DataFrame = {
+    * blocked on 8 8-bit sub-bands — the declared semantics INCLUDE the
+    * banding (pigeonhole guarantees recall at hamming <= 7; 8-10 needs
+    * a clean band), and the oracle replicates it as an OR of the 8
+    * byte-equality tests.
+    *
+    * Fully value-oracled: the declared query hashes tokens with the
+    * ENGINE-NEUTRAL sha256-prefix (plans.SimHash64Expression portable
+    * mode — first 8 bytes of SHA-256, the q_ml_hashing_tf_sql
+    * precedent), which DuckDB reproduces bit-for-bit from
+    * `substr(sha256(tok),1,16)`, votes and all. The xxhash64-hashed
+    * variant (`simhash64`) stays the 100 TB-scale default — xxhash64
+    * is not reproducible in DuckDB (64-bit wraparound arithmetic; the
+    * q_text_winnow mod-1e9+7 re-expression trick does not apply to a
+    * hash whose every intermediate overflows) — and its semantics are
+    * pinned by DedupSpec's planted-distance test, which runs the same
+    * query shape through the non-portable expression. */
+  def simhash(spark: SparkSession, sfDir: String): DataFrame =
+    simhashWith(spark, sfDir, "simhash64_sha")
+
+  private[llm] def simhashWith(
+      spark: SparkSession, sfDir: String, fn: String): DataFrame = {
     import spark.implicits._
     // one-pass native expression (plans.SimHash64Expression): tokenize +
-    // xxhash64 + per-bit tf-weighted vote packed into ONE long, inside
+    // token-hash + per-bit tf-weighted vote packed into ONE long, inside
     // whole-stage codegen — hamming is then codegen'd bit_count(xor), and
     // candidate pairs carry 8 bytes through the shuffle/distinct.
     graft.plans.GraftExtensions.register(spark)
     val docs = graft.Tables.documents(spark, sfDir)
-      .select($"doc_id", call_function("simhash64", $"text").as("sim"))
+      .select($"doc_id", call_function(fn, $"text").as("sim"))
       .filter($"sim".isNotNull)
     // blocking: 8 8-bit sub-bands (pigeonhole: hamming<=7 guarantees a
     // clean band; <=10 collides in >=1 band with high probability)
@@ -887,40 +906,74 @@ object DedupOps extends graft.QueryModule {
     * threshold, keeping — per the paper — the member with the LOWEST
     * centroid similarity (the most atypical example survives; its
     * duplicates are the redundant ones). The pairwise form of that
-    * keep rule: DROP v iff some same-cell u has cos(u,v) >= t and u
-    * sits farther from the centroid than v (tie on centroid-sim broken
-    * by lower vec_id surviving), so every duplicate group keeps at
-    * least its centroid-sim minimum.
+    * keep rule: DROP v iff some probe-cell-sharing u has cos(u,v) >= t
+    * and u sits farther from ITS centroid than v does from v's (tie on
+    * centroid-sim broken by lower vec_id surviving), so every
+    * duplicate group keeps at least its centroid-sim minimum.
     *
     * Scale shape: reuses the PERSISTED IVF index (spherical-KMeans
     * cells, L2-normalized vectors, corpus partitioned by cell — built
-    * once per corpus generation, SimSearchOps.buildIvfIndex). The pair
-    * scan self-joins ON `cell`, so the shuffle moves n ROWS keyed by
-    * cell (linear — no all-pairs side ever exists) and the quadratic
-    * term is bounded per cell — exactly the SemDeDup argument for
-    * clustering before comparing (k grows with the corpus; cells stay
-    * bounded, and a hot cell is the same skew problem salting already
-    * solves for joins). Centroids join in as a 16-row broadcast.
-    * Declared rows-only (KMeans cells are
-    * impl-specific, SURVEY §2.5 rule 4); the keep rule, exhaustiveness
-    * within cells, and determinism are pinned in SemDedupSpec against
-    * a driver-side brute-force recompute. */
+    * once per corpus generation, SimSearchOps.buildIvfIndex). Each
+    * vector probes its TOP-2 nearest cells (the IVF multi-probe move),
+    * so near-duplicates straddling a cell boundary — the pairs
+    * single-probe SemDeDup is structurally blind to — share a probe
+    * cell and are caught; the pair scan self-joins ON the probe cell,
+    * so the shuffle moves 2n ROWS keyed by cell (linear — no all-pairs
+    * side ever exists) and the quadratic term stays bounded per cell
+    * (boundary members at most double a cell's population) — exactly
+    * the SemDeDup argument for clustering before comparing (k grows
+    * with the corpus; cells stay bounded, and a hot cell is the same
+    * skew problem salting already solves for joins). Centroids join in
+    * as a 16-row broadcast and drive top-2 selection as a bounded
+    * k-literal, shuffle-free. Declared rows-only (KMeans cells are
+    * impl-specific, SURVEY §2.5 rule 4); the keep rule, probe-visible
+    * exhaustiveness, boundary-pair recall, and determinism are pinned
+    * in SemDedupSpec against a driver-side brute-force recompute. */
   def semanticDedup(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val idx = SimSearchOps.buildIvfIndex(spark, sfDir)
     val centroids = spark.read.parquet(s"$idx/centroids")
       .select($"cell", $"center".cast("array<float>").as("center"))
+    semanticDedupOf(spark.read.parquet(s"$idx/cells"), centroids)
+  }
+
+  /** The SemDeDup rule over explicit (cell, vec_id, ne) + (cell, center)
+    * frames — exposed so SemDedupSpec can plant a boundary-straddling
+    * pair (two near-identical vectors assigned to DIFFERENT cells)
+    * that single-probe SemDeDup is structurally blind to. */
+  private[llm] def semanticDedupOf(
+      cells: DataFrame, centroids: DataFrame): DataFrame = {
+    import cells.sparkSession.implicits._
     // ne is L2-normalized, so dot == cosine; centroid similarity uses
-    // the same expression against the (unit-ish) KMeans center
-    val scored = spark.read.parquet(s"$idx/cells")
+    // the same expression against the (unit-ish) KMeans center.
+    // c_sim is always vs the HOME (assigned) centroid — multi-probe
+    // changes which pairs are VISIBLE, never the keep rule's scores.
+    val scored = cells
       .join(broadcast(centroids), Seq("cell"))
       .select($"cell", $"vec_id", $"ne",
         SimSearchOps.dot($"ne", $"center").as("c_sim"))
-    val a = scored.select($"cell", $"vec_id".as("a_id"), $"ne".as("a_e"),
+    // multi-probe: each vector participates in its TOP-2 nearest cells,
+    // so a near-dup pair straddling a cell boundary shares the probe
+    // cell between them. The k centroids are a bounded driver collect
+    // (the reviewed pattern); top-2 selection is pure column arithmetic
+    // over the k-literal — no shuffle, no explode of the corpus beyond
+    // the declared 2x probe fan-out.
+    val cArr = centroids.select($"cell", $"center")
+      .as[(Int, Array[Float])].collect()
+    val dcols = cArr.map { case (c, ctr) =>
+      struct(SimSearchOps.dot($"ne", typedLit(ctr)).as("d"),
+        lit(c).as("pcell"))
+    }
+    val probed = scored
+      .withColumn("p",
+        explode(slice(reverse(array_sort(array(dcols.toSeq: _*))), 1,
+          math.min(2, cArr.length))))
+      .select($"cell", $"vec_id", $"ne", $"c_sim", $"p.pcell".as("pcell"))
+    val a = probed.select($"pcell", $"vec_id".as("a_id"), $"ne".as("a_e"),
       $"c_sim".as("a_cs"))
-    val b = scored.select($"cell", $"vec_id".as("b_id"), $"ne".as("b_e"),
-      $"c_sim".as("b_cs"))
-    a.join(b, Seq("cell"))
+    val b = probed.select($"pcell", $"vec_id".as("b_id"), $"ne".as("b_e"),
+      $"c_sim".as("b_cs"), $"cell".as("b_home"))
+    a.join(b, Seq("pcell"))
       .filter($"a_id" =!= $"b_id")
       .withColumn("cos", SimSearchOps.dot($"a_e", $"b_e"))
       .filter($"cos" >= FixtureCosineThreshold)
@@ -928,7 +981,10 @@ object DedupOps extends graft.QueryModule {
       // equal-distance with smaller id): b_id is the dropped member
       .filter($"a_cs" < $"b_cs" ||
         ($"a_cs" === $"b_cs" && $"a_id" < $"b_id"))
-      .groupBy($"b_id".as("vec_id"), $"cell")
+      // a pair sharing BOTH probe cells appears twice — collapse before
+      // counting (cos is bit-identical across the two, same inputs)
+      .select($"a_id", $"b_id", $"cos", $"b_home").distinct()
+      .groupBy($"b_id".as("vec_id"), $"b_home".as("cell"))
       .agg(count(lit(1)).as("n_dups"),
         round(max($"cos"), 6).as("max_cosine"))
       .orderBy($"vec_id")
@@ -1117,6 +1173,43 @@ object DedupOps extends graft.QueryModule {
        |ORDER BY a_id, b_id""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    // bit-exact twin of the portable-hash simhash: token hash = first
+    // 8 bytes of sha256 (UBIGINT view of the same bit pattern the Spark
+    // expression packs into a signed long), tf-weighted per-bit votes,
+    // vote>0 packs bit 1, 8x8-bit banding as an OR of byte equalities
+    "q_dedup_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents WHERE text IS NOT NULL),
+        |th AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(sha256(tok), 1, 16)) AS UBIGINT) AS h
+        |  FROM toks),
+        |votes AS (
+        |  SELECT doc_id, b,
+        |    SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+        |  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b)
+        |  GROUP BY 1, 2),
+        |sim AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN vote > 0
+        |      THEN (CAST(1 AS UBIGINT) << b)
+        |      ELSE CAST(0 AS UBIGINT) END) AS UBIGINT) AS sim
+        |  FROM votes GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+        |  FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+        |  WHERE ((a.sim >> 0)  & 255) = ((b.sim >> 0)  & 255)
+        |     OR ((a.sim >> 8)  & 255) = ((b.sim >> 8)  & 255)
+        |     OR ((a.sim >> 16) & 255) = ((b.sim >> 16) & 255)
+        |     OR ((a.sim >> 24) & 255) = ((b.sim >> 24) & 255)
+        |     OR ((a.sim >> 32) & 255) = ((b.sim >> 32) & 255)
+        |     OR ((a.sim >> 40) & 255) = ((b.sim >> 40) & 255)
+        |     OR ((a.sim >> 48) & 255) = ((b.sim >> 48) & 255)
+        |     OR ((a.sim >> 56) & 255) = ((b.sim >> 56) & 255))
+        |SELECT a_id, b_id, hamming FROM pairs
+        |WHERE hamming <= 10 ORDER BY a_id, b_id""".stripMargin,
     "q_dedup_containment" ->
       """WITH docs AS (
         |  SELECT doc_id,

@@ -413,8 +413,11 @@ object MlOps extends graft.QueryModule {
     import org.apache.spark.sql.expressions.Window
     val keyed = graft.Tables.documents(spark, sfDir)
       .select($"doc_id", $"lang", $"n_chars",
+        // divide by the modulus itself so u ∈ [0, 1) — the documented
+        // Efraimidis-Spirakis contract; /1e9 let u reach ~1.007 where
+        // ln(u) >= 0 outranked every properly-weighted row
         (pmod(pmod($"doc_id", lit(1000000007L)) * 2654435761L + 7L,
-          lit(1000000007L)).cast("double") / 1.0e9).as("u"))
+          lit(1000000007L)).cast("double") / 1000000007.0).as("u"))
       .withColumn("es_key",
         round(log(greatest($"u", lit(1.0e-9))), 6) /
           $"n_chars".cast("double"))
@@ -479,7 +482,7 @@ object MlOps extends graft.QueryModule {
       """WITH k AS (
         |  SELECT doc_id, lang, n_chars,
         |    CAST(((doc_id % 1000000007) * 2654435761 + 7) % 1000000007
-        |         AS DOUBLE) / 1e9 AS u
+        |         AS DOUBLE) / 1000000007.0 AS u
         |  FROM documents),
         |r AS (
         |  SELECT doc_id, lang, n_chars,

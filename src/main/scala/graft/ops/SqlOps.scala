@@ -165,6 +165,12 @@ object SqlOps extends graft.QueryModule {
     * DedupOps: recursion depth there would be the graph diameter per
     * UnionLoop iteration over the FULL edge set, which does not scale.) */
   def recursiveCalendar(spark: SparkSession, sfDir: String): DataFrame = {
+    // the depth equals the data's month span (~80 on the fixture), which
+    // sits just under Spark's default cteRecursionLevelLimit of 100 — a
+    // wider date span would hard-fail while the DuckDB oracle still
+    // succeeds. 10k months = 800 years of data: effectively unbounded
+    // for a calendar recursion, still a loud stop on a runaway loop.
+    spark.conf.set("spark.sql.cteRecursionLevelLimit", "10000")
     graft.Tables.orders(spark, sfDir).createOrReplaceTempView("orders_v")
     spark.sql(
       """WITH RECURSIVE months AS (

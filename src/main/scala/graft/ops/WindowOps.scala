@@ -277,9 +277,12 @@ object WindowOps extends graft.QueryModule {
     val wOrd = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
     val marked = graft.Tables.events(spark, sfDir)
       .select($"user_id", $"ts", $"event_id", $"event_type")
+      // gaps compared in MICROseconds (full timestamp precision) so a
+      // sub-ms fixture can never make these session boundaries diverge
+      // from q_stream_session's, whose oracle pins the same precision
       .withColumn("new_s",
-        when(unix_millis($"ts") -
-          unix_millis(lag($"ts", 1).over(wOrd)) >= 600000L, 1)
+        when(unix_micros($"ts") -
+          unix_micros(lag($"ts", 1).over(wOrd)) >= 600000000L, 1)
           .when(lag($"ts", 1).over(wOrd).isNull, 1).otherwise(0))
       .withColumn("sid", sum($"new_s")
         .over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
@@ -315,7 +318,7 @@ object WindowOps extends graft.QueryModule {
     "q_window_transitions" ->
       """WITH marked AS (
         |  SELECT user_id, ts, event_id, event_type,
-        |    CASE WHEN epoch_ms(ts) - epoch_ms(LAG(ts) OVER w) >= 600000
+        |    CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 600000000
         |         OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),

@@ -38,6 +38,9 @@ object GraftExtensions {
     ("simhash64",
       new ExpressionInfo(classOf[SimHash64Expression].getName, "simhash64"),
       (args: Seq[Expression]) => SimHash64Expression(args.head)),
+    ("simhash64_sha",
+      new ExpressionInfo(classOf[SimHash64Expression].getName, "simhash64_sha"),
+      (args: Seq[Expression]) => SimHash64Expression(args.head, portable = true)),
     ("zorder64",
       new ExpressionInfo(classOf[ZOrder64Expression].getName, "zorder64"),
       (args: Seq[Expression]) => ZOrder64Expression(args(0), args(1))))

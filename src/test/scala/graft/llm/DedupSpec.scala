@@ -284,13 +284,15 @@ class DedupSpec extends SparkTestBase {
   }
 
   test("simhash: exact dup at distance 0, near dup within radius, unrelated apart") {
-    withPlanted { dir =>
-      val rows = DedupOps.simhash(spark, dir)
+    // both token-hash modes: the declared portable sha-prefix query AND
+    // the xxhash64 scale-path variant (not DuckDB-oracleable, pinned here)
+    for (fn <- Seq("simhash64_sha", "simhash64")) withPlanted { dir =>
+      val rows = DedupOps.simhashWith(spark, dir, fn)
         .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
-      assert(rows.get((0L, 1L)).contains(0), s"exact dup distance: $rows")
-      assert(rows.contains((0L, 2L)), s"near dup not within simhash radius: $rows")
+      assert(rows.get((0L, 1L)).contains(0), s"$fn exact dup distance: $rows")
+      assert(rows.contains((0L, 2L)), s"$fn near dup not within radius: $rows")
       assert(!rows.keySet.exists(p => p._1 == 3L || p._2 == 3L),
-        s"unrelated doc paired: $rows")
+        s"$fn unrelated doc paired: $rows")
     }
   }
 
