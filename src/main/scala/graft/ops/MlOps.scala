@@ -459,8 +459,81 @@ object MlOps extends graft.QueryModule {
       .orderBy($"metric")
   }
 
+  /** q_ml_eval_metrics_sql — the SQL-expressible twin of
+    * [[evalMetrics]] (the q_ml_hashing_tf / q_ml_hashing_tf_sql
+    * precedent): the same confusion-cell + accuracy/precision/recall/F1
+    * readout PLUS tie-corrected ROC-AUC, over a DETERMINISTIC scorer
+    * (label = lang='en', score bucket s = n_chars % 97, prediction =
+    * s >= 49) instead of the tree — which is what buys the full DuckDB
+    * value oracle the model path can't have.
+    *
+    * AUC is computed by the Mann-Whitney PAIR formulation on the
+    * per-bucket histogram, not per-row ranks: score cardinality is
+    * bounded (<= 97 buckets; continuous scores would be quantized
+    * first — the standard trick), so the "all positive-negative pairs"
+    * double sum is a <=97x97 broadcast theta-join of two tiny
+    * aggregates, with NO global sort/window over the corpus. Ties
+    * contribute 1/2 per the tie-corrected definition; arithmetic stays
+    * integer (2*wins + ties over 2*P*N) until the one final division,
+    * so both engines agree bit-for-bit. (Past ~10^9 positives x
+    * negatives per side the pair products outgrow BIGINT — the escape
+    * is the same histogram in DECIMAL(38,0); the shape is unchanged.) */
+  def evalMetricsSql(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val scored = graft.Tables.documents(spark, sfDir).select(
+        when($"lang" === "en", 1L).otherwise(0L).as("label"),
+        ($"n_chars" % 97).as("s"))
+      .withColumn("pred", when($"s" >= 49, 1L).otherwise(0L))
+    val cells = scored.agg(
+      sum(when($"label" === 1 && $"pred" === 1, 1L).otherwise(0L)).as("tp"),
+      sum(when($"label" === 0 && $"pred" === 1, 1L).otherwise(0L)).as("fp"),
+      sum(when($"label" === 1 && $"pred" === 0, 1L).otherwise(0L)).as("fn"),
+      sum(when($"label" === 0 && $"pred" === 0, 1L).otherwise(0L)).as("tn"))
+    val byScore = scored.groupBy($"s")
+      .agg(count(lit(1)).as("n"), sum($"label").as("pos"))
+      .withColumn("neg", $"n" - $"pos")
+    val wins = byScore.select($"s".as("sa"), $"pos".as("pa"))
+      .join(broadcast(byScore.select($"s".as("sb"), $"neg".as("nb"))),
+        $"sa" > $"sb")
+      .agg(coalesce(sum($"pa" * $"nb"), lit(0L)).as("wins"))
+    val ties = byScore
+      .agg(coalesce(sum($"pos" * $"neg"), lit(0L)).as("ties"))
+    cells.crossJoin(wins).crossJoin(ties).select(expr(
+      """stack(9,
+        |'tp', CAST(tp AS DOUBLE), 'fp', CAST(fp AS DOUBLE),
+        |'fn', CAST(fn AS DOUBLE), 'tn', CAST(tn AS DOUBLE),
+        |'accuracy',  round((tp + tn) / CAST(tp+fp+fn+tn AS DOUBLE), 6),
+        |'precision', round(tp / CAST(greatest(tp+fp, 1) AS DOUBLE), 6),
+        |'recall',    round(tp / CAST(greatest(tp+fn, 1) AS DOUBLE), 6),
+        |'f1', round(2.0*tp / CAST(greatest(2*tp+fp+fn, 1) AS DOUBLE), 6),
+        |'auc', round((2*wins + ties)
+        |  / CAST(greatest(2*(tp+fn)*(fp+tn), 1) AS DOUBLE), 6)
+        |) AS (metric, value)""".stripMargin))
+      .orderBy($"metric")
+  }
+
+  /** q_ml_calibration — reliability-diagram bins for the same
+    * deterministic scorer as [[evalMetricsSql]]: decile bins over the
+    * score bucket, each with its support, positive count, observed
+    * positive rate, and mean score bucket. ONE hash aggregation over
+    * the corpus (10 output rows) — the shape a calibration readout
+    * keeps at any scale. Fully value-oracled. */
+  def calibration(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.documents(spark, sfDir).select(
+        when($"lang" === "en", 1L).otherwise(0L).as("label"),
+        ($"n_chars" % 97).as("s"))
+      .groupBy(($"s" / 10).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"), sum($"label").as("pos"),
+        round(sum($"label") / count(lit(1)).cast("double"), 6).as("pos_rate"),
+        round(sum($"s") / count(lit(1)).cast("double"), 6).as("mean_s"))
+      .orderBy($"bin")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ml_eval_metrics" -> (evalMetrics _),
+    "q_ml_eval_metrics_sql" -> (evalMetricsSql _),
+    "q_ml_calibration" -> (calibration _),
     "q_ml_weighted_sample" -> (weightedSample _),
     "q_ml_class_weights" -> (classWeights _),
     "q_ml_kfold" -> (kfold _),
@@ -478,6 +551,58 @@ object MlOps extends graft.QueryModule {
     "q_ml_hashing_tf_sql" -> (hashingTfSql _))
 
   def oracle: Map[String, String] = Map(
+    // integer-exact twin of the histogram-pair AUC: every SUM is cast
+    // to BIGINT (HUGEINT lint) and the single division happens last
+    "q_ml_eval_metrics_sql" ->
+      """WITH scored AS (
+        |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label,
+        |    n_chars % 97 AS s,
+        |    CASE WHEN n_chars % 97 >= 49 THEN 1 ELSE 0 END AS pred
+        |  FROM documents),
+        |cells AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN label=1 AND pred=1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(SUM(CASE WHEN label=0 AND pred=1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(SUM(CASE WHEN label=1 AND pred=0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |    CAST(SUM(CASE WHEN label=0 AND pred=0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        |  FROM scored),
+        |by_s AS (
+        |  SELECT s, COUNT(*) AS n, CAST(SUM(label) AS BIGINT) AS pos,
+        |    COUNT(*) - CAST(SUM(label) AS BIGINT) AS neg
+        |  FROM scored GROUP BY s),
+        |wins AS (
+        |  SELECT CAST(coalesce(SUM(a.pos * b.neg), 0) AS BIGINT) AS wins
+        |  FROM by_s a JOIN by_s b ON a.s > b.s),
+        |ties AS (
+        |  SELECT CAST(coalesce(SUM(pos * neg), 0) AS BIGINT) AS ties
+        |  FROM by_s),
+        |m AS (SELECT * FROM cells, wins, ties)
+        |SELECT metric, value FROM (
+        |  SELECT 'tp' AS metric, CAST(tp AS DOUBLE) AS value FROM m
+        |  UNION ALL SELECT 'fp', CAST(fp AS DOUBLE) FROM m
+        |  UNION ALL SELECT 'fn', CAST(fn AS DOUBLE) FROM m
+        |  UNION ALL SELECT 'tn', CAST(tn AS DOUBLE) FROM m
+        |  UNION ALL SELECT 'accuracy',
+        |    round((tp + tn) / CAST(tp+fp+fn+tn AS DOUBLE), 6) FROM m
+        |  UNION ALL SELECT 'precision',
+        |    round(tp / CAST(greatest(tp+fp, 1) AS DOUBLE), 6) FROM m
+        |  UNION ALL SELECT 'recall',
+        |    round(tp / CAST(greatest(tp+fn, 1) AS DOUBLE), 6) FROM m
+        |  UNION ALL SELECT 'f1',
+        |    round(2.0*tp / CAST(greatest(2*tp+fp+fn, 1) AS DOUBLE), 6) FROM m
+        |  UNION ALL SELECT 'auc',
+        |    round((2*wins + ties)
+        |      / CAST(greatest(2*(tp+fn)*(fp+tn), 1) AS DOUBLE), 6) FROM m)
+        |ORDER BY metric""".stripMargin,
+    "q_ml_calibration" ->
+      """SELECT (n_chars % 97) // 10 AS bin, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS pos,
+        |  round(CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+        |      AS BIGINT) / CAST(COUNT(*) AS DOUBLE), 6) AS pos_rate,
+        |  round(CAST(SUM(n_chars % 97) AS BIGINT)
+        |      / CAST(COUNT(*) AS DOUBLE), 6) AS mean_s
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_ml_weighted_sample" ->
       """WITH k AS (
         |  SELECT doc_id, lang, n_chars,

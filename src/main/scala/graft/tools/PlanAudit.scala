@@ -34,6 +34,10 @@ object PlanAudit {
     // BroadcastNestedLoopJoin — bounded by construction)
     "q_agg_ab_test" -> Set("SinglePartition"),
     "q_ml_eval_metrics" -> Set("SinglePartition"),
+    // 1-row cells/wins/ties scalar frames crossed together; the AUC
+    // pair sum is a <=97x97 broadcast theta-join of score-bucket
+    // histograms (bounded by construction, see evalMetricsSql scaladoc)
+    "q_ml_eval_metrics_sql" -> Set("SinglePartition", "NestedLoop"),
     "q_agg_histogram" -> Set("SinglePartition", "NestedLoop"),
     "q_agg_hll_merge" -> Set("SinglePartition", "NestedLoop"),
     "q_quality_constraint_audit" -> Set("SinglePartition"),

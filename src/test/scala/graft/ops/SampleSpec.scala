@@ -224,4 +224,32 @@ class SampleSpec extends SparkTestBase {
     val (mn, mx) = (rows.map(_._2).min, rows.map(_._2).max)
     assert(mx <= 2 * mn, s"folds badly skewed: $mn..$mx")
   }
+
+  test("histogram-pair AUC equals the per-row tie-corrected rank AUC") {
+    // brute force the Mann-Whitney definition on the raw scored rows:
+    // count positive-negative pairs won (+ half-ties), divide by P*N —
+    // the bounded-histogram theta-join in the query must agree exactly
+    val scored = graft.Tables.documents(spark, sf0001)
+      .collect().map { r =>
+        val lang = r.getAs[String]("lang")
+        val s = r.getAs[Long]("n_chars") % 97
+        (if (lang == "en") 1 else 0, s)
+      }
+    val pos = scored.filter(_._1 == 1).map(_._2)
+    val neg = scored.filter(_._1 == 0).map(_._2)
+    val num2 = (for (p <- pos; n <- neg)
+      yield if (p > n) 2L else if (p == n) 1L else 0L).sum
+    val expect = BigDecimal(num2.toDouble / (2.0 * pos.length * neg.length))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val m = MlOps.evalMetricsSql(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m("auc") == expect, s"auc ${m("auc")} != brute-force $expect")
+    assert(m("tp") + m("fn") == pos.length.toDouble)
+    assert(m("fp") + m("tn") == neg.length.toDouble)
+    // calibration bins partition the corpus and rates are in [0,1]
+    val cal = MlOps.calibration(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(cal.map(_._2).sum == scored.length)
+    assert(cal.forall(c => c._3 >= 0.0 && c._3 <= 1.0))
+  }
 }
