@@ -51,6 +51,10 @@ object PlanAudit {
     "q_window_moving_avg" -> Set("SinglePartition", "NestedLoop"),
     "q_window_resample_gapfill" -> Set("SinglePartition", "NestedLoop"),
     "q_agg_theta_sets" -> Set("SinglePartition", "NestedLoop"),
+    // portable sketch twins: 1-row sketch summaries cross-joined
+    // (register table is 256 rows, samples are <= 64 rows)
+    "q_agg_hll_portable" -> Set("SinglePartition", "NestedLoop"),
+    "q_agg_theta_portable" -> Set("SinglePartition", "NestedLoop"),
     "q_ml_class_weights" -> Set("SinglePartition", "NestedLoop"),
     "q_quality_benford" -> Set("SinglePartition", "NestedLoop"),
     "q_quality_psi_drift" -> Set("SinglePartition", "NestedLoop"),

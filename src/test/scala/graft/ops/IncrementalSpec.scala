@@ -100,4 +100,71 @@ class IncrementalSpec extends SparkTestBase {
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((5L, 15L, 5L)),
       r.toString)
   }
+
+  /** planted events fixture: one row per (user, event_type) pair */
+  private def plantEvents(rows: Seq[(Long, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sketch").toString
+    rows.zipWithIndex.map { case ((u, t), i) => (i.toLong, u, t) }
+      .toDF("event_id", "user_id", "event_type")
+      .selectExpr("event_id", "timestamp_micros(event_id * 1000000) AS ts",
+        "user_id", "event_type", "CAST(1.0 AS DOUBLE) AS value",
+        "'{}' AS props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("portable HLL: merge == direct bit-exact, LC branch accurate") {
+    val r = IncrementalOps.hllPortable(spark, sf0001).collect().head
+    val (vZero, estM, estD, exact) =
+      (r.getLong(1), r.getDouble(3), r.getDouble(4), r.getLong(5))
+    assert(estM == estD, s"merged $estM != direct $estD") // register-max union
+    assert(vZero > 0, "sf0.001 must sit in the linear-counting regime")
+    val relErr = math.abs(estM - exact) / exact
+    assert(relErr < 0.25, s"LC estimate $estM vs exact $exact (err $relErr)")
+  }
+
+  test("portable HLL: raw branch (planted 1000 users) within 3-sigma") {
+    // 1000 users over m=256 registers: raw estimate > 2.5m, so the
+    // harmonic-mean branch runs; 3 sigma for m=256 is ~19.5%
+    val dir = plantEvents((1L to 1000L).map(u => (u, "purchase")))
+    val r = IncrementalOps.hllPortable(spark, dir).collect().head
+    val (estM, estD, exact) = (r.getDouble(3), r.getDouble(4), r.getLong(5))
+    assert(estM == estD)
+    val relErr = math.abs(estM - exact) / exact
+    assert(relErr < 0.25, s"raw estimate $estM vs exact $exact (err $relErr)")
+  }
+
+  test("portable KMV theta: exact mode below k on sf0.001") {
+    val r = IncrementalOps.thetaPortable(spark, sf0001).collect().head
+    // 15 users < k=64: every estimate must EQUAL its exact recompute
+    assert(r.getDouble(0) == r.getLong(4).toDouble, "purchase")
+    assert(r.getDouble(1) == r.getLong(5).toDouble, "signup")
+    assert(r.getDouble(3) == r.getLong(6).toDouble, "intersect")
+    assert(r.getDouble(2) == r.getLong(7).toDouble, "union")
+  }
+
+  test("portable KMV theta: exact set algebra on planted partial overlap") {
+    // 10 purchase, 10 signup, overlap 5 — all below k, so exact
+    val dir = plantEvents(
+      (1L to 10L).map(u => (u, "purchase")) ++
+        (6L to 15L).map(u => (u, "signup")))
+    val r = IncrementalOps.thetaPortable(spark, dir).collect().head
+    assert((r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)) ==
+      ((10.0, 10.0, 15.0, 5.0)), r.toString)
+  }
+
+  test("portable KMV theta: estimation mode (planted 300-user union)") {
+    // 200 purchase, 200 signup, overlap 100: all three samples saturate
+    // k=64 so every path is the (k-1)/u_k estimator; sigma ~ 1/sqrt(k-2)
+    // ~ 12.7% for the union, looser for the ratio-scaled intersection
+    val dir = plantEvents(
+      (1L to 200L).map(u => (u, "purchase")) ++
+        (101L to 300L).map(u => (u, "signup")))
+    val r = IncrementalOps.thetaPortable(spark, dir).collect().head
+    val (estU, estI) = (r.getDouble(2), r.getDouble(3))
+    assert(math.abs(estU - 300.0) / 300.0 < 0.4, s"union $estU vs 300")
+    assert(estI > 0 && estI < estU, s"intersect $estI out of range")
+    assert(math.abs(estI - 100.0) / 100.0 < 0.6, s"intersect $estI vs 100")
+  }
 }
