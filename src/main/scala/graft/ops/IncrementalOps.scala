@@ -337,7 +337,58 @@ object IncrementalOps extends graft.QueryModule {
         $"exact_purchase", $"exact_signup", $"exact_both", $"exact_either")
   }
 
+  /** q_agg_quantile_portable — the VALUE-ORACLED mergeable-quantile
+    * twin that completes the portable-sketch trilogy ([[hllPortable]]
+    * distinct counts, [[thetaPortable]] set algebra, this one
+    * quantiles): a fixed-width histogram sketch (width-4 bins over
+    * events.value, ~125 bins at the fixture's [0, 500) range) built
+    * per-day and MERGED by elementwise count addition — the exact
+    * mergeability GK/KLL approximate, demonstrable here because counts
+    * are integers and + is associative, so est_merged ≡ est_direct
+    * bit-for-bit and the DuckDB oracle replays everything. Estimation
+    * is rank interpolation inside the covering bin: target rank
+    * t = ceil(q·N) in INTEGER basis points ((N·qbp + 9999) div 10000 —
+    * no float q·N whose ulp could flip a ceil), covering bin by a
+    * 3×|bins| theta-join of two tiny frames, one rounded double
+    * division at the end. The bin histogram is vocabulary-bounded, so
+    * at 100 TB the sketch is still ~125 rows per day: the per-day
+    * build is one partial-agg'd shuffle, the merge is a sketch
+    * exchange, and the cumulative window runs over ≤125 rows (the
+    * globalShuffle offsets precedent). Bin width is the accuracy knob:
+    * error ≤ 4 by construction, vs the GK/KLL twins' rank-error
+    * contract pinned in ApproxSpec. */
+  def quantilePortable(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ev = withDay(graft.Tables.events(spark, sfDir))
+      .filter($"value".isNotNull)
+      .select($"day", floor($"value" / 4.0).cast("long").as("bin"))
+    val daily = ev.groupBy($"day", $"bin").agg(count(lit(1)).as("n"))
+    val merged = daily.groupBy($"bin").agg(sum($"n").as("n"))
+    val direct = ev.groupBy($"bin").agg(count(lit(1)).as("n"))
+    val wCum = Window.orderBy($"bin")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    def cum(h: DataFrame): DataFrame = h.withColumn("cum_before",
+      coalesce(sum($"n").over(wCum), lit(0L))) // <= ~125 rows, declared
+    val total = ev.agg(count(lit(1)).as("n_total"))
+    val targets = Seq(5000L, 9000L, 9900L).toDF("qbp")
+      .crossJoin(broadcast(total))
+      .withColumn("t", expr("(n_total * qbp + 9999) div 10000"))
+    def estimate(h: DataFrame, out: String): DataFrame =
+      targets.join(broadcast(cum(h)),
+          $"cum_before" < $"t" && $"cum_before" + $"n" >= $"t")
+        .select($"qbp", $"t", $"bin", $"cum_before", $"n".as("bin_n"),
+          round($"bin" * 4.0 +
+            lit(4.0) * ($"t" - $"cum_before").cast("double") /
+              $"n".cast("double"), 6).as(out))
+    estimate(merged, "est_merged")
+      .join(estimate(direct, "est_direct")
+        .select($"qbp", $"est_direct"), Seq("qbp"))
+      .orderBy($"qbp")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_quantile_portable" -> (quantilePortable _),
     "q_scan_snapshot_diff" -> (snapshotDiff _),
     "q_agg_incremental" -> (incrementalAgg _),
     "q_agg_hll_merge" -> (hllMerge _),
@@ -368,6 +419,47 @@ object IncrementalOps extends graft.QueryModule {
         |  CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS revenue
         |FROM events GROUP BY 1, 2
         |ORDER BY day, event_type""".stripMargin,
+    // bit-exact histogram-quantile twin: width-4 bins, per-day counts
+    // re-summed vs one direct pass, integer basis-point target ranks,
+    // rank interpolation inside the covering bin. Mirrors
+    // quantilePortable.
+    "q_agg_quantile_portable" ->
+      """WITH ev AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(floor(value / 4.0) AS BIGINT) AS bin
+        |  FROM events WHERE value IS NOT NULL),
+        |daily AS (SELECT day, bin, COUNT(*) AS n FROM ev GROUP BY 1, 2),
+        |merged AS (SELECT bin, CAST(SUM(n) AS BIGINT) AS n
+        |           FROM daily GROUP BY 1),
+        |direct AS (SELECT bin, COUNT(*) AS n FROM ev GROUP BY 1),
+        |cm AS (SELECT bin, n, CAST(coalesce(SUM(n) OVER
+        |    (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+        |     AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        |  FROM merged),
+        |cd AS (SELECT bin, n, CAST(coalesce(SUM(n) OVER
+        |    (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+        |     AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        |  FROM direct),
+        |tt AS (SELECT COUNT(*) AS n_total FROM ev),
+        |tg AS (SELECT CAST(qbp AS BIGINT) AS qbp,
+        |    CAST((n_total * qbp + 9999) // 10000 AS BIGINT) AS t
+        |  FROM (VALUES (5000), (9000), (9900)) v(qbp), tt),
+        |em AS (
+        |  SELECT tg.qbp, tg.t, cm.bin, cm.cum_before, cm.n AS bin_n,
+        |    round(cm.bin * 4.0 + 4.0 * CAST(tg.t - cm.cum_before AS DOUBLE)
+        |      / CAST(cm.n AS DOUBLE), 6) AS est_merged
+        |  FROM tg JOIN cm
+        |    ON cm.cum_before < tg.t AND cm.cum_before + cm.n >= tg.t),
+        |ed AS (
+        |  SELECT tg.qbp,
+        |    round(cd.bin * 4.0 + 4.0 * CAST(tg.t - cd.cum_before AS DOUBLE)
+        |      / CAST(cd.n AS DOUBLE), 6) AS est_direct
+        |  FROM tg JOIN cd
+        |    ON cd.cum_before < tg.t AND cd.cum_before + cd.n >= tg.t)
+        |SELECT em.qbp, em.t, em.bin, em.cum_before, em.bin_n,
+        |  em.est_merged, ed.est_direct
+        |FROM em JOIN ed ON em.qbp = ed.qbp
+        |ORDER BY em.qbp""".stripMargin,
     // bit-exact HLL twin: registers from the 60-bit sha256-slice hash
     // (bucket = h % 256, rho = 53 - msb(h // 256) via binary-string
     // length), harmonic numerator as exact BIGINT Σ 2^(53-Mj), raw

@@ -190,6 +190,88 @@ object MlOps extends graft.QueryModule {
       .orderBy($"source", $"rk")
   }
 
+  /** q_ml_epoch_mix — multi-EPOCH domain mixing with repeat factors,
+    * the upsampling dual of [[domainMix]]'s quota downsampling: a
+    * mixture spec can demand MORE of a source than one pass holds (the
+    * published LLaMA / Gopher mixture tables list epoch counts > 1 for
+    * Wikipedia/books), so the sampler's output is "repeat source s
+    * epochs_s full times, then one deterministic fractional pass".
+    * Target char budget per source is share-proportional:
+    * budget_s = (C_total · w_s · chars_s) div W with W = Σ w_t·chars_t
+    * (total corpus chars conserved), which telescopes to
+    * epochs_s = budget_s div chars_s and rem_s = budget_s mod chars_s.
+    * The fractional pass selects docs by the stable-hash threshold
+    * h·chars_s < rem_s·M (pure integer compare, no float p anywhere) —
+    * a per-ROW filter, so at 100 TB it's one map over the source, not
+    * a rank. All products fit int64 at fixture scale; past
+    * chars_s ≈ 9·10⁹ per source the same arithmetic moves to
+    * DECIMAL(38,0) unchanged (the evalMetricsSql escape). One groupBy
+    * + two broadcast scalar joins + one corpus re-scan for the
+    * fractional tally: two passes total at any scale. */
+  def epochMix(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val M = 1000000007L
+    val weights = (0 until 20)
+      .map(i => (s"src$i", if (i < 5) 4L else if (i < 10) 2L else 1L))
+      .toDF("source", "w")
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"source", $"n_chars")
+    val counts = docs.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("src_chars"))
+      .join(broadcast(weights), Seq("source"))
+      .localCheckpoint() // 20 rows; totals below must not rescan docs
+    val totals = counts.agg(sum($"src_chars").as("c_total"),
+      sum($"w" * $"src_chars").as("w_sum"))
+    val plan = counts.crossJoin(broadcast(totals))
+      .withColumn("budget",
+        expr("(c_total * w * src_chars) div w_sum"))
+      .withColumn("epochs", expr("budget div src_chars"))
+      .withColumn("rem", expr("budget % src_chars"))
+      .select($"source", $"w", $"n_docs", $"src_chars", $"budget",
+        $"epochs", $"rem")
+    val frac = docs.join(broadcast(plan.select($"source", $"rem",
+        $"src_chars".as("sc"))), Seq("source"))
+      .filter(pmod($"doc_id" * 2654435761L + 23L, lit(M)) * $"sc" <
+        $"rem" * lit(M))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_frac_docs"), sum($"n_chars").as("frac_chars"))
+    plan.join(frac, Seq("source"), "left")
+      .select($"source", $"w", $"n_docs", $"src_chars", $"budget", $"epochs",
+        coalesce($"n_frac_docs", lit(0L)).as("n_frac_docs"),
+        coalesce($"frac_chars", lit(0L)).as("frac_chars"),
+        ($"epochs" * $"src_chars" +
+          coalesce($"frac_chars", lit(0L))).as("effective_chars"))
+      .orderBy($"source")
+  }
+
+  /** q_ml_length_buckets — padding-efficiency readout for length-bucketed
+    * batching (the standard fix for wasted compute when fixed-shape
+    * training batches pad every sequence to the batch max): docs land in
+    * 64-char-wide buckets capped at 512 (8 buckets), batches of 32 are
+    * cut per bucket, and each bucket reports its padding fraction
+    * 1 − used/(n_batches·32·cap) — the number a batching policy is judged by.
+    * ONE hash aggregation over the corpus (8 output rows) with integer
+    * cells and a single rounded division per rate: the readout shape is
+    * scale-free. Truncation to the 512 cap mirrors a max-seq-len
+    * pipeline; ceil() is expressed as (x + d − 1) div d so both engines
+    * stay in exact integers. */
+  def lengthBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.documents(spark, sfDir)
+      .select(least(expr("(n_chars + 63) div 64"), lit(8L)).as("bucket"),
+        least($"n_chars", lit(512L)).as("used"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_docs"), sum($"used").as("used_chars"))
+      .withColumn("cap_chars", $"bucket" * 64L)
+      .withColumn("n_batches", expr("(n_docs + 31) div 32"))
+      .withColumn("pad_frac",
+        round(lit(1.0) - $"used_chars".cast("double") /
+          ($"n_batches" * 32L * $"cap_chars").cast("double"), 6))
+      .select($"bucket", $"cap_chars", $"n_docs", $"n_batches",
+        $"used_chars", $"pad_frac")
+      .orderBy($"bucket")
+  }
+
   /** Deterministic seeded GLOBAL SHUFFLE with round-robin shard
     * assignment — the last step before a training run reads the corpus:
     * a reproducible global visit order (pos 1..N over a stable hash of
@@ -546,6 +628,8 @@ object MlOps extends graft.QueryModule {
     "q_ml_quota_sample" -> (quotaSample _),
     "q_ml_temperature_mix" -> (temperatureMix _),
     "q_ml_domain_mix" -> (domainMix _),
+    "q_ml_epoch_mix" -> (epochMix _),
+    "q_ml_length_buckets" -> (lengthBuckets _),
     "q_ml_global_shuffle" -> (globalShuffle _),
     "q_ml_hashing_tf" -> (hashingTf _),
     "q_ml_hashing_tf_sql" -> (hashingTfSql _))
@@ -594,6 +678,59 @@ object MlOps extends graft.QueryModule {
         |    round((2*wins + ties)
         |      / CAST(greatest(2*(tp+fn)*(fp+tn), 1) AS DOUBLE), 6) FROM m)
         |ORDER BY metric""".stripMargin,
+    // integer-exact epoch/fractional-pass mixer: budgets, epochs and
+    // the hash-threshold fractional selection all replay in BIGINT
+    // (DuckDB // floors = Spark div truncates on these non-negative
+    // operands). Mirrors epochMix.
+    "q_ml_epoch_mix" ->
+      """WITH w AS (
+        |  SELECT 'src' || CAST(i AS VARCHAR) AS source,
+        |    CAST(CASE WHEN i < 5 THEN 4 WHEN i < 10 THEN 2 ELSE 1 END
+        |         AS BIGINT) AS w
+        |  FROM range(20) t(i)),
+        |c AS (
+        |  SELECT d.source, w.w, COUNT(*) AS n_docs,
+        |    CAST(SUM(n_chars) AS BIGINT) AS src_chars
+        |  FROM documents d JOIN w ON d.source = w.source
+        |  GROUP BY d.source, w.w),
+        |t AS (SELECT CAST(SUM(src_chars) AS BIGINT) AS c_total,
+        |        CAST(SUM(w * src_chars) AS BIGINT) AS w_sum FROM c),
+        |p AS (
+        |  SELECT c.*,
+        |    CAST((c_total * w * src_chars) // w_sum AS BIGINT) AS budget
+        |  FROM c, t),
+        |p2 AS (
+        |  SELECT *, CAST(budget // src_chars AS BIGINT) AS epochs,
+        |    CAST(budget % src_chars AS BIGINT) AS rem
+        |  FROM p),
+        |f AS (
+        |  SELECT d.source, COUNT(*) AS n_frac_docs,
+        |    CAST(SUM(d.n_chars) AS BIGINT) AS frac_chars
+        |  FROM documents d JOIN p2 ON d.source = p2.source
+        |  WHERE ((d.doc_id * 2654435761 + 23) % 1000000007) * p2.src_chars
+        |        < p2.rem * 1000000007
+        |  GROUP BY d.source)
+        |SELECT p2.source, p2.w, p2.n_docs, p2.src_chars, p2.budget,
+        |  p2.epochs,
+        |  coalesce(f.n_frac_docs, 0) AS n_frac_docs,
+        |  coalesce(f.frac_chars, 0) AS frac_chars,
+        |  p2.epochs * p2.src_chars + coalesce(f.frac_chars, 0)
+        |    AS effective_chars
+        |FROM p2 LEFT JOIN f ON p2.source = f.source
+        |ORDER BY p2.source""".stripMargin,
+    "q_ml_length_buckets" ->
+      """SELECT bucket, bucket * 64 AS cap_chars, n_docs,
+        |  CAST((n_docs + 31) // 32 AS BIGINT) AS n_batches,
+        |  used_chars,
+        |  round(1.0 - CAST(used_chars AS DOUBLE)
+        |    / CAST(((n_docs + 31) // 32) * 32 * bucket * 64 AS DOUBLE), 6)
+        |    AS pad_frac
+        |FROM (
+        |  SELECT least((n_chars + 63) // 64, 8) AS bucket,
+        |    COUNT(*) AS n_docs,
+        |    CAST(SUM(least(n_chars, 512)) AS BIGINT) AS used_chars
+        |  FROM documents GROUP BY 1)
+        |ORDER BY bucket""".stripMargin,
     "q_ml_calibration" ->
       """SELECT (n_chars % 97) // 10 AS bin, COUNT(*) AS n,
         |  CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)

@@ -240,7 +240,46 @@ object QualityOps extends graft.QueryModule {
       .orderBy($"event_type")
   }
 
+  /** q_quality_label_agreement — Cohen's kappa between two independent
+    * weak labelers, the QA readout a labeling/filtering pipeline ships
+    * before trusting its rules (Cohen 1960; the standard
+    * inter-annotator-agreement statistic): labeler A keeps docs by
+    * length (n_chars in [100, 500]), labeler B by whitespace-token
+    * count (in [20, 90]) — two genuinely different gates that mostly
+    * agree, which is exactly when kappa (chance-corrected) is the
+    * honest number and raw accuracy is not. ONE aggregation pass over
+    * the corpus to the 2×2 confusion cells; kappa is computed in the
+    * all-integer form kappa = (n·(n11+n00) − pe_num) /
+    * (n² − pe_num) with pe_num = (n11+n10)(n11+n01) +
+    * (n00+n01)(n00+n10), one double division at the end — engine-exact.
+    * n² outgrows int64 past n ≈ 3·10⁹ docs; the escape is the same
+    * arithmetic in DECIMAL(38,0) (the evalMetricsSql precedent). */
+  def labelAgreement(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val labeled = graft.Tables.documents(spark, sfDir).select(
+      when($"n_chars".between(100, 500), 1L).otherwise(0L).as("a"),
+      when(size(split($"text", " ")).between(20, 90), 1L)
+        .otherwise(0L).as("b"))
+    labeled.agg(
+        count(lit(1)).as("n"),
+        sum(when($"a" === 1 && $"b" === 1, 1L).otherwise(0L)).as("n11"),
+        sum(when($"a" === 1 && $"b" === 0, 1L).otherwise(0L)).as("n10"),
+        sum(when($"a" === 0 && $"b" === 1, 1L).otherwise(0L)).as("n01"),
+        sum(when($"a" === 0 && $"b" === 0, 1L).otherwise(0L)).as("n00"))
+      .withColumn("pe_num",
+        ($"n11" + $"n10") * ($"n11" + $"n01") +
+          ($"n00" + $"n01") * ($"n00" + $"n10"))
+      .select($"n", $"n11", $"n10", $"n01", $"n00",
+        round(($"n11" + $"n00").cast("double") / $"n".cast("double"), 6)
+          .as("po"),
+        round($"pe_num".cast("double") / ($"n" * $"n").cast("double"), 6)
+          .as("pe"),
+        round(($"n" * ($"n11" + $"n00") - $"pe_num").cast("double") /
+          ($"n" * $"n" - $"pe_num").cast("double"), 6).as("kappa"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quality_label_agreement" -> (labelAgreement _),
     "q_quality_mad" -> (madDispersion _),
     "q_quality_constraint_audit" -> (constraintAudit _),
     "q_quality_k_anonymity" -> (kAnonymity _),
@@ -250,6 +289,38 @@ object QualityOps extends graft.QueryModule {
     "q_quality_benford" -> (benford _))
 
   def oracle: Map[String, String] = Map(
+    // integer-exact kappa: cells, pe numerator, and both kappa operands
+    // stay BIGINT; the three rate divisions are the only doubles.
+    // Mirrors labelAgreement (incl. the split-on-single-space token
+    // count, the q_text_token_count precedent).
+    "q_quality_label_agreement" ->
+      """WITH l AS (
+        |  SELECT CASE WHEN n_chars BETWEEN 100 AND 500
+        |              THEN 1 ELSE 0 END AS a,
+        |    CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 90
+        |         THEN 1 ELSE 0 END AS b
+        |  FROM documents),
+        |c AS (
+        |  SELECT COUNT(*) AS n,
+        |    CAST(SUM(CASE WHEN a=1 AND b=1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n11,
+        |    CAST(SUM(CASE WHEN a=1 AND b=0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n10,
+        |    CAST(SUM(CASE WHEN a=0 AND b=1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n01,
+        |    CAST(SUM(CASE WHEN a=0 AND b=0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n00
+        |  FROM l),
+        |k AS (
+        |  SELECT *, CAST((n11 + n10) * (n11 + n01)
+        |    + (n00 + n01) * (n00 + n10) AS BIGINT) AS pe_num
+        |  FROM c)
+        |SELECT n, n11, n10, n01, n00,
+        |  round(CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS po,
+        |  round(CAST(pe_num AS DOUBLE) / CAST(n * n AS DOUBLE), 6) AS pe,
+        |  round(CAST(n * (n11 + n00) - pe_num AS DOUBLE)
+        |    / CAST(n * n - pe_num AS DOUBLE), 6) AS kappa
+        |FROM k""".stripMargin,
     "q_quality_constraint_audit" ->
       """SELECT * FROM (
         |  SELECT 'orders_null_key' AS check_name,

@@ -302,7 +302,47 @@ object WindowOps extends graft.QueryModule {
       .orderBy($"from_type", $"to_type")
   }
 
+  /** q_window_attribution — multi-touch conversion attribution (the
+    * marketing-analytics standard: credit the touches that preceded a
+    * purchase), computed entirely with per-user windows so a 100 TB
+    * event log never self-joins: each non-purchase touch finds its NEXT
+    * purchase by a min-over-following-frame window (one shuffle on
+    * user_id), keeps it if within the 7-day lookback, and each
+    * conversion's touch list is ranked in one more window to yield
+    * first-touch / last-touch / linear credit per touch type. Linear
+    * credit is carried as INTEGER millionths (1000000 div n per touch,
+    * summed as BIGINT, divided once at the end) so partial-aggregation
+    * order can't wiggle the double sum. Same-microsecond purchases of
+    * one user coalesce into one conversion (the ts-keyed conversion
+    * identity) — documented, deterministic at any scale. */
+  def attribution(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val SevenDaysUs = 604800000000L
+    val wNext = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(1, Window.unboundedFollowing)
+    val touches = graft.Tables.events(spark, sfDir)
+      .filter($"user_id".isNotNull)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("conv_ts",
+        min(when($"event_type" === "purchase", $"ts")).over(wNext))
+      .filter($"event_type" =!= "purchase" && $"conv_ts".isNotNull &&
+        unix_micros($"conv_ts") - unix_micros($"ts") <= SevenDaysUs)
+    val wConv = Window.partitionBy($"user_id", $"conv_ts")
+    val ranked = touches
+      .withColumn("rk", row_number().over(wConv.orderBy($"ts", $"event_id")))
+      .withColumn("n_t", count(lit(1)).over(wConv))
+      .withColumn("credit_ppm", expr("1000000 div n_t"))
+    ranked.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_touches"),
+        sum(when($"rk" === 1, 1L).otherwise(0L)).as("n_first"),
+        sum(when($"rk" === $"n_t", 1L).otherwise(0L)).as("n_last"),
+        round(sum($"credit_ppm").cast("double") / 1e6, 6)
+          .as("linear_credit"))
+      .orderBy($"event_type")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_attribution" -> (attribution _),
     "q_window_transitions" -> (transitions _),
     "q_window_rfm_segments" -> (rfmSegments _),
     "q_window_event_funnel" -> (eventFunnel _),
@@ -315,6 +355,35 @@ object WindowOps extends graft.QueryModule {
     "q_window_range_frame" -> (rangeFrame _))
 
   def oracle: Map[String, String] = Map(
+    // window-only attribution replay: next-purchase via the same
+    // min-over-following frame, credit in integer millionths. Mirrors
+    // attribution (incl. the same-ts conversion coalescing).
+    "q_window_attribution" ->
+      """WITH t AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+        |      AS conv_ts
+        |  FROM events WHERE user_id IS NOT NULL),
+        |a AS (
+        |  SELECT * FROM t
+        |  WHERE event_type <> 'purchase' AND conv_ts IS NOT NULL
+        |    AND epoch_us(conv_ts) - epoch_us(ts) <= 604800000000),
+        |r AS (
+        |  SELECT event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, conv_ts
+        |                       ORDER BY ts, event_id) AS rk,
+        |    COUNT(*) OVER (PARTITION BY user_id, conv_ts) AS n_t
+        |  FROM a)
+        |SELECT event_type, COUNT(*) AS n_touches,
+        |  CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_first,
+        |  CAST(SUM(CASE WHEN rk = n_t THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_last,
+        |  round(CAST(CAST(SUM(1000000 // n_t) AS BIGINT) AS DOUBLE)
+        |    / 1e6, 6) AS linear_credit
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_window_transitions" ->
       """WITH marked AS (
         |  SELECT user_id, ts, event_id, event_type,

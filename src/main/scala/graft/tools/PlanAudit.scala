@@ -55,7 +55,14 @@ object PlanAudit {
     // (register table is 256 rows, samples are <= 64 rows)
     "q_agg_hll_portable" -> Set("SinglePartition", "NestedLoop"),
     "q_agg_theta_portable" -> Set("SinglePartition", "NestedLoop"),
+    // cumulative window over the <=125-row bin histogram + 3-row
+    // target-rank theta-join
+    "q_agg_quantile_portable" -> Set("SinglePartition", "NestedLoop"),
     "q_ml_class_weights" -> Set("SinglePartition", "NestedLoop"),
+    // 20-row mixture plan crossJoined with its 1-row totals aggregate
+    "q_ml_epoch_mix" -> Set("SinglePartition", "NestedLoop"),
+    // single 1-row confusion-cell aggregate (kappa readout)
+    "q_quality_label_agreement" -> Set("SinglePartition"),
     "q_quality_benford" -> Set("SinglePartition", "NestedLoop"),
     "q_quality_psi_drift" -> Set("SinglePartition", "NestedLoop"),
     "q_text_ppl_bucket" -> Set("SinglePartition", "NestedLoop"),

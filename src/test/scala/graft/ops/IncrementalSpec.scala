@@ -154,6 +154,23 @@ class IncrementalSpec extends SparkTestBase {
       ((10.0, 10.0, 15.0, 5.0)), r.toString)
   }
 
+  test("portable quantile histogram: merge == direct, error <= bin width") {
+    val rows = IncrementalOps.quantilePortable(spark, sf0001).collect()
+    assert(rows.length == 3)
+    val exact = graft.Tables.events(spark, sf0001)
+      .filter(col("value").isNotNull)
+      .select(col("value")).collect().map(_.getDouble(0)).sorted
+    rows.foreach { r =>
+      val (qbp, t, estM, estD) =
+        (r.getLong(0), r.getLong(1), r.getDouble(5), r.getDouble(6))
+      assert(estM == estD, s"qbp=$qbp merged $estM != direct $estD")
+      assert(t == (exact.length * qbp + 9999) / 10000)
+      val exactAtRank = exact(t.toInt - 1)
+      assert(math.abs(estM - exactAtRank) <= 4.0,
+        s"qbp=$qbp est $estM vs exact $exactAtRank")
+    }
+  }
+
   test("portable KMV theta: estimation mode (planted 300-user union)") {
     // 200 purchase, 200 signup, overlap 100: all three samples saturate
     // k=64 so every path is the (k-1)/u_k estimator; sigma ~ 1/sqrt(k-2)
