@@ -1003,6 +1003,7 @@ object DedupOps extends graft.QueryModule {
     "q_dedup_simhash" -> (simhash _),
     "q_dedup_components" -> (components _),
     "q_dedup_cluster_stats" -> (clusterStats _),
+    "q_dedup_source_stats" -> (sourceStats _),
     "q_dedup_keep_list" -> (keepList _),
     "q_dedup_triangles" -> (triangles _),
     "q_dedup_embedding_cosine" -> (embeddingCosine _),
@@ -1122,6 +1123,47 @@ object DedupOps extends graft.QueryModule {
       .agg(count(lit(1)).as("n_clusters"),
         (count(lit(1)) * $"cluster_size").as("n_docs"))
       .orderBy($"cluster_size")
+  }
+
+  /** q_dedup_source_stats — WHO contributes the duplicates: the
+    * per-source curation readout over the same near-dup components the
+    * keep-list uses (every corpus report has this table — without it a
+    * dedup pass tells you HOW MUCH was removed but not WHERE to fix
+    * ingestion). Per source: total docs, docs in a near-dup cluster,
+    * docs the keep-list would remove (non-representative members),
+    * removal fraction, and the cross-source count — removed docs whose
+    * surviving representative lives in a DIFFERENT source, the
+    * mirror/scraper-overlap signal that per-source dedup would miss
+    * entirely. Reads the persisted pair-graph artifact (no
+    * re-shingling); two partial-agg'd groupBys + a broadcast-sized
+    * join of the clustered slice (cluster membership is orders of
+    * magnitude below corpus size at any scale — if it isn't, dedup
+    * itself was the bottleneck long before this readout). */
+  def sourceStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"source")
+    val comps = componentsOfIndex(spark, sfDir)
+    val withSrc = comps.join(docs, Seq("doc_id"))
+    val repSrc = docs.select($"doc_id".as("component_id"),
+      $"source".as("rep_source"))
+    val per = withSrc.join(repSrc, Seq("component_id"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_clustered"),
+        sum(when($"doc_id" =!= $"component_id", 1L).otherwise(0L))
+          .as("n_removed"),
+        sum(when($"doc_id" =!= $"component_id" &&
+          $"source" =!= $"rep_source", 1L).otherwise(0L))
+          .as("n_cross_source"))
+    docs.groupBy($"source").agg(count(lit(1)).as("n_docs"))
+      .join(per, Seq("source"), "left")
+      .select($"source", $"n_docs",
+        coalesce($"n_clustered", lit(0L)).as("n_clustered"),
+        coalesce($"n_removed", lit(0L)).as("n_removed"),
+        round(coalesce($"n_removed", lit(0L)).cast("double") /
+          $"n_docs".cast("double"), 6).as("removal_frac"),
+        coalesce($"n_cross_source", lit(0L)).as("n_cross_source"))
+      .orderBy($"source")
   }
 
   /** shared CTE text: the ngram-jaccard pair query (the declared
@@ -1357,6 +1399,38 @@ object DedupOps extends graft.QueryModule {
          |FROM documents d LEFT JOIN comps c ON d.doc_id = c.doc_id
          |WHERE c.component_id IS NULL OR d.doc_id = c.component_id
          |ORDER BY d.doc_id""".stripMargin,
+    "q_dedup_source_stats" ->
+      s"""WITH RECURSIVE $ngramPairsSql,
+         |edges(src, dst) AS (
+         |  SELECT a_id, b_id FROM nearpairs
+         |  UNION ALL SELECT b_id, a_id FROM nearpairs),
+         |reach(id, comp) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id),
+         |comps AS (
+         |  SELECT id AS doc_id, MIN(comp) AS component_id
+         |  FROM reach GROUP BY id),
+         |per AS (
+         |  SELECT d.source,
+         |    COUNT(*) AS n_clustered,
+         |    CAST(SUM(CASE WHEN c.doc_id <> c.component_id
+         |             THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         |    CAST(SUM(CASE WHEN c.doc_id <> c.component_id
+         |                   AND d.source <> rd.source
+         |             THEN 1 ELSE 0 END) AS BIGINT) AS n_cross_source
+         |  FROM comps c
+         |  JOIN documents d ON c.doc_id = d.doc_id
+         |  JOIN documents rd ON c.component_id = rd.doc_id
+         |  GROUP BY d.source)
+         |SELECT d.source, COUNT(*) AS n_docs,
+         |  coalesce(ANY_VALUE(per.n_clustered), 0) AS n_clustered,
+         |  coalesce(ANY_VALUE(per.n_removed), 0) AS n_removed,
+         |  round(CAST(coalesce(ANY_VALUE(per.n_removed), 0) AS DOUBLE)
+         |    / COUNT(*), 6) AS removal_frac,
+         |  coalesce(ANY_VALUE(per.n_cross_source), 0) AS n_cross_source
+         |FROM documents d LEFT JOIN per ON d.source = per.source
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
     "q_dedup_cluster_stats" ->
       s"""WITH RECURSIVE $ngramPairsSql,
          |edges(src, dst) AS (

@@ -504,7 +504,77 @@ object SimSearchOps extends graft.QueryModule {
       .orderBy($"label")
   }
 
+  /** q_simsearch_kmeans_portable — value-oracled INTEGER k-means, the
+    * portable twin of the IVF quantizer (the
+    * hll/theta/quantile-portable discipline applied to clustering:
+    * ml.KMeans is iterative/impl-specific, so the oracled form
+    * re-expresses Lloyd's algorithm in exact BIGINT arithmetic both
+    * engines replay bit-for-bit). Vectors quantize to
+    * floor(x*1000) per dimension (floor, not round — no half-tie
+    * semantics to disagree on); seeds are the k=8 lowest vec_ids; two
+    * Lloyd rounds: assign by exact integer squared-L2 (ties → lowest
+    * cell), recompute centroids as the exact floored per-dimension
+    * mean (s - pmod(s,n)) div n — pmod spelled ((s%n)+n)%n in DuckDB,
+    * so the NEGATIVE-sum floor agrees (the documented trunc-vs-floor
+    * div trap). Readout: per-cell size, inertia against the round-1
+    * centroids, and the centroid L1 norm.
+    *
+    * Scale shape: each assign pass is a narrow map over the corpus
+    * against a BROADCAST k x dim centroid table (k rows) with the
+    * argmin as an in-row least-of-k — no shuffle; each update is ONE
+    * partial-agg'd groupBy(cell, dim) shuffle of k*dim result rows.
+    * That is exactly distributed Lloyd at 100 TB: rounds are linear
+    * passes, driver state is k*dim longs. */
+  def kmeansPortable(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val quant = graft.Tables.embeddings(spark, sfDir)
+      .select($"vec_id",
+        transform($"embedding",
+          x => floor(x.cast("double") * 1000.0).cast("long")).as("qv"))
+    // one Lloyd assignment: nearest centroid by exact integer L2,
+    // tie -> lowest cell. The k centroids collapse to a ONE-row array
+    // frame crossJoined broadcast, and the argmin is an IN-ROW
+    // array_min over (dist, cell) structs — a narrow map with no
+    // shuffle and no corpus x k row blow-up (the row_number spelling
+    // would shuffle corpus x k rows per pass).
+    def assign(vecs: DataFrame, cents: DataFrame): DataFrame = {
+      val centArr = cents
+        .agg(array_sort(collect_list(struct($"cell", $"cv"))).as("cents"))
+      vecs.crossJoin(broadcast(centArr))
+        .withColumn("best", array_min(transform($"cents", c =>
+          struct(
+            aggregate(
+              zip_with($"qv", c.getField("cv"), (a, b) => (a - b) * (a - b)),
+              lit(0L), (acc, x) => acc + x).as("dist"),
+            c.getField("cell").as("cell")))))
+        .select($"vec_id", $"qv",
+          $"best".getField("cell").as("cell"),
+          $"best".getField("dist").as("dist"))
+    }
+    // exact floored per-dimension mean, rebuilt as an ordered array
+    def update(assigned: DataFrame): DataFrame =
+      assigned.select($"cell", posexplode($"qv").as(Seq("d", "q")))
+        .groupBy($"cell", $"d")
+        .agg(sum($"q").as("s"), count(lit(1)).as("n"))
+        .withColumn("c", expr("CAST((s - pmod(s, n)) DIV n AS BIGINT)"))
+        .groupBy($"cell")
+        .agg(transform(array_sort(collect_list(struct($"d", $"c"))),
+          e => e.getField("c")).as("cv"))
+    val seeds = quant.filter($"vec_id" < 8)
+      .select($"vec_id".cast("long").as("cell"), $"qv".as("cv"))
+      .localCheckpoint() // k rows; both assign passes reuse it
+    val c1 = update(assign(quant, seeds)).localCheckpoint() // k x dim longs
+    val a2 = assign(quant, c1)
+    a2.groupBy($"cell")
+      .agg(count(lit(1)).as("n_vecs"), sum($"dist").as("inertia_q"))
+      .join(c1.select($"cell",
+        aggregate($"cv", lit(0L), (acc, x) => acc + abs(x)).as("c_l1")),
+        Seq("cell"))
+      .orderBy($"cell")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_simsearch_kmeans_portable" -> (kmeansPortable _),
     "q_simsearch_norm_stats" -> (normStats _),
     "q_simsearch_topk" -> (topkBruteForce _),
     "q_simsearch_topk_lsh" -> (topkLsh _),
@@ -513,6 +583,48 @@ object SimSearchOps extends graft.QueryModule {
     "q_simsearch_topk_hnsw" -> (topkHnsw _))
 
   def oracle: Map[String, String] = Map(
+    "q_simsearch_kmeans_portable" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> CAST(floor(x*1000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |seeds AS (
+        |  SELECT CAST(vec_id AS BIGINT) AS cell, qv AS cv FROM q WHERE vec_id < 8),
+        |d1 AS (
+        |  SELECT q.vec_id, q.qv, s.cell,
+        |    CAST(list_sum(list_transform(range(1, len(q.qv)+1),
+        |      i -> (q.qv[i]-s.cv[i])*(q.qv[i]-s.cv[i]))) AS BIGINT) AS dist
+        |  FROM q, seeds s),
+        |a1 AS (
+        |  SELECT vec_id, qv, cell, dist FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell)
+        |      AS rk FROM d1) WHERE rk = 1),
+        |u1 AS (
+        |  SELECT cell, d, CAST((s - ((s % n) + n) % n) // n AS BIGINT) AS c
+        |  FROM (
+        |    SELECT cell, d, CAST(SUM(q) AS BIGINT) AS s, COUNT(*) AS n
+        |    FROM (
+        |      SELECT a1.cell, unnest(a1.qv) AS q,
+        |        generate_subscripts(a1.qv, 1) AS d
+        |      FROM a1)
+        |    GROUP BY cell, d)),
+        |c1 AS (SELECT cell, list(c ORDER BY d) AS cv FROM u1 GROUP BY cell),
+        |d2 AS (
+        |  SELECT q.vec_id, c.cell,
+        |    CAST(list_sum(list_transform(range(1, len(q.qv)+1),
+        |      i -> (q.qv[i]-c.cv[i])*(q.qv[i]-c.cv[i]))) AS BIGINT) AS dist
+        |  FROM q, c1 c),
+        |a2 AS (
+        |  SELECT vec_id, cell, dist FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell)
+        |      AS rk FROM d2) WHERE rk = 1)
+        |SELECT a2.cell, COUNT(*) AS n_vecs, CAST(SUM(a2.dist) AS BIGINT) AS inertia_q,
+        |  cn.c_l1
+        |FROM a2 JOIN (
+        |  SELECT cell, CAST(list_sum(list_transform(cv, x -> abs(x))) AS BIGINT)
+        |    AS c_l1 FROM c1) cn USING (cell)
+        |GROUP BY a2.cell, cn.c_l1 ORDER BY a2.cell""".stripMargin,
     "q_simsearch_norm_stats" ->
       """WITH r AS (
         |  SELECT label, len(embedding) AS dim,

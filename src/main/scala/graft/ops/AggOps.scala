@@ -294,7 +294,43 @@ object AggOps extends graft.QueryModule {
         (abs($"z") > 1.959964).cast("int").as("significant"))
   }
 
+  /** q_agg_sample_estimate — Horvitz-Thompson estimation from a
+    * deterministic 1/16 hash sample, read out AGAINST ground truth:
+    * per returnflag, the exact count/quantity-sum next to the
+    * sample-scaled estimate (x16) and the relative error. This is the
+    * estimation-quality audit a 100 TB shop runs before trusting
+    * sampled dashboards — the sample membership test is the shared
+    * integer Knuth hash on (orderkey, linenumber) (id reduced mod
+    * 1e9+7 first, the kfold overflow envelope), so the SAME rows are
+    * in-sample on every engine and every run; at scale only the
+    * sampled branch is cheap, and here both branches are ONE shared
+    * scan feeding two conditional aggregates (no second pass).
+    * Estimates stay exact BIGINT (x16 of integral quantities);
+    * rel_err is the one rounded double. */
+  def sampleEstimate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val inSample =
+      pmod(pmod($"l_orderkey", lit(1000000007L)) * 2654435761L +
+        $"l_linenumber" * 1000003L, lit(16)) === 0
+    graft.Tables.lineitem(spark, sfDir)
+      .select($"l_returnflag", $"l_quantity",
+        inSample.cast("long").as("s"))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("exact_n"),
+        sum($"l_quantity".cast("long")).as("exact_qty"),
+        (sum($"s") * 16L).as("est_n"),
+        (sum(($"l_quantity".cast("long")) * $"s") * 16L).as("est_qty"))
+      .select($"l_returnflag", $"exact_n", $"est_n",
+        round(abs($"est_n" - $"exact_n").cast("double") /
+          $"exact_n".cast("double"), 6).as("n_rel_err"),
+        $"exact_qty", $"est_qty",
+        round(abs($"est_qty" - $"exact_qty").cast("double") /
+          $"exact_qty".cast("double"), 6).as("qty_rel_err"))
+      .orderBy($"l_returnflag")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_sample_estimate" -> (sampleEstimate _),
     "q_agg_ab_test" -> (abTest _),
     "q_agg_retention_cohorts" -> (retentionCohorts _),
     "q_agg_histogram" -> (histogram _),
@@ -312,6 +348,23 @@ object AggOps extends graft.QueryModule {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_agg_sample_estimate" ->
+      """WITH t AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+        |    CASE WHEN ((l_orderkey % 1000000007) * 2654435761
+        |               + l_linenumber * 1000003) % 16 = 0
+        |         THEN 1 ELSE 0 END AS s
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |  COUNT(*) AS exact_n,
+        |  CAST(SUM(s) * 16 AS BIGINT) AS est_n,
+        |  round(CAST(abs(SUM(s) * 16 - COUNT(*)) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS n_rel_err,
+        |  CAST(SUM(qty) AS BIGINT) AS exact_qty,
+        |  CAST(SUM(qty * s) * 16 AS BIGINT) AS est_qty,
+        |  round(CAST(abs(SUM(qty * s) * 16 - SUM(qty)) AS DOUBLE)
+        |    / CAST(SUM(qty) AS DOUBLE), 6) AS qty_rel_err
+        |FROM t GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_agg_ab_test" ->
       """WITH c AS (
         |  SELECT

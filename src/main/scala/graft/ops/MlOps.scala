@@ -612,7 +612,76 @@ object MlOps extends graft.QueryModule {
       .orderBy($"bin")
   }
 
+  /** q_ml_neyman_sample — NEYMAN-allocated stratified sampling: the
+    * survey-statistics optimum (allocate budget to stratum h ∝
+    * N_h·σ_h, minimizing estimator variance at fixed budget — Neyman
+    * 1934), the principled upgrade over proportional quotas when
+    * strata differ in SPREAD, not just size. The portable trick:
+    * N_h·σ_h = sqrt(n_h·Σx² − (Σx)²) exactly (σ² = (nΣx²−(Σx)²)/n²),
+    * so the allocation weight is floor(sqrt(exact-BIGINT
+    * sum-of-squares numerator)) — the same correctly-rounded-sqrt
+    * bridge temperatureMix uses, with NO division before the sqrt.
+    * x = n_chars (chars as the measured variable). quota_h = least(
+    * n_h, greatest(1, (s_h·300) div Σs)); selection is the shared
+    * stable-hash order lowered to bounded per-stratum heaps. One
+    * groupBy for moments + one broadcast quota join: two narrow
+    * passes at any scale. */
+  def neymanSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.plans.GraftExtensions.register(spark)
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang", $"n_chars")
+    val moments = docs.groupBy($"lang")
+      .agg(count(lit(1)).as("n"), sum($"n_chars").as("sx"),
+        sum($"n_chars" * $"n_chars").as("sxx"))
+      .withColumn("s",
+        floor(sqrt(($"n" * $"sxx" - $"sx" * $"sx").cast("double")))
+          .cast("long"))
+    val total = moments.agg(sum($"s").as("s_total"))
+    val quotas = moments.crossJoin(broadcast(total))
+      .withColumn("quota", least($"n",
+        greatest(lit(1L), expr("(s * 300) div s_total"))))
+      .select($"lang", $"quota")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"lang")
+      .orderBy(pmod($"doc_id" * 2654435761L, lit(1000000007L)).asc,
+        $"doc_id".asc)
+    docs.select($"doc_id", $"lang")
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 300)
+      .join(broadcast(quotas), Seq("lang"))
+      .filter($"rk" <= $"quota")
+      .select($"lang", $"quota", $"rk", $"doc_id")
+      .orderBy($"lang", $"rk")
+  }
+
+  /** q_ml_curriculum_order — curriculum INTERLEAVE schedule: bucket
+    * docs by difficulty (n_chars div 64, capped at 8 buckets — length
+    * as the standard difficulty proxy), rank within each bucket by the
+    * shared stable hash, and emit the round-robin order (rk, bucket):
+    * the first |buckets| docs are one per difficulty tier, so training
+    * sees the full spectrum from step one while within-tier order
+    * stays reproducible — the anti-pattern it replaces is
+    * easy-to-hard sorting, which starves early training of hard
+    * examples entirely. The rk <= 40 cut lowers the window to bounded
+    * per-bucket heaps (TopKPerKeyExec); the schedule position is pure
+    * arithmetic, no global window. */
+  def curriculumOrder(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.plans.GraftExtensions.register(spark)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"bucket")
+      .orderBy(pmod($"doc_id" * 2654435761L, lit(1000000007L)).asc,
+        $"doc_id".asc)
+    graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", least(expr("n_chars div 64"), lit(8L)).as("bucket"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 40)
+      .select($"rk", $"bucket", $"doc_id")
+      .orderBy($"rk", $"bucket")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ml_neyman_sample" -> (neymanSample _),
+    "q_ml_curriculum_order" -> (curriculumOrder _),
     "q_ml_eval_metrics" -> (evalMetrics _),
     "q_ml_eval_metrics_sql" -> (evalMetricsSql _),
     "q_ml_calibration" -> (calibration _),
@@ -795,6 +864,38 @@ object MlOps extends graft.QueryModule {
         |      ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rk
         |  FROM documents)
         |WHERE rk <= 25 ORDER BY lang, rk""".stripMargin,
+    // N_h*sigma_h = sqrt(n*sxx - sx^2) exactly; floor(sqrt(bigint))
+    // is engine-portable (the temperature-mix precedent), all else
+    // bigint
+    "q_ml_neyman_sample" ->
+      """WITH m AS (
+        |  SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sx,
+        |    CAST(SUM(n_chars * n_chars) AS BIGINT) AS sxx
+        |  FROM documents GROUP BY lang),
+        |s AS (
+        |  SELECT lang, n,
+        |    CAST(floor(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))) AS BIGINT)
+        |      AS s
+        |  FROM m),
+        |q AS (
+        |  SELECT lang,
+        |    CAST(least(n, greatest(1, (s * 300) // (SELECT SUM(s) FROM s)))
+        |      AS BIGINT) AS quota
+        |  FROM s),
+        |ranked AS (
+        |  SELECT d.lang, q.quota, d.doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY d.lang
+        |      ORDER BY (d.doc_id * 2654435761) % 1000000007, d.doc_id) AS rk
+        |  FROM documents d JOIN q USING (lang))
+        |SELECT lang, quota, rk, doc_id FROM ranked
+        |WHERE rk <= quota ORDER BY lang, rk""".stripMargin,
+    "q_ml_curriculum_order" ->
+      """SELECT rk, bucket, doc_id FROM (
+        |  SELECT doc_id, least(n_chars // 64, 8) AS bucket,
+        |    ROW_NUMBER() OVER (PARTITION BY least(n_chars // 64, 8)
+        |      ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 40 ORDER BY rk, bucket""".stripMargin,
     // integer-portable by construction: floor(sqrt(bigint)) is exact
     // under correctly-rounded IEEE sqrt in both engines, everything
     // after is bigint arithmetic

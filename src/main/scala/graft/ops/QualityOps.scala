@@ -278,7 +278,41 @@ object QualityOps extends graft.QueryModule {
           ($"n" * $"n" - $"pe_num").cast("double"), 6).as("kappa"))
   }
 
+  /** q_quality_dataset_card — the per-source "datasheet" readout
+    * (Datasheets for Datasets, Gebru et al. CACM'21: composition
+    * stats a corpus release documents): doc count, char volume, mean
+    * length, language count, and language-mix Shannon entropy per
+    * source. Entropy discipline: each −p·ln p term is rounded to 6dp
+    * and summed as DECIMAL(18,6) — decimal summation is
+    * order-independent, so 1000-way partials can't wiggle the entropy
+    * the way a raw double sum could (the norm_stats precedent); ln on
+    * an exact-rational p is the one platform-sensitive op, tamed by
+    * the per-term round. Two partial-agg'd groupBys ((source, lang)
+    * then source) — the (source, lang) frame is bounded by the
+    * vocabulary of the catalog, not the corpus. */
+  def datasetCard(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sl = graft.Tables.documents(spark, sfDir)
+      .groupBy($"source", $"lang")
+      .agg(count(lit(1)).as("n_sl"), sum($"n_chars").as("chars_sl"))
+      .localCheckpoint() // sources x langs rows; reused twice below
+    val totals = sl.groupBy($"source").agg(sum($"n_sl").as("n_docs"))
+    sl.join(broadcast(totals), Seq("source"))
+      .withColumn("p", $"n_sl".cast("double") / $"n_docs".cast("double"))
+      .withColumn("term",
+        round(-$"p" * log($"p"), 6).cast("decimal(18,6)"))
+      .groupBy($"source")
+      .agg(max($"n_docs").as("n_docs"),
+        sum($"chars_sl").as("total_chars"),
+        round(sum($"chars_sl").cast("double") /
+          max($"n_docs").cast("double"), 6).as("mean_chars"),
+        countDistinct($"lang").as("n_langs"),
+        sum($"term").cast("double").as("lang_entropy"))
+      .orderBy($"source")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quality_dataset_card" -> (datasetCard _),
     "q_quality_label_agreement" -> (labelAgreement _),
     "q_quality_mad" -> (madDispersion _),
     "q_quality_constraint_audit" -> (constraintAudit _),
@@ -289,6 +323,28 @@ object QualityOps extends graft.QueryModule {
     "q_quality_benford" -> (benford _))
 
   def oracle: Map[String, String] = Map(
+    // entropy terms rounded 6dp then summed as DECIMAL — see
+    // datasetCard's scaladoc for why the sum must be decimal
+    "q_quality_dataset_card" ->
+      """WITH sl AS (
+        |  SELECT source, lang, COUNT(*) AS n_sl,
+        |    CAST(SUM(n_chars) AS BIGINT) AS chars_sl
+        |  FROM documents GROUP BY source, lang),
+        |t AS (SELECT source, CAST(SUM(n_sl) AS BIGINT) AS n_docs
+        |      FROM sl GROUP BY source),
+        |terms AS (
+        |  SELECT sl.source, sl.lang, sl.n_sl, sl.chars_sl, t.n_docs,
+        |    CAST(round(-(CAST(sl.n_sl AS DOUBLE) / CAST(t.n_docs AS DOUBLE))
+        |      * ln(CAST(sl.n_sl AS DOUBLE) / CAST(t.n_docs AS DOUBLE)), 6)
+        |      AS DECIMAL(18,6)) AS term
+        |  FROM sl JOIN t USING (source))
+        |SELECT source, MAX(n_docs) AS n_docs,
+        |  CAST(SUM(chars_sl) AS BIGINT) AS total_chars,
+        |  round(CAST(SUM(chars_sl) AS DOUBLE)
+        |    / CAST(MAX(n_docs) AS DOUBLE), 6) AS mean_chars,
+        |  COUNT(DISTINCT lang) AS n_langs,
+        |  CAST(SUM(term) AS DOUBLE) AS lang_entropy
+        |FROM terms GROUP BY source ORDER BY source""".stripMargin,
     // integer-exact kappa: cells, pe numerator, and both kappa operands
     // stay BIGINT; the three rate divisions are the only doubles.
     // Mirrors labelAgreement (incl. the split-on-single-space token

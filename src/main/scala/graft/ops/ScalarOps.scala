@@ -147,7 +147,47 @@ object ScalarOps extends graft.QueryModule {
       .orderBy($"event_id")
   }
 
+  /** URL parse/normalize pack — the web-crawl pipeline primitive
+    * (CCNet/RefinedWeb-style: extract host, strip www + fragment,
+    * registered-domain key for per-domain caps and blocklist joins).
+    * The fixture has no URL column, so one is DERIVED deterministically
+    * from (source, lang, doc_id) — same discipline as the domain-mix
+    * config dim — exercising the variants that break naive parsers: a
+    * www. prefix (doc_id%3), an explicit port (%5, which HOST must
+    * exclude), a fragment (%2, which QUERY must exclude). Extraction is
+    * Spark's native `parse_url` (codegen'd, java.net.URI semantics);
+    * the canonical key `norm` drops protocol-irrelevant parts
+    * (www, port, query, fragment) — the dedup key a crawl pipeline
+    * groups by. DuckDB twin: anchored regexps over the same derived
+    * URL. Pure per-row expressions: one narrow map at any scale. */
+  def urlPack(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.documents(spark, sfDir)
+      .withColumn("url", concat(
+        lit("https://"),
+        when(pmod($"doc_id", lit(3)) === 0, "www.").otherwise(""),
+        $"source", lit(".example.com"),
+        when(pmod($"doc_id", lit(5)) === 0, ":8080").otherwise(""),
+        lit("/"), $"lang", lit("/doc-"), $"doc_id",
+        lit("?ref="), $"source", lit("&page="), pmod($"doc_id", lit(7)),
+        when(pmod($"doc_id", lit(2)) === 0, "#top").otherwise("")))
+      .select($"doc_id", $"url",
+        parse_url($"url", lit("PROTOCOL")).as("protocol"),
+        parse_url($"url", lit("HOST")).as("host"),
+        parse_url($"url", lit("PATH")).as("path"),
+        parse_url($"url", lit("QUERY")).as("query"),
+        parse_url($"url", lit("REF")).as("frag"),
+        parse_url($"url", lit("QUERY"), lit("page")).as("page"),
+        regexp_replace(parse_url($"url", lit("HOST")), "^www\\.", "")
+          .as("domain"),
+        substring_index(parse_url($"url", lit("HOST")), ".", -1).as("tld"),
+        concat(regexp_replace(parse_url($"url", lit("HOST")), "^www\\.", ""),
+          parse_url($"url", lit("PATH"))).as("norm"))
+      .orderBy($"doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scalar_url" -> (urlPack _),
     "q_scalar_try_arith" -> (tryArith _),
     "q_scalar_bitwise" -> (bitwisePack _),
     "q_scalar_string" -> (stringPack _),
@@ -159,6 +199,32 @@ object ScalarOps extends graft.QueryModule {
     "q_scalar_conditional" -> (conditionalPack _))
 
   def oracle: Map[String, String] = Map(
+    "q_scalar_url" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://' ||
+        |    CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END ||
+        |    source || '.example.com' ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END ||
+        |    '/' || lang || '/doc-' || CAST(doc_id AS VARCHAR) ||
+        |    '?ref=' || source || '&page=' || CAST(doc_id % 7 AS VARCHAR) ||
+        |    CASE WHEN doc_id % 2 = 0 THEN '#top' ELSE '' END AS url
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, url,
+        |    regexp_extract(url, '^([a-z]+)://', 1) AS protocol,
+        |    regexp_extract(url, '^https://([^/:?#]+)', 1) AS host,
+        |    regexp_extract(url, '^https://[^/?#]+(/[^?#]*)', 1) AS path,
+        |    regexp_extract(url, '\?([^#]*)', 1) AS query,
+        |    CASE WHEN url LIKE '%#%'
+        |         THEN regexp_extract(url, '#(.*)$', 1) END AS frag,
+        |    regexp_extract(url, '[?&]page=([^&#]*)', 1) AS page
+        |  FROM u)
+        |SELECT doc_id, url, protocol, host, path, query, frag, page,
+        |  regexp_replace(host, '^www\.', '') AS domain,
+        |  regexp_extract(host, '([^.]+)$', 1) AS tld,
+        |  regexp_replace(host, '^www\.', '') || path AS norm
+        |FROM p ORDER BY doc_id""".stripMargin,
     "q_scalar_try_arith" ->
       """SELECT event_id,
         |  value / NULLIF(user_id % 7, 0) AS per_bucket,

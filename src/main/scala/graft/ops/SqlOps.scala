@@ -221,10 +221,127 @@ object SqlOps extends graft.QueryModule {
       .limit(10)
   }
 
+  /** q_sql_tpch_q5 — the TPC-H Q5 shape (local-supplier volume): the
+    * 6-table snowflake customer⋈orders⋈lineitem⋈supplier⋈nation⋈region
+    * with the EXTRA non-hierarchical equi-edge c_nationkey = s_nationkey
+    * ("customer and supplier in the same nation") that makes Q5 the
+    * classic join-ORDER stressor. Declared join order is big-to-small
+    * (fact legs first, dims last) so the two dim joins ride the
+    * already-shuffled fact stream as broadcasts; at 100 TB the
+    * orders⋈lineitem leg shuffles on orderkey once, supplier (smaller
+    * by 100x) broadcasts or shuffles on suppkey, and nation/region are
+    * always broadcast — the plan has exactly ONE big shuffle pair.
+    * The region filter reaches the region scan and AQE/DPP prunes from
+    * there. Revenue keeps the decimal discipline of [[tpchQ3]]. */
+  def tpchQ5(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1997-01-01").cast("timestamp")
+    val ord = graft.Tables.orders(spark, sfDir)
+      .filter($"o_orderdate" >= lo && $"o_orderdate" < hi)
+      .select($"o_orderkey", $"o_custkey")
+    val li = graft.Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount")
+    val cust = graft.Tables.customer(spark, sfDir)
+      .select($"c_custkey", $"c_nationkey")
+    val supp = graft.Tables.supplier(spark, sfDir)
+      .select($"s_suppkey", $"s_nationkey")
+    val nat = graft.Tables.nation(spark, sfDir)
+      .select($"n_nationkey", $"n_name", $"n_regionkey")
+    val reg = graft.Tables.region(spark, sfDir)
+      .filter($"r_name" === "ASIA").select($"r_regionkey")
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .join(supp, $"l_suppkey" === $"s_suppkey" &&
+        $"c_nationkey" === $"s_nationkey")
+      .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"n_name")
+      .agg(round(sum(AggOps.dec($"l_extendedprice") *
+          (lit(BigDecimal(1)) - AggOps.rate($"l_discount"))), 6)
+        .cast("double").as("revenue"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+
+  /** q_sql_tpch_q18 — the TPC-H Q18 shape (large-volume customers): a
+    * HAVING-filtered self-aggregate of the fact table semijoin-pruning
+    * the same fact table. The scale shape: the inner groupBy is ONE
+    * partial-agg'd shuffle on orderkey producing a tiny key set (46 of
+    * 15k orders at the fixture threshold), which then SEMI-joins — not
+    * IN-materializes — back against orders/lineitem on the same key,
+    * so AQE turns it into a broadcast semi at any realistic
+    * selectivity; the final per-order quantity rollup reuses the
+    * orderkey partitioning. Quantities sum as DECIMAL(14,2) (the
+    * fixture's l_quantity is integral but typed double), total ordered
+    * by o_totalprice desc with the orderkey tiebreak, top-100 as a
+    * TakeOrderedAndProject heap. */
+  def tpchQ18(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = graft.Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_quantity")
+    val big = li.groupBy($"l_orderkey")
+      .agg(sum(AggOps.dec($"l_quantity")).as("qty"))
+      .filter($"qty" > 300).select($"l_orderkey".as("big_orderkey"))
+    val ord = graft.Tables.orders(spark, sfDir)
+      .join(big, $"o_orderkey" === $"big_orderkey", "left_semi")
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate", $"o_totalprice")
+    val cust = graft.Tables.customer(spark, sfDir)
+      .select($"c_custkey", $"c_name")
+    ord.join(cust, $"o_custkey" === $"c_custkey")
+      .join(li, $"o_orderkey" === $"l_orderkey")
+      .groupBy($"c_name", $"c_custkey", $"o_orderkey",
+        $"o_orderdate".cast("date").as("o_orderdate"),
+        round(AggOps.dec($"o_totalprice"), 6).cast("double")
+          .as("o_totalprice"))
+      .agg(round(sum(AggOps.dec($"l_quantity")), 6).cast("double")
+        .as("total_qty"))
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .limit(100)
+  }
+
+  /** q_sql_tpch_q10 — the TPC-H Q10 shape (returned-item reporting):
+    * customer⋈orders⋈lineitem⋈nation with a one-quarter order window
+    * and the returnflag filter on the fact leg, revenue per customer,
+    * top-20 heap. The wide-row discipline: the 5 carried customer
+    * attributes ride the groupBy as grouping keys (they are
+    * functionally dependent on c_custkey but Spark/DuckDB both want
+    * them grouped), so the agg shuffles only the quarter's filtered
+    * slice — at 100 TB the orderdate filter prunes before the join
+    * and the heap keeps the sort bounded. */
+  def tpchQ10(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1996-04-01").cast("timestamp")
+    val ord = graft.Tables.orders(spark, sfDir)
+      .filter($"o_orderdate" >= lo && $"o_orderdate" < hi)
+      .select($"o_orderkey", $"o_custkey")
+    val li = graft.Tables.lineitem(spark, sfDir)
+      .filter($"l_returnflag" === "R")
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    val cust = graft.Tables.customer(spark, sfDir)
+    val nat = graft.Tables.nation(spark, sfDir)
+      .select($"n_nationkey", $"n_name")
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"c_custkey", $"c_name",
+        round(AggOps.dec($"c_acctbal"), 6).cast("double").as("c_acctbal"),
+        $"n_name")
+      .agg(round(sum(AggOps.dec($"l_extendedprice") *
+          (lit(BigDecimal(1)) - AggOps.rate($"l_discount"))), 6)
+        .cast("double").as("revenue"))
+      .select($"c_custkey", $"c_name", $"revenue", $"n_name", $"c_acctbal")
+      .orderBy($"revenue".desc, $"c_custkey")
+      .limit(20)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sql_correlated_subquery" -> (correlatedSubquery _),
     "q_sql_recursive_cte" -> (recursiveCalendar _),
     "q_sql_tpch_q3" -> (tpchQ3 _),
+    "q_sql_tpch_q5" -> (tpchQ5 _),
+    "q_sql_tpch_q10" -> (tpchQ10 _),
+    "q_sql_tpch_q18" -> (tpchQ18 _),
     "q_sql_grouping_sets" -> (groupingSets _),
     "q_sql_scalar_subquery" -> (scalarSubquery _),
     "q_sql_in_subquery" -> (inSubquery _),
@@ -247,6 +364,54 @@ object SqlOps extends graft.QueryModule {
         |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY 1, 2 ORDER BY revenue DESC, o_orderkey
         |LIMIT 10""".stripMargin,
+    "q_sql_tpch_q5" ->
+      """SELECT n_name,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(8,4)))), 6) AS DOUBLE)
+        |    AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |  AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_sql_tpch_q10" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(8,4)))), 6) AS DOUBLE)
+        |    AS revenue,
+        |  n_name,
+        |  CAST(ROUND(CAST(c_acctbal AS DECIMAL(14,2)), 6) AS DOUBLE)
+        |    AS c_acctbal
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+        |GROUP BY c_custkey, c_name, n_name, c_acctbal
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q_sql_tpch_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS o_orderdate,
+        |  CAST(ROUND(CAST(o_totalprice AS DECIMAL(14,2)), 6) AS DOUBLE)
+        |    AS o_totalprice,
+        |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(14,2))), 6) AS DOUBLE)
+        |    AS total_qty
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(14,2))) > 300)
+        |GROUP BY 1, 2, 3, 4, 5
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
     "q_sql_recursive_cte" ->
       """WITH RECURSIVE months AS (
         |  SELECT date_trunc('month', min(o_orderdate))::DATE AS m,

@@ -341,7 +341,42 @@ object WindowOps extends graft.QueryModule {
       .orderBy($"event_type")
   }
 
+  /** q_window_anomaly_zscore — rolling z-score anomaly flags per user:
+    * each event scored against ITS OWN trailing 7-event window (mean +
+    * population variance over ROWS BETWEEN 6 PRECEDING AND CURRENT),
+    * |z| > 2 flagged — the standard online anomaly gate, windowed so
+    * a user's baseline is local, not global. Numeric discipline: the
+    * window sums are exact DECIMAL (value as (14,2), its square as
+    * (28,4) — both order-independent under any partial split), cast to
+    * double ONCE, and the variance is the textbook (nΣx²−(Σx)²)/n²
+    * evaluated in the SAME operation order in both engines; z is the
+    * single round(,6), and the flag compares the ROUNDED z so the
+    * branch can't straddle a last-ulp. One shuffle on user_id; frames
+    * are 7 rows of state per partition stream at any scale. */
+  def anomalyZscore(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val w7 = w.rowsBetween(-6, 0)
+    val dec = AggOps.dec($"value")
+    val n = count(lit(1)).over(w7).cast("double")
+    val s1 = sum(dec).over(w7).cast("double")
+    val s2 = sum(dec * dec).over(w7).cast("double")
+    graft.Tables.events(spark, sfDir)
+      .select($"user_id", $"event_id", unix_millis($"ts").as("ts_ms"),
+        $"value", n.as("n"), s1.as("s1"), s2.as("s2"))
+      .withColumn("variance", ($"n" * $"s2" - $"s1" * $"s1") / ($"n" * $"n"))
+      .withColumn("z",
+        when($"variance" > 1e-12,
+          round(($"value" - $"s1" / $"n") / sqrt($"variance"), 6)))
+      .select($"user_id", $"event_id", $"ts_ms", $"value",
+        $"n".cast("long").as("n_window"), $"z",
+        (abs(coalesce($"z", lit(0.0))) > 2.0).cast("int").as("is_anomaly"))
+      .orderBy($"user_id", $"ts_ms", $"event_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_anomaly_zscore" -> (anomalyZscore _),
     "q_window_attribution" -> (attribution _),
     "q_window_transitions" -> (transitions _),
     "q_window_rfm_segments" -> (rfmSegments _),
@@ -355,6 +390,32 @@ object WindowOps extends graft.QueryModule {
     "q_window_range_frame" -> (rangeFrame _))
 
   def oracle: Map[String, String] = Map(
+    // exact-decimal window sums cast to double once, variance in the
+    // identical operation order, flag on the ROUNDED z — see
+    // anomalyZscore's numeric-discipline scaladoc
+    "q_window_anomaly_zscore" ->
+      """WITH s AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value,
+        |    CAST(count(*) OVER w7 AS DOUBLE) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(14,2))) OVER w7 AS DOUBLE)
+        |      AS s1,
+        |    CAST(sum(CAST(value AS DECIMAL(14,2))
+        |             * CAST(value AS DECIMAL(14,2))) OVER w7 AS DOUBLE)
+        |      AS s2
+        |  FROM events
+        |  WINDOW w7 AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+        |v AS (
+        |  SELECT *, (n * s2 - s1 * s1) / (n * n) AS variance FROM s),
+        |z AS (
+        |  SELECT user_id, event_id, ts_ms, value,
+        |    CAST(n AS BIGINT) AS n_window,
+        |    CASE WHEN variance > 0.000000000001
+        |         THEN round((value - s1 / n) / sqrt(variance), 6) END AS z
+        |  FROM v)
+        |SELECT user_id, event_id, ts_ms, value, n_window, z,
+        |  CAST(abs(coalesce(z, 0)) > 2.0 AS INT) AS is_anomaly
+        |FROM z ORDER BY user_id, ts_ms, event_id""".stripMargin,
     // window-only attribution replay: next-purchase via the same
     // min-over-following frame, credit in integer millionths. Mirrors
     // attribution (incl. the same-ts conversion coalescing).

@@ -70,6 +70,8 @@ object PlanAudit {
     "q_text_unigram_logprob" -> Set("SinglePartition", "NestedLoop"),
     "q_text_bigram_pmi" -> Set("SinglePartition", "NestedLoop"),
     "q_ml_temperature_mix" -> Set("SinglePartition", "NestedLoop"),
+    // k-strata moment frame crossJoined with its 1-row Σs aggregate
+    "q_ml_neyman_sample" -> Set("SinglePartition", "NestedLoop"),
     "q_ml_domain_mix" -> Set("SinglePartition", "NestedLoop"),
     "q_sql_scalar_subquery" -> Set("SinglePartition"),
     // declared tiny cross join / documented global orders
@@ -81,6 +83,9 @@ object PlanAudit {
     "q_ml_global_shuffle" -> Set("SinglePartition"),
     // ANN/HNSW bounded-beam expansions (constant-size frames)
     "q_simsearch_topk" -> Set("Cartesian", "NestedLoop"),
+    // k-row centroid table collapsed to a 1-row array frame, broadcast
+    // into each Lloyd assign pass (k x dim longs by construction)
+    "q_simsearch_kmeans_portable" -> Set("SinglePartition", "NestedLoop"),
     "q_simsearch_topk_pq" -> Set("NestedLoop"),
     "q_simsearch_topk_hnsw" -> Set("SinglePartition", "NestedLoop")
   ).withDefaultValue(Set.empty)

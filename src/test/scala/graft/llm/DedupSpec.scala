@@ -307,6 +307,26 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("source stats: cross-source removals attributed to the right source") {
+    // B(11, src_mirror) duplicates A(10, src_main): the keep-list keeps A,
+    // removes B, and the removal must show up under src_mirror with
+    // n_cross_source = 1 (representative lives in src_main). C is clean.
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val b = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    val c = "one two three four five six seven eight nine ten"
+    val docs = Seq(
+      (10L, a, "src_main"), (11L, b, "src_mirror"), (20L, c, "src_main"))
+      .map { case (id, t, s) => (id, t, "en", s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ss").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = DedupOps.sourceStats(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(5))).toMap
+    assert(rows("src_main") === ((2L, 1L, 0L, 0L))) // A clustered, kept
+    assert(rows("src_mirror") === ((1L, 1L, 1L, 1L))) // B removed, cross
+  }
+
   test("components: transitive cluster collapses to min id; unrelated isolated") {
     // chain A(10)~B(11)~C(12) where A~C may be below threshold — transitivity
     // must still put all three in component 10; D/E form a separate pair.
