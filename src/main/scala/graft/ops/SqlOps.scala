@@ -335,13 +335,71 @@ object SqlOps extends graft.QueryModule {
       .limit(20)
   }
 
+  /** q_sql_tpch_q14 — the TPC-H Q14 shape (promotion-revenue share): a
+    * month of lineitem joined to part, CASE-split revenue ratio — the
+    * canonical conditional-aggregate-over-join. Part is the broadcast
+    * side (dim vs fact); the month filter prunes the fact scan before
+    * the join; both the promo and total sums come out of ONE aggregate
+    * (no second pass), DECIMAL-exact, with the single division at the
+    * end. Returns one row — the global aggregate's SinglePartition
+    * finish is 1 row by construction. */
+  def tpchQ14(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val lo = lit("1996-03-01").cast("timestamp")
+    val hi = lit("1996-04-01").cast("timestamp")
+    val li = graft.Tables.lineitem(spark, sfDir)
+      .filter($"l_shipdate" >= lo && $"l_shipdate" < hi)
+      .select($"l_partkey", $"l_extendedprice", $"l_discount")
+    val part = graft.Tables.part(spark, sfDir)
+      .select($"p_partkey", $"p_type")
+    val rev = AggOps.dec($"l_extendedprice") *
+      (lit(BigDecimal(1)) - AggOps.rate($"l_discount"))
+    li.join(broadcast(part), $"l_partkey" === $"p_partkey")
+      .agg(
+        round(sum(when($"p_type" === "PROMO", rev)
+          .otherwise(lit(BigDecimal(0)))), 6).cast("double")
+          .as("promo_revenue"),
+        round(sum(rev), 6).cast("double").as("total_revenue"))
+      .select($"promo_revenue", $"total_revenue",
+        round(lit(100.0) * $"promo_revenue" / $"total_revenue", 6)
+          .as("promo_pct"))
+  }
+
+  /** q_sql_tpch_q19 — the TPC-H Q19 shape (discounted revenue over
+    * disjunctive bracket predicates): three OR'd (brand, quantity
+    * range) brackets, each a conjunction over BOTH join sides. The
+    * planner lesson Q19 exists to teach: the join keys stay a plain
+    * equi-join and the disjunction is a post-join filter the optimizer
+    * partially pushes per-side (quantity bounds to lineitem's scan,
+    * brand set to part's) — never a nested-loop over the OR. Part
+    * broadcasts; one aggregate. */
+  def tpchQ19(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = graft.Tables.lineitem(spark, sfDir)
+      .select($"l_partkey", $"l_quantity", $"l_extendedprice", $"l_discount")
+    val part = graft.Tables.part(spark, sfDir)
+      .select($"p_partkey", $"p_brand")
+    val bracket =
+      ($"p_brand" === "Brand#1" && $"l_quantity".between(1, 11)) ||
+      ($"p_brand" === "Brand#9" && $"l_quantity".between(10, 20)) ||
+      ($"p_brand" === "Brand#20" && $"l_quantity".between(20, 30))
+    li.join(broadcast(part), $"l_partkey" === $"p_partkey")
+      .filter(bracket)
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(AggOps.dec($"l_extendedprice") *
+          (lit(BigDecimal(1)) - AggOps.rate($"l_discount"))), 6)
+          .cast("double").as("revenue"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sql_correlated_subquery" -> (correlatedSubquery _),
     "q_sql_recursive_cte" -> (recursiveCalendar _),
     "q_sql_tpch_q3" -> (tpchQ3 _),
     "q_sql_tpch_q5" -> (tpchQ5 _),
     "q_sql_tpch_q10" -> (tpchQ10 _),
+    "q_sql_tpch_q14" -> (tpchQ14 _),
     "q_sql_tpch_q18" -> (tpchQ18 _),
+    "q_sql_tpch_q19" -> (tpchQ19 _),
     "q_sql_grouping_sets" -> (groupingSets _),
     "q_sql_scalar_subquery" -> (scalarSubquery _),
     "q_sql_in_subquery" -> (inSubquery _),
@@ -397,6 +455,32 @@ object SqlOps extends graft.QueryModule {
         |  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
         |GROUP BY c_custkey, c_name, n_name, c_acctbal
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q_sql_tpch_q14" ->
+      """WITH a AS (
+        |  SELECT
+        |    CAST(ROUND(SUM(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(l_extendedprice AS DECIMAL(14,2))
+        |           * (1 - CAST(l_discount AS DECIMAL(8,4)))
+        |      ELSE CAST(0 AS DECIMAL(14,2)) END), 6) AS DOUBLE)
+        |      AS promo_revenue,
+        |    CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(8,4)))), 6) AS DOUBLE)
+        |      AS total_revenue
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+        |    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00')
+        |SELECT promo_revenue, total_revenue,
+        |  round(100.0 * promo_revenue / total_revenue, 6) AS promo_pct
+        |FROM a""".stripMargin,
+    "q_sql_tpch_q19" ->
+      """SELECT COUNT(*) AS n_lines,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(8,4)))), 6) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1'  AND l_quantity BETWEEN 1  AND 11)
+        |   OR (p_brand = 'Brand#9'  AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#20' AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
     "q_sql_tpch_q18" ->
       """SELECT c_name, c_custkey, o_orderkey,
         |  CAST(o_orderdate AS DATE) AS o_orderdate,

@@ -74,6 +74,10 @@ object PlanAudit {
     "q_ml_neyman_sample" -> Set("SinglePartition", "NestedLoop"),
     "q_ml_domain_mix" -> Set("SinglePartition", "NestedLoop"),
     "q_sql_scalar_subquery" -> Set("SinglePartition"),
+    // global one-row aggregates (promo share / bracket revenue): the
+    // ungrouped final stage is 1 row by construction
+    "q_sql_tpch_q14" -> Set("SinglePartition"),
+    "q_sql_tpch_q19" -> Set("SinglePartition"),
     // declared tiny cross join / documented global orders
     "q_join_cross" -> Set("Cartesian", "NestedLoop"),
     "q_sort_topk_global_custom" -> Set("SinglePartition"),

@@ -44,6 +44,34 @@ class TpchWaveSpec extends SparkTestBase {
     assert(math.abs(direct - rows.head.getAs[Double]("total_qty")) < 1e-6)
   }
 
+  test("q_sql_tpch_q14: promo share consistent and within the revenue") {
+    val r = graft.SparkEntry.queries("q_sql_tpch_q14")(spark, sf0001)
+      .collect()
+    assert(r.length === 1)
+    val (promo, total, pct) =
+      (r.head.getDouble(0), r.head.getDouble(1), r.head.getDouble(2))
+    assert(promo > 0 && total > promo)
+    assert(math.abs(pct - BigDecimal(100.0 * promo / total)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+  }
+
+  test("q_sql_tpch_q19: bracket filter matches a driver-side recount") {
+    import spark.implicits._
+    val r = graft.SparkEntry.queries("q_sql_tpch_q19")(spark, sf0001)
+      .collect().head
+    val direct = graft.Tables.lineitem(spark, sf0001)
+      .join(graft.Tables.part(spark, sf0001),
+        $"l_partkey" === $"p_partkey")
+      .collect().count { row =>
+        val b = row.getAs[String]("p_brand")
+        val q = row.getAs[Double]("l_quantity")
+        (b == "Brand#1" && q >= 1 && q <= 11) ||
+        (b == "Brand#9" && q >= 10 && q <= 20) ||
+        (b == "Brand#20" && q >= 20 && q <= 30)
+      }
+    assert(r.getLong(0) === direct.toLong && r.getDouble(1) > 0)
+  }
+
   test("q_scalar_url: host excludes port, query excludes fragment, norm is canonical") {
     val rows = graft.SparkEntry.queries("q_scalar_url")(spark, sf0001)
       .collect()
