@@ -146,9 +146,11 @@ object Runner {
     pending ++= all
     try {
       while (pending.nonEmpty) {
-        val ready = pending.filter(_.requires.forall(done)).toSeq.sortBy(_.name)
+        val ready = pending.filter(_.requires.forall(done)).toSeq
+          .sortBy(t => (-t.priority, t.name))
         if (ready.isEmpty) throw CycleException(pending.head.name)
-        // greedy admission in name order under the resource capacities
+        // greedy admission in (priority desc, name) order under the
+        // resource capacities — Luigi's scheduler order
         def cap(r: String): Int = resourceCaps.getOrElse(r, 1)
         val used = mutable.Map.empty[String, Int].withDefaultValue(0)
         val admitted = ready.filter { t =>

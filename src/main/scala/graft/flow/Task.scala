@@ -26,6 +26,11 @@ trait Task {
     * default 1 per name) — how Luigi rate-limits e.g. concurrent
     * writers against one database. Empty = unconstrained. */
   def resources: Map[String, Int] = Map.empty
+  /** Luigi `priority`: among READY tasks, higher runs first (name
+    * tiebreak keeps the schedule deterministic). Priority orders a
+    * wave's admission — it never overrides dependencies or resource
+    * capacities, exactly Luigi's contract. Default 0. */
+  def priority: Int = 0
   def output: Target
   def run(spark: SparkSession): Unit
   final def complete: Boolean = output.exists

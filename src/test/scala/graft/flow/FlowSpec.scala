@@ -125,6 +125,32 @@ class FlowSpec extends SparkTestBase {
     assert(Runner.runParallel(sink, spark, workers = 2).isEmpty)
   }
 
+  test("priority: higher-priority ready tasks admitted first; deps still win") {
+    val base = Files.createTempDirectory("graft_prio").toString
+    val order = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    case class PT(n: String, prio: Int, deps: Seq[Task]) extends Task {
+      override def name: String = n
+      override def priority: Int = prio
+      override def requires: Seq[Task] = deps
+      val output: Target = FileTarget(s"$base/$n")
+      def run(spark: SparkSession): Unit = {
+        order.add(n); Files.write(Paths.get(s"$base/$n"), "x".getBytes)
+      }
+    }
+    // one worker => a wave's admission order IS its execution order:
+    // "a_low" sorts first by name but "z_high" must lead the first
+    // wave on priority. "b_child" outranks everything at 99 yet
+    // depends on z_high — priority must NOT let it jump its
+    // dependency, so it lands in wave 2.
+    val zHigh = PT("z_high", 10, Seq.empty)
+    val aLow = PT("a_low", 0, Seq.empty)
+    val bChild = PT("b_child", 99, Seq(zHigh))
+    val sink = PT("sink", 0, Seq(aLow, bChild))
+    val executed = Runner.runParallel(sink, spark, workers = 1)
+    assert(executed == Seq("z_high", "a_low", "b_child", "sink"),
+      s"unexpected schedule: $executed")
+  }
+
   test("resources: capacity-1 unit serializes tasks; roomy capacity overlaps") {
     import java.util.concurrent.atomic.AtomicInteger
     def build(tag: String): (Task, AtomicInteger) = {
