@@ -1,0 +1,194 @@
+package graft.flow
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The LLM-corpus curation pipeline on the graft orchestrator — the
+  * north-star job (SURVEY.md §2.4) expressed as a Luigi-style DAG, the
+  * way a production shop actually runs it: batched, incremental,
+  * idempotent, resumable. Composes the engine's own operator families
+  * (quality gates, incremental exact dedup, quota mixing) as TASKS
+  * with persisted targets, rather than as one monolithic plan — each
+  * batch is restartable, a crashed run resumes at the first missing
+  * target, and a re-run executes nothing (O3).
+  *
+  *   PlanBatches ─► IngestBatch(i) ─► QualityGate(i) ─► DedupBatch(i)
+  *                                         (i-chain: Dedup i requires
+  *                                          Dedup i-1's fp index)
+  *   DedupBatch(i) ─► MixBatch(i) ─► CorpusReport (DYNAMIC deps: one
+  *                                   MixBatch per manifest line)
+  *
+  * The batch COUNT is data-driven: PlanBatches reads the corpus
+  * min/max doc_id and writes the batch-boundary manifest; every
+  * downstream task takes its slice from that manifest, and
+  * CorpusReport discovers its dependency set from it at runtime
+  * (Task.dynamicRequires — Luigi's `yield`). Batch slices OVERLAP by
+  * construction-tolerant design: re-ingested id ranges are harmless
+  * because the dedup chain drops any fingerprint already in the
+  * cumulative index (the incremental-dedup discipline of
+  * q_dedup_incremental applied across batches).
+  *
+  * Scale notes: every task is one narrow pass or one partial-agg'd
+  * shuffle; the fp index is the only cross-batch state and it is a
+  * one-column parquet artifact (the 100 TB shape — the corpus is never
+  * re-scanned, only the new batch + the index). */
+final case class CorpusConfig(baseDir: String, sfDir: String,
+                              sliceSize: Long = 200, overlap: Long = 50,
+                              quotaPerLang: Long = 30)
+
+object CorpusFlow {
+
+  private def fp(c: org.apache.spark.sql.Column) =
+    sha2(regexp_replace(lower(c), "\\s+", " "), 256)
+
+  /** Read the boundary manifest: one "start,end" line per batch. */
+  private[flow] def readManifest(path: String): Seq[(Long, Long)] =
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path))).trim.split("\n").toSeq
+      .filter(_.nonEmpty).map { l =>
+        val Array(a, b) = l.split(","); (a.toLong, b.toLong)
+      }
+
+  /** Data-driven batch planning: slice [min, max] doc_id into
+    * `sliceSize` ranges stepping by sliceSize - overlap (overlap
+    * simulates the re-delivery a real feed produces; dedup absorbs
+    * it). The manifest is the tiny driver-sized artifact every other
+    * task derives its work-list from. */
+  final case class PlanBatches(cfg: CorpusConfig) extends Task {
+    val output: FileTarget = FileTarget(s"${cfg.baseDir}/batches.manifest")
+    def run(spark: SparkSession): Unit = {
+      val r = graft.Tables.documents(spark, cfg.sfDir)
+        .agg(min("doc_id"), max("doc_id")).head
+      val (lo, hi) = (r.getLong(0), r.getLong(1))
+      val step = cfg.sliceSize - cfg.overlap
+      val starts = Iterator.iterate(lo)(_ + step).takeWhile(_ <= hi).toSeq
+      output.atomicWrite { tmp =>
+        java.nio.file.Files.writeString(tmp,
+          starts.map(s => s"$s,${s + cfg.sliceSize}").mkString("\n"))
+      }
+    }
+  }
+
+  /** One ingested batch: the manifest's i-th doc_id range, persisted as
+    * the batch's raw parquet (at 100 TB: the day's feed landing). */
+  final case class IngestBatch(cfg: CorpusConfig, i: Int) extends Task {
+    override def name = s"IngestBatch($i)"
+    override def requires: Seq[Task] = Seq(PlanBatches(cfg))
+    val output: DirTarget = DirTarget(s"${cfg.baseDir}/batch_$i/raw")
+    def run(spark: SparkSession): Unit = {
+      val (lo, hi) = readManifest(requires.head.output.uri)(i)
+      output.atomicWrite { tmp =>
+        graft.Tables.documents(spark, cfg.sfDir)
+          .filter(col("doc_id") >= lo && col("doc_id") < hi)
+          .write.parquet(tmp)
+      }
+    }
+  }
+
+  /** Gopher-lite quality gate over one batch: token floor + unique
+    * ratio + alpha ratio, a pure narrow map (filters reach the scan). */
+  final case class QualityGate(cfg: CorpusConfig, i: Int) extends Task {
+    override def name = s"QualityGate($i)"
+    override def requires: Seq[Task] = Seq(IngestBatch(cfg, i))
+    val output: DirTarget = DirTarget(s"${cfg.baseDir}/batch_$i/clean")
+    def run(spark: SparkSession): Unit = {
+      val toks = split(col("text"), " ")
+      output.atomicWrite { tmp =>
+        spark.read.parquet(requires.head.output.uri)
+          .withColumn("n_tokens", size(toks))
+          .withColumn("unique_ratio",
+            size(array_distinct(toks)).cast("double") /
+              size(toks).cast("double"))
+          .filter(col("n_tokens") >= 10 && col("unique_ratio") >= 0.3)
+          .drop("unique_ratio")
+          .write.parquet(tmp)
+      }
+    }
+  }
+
+  /** Incremental exact dedup: batch i keeps only docs whose content
+    * fingerprint is NOT in the cumulative index (batches 0..i-1 plus
+    * earlier rows of this batch via min-doc_id-per-fp), then publishes
+    * kept docs AND the extended index. The i-chain dependency makes
+    * the schedule correct under any worker count: batch i's dedup
+    * cannot start before batch i-1's index exists. */
+  final case class DedupBatch(cfg: CorpusConfig, i: Int) extends Task {
+    override def name = s"DedupBatch($i)"
+    override def requires: Seq[Task] =
+      if (i == 0) Seq(QualityGate(cfg, i))
+      else Seq(QualityGate(cfg, i), DedupBatch(cfg, i - 1))
+    val output: DirTarget = DirTarget(s"${cfg.baseDir}/batch_$i/deduped")
+    def indexPath: String = s"${cfg.baseDir}/batch_$i/fp_index"
+    def run(spark: SparkSession): Unit = {
+      import org.apache.spark.sql.expressions.Window
+      val batch = spark.read.parquet(requires.head.output.uri)
+        .withColumn("fp", fp(col("text")))
+      val prior: Option[DataFrame] =
+        if (i == 0) None
+        else Some(spark.read.parquet(
+          DedupBatch(cfg, i - 1).indexPath))
+      val withinFirst = batch.withColumn("rn",
+          row_number().over(Window.partitionBy(col("fp"))
+            .orderBy(col("doc_id"))))
+        .filter(col("rn") === 1).drop("rn")
+      val kept = prior match {
+        case Some(idx) =>
+          withinFirst.join(idx, Seq("fp"), "left_anti")
+        case None => withinFirst
+      }
+      output.atomicWrite { tmp => kept.write.parquet(tmp) }
+      val newIndex = prior match {
+        case Some(idx) =>
+          idx.union(kept.select(col("fp"))).distinct()
+        case None => kept.select(col("fp")).distinct()
+      }
+      val idxTarget = DirTarget(indexPath)
+      idxTarget.atomicWrite { tmp => newIndex.write.parquet(tmp) }
+    }
+  }
+
+  /** Per-language quota mix of one deduped batch (the quotaSample
+    * discipline: stable-hash order, nested samples). */
+  final case class MixBatch(cfg: CorpusConfig, i: Int) extends Task {
+    override def name = s"MixBatch($i)"
+    override def requires: Seq[Task] = Seq(DedupBatch(cfg, i))
+    val output: DirTarget = DirTarget(s"${cfg.baseDir}/batch_$i/mixed")
+    def run(spark: SparkSession): Unit = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(pmod(col("doc_id") * 2654435761L, lit(1000000007L)),
+          col("doc_id"))
+      output.atomicWrite { tmp =>
+        spark.read.parquet(requires.head.output.uri)
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= cfg.quotaPerLang)
+          .drop("rk")
+          .write.parquet(tmp)
+      }
+    }
+  }
+
+  /** The corpus datasheet: per-lang doc/char totals over EVERY mixed
+    * batch. Its dependency set is one MixBatch per manifest line —
+    * known only after PlanBatches has run, hence DYNAMIC (Luigi
+    * yield; Task.dynamicRequires). */
+  final case class CorpusReport(cfg: CorpusConfig) extends Task {
+    override def requires: Seq[Task] = Seq(PlanBatches(cfg))
+    override def dynamicRequires(spark: SparkSession): Seq[Task] =
+      readManifest(requires.head.output.uri).indices
+        .map(MixBatch(cfg, _))
+    val output: DirTarget = DirTarget(s"${cfg.baseDir}/report")
+    def run(spark: SparkSession): Unit = {
+      val n = readManifest(requires.head.output.uri).length
+      output.atomicWrite { tmp =>
+        spark.read.parquet(
+            (0 until n).map(i => s"${cfg.baseDir}/batch_$i/mixed"): _*)
+          .groupBy(col("lang"))
+          .agg(countDistinct(col("doc_id")).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"))
+          .orderBy(col("lang"))
+          .coalesce(1).write.parquet(tmp)
+      }
+    }
+  }
+}

@@ -96,6 +96,12 @@ object Runner {
       if (inStack.contains(t)) throw CycleException(t.name)
       inStack += t
       t.requires.foreach(visit)
+      if (!t.complete) {
+        // dynamic deps (Luigi yield): resolved only once statics are
+        // complete, so they may read upstream outputs; recursion covers
+        // their own static+dynamic closure. inStack still guards cycles.
+        t.dynamicRequires(spark).foreach(visit)
+      }
       inStack -= t
       if (!t.complete) {
         log(s"RUN  ${t.name} -> ${t.output.uri}")
@@ -144,10 +150,29 @@ object Runner {
     val done = mutable.Set.empty[Task]
     val pending = mutable.LinkedHashSet.empty[Task]
     pending ++= all
+    // dynamic deps (Luigi yield): resolved on the scheduler thread the
+    // first time a task's statics are all done; resolved tasks (and
+    // their transitive closure) join `pending`, and the task itself is
+    // gated until they finish. Cache = call-once contract.
+    val dynCache = mutable.Map.empty[Task, Seq[Task]]
+    def dynOf(t: Task): Seq[Task] = dynCache.getOrElseUpdate(t, {
+      val dyn = if (t.complete) Seq.empty else t.dynamicRequires(spark)
+      dyn.foreach { d =>
+        if (!all.contains(d)) { collect(d, Set.empty); pending ++= (all -- done -- pending) }
+      }
+      dyn
+    })
     try {
       while (pending.nonEmpty) {
-        val ready = pending.filter(_.requires.forall(done)).toSeq
+        // snapshot: dynOf may grow `pending` mid-scan; when the first
+        // scan admits nothing, rescan once so freshly-resolved dynamic
+        // deps (not in the snapshot) can form the wave — only an empty
+        // SECOND scan is a real cycle/stall
+        def scan(): Seq[Task] = pending.toSeq
+          .filter(t => t.requires.forall(done) && dynOf(t).forall(done))
           .sortBy(t => (-t.priority, t.name))
+        val first = scan()
+        val ready = if (first.nonEmpty) first else scan()
         if (ready.isEmpty) throw CycleException(pending.head.name)
         // greedy admission in (priority desc, name) order under the
         // resource capacities — Luigi's scheduler order

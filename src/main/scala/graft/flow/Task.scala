@@ -31,6 +31,16 @@ trait Task {
     * wave's admission — it never overrides dependencies or resource
     * capacities, exactly Luigi's contract. Default 0. */
   def priority: Int = 0
+  /** Luigi DYNAMIC dependencies (`yield` inside `run`): requirements
+    * that cannot be declared statically because they are a function of
+    * upstream OUTPUTS (e.g. one task per partition listed in an
+    * upstream manifest). Called by the scheduler AFTER every static
+    * `requires` is complete and only for incomplete tasks; every
+    * returned task (with its own transitive deps, static and dynamic)
+    * is completed before `run` fires. Must be deterministic and cheap
+    * (read a manifest, list a directory) — heavy work belongs in the
+    * tasks it returns. Default: none. */
+  def dynamicRequires(spark: SparkSession): Seq[Task] = Seq.empty
   def output: Target
   def run(spark: SparkSession): Unit
   final def complete: Boolean = output.exists

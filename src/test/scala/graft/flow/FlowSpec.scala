@@ -125,6 +125,57 @@ class FlowSpec extends SparkTestBase {
     assert(Runner.runParallel(sink, spark, workers = 2).isEmpty)
   }
 
+  test("dynamic deps: manifest-driven tasks run before the consumer, both runners") {
+    // Luigi `yield` semantics: Report's real dependency set is one
+    // Shard per line of the manifest its STATIC dep writes — unknowable
+    // until Manifest has run. Both schedulers must (1) run Manifest,
+    // (2) resolve + run every Shard, (3) only then run Report.
+    def build(tag: String): (Task, String) = {
+      val base = Files.createTempDirectory(s"graft_dyn_$tag").toString
+      case class Manifest() extends Task {
+        override def name = "Manifest"
+        val output: Target = FileTarget(s"$base/manifest")
+        def run(spark: SparkSession): Unit =
+          Files.write(Paths.get(s"$base/manifest"), "s1\ns2\ns3".getBytes)
+      }
+      case class Shard(id: String) extends Task {
+        override def name = s"Shard($id)"
+        val output: Target = FileTarget(s"$base/shard_$id")
+        def run(spark: SparkSession): Unit =
+          Files.write(Paths.get(s"$base/shard_$id"), id.getBytes)
+      }
+      case class Report(m: Manifest) extends Task {
+        override def name = "Report"
+        override def requires: Seq[Task] = Seq(m)
+        override def dynamicRequires(spark: SparkSession): Seq[Task] =
+          new String(Files.readAllBytes(Paths.get(m.output.uri)))
+            .split("\n").toSeq.map(Shard(_))
+        val output: Target = FileTarget(s"$base/report")
+        def run(spark: SparkSession): Unit = {
+          // every shard must already exist when the consumer runs
+          Seq("s1", "s2", "s3").foreach { id =>
+            assert(Files.exists(Paths.get(s"$base/shard_$id")),
+              s"shard $id missing when Report ran")
+          }
+          Files.write(Paths.get(s"$base/report"), "ok".getBytes)
+        }
+      }
+      (Report(Manifest()), base)
+    }
+    val (seqRoot, _) = build("seq")
+    val seqOrder = Runner.run(seqRoot, spark)
+    assert(seqOrder.head == "Manifest" && seqOrder.last == "Report")
+    assert(seqOrder.toSet ==
+      Set("Manifest", "Shard(s1)", "Shard(s2)", "Shard(s3)", "Report"))
+    assert(Runner.run(seqRoot, spark).isEmpty) // idempotent re-run
+    val (parRoot, _) = build("par")
+    val parOrder = Runner.runParallel(parRoot, spark, workers = 2)
+    assert(parOrder.head == "Manifest" && parOrder.last == "Report")
+    assert(parOrder.toSet ==
+      Set("Manifest", "Shard(s1)", "Shard(s2)", "Shard(s3)", "Report"))
+    assert(Runner.runParallel(parRoot, spark, workers = 2).isEmpty)
+  }
+
   test("priority: higher-priority ready tasks admitted first; deps still win") {
     val base = Files.createTempDirectory("graft_prio").toString
     val order = new java.util.concurrent.ConcurrentLinkedQueue[String]()
