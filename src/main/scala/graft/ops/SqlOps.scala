@@ -391,12 +391,61 @@ object SqlOps extends graft.QueryModule {
           .cast("double").as("revenue"))
   }
 
+  /** q_sql_tpch_q6 — the TPC-H Q6 shape (forecast revenue change): the
+    * canonical PREDICATE-PUSHDOWN benchmark — a single filtered
+    * aggregate whose year + discount-band + quantity-cap conjunction
+    * must ALL reach the parquet scan (PushedFilters carries every leg;
+    * ReadSchema carries 4 of 11 columns), leaving one partial+final
+    * agg over the surviving slice. No join, no shuffle beyond the
+    * 1-row final. */
+  def tpchQ6(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1997-01-01").cast("timestamp")
+    graft.Tables.lineitem(spark, sfDir)
+      .filter($"l_shipdate" >= lo && $"l_shipdate" < hi &&
+        $"l_discount".between(0.05, 0.07) && $"l_quantity" < 24)
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(AggOps.dec($"l_extendedprice") *
+          AggOps.rate($"l_discount")), 6).cast("double").as("revenue"))
+  }
+
+  /** q_sql_tpch_q4 — the TPC-H Q4 shape (order-priority checking): a
+    * quarter of orders kept iff ANY lineitem shipped late (EXISTS →
+    * left-semi join; the fact side never multiplies the order rows),
+    * counted per priority. The semi join is the decorrelation test:
+    * Spark plans EXISTS as a semi on orderkey, AQE broadcasts the
+    * filtered order slice, and the count is one partial-agg'd
+    * groupBy over 3 rows out. The fixture has no commitdate/
+    * receiptdate pair, so "late" is shipdate after the order's
+    * quarter end — same shape, same plan. */
+  def tpchQ4(spark: SparkSession, sfDir: String): DataFrame = {
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1996-04-01").cast("timestamp")
+    graft.Tables.orders(spark, sfDir).createOrReplaceTempView("orders_v")
+    graft.Tables.lineitem(spark, sfDir)
+      .createOrReplaceTempView("lineitem_v")
+    spark.sql(
+      s"""SELECT o_orderpriority, COUNT(*) AS order_count
+         |FROM orders_v o
+         |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+         |  AND EXISTS (
+         |    SELECT 1 FROM lineitem_v l
+         |    WHERE l.l_orderkey = o.o_orderkey
+         |      AND l.l_shipdate >= TIMESTAMP '1996-04-01 00:00:00')
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sql_correlated_subquery" -> (correlatedSubquery _),
     "q_sql_recursive_cte" -> (recursiveCalendar _),
     "q_sql_tpch_q3" -> (tpchQ3 _),
     "q_sql_tpch_q5" -> (tpchQ5 _),
     "q_sql_tpch_q10" -> (tpchQ10 _),
+    "q_sql_tpch_q4" -> (tpchQ4 _),
+    "q_sql_tpch_q6" -> (tpchQ6 _),
     "q_sql_tpch_q14" -> (tpchQ14 _),
     "q_sql_tpch_q18" -> (tpchQ18 _),
     "q_sql_tpch_q19" -> (tpchQ19 _),
@@ -455,6 +504,27 @@ object SqlOps extends graft.QueryModule {
         |  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
         |GROUP BY c_custkey, c_name, n_name, c_acctbal
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q_sql_tpch_q6" ->
+      """SELECT COUNT(*) AS n_lines,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+        |    * CAST(l_discount AS DECIMAL(8,4))), 6) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q_sql_tpch_q4" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey
+        |      AND l.l_shipdate >= TIMESTAMP '1996-04-01 00:00:00')
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "q_sql_tpch_q14" ->
       """WITH a AS (
         |  SELECT

@@ -76,6 +76,7 @@ object PlanAudit {
     "q_sql_scalar_subquery" -> Set("SinglePartition"),
     // global one-row aggregates (promo share / bracket revenue): the
     // ungrouped final stage is 1 row by construction
+    "q_sql_tpch_q6" -> Set("SinglePartition"),
     "q_sql_tpch_q14" -> Set("SinglePartition"),
     "q_sql_tpch_q19" -> Set("SinglePartition"),
     // declared tiny cross join / documented global orders

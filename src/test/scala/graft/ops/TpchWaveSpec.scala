@@ -44,6 +44,40 @@ class TpchWaveSpec extends SparkTestBase {
     assert(math.abs(direct - rows.head.getAs[Double]("total_qty")) < 1e-6)
   }
 
+  test("q_sql_tpch_q6: every filter leg reaches the parquet scan") {
+    val df = graft.SparkEntry.queries("q_sql_tpch_q6")(spark, sf0001)
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) { df.explain("formatted") }
+    val p = out.toString
+    assert(p.contains("PushedFilters"), p.take(2000))
+    Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+      "GreaterThanOrEqual(l_discount,0.05)", "LessThanOrEqual(l_discount,0.07)",
+      "LessThan(l_quantity,24.0)").foreach { f =>
+      assert(p.contains(f), s"filter $f not pushed:\n${p.take(3000)}")
+    }
+    assert(df.collect().head.getLong(0) > 0)
+  }
+
+  test("q_sql_tpch_q4: EXISTS plans as a semi join, counts consistent") {
+    import spark.implicits._
+    val df = graft.SparkEntry.queries("q_sql_tpch_q4")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), plan.take(2000))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // independent recount of one priority via a distinct-join
+    val pri = rows.head.getString(0)
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1996-04-01").cast("timestamp")
+    val late = graft.Tables.lineitem(spark, sf0001)
+      .filter($"l_shipdate" >= hi).select($"l_orderkey").distinct()
+    val direct = graft.Tables.orders(spark, sf0001)
+      .filter($"o_orderdate" >= lo && $"o_orderdate" < hi &&
+        $"o_orderpriority" === pri)
+      .join(late, $"o_orderkey" === $"l_orderkey").count()
+    assert(rows.head.getLong(1) === direct)
+  }
+
   test("q_sql_tpch_q14: promo share consistent and within the revenue") {
     val r = graft.SparkEntry.queries("q_sql_tpch_q14")(spark, sf0001)
       .collect()
