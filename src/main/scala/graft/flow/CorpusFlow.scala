@@ -1,6 +1,6 @@
 package graft.flow
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** The LLM-corpus curation pipeline on the graft orchestrator — the
@@ -13,8 +13,9 @@ import org.apache.spark.sql.functions._
   * target, and a re-run executes nothing (O3).
   *
   *   PlanBatches ─► IngestBatch(i) ─► QualityGate(i) ─► DedupBatch(i)
-  *                                         (i-chain: Dedup i requires
-  *                                          Dedup i-1's fp index)
+  *                          (i-chain: DedupBatch(i) requires
+  *                           FpIndex(i-1); FpIndex(i) requires
+  *                           DedupBatch(i) — one atomic target each)
   *   DedupBatch(i) ─► MixBatch(i) ─► CorpusReport (DYNAMIC deps: one
   *                                   MixBatch per manifest line)
   *
@@ -34,12 +35,13 @@ import org.apache.spark.sql.functions._
   * re-scanned, only the new batch + the index). */
 final case class CorpusConfig(baseDir: String, sfDir: String,
                               sliceSize: Long = 200, overlap: Long = 50,
-                              quotaPerLang: Long = 30)
+                              quotaPerLang: Long = 30) {
+  require(sliceSize > overlap,
+    s"sliceSize ($sliceSize) must exceed overlap ($overlap) — " +
+      "a non-positive step would never advance the batch ladder")
+}
 
 object CorpusFlow {
-
-  private def fp(c: org.apache.spark.sql.Column) =
-    sha2(regexp_replace(lower(c), "\\s+", " "), 256)
 
   /** Read the boundary manifest: one "start,end" line per batch. */
   private[flow] def readManifest(path: String): Seq[(Long, Long)] =
@@ -107,43 +109,54 @@ object CorpusFlow {
   }
 
   /** Incremental exact dedup: batch i keeps only docs whose content
-    * fingerprint is NOT in the cumulative index (batches 0..i-1 plus
-    * earlier rows of this batch via min-doc_id-per-fp), then publishes
-    * kept docs AND the extended index. The i-chain dependency makes
-    * the schedule correct under any worker count: batch i's dedup
-    * cannot start before batch i-1's index exists. */
+    * fingerprint is NOT in the cumulative index (batches 0..i-1 via
+    * the FpIndex chain, plus earlier rows of this batch via
+    * min-doc_id-per-fp). ONE atomic target per task (the resumability
+    * contract: a crash can never leave a task complete with a sibling
+    * artifact missing — the index is [[FpIndex]]'s own target). The
+    * FpIndex(i-1) dependency makes the schedule correct under any
+    * worker count. */
   final case class DedupBatch(cfg: CorpusConfig, i: Int) extends Task {
     override def name = s"DedupBatch($i)"
     override def requires: Seq[Task] =
       if (i == 0) Seq(QualityGate(cfg, i))
-      else Seq(QualityGate(cfg, i), DedupBatch(cfg, i - 1))
+      else Seq(QualityGate(cfg, i), FpIndex(cfg, i - 1))
     val output: DirTarget = DirTarget(s"${cfg.baseDir}/batch_$i/deduped")
-    def indexPath: String = s"${cfg.baseDir}/batch_$i/fp_index"
     def run(spark: SparkSession): Unit = {
       import org.apache.spark.sql.expressions.Window
       val batch = spark.read.parquet(requires.head.output.uri)
-        .withColumn("fp", fp(col("text")))
-      val prior: Option[DataFrame] =
-        if (i == 0) None
-        else Some(spark.read.parquet(
-          DedupBatch(cfg, i - 1).indexPath))
+        .withColumn("fp", graft.llm.DedupOps.contentFp(col("text")))
       val withinFirst = batch.withColumn("rn",
           row_number().over(Window.partitionBy(col("fp"))
             .orderBy(col("doc_id"))))
         .filter(col("rn") === 1).drop("rn")
-      val kept = prior match {
-        case Some(idx) =>
-          withinFirst.join(idx, Seq("fp"), "left_anti")
-        case None => withinFirst
-      }
+      val kept =
+        if (i == 0) withinFirst
+        else withinFirst.join(
+          spark.read.parquet(requires(1).output.uri), Seq("fp"), "left_anti")
       output.atomicWrite { tmp => kept.write.parquet(tmp) }
-      val newIndex = prior match {
-        case Some(idx) =>
-          idx.union(kept.select(col("fp"))).distinct()
-        case None => kept.select(col("fp")).distinct()
-      }
-      val idxTarget = DirTarget(indexPath)
-      idxTarget.atomicWrite { tmp => newIndex.write.parquet(tmp) }
+    }
+  }
+
+  /** The cumulative fingerprint index after batch i: the prior index
+    * unioned with batch i's SURVIVORS, read back from the parquet
+    * DedupBatch just wrote (never recomputed — the dedup plan runs
+    * once per batch). A one-column artifact: the only cross-batch
+    * state, driver-free and restart-safe. */
+  final case class FpIndex(cfg: CorpusConfig, i: Int) extends Task {
+    override def name = s"FpIndex($i)"
+    override def requires: Seq[Task] =
+      if (i == 0) Seq(DedupBatch(cfg, i))
+      else Seq(DedupBatch(cfg, i), FpIndex(cfg, i - 1))
+    val output: DirTarget = DirTarget(s"${cfg.baseDir}/batch_$i/fp_index")
+    def run(spark: SparkSession): Unit = {
+      val batchFps = spark.read.parquet(requires.head.output.uri)
+        .select(col("fp"))
+      val newIndex =
+        if (i == 0) batchFps.distinct()
+        else spark.read.parquet(requires(1).output.uri)
+          .union(batchFps).distinct()
+      output.atomicWrite { tmp => newIndex.write.parquet(tmp) }
     }
   }
 

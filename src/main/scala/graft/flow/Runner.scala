@@ -164,15 +164,19 @@ object Runner {
     })
     try {
       while (pending.nonEmpty) {
-        // snapshot: dynOf may grow `pending` mid-scan; when the first
-        // scan admits nothing, rescan once so freshly-resolved dynamic
-        // deps (not in the snapshot) can form the wave — only an empty
-        // SECOND scan is a real cycle/stall
+        // snapshot: dynOf may grow `pending` mid-scan; rescan while an
+        // empty scan GREW pending (nested dynamic deps resolve one
+        // level per scan) — an empty scan that resolved nothing new is
+        // a real cycle/stall
         def scan(): Seq[Task] = pending.toSeq
           .filter(t => t.requires.forall(done) && dynOf(t).forall(done))
           .sortBy(t => (-t.priority, t.name))
-        val first = scan()
-        val ready = if (first.nonEmpty) first else scan()
+        var ready = scan()
+        var lastSize = -1
+        while (ready.isEmpty && pending.size != lastSize) {
+          lastSize = pending.size
+          ready = scan()
+        }
         if (ready.isEmpty) throw CycleException(pending.head.name)
         // greedy admission in (priority desc, name) order under the
         // resource capacities — Luigi's scheduler order

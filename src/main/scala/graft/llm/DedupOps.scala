@@ -415,7 +415,11 @@ object DedupOps extends graft.QueryModule {
 
   /** Normalized content fingerprint shared by the incremental-dedup path
     * and its index builder (whitespace-collapsed lowercase sha256). */
-  private def contentFp(c: Column): Column =
+  /** THE normalized content fingerprint (whitespace-collapsed lowercase
+    * sha2-256) — shared across the dedup family AND flow.CorpusFlow;
+    * every cross-component dedup-compatibility claim rides on this
+    * single definition. */
+  private[graft] def contentFp(c: Column): Column =
     sha2(regexp_replace(lower(c), "\\s+", " "), 256)
 
   /** Artifact schema version: part of every artifact path, so changing

@@ -176,6 +176,39 @@ class FlowSpec extends SparkTestBase {
     assert(Runner.runParallel(parRoot, spark, workers = 2).isEmpty)
   }
 
+  test("nested dynamic deps resolve level by level in the parallel runner") {
+    // Outer yields Mid, Mid yields Leaf — two dynamic levels, all
+    // acyclic. The parallel scheduler must rescan per resolved level
+    // rather than declaring a spurious cycle.
+    val base = Files.createTempDirectory("graft_dyn2").toString
+    case class Leaf() extends Task {
+      override def name = "Leaf"
+      val output: Target = FileTarget(s"$base/leaf")
+      def run(spark: SparkSession): Unit =
+        Files.write(Paths.get(s"$base/leaf"), "x".getBytes)
+    }
+    case class Mid() extends Task {
+      override def name = "Mid"
+      override def dynamicRequires(spark: SparkSession): Seq[Task] = Seq(Leaf())
+      val output: Target = FileTarget(s"$base/mid")
+      def run(spark: SparkSession): Unit = {
+        assert(Files.exists(Paths.get(s"$base/leaf")))
+        Files.write(Paths.get(s"$base/mid"), "x".getBytes)
+      }
+    }
+    case class Outer() extends Task {
+      override def name = "Outer"
+      override def dynamicRequires(spark: SparkSession): Seq[Task] = Seq(Mid())
+      val output: Target = FileTarget(s"$base/outer")
+      def run(spark: SparkSession): Unit = {
+        assert(Files.exists(Paths.get(s"$base/mid")))
+        Files.write(Paths.get(s"$base/outer"), "x".getBytes)
+      }
+    }
+    assert(Runner.runParallel(Outer(), spark, workers = 2) ==
+      Seq("Leaf", "Mid", "Outer"))
+  }
+
   test("priority: higher-priority ready tasks admitted first; deps still win") {
     val base = Files.createTempDirectory("graft_prio").toString
     val order = new java.util.concurrent.ConcurrentLinkedQueue[String]()
