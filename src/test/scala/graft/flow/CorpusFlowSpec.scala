@@ -59,5 +59,40 @@ class CorpusFlowSpec extends SparkTestBase {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(report.nonEmpty)
     report.values.foreach(v => assert(v <= cfg.quotaPerLang * n))
+
+    // crash-resume: simulate a run that died right after DedupBatch(1)
+    // — batch 1's fp index and everything downstream of it never got
+    // written. The resume must rebuild exactly the missing suffix
+    // (FpIndex 1.., DedupBatch 2.., MixBatch 2.., the report) and
+    // nothing whose target survived; the rebuilt report is identical.
+    val before = spark.read.parquet(s"${cfg.baseDir}/report")
+      .collect().map(_.toString).sorted.toSeq
+    def rmrf(p: java.nio.file.Path): Unit =
+      if (Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(Files.delete)
+      }
+    rmrf(java.nio.file.Paths.get(s"${cfg.baseDir}/report"))
+    (1 until n).foreach { i =>
+      rmrf(java.nio.file.Paths.get(s"${cfg.baseDir}/batch_$i/fp_index"))
+    }
+    (2 until n).foreach { i =>
+      rmrf(java.nio.file.Paths.get(s"${cfg.baseDir}/batch_$i/deduped"))
+      rmrf(java.nio.file.Paths.get(s"${cfg.baseDir}/batch_$i/mixed"))
+    }
+    val resumed = Runner.runParallel(root, spark, workers = 2)
+    // the LAST batch's index has no consumer, so resume correctly
+    // leaves it unbuilt (pure target-demand laziness)
+    assert(resumed.toSet ==
+      ((1 until n - 1).map(i => s"FpIndex($i)") ++
+        (2 until n).map(i => s"DedupBatch($i)") ++
+        (2 until n).map(i => s"MixBatch($i)") ++
+        Seq("CorpusReport")).toSet, s"resume ran: $resumed")
+    assert(resumed.count(_.startsWith("IngestBatch")) == 0)
+    assert(resumed.count(_.startsWith("QualityGate")) == 0)
+    val after = spark.read.parquet(s"${cfg.baseDir}/report")
+      .collect().map(_.toString).sorted.toSeq
+    assert(after == before, "resume changed the report")
   }
 }
