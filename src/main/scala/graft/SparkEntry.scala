@@ -19,7 +19,8 @@ object SparkEntry {
   private def modules: Seq[QueryModule] = Seq(
     ops.AggOps, ops.ScanOps, ops.FilterOps, ops.JoinOps,
     ops.WindowOps, ops.SortSetOps, ops.ScalarOps, ops.UdafOps, ops.MlOps,
-    ops.SqlOps, ops.ReshapeOps, ops.QualityOps, ops.IncrementalOps,
+    ops.SqlOps, ops.TpchOps, ops.ReshapeOps, ops.QualityOps,
+    ops.IncrementalOps,
     text.TextOps, text.BpeOps, text.SearchOps,
     llm.DedupOps, llm.SpanDedup, llm.GraphOps, llm.SimSearchOps,
     llm.MultimodalOps,

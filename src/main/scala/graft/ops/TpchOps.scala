@@ -1,0 +1,512 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** TPC-H closure, wave 2 (Q7/Q8/Q9/Q12/Q13/Q15/Q16/Q17/Q21/Q22 shapes).
+  *
+  * The fixture diverges from the official TPC-H schema in documented
+  * ways — no partsupp table, no l_commitdate/l_receiptdate/l_shipmode,
+  * no c_phone/comments — so each query keeps the SHAPE the benchmark
+  * exists to exercise (the join topology, the subquery class, the
+  * aggregate structure) and swaps the missing column for a declared
+  * stand-in:
+  *   - partsupp        := SELECT DISTINCT (l_partkey, l_suppkey)
+  *   - "late" shipment := l_shipdate > o_orderdate + 60/90 days
+  *   - country code    := c_nationkey over a fixed IN-set
+  *   - supply cost     := p_retailprice * l_quantity * 0.1
+  * Money math follows the repo-wide decimal discipline (AggOps.dec /
+  * AggOps.rate exact DECIMAL accumulation, one round(…,6) at the end,
+  * then double), so every oracle is a hash-exact DuckDB twin.
+  */
+object TpchOps extends graft.QueryModule {
+
+  private def dec(c: Column) = AggOps.dec(c)
+  private def rate(c: Column) = AggOps.rate(c)
+  private def revenue(price: Column, disc: Column): Column =
+    dec(price) * (lit(BigDecimal(1)) - rate(disc))
+
+  /** q_sql_tpch_q7 — volume shipping between two nations: the
+    * double-role-dimension query (nation joined TWICE, once per fact
+    * side) with a symmetric OR pair filter. Both nation legs broadcast
+    * (25 rows); the OR collapses each side to 2 keys, so at 100 TB the
+    * orders⋈lineitem⋈customer chain shuffles once on its keys and the
+    * pair predicate prunes at the broadcast probes — never a shuffle of
+    * the nation names. Exact-decimal volume, grouped by the
+    * (supp, cust, year) rollup. */
+  def tpchQ7(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1998-01-01").cast("timestamp")
+    val li = graft.Tables.lineitem(spark, sfDir)
+      .filter($"l_shipdate" >= lo && $"l_shipdate" < hi)
+      .select($"l_orderkey", $"l_suppkey", $"l_shipdate",
+        $"l_extendedprice", $"l_discount")
+    val ord = graft.Tables.orders(spark, sfDir)
+      .select($"o_orderkey", $"o_custkey")
+    val supp = graft.Tables.supplier(spark, sfDir)
+      .select($"s_suppkey", $"s_nationkey")
+    val cust = graft.Tables.customer(spark, sfDir)
+      .select($"c_custkey", $"c_nationkey")
+    val n1 = graft.Tables.nation(spark, sfDir)
+      .select($"n_nationkey".as("n1_key"), $"n_name".as("supp_nation"))
+    val n2 = graft.Tables.nation(spark, sfDir)
+      .select($"n_nationkey".as("n2_key"), $"n_name".as("cust_nation"))
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(n1), $"s_nationkey" === $"n1_key")
+      .join(broadcast(n2), $"c_nationkey" === $"n2_key")
+      .filter(($"supp_nation" === "NATION_1" && $"cust_nation" === "NATION_2") ||
+              ($"supp_nation" === "NATION_2" && $"cust_nation" === "NATION_1"))
+      .groupBy($"supp_nation", $"cust_nation",
+        year($"l_shipdate").as("l_year"))
+      .agg(round(sum(revenue($"l_extendedprice", $"l_discount")), 6)
+        .cast("double").as("revenue"))
+      .orderBy($"supp_nation", $"cust_nation", $"l_year")
+  }
+
+  /** q_sql_tpch_q8 — national market share: the 8-table snowflake with
+    * nation in two roles (customer region gate, supplier share key) and
+    * a share-of-total conditional aggregate. Both volume legs accumulate
+    * as exact DECIMAL in ONE grouped aggregate; the share divides the
+    * two already-rounded doubles so Spark and the oracle divide
+    * identical inputs. Dims broadcast; the single big shuffle is the
+    * fact chain on its join keys. */
+  def tpchQ8(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1998-01-01").cast("timestamp")
+    val ord = graft.Tables.orders(spark, sfDir)
+      .filter($"o_orderdate" >= lo && $"o_orderdate" < hi)
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+    val li = graft.Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_partkey", $"l_suppkey",
+        $"l_extendedprice", $"l_discount")
+    val part = graft.Tables.part(spark, sfDir)
+      .filter($"p_type" === "STANDARD").select($"p_partkey")
+    val supp = graft.Tables.supplier(spark, sfDir)
+      .select($"s_suppkey", $"s_nationkey")
+    val cust = graft.Tables.customer(spark, sfDir)
+      .select($"c_custkey", $"c_nationkey")
+    val n1 = graft.Tables.nation(spark, sfDir)
+      .select($"n_nationkey".as("n1_key"), $"n_regionkey")
+    val reg = graft.Tables.region(spark, sfDir)
+      .filter($"r_name" === "ASIA").select($"r_regionkey")
+    val n2 = graft.Tables.nation(spark, sfDir)
+      .select($"n_nationkey".as("n2_key"), $"n_name".as("nation"))
+    val vol = revenue($"l_extendedprice", $"l_discount")
+    li.join(broadcast(part), $"l_partkey" === $"p_partkey")
+      .join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(n1), $"c_nationkey" === $"n1_key")
+      .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
+      .join(broadcast(n2), $"s_nationkey" === $"n2_key")
+      .groupBy(year($"o_orderdate").as("o_year"))
+      .agg(
+        round(sum(when($"nation" === "NATION_5", vol)
+          .otherwise(lit(BigDecimal(0)))), 6).cast("double")
+          .as("nation_volume"),
+        round(sum(vol), 6).cast("double").as("total_volume"))
+      .select($"o_year", $"nation_volume", $"total_volume",
+        round($"nation_volume" / $"total_volume", 6).as("mkt_share"))
+      .orderBy($"o_year")
+  }
+
+  /** q_sql_tpch_q9 — product-type profit: the LIKE-gated part filter
+    * fanned across every order year and supplier nation. The fixture
+    * has no ps_supplycost, so cost is the declared stand-in
+    * p_retailprice * l_quantity * 0.1 — the aggregate structure
+    * (profit = revenue − cost per (nation, year), exact decimal) is the
+    * Q9 shape. '%widget%' cannot push below the broadcast probe, but
+    * part is the 100×-smaller dim: the filter prunes the build side to
+    * 1/8 before any fact row moves. */
+  def tpchQ9(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val part = graft.Tables.part(spark, sfDir)
+      .filter($"p_name".like("%widget%"))
+      .select($"p_partkey", $"p_retailprice")
+    val li = graft.Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_partkey", $"l_suppkey", $"l_quantity",
+        $"l_extendedprice", $"l_discount")
+    val ord = graft.Tables.orders(spark, sfDir)
+      .select($"o_orderkey", $"o_orderdate")
+    val supp = graft.Tables.supplier(spark, sfDir)
+      .select($"s_suppkey", $"s_nationkey")
+    val nat = graft.Tables.nation(spark, sfDir)
+      .select($"n_nationkey", $"n_name".as("nation"))
+    val amount = revenue($"l_extendedprice", $"l_discount") -
+      dec($"p_retailprice") * dec($"l_quantity") * lit(BigDecimal("0.1"))
+    li.join(broadcast(part), $"l_partkey" === $"p_partkey")
+      .join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
+      .groupBy($"nation", year($"o_orderdate").as("o_year"))
+      .agg(round(sum(amount), 6).cast("double").as("sum_profit"))
+      .orderBy($"nation", $"o_year".desc)
+  }
+
+  /** q_sql_tpch_q12 — shipping-priority split: one fact⋈fact equi join
+    * with a non-equi lateness predicate (shipdate > orderdate + 90d —
+    * the fixture's commit/receipt stand-in) and a two-way conditional
+    * count by line status. The year filter prunes the lineitem scan;
+    * the lateness predicate rides the join output (it needs both
+    * sides), and the CASE pair comes out of ONE aggregate. */
+  def tpchQ12(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1997-01-01").cast("timestamp")
+    val li = graft.Tables.lineitem(spark, sfDir)
+      .filter($"l_shipdate" >= lo && $"l_shipdate" < hi)
+      .select($"l_orderkey", $"l_shipdate", $"l_linestatus")
+    val ord = graft.Tables.orders(spark, sfDir)
+      .select($"o_orderkey", $"o_orderdate", $"o_orderpriority")
+    val high = $"o_orderpriority".isin("1-URGENT", "2-HIGH")
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .filter($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 90 DAYS"))
+      .groupBy($"l_linestatus")
+      .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+           sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
+      .orderBy($"l_linestatus")
+  }
+
+  /** q_sql_tpch_q13 — customer order-count distribution: LEFT OUTER
+    * join with a predicate ON THE JOIN (the priority exclusion — the
+    * fixture's comment-regex stand-in) so excluded orders leave the
+    * customer row alive at count 0, then the histogram-of-counts
+    * second aggregate. Scale shape: both aggs are keyed (custkey, then
+    * count value) — two partial-agg'd shuffles, no global stage until
+    * the ≤ |distinct counts|-row result sort. */
+  def tpchQ13(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cust = graft.Tables.customer(spark, sfDir).select($"c_custkey")
+    val ord = graft.Tables.orders(spark, sfDir)
+      .select($"o_orderkey", $"o_custkey", $"o_orderpriority")
+    cust.join(ord,
+        $"c_custkey" === $"o_custkey" &&
+          $"o_orderpriority" =!= "4-NOT SPECIFIED",
+        "left_outer")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("c_count"))
+      .groupBy($"c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy($"custdist".desc, $"c_count".desc)
+  }
+
+  /** q_sql_tpch_q15 — top supplier: a grouped revenue rollup re-joined
+    * against its own 1-row MAX (the classic view + scalar-subquery
+    * pattern). The max comes from a second pass over the ≤|suppliers|
+    * rollup (tiny by then) and joins back as a broadcast EQUI join on
+    * the exact-DECIMAL revenue value — ties included, no nested loop;
+    * rounding to double happens only in the projection AFTER the
+    * equality. */
+  def tpchQ15(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1996-04-01").cast("timestamp")
+    val rev = graft.Tables.lineitem(spark, sfDir)
+      .filter($"l_shipdate" >= lo && $"l_shipdate" < hi)
+      .groupBy($"l_suppkey".as("supplier_no"))
+      .agg(sum(revenue($"l_extendedprice", $"l_discount")).as("rev_dec"))
+    val top = rev.agg(max($"rev_dec").as("max_rev"))
+    val supp = graft.Tables.supplier(spark, sfDir)
+      .select($"s_suppkey", $"s_name")
+    rev.join(broadcast(top), $"rev_dec" === $"max_rev")
+      .join(broadcast(supp), $"supplier_no" === $"s_suppkey")
+      .select($"s_suppkey", $"s_name",
+        round($"rev_dec", 6).cast("double").as("total_revenue"))
+      .orderBy($"s_suppkey")
+  }
+
+  /** q_sql_tpch_q16 — supplier count per part attribute: the NOT-IN
+    * exclusion + COUNT DISTINCT shape over the derived partsupp
+    * (DISTINCT (l_partkey, l_suppkey) — the fixture has no partsupp
+    * table). The exclusion list is a dim-side anti join (broadcast, ≤
+    * |suppliers|); the distinct-pair collapse is the one fact shuffle
+    * and the countDistinct reuses its partitioning. The part attribute
+    * filter prunes the broadcast build before the probe. */
+  def tpchQ16(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = graft.Tables.lineitem(spark, sfDir)
+      .select($"l_partkey".as("ps_partkey"), $"l_suppkey".as("ps_suppkey"))
+      .distinct()
+    val excl = graft.Tables.supplier(spark, sfDir)
+      .filter($"s_name".like("%7")).select($"s_suppkey")
+    val part = graft.Tables.part(spark, sfDir)
+      .filter($"p_brand" =!= "Brand#1" && $"p_type" =!= "PROMO" &&
+        $"p_size".isin(1, 4, 7, 10, 15, 23, 45, 50))
+      .select($"p_partkey", $"p_brand", $"p_type", $"p_size")
+    pairs.join(broadcast(excl), $"ps_suppkey" === $"s_suppkey", "left_anti")
+      .join(broadcast(part), $"ps_partkey" === $"p_partkey")
+      .groupBy($"p_brand", $"p_type", $"p_size")
+      .agg(countDistinct($"ps_suppkey").as("supplier_cnt"))
+      .orderBy($"supplier_cnt".desc, $"p_brand", $"p_type", $"p_size")
+  }
+
+  /** q_sql_tpch_q17 — small-quantity-order revenue: the correlated
+    * per-group average, decorrelated the scale-safe way — filter part
+    * FIRST (brand + size), broadcast-prune lineitem to matching parts,
+    * compute each part's avg quantity from that pruned slice (the
+    * correlation key is the part, so pruning parts loses nothing), and
+    * join the threshold back on partkey. Avg of integral-double
+    * quantities is order-independent (exact in binary), so the 0.2×
+    * threshold compare is engine-stable. 1-row global sum at the end. */
+  def tpchQ17(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val part = graft.Tables.part(spark, sfDir)
+      .filter($"p_brand" === "Brand#3" && $"p_size" < 10)
+      .select($"p_partkey")
+    val li = graft.Tables.lineitem(spark, sfDir)
+      .select($"l_partkey", $"l_quantity", $"l_extendedprice")
+      .join(broadcast(part), $"l_partkey" === $"p_partkey")
+    val thresh = li.groupBy($"l_partkey".as("t_partkey"))
+      .agg((lit(0.2) * avg($"l_quantity")).as("qty_cap"))
+    li.join(thresh, $"l_partkey" === $"t_partkey")
+      .filter($"l_quantity" < $"qty_cap")
+      .agg(round(sum(dec($"l_extendedprice")) / 7.0, 6).cast("double")
+          .as("avg_yearly"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** q_sql_tpch_q21 — suppliers who kept orders waiting: textbook Q21
+    * is EXISTS(another supplier) ∧ NOT EXISTS(another LATE supplier)
+    * per late line — a triple self-join of the fact table. Here it is
+    * rewritten as ONE keyed aggregate per order (distinct suppliers,
+    * distinct late suppliers, the late supplier id, late-line count):
+    * an order qualifies iff ≥2 suppliers touched it and exactly one
+    * shipped late, and the count attributes that order's late LINES to
+    * that supplier — row-for-row what the EXISTS form counts (the
+    * DuckDB oracle runs the textbook form, so the equivalence is
+    * hash-checked, not asserted). At 100 TB: one shuffle on orderkey,
+    * no self-join fan-out; "late" is the fixture stand-in
+    * shipdate > orderdate + 60d; status F gates before the shuffle. */
+  def tpchQ21(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ord = graft.Tables.orders(spark, sfDir)
+      .filter($"o_orderstatus" === "F")
+      .select($"o_orderkey", $"o_orderdate")
+    val li = graft.Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_suppkey", $"l_shipdate")
+    val late = $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS")
+    val perOrder = li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_orderkey")
+      .agg(
+        countDistinct($"l_suppkey").as("n_supp"),
+        countDistinct(when(late, $"l_suppkey")).as("n_late_supp"),
+        max(when(late, $"l_suppkey")).as("late_supp"),
+        sum(when(late, 1L).otherwise(0L)).as("late_lines"))
+      .filter($"n_supp" >= 2 && $"n_late_supp" === 1)
+    val supp = graft.Tables.supplier(spark, sfDir)
+      .select($"s_suppkey", $"s_name")
+    perOrder.join(broadcast(supp), $"late_supp" === $"s_suppkey")
+      .groupBy($"s_name")
+      .agg(sum($"late_lines").as("numwait"))
+      .orderBy($"numwait".desc, $"s_name")
+      .limit(20)
+  }
+
+  /** q_sql_tpch_q22 — global sales opportunity: the anti-join +
+    * above-average-balance shape. Country code is the fixture stand-in
+    * c_nationkey over a fixed IN-set (no c_phone); "no recent orders"
+    * replaces "no orders" (every fixture customer has some). The
+    * average compare is exact: balance × count > Σbalance in DECIMAL,
+    * so no engine ever divides — the 1-row (count, Σ) frame cross-joins
+    * in as a broadcast (bounded by construction); the anti join is the
+    * only fact-side work. */
+  def tpchQ22(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val codes = Seq(1, 4, 7, 10, 13, 16, 19)
+    val cust = graft.Tables.customer(spark, sfDir)
+      .filter($"c_nationkey".isin(codes: _*))
+      .select($"c_custkey", $"c_nationkey", $"c_acctbal")
+    val pos = cust.filter($"c_acctbal" > 0.0)
+      .agg(count(lit(1)).as("cnt"), sum(dec($"c_acctbal")).as("total"))
+    val recent = graft.Tables.orders(spark, sfDir)
+      .filter($"o_orderdate" >= lit("1999-01-01").cast("timestamp"))
+      .select($"o_custkey")
+    cust.crossJoin(broadcast(pos))
+      .filter(dec($"c_acctbal") * $"cnt" > $"total")
+      .join(recent, $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"c_nationkey".as("cntrycode"))
+      .agg(count(lit(1)).as("numcust"),
+        round(sum(dec($"c_acctbal")), 6).cast("double").as("totacctbal"))
+      .orderBy($"cntrycode")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_tpch_q7" -> (tpchQ7 _),
+    "q_sql_tpch_q8" -> (tpchQ8 _),
+    "q_sql_tpch_q9" -> (tpchQ9 _),
+    "q_sql_tpch_q12" -> (tpchQ12 _),
+    "q_sql_tpch_q13" -> (tpchQ13 _),
+    "q_sql_tpch_q15" -> (tpchQ15 _),
+    "q_sql_tpch_q16" -> (tpchQ16 _),
+    "q_sql_tpch_q17" -> (tpchQ17 _),
+    "q_sql_tpch_q21" -> (tpchQ21 _),
+    "q_sql_tpch_q22" -> (tpchQ22 _))
+
+  def oracle: Map[String, String] = Map(
+    "q_sql_tpch_q7" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |  CAST(ROUND(SUM(volume), 6) AS DOUBLE) AS revenue
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    CAST(year(l_shipdate) AS INTEGER) AS l_year,
+        |    CAST(l_extendedprice AS DECIMAL(14,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(8,4))) AS volume
+        |  FROM supplier
+        |  JOIN lineitem ON s_suppkey = l_suppkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00') shipping
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q_sql_tpch_q8" ->
+      """WITH all_nations AS (
+        |  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |    CAST(l_extendedprice AS DECIMAL(14,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(8,4))) AS volume,
+        |    n2.n_name AS nation
+        |  FROM part
+        |  JOIN lineitem ON p_partkey = l_partkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'),
+        |years AS (
+        |  SELECT o_year,
+        |    CAST(ROUND(SUM(CASE WHEN nation = 'NATION_5' THEN volume
+        |      ELSE CAST(0 AS DECIMAL(14,2)) END), 6) AS DOUBLE)
+        |      AS nation_volume,
+        |    CAST(ROUND(SUM(volume), 6) AS DOUBLE) AS total_volume
+        |  FROM all_nations GROUP BY o_year)
+        |SELECT o_year, nation_volume, total_volume,
+        |  ROUND(nation_volume / total_volume, 6) AS mkt_share
+        |FROM years ORDER BY o_year""".stripMargin,
+    "q_sql_tpch_q9" ->
+      """SELECT nation, o_year,
+        |  CAST(ROUND(SUM(amount), 6) AS DOUBLE) AS sum_profit
+        |FROM (
+        |  SELECT n_name AS nation,
+        |    CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |    CAST(l_extendedprice AS DECIMAL(14,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(8,4)))
+        |      - CAST(p_retailprice AS DECIMAL(14,2))
+        |        * CAST(l_quantity AS DECIMAL(14,2))
+        |        * CAST(0.1 AS DECIMAL(2,1)) AS amount
+        |  FROM part
+        |  JOIN lineitem ON p_partkey = l_partkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE p_name LIKE '%widget%') profit
+        |GROUP BY nation, o_year
+        |ORDER BY nation, o_year DESC""".stripMargin,
+    "q_sql_tpch_q12" ->
+      """SELECT l_linestatus,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "q_sql_tpch_q13" ->
+      """SELECT c_count, COUNT(*) AS custdist
+        |FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey
+        |    AND o_orderpriority <> '4-NOT SPECIFIED'
+        |  GROUP BY c_custkey) c_orders
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q_sql_tpch_q15" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name,
+        |  CAST(ROUND(total_rev, 6) AS DOUBLE) AS total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q_sql_tpch_q16" ->
+      """WITH partsupp AS (
+        |  SELECT DISTINCT l_partkey AS ps_partkey,
+        |    l_suppkey AS ps_suppkey
+        |  FROM lineitem)
+        |SELECT p_brand, p_type, p_size,
+        |  COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+        |FROM partsupp JOIN part ON p_partkey = ps_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 7, 10, 15, 23, 45, 50)
+        |  AND ps_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7')
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q_sql_tpch_q17" ->
+      """SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(14,2)))
+        |    / 7.0, 6) AS DOUBLE) AS avg_yearly,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#3' AND p_size < 10
+        |  AND l_quantity < (
+        |    SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+        |    WHERE l2.l_partkey = p_partkey)""".stripMargin,
+    "q_sql_tpch_q21" ->
+      """SELECT s_name, COUNT(*) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |WHERE o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 20""".stripMargin,
+    "q_sql_tpch_q22" ->
+      """WITH pos AS (
+        |  SELECT COUNT(*) AS cnt,
+        |    SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS total
+        |  FROM customer
+        |  WHERE c_acctbal > 0.0
+        |    AND c_nationkey IN (1, 4, 7, 10, 13, 16, 19))
+        |SELECT c_nationkey AS cntrycode, COUNT(*) AS numcust,
+        |  CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(14,2))), 6) AS DOUBLE)
+        |    AS totacctbal
+        |FROM customer, pos
+        |WHERE c_nationkey IN (1, 4, 7, 10, 13, 16, 19)
+        |  AND CAST(c_acctbal AS DECIMAL(14,2)) * cnt > total
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey
+        |      AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin)
+}

@@ -79,6 +79,13 @@ object PlanAudit {
     "q_sql_tpch_q6" -> Set("SinglePartition"),
     "q_sql_tpch_q14" -> Set("SinglePartition"),
     "q_sql_tpch_q19" -> Set("SinglePartition"),
+    // 1-row MAX-revenue frame equi-joined back (Q15's scalar subquery)
+    "q_sql_tpch_q15" -> Set("SinglePartition"),
+    // global 1-row final sum (Q17's yearly-average readout)
+    "q_sql_tpch_q17" -> Set("SinglePartition"),
+    // 1-row (count, Σbalance) frame cross-joined as broadcast (Q22's
+    // above-average-balance scalar, bounded by construction)
+    "q_sql_tpch_q22" -> Set("SinglePartition", "NestedLoop"),
     // declared tiny cross join / documented global orders
     "q_join_cross" -> Set("Cartesian", "NestedLoop"),
     "q_sort_topk_global_custom" -> Set("SinglePartition"),
