@@ -48,8 +48,12 @@ object Bench {
       name -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
     }
     val results = timed.filter(_._2 >= 0)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // millisecond precision: a 220-query map at full double precision is
+    // ~10 KB and overflows the driver's tail-capture window (BENCH_r10
+    // came back "parsed": null); 3 decimals keeps the whole line inside it
+    val qs = results.map { case (k, v) =>
+      "\"" + k + "\":" + "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    }.mkString("{", ",", "}")
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val errs = timed.filter(_._2 < 0)
       .map { case (k, _) => jstr(s"$k: ${failures.getOrElse(k, "?")}") }
@@ -63,6 +67,9 @@ object Bench {
       s""""errors":$errs,"n_queries":${results.size},"sf":"$sfDir",""" +
       s""""value":$total}"""
     println(line)
+    // the driver parses the MARKED line (round-10 verdict: the bare line
+    // was lost in the sbt tail); emit it LAST so a tail capture keeps it
+    println(s"BENCH_JSON: $line")
     // the full JSON also goes to a file (BENCH_r08's captured tail was
     // all error text and the per-query map was unrecoverable) — default
     // BENCH_local.json in the repo root, overridable for round dumps

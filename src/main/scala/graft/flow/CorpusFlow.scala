@@ -16,8 +16,13 @@ import org.apache.spark.sql.functions._
   *                          (i-chain: DedupBatch(i) requires
   *                           FpIndex(i-1); FpIndex(i) requires
   *                           DedupBatch(i) — one atomic target each)
-  *   DedupBatch(i) ─► MixBatch(i) ─► CorpusReport (DYNAMIC deps: one
-  *                                   MixBatch per manifest line)
+  *   DedupBatch(i) ─► NearDupBatch(i) ─► MixBatch(i) ─► CorpusReport
+  *                          (second i-chain: NearDupBatch(i) requires
+  *                           BandIndex(i-1); BandIndex(i) requires
+  *                           NearDupBatch(i) — the MinHash band index
+  *                           made incremental the same way; the report's
+  *                           deps stay DYNAMIC, one MixBatch per
+  *                           manifest line)
   *
   * The batch COUNT is data-driven: PlanBatches reads the corpus
   * min/max doc_id and writes the batch-boundary manifest; every
@@ -30,9 +35,10 @@ import org.apache.spark.sql.functions._
   * q_dedup_incremental applied across batches).
   *
   * Scale notes: every task is one narrow pass or one partial-agg'd
-  * shuffle; the fp index is the only cross-batch state and it is a
-  * one-column parquet artifact (the 100 TB shape — the corpus is never
-  * re-scanned, only the new batch + the index). */
+  * shuffle; the only cross-batch state is the one-column fp index and
+  * the rep/band index — both a fraction of corpus bytes (the 100 TB
+  * shape — the corpus is never re-scanned, only the new batch + the
+  * indexes). */
 final case class CorpusConfig(baseDir: String, sfDir: String,
                               sliceSize: Long = 200, overlap: Long = 50,
                               quotaPerLang: Long = 30) {
@@ -61,6 +67,10 @@ object CorpusFlow {
     def run(spark: SparkSession): Unit = {
       val r = graft.Tables.documents(spark, cfg.sfDir)
         .agg(min("doc_id"), max("doc_id")).head
+      if (r.isNullAt(0) || r.isNullAt(1))
+        throw new IllegalArgumentException(
+          s"documents table at ${cfg.sfDir} is empty — nothing to batch " +
+            "(misconfigured sfDir?)")
       val (lo, hi) = (r.getLong(0), r.getLong(1))
       val step = cfg.sliceSize - cfg.overlap
       val starts = Iterator.iterate(lo)(_ + step).takeWhile(_ <= hi).toSeq
@@ -160,16 +170,141 @@ object CorpusFlow {
     }
   }
 
-  /** Per-language quota mix of one deduped batch (the quotaSample
+  /** Incremental NEAR-dup over one exact-deduped batch: drops (a) any
+    * doc whose shingle set verifies Jaccard >= 0.5 against the
+    * cumulative band index (batches 0..i-1's survivors, via the
+    * BandIndex chain — the q_dedup_incremental_minhash discipline as a
+    * TASK), and (b) within the batch, any doc that near-dups a
+    * SMALLER-doc_id representative (the deterministic min-parent rule —
+    * no iteration, one band self-join). Docs under 3 tokens have no
+    * shingles and can never near-dup: kept unconditionally. Candidates
+    * come from 21x3 LSH band collisions and are verified by exact
+    * Jaccard on the representatives' shingle sets, so the batch is
+    * never all-pairs joined — the 100 TB shape. */
+  final case class NearDupBatch(cfg: CorpusConfig, i: Int) extends Task {
+    override def name = s"NearDupBatch($i)"
+    override def requires: Seq[Task] =
+      if (i == 0) Seq(DedupBatch(cfg, i))
+      else Seq(DedupBatch(cfg, i), BandIndex(cfg, i - 1))
+    val output: DirTarget = DirTarget(s"${cfg.baseDir}/batch_$i/near_deduped")
+    def run(spark: SparkSession): Unit = {
+      import graft.llm.DedupOps
+      val batch = spark.read.parquet(requires.head.output.uri)
+        .withColumn("sh", DedupOps.shingleCol(col("text")))
+      val shingled = batch.filter(size(col("sh")) > 0)
+        .withColumn("shfp",
+          sha2(concat_ws("\u0000", array_sort(col("sh"))), 256))
+        .localCheckpoint() // feeds reps AND the final member filter
+      val reps = shingled.groupBy(col("shfp"))
+        .agg(min_by(col("sh"), col("doc_id")).as("sh"),
+          min(col("doc_id")).as("rep_id"))
+        .localCheckpoint() // feeds bands + two verify legs + survivors
+      val bands = reps.select(col("shfp"), col("rep_id"),
+          posexplode(DedupOps.bandCol(col("sh"))))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandhash")
+      def verify(cand: org.apache.spark.sql.DataFrame,
+                 otherSh: org.apache.spark.sql.DataFrame) =
+        cand.join(reps.select(col("shfp"), col("sh").as("a_sh")), Seq("shfp"))
+          .join(otherSh, Seq("o_shfp"))
+          .filter(size(array_intersect(col("a_sh"), col("o_sh")))
+            .cast("double") >=
+            lit(0.5) * size(array_union(col("a_sh"), col("o_sh")))
+              .cast("double"))
+          .select(col("shfp")).distinct()
+      // (a) cross-batch: collide batch bands with the cumulative index
+      val crossDrop =
+        if (i == 0) None
+        else {
+          val idx = requires(1).output.uri
+          val idxBands = spark.read.parquet(s"$idx/bands")
+            .select(col("band"), col("bandhash"), col("shfp").as("o_shfp"))
+          val idxReps = spark.read.parquet(s"$idx/reps")
+            .select(col("shfp").as("o_shfp"), col("sh").as("o_sh"))
+          val cand = bands.select(col("band"), col("bandhash"), col("shfp"))
+            .join(idxBands, Seq("band", "bandhash"))
+            .select(col("shfp"), col("o_shfp")).distinct()
+          Some(verify(cand, idxReps))
+        }
+      // (b) within-batch: min-parent — a rep drops iff it collides-and-
+      // verifies against ANY smaller-rep_id rep (kept or not)
+      val selfCand = bands.select(col("band"), col("bandhash"),
+          col("shfp"), col("rep_id"))
+        .join(bands.select(col("band"), col("bandhash"),
+          col("shfp").as("o_shfp"), col("rep_id").as("o_rep")),
+          Seq("band", "bandhash"))
+        .filter(col("o_rep") < col("rep_id"))
+        .select(col("shfp"), col("o_shfp")).distinct()
+      val selfDrop = verify(selfCand,
+        reps.select(col("shfp").as("o_shfp"), col("sh").as("o_sh")))
+      val dropped = crossDrop.map(_.union(selfDrop).distinct())
+        .getOrElse(selfDrop)
+      // survivors: the min-id member of each surviving rep, plus every
+      // shingle-free doc; original columns only (sh/shfp are stage-local)
+      output.atomicWrite { tmp =>
+        shingled
+          .join(reps.select(col("shfp"), col("rep_id")), Seq("shfp"))
+          .filter(col("doc_id") === col("rep_id"))
+          .join(dropped, Seq("shfp"), "left_anti")
+          .drop("sh", "shfp", "rep_id")
+          .union(batch.filter(size(col("sh")) === 0).drop("sh"))
+          .write.parquet(tmp)
+      }
+    }
+  }
+
+  /** The cumulative near-dup band index after batch i: previous index
+    * plus batch i's SURVIVORS (re-shingled from the parquet
+    * NearDupBatch just wrote — batch-sized, never the corpus). One
+    * atomic dir target holding two frames (`reps`: shfp + shingle set;
+    * `bands`: 21 LSH hashes per rep) — the only cross-batch near-dup
+    * state, a fraction of corpus bytes. */
+  final case class BandIndex(cfg: CorpusConfig, i: Int) extends Task {
+    override def name = s"BandIndex($i)"
+    override def requires: Seq[Task] =
+      if (i == 0) Seq(NearDupBatch(cfg, i))
+      else Seq(NearDupBatch(cfg, i), BandIndex(cfg, i - 1))
+    val output: DirTarget = DirTarget(s"${cfg.baseDir}/batch_$i/band_index")
+    def run(spark: SparkSession): Unit = {
+      import graft.llm.DedupOps
+      val reps = spark.read.parquet(requires.head.output.uri)
+        .withColumn("sh", DedupOps.shingleCol(col("text")))
+        .filter(size(col("sh")) > 0)
+        .withColumn("shfp",
+          sha2(concat_ws("\u0000", array_sort(col("sh"))), 256))
+        .groupBy(col("shfp"))
+        .agg(min_by(col("sh"), col("doc_id")).as("sh"))
+      output.atomicWrite { tmp =>
+        val newReps =
+          if (i == 0) reps
+          else spark.read.parquet(s"${requires(1).output.uri}/reps")
+            .union(reps)
+            .groupBy(col("shfp")).agg(min_by(col("sh"), lit(1)).as("sh"))
+        val matReps = newReps.localCheckpoint() // feeds both writes once
+        matReps.write.parquet(s"$tmp/reps")
+        matReps.select(col("shfp"), posexplode(DedupOps.bandCol(col("sh"))))
+          .withColumnRenamed("pos", "band")
+          .withColumnRenamed("col", "bandhash")
+          .select(col("band"), col("bandhash"), col("shfp"))
+          .write.parquet(s"$tmp/bands")
+      }
+    }
+  }
+
+  /** Per-language quota mix of one near-deduped batch (the quotaSample
     * discipline: stable-hash order, nested samples). */
   final case class MixBatch(cfg: CorpusConfig, i: Int) extends Task {
     override def name = s"MixBatch($i)"
-    override def requires: Seq[Task] = Seq(DedupBatch(cfg, i))
+    override def requires: Seq[Task] = Seq(NearDupBatch(cfg, i))
     val output: DirTarget = DirTarget(s"${cfg.baseDir}/batch_$i/mixed")
     def run(spark: SparkSession): Unit = {
       import org.apache.spark.sql.expressions.Window
+      // doc_id reduces mod p BEFORE the Knuth multiply: raw doc_id *
+      // 2654435761 overflows Long at doc_id ~ 3.5e9 (the 100 TB range);
+      // (p-1) * 2654435761 ~ 2.7e18 stays in range — the same overflow
+      // envelope q_agg_sample_estimate applies
       val w = Window.partitionBy(col("lang"))
-        .orderBy(pmod(col("doc_id") * 2654435761L, lit(1000000007L)),
+        .orderBy(pmod(pmod(col("doc_id"), lit(1000000007L)) * 2654435761L,
+            lit(1000000007L)),
           col("doc_id"))
       output.atomicWrite { tmp =>
         spark.read.parquet(requires.head.output.uri)
@@ -192,10 +327,11 @@ object CorpusFlow {
         .map(MixBatch(cfg, _))
     val output: DirTarget = DirTarget(s"${cfg.baseDir}/report")
     def run(spark: SparkSession): Unit = {
-      val n = readManifest(requires.head.output.uri).length
+      // the input paths ARE the dependency set's targets (single source
+      // of truth — a MixBatch layout change cannot desynchronize this)
+      val paths = dynamicRequires(spark).map(_.output.uri)
       output.atomicWrite { tmp =>
-        spark.read.parquet(
-            (0 until n).map(i => s"${cfg.baseDir}/batch_$i/mixed"): _*)
+        spark.read.parquet(paths: _*)
           .groupBy(col("lang"))
           .agg(countDistinct(col("doc_id")).as("n_docs"),
             sum(col("n_chars")).as("total_chars"))

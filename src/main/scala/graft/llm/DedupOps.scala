@@ -54,6 +54,14 @@ object DedupOps extends graft.QueryModule {
     }
   })
 
+  /** Shared shingle/band column builders for flow.CorpusFlow's near-dup
+    * batch stage — the SAME 3-gram shingles and 21x3 banding as every
+    * dedup query here, so the flow's incremental band index is
+    * value-compatible with q_dedup_minhash_lsh / q_dedup_incremental_minhash. */
+  private[graft] def shingleCol(text: Column): Column = shinglesUdf(text)
+  private[graft] def bandCol(sh: Column): Column =
+    minhashBandsUdf(transform(sh, s => xxhash64(s)))
+
   /** Exact dedup: sha2-256 over whitespace-normalized lowercase text,
     * deterministic survivor = min doc_id per fingerprint. */
   def exactDedup(spark: SparkSession, sfDir: String): DataFrame = {

@@ -95,4 +95,89 @@ class CorpusFlowSpec extends SparkTestBase {
       .collect().map(_.toString).sorted.toSeq
     assert(after == before, "resume changed the report")
   }
+
+  test("corpus flow: planted cross-batch NEAR duplicate dropped by the band-index chain") {
+    import spark.implicits._
+    // choose a source doc that passes the quality gate AND whose
+    // one-token-changed copy verifiably clears the Jaccard 0.5 bar
+    // (driver-side shingle check keeps the test robust to fixture text)
+    def shingleSet(t: String): Set[String] = {
+      val w = t.split(" ", -1)
+      if (w.length < 3) Set.empty
+      else (0 to w.length - 3).map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}").toSet
+    }
+    val toks = split($"text", " ")
+    val gatePass = graft.Tables.documents(spark, sf0001)
+      .withColumn("nt", size(toks))
+      .withColumn("ur", size(array_distinct(toks)).cast("double") /
+        size(toks).cast("double"))
+      .filter($"nt" >= 20 && $"ur" >= 0.3)
+      .orderBy($"doc_id")
+      .select($"doc_id", $"text", $"lang", $"source").limit(20).collect()
+    val src = gatePass.find { r =>
+      val words = r.getString(1).split(" ", -1)
+      val near = (words.dropRight(1) :+ "zzzneardup").mkString(" ")
+      val (a, b) = (shingleSet(r.getString(1)), shingleSet(near))
+      a.intersect(b).size.toDouble / a.union(b).size.toDouble >= 0.6
+    }.get
+    val srcId = src.getLong(0)
+    val nearText = (src.getString(1).split(" ", -1).dropRight(1) :+
+      "zzzneardup").mkString(" ")
+    val maxId = graft.Tables.documents(spark, sf0001)
+      .agg(max($"doc_id")).head.getLong(0)
+    val plantId = maxId + 1
+
+    // doctored fixture dir: the sf0.001 documents plus the planted doc
+    val dataDir = Files.createTempDirectory("graft_neardup_data").toString
+    graft.Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+      .union(Seq((plantId, nearText, src.getString(2), src.getString(3),
+        nearText.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .write.parquet(s"$dataDir/documents.parquet")
+
+    val cfg = CorpusConfig(
+      Files.createTempDirectory("graft_corpus_near").toString, dataDir)
+    val root = CorpusFlow.CorpusReport(cfg)
+    Runner.runParallel(root, spark, workers = 2)
+    val n = CorpusFlow.readManifest(s"${cfg.baseDir}/batches.manifest").length
+    def ids(sub: String): Set[Long] = (0 until n).flatMap { i =>
+      spark.read.parquet(s"${cfg.baseDir}/batch_$i/$sub")
+        .select($"doc_id").collect().map(_.getLong(0))
+    }.toSet
+
+    // the plant is NOT an exact duplicate: exact dedup keeps it
+    val exactKept = ids("deduped")
+    assert(exactKept.contains(plantId),
+      "plant should survive exact dedup (it is a NEAR dup, not exact)")
+    assert(exactKept.contains(srcId))
+    // the near-dup chain drops the plant (cross-batch, via BandIndex)
+    // and keeps the original
+    val nearKept = ids("near_deduped")
+    assert(nearKept.contains(srcId), "original must survive near-dedup")
+    assert(!nearKept.contains(plantId),
+      "planted cross-batch near-duplicate must be dropped")
+
+    // crash-resume across the near-dup chain: kill the band indexes and
+    // the last batch's near-dedup output; resume rebuilds exactly the
+    // demanded suffix and the kept set is unchanged
+    def rmrf(p: java.nio.file.Path): Unit =
+      if (Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(Files.delete)
+      }
+    (0 until n).foreach { i =>
+      rmrf(java.nio.file.Paths.get(s"${cfg.baseDir}/batch_$i/band_index"))
+    }
+    rmrf(java.nio.file.Paths.get(s"${cfg.baseDir}/batch_${n - 1}/near_deduped"))
+    rmrf(java.nio.file.Paths.get(s"${cfg.baseDir}/batch_${n - 1}/mixed"))
+    rmrf(java.nio.file.Paths.get(s"${cfg.baseDir}/report"))
+    val resumed = Runner.runParallel(root, spark, workers = 2)
+    assert(resumed.toSet ===
+      ((0 until n - 1).map(i => s"BandIndex($i)") ++
+        Seq(s"NearDupBatch(${n - 1})", s"MixBatch(${n - 1})",
+          "CorpusReport")).toSet, s"resume ran: $resumed")
+    assert(ids("near_deduped") === nearKept, "resume changed the kept set")
+  }
 }
