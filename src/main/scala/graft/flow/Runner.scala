@@ -64,10 +64,16 @@ object Runner {
   private def attempt(t: Task, spark: SparkSession,
                       log: String => Unit, retries: Int,
                       events: EventHandler): Unit = {
+    // per-task knob (Luigi retry_count) tops up the runner default
+    val budget = math.max(retries, t.retries)
     var tries = 0
     var lastErr: Throwable = null
-    while (tries <= retries && !t.complete) {
-      if (tries > 0) log(s"RETRY ${t.name} (attempt ${tries + 1})")
+    while (tries <= budget && !t.complete) {
+      if (tries > 0) {
+        val backoff = t.retryBackoffMs << (tries - 1)
+        if (backoff > 0) Thread.sleep(backoff)
+        log(s"RETRY ${t.name} (attempt ${tries + 1})")
+      }
       events(TaskEvent.Start(t.name))
       val t0 = System.nanoTime()
       try {

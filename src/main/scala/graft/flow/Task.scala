@@ -41,6 +41,18 @@ trait Task {
     * (read a manifest, list a directory) — heavy work belongs in the
     * tasks it returns. Default: none. */
   def dynamicRequires(spark: SparkSession): Seq[Task] = Seq.empty
+  /** Luigi `retry_count`: this task's OWN retry budget. The scheduler
+    * allows max(runner retries, task retries) extra attempts — a flaky
+    * task can declare resilience without the whole pipeline inheriting
+    * it. Completed dependencies are never re-run by a retry (the
+    * attempt loop re-runs only this task). Default 0. */
+  def retries: Int = 0
+  /** Exponential backoff base: before retry k (1-based) the scheduler
+    * sleeps retryBackoffMs << (k-1) milliseconds (Luigi's
+    * retry_delay, made exponential). 0 = immediate retry. Default 0 so
+    * tests and backfills stay fast; a REST-source task would set
+    * e.g. 500. */
+  def retryBackoffMs: Long = 0L
   def output: Target
   def run(spark: SparkSession): Unit
   final def complete: Boolean = output.exists

@@ -98,6 +98,51 @@ class FlowSpec extends SparkTestBase {
     assert(err.getMessage == "transient")
   }
 
+  test("per-task retry knob: flaky task succeeds on attempt 2, deps not re-run") {
+    val cfg = freshCfg()
+    var depRuns = 0
+    val dep: Task = new Task {
+      override def name = "Dep"
+      val output = DirTarget(s"${cfg.baseDir}/retry_dep")
+      def run(s: SparkSession): Unit = {
+        depRuns += 1
+        output.atomicWrite { tmp =>
+          Files.createDirectories(Paths.get(tmp))
+          Files.writeString(Paths.get(tmp, "ok"), "ok")
+        }
+      }
+    }
+    var attempts = 0
+    val t0 = System.nanoTime()
+    val flaky: Task = new Task {
+      override def name = "FlakyOwn"
+      override def requires: Seq[Task] = Seq(dep)
+      override def retries: Int = 1          // Luigi retry_count on the TASK
+      override def retryBackoffMs: Long = 50 // exponential base
+      val output = DirTarget(s"${cfg.baseDir}/retry_own")
+      def run(s: SparkSession): Unit = {
+        attempts += 1
+        if (attempts == 1) throw new RuntimeException("transient once")
+        output.atomicWrite { tmp =>
+          Files.createDirectories(Paths.get(tmp))
+          Files.writeString(Paths.get(tmp, "ok"), "ok")
+        }
+      }
+    }
+    val events = scala.collection.mutable.ArrayBuffer.empty[Runner.TaskEvent]
+    // runner default retries = 0: ONLY the task's own knob saves it
+    val executed = Runner.run(flaky, spark, retries = 0,
+      events = events.append(_))
+    assert(executed == Seq("Dep", "FlakyOwn"))
+    assert(attempts == 2, s"expected one retry, saw $attempts attempts")
+    assert(depRuns == 1, "retry must not re-run the completed dependency")
+    assert((System.nanoTime() - t0) / 1000000 >= 50, "backoff not applied")
+    // lifecycle: dep succeeds once; flaky fails then succeeds
+    val flakyEvents = events.filter(_.task == "FlakyOwn").map(_.getClass.getSimpleName)
+    assert(flakyEvents == Seq("Start", "Failure", "Start", "Success"),
+      flakyEvents.mkString(","))
+  }
+
   test("runParallel: independent tasks truly overlap; wave order deterministic") {
     val base = Files.createTempDirectory("graft_par").toString
     val latchA = new java.util.concurrent.CountDownLatch(1)
