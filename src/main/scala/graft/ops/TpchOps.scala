@@ -334,7 +334,156 @@ object TpchOps extends graft.QueryModule {
       .orderBy($"cntrycode")
   }
 
+  /** q_sql_tpch_q2 — minimum-cost supplier: the correlated-MIN shape
+    * over the derived partsupp. ps_supplycost is the fixture stand-in
+    * MIN(l_extendedprice) per (part, supplier) pair — MIN of doubles is
+    * order-independent, so the DECIMAL compare is engine-exact. Scale
+    * shape: the part filter (size + type keeps ~0.3%) broadcasts into
+    * the fact scan BEFORE the pair aggregate, and the region gate
+    * broadcasts through supplier⋈nation⋈region, so the only fact
+    * shuffle is the pair groupBy on the doubly-pruned slice; the
+    * per-part MIN is a second shuffle of the already-tiny pair frame
+    * (never a window over the raw fact). */
+  def tpchQ2(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val part = graft.Tables.part(spark, sfDir)
+      .filter($"p_size" === 15 && $"p_type" === "STANDARD")
+      .select($"p_partkey", $"p_name")
+    val eur = graft.Tables.supplier(spark, sfDir)
+      .join(broadcast(graft.Tables.nation(spark, sfDir)
+        .join(broadcast(graft.Tables.region(spark, sfDir)
+          .filter($"r_name" === "EUROPE")),
+          $"n_regionkey" === $"r_regionkey")
+        .select($"n_nationkey", $"n_name")),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"s_name", $"s_acctbal", $"n_name")
+    val cost = graft.Tables.lineitem(spark, sfDir)
+      .select($"l_partkey", $"l_suppkey", $"l_extendedprice")
+      .join(broadcast(part.select($"p_partkey")),
+        $"l_partkey" === $"p_partkey")
+      .join(broadcast(eur.select($"s_suppkey")),
+        $"l_suppkey" === $"s_suppkey")
+      .groupBy($"l_partkey".as("ps_partkey"), $"l_suppkey".as("ps_suppkey"))
+      .agg(min(dec($"l_extendedprice")).as("ps_supplycost"))
+    val best = cost.groupBy($"ps_partkey".as("b_partkey"))
+      .agg(min($"ps_supplycost").as("min_cost"))
+    cost.join(best, $"ps_partkey" === $"b_partkey" &&
+        $"ps_supplycost" === $"min_cost")
+      .join(broadcast(part), $"ps_partkey" === $"p_partkey")
+      .join(broadcast(eur), $"ps_suppkey" === $"s_suppkey")
+      .select($"s_acctbal", $"s_name", $"n_name", $"p_partkey", $"p_name",
+        $"ps_supplycost".cast("double").as("supplycost"))
+      .orderBy($"s_acctbal".desc, $"n_name", $"s_name", $"p_partkey")
+      .limit(100)
+  }
+
+  /** q_sql_tpch_q3 — shipping priority: the classic segment-gated
+    * top-10 revenue-per-order. o_shippriority is the fixture stand-in
+    * o_orderpriority. The mid-corpus date split keeps both filters
+    * selective on opposite sides. Scale shape: customer is NOT
+    * broadcast (a segment keeps ~20% of a billions-row dim at 100 TB) —
+    * orders⋈customer shuffles on custkey, then the pruned orders side
+    * joins lineitem on orderkey; the top-10 is a per-partition
+    * TakeOrdered, never a global sort. The (date, orderkey) tiebreak
+    * makes the LIMIT boundary a total order, so the hash compare is
+    * stable across engines. */
+  def tpchQ3(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cut = lit("1998-07-01").cast("timestamp")
+    val cust = graft.Tables.customer(spark, sfDir)
+      .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+    val ord = graft.Tables.orders(spark, sfDir)
+      .filter($"o_orderdate" < cut)
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate", $"o_orderpriority")
+    val li = graft.Tables.lineitem(spark, sfDir)
+      .filter($"l_shipdate" > cut)
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    li.join(ord.join(cust, $"o_custkey" === $"c_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+      .agg(round(sum(revenue($"l_extendedprice", $"l_discount")), 6)
+        .cast("double").as("revenue"))
+      .orderBy($"revenue".desc, $"o_orderdate", $"l_orderkey")
+      .limit(10)
+  }
+
+  /** q_sql_tpch_q11 — important stock: per-part supply value within a
+    * nation, HAVING above a multiple of the corpus mean. Value is the
+    * fixture stand-in Σ(p_retailprice × l_quantity) per part over the
+    * nation's lineitems (the reference fixture has no partsupp), kept
+    * exact in DECIMAL. TPC-H scales Q11's fraction by 1/SF precisely
+    * because a fixed fraction goes vacuous as parts multiply — here
+    * the threshold is scale-invariant by construction: keep parts with
+    * value > 2× the MEAN part value (v·cnt > 2·total). The compare
+    * happens in DOUBLE on both engines — both compute identical exact
+    * decimals first, and decimal→double rounding is deterministic, so
+    * the boundary is engine-stable without 38-precision multiply
+    * overflow. Scale shape: nation gate broadcasts through supplier,
+    * part broadcasts for the price lookup, ONE fact shuffle (groupBy
+    * partkey), and the (total, cnt) frame is a 1-row broadcast. */
+  def tpchQ11(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val nsupp = graft.Tables.supplier(spark, sfDir)
+      .join(broadcast(graft.Tables.nation(spark, sfDir)
+        .filter($"n_name" === "NATION_3")),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey")
+    val value = graft.Tables.lineitem(spark, sfDir)
+      .select($"l_partkey", $"l_suppkey", $"l_quantity")
+      .join(broadcast(nsupp), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(graft.Tables.part(spark, sfDir)
+        .select($"p_partkey", $"p_retailprice")),
+        $"l_partkey" === $"p_partkey")
+      .groupBy($"l_partkey".as("ps_partkey"))
+      .agg(sum(dec($"p_retailprice") * dec($"l_quantity")).as("v"))
+    val tot = value.agg(sum($"v").as("total"), count(lit(1)).as("cnt"))
+    value.crossJoin(broadcast(tot)) // 1-row (total, cnt) frame
+      .filter($"v".cast("double") * $"cnt" > lit(2.0) * $"total".cast("double"))
+      .select($"ps_partkey", round($"v", 6).cast("double").as("value"))
+      .orderBy($"value".desc, $"ps_partkey")
+  }
+
+  /** q_sql_tpch_q20 — potential part promotion: suppliers with excess
+    * share of a part family. The fixture has no ps_availqty, so
+    * "excess" is the stand-in: a supplier qualifies if it shipped MORE
+    * THAN HALF of some red-family part's 1998 volume (qty·2 >
+    * total_qty, exact DECIMAL — no division, no doubles). Keeps Q20's
+    * shape: name-prefix part gate → per-(part, supplier) correlated
+    * aggregate threshold → semi-join back to the nation-gated supplier
+    * dim. Scale shape: the part prefix broadcasts into the fact scan
+    * before the pair groupBy (one fact shuffle); the per-part total is
+    * a second shuffle of the tiny pair frame; the qualifying-supplier
+    * set semi-joins into supplier (never the reverse fan-out). */
+  def tpchQ20(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val red = graft.Tables.part(spark, sfDir)
+      .filter($"p_name".like("red%")).select($"p_partkey")
+    val perSupp = graft.Tables.lineitem(spark, sfDir)
+      .filter($"l_shipdate" >= lit("1998-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1999-01-01").cast("timestamp"))
+      .select($"l_partkey", $"l_suppkey", $"l_quantity")
+      .join(broadcast(red), $"l_partkey" === $"p_partkey")
+      .groupBy($"l_partkey", $"l_suppkey")
+      .agg(sum(dec($"l_quantity")).as("qty"))
+    val perPart = perSupp.groupBy($"l_partkey".as("tp"))
+      .agg(sum($"qty").as("total_qty"))
+    val dominant = perSupp.join(perPart, $"l_partkey" === $"tp")
+      .filter($"qty" * 2 > $"total_qty")
+      .select($"l_suppkey").distinct()
+    graft.Tables.supplier(spark, sfDir)
+      .join(broadcast(graft.Tables.nation(spark, sfDir)
+        .filter($"n_name" === "NATION_1")),
+        $"s_nationkey" === $"n_nationkey")
+      .join(dominant, $"s_suppkey" === $"l_suppkey", "left_semi")
+      .select($"s_name", $"n_name")
+      .orderBy($"s_name")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_tpch_q2" -> (tpchQ2 _),
+    "q_sql_tpch_q3" -> (tpchQ3 _),
+    "q_sql_tpch_q11" -> (tpchQ11 _),
+    "q_sql_tpch_q20" -> (tpchQ20 _),
     "q_sql_tpch_q7" -> (tpchQ7 _),
     "q_sql_tpch_q8" -> (tpchQ8 _),
     "q_sql_tpch_q9" -> (tpchQ9 _),
@@ -347,6 +496,80 @@ object TpchOps extends graft.QueryModule {
     "q_sql_tpch_q22" -> (tpchQ22 _))
 
   def oracle: Map[String, String] = Map(
+    "q_sql_tpch_q2" ->
+      """WITH eur AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |cost AS (
+        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |    MIN(CAST(l_extendedprice AS DECIMAL(14,2))) AS ps_supplycost
+        |  FROM lineitem JOIN eur ON l_suppkey = s_suppkey
+        |  GROUP BY 1, 2)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+        |  CAST(ps_supplycost AS DOUBLE) AS supplycost
+        |FROM part JOIN cost ON p_partkey = ps_partkey
+        |JOIN eur ON ps_suppkey = s_suppkey
+        |WHERE p_size = 15 AND p_type = 'STANDARD'
+        |  AND ps_supplycost = (
+        |    SELECT MIN(c2.ps_supplycost) FROM cost c2
+        |    WHERE c2.ps_partkey = p_partkey)
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+    "q_sql_tpch_q3" ->
+      """SELECT l_orderkey,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(8,4)))), 6) AS DOUBLE)
+        |    AS revenue,
+        |  o_orderdate, o_orderpriority
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-07-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "q_sql_tpch_q11" ->
+      """WITH nsupp AS (
+        |  SELECT s_suppkey FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_3'),
+        |val AS (
+        |  SELECT l_partkey AS ps_partkey,
+        |    SUM(CAST(p_retailprice AS DECIMAL(14,2))
+        |      * CAST(l_quantity AS DECIMAL(14,2))) AS v
+        |  FROM lineitem JOIN nsupp ON l_suppkey = s_suppkey
+        |  JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1),
+        |tot AS (SELECT SUM(v) AS total, COUNT(*) AS cnt FROM val)
+        |SELECT ps_partkey, CAST(ROUND(v, 6) AS DOUBLE) AS value
+        |FROM val, tot
+        |WHERE CAST(v AS DOUBLE) * cnt > 2.0 * CAST(total AS DOUBLE)
+        |ORDER BY value DESC, ps_partkey""".stripMargin,
+    "q_sql_tpch_q20" ->
+      """WITH red AS (
+        |  SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+        |per_supp AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    SUM(CAST(l_quantity AS DECIMAL(14,2))) AS qty
+        |  FROM lineitem JOIN red ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |    AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+        |  GROUP BY 1, 2),
+        |per_part AS (
+        |  SELECT l_partkey AS tp, SUM(qty) AS total_qty
+        |  FROM per_supp GROUP BY 1),
+        |dominant AS (
+        |  SELECT DISTINCT l_suppkey
+        |  FROM per_supp JOIN per_part ON l_partkey = tp
+        |  WHERE qty * 2 > total_qty)
+        |SELECT s_name, n_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_1'
+        |  AND s_suppkey IN (SELECT l_suppkey FROM dominant)
+        |ORDER BY s_name""".stripMargin,
     "q_sql_tpch_q7" ->
       """SELECT supp_nation, cust_nation, l_year,
         |  CAST(ROUND(SUM(volume), 6) AS DOUBLE) AS revenue

@@ -86,6 +86,9 @@ object PlanAudit {
     // 1-row (count, Σbalance) frame cross-joined as broadcast (Q22's
     // above-average-balance scalar, bounded by construction)
     "q_sql_tpch_q22" -> Set("SinglePartition", "NestedLoop"),
+    // 1-row (Σvalue, count) frame cross-joined as broadcast (Q11's
+    // above-mean-value scalar, bounded by construction)
+    "q_sql_tpch_q11" -> Set("SinglePartition", "NestedLoop"),
     // declared tiny cross join / documented global orders
     "q_join_cross" -> Set("Cartesian", "NestedLoop"),
     "q_sort_topk_global_custom" -> Set("SinglePartition"),
