@@ -272,6 +272,57 @@ object MlOps extends graft.QueryModule {
       .orderBy($"bucket")
   }
 
+  /** q_ml_pack_sequences — GPT-style concat-and-chunk sequence
+    * packing: the corpus is conceptually concatenated in doc_id order
+    * and cut into fixed 512-token training sequences; the readout maps
+    * every document to the sequence ids it lands in (first_seq /
+    * last_seq / n_seqs) — the token-budget accounting a training
+    * dataloader needs before a single shard is written. The core is a
+    * GLOBAL running token sum, and the naive plan — `SUM() OVER (ORDER
+    * BY doc_id)` with no partition — is the single-partition window
+    * that cannot survive 100 TB. Instead the [[globalShuffle]]
+    * discipline: the doc_id space is cut into 64 contiguous ranges
+    * (range count scales with the cluster; the 1-row max-id collect is
+    * the reviewed max-day pattern), a per-range window computes the
+    * within-range running sum in parallel, a 64-row totals frame turns
+    * into per-range offsets under a trivially-single-task window, and
+    * the global cumsum is offset + within-range sum, broadcast-joined
+    * back. Contiguity of the ranges in doc_id makes the concatenation
+    * exactly the global order — the oracle's one keyless window proves
+    * it. Token count = whitespace tokens (the same measure the
+    * token-stats family declares); zero-token docs occupy no sequence
+    * and are excluded. All arithmetic is non-negative integers, so
+    * Spark `div` and DuckDB `//` agree. */
+  def packSequences(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val budget = 512L
+    val toks = graft.Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        size(filter(split($"text", " "), w => length(w) > 0))
+          .cast("long").as("n_toks"))
+    // 1-row bounded collect (the max-day precedent) fixing 64 ranges
+    val maxId = toks.agg(max($"doc_id")).head.getLong(0)
+    val width = maxId / 64L + 1L
+    val ranged = toks.withColumn("rng", expr(s"doc_id div $width"))
+    val local = ranged.withColumn("cum_in",
+      sum($"n_toks").over(Window.partitionBy($"rng").orderBy($"doc_id")))
+    // 64-row totals -> exclusive prefix offsets (single task over 64 rows)
+    val offs = ranged.groupBy($"rng").agg(sum($"n_toks").as("t"))
+      .withColumn("off", coalesce(
+        sum($"t").over(Window.orderBy($"rng")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"rng", $"off")
+    local.join(broadcast(offs), Seq("rng"))
+      .withColumn("cum_end", $"cum_in" + $"off")
+      .filter($"n_toks" > 0)
+      .select($"doc_id", $"n_toks",
+        expr(s"(cum_end - n_toks) div $budget").as("first_seq"),
+        expr(s"(cum_end - 1) div $budget").as("last_seq"))
+      .withColumn("n_seqs", $"last_seq" - $"first_seq" + 1L)
+      .orderBy($"doc_id")
+  }
+
   /** Deterministic seeded GLOBAL SHUFFLE with round-robin shard
     * assignment — the last step before a training run reads the corpus:
     * a reproducible global visit order (pos 1..N over a stable hash of
@@ -699,6 +750,7 @@ object MlOps extends graft.QueryModule {
     "q_ml_domain_mix" -> (domainMix _),
     "q_ml_epoch_mix" -> (epochMix _),
     "q_ml_length_buckets" -> (lengthBuckets _),
+    "q_ml_pack_sequences" -> (packSequences _),
     "q_ml_global_shuffle" -> (globalShuffle _),
     "q_ml_hashing_tf" -> (hashingTf _),
     "q_ml_hashing_tf_sql" -> (hashingTfSql _))
@@ -787,6 +839,26 @@ object MlOps extends graft.QueryModule {
         |    AS effective_chars
         |FROM p2 LEFT JOIN f ON p2.source = f.source
         |ORDER BY p2.source""".stripMargin,
+    // proves the two-level range decomposition IS the global cumsum:
+    // one keyless window here vs the 64-range plan on the Spark side
+    "q_ml_pack_sequences" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      w -> len(w) > 0)) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_toks,
+        |    CAST(SUM(n_toks) OVER (ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_end
+        |  FROM toks)
+        |SELECT doc_id, n_toks,
+        |  CAST((cum_end - n_toks) // 512 AS BIGINT) AS first_seq,
+        |  CAST((cum_end - 1) // 512 AS BIGINT) AS last_seq,
+        |  CAST((cum_end - 1) // 512 - (cum_end - n_toks) // 512 + 1
+        |    AS BIGINT) AS n_seqs
+        |FROM c WHERE n_toks > 0
+        |ORDER BY doc_id""".stripMargin,
     "q_ml_length_buckets" ->
       """SELECT bucket, bucket * 64 AS cap_chars, n_docs,
         |  CAST((n_docs + 31) // 32 AS BIGINT) AS n_batches,

@@ -96,6 +96,9 @@ object PlanAudit {
     // partition over <= partitions x k partial rows, not the data
     "q_ml_weighted_sample" -> Set("SinglePartition"),
     "q_ml_global_shuffle" -> Set("SinglePartition"),
+    // 64-row range-totals frame -> prefix offsets (globalShuffle's
+    // reviewed bounded-frame window, reused for the packing cumsum)
+    "q_ml_pack_sequences" -> Set("SinglePartition"),
     // ANN/HNSW bounded-beam expansions (constant-size frames)
     "q_simsearch_topk" -> Set("Cartesian", "NestedLoop"),
     // k-row centroid table collapsed to a 1-row array frame, broadcast

@@ -154,6 +154,36 @@ class SampleSpec extends SparkTestBase {
     assert(rows.sameElements(again), "shuffle order not deterministic")
   }
 
+  test("pack sequences: two-level cumsum equals a driver-side replay; chunks tile") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val got = MlOps.packSequences(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // independent replay: one sequential pass in doc_id order
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).split(" ").count(_.nonEmpty).toLong))
+      .sortBy(_._1)
+    var cum = 0L
+    val expected = docs.flatMap { case (id, nt) =>
+      val start = cum; cum += nt
+      if (nt == 0) None
+      else Some((id, nt, start / 512, (cum - 1) / 512,
+        (cum - 1) / 512 - start / 512 + 1))
+    }
+    assert(got.sameElements(expected))
+    // tiling: consecutive docs never skip a sequence (concatenation has
+    // no holes), and every doc spans exactly the chunks its size implies
+    got.sliding(2).foreach {
+      case Array((_, _, _, lastA, _), (_, _, firstB, _, _)) =>
+        assert(firstB == lastA || firstB == lastA + 1,
+          s"gap between seq $lastA and $firstB")
+      case _ =>
+    }
+  }
+
   test("q_ml_sample_seeded is deterministic and in-bounds") {
     val once = MlOps.sampleSeeded(spark, sf0001).collect()
     val twice = MlOps.sampleSeeded(spark, sf0001).collect()
