@@ -16,13 +16,20 @@ import org.apache.spark.sql.functions._
   *                          (i-chain: DedupBatch(i) requires
   *                           FpIndex(i-1); FpIndex(i) requires
   *                           DedupBatch(i) — one atomic target each)
-  *   DedupBatch(i) ─► NearDupBatch(i) ─► MixBatch(i) ─► CorpusReport
+  *   DedupBatch(i) ─► NearDupBatch(i) ─► DecontaminateBatch(i)
   *                          (second i-chain: NearDupBatch(i) requires
   *                           BandIndex(i-1); BandIndex(i) requires
   *                           NearDupBatch(i) — the MinHash band index
-  *                           made incremental the same way; the report's
-  *                           deps stay DYNAMIC, one MixBatch per
-  *                           manifest line)
+  *                           made incremental the same way;
+  *                           DecontaminateBatch also requires the
+  *                           once-built BenchmarkShingles artifact)
+  *   DecontaminateBatch(i) ─► MixBatch(i) ─► PackBatch(i) ─► CorpusReport
+  *                          (third i-chain: PackBatch(i) requires
+  *                           TokenLedger(i-1); TokenLedger(i) requires
+  *                           PackBatch(i) — the 1-row cumulative token
+  *                           total that lets sequences tile across
+  *                           batches; the report's deps stay DYNAMIC,
+  *                           one PackBatch per manifest line)
   *
   * The batch COUNT is data-driven: PlanBatches reads the corpus
   * min/max doc_id and writes the batch-boundary manifest; every
@@ -290,11 +297,63 @@ object CorpusFlow {
     }
   }
 
-  /** Per-language quota mix of one near-deduped batch (the quotaSample
-    * discipline: stable-hash order, nested samples). */
+  /** The benchmark shingle set the corpus is decontaminated against:
+    * distinct whitespace 3-grams of the held-out eval slice (the
+    * fixture stand-in doc_id % 50 = 0 — the q_dedup_decontaminate
+    * convention). Built ONCE per flow (eval suites are MBs next to the
+    * corpus; at 100 TB this is the artifact every DecontaminateBatch
+    * broadcasts), one atomic target. */
+  final case class BenchmarkShingles(cfg: CorpusConfig) extends Task {
+    val output: DirTarget = DirTarget(s"${cfg.baseDir}/benchmark_shingles")
+    def run(spark: SparkSession): Unit = {
+      import graft.llm.DedupOps
+      output.atomicWrite { tmp =>
+        graft.Tables.documents(spark, cfg.sfDir)
+          .filter(col("doc_id") % 50 === 0)
+          .select(explode(DedupOps.shingleCol(col("text"))).as("shingle"))
+          .distinct()
+          .write.parquet(tmp)
+      }
+    }
+  }
+
+  /** Benchmark decontamination of one near-deduped batch (GPT-3
+    * appendix C / The Pile §6.3 any-overlap rule, the
+    * q_dedup_decontaminate semantics as a TASK): drop (a) the eval
+    * docs themselves — a training corpus must not contain its
+    * benchmark — and (b) any doc sharing ≥ 1 distinct 3-gram shingle
+    * with the benchmark set. The benchmark side BROADCASTS (eval
+    * suites stay driver-small at any corpus scale); the batch side is
+    * one narrow explode → broadcast semi-join → anti-join back on
+    * doc_id — corpus text never shuffles. Docs under 3 tokens have no
+    * shingles and cannot leak: kept. */
+  final case class DecontaminateBatch(cfg: CorpusConfig, i: Int) extends Task {
+    override def name = s"DecontaminateBatch($i)"
+    override def requires: Seq[Task] =
+      Seq(NearDupBatch(cfg, i), BenchmarkShingles(cfg))
+    val output: DirTarget = DirTarget(s"${cfg.baseDir}/batch_$i/decontaminated")
+    def run(spark: SparkSession): Unit = {
+      import graft.llm.DedupOps
+      val batch = spark.read.parquet(requires.head.output.uri)
+        .filter(col("doc_id") % 50 =!= 0)
+      val bench = spark.read.parquet(requires(1).output.uri)
+      val leaked = batch
+        .select(col("doc_id"), explode(DedupOps.shingleCol(col("text")))
+          .as("shingle"))
+        .join(broadcast(bench), Seq("shingle"), "left_semi")
+        .select(col("doc_id")).distinct()
+      output.atomicWrite { tmp =>
+        batch.join(leaked, Seq("doc_id"), "left_anti")
+          .write.parquet(tmp)
+      }
+    }
+  }
+
+  /** Per-language quota mix of one decontaminated batch (the
+    * quotaSample discipline: stable-hash order, nested samples). */
   final case class MixBatch(cfg: CorpusConfig, i: Int) extends Task {
     override def name = s"MixBatch($i)"
-    override def requires: Seq[Task] = Seq(NearDupBatch(cfg, i))
+    override def requires: Seq[Task] = Seq(DecontaminateBatch(cfg, i))
     val output: DirTarget = DirTarget(s"${cfg.baseDir}/batch_$i/mixed")
     def run(spark: SparkSession): Unit = {
       import org.apache.spark.sql.expressions.Window
@@ -316,25 +375,108 @@ object CorpusFlow {
     }
   }
 
-  /** The corpus datasheet: per-lang doc/char totals over EVERY mixed
-    * batch. Its dependency set is one MixBatch per manifest line —
-    * known only after PlanBatches has run, hence DYNAMIC (Luigi
+  /** Concat-and-chunk sequence packing of one mixed batch — the
+    * q_ml_pack_sequences discipline as an INCREMENTAL task: the global
+    * token stream is (batch order, then doc_id within batch), each doc
+    * mapped to the 512-token training sequences it lands in. The
+    * cross-batch state is [[TokenLedger]]'s 1-row cumulative total —
+    * batch i's cumsum starts at the ledger of i-1, so sequences tile
+    * ACROSS batches without ever re-reading an earlier batch. Within
+    * the batch the running sum uses the same 64-range two-level
+    * decomposition as the query (no keyless window over batch data;
+    * the 1-row ledger read and the 1-row max-id agg are the reviewed
+    * bounded collects). */
+  final case class PackBatch(cfg: CorpusConfig, i: Int) extends Task {
+    override def name = s"PackBatch($i)"
+    override def requires: Seq[Task] =
+      if (i == 0) Seq(MixBatch(cfg, i))
+      else Seq(MixBatch(cfg, i), TokenLedger(cfg, i - 1))
+    val output: DirTarget = DirTarget(s"${cfg.baseDir}/batch_$i/packed")
+    def run(spark: SparkSession): Unit = {
+      import org.apache.spark.sql.expressions.Window
+      val budget = 512L
+      val offset =
+        if (i == 0) 0L
+        else spark.read.parquet(requires(1).output.uri).head.getLong(0)
+      val toks = spark.read.parquet(requires.head.output.uri)
+        .withColumn("n_toks",
+          size(filter(split(col("text"), " "), w => length(w) > 0))
+            .cast("long"))
+      // 1-row bounded agg fixes the 64 contiguous in-batch id ranges
+      val maxRow = toks.agg(max(col("doc_id"))).head
+      output.atomicWrite { tmp =>
+        if (maxRow.isNullAt(0)) {
+          // empty batch: packed output is the empty frame, same schema
+          toks.withColumn("first_seq", lit(0L))
+            .withColumn("last_seq", lit(0L))
+            .write.parquet(tmp)
+        } else {
+          val width = maxRow.getLong(0) / 64L + 1L
+          val ranged = toks.withColumn("rng", expr(s"doc_id div $width"))
+          val local = ranged.withColumn("cum_in", sum(col("n_toks"))
+            .over(Window.partitionBy(col("rng")).orderBy(col("doc_id"))))
+          val offs = ranged.groupBy(col("rng"))
+            .agg(sum(col("n_toks")).as("t"))
+            .withColumn("off", coalesce(
+              sum(col("t")).over(Window.orderBy(col("rng"))
+                .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+            .select(col("rng"), col("off"))
+          local.join(broadcast(offs), Seq("rng"))
+            .withColumn("cum_end", col("cum_in") + col("off") + offset)
+            .withColumn("first_seq",
+              expr(s"(cum_end - n_toks) div $budget"))
+            .withColumn("last_seq",
+              expr(s"greatest(cum_end - 1, cum_end - n_toks) div $budget"))
+            .drop("rng", "cum_in", "off", "cum_end")
+            .write.parquet(tmp)
+        }
+      }
+    }
+  }
+
+  /** Cumulative token total through batch i — the 1-row cross-batch
+    * packing state (ledger(i) = ledger(i-1) + Σ n_toks of packed batch
+    * i, read back from the parquet PackBatch just wrote). */
+  final case class TokenLedger(cfg: CorpusConfig, i: Int) extends Task {
+    override def name = s"TokenLedger($i)"
+    override def requires: Seq[Task] =
+      if (i == 0) Seq(PackBatch(cfg, i))
+      else Seq(PackBatch(cfg, i), TokenLedger(cfg, i - 1))
+    val output: DirTarget = DirTarget(s"${cfg.baseDir}/batch_$i/token_ledger")
+    def run(spark: SparkSession): Unit = {
+      val prev =
+        if (i == 0) 0L
+        else spark.read.parquet(requires(1).output.uri).head.getLong(0)
+      val batchToks = spark.read.parquet(requires.head.output.uri)
+        .agg(coalesce(sum(col("n_toks")), lit(0L)).as("total")).head
+        .getLong(0)
+      output.atomicWrite { tmp =>
+        spark.range(1).select(lit(prev + batchToks).as("total"))
+          .coalesce(1).write.parquet(tmp)
+      }
+    }
+  }
+
+  /** The corpus datasheet: per-lang doc/char/token totals over EVERY
+    * packed batch. Its dependency set is one PackBatch per manifest
+    * line — known only after PlanBatches has run, hence DYNAMIC (Luigi
     * yield; Task.dynamicRequires). */
   final case class CorpusReport(cfg: CorpusConfig) extends Task {
     override def requires: Seq[Task] = Seq(PlanBatches(cfg))
     override def dynamicRequires(spark: SparkSession): Seq[Task] =
       readManifest(requires.head.output.uri).indices
-        .map(MixBatch(cfg, _))
+        .map(PackBatch(cfg, _))
     val output: DirTarget = DirTarget(s"${cfg.baseDir}/report")
     def run(spark: SparkSession): Unit = {
       // the input paths ARE the dependency set's targets (single source
-      // of truth — a MixBatch layout change cannot desynchronize this)
+      // of truth — a PackBatch layout change cannot desynchronize this)
       val paths = dynamicRequires(spark).map(_.output.uri)
       output.atomicWrite { tmp =>
         spark.read.parquet(paths: _*)
           .groupBy(col("lang"))
           .agg(countDistinct(col("doc_id")).as("n_docs"),
-            sum(col("n_chars")).as("total_chars"))
+            sum(col("n_chars")).as("total_chars"),
+            sum(col("n_toks")).as("total_tokens"))
           .orderBy(col("lang"))
           .coalesce(1).write.parquet(tmp)
       }

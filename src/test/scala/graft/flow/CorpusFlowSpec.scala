@@ -180,4 +180,75 @@ class CorpusFlowSpec extends SparkTestBase {
           "CorpusReport")).toSet, s"resume ran: $resumed")
     assert(ids("near_deduped") === nearKept, "resume changed the kept set")
   }
+
+  test("corpus flow: decontamination matches a replay; sequences tile across batches") {
+    import spark.implicits._
+    val cfg = CorpusConfig(
+      Files.createTempDirectory("graft_corpus_pack").toString, sf0001)
+    Runner.runParallel(CorpusFlow.CorpusReport(cfg), spark, workers = 2)
+    val n = CorpusFlow.readManifest(s"${cfg.baseDir}/batches.manifest").length
+
+    // --- decontamination: near_deduped minus (eval docs + any-overlap
+    // leakers), recomputed driver-side from the raw fixture
+    def shingleSet(t: String): Set[String] = {
+      val w = t.split(" ", -1)
+      if (w.length < 3) Set.empty
+      else (0 to w.length - 3).map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}").toSet
+    }
+    val textById = graft.Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val benchShingles = textById.collect {
+      case (id, t) if id % 50 == 0 => shingleSet(t) }.flatten.toSet
+    var droppedTotal = 0
+    (0 until n).foreach { i =>
+      val before = spark.read.parquet(s"${cfg.baseDir}/batch_$i/near_deduped")
+        .select($"doc_id").collect().map(_.getLong(0)).toSet
+      val after = spark.read
+        .parquet(s"${cfg.baseDir}/batch_$i/decontaminated")
+        .select($"doc_id").collect().map(_.getLong(0)).toSet
+      val expected = before.filter { id =>
+        id % 50 != 0 && shingleSet(textById(id)).intersect(benchShingles).isEmpty
+      }
+      assert(after === expected, s"batch $i decontamination mismatch")
+      droppedTotal += before.size - after.size
+    }
+    assert(droppedTotal > 0, "decontamination dropped nothing (vacuous)")
+
+    // --- packing: one driver-side replay of the WHOLE token stream
+    // (batch order, doc_id within batch) must reproduce every
+    // first_seq/last_seq and every ledger row
+    var cum = 0L
+    (0 until n).foreach { i =>
+      val packed = spark.read.parquet(s"${cfg.baseDir}/batch_$i/packed")
+        .select($"doc_id", $"n_toks", $"first_seq", $"last_seq")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getLong(2), r.getLong(3))).sortBy(_._1)
+      packed.foreach { case (id, nt, first, last) =>
+        assert(nt == textById(id).split(" ").count(_.nonEmpty).toLong,
+          s"doc $id token count")
+        assert(first == cum / 512, s"doc $id first_seq")
+        cum += nt
+        assert(last == (cum - 1).max(cum - nt) / 512, s"doc $id last_seq")
+      }
+      if (i < n - 1) {
+        val ledger = spark.read
+          .parquet(s"${cfg.baseDir}/batch_$i/token_ledger")
+          .head.getLong(0)
+        assert(ledger == cum, s"ledger $i: $ledger != $cum")
+      } else {
+        // the last ledger has no consumer: demand-laziness leaves it
+        // unbuilt, like FpIndex/BandIndex of the final batch
+        assert(!Files.exists(java.nio.file.Paths.get(
+          s"${cfg.baseDir}/batch_$i/token_ledger")))
+      }
+    }
+    assert(cum > 512L, "fixture too small to cross a sequence boundary")
+
+    // --- report totals agree with the packed batches
+    val reportToks = spark.read.parquet(s"${cfg.baseDir}/report")
+      .agg(org.apache.spark.sql.functions.sum($"total_tokens"))
+      .head.getLong(0)
+    assert(reportToks == cum, "report total_tokens != packed stream total")
+  }
 }
