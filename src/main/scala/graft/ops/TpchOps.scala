@@ -377,36 +377,6 @@ object TpchOps extends graft.QueryModule {
       .limit(100)
   }
 
-  /** q_sql_tpch_q3 — shipping priority: the classic segment-gated
-    * top-10 revenue-per-order. o_shippriority is the fixture stand-in
-    * o_orderpriority. The mid-corpus date split keeps both filters
-    * selective on opposite sides. Scale shape: customer is NOT
-    * broadcast (a segment keeps ~20% of a billions-row dim at 100 TB) —
-    * orders⋈customer shuffles on custkey, then the pruned orders side
-    * joins lineitem on orderkey; the top-10 is a per-partition
-    * TakeOrdered, never a global sort. The (date, orderkey) tiebreak
-    * makes the LIMIT boundary a total order, so the hash compare is
-    * stable across engines. */
-  def tpchQ3(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val cut = lit("1998-07-01").cast("timestamp")
-    val cust = graft.Tables.customer(spark, sfDir)
-      .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
-    val ord = graft.Tables.orders(spark, sfDir)
-      .filter($"o_orderdate" < cut)
-      .select($"o_orderkey", $"o_custkey", $"o_orderdate", $"o_orderpriority")
-    val li = graft.Tables.lineitem(spark, sfDir)
-      .filter($"l_shipdate" > cut)
-      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
-    li.join(ord.join(cust, $"o_custkey" === $"c_custkey"),
-        $"l_orderkey" === $"o_orderkey")
-      .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
-      .agg(round(sum(revenue($"l_extendedprice", $"l_discount")), 6)
-        .cast("double").as("revenue"))
-      .orderBy($"revenue".desc, $"o_orderdate", $"l_orderkey")
-      .limit(10)
-  }
-
   /** q_sql_tpch_q11 — important stock: per-part supply value within a
     * nation, HAVING above a multiple of the corpus mean. Value is the
     * fixture stand-in Σ(p_retailprice × l_quantity) per part over the
@@ -481,7 +451,6 @@ object TpchOps extends graft.QueryModule {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sql_tpch_q2" -> (tpchQ2 _),
-    "q_sql_tpch_q3" -> (tpchQ3 _),
     "q_sql_tpch_q11" -> (tpchQ11 _),
     "q_sql_tpch_q20" -> (tpchQ20 _),
     "q_sql_tpch_q7" -> (tpchQ7 _),
@@ -517,20 +486,6 @@ object TpchOps extends graft.QueryModule {
         |    WHERE c2.ps_partkey = p_partkey)
         |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
         |LIMIT 100""".stripMargin,
-    "q_sql_tpch_q3" ->
-      """SELECT l_orderkey,
-        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
-        |    * (1 - CAST(l_discount AS DECIMAL(8,4)))), 6) AS DOUBLE)
-        |    AS revenue,
-        |  o_orderdate, o_orderpriority
-        |FROM customer JOIN orders ON c_custkey = o_custkey
-        |JOIN lineitem ON l_orderkey = o_orderkey
-        |WHERE c_mktsegment = 'BUILDING'
-        |  AND o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
-        |  AND l_shipdate > TIMESTAMP '1998-07-01 00:00:00'
-        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
-        |ORDER BY revenue DESC, o_orderdate, l_orderkey
-        |LIMIT 10""".stripMargin,
     "q_sql_tpch_q11" ->
       """WITH nsupp AS (
         |  SELECT s_suppkey FROM supplier

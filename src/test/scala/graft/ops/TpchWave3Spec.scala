@@ -3,11 +3,12 @@ package graft.ops
 import graft.SparkTestBase
 
 /** Round-11 wave: repo-side evidence for the TPC-H closure queries
-  * Q2/Q3/Q11/Q20 — the last four of the 22. Pattern matches
-  * TpchWaveSpec/TpchWave2Spec: an independent driver-side replay in
-  * plain Scala over the bounded sf0.001 fixture (never a rerun of the
-  * query's own expressions), plus plan pins for the topologies the
-  * 100 TB story depends on. */
+  * Q2/Q11/Q20 — the last three of the 22 (Q1 is the flagship in
+  * AggOps; Q3-Q19 wave 1 in SqlOps; Q7-Q22 wave 2 above). Pattern
+  * matches TpchWaveSpec/TpchWave2Spec: an independent driver-side
+  * replay in plain Scala over the bounded sf0.001 fixture (never a
+  * rerun of the query's own expressions), plus plan pins for the
+  * topologies the 100 TB story depends on. */
 class TpchWave3Spec extends SparkTestBase {
 
   private def bd2(d: Double) = BigDecimal(d).setScale(2)
@@ -56,48 +57,6 @@ class TpchWave3Spec extends SparkTestBase {
       .take(100)
     val got = df.collect().map(r => (r.getDouble(0), r.getString(1),
       r.getString(2), r.getLong(3), r.getString(4), r.getDouble(5))).toSeq
-    assert(got === expected)
-  }
-
-  test("q_sql_tpch_q3: top-10 revenue orders match a driver-side replay") {
-    import spark.implicits._
-    val cut = java.time.LocalDateTime.parse("1998-07-01T00:00:00")
-    val bldg = graft.Tables.customer(spark, sf0001)
-      .filter($"c_mktsegment" === "BUILDING")
-      .select($"c_custkey").collect().map(_.getLong(0)).toSet
-    val ord = graft.Tables.orders(spark, sf0001)
-      .select($"o_orderkey", $"o_custkey", $"o_orderdate", $"o_orderpriority")
-      .collect()
-      .filter { r =>
-        r.getAs[java.time.LocalDateTime](2).isBefore(cut) &&
-          bldg(r.getLong(1))
-      }
-      .map(r => r.getLong(0) ->
-        (r.getAs[java.time.LocalDateTime](2), r.getString(3))).toMap
-    val rev = graft.Tables.lineitem(spark, sf0001)
-      .select($"l_orderkey", $"l_shipdate", $"l_extendedprice", $"l_discount")
-      .collect()
-      .filter { r =>
-        r.getAs[java.time.LocalDateTime](1).isAfter(cut) &&
-          ord.contains(r.getLong(0))
-      }
-      .groupBy(_.getLong(0))
-      .map { case (ok, rs) =>
-        ok -> rs.map(r => bd2(r.getDouble(2)) *
-          (BigDecimal(1) - BigDecimal(r.getDouble(3)).setScale(4))).sum
-      }
-    val expected = rev.toSeq.map { case (ok, v) =>
-      val (date, prio) = ord(ok)
-      (ok, v.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
-        date, prio)
-    }.sortBy { case (ok, r, d, _) =>
-      (-r, d.toEpochSecond(java.time.ZoneOffset.UTC), ok)
-    }.take(10)
-    // result column order is (l_orderkey, o_orderdate, o_orderpriority,
-    // revenue) — the agg column lands after the grouping keys
-    val got = graft.SparkEntry.queries("q_sql_tpch_q3")(spark, sf0001)
-      .collect().map(r => (r.getLong(0), r.getDouble(3),
-        r.getAs[java.time.LocalDateTime](1), r.getString(2))).toSeq
     assert(got === expected)
   }
 
