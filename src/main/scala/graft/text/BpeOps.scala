@@ -35,7 +35,7 @@ object BpeOps extends graft.QueryModule {
     * the standard BPE apply step, shared by the training loop (mergeUdf)
     * and the tokenizer apply path (applyMerges) so the two can never
     * drift semantically. */
-  private def mergeOnce(s: Seq[String], l: String, r: String): Seq[String] = {
+  private[text] def mergeOnce(s: Seq[String], l: String, r: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0
     while (i < s.length) {

@@ -63,6 +63,50 @@ class BpeSpec extends SparkTestBase {
     assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("oracle encoding: sentinel-string replace == greedy merge, incl. adversarial cases") {
+    // The DuckDB twin (BpeOps.unrolledSql) relies on: encoding symbols
+    // as S c1 S S c2 S ... and replacing "S l S S r S" -> "S lr S"
+    // reproduces the greedy left-to-right non-overlapping merge,
+    // because string replace resumes scanning AFTER each replacement.
+    // Java's String.replace has exactly those semantics, so this pins
+    // the equivalence driver-side over the adversarial shapes: runs of
+    // the same symbol, r-as-prefix-of-next-token traps, multi-char
+    // symbols containing each other, and a seeded random sweep.
+    val S = ""
+    def enc(s: Seq[String]): String = s.map(S + _ + S).mkString
+    def dec(s: String): Seq[String] =
+      if (s.isEmpty) Seq.empty
+      else s.split(S + S).toSeq.map(_.stripPrefix(S).stripSuffix(S))
+    def viaReplace(s: Seq[String], l: String, r: String): Seq[String] =
+      dec(enc(s).replace(S + l + S + S + r + S, S + l + r + S))
+    def viaMerge(s: Seq[String], l: String, r: String): Seq[String] =
+      BpeOps.mergeOnce(s, l, r)
+    val cases = Seq(
+      (Seq("a", "a", "a"), "a", "a"),           // odd run: [aa, a]
+      (Seq("a", "a", "a", "a"), "a", "a"),      // even run: [aa, aa]
+      (Seq("a", "ab"), "a", "a"),               // prefix trap: no merge
+      (Seq("ab", "b", "ab"), "ab", "b"),        // multi-char left
+      (Seq("a", "aa", "a"), "a", "aa"),         // symbol contains symbol
+      (Seq("aa", "a", "a"), "aa", "a"),         // merged-left re-trap
+      (Seq("b", "a", "a", "b", "a", "a"), "a", "a"),
+      (Seq.empty[String], "a", "b"),
+      (Seq("x"), "x", "x"))
+    cases.foreach { case (s, l, r) =>
+      assert(viaReplace(s, l, r) == viaMerge(s, l, r),
+        s"case $s merge ($l,$r)")
+    }
+    // seeded random sweep over a tiny alphabet incl. multi-char symbols
+    val rnd = new scala.util.Random(42)
+    val alpha = Seq("a", "b", "aa", "ab", "ba")
+    (1 to 500).foreach { _ =>
+      val s = Seq.fill(rnd.nextInt(12))(alpha(rnd.nextInt(alpha.length)))
+      val l = alpha(rnd.nextInt(alpha.length))
+      val r = alpha(rnd.nextInt(alpha.length))
+      assert(viaReplace(s, l, r) == viaMerge(s, l, r),
+        s"random case $s merge ($l,$r)")
+    }
+  }
+
   test("declared query returns 10 deterministic steps on the fixture") {
     val out = BpeOps.bpeMerges(spark, sf0001).collect()
     assert(out.map(_.getAs[Int]("step")).toSeq == (1 to 10))
