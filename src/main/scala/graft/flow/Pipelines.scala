@@ -199,6 +199,14 @@ object Main {
         Runner.backfill(d => Pipelines.Classify(cfg, d), stop,
           opts.getOrElse("days-back", "4").toInt, spark, reverse = true, log,
           events = events)
+      // the corpus-curation DAG (CorpusFlow): --base <workdir>
+      // --source <sfDir> [--slice N --overlap N --quota N]
+      case "curate" =>
+        exec(CorpusFlow.CorpusReport(CorpusConfig(
+          opts("base"), opts("source"),
+          sliceSize = opts.getOrElse("slice", "200").toLong,
+          overlap = opts.getOrElse("overlap", "50").toLong,
+          quotaPerLang = opts.getOrElse("quota", "30").toLong)))
       case other => sys.error(s"unknown command $other")
     }
     spark.stop()
