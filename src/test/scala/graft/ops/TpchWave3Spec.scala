@@ -60,6 +60,47 @@ class TpchWave3Spec extends SparkTestBase {
     assert(got === expected)
   }
 
+  test("q_sql_tpch_q3 (wave 1): top-10 revenue orders match a driver-side replay") {
+    import spark.implicits._
+    // closes the one wave-1 evidence gap: Q3 (SqlOps) had plan+oracle
+    // coverage but no repo-side replay. Semantics per SqlOps.tpchQ3:
+    // BUILDING segment, orders before 1998-01-01, lineitems shipped
+    // after it, revenue per (orderkey, DATE(orderdate)), top 10 by
+    // (revenue desc, orderkey).
+    val cut = java.time.LocalDateTime.parse("1998-01-01T00:00:00")
+    val bldg = graft.Tables.customer(spark, sf0001)
+      .filter($"c_mktsegment" === "BUILDING")
+      .select($"c_custkey").collect().map(_.getLong(0)).toSet
+    val ord = graft.Tables.orders(spark, sf0001)
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate").collect()
+      .filter { r =>
+        r.getAs[java.time.LocalDateTime](2).isBefore(cut) &&
+          bldg(r.getLong(1))
+      }
+      .map(r => r.getLong(0) ->
+        r.getAs[java.time.LocalDateTime](2).toLocalDate).toMap
+    val rev = graft.Tables.lineitem(spark, sf0001)
+      .select($"l_orderkey", $"l_shipdate", $"l_extendedprice", $"l_discount")
+      .collect()
+      .filter { r =>
+        r.getAs[java.time.LocalDateTime](1).isAfter(cut) &&
+          ord.contains(r.getLong(0))
+      }
+      .groupBy(_.getLong(0))
+      .map { case (ok, rs) =>
+        ok -> rs.map(r => bd2(r.getDouble(2)) *
+          (BigDecimal(1) - BigDecimal(r.getDouble(3)).setScale(4))).sum
+      }
+    val expected = rev.toSeq.map { case (ok, v) =>
+      (ok, ord(ok).toString,
+        v.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy { case (ok, _, r) => (-r, ok) }.take(10).toList
+    val got = graft.SparkEntry.queries("q_sql_tpch_q3")(spark, sf0001)
+      .collect().map(r => (r.getLong(0),
+        String.valueOf(r.get(1)), r.getDouble(2))).toList
+    assert(got === expected)
+  }
+
   test("q_sql_tpch_q11: above-mean parts match; threshold is scale-invariant") {
     import spark.implicits._
     val df = graft.SparkEntry.queries("q_sql_tpch_q11")(spark, sf0001)
