@@ -457,6 +457,41 @@ object CorpusFlow {
     }
   }
 
+  /** The curation retention funnel: per (batch, stage) row counts down
+    * the whole ladder — the observability datasheet that tells an
+    * operator WHERE a batch's documents went (quality gate vs exact
+    * dup vs near dup vs contamination vs quota). Depends on PackBatch
+    * per manifest line (packed implies the entire upstream ladder for
+    * that batch is complete). One scan per stage across all batch
+    * targets, with the batch id recovered from the file path — 7
+    * batch-sized scans total, never a per-(batch, stage) job storm at
+    * 1000s of batches. */
+  final case class CurationFunnel(cfg: CorpusConfig) extends Task {
+    override def requires: Seq[Task] = Seq(PlanBatches(cfg))
+    override def dynamicRequires(spark: SparkSession): Seq[Task] =
+      readManifest(requires.head.output.uri).indices
+        .map(PackBatch(cfg, _))
+    val output: DirTarget = DirTarget(s"${cfg.baseDir}/funnel")
+    def run(spark: SparkSession): Unit = {
+      val n = readManifest(requires.head.output.uri).length
+      val stages = Seq("raw", "clean", "deduped", "near_deduped",
+        "decontaminated", "mixed", "packed")
+      def stageCounts(stage: String) =
+        spark.read.parquet(
+            (0 until n).map(i => s"${cfg.baseDir}/batch_$i/$stage"): _*)
+          .select(regexp_extract(input_file_name(), "batch_(\\d+)", 1)
+            .cast("int").as("batch"))
+          .groupBy(col("batch")).agg(count(lit(1)).as("rows"))
+          .withColumn("stage", lit(stage))
+      output.atomicWrite { tmp =>
+        stages.map(stageCounts).reduce(_.unionByName(_))
+          .select(col("batch"), col("stage"), col("rows"))
+          .orderBy(col("batch"), col("stage"))
+          .coalesce(1).write.parquet(tmp)
+      }
+    }
+  }
+
   /** The corpus datasheet: per-lang doc/char/token totals over EVERY
     * packed batch. Its dependency set is one PackBatch per manifest
     * line — known only after PlanBatches has run, hence DYNAMIC (Luigi

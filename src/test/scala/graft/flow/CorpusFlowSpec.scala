@@ -250,5 +250,26 @@ class CorpusFlowSpec extends SparkTestBase {
       .agg(org.apache.spark.sql.functions.sum($"total_tokens"))
       .head.getLong(0)
     assert(reportToks == cum, "report total_tokens != packed stream total")
+
+    // --- retention funnel: monotone non-increasing down the ladder,
+    // counts equal to direct target reads (missing (batch, stage) rows
+    // mean an empty stage output -> treated as 0)
+    Runner.run(CorpusFlow.CurationFunnel(cfg), spark)
+    val funnel = spark.read.parquet(s"${cfg.baseDir}/funnel")
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2))
+      .toMap.withDefaultValue(0L)
+    val ladder = Seq("raw", "clean", "deduped", "near_deduped",
+      "decontaminated", "mixed", "packed")
+    (0 until n).foreach { i =>
+      ladder.sliding(2).foreach { case Seq(a, b) =>
+        val (ca, cb) = (funnel((i, a)), funnel((i, b)))
+        val ok = if (b == "packed") cb == ca else cb <= ca
+        assert(ok, s"batch $i: $a=$ca -> $b=$cb not monotone")
+      }
+      val direct = spark.read
+        .parquet(s"${cfg.baseDir}/batch_$i/decontaminated").count()
+      assert(funnel((i, "decontaminated")) == direct,
+        s"batch $i funnel count != direct read")
+    }
   }
 }
