@@ -188,6 +188,31 @@ object CorpusFlow {
     * come from 21x3 LSH band collisions and are verified by exact
     * Jaccard on the representatives' shingle sets, so the batch is
     * never all-pairs joined — the 100 TB shape. */
+  /** THE shared shingle-fingerprint recipe: doc columns + `sh` (the
+    * distinct 3-gram shingle set) + `shfp` (sha2 of the NUL-joined
+    * sorted set — the content key of the near-dup index). NearDupBatch
+    * and BandIndex both go through HERE by construction: the cumulative
+    * band index is only correct while both sides compute byte-identical
+    * shfp, and a one-site edit (separator, sort, extra key column)
+    * would otherwise make batch i+1 silently stop matching index i.
+    * Docs with no shingles (< 3 tokens) are absent from the result. */
+  private[flow] def withShingleFp(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    df.withColumn("sh", graft.llm.DedupOps.shingleCol(col("text")))
+      .filter(size(col("sh")) > 0)
+      .withColumn("shfp",
+        sha2(concat_ws("\u0000", array_sort(col("sh"))), 256))
+
+  /** The 21-band LSH rows of a reps frame — shared by both index
+    * writers for the same drift-lockstep reason as [[withShingleFp]]. */
+  private[flow] def bandsOf(reps: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    reps.select(col("shfp"),
+        posexplode(graft.llm.DedupOps.bandCol(col("sh"))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bandhash")
+      .select(col("band"), col("bandhash"), col("shfp"))
+
   final case class NearDupBatch(cfg: CorpusConfig, i: Int) extends Task {
     override def name = s"NearDupBatch($i)"
     override def requires: Seq[Task] =
@@ -196,11 +221,11 @@ object CorpusFlow {
     val output: DirTarget = DirTarget(s"${cfg.baseDir}/batch_$i/near_deduped")
     def run(spark: SparkSession): Unit = {
       import graft.llm.DedupOps
-      val batch = spark.read.parquet(requires.head.output.uri)
-        .withColumn("sh", DedupOps.shingleCol(col("text")))
-      val shingled = batch.filter(size(col("sh")) > 0)
-        .withColumn("shfp",
-          sha2(concat_ws("\u0000", array_sort(col("sh"))), 256))
+      // raw carries NO shingle UDF: the shingle-free union leg at the
+      // end reads it via an anti join on doc_id instead of re-running
+      // the expensive shingle pass just to find the sub-3-token docs
+      val raw = spark.read.parquet(requires.head.output.uri)
+      val shingled = withShingleFp(raw)
         .localCheckpoint() // feeds reps AND the final member filter
       val reps = shingled.groupBy(col("shfp"))
         .agg(min_by(col("sh"), col("doc_id")).as("sh"),
@@ -253,7 +278,12 @@ object CorpusFlow {
           .filter(col("doc_id") === col("rep_id"))
           .join(dropped, Seq("shfp"), "left_anti")
           .drop("sh", "shfp", "rep_id")
-          .union(batch.filter(size(col("sh")) === 0).drop("sh"))
+          // unionByName: the anti join FRONTS its using key (doc_id)
+          // while this leg leads with whatever column DedupBatch's own
+          // key-fronting left first — positional union would silently
+          // zip doc_id against fp
+          .unionByName(raw.join(shingled.select(col("doc_id")),
+            Seq("doc_id"), "left_anti"))
           .write.parquet(tmp)
       }
     }
@@ -264,7 +294,12 @@ object CorpusFlow {
     * NearDupBatch just wrote — batch-sized, never the corpus). One
     * atomic dir target holding two frames (`reps`: shfp + shingle set;
     * `bands`: 21 LSH hashes per rep) — the only cross-batch near-dup
-    * state, a fraction of corpus bytes. */
+    * state, a fraction of corpus bytes. Incremental in WORK as well as
+    * state: only reps NEW to the index are banded; the previous bands
+    * frame is unioned verbatim (banding the whole cumulative rep set
+    * each batch would grow per-batch CPU linearly with corpus age —
+    * O(N²) total across N batches — exactly what the fp-index chain's
+    * union-only discipline avoids). */
   final case class BandIndex(cfg: CorpusConfig, i: Int) extends Task {
     override def name = s"BandIndex($i)"
     override def requires: Seq[Task] =
@@ -272,27 +307,27 @@ object CorpusFlow {
       else Seq(NearDupBatch(cfg, i), BandIndex(cfg, i - 1))
     val output: DirTarget = DirTarget(s"${cfg.baseDir}/batch_$i/band_index")
     def run(spark: SparkSession): Unit = {
-      import graft.llm.DedupOps
-      val reps = spark.read.parquet(requires.head.output.uri)
-        .withColumn("sh", DedupOps.shingleCol(col("text")))
-        .filter(size(col("sh")) > 0)
-        .withColumn("shfp",
-          sha2(concat_ws("\u0000", array_sort(col("sh"))), 256))
+      val batchReps = withShingleFp(
+          spark.read.parquet(requires.head.output.uri))
         .groupBy(col("shfp"))
         .agg(min_by(col("sh"), col("doc_id")).as("sh"))
       output.atomicWrite { tmp =>
-        val newReps =
-          if (i == 0) reps
-          else spark.read.parquet(s"${requires(1).output.uri}/reps")
-            .union(reps)
-            .groupBy(col("shfp")).agg(min_by(col("sh"), lit(1)).as("sh"))
-        val matReps = newReps.localCheckpoint() // feeds both writes once
-        matReps.write.parquet(s"$tmp/reps")
-        matReps.select(col("shfp"), posexplode(DedupOps.bandCol(col("sh"))))
-          .withColumnRenamed("pos", "band")
-          .withColumnRenamed("col", "bandhash")
-          .select(col("band"), col("bandhash"), col("shfp"))
-          .write.parquet(s"$tmp/bands")
+        if (i == 0) {
+          val matReps = batchReps.localCheckpoint() // feeds both writes
+          matReps.write.parquet(s"$tmp/reps")
+          bandsOf(matReps).write.parquet(s"$tmp/bands")
+        } else {
+          val prev = requires(1).output.uri
+          val prevReps = spark.read.parquet(s"$prev/reps")
+          // an shfp already indexed has identical shingle SET, hence
+          // identical bands: the prev entry wins, nothing re-banded
+          val fresh = batchReps.join(prevReps.select(col("shfp")),
+              Seq("shfp"), "left_anti")
+            .localCheckpoint() // feeds reps-union AND the new bands
+          prevReps.unionByName(fresh).write.parquet(s"$tmp/reps")
+          spark.read.parquet(s"$prev/bands").unionByName(bandsOf(fresh))
+            .write.parquet(s"$tmp/bands")
+        }
       }
     }
   }
@@ -407,8 +442,8 @@ object CorpusFlow {
       output.atomicWrite { tmp =>
         if (maxRow.isNullAt(0)) {
           // empty batch: packed output is the empty frame, same schema
-          toks.withColumn("first_seq", lit(0L))
-            .withColumn("last_seq", lit(0L))
+          toks.withColumn("first_seq", lit(null).cast("long"))
+            .withColumn("last_seq", lit(null).cast("long"))
             .write.parquet(tmp)
         } else {
           val width = maxRow.getLong(0) / 64L + 1L
@@ -423,10 +458,13 @@ object CorpusFlow {
             .select(col("rng"), col("off"))
           local.join(broadcast(offs), Seq("rng"))
             .withColumn("cum_end", col("cum_in") + col("off") + offset)
-            .withColumn("first_seq",
-              expr(s"(cum_end - n_toks) div $budget"))
-            .withColumn("last_seq",
-              expr(s"greatest(cum_end - 1, cum_end - n_toks) div $budget"))
+            // zero-token docs occupy NO sequence (the declared
+            // q_ml_pack_sequences semantics): null ids, kept as rows
+            // so the funnel's packed == mixed count invariant holds
+            .withColumn("first_seq", when(col("n_toks") > 0,
+              expr(s"(cum_end - n_toks) div $budget")))
+            .withColumn("last_seq", when(col("n_toks") > 0,
+              expr(s"(cum_end - 1) div $budget")))
             .drop("rng", "cum_in", "off", "cum_end")
             .write.parquet(tmp)
         }
@@ -479,7 +517,11 @@ object CorpusFlow {
       def stageCounts(stage: String) =
         spark.read.parquet(
             (0 until n).map(i => s"${cfg.baseDir}/batch_$i/$stage"): _*)
-          .select(regexp_extract(input_file_name(), "batch_(\\d+)", 1)
+          // greedy .* anchors to the LAST batch_<i>/<stage>/ segment so
+          // a baseDir that itself contains "batch_<digits>" can't
+          // mislabel rows
+          .select(regexp_extract(input_file_name(),
+              s".*/batch_(\\d+)/$stage/", 1)
             .cast("int").as("batch"))
           .groupBy(col("batch")).agg(count(lit(1)).as("rows"))
           .withColumn("stage", lit(stage))

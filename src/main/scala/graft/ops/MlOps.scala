@@ -301,8 +301,15 @@ object MlOps extends graft.QueryModule {
       .select($"doc_id",
         size(filter(split($"text", " "), w => length(w) > 0))
           .cast("long").as("n_toks"))
-    // 1-row bounded collect (the max-day precedent) fixing 64 ranges
-    val maxId = toks.agg(max($"doc_id")).head.getLong(0)
+    // 1-row bounded collect (the max-day precedent) fixing 64 ranges;
+    // null max = empty table -> empty result with the declared schema
+    // (not an opaque NPE — the PlanBatches empty-guard discipline)
+    val maxRow = toks.agg(max($"doc_id")).head
+    if (maxRow.isNullAt(0))
+      return toks.filter(lit(false))
+        .select($"doc_id", $"n_toks", lit(0L).as("first_seq"),
+          lit(0L).as("last_seq"), lit(0L).as("n_seqs"))
+    val maxId = maxRow.getLong(0)
     val width = maxId / 64L + 1L
     val ranged = toks.withColumn("rng", expr(s"doc_id div $width"))
     val local = ranged.withColumn("cum_in",

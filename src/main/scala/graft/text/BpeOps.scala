@@ -199,9 +199,12 @@ object BpeOps extends graft.QueryModule {
          |    SELECT unnest(string_split(text, ' ')) AS word
          |    FROM documents) t
          |  WHERE len(word) > 0 GROUP BY word)""".stripMargin,
+      // [\s\S] not '.': RE2's dot skips newlines, which would leave a
+      // newline-bearing word mis-encoded and silently diverge from the
+      // Scala loop's per-character symbols
       s"""w0 AS MATERIALIZED (
          |  SELECT word, freq,
-         |    regexp_replace(word, '(.)', $S || '\\1' || $S, 'g') AS s
+         |    regexp_replace(word, '([\\s\\S])', $S || '\\1' || $S, 'g') AS s
          |  FROM words)""".stripMargin)
     val perRound = (1 to rounds).flatMap { k =>
       val prev = s"w${k - 1}"
