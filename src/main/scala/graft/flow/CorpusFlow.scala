@@ -534,6 +534,38 @@ object CorpusFlow {
     }
   }
 
+  /** Per-document drop attribution for one batch: WHICH stage removed
+    * each document and why — the explainability artifact a curation
+    * team actually queries ("where did my doc go?"). Five doc_id anti
+    * joins between consecutive stage outputs, each batch-sized and
+    * narrow (ids only — text never moves); together with the surviving
+    * packed ids the ledger PARTITIONS the raw batch, which is exactly
+    * what the spec pins. Depends on PackBatch (implies the whole
+    * upstream ladder for this batch is complete). */
+  final case class DropLedger(cfg: CorpusConfig, i: Int) extends Task {
+    override def name = s"DropLedger($i)"
+    override def requires: Seq[Task] = Seq(PackBatch(cfg, i))
+    val output: DirTarget = DirTarget(s"${cfg.baseDir}/batch_$i/drop_ledger")
+    def run(spark: SparkSession): Unit = {
+      def ids(stage: String) = spark.read
+        .parquet(s"${cfg.baseDir}/batch_$i/$stage").select(col("doc_id"))
+      val ladder = Seq(
+        ("raw", "clean", "quality_fail"),
+        ("clean", "deduped", "exact_dup"),
+        ("deduped", "near_deduped", "near_dup"),
+        ("near_deduped", "decontaminated", "decontaminated"),
+        ("decontaminated", "mixed", "quota_cut"))
+      output.atomicWrite { tmp =>
+        ladder.map { case (a, b, reason) =>
+          ids(a).join(ids(b), Seq("doc_id"), "left_anti")
+            .withColumn("reason", lit(reason))
+        }.reduce(_.unionByName(_))
+          .orderBy(col("doc_id"))
+          .write.parquet(tmp)
+      }
+    }
+  }
+
   /** The corpus datasheet: per-lang doc/char/token totals over EVERY
     * packed batch. Its dependency set is one PackBatch per manifest
     * line — known only after PlanBatches has run, hence DYNAMIC (Luigi

@@ -271,5 +271,39 @@ class CorpusFlowSpec extends SparkTestBase {
       assert(funnel((i, "decontaminated")) == direct,
         s"batch $i funnel count != direct read")
     }
+
+    // --- drop ledger: (dropped ∪ survivors) PARTITIONS each raw batch,
+    // and per-reason counts equal the funnel's stage deltas
+    (0 until n).foreach { i =>
+      Runner.run(CorpusFlow.DropLedger(cfg, i), spark)
+      val ledger = spark.read
+        .parquet(s"${cfg.baseDir}/batch_$i/drop_ledger")
+        .collect().map(r => r.getLong(0) -> r.getString(1))
+      assert(ledger.map(_._1).distinct.length == ledger.length,
+        s"batch $i: a doc has two drop reasons")
+      val rawIds = spark.read.parquet(s"${cfg.baseDir}/batch_$i/raw")
+        .select($"doc_id").collect().map(_.getLong(0)).toSet
+      val packedIds = spark.read.parquet(s"${cfg.baseDir}/batch_$i/packed")
+        .select($"doc_id").collect().map(_.getLong(0)).toSet
+      assert(ledger.map(_._1).toSet ++ packedIds === rawIds,
+        s"batch $i: ledger + survivors != raw")
+      assert(ledger.map(_._1).toSet.intersect(packedIds).isEmpty,
+        s"batch $i: a dropped doc also survived")
+      val byReason = ledger.groupBy(_._2).view.mapValues(_.length.toLong)
+        .toMap.withDefaultValue(0L)
+      val deltas = Map(
+        "quality_fail" -> (funnel((i, "raw")) - funnel((i, "clean"))),
+        "exact_dup" -> (funnel((i, "clean")) - funnel((i, "deduped"))),
+        "near_dup" ->
+          (funnel((i, "deduped")) - funnel((i, "near_deduped"))),
+        "decontaminated" ->
+          (funnel((i, "near_deduped")) - funnel((i, "decontaminated"))),
+        "quota_cut" ->
+          (funnel((i, "decontaminated")) - funnel((i, "mixed"))))
+      deltas.foreach { case (reason, d) =>
+        assert(byReason(reason) == d,
+          s"batch $i $reason: ledger ${byReason(reason)} != funnel delta $d")
+      }
+    }
   }
 }
