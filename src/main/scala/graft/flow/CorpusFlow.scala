@@ -48,10 +48,14 @@ import org.apache.spark.sql.functions._
   * indexes). */
 final case class CorpusConfig(baseDir: String, sfDir: String,
                               sliceSize: Long = 200, overlap: Long = 50,
-                              quotaPerLang: Long = 30) {
+                              quotaPerLang: Long = 30,
+                              evalEvery: Long = 50) {
   require(sliceSize > overlap,
     s"sliceSize ($sliceSize) must exceed overlap ($overlap) — " +
       "a non-positive step would never advance the batch ladder")
+  require(evalEvery > 1,
+    s"evalEvery ($evalEvery) must exceed 1 — doc_id % 1 == 0 would " +
+      "declare the whole corpus an eval set and decontaminate it away")
 }
 
 object CorpusFlow {
@@ -334,7 +338,8 @@ object CorpusFlow {
 
   /** The benchmark shingle set the corpus is decontaminated against:
     * distinct whitespace 3-grams of the held-out eval slice (the
-    * fixture stand-in doc_id % 50 = 0 — the q_dedup_decontaminate
+    * fixture stand-in doc_id % evalEvery = 0, default 50 — the
+    * q_dedup_decontaminate
     * convention). Built ONCE per flow (eval suites are MBs next to the
     * corpus; at 100 TB this is the artifact every DecontaminateBatch
     * broadcasts), one atomic target. */
@@ -344,7 +349,7 @@ object CorpusFlow {
       import graft.llm.DedupOps
       output.atomicWrite { tmp =>
         graft.Tables.documents(spark, cfg.sfDir)
-          .filter(col("doc_id") % 50 === 0)
+          .filter(col("doc_id") % cfg.evalEvery === 0)
           .select(explode(DedupOps.shingleCol(col("text"))).as("shingle"))
           .distinct()
           .write.parquet(tmp)
@@ -370,7 +375,7 @@ object CorpusFlow {
     def run(spark: SparkSession): Unit = {
       import graft.llm.DedupOps
       val batch = spark.read.parquet(requires.head.output.uri)
-        .filter(col("doc_id") % 50 =!= 0)
+        .filter(col("doc_id") % cfg.evalEvery =!= 0)
       val bench = spark.read.parquet(requires(1).output.uri)
       val leaked = batch
         .select(col("doc_id"), explode(DedupOps.shingleCol(col("text")))
@@ -590,5 +595,25 @@ object CorpusFlow {
           .coalesce(1).write.parquet(tmp)
       }
     }
+  }
+
+  /** The full curation run as ONE root (what the `curate` CLI execs):
+    * datasheet + retention funnel + every batch's drop ledger. A
+    * barrier task — its own work is just the completion marker; the
+    * value is in the dependency closure, discovered from the manifest
+    * at runtime like the report's. */
+  final case class CurateAll(cfg: CorpusConfig) extends Task {
+    override def requires: Seq[Task] = Seq(PlanBatches(cfg))
+    override def dynamicRequires(spark: SparkSession): Seq[Task] = {
+      val n = readManifest(requires.head.output.uri).length
+      Seq(CorpusReport(cfg), CurationFunnel(cfg)) ++
+        (0 until n).map(DropLedger(cfg, _))
+    }
+    val output: FileTarget = FileTarget(s"${cfg.baseDir}/_curated_ok")
+    def run(spark: SparkSession): Unit =
+      output.atomicWrite { tmp =>
+        java.nio.file.Files.writeString(tmp,
+          s"batches=${readManifest(requires.head.output.uri).length}\n")
+      }
   }
 }

@@ -200,13 +200,14 @@ object Main {
           opts.getOrElse("days-back", "4").toInt, spark, reverse = true, log,
           events = events)
       // the corpus-curation DAG (CorpusFlow): --base <workdir>
-      // --source <sfDir> [--slice N --overlap N --quota N]
+      // --source <sfDir> [--slice N --overlap N --quota N --eval-every N]
       case "curate" =>
-        exec(CorpusFlow.CorpusReport(CorpusConfig(
+        exec(CorpusFlow.CurateAll(CorpusConfig(
           opts("base"), opts("source"),
           sliceSize = opts.getOrElse("slice", "200").toLong,
           overlap = opts.getOrElse("overlap", "50").toLong,
-          quotaPerLang = opts.getOrElse("quota", "30").toLong)))
+          quotaPerLang = opts.getOrElse("quota", "30").toLong,
+          evalEvery = opts.getOrElse("eval-every", "50").toLong)))
       case other => sys.error(s"unknown command $other")
     }
     spark.stop()
