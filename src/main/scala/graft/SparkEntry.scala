@@ -21,7 +21,7 @@ object SparkEntry {
     ops.WindowOps, ops.SortSetOps, ops.ScalarOps, ops.UdafOps, ops.MlOps,
     ops.SqlOps, ops.TpchOps, ops.ReshapeOps, ops.QualityOps,
     ops.IncrementalOps,
-    text.TextOps, text.BpeOps, text.SearchOps,
+    text.TextOps, text.BpeOps, text.SearchOps, text.CooccurOps,
     llm.DedupOps, llm.SpanDedup, llm.GraphOps, llm.SimSearchOps,
     llm.MultimodalOps,
     llm.CorpusPipeline, llm.Decontaminate,

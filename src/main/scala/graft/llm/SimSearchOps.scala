@@ -573,7 +573,49 @@ object SimSearchOps extends graft.QueryModule {
       .orderBy($"cell")
   }
 
+  /** q_simsearch_centroid_sim — embedding-space cluster-separation
+    * report: per-label centroids and the pairwise cosine between them
+    * (the "are my class clusters collapsing" diagnostic run before
+    * sampling hard negatives or rebalancing a mix). Exactness: floored
+    * integer quantization (the kmeans recipe), per-dimension integer
+    * SUMS only — cosine is scale-invariant in each argument, so the
+    * mean's division never happens and every input to the one double
+    * expression is an exact int64.
+    *
+    * Scale: one groupBy(label, dim) partial-agg'd shuffle of k×dim
+    * rows, then a k-row self-join (k = |labels|, bounded) — corpus is
+    * touched once, pairwise work is k², never n². */
+  def centroidSim(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cents = graft.Tables.embeddings(spark, sfDir)
+      .select($"label",
+        transform($"embedding",
+          x => floor(x.cast("double") * 1000.0).cast("long")).as("qv"))
+      .select($"label", posexplode($"qv").as(Seq("d", "q")))
+      .groupBy($"label", $"d")
+      .agg(sum($"q").as("s"), count(lit(1)).as("n"))
+      .groupBy($"label")
+      .agg(first($"n").as("n"),
+        transform(array_sort(collect_list(struct($"d", $"s"))),
+          e => e.getField("s")).as("sv"))
+    val a = cents.select($"label".as("label_a"), $"n".as("n_a"), $"sv".as("av"))
+    val b = cents.select($"label".as("label_b"), $"n".as("n_b"), $"sv".as("bv"))
+    a.join(b, $"label_a" < $"label_b")
+      .withColumn("dt", aggregate(zip_with($"av", $"bv", (x, y) => x * y),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("na", aggregate(transform($"av", x => x * x),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("nb", aggregate(transform($"bv", x => x * x),
+        lit(0L), (acc, x) => acc + x))
+      .select($"label_a", $"label_b", $"n_a", $"n_b",
+        round($"dt".cast("double") /
+          (sqrt($"na".cast("double")) * sqrt($"nb".cast("double"))), 6)
+          .as("cos"))
+      .orderBy($"label_a", $"label_b")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_simsearch_centroid_sim" -> (centroidSim _),
     "q_simsearch_kmeans_portable" -> (kmeansPortable _),
     "q_simsearch_norm_stats" -> (normStats _),
     "q_simsearch_topk" -> (topkBruteForce _),
@@ -583,6 +625,32 @@ object SimSearchOps extends graft.QueryModule {
     "q_simsearch_topk_hnsw" -> (topkHnsw _))
 
   def oracle: Map[String, String] = Map(
+    "q_simsearch_centroid_sim" ->
+      """WITH q AS (
+        |  SELECT label, list_transform(CAST(embedding AS DOUBLE[]),
+        |    x -> CAST(floor(x*1000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT label, d, CAST(SUM(qq) AS BIGINT) AS s, COUNT(*) AS n
+        |  FROM (
+        |    SELECT label, unnest(qv) AS qq, generate_subscripts(qv, 1) AS d
+        |    FROM q)
+        |  GROUP BY label, d),
+        |c AS (
+        |  SELECT label, CAST(max(n) AS BIGINT) AS n, list(s ORDER BY d) AS sv
+        |  FROM s GROUP BY label),
+        |p AS (
+        |  SELECT a.label AS label_a, b.label AS label_b,
+        |    a.n AS n_a, b.n AS n_b,
+        |    CAST(list_sum(list_transform(range(1, len(a.sv)+1),
+        |        i -> a.sv[i] * b.sv[i])) AS DOUBLE) /
+        |      (sqrt(CAST(list_sum(list_transform(range(1, len(a.sv)+1),
+        |          i -> a.sv[i] * a.sv[i])) AS DOUBLE)) *
+        |       sqrt(CAST(list_sum(list_transform(range(1, len(b.sv)+1),
+        |          i -> b.sv[i] * b.sv[i])) AS DOUBLE))) AS cosr
+        |  FROM c a JOIN c b ON a.label < b.label)
+        |SELECT label_a, label_b, n_a, n_b, round(cosr, 6) AS cos
+        |FROM p ORDER BY label_a, label_b""".stripMargin,
     "q_simsearch_kmeans_portable" ->
       """WITH q AS (
         |  SELECT vec_id,

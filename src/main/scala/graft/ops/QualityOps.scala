@@ -311,7 +311,36 @@ object QualityOps extends graft.QueryModule {
       .orderBy($"source")
   }
 
+  /** q_quality_source_gini — Gini coefficient of per-source corpus
+    * volume (Σ n_chars by source): the training-mix inequality
+    * diagnostic — a gini near 1 means a handful of domains dominate
+    * the byte budget and the temperature/quota mixers have real work
+    * to do. Exact integer arithmetic end-to-end via the rank formula
+    * G = Σ(2i − n − 1)·x_i / (n·Σx) over ascending x (ties ranked by
+    * source name); ONE double division at the end.
+    *
+    * Scale: per-source volumes are one partial-agg'd shuffle of
+    * |sources| rows; the rank window sorts that bounded frame (domain
+    * cardinality, ~1e6 at worst), never the corpus. */
+  def sourceGini(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val vols = graft.Tables.documents(spark, sfDir)
+      .groupBy($"source").agg(sum($"n_chars").as("x"))
+    val tot = broadcast(vols.agg(
+      count(lit(1)).as("n"), sum($"x").as("t")))
+    vols
+      .withColumn("i", row_number().over(Window.orderBy($"x", $"source")))
+      .crossJoin(tot)
+      .agg(first($"n").as("n_sources"), first($"t").as("total_chars"),
+        sum(($"i" * 2 - $"n" - 1) * $"x").as("num"))
+      .select($"n_sources", $"total_chars",
+        round($"num".cast("double") /
+          ($"n_sources" * $"total_chars").cast("double"), 6).as("gini"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quality_source_gini" -> (sourceGini _),
     "q_quality_dataset_card" -> (datasetCard _),
     "q_quality_label_agreement" -> (labelAgreement _),
     "q_quality_mad" -> (madDispersion _),
@@ -323,6 +352,17 @@ object QualityOps extends graft.QueryModule {
     "q_quality_benford" -> (benford _))
 
   def oracle: Map[String, String] = Map(
+    "q_quality_source_gini" ->
+      """WITH v AS (
+        |  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS x
+        |  FROM documents GROUP BY source),
+        |r AS (
+        |  SELECT x, row_number() OVER (ORDER BY x, source) AS i FROM v),
+        |t AS (SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS tot FROM v)
+        |SELECT t.n AS n_sources, t.tot AS total_chars,
+        |  round(CAST(SUM((r.i * 2 - t.n - 1) * r.x) AS DOUBLE) /
+        |    CAST(t.n * t.tot AS DOUBLE), 6) AS gini
+        |FROM r CROSS JOIN t GROUP BY t.n, t.tot""".stripMargin,
     // entropy terms rounded 6dp then summed as DECIMAL — see
     // datasetCard's scaladoc for why the sum must be decimal
     "q_quality_dataset_card" ->

@@ -1,0 +1,266 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Token co-occurrence statistics and cheap corpus LMs — the signals a
+  * pretraining-data pipeline computes between tokenization and quality
+  * gating (ref: the reference's TF-pipeline stops at per-doc token
+  * vectors, `03_ml_pipeline.py`; these are the corpus-level upgrades).
+  *
+  * Three declared queries, all fully DuckDB-oracled:
+  *
+  *   q_text_skipgram_ppmi — positive PMI over skip-gram co-occurrence
+  *     pairs (window ±2, the word2vec default shape; Levy & Goldberg,
+  *     NIPS 2014 showed SGNS factorizes exactly this matrix). Unlike
+  *     q_text_bigram_pmi (adjacent pairs only), the skip-gram window
+  *     catches collocations with an intervening token.
+  *   q_text_bigram_lm_nll — add-one-smoothed bigram LM trained on the
+  *     corpus itself, scored per document as average negative log
+  *     likelihood: the classic cheap perplexity gate (CCNet uses a
+  *     KenLM; the bigram LM is its exact-arithmetic stand-in with the
+  *     same plan shape — count tables joined back to the token stream).
+  *   q_text_vocab_coverage — per-language coverage of a top-K corpus
+  *     vocabulary: what fraction of running tokens a K-entry tokenizer
+  *     vocab would cover, plus the distinct OOV type count. The
+  *     standard "is the tokenizer vocab big enough for this language"
+  *     report.
+  *
+  * Scale discipline (100 TB):
+  *  - Co-occurrence pairs come from OFFSET-SHIFTED EQUI-JOINS on
+  *    (doc_id, pos): one shifted copy per offset, each joined back to
+  *    the token stream. Linear in corpus size × window width — never a
+  *    per-doc quadratic range-join (a doc_id-only join with a position
+  *    filter degenerates to O(len²) per doc, fatal on book-length
+  *    docs).
+  *  - All model tables (pair counts, context counts, vocab) are
+  *    token-keyed distributed aggregates; corpus totals are broadcast
+  *    1-row aggregates over those tables (no second corpus scan).
+  *  - Double sums follow the proven unigram_logprob discipline: each
+  *    per-row log is rounded to 6 dp, summed as DECIMAL(18,6) (exact,
+  *    order-free), divided once in double — bit-identical across
+  *    engines and across partitionings.
+  *  - The top-K vocab is bounded (K = 100) and broadcast; the coverage
+  *    join never shuffles the corpus on a low-cardinality key.
+  */
+object CooccurOps extends graft.QueryModule {
+
+  private val Window = 2      // skip-gram window ±2
+  private val MinPair = 5     // kill the noisy co-occurrence tail
+  private val VocabK = 100    // coverage vocabulary size
+
+  /** (doc_id, pos, tok) token stream; pos is 1-based to match DuckDB's
+    * generate_subscripts. */
+  private def toks(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("p0", "tok")))
+      .select($"doc_id", ($"p0" + 1).as("pos"), $"tok")
+  }
+
+  /** Forward co-occurrence instances (a at pos, b at pos+o, o ∈ [1,W])
+    * via offset-shifted equi-joins — the linear-cost pair generator. */
+  private def pairInstances(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val t = toks(spark, sfDir)
+    val shifted = (1 to Window).map { o =>
+      t.select($"doc_id", ($"pos" + o).as("pos"), $"tok".as("a"))
+    }.reduce(_ unionAll _)
+    shifted.join(t.withColumnRenamed("tok", "b"), Seq("doc_id", "pos"))
+      .select(least($"a", $"b").as("a"), greatest($"a", $"b").as("b"))
+  }
+
+  /** q_text_skipgram_ppmi — PPMI over unordered skip-gram pairs.
+    * p(a,b) over pair instances, p(a)/p(b) over the unigram stream;
+    * PPMI = max(0, ln(p(ab)/(p(a)p(b)))), rounded once. */
+  def skipgramPpmi(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val uni = toks(spark, sfDir).groupBy($"tok").agg(count(lit(1)).as("c"))
+    val pairs = pairInstances(spark, sfDir)
+      .groupBy($"a", $"b").agg(count(lit(1)).as("c_ab"))
+    val nUni = broadcast(uni.agg(sum($"c").cast("double").as("n_uni")))
+    val nPair = broadcast(pairs.agg(sum($"c_ab").cast("double").as("n_pair")))
+    pairs.filter($"c_ab" >= MinPair)
+      .join(uni.select($"tok".as("a"), $"c".as("c_a")), Seq("a"))
+      .join(uni.select($"tok".as("b"), $"c".as("c_b")), Seq("b"))
+      .crossJoin(nUni).crossJoin(nPair)
+      .withColumn("ppmi", round(greatest(lit(0.0),
+        log(($"c_ab" / $"n_pair") /
+          (($"c_a" / $"n_uni") * ($"c_b" / $"n_uni")))), 6))
+      .select(concat($"a", lit(" "), $"b").as("pair"),
+        $"c_ab", $"c_a", $"c_b", $"ppmi")
+      .orderBy($"ppmi".desc, $"pair")
+      .limit(20)
+  }
+
+  /** q_text_bigram_lm_nll — per-doc avg negative log likelihood under
+    * an add-one bigram LM: p(b|a) = (c_ab + 1) / (c_ctx(a) + V), with
+    * c_ctx(a) = Σ_b c_ab (times a opens a bigram) and V = |token
+    * types|. Docs with < 2 tokens have no bigrams and drop out (the
+    * oracle mirrors this universe). */
+  def bigramLmNll(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val t = toks(spark, sfDir)
+    val bg = t.select($"doc_id", ($"pos" + 1).as("pos"), $"tok".as("a"))
+      .join(t.withColumnRenamed("tok", "b"), Seq("doc_id", "pos"))
+      .select($"doc_id", $"a", $"b")
+    val cAb = bg.groupBy($"a", $"b").agg(count(lit(1)).as("c_ab"))
+    val cCtx = cAb.groupBy($"a").agg(sum($"c_ab").as("c_ctx"))
+    val vocab = broadcast(
+      t.select($"tok").distinct().agg(count(lit(1)).as("v")))
+    bg.join(cAb, Seq("a", "b")).join(cCtx, Seq("a")).crossJoin(vocab)
+      .withColumn("lp",
+        round(log(($"c_ab" + lit(1)).cast("double") /
+          ($"c_ctx" + $"v").cast("double")), 6).cast("decimal(18,6)"))
+      .groupBy($"doc_id")
+      // floor-at-micro, not round: the avg can land exactly on a
+      // 5e-7 rounding tie, which the engines' HALF_UP paths resolve
+      // differently (r11 evidence at sf0.1); floor of the IEEE-identical
+      // quotient is bit-deterministic everywhere
+      .agg(count(lit(1)).as("n_bigrams"),
+        (floor(-(sum($"lp").cast("double")) / count(lit(1)) * lit(1e6))
+          .cast("bigint") / lit(1e6)).as("nll"))
+      .orderBy($"doc_id")
+  }
+
+  /** q_text_vocab_coverage — per-language running-token coverage of the
+    * top-K corpus vocabulary (K = 100, ties on token string), plus the
+    * distinct OOV type count: integer sums throughout, one division at
+    * the end. The vocab is a bounded top-K (broadcast both as the join
+    * side and in spirit — 100 rows), so the corpus-side join is a
+    * broadcast hash join, never a shuffle on `tok`. */
+  def vocabCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val t = toks(spark, sfDir)
+      .join(graft.Tables.documents(spark, sfDir).select($"doc_id", $"lang"),
+        Seq("doc_id"))
+    val vocab = broadcast(
+      t.groupBy($"tok").agg(count(lit(1)).as("c"))
+        .orderBy($"c".desc, $"tok").limit(VocabK)
+        .select($"tok", lit(1).as("in_vocab")))
+    t.join(vocab, Seq("tok"), "left")
+      .withColumn("iv", coalesce($"in_vocab", lit(0)))
+      .groupBy($"lang")
+      .agg(countDistinct($"doc_id").as("n_docs"),
+        count(lit(1)).as("n_tokens"),
+        sum($"iv").as("n_covered"),
+        round(sum($"iv").cast("double") / count(lit(1)), 6).as("coverage"),
+        countDistinct(when($"iv" === 0, $"tok")).as("n_oov_types"))
+      .orderBy($"lang")
+  }
+
+  /** q_text_lexical_diversity — per-language lexical-diversity report:
+    * type count, token count, type-token ratio, and Shannon entropy of
+    * the token distribution (nats). High-entropy/high-TTR languages
+    * need bigger tokenizer vocabs and dilute n-gram dedup signals —
+    * the report that sizes both. Entropy follows the unigram_logprob
+    * determinism discipline: one term per TYPE (vocabulary-bounded),
+    * each rounded to 6 dp, summed as exact DECIMAL. */
+  def lexicalDiversity(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val t = toks(spark, sfDir)
+      .join(graft.Tables.documents(spark, sfDir).select($"doc_id", $"lang"),
+        Seq("doc_id"))
+    val counts = t.groupBy($"lang", $"tok").agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy($"lang").agg(sum($"c").as("nt"))
+    counts.join(broadcast(totals), Seq("lang"))
+      .withColumn("term", round(
+        ($"c".cast("double") / $"nt") * log($"c".cast("double") / $"nt"), 6)
+        .cast("decimal(18,6)"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_types"),
+        first($"nt").as("n_tokens"),
+        round(count(lit(1)).cast("double") / first($"nt"), 6).as("ttr"),
+        round(-sum($"term").cast("double"), 6).as("entropy"))
+      .orderBy($"lang")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_skipgram_ppmi" -> (skipgramPpmi _),
+    "q_text_bigram_lm_nll" -> (bigramLmNll _),
+    "q_text_vocab_coverage" -> (vocabCoverage _),
+    "q_text_lexical_diversity" -> (lexicalDiversity _))
+
+  def oracle: Map[String, String] = Map(
+    "q_text_skipgram_ppmi" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    unnest(string_split(text, ' ')) AS tok,
+         |    generate_subscripts(string_split(text, ' '), 1) AS pos
+         |  FROM documents),
+         |uni AS (SELECT tok, COUNT(*) AS c FROM t GROUP BY 1),
+         |nu AS (SELECT CAST(SUM(c) AS DOUBLE) AS n_uni FROM uni),
+         |pi AS (
+         |  SELECT least(t1.tok, t2.tok) AS a, greatest(t1.tok, t2.tok) AS b
+         |  FROM t t1 JOIN t t2
+         |    ON t1.doc_id = t2.doc_id
+         |   AND t2.pos - t1.pos BETWEEN 1 AND $Window),
+         |pc AS (SELECT a, b, COUNT(*) AS c_ab FROM pi GROUP BY 1, 2),
+         |np AS (SELECT CAST(SUM(c_ab) AS DOUBLE) AS n_pair FROM pc),
+         |scored AS (
+         |  SELECT pc.a || ' ' || pc.b AS pair, pc.c_ab,
+         |    ua.c AS c_a, ub.c AS c_b,
+         |    round(greatest(0.0, ln((pc.c_ab / n_pair) /
+         |      ((ua.c / n_uni) * (ub.c / n_uni)))), 6) AS ppmi
+         |  FROM pc
+         |  JOIN uni ua ON pc.a = ua.tok
+         |  JOIN uni ub ON pc.b = ub.tok
+         |  CROSS JOIN nu CROSS JOIN np
+         |  WHERE pc.c_ab >= $MinPair)
+         |SELECT pair, c_ab, c_a, c_b, ppmi FROM scored
+         |ORDER BY ppmi DESC, pair LIMIT 20""".stripMargin,
+    "q_text_bigram_lm_nll" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS tok,
+        |    generate_subscripts(string_split(text, ' '), 1) AS pos
+        |  FROM documents),
+        |bg AS (
+        |  SELECT t1.doc_id, t1.tok AS a, t2.tok AS b
+        |  FROM t t1 JOIN t t2
+        |    ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1),
+        |cab AS (SELECT a, b, COUNT(*) AS c_ab FROM bg GROUP BY 1, 2),
+        |ctx AS (SELECT a, CAST(SUM(c_ab) AS BIGINT) AS c_ctx FROM cab GROUP BY 1),
+        |v AS (SELECT COUNT(DISTINCT tok) AS v FROM t)
+        |SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+        |  CAST(floor(-CAST(SUM(CAST(round(ln(CAST(cab.c_ab + 1 AS DOUBLE) /
+        |      CAST(ctx.c_ctx + v.v AS DOUBLE)), 6)
+        |    AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) * 1e6) AS BIGINT)
+        |    / 1e6 AS nll
+        |FROM bg
+        |JOIN cab ON bg.a = cab.a AND bg.b = cab.b
+        |JOIN ctx ON bg.a = ctx.a
+        |CROSS JOIN v
+        |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin,
+    "q_text_lexical_diversity" ->
+      """WITH t AS (
+        |  SELECT d.lang, unnest(string_split(d.text, ' ')) AS tok
+        |  FROM documents d),
+        |c AS (SELECT lang, tok, COUNT(*) AS c FROM t GROUP BY 1, 2),
+        |n AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS nt FROM c GROUP BY 1)
+        |SELECT c.lang, COUNT(*) AS n_types, CAST(max(n.nt) AS BIGINT) AS n_tokens,
+        |  round(CAST(COUNT(*) AS DOUBLE) / max(n.nt), 6) AS ttr,
+        |  round(-CAST(SUM(CAST(round(
+        |      (CAST(c.c AS DOUBLE) / n.nt) * ln(CAST(c.c AS DOUBLE) / n.nt),
+        |    6) AS DECIMAL(18,6))) AS DOUBLE), 6) AS entropy
+        |FROM c JOIN n ON c.lang = n.lang
+        |GROUP BY c.lang ORDER BY c.lang""".stripMargin,
+    "q_text_vocab_coverage" ->
+      s"""WITH t AS (
+         |  SELECT d.doc_id, d.lang, unnest(string_split(d.text, ' ')) AS tok
+         |  FROM documents d),
+         |vocab AS (
+         |  SELECT tok FROM (
+         |    SELECT tok, COUNT(*) AS c FROM t GROUP BY 1
+         |    ORDER BY c DESC, tok LIMIT $VocabK)),
+         |m AS (
+         |  SELECT t.lang, t.doc_id, t.tok,
+         |    CASE WHEN v.tok IS NULL THEN 0 ELSE 1 END AS iv
+         |  FROM t LEFT JOIN vocab v ON t.tok = v.tok)
+         |SELECT lang, COUNT(DISTINCT doc_id) AS n_docs,
+         |  COUNT(*) AS n_tokens,
+         |  CAST(SUM(iv) AS BIGINT) AS n_covered,
+         |  round(CAST(SUM(iv) AS DOUBLE) / COUNT(*), 6) AS coverage,
+         |  COUNT(DISTINCT CASE WHEN iv = 0 THEN tok END) AS n_oov_types
+         |FROM m GROUP BY lang ORDER BY lang""".stripMargin)
+}

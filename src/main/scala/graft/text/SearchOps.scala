@@ -139,9 +139,73 @@ object SearchOps extends graft.QueryModule {
       .orderBy($"rank")
   }
 
+  /** q_search_hybrid_rrf — hybrid retrieval: reciprocal-rank fusion
+    * (Cormack et al., SIGIR 2009; k = 60) of the BM25 keyword leg with
+    * an embedding leg seeded by pseudo-relevance feedback (Rocchio
+    * shape): the top-3 BM25 docs THAT HAVE embeddings (at sf0.1 only a
+    * prefix of docs carries vectors) define a query vector as the
+    * per-dimension SUM of their floor(x*1000) integer quantizations —
+    * cosine is scale-invariant, so the sum needs no division and stays
+    * exact. The vector leg is brute-force cosine at fixture scale (the
+    * IVF index is the 100 TB swap-in, same contract); both legs are
+    * top-20, fused as Σ 1/(60+rank) over the legs a doc appears in,
+    * top-10 out.
+    *
+    * Scale: the keyword leg is the partition-pruned postings plan; the
+    * PRF vector is a ≤3-row bounded frame folded to ONE broadcast row
+    * (no driver round-trip); the fusion is an outer join of two 20-row
+    * frames. All rank windows are row_number-≤-k shapes the
+    * RewriteTopKWindow rule plans as two-phase TopKPerKeyExec. */
+  def hybridRrf(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val bm = bm25TopK(spark, sfDir) // (rank, doc_id, score): 20 rows
+    val emb = graft.Tables.embeddings(spark, sfDir)
+      .select($"vec_id", transform($"embedding",
+        x => floor(x.cast("double") * 1000.0).cast("long")).as("qv"))
+    val seeds = bm.join(emb, bm("doc_id") === emb("vec_id"))
+      .orderBy($"rank").limit(PrfSeeds)
+      .select($"vec_id", $"qv")
+    // PRF vector: exact per-dimension integer sums over ≤3 seed rows,
+    // rebuilt as an ordered array on ONE broadcast row (kmeans pattern)
+    val prf = broadcast(seeds
+      .select(posexplode($"qv").as(Seq("d", "q")))
+      .groupBy($"d").agg(sum($"q").as("s"))
+      .agg(array_sort(collect_list(struct($"d", $"s"))).as("ds"))
+      .select(transform($"ds", x => x.getField("s")).as("pv")))
+    val cand = emb.join(seeds.select($"vec_id"), Seq("vec_id"), "left_anti")
+    val vec = cand.crossJoin(prf)
+      .withColumn("dt", aggregate(zip_with($"qv", $"pv", (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("nq", aggregate(transform($"qv", x => x * x),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("np", aggregate(transform($"pv", x => x * x),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("score", round($"dt".cast("double") /
+        (sqrt($"nq".cast("double")) * sqrt($"np".cast("double"))), 6))
+      .withColumn("r_vec", row_number().over(
+        Window.orderBy($"score".desc, $"vec_id")))
+      .filter($"r_vec" <= 20)
+      .select($"vec_id".as("doc_id"), $"r_vec")
+    bm.select($"doc_id", $"rank".as("r_kw"))
+      .join(vec, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(RrfK) + $"r_kw"), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + $"r_vec"), lit(0.0)), 6))
+      .withColumn("rank", row_number().over(
+        Window.orderBy($"rrf".desc, $"doc_id")))
+      .filter($"rank" <= 10)
+      .select($"rank", $"doc_id", $"r_kw", $"r_vec", $"rrf")
+      .orderBy($"rank")
+  }
+
+  private val RrfK = 60
+  private val PrfSeeds = 3
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_keyword_search" -> (keywordSearch _),
-    "q_text_bm25_topk" -> (bm25TopK _))
+    "q_text_bm25_topk" -> (bm25TopK _),
+    "q_search_hybrid_rrf" -> (hybridRrf _))
 
   private def termList = Terms.map(t => s"'$t'").mkString(", ")
 
@@ -161,30 +225,79 @@ object SearchOps extends graft.QueryModule {
          |WHERE h.n_terms = ${Terms.size}
          |ORDER BY d.doc_id""".stripMargin,
     "q_text_bm25_topk" ->
-      s"""WITH tok AS (
-         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-         |  FROM documents),
-         |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
-         |stats AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sdl FROM dl),
-         |tf AS (
-         |  SELECT doc_id, tok, count(*) AS tf FROM tok
-         |  WHERE tok IN ($termList) GROUP BY doc_id, tok),
-         |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
-         |part AS (
-         |  SELECT t.doc_id, t.tok,
-         |    ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5)) *
-         |      (t.tf * 2.2) /
-         |      (t.tf + 1.2 *
-         |        (0.25 + 0.75 * d.dl / (CAST(s.sdl AS DOUBLE) / s.n))) AS p
-         |  FROM tf t JOIN df f ON t.tok = f.tok
-         |  JOIN dl d ON t.doc_id = d.doc_id CROSS JOIN stats s),
-         |sc AS (
-         |  SELECT doc_id, round(
-         |    ${Terms.map(t => s"coalesce(max(CASE WHEN tok = '$t' THEN p END), 0.0)")
-                    .mkString("\n         |      + ")}, 6) AS score
-         |  FROM part GROUP BY doc_id)
+      s"""$bm25Ctes
          |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
          |    AS rank,
          |  doc_id, score
-         |FROM sc ORDER BY rank LIMIT 20""".stripMargin)
+         |FROM sc ORDER BY rank LIMIT 20""".stripMargin,
+    "q_search_hybrid_rrf" ->
+      s"""$bm25Ctes,
+         |bm AS (
+         |  SELECT rank, doc_id FROM (
+         |    SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+         |      AS INT) AS rank, doc_id FROM sc) WHERE rank <= 20),
+         |emb AS (
+         |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+         |    x -> CAST(floor(x*1000) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |seeds AS (
+         |  SELECT e.vec_id, e.qv FROM bm JOIN emb e ON bm.doc_id = e.vec_id
+         |  ORDER BY bm.rank LIMIT $PrfSeeds),
+         |prf AS (
+         |  SELECT list(s ORDER BY d) AS pv FROM (
+         |    SELECT d, CAST(SUM(q) AS BIGINT) AS s FROM (
+         |      SELECT unnest(qv) AS q, generate_subscripts(qv, 1) AS d
+         |      FROM seeds) GROUP BY d)),
+         |vecscore AS (
+         |  SELECT e.vec_id,
+         |    round(CAST(list_sum(list_transform(range(1, len(e.qv)+1),
+         |        i -> e.qv[i] * p.pv[i])) AS DOUBLE) /
+         |      (sqrt(CAST(list_sum(list_transform(range(1, len(e.qv)+1),
+         |          i -> e.qv[i] * e.qv[i])) AS DOUBLE)) *
+         |       sqrt(CAST(list_sum(list_transform(range(1, len(p.pv)+1),
+         |          i -> p.pv[i] * p.pv[i])) AS DOUBLE))), 6) AS score
+         |  FROM emb e CROSS JOIN prf p
+         |  WHERE e.vec_id NOT IN (SELECT vec_id FROM seeds)),
+         |vec AS (
+         |  SELECT doc_id, r_vec FROM (
+         |    SELECT vec_id AS doc_id, CAST(row_number() OVER (
+         |      ORDER BY score DESC, vec_id) AS INT) AS r_vec
+         |    FROM vecscore) WHERE r_vec <= 20),
+         |fused AS (
+         |  SELECT coalesce(b.doc_id, v.doc_id) AS doc_id,
+         |    b.rank AS r_kw, v.r_vec,
+         |    round(coalesce(1.0 / (${RrfK} + b.rank), 0.0) +
+         |          coalesce(1.0 / (${RrfK} + v.r_vec), 0.0), 6) AS rrf
+         |  FROM bm b FULL OUTER JOIN vec v ON b.doc_id = v.doc_id)
+         |SELECT rank, doc_id, r_kw, r_vec, rrf FROM (
+         |  SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INT)
+         |    AS rank, doc_id, r_kw, r_vec, rrf
+         |  FROM fused) WHERE rank <= 10 ORDER BY rank""".stripMargin)
+
+  /** Shared BM25 CTE chain (tok → dl → stats → tf → df → part → sc) —
+    * one string so the BM25 query and the hybrid-fusion query cannot
+    * drift in scoring arithmetic. */
+  private def bm25Ctes: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+       |stats AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sdl FROM dl),
+       |tf AS (
+       |  SELECT doc_id, tok, count(*) AS tf FROM tok
+       |  WHERE tok IN ($termList) GROUP BY doc_id, tok),
+       |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+       |part AS (
+       |  SELECT t.doc_id, t.tok,
+       |    ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5)) *
+       |      (t.tf * 2.2) /
+       |      (t.tf + 1.2 *
+       |        (0.25 + 0.75 * d.dl / (CAST(s.sdl AS DOUBLE) / s.n))) AS p
+       |  FROM tf t JOIN df f ON t.tok = f.tok
+       |  JOIN dl d ON t.doc_id = d.doc_id CROSS JOIN stats s),
+       |sc AS (
+       |  SELECT doc_id, round(
+       |    ${Terms.map(t => s"coalesce(max(CASE WHEN tok = '$t' THEN p END), 0.0)")
+                  .mkString("\n       |      + ")}, 6) AS score
+       |  FROM part GROUP BY doc_id)""".stripMargin
 }

@@ -69,6 +69,20 @@ object PlanAudit {
     "q_text_tfidf" -> Set("SinglePartition", "NestedLoop"),
     "q_text_unigram_logprob" -> Set("SinglePartition", "NestedLoop"),
     "q_text_bigram_pmi" -> Set("SinglePartition", "NestedLoop"),
+    // corpus frame crossJoined with broadcast 1-row totals (n_uni /
+    // n_pair; vocab-size V) — the unigram_logprob / bigram_pmi shape
+    "q_text_skipgram_ppmi" -> Set("SinglePartition", "NestedLoop"),
+    "q_text_bigram_lm_nll" -> Set("SinglePartition", "NestedLoop"),
+    // candidates crossJoined with the 1-row broadcast PRF vector;
+    // SinglePartition = the two bounded rank merges (global top-20
+    // two-phase heap + ≤40-row fusion frame)
+    "q_search_hybrid_rrf" -> Set("SinglePartition", "NestedLoop"),
+    // |labels|-row centroid frame theta-self-joined (label_a < label_b):
+    // k² pairs over a bounded k, corpus touched once upstream
+    "q_simsearch_centroid_sim" -> Set("NestedLoop"),
+    // |sources|-row volume frame: rank window + crossJoin with its
+    // 1-row (n, Σx) aggregate — both bounded by domain cardinality
+    "q_quality_source_gini" -> Set("SinglePartition", "NestedLoop"),
     "q_ml_temperature_mix" -> Set("SinglePartition", "NestedLoop"),
     // k-strata moment frame crossJoined with its 1-row Σs aggregate
     "q_ml_neyman_sample" -> Set("SinglePartition", "NestedLoop"),
