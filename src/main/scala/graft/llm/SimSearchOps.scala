@@ -614,7 +614,35 @@ object SimSearchOps extends graft.QueryModule {
       .orderBy($"label_a", $"label_b")
   }
 
+  /** q_simsearch_hard_negatives — contrastive-training negative
+    * mining: for each query vector (vec_id < 10), the top-3 most
+    * similar vectors with a DIFFERENT label — the "hard negatives"
+    * a triplet/InfoNCE trainer wants (most confusable, not random).
+    * Same exactness discipline as [[topkBruteForce]] (norms computed
+    * once, round(,6)+id ranking keys); the label inequality is an
+    * extra join predicate, so at 100 TB this rides whatever ANN index
+    * the corpus has (probe, then drop same-label candidates) — the
+    * brute-force form is the oracle-able contract for that swap. */
+  def hardNegatives(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val queries = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"label".as("q_label"),
+        $"embedding".as("q_e"),
+        sqrt(dot($"embedding", $"embedding")).as("q_n"))
+    val corpus = emb.select($"vec_id".as("c_id"), $"label".as("c_label"),
+      $"embedding".as("c_e"), sqrt(dot($"embedding", $"embedding")).as("c_n"))
+    val scored = corpus.join(broadcast(queries), $"q_label" =!= $"c_label")
+      .withColumn("score", round(dot($"q_e", $"c_e") / ($"q_n" * $"c_n"), 6))
+    val w = Window.partitionBy($"q_id").orderBy($"score".desc, $"c_id")
+    scored.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select($"q_id", $"q_label", $"rk", $"c_id", $"c_label", $"score")
+      .orderBy($"q_id", $"rk")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_simsearch_hard_negatives" -> (hardNegatives _),
     "q_simsearch_centroid_sim" -> (centroidSim _),
     "q_simsearch_kmeans_portable" -> (kmeansPortable _),
     "q_simsearch_norm_stats" -> (normStats _),
@@ -625,6 +653,25 @@ object SimSearchOps extends graft.QueryModule {
     "q_simsearch_topk_hnsw" -> (topkHnsw _))
 
   def oracle: Map[String, String] = Map(
+    "q_simsearch_hard_negatives" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS q_id, q.label AS q_label,
+        |    c.vec_id AS c_id, c.label AS c_label,
+        |    round(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+        |                           CAST(c.embedding AS DOUBLE[])) /
+        |      (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+        |                             CAST(q.embedding AS DOUBLE[]))) *
+        |       sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+        |                             CAST(c.embedding AS DOUBLE[])))), 6)
+        |      AS score
+        |  FROM embeddings q JOIN embeddings c ON q.label <> c.label
+        |  WHERE q.vec_id < 10)
+        |SELECT q_id, q_label, rk, c_id, c_label, score FROM (
+        |  SELECT q_id, q_label, c_id, c_label, score,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id
+        |                       ORDER BY score DESC, c_id) AS rk
+        |  FROM scored)
+        |WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin,
     "q_simsearch_centroid_sim" ->
       """WITH q AS (
         |  SELECT label, list_transform(CAST(embedding AS DOUBLE[]),

@@ -339,7 +339,33 @@ object QualityOps extends graft.QueryModule {
           ($"n_sources" * $"total_chars").cast("double"), 6).as("gini"))
   }
 
+  /** q_quality_l_diversity — the companion privacy audit to
+    * [[kAnonymity]] (Machanavajjhala et al., ICDE 2006): a
+    * quasi-identifier group can be k-anonymous yet still leak if every
+    * row in it shares one SENSITIVE value. Quasi-identifier =
+    * (event_type, day, user-cohort bucket user_id % 100); sensitive
+    * attribute = the value decile band: report groups whose distinct
+    * band count l < 3 — an attacker who places a user in such a
+    * cohort-day learns their value band near-certainly even if the
+    * group is k-anonymous. (The coarse (event_type, day) grouping is
+    * l ≥ 11 everywhere in the fixture at both scales — the gate only
+    * bites on realistic, finer quasi-identifiers, which is the point.)
+    * Same plan shape as the k-anonymity gate: one partial-agg'd
+    * groupBy, output bounded by the group vocabulary. */
+  def lDiversity(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.events(spark, sfDir)
+      .groupBy($"event_type", to_date($"ts").as("day"),
+        ($"user_id" % 100).as("cohort"))
+      .agg(countDistinct(floor($"value" / 10).cast("long")).as("l_bands"),
+        countDistinct($"user_id").as("n_users"),
+        count(lit(1)).as("n_rows"))
+      .filter($"l_bands" < 3)
+      .orderBy($"event_type", $"day", $"cohort")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quality_l_diversity" -> (lDiversity _),
     "q_quality_source_gini" -> (sourceGini _),
     "q_quality_dataset_card" -> (datasetCard _),
     "q_quality_label_agreement" -> (labelAgreement _),
@@ -352,6 +378,14 @@ object QualityOps extends graft.QueryModule {
     "q_quality_benford" -> (benford _))
 
   def oracle: Map[String, String] = Map(
+    "q_quality_l_diversity" ->
+      """SELECT event_type, CAST(ts AS DATE) AS day, user_id % 100 AS cohort,
+        |  COUNT(DISTINCT CAST(floor(value / 10) AS BIGINT)) AS l_bands,
+        |  COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_rows
+        |FROM events
+        |GROUP BY event_type, CAST(ts AS DATE), user_id % 100
+        |HAVING COUNT(DISTINCT CAST(floor(value / 10) AS BIGINT)) < 3
+        |ORDER BY event_type, day, cohort""".stripMargin,
     "q_quality_source_gini" ->
       """WITH v AS (
         |  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS x

@@ -77,6 +77,9 @@ object PlanAudit {
     // SinglePartition = the two bounded rank merges (global top-20
     // two-phase heap + ≤40-row fusion frame)
     "q_search_hybrid_rrf" -> Set("SinglePartition", "NestedLoop"),
+    // corpus x BROADCAST 10-query frame with a label-inequality theta
+    // predicate — the adjudicated topkBruteForce shape (bounded build side)
+    "q_simsearch_hard_negatives" -> Set("NestedLoop"),
     // |labels|-row centroid frame theta-self-joined (label_a < label_b):
     // k² pairs over a bounded k, corpus touched once upstream
     "q_simsearch_centroid_sim" -> Set("NestedLoop"),

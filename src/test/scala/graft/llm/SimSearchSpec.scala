@@ -85,4 +85,36 @@ class SimSearchSpec extends SparkTestBase {
     val again = SimSearchOps.topkBruteForce(spark, sf0001).collect()
     assert(rows.sameElements(again))
   }
+
+  test("hard negatives: cross-label only, and really the top-3") {
+    val emb = graft.Tables.embeddings(spark, sf0001)
+      .select("vec_id", "label", "embedding")
+      .as[(Long, Int, Seq[Float])].collect()
+    val labels = emb.map(e => e._1 -> e._2).toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      def dot(x: Seq[Float], y: Seq[Float]) =
+        x.zip(y).foldLeft(0.0) { case (acc, (p, q)) =>
+          acc + p.toDouble * q.toDouble }
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    val got = SimSearchOps.hardNegatives(spark, sf0001)
+      .as[(Long, Int, Int, Long, Int, Double)].collect()
+    assert(got.length == 30) // 10 queries x 3
+    got.foreach { case (q, ql, _, c, cl, _) =>
+      assert(ql == labels(q) && cl == labels(c))
+      assert(ql != cl, s"same-label pair ($q,$c) leaked in")
+    }
+    // replay: per query, the true best cross-label cosine is rank 1
+    val byQ = got.groupBy(_._1)
+    emb.filter(_._1 < 10).foreach { case (q, ql, qe) =>
+      val best = emb.filter(_._2 != ql)
+        .map { case (c, _, ce) =>
+          (BigDecimal.valueOf(cos(qe, ce))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).doubleValue, c)
+        }
+        .sortBy { case (s, c) => (-s, c) }.take(3)
+      val gotQ = byQ(q).sortBy(_._3).map(r => (r._6, r._4)).toSeq
+      assert(gotQ == best.toSeq, s"query $q top-3")
+    }
+  }
 }

@@ -72,6 +72,23 @@ class QualitySpec extends SparkTestBase {
       m(("o_totalprice", "mean")) <= m(("o_totalprice", "max")))
   }
 
+  test("l-diversity flags exactly the sub-l cohort-day groups") {
+    import spark.implicits._
+    val got = QualityOps.lDiversity(spark, sf0001)
+      .select("event_type", "day", "cohort", "l_bands")
+      .as[(String, java.sql.Date, Long, Long)].collect()
+      .map { case (e, d, c, l) => (e, d.toString, c) -> l }.toMap
+    val want = graft.Tables.events(spark, sf0001)
+      .selectExpr("event_type", "CAST(ts AS DATE) AS day",
+        "user_id % 100 AS cohort", "CAST(floor(value / 10) AS LONG) AS band")
+      .as[(String, java.sql.Date, Long, Long)].collect()
+      .groupBy { case (e, d, c, _) => (e, d.toString, c) }
+      .map { case (k, rows) => k -> rows.map(_._4).distinct.length.toLong }
+      .filter(_._2 < 3)
+    assert(got == want)
+    assert(want.nonEmpty, "fixture must be non-vacuous at sf0.001")
+  }
+
   test("PSI drift is complete over deciles and near zero on a parity split") {
     val rows = QualityOps.psiDrift(spark, sf0001)
       .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2),
