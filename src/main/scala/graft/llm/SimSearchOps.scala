@@ -641,7 +641,46 @@ object SimSearchOps extends graft.QueryModule {
       .orderBy($"q_id", $"rk")
   }
 
+  /** q_simsearch_label_noise — kNN label-agreement audit (the
+    * confident-learning shape, Northcutt et al., JAIR 2021): for each
+    * audited vector, the majority label among its 5 nearest neighbors
+    * (cosine; ties → more votes first, then smaller label) and the
+    * agreement count — `knn_label != label` flags a likely mislabel.
+    * The audited slice is vec_id < 100 (a bounded eval slice, the
+    * SemDeDup precedent); neighbors come from the whole corpus. At
+    * 100 TB the audit rides the ANN index (probe, then vote) — the
+    * brute-force form here is the oracle-able contract for that swap,
+    * with the query side broadcast and bounded. */
+  def labelNoise(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val queries = emb.filter($"vec_id" < 100)
+      .select($"vec_id".as("q_id"), $"label".as("q_label"),
+        $"embedding".as("q_e"),
+        sqrt(dot($"embedding", $"embedding")).as("q_n"))
+    val corpus = emb.select($"vec_id".as("c_id"), $"label".as("c_label"),
+      $"embedding".as("c_e"), sqrt(dot($"embedding", $"embedding")).as("c_n"))
+    val scored = corpus.join(broadcast(queries), $"q_id" =!= $"c_id")
+      .withColumn("score", round(dot($"q_e", $"c_e") / ($"q_n" * $"c_n"), 6))
+    val w = Window.partitionBy($"q_id").orderBy($"score".desc, $"c_id")
+    val knn = scored.withColumn("rk", row_number().over(w)).filter($"rk" <= 5)
+    val votes = knn.groupBy($"q_id", $"q_label", $"c_label")
+      .agg(count(lit(1)).as("votes"))
+    val wv = Window.partitionBy($"q_id")
+      .orderBy($"votes".desc, $"c_label")
+    votes.withColumn("vr", row_number().over(wv)).filter($"vr" === 1)
+      .select($"q_id".as("vec_id"), $"q_label".as("label"),
+        $"c_label".as("knn_label"),
+        ($"c_label" =!= $"q_label").cast("int").as("mismatch"))
+      .join(knn.groupBy($"q_id".as("vec_id"))
+        .agg(sum(($"c_label" === $"q_label").cast("long")).as("n_agree")),
+        Seq("vec_id"))
+      .select($"vec_id", $"label", $"knn_label", $"n_agree", $"mismatch")
+      .orderBy($"vec_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_simsearch_label_noise" -> (labelNoise _),
     "q_simsearch_hard_negatives" -> (hardNegatives _),
     "q_simsearch_centroid_sim" -> (centroidSim _),
     "q_simsearch_kmeans_portable" -> (kmeansPortable _),
@@ -653,6 +692,44 @@ object SimSearchOps extends graft.QueryModule {
     "q_simsearch_topk_hnsw" -> (topkHnsw _))
 
   def oracle: Map[String, String] = Map(
+    "q_simsearch_label_noise" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS q_id, q.label AS q_label,
+        |    c.vec_id AS c_id, c.label AS c_label,
+        |    round(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+        |                           CAST(c.embedding AS DOUBLE[])) /
+        |      (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+        |                             CAST(q.embedding AS DOUBLE[]))) *
+        |       sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+        |                             CAST(c.embedding AS DOUBLE[])))), 6)
+        |      AS score
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 100),
+        |knn AS (
+        |  SELECT q_id, q_label, c_label FROM (
+        |    SELECT q_id, q_label, c_label,
+        |      ROW_NUMBER() OVER (PARTITION BY q_id
+        |                         ORDER BY score DESC, c_id) AS rk
+        |    FROM scored) WHERE rk <= 5),
+        |votes AS (
+        |  SELECT q_id, q_label, c_label, COUNT(*) AS votes
+        |  FROM knn GROUP BY 1, 2, 3),
+        |top AS (
+        |  SELECT q_id, q_label, c_label FROM (
+        |    SELECT q_id, q_label, c_label,
+        |      ROW_NUMBER() OVER (PARTITION BY q_id
+        |                         ORDER BY votes DESC, c_label) AS vr
+        |    FROM votes) WHERE vr = 1),
+        |agree AS (
+        |  SELECT q_id, CAST(SUM(CASE WHEN c_label = q_label THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_agree
+        |  FROM knn GROUP BY q_id)
+        |SELECT t.q_id AS vec_id, t.q_label AS label, t.c_label AS knn_label,
+        |  a.n_agree,
+        |  CAST(CASE WHEN t.c_label <> t.q_label THEN 1 ELSE 0 END AS INT)
+        |    AS mismatch
+        |FROM top t JOIN agree a ON t.q_id = a.q_id
+        |ORDER BY vec_id""".stripMargin,
     "q_simsearch_hard_negatives" ->
       """WITH scored AS (
         |  SELECT q.vec_id AS q_id, q.label AS q_label,

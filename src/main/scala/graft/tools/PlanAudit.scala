@@ -80,6 +80,8 @@ object PlanAudit {
     // corpus x BROADCAST 10-query frame with a label-inequality theta
     // predicate — the adjudicated topkBruteForce shape (bounded build side)
     "q_simsearch_hard_negatives" -> Set("NestedLoop"),
+    // corpus x BROADCAST 100-row audited slice, self-pair inequality
+    "q_simsearch_label_noise" -> Set("NestedLoop"),
     // |labels|-row centroid frame theta-self-joined (label_a < label_b):
     // k² pairs over a bounded k, corpus touched once upstream
     "q_simsearch_centroid_sim" -> Set("NestedLoop"),

@@ -117,4 +117,36 @@ class SimSearchSpec extends SparkTestBase {
       assert(gotQ == best.toSeq, s"query $q top-3")
     }
   }
+
+  test("label-noise audit matches a kNN majority-vote replay") {
+    val emb = graft.Tables.embeddings(spark, sf0001)
+      .select("vec_id", "label", "embedding")
+      .as[(Long, Int, Seq[Float])].collect()
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      def dot(x: Seq[Float], y: Seq[Float]) =
+        x.zip(y).foldLeft(0.0) { case (acc, (p, q)) =>
+          acc + p.toDouble * q.toDouble }
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    val want = emb.filter(_._1 < 100).map { case (q, ql, qe) =>
+      val knn = emb.filter(_._1 != q)
+        .map { case (c, cl, ce) =>
+          (BigDecimal.valueOf(cos(qe, ce))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).doubleValue, c, cl)
+        }
+        .sortBy { case (s, c, _) => (-s, c) }.take(5)
+      val votes = knn.groupBy(_._3).map { case (l, v) => (l, v.length) }
+      val knnLabel = votes.toSeq.sortBy { case (l, v) => (-v, l) }.head._1
+      q -> ((ql, knnLabel, knn.count(_._3 == ql).toLong,
+        if (knnLabel != ql) 1 else 0))
+    }.toMap
+    val got = SimSearchOps.labelNoise(spark, sf0001)
+      .as[(Long, Int, Int, Long, Int)].collect()
+    assert(got.length == 100)
+    got.foreach { case (id, l, kl, na, mm) =>
+      assert(want(id) == ((l, kl, na, mm)), s"vec $id")
+    }
+    // the audit must separate: some agreements and some mismatches
+    assert(got.exists(_._5 == 0) && got.exists(_._5 == 1))
+  }
 }
