@@ -666,16 +666,19 @@ object SimSearchOps extends graft.QueryModule {
     val knn = scored.withColumn("rk", row_number().over(w)).filter($"rk" <= 5)
     val votes = knn.groupBy($"q_id", $"q_label", $"c_label")
       .agg(count(lit(1)).as("votes"))
-    val wv = Window.partitionBy($"q_id")
-      .orderBy($"votes".desc, $"c_label")
-    votes.withColumn("vr", row_number().over(wv)).filter($"vr" === 1)
+    // ONE aggregation pass folds the majority vote and the agreement
+    // count (a second consumer of `knn` would re-execute the whole
+    // pair-scoring subtree — DataFrames don't dedupe common subplans).
+    // Majority with (votes DESC, label ASC) tie-break as a struct max:
+    // labels are non-negative, so max(struct(votes, -label)) picks
+    // highest votes then lowest label.
+    votes.groupBy($"q_id", $"q_label")
+      .agg(max(struct($"votes", (-$"c_label").as("neg"))).as("top"),
+        sum(when($"c_label" === $"q_label", $"votes").otherwise(lit(0L)))
+          .as("n_agree"))
       .select($"q_id".as("vec_id"), $"q_label".as("label"),
-        $"c_label".as("knn_label"),
-        ($"c_label" =!= $"q_label").cast("int").as("mismatch"))
-      .join(knn.groupBy($"q_id".as("vec_id"))
-        .agg(sum(($"c_label" === $"q_label").cast("long")).as("n_agree")),
-        Seq("vec_id"))
-      .select($"vec_id", $"label", $"knn_label", $"n_agree", $"mismatch")
+        (-$"top.neg").as("knn_label"), $"n_agree",
+        (-$"top.neg" =!= $"q_label").cast("int").as("mismatch"))
       .orderBy($"vec_id")
   }
 

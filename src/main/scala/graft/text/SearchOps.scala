@@ -163,26 +163,31 @@ object SearchOps extends graft.QueryModule {
     val emb = graft.Tables.embeddings(spark, sfDir)
       .select($"vec_id", transform($"embedding",
         x => floor(x.cast("double") * 1000.0).cast("long")).as("qv"))
-    val seeds = bm.join(emb, bm("doc_id") === emb("vec_id"))
+    // bounded collect: ≤3 seed rows of 64 longs. Collecting here (a)
+    // guards LOUDLY against a degenerate PRF (no top-20 doc carries an
+    // embedding ⇒ the vector leg would rank on a null score), and (b)
+    // keeps the BM25 subplan out of the PRF/anti-join legs — DataFrame
+    // subtrees are re-executed per occurrence, so the inline spelling
+    // ran the whole keyword plan three times
+    val seedRows = bm.join(emb, bm("doc_id") === emb("vec_id"))
       .orderBy($"rank").limit(PrfSeeds)
-      .select($"vec_id", $"qv")
-    // PRF vector: exact per-dimension integer sums over ≤3 seed rows,
-    // rebuilt as an ordered array on ONE broadcast row (kmeans pattern)
-    val prf = broadcast(seeds
-      .select(posexplode($"qv").as(Seq("d", "q")))
-      .groupBy($"d").agg(sum($"q").as("s"))
-      .agg(array_sort(collect_list(struct($"d", $"s"))).as("ds"))
-      .select(transform($"ds", x => x.getField("s")).as("pv")))
-    val cand = emb.join(seeds.select($"vec_id"), Seq("vec_id"), "left_anti")
-    val vec = cand.crossJoin(prf)
-      .withColumn("dt", aggregate(zip_with($"qv", $"pv", (a, b) => a * b),
+      .select($"vec_id", $"qv").as[(Long, Seq[Long])].collect()
+    require(seedRows.nonEmpty,
+      "hybrid RRF: no BM25 top-20 doc has an embedding — PRF vector " +
+        "would be empty; widen the keyword leg or the embedding corpus")
+    val seedIds = seedRows.map(_._1)
+    // PRF vector: exact per-dimension integer sums over the seed rows;
+    // its self-norm is a constant, computed once
+    val pv = seedRows.map(_._2).toSeq.transpose.map(_.sum)
+    val np = math.sqrt(pv.map(x => (x * x).toDouble).sum)
+    val vec = emb.filter(!$"vec_id".isin(seedIds: _*))
+      .withColumn("dt", aggregate(
+        zip_with($"qv", lit(pv.toArray), (a, b) => a * b),
         lit(0L), (acc, x) => acc + x))
       .withColumn("nq", aggregate(transform($"qv", x => x * x),
         lit(0L), (acc, x) => acc + x))
-      .withColumn("np", aggregate(transform($"pv", x => x * x),
-        lit(0L), (acc, x) => acc + x))
       .withColumn("score", round($"dt".cast("double") /
-        (sqrt($"nq".cast("double")) * sqrt($"np".cast("double"))), 6))
+        (sqrt($"nq".cast("double")) * lit(np)), 6))
       .withColumn("r_vec", row_number().over(
         Window.orderBy($"score".desc, $"vec_id")))
       .filter($"r_vec" <= 20)
