@@ -682,7 +682,118 @@ object SimSearchOps extends graft.QueryModule {
       .orderBy($"vec_id")
   }
 
+  /** q_simsearch_sq8 — int8 SCALAR-quantized cosine top-k (the SQ8
+    * memory/throughput trade every production vector store offers next
+    * to PQ): vectors quantize per-dimension to
+    * clamp(floor(x·127), −127, 127), dots and self-norms are exact
+    * int64 sums, and ranking happens on the QUANTIZED cosine — the
+    * declared contract is "what does retrieval look like after SQ8",
+    * so this is a full value oracle, not a recall bound (every
+    * arithmetic step is integer-exact in both engines; the one double
+    * division is rounded at 6dp with the c_id tiebreak).
+    *
+    * Scale: a 4x-smaller index than float32 whose dot products run as
+    * integer SIMD on any hardware; the query side is bounded and
+    * broadcast, the corpus side is one narrow map + per-query top-k
+    * (partition heaps at scale, the topkBruteForce contract). At
+    * 100 TB this is the re-rank tier an IVF/LSH probe feeds. */
+  def sq8TopK(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    def idot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    val q8 = graft.Tables.embeddings(spark, sfDir)
+      .select($"vec_id", transform($"embedding", x =>
+        greatest(lit(-127L), least(lit(127L),
+          floor(x.cast("double") * 127.0).cast("long")))).as("qv"))
+    val queries = q8.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"qv".as("q_v"),
+        sqrt(idot($"qv", $"qv").cast("double")).as("q_n"))
+    val corpus = q8.select($"vec_id".as("c_id"), $"qv".as("c_v"),
+      sqrt(idot($"qv", $"qv").cast("double")).as("c_n"))
+    val scored = corpus.join(broadcast(queries), $"q_id" =!= $"c_id")
+      .withColumn("score",
+        round(idot($"q_v", $"c_v").cast("double") / ($"q_n" * $"c_n"), 6))
+    val w = Window.partitionBy($"q_id").orderBy($"score".desc, $"c_id")
+    scored.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 5)
+      .select($"q_id", $"rk", $"c_id", $"score")
+      .orderBy($"q_id", $"rk")
+  }
+
+  /** q_simsearch_coreset_kcenter — greedy k-center (farthest-point
+    * traversal) coreset selection over the embedding table: the
+    * classic 2-approximation for k-center (Gonzalez 1985), used in
+    * data-selection pipelines to pick a maximally-diverse training
+    * subset. Seed = lowest vec_id; each of the k−1 rounds picks the
+    * point FARTHEST (max-min) from the chosen set, ties → lowest id.
+    * Exactness: the kmeans-portable integer recipe — floor(x·1000)
+    * quantization, exact int64 squared-L2 — so the DuckDB twin (k
+    * unrolled MATERIALIZED rounds, the BPE precedent) replays the
+    * selection bit-for-bit.
+    *
+    * Scale: k linear passes, each a narrow map against a BROADCAST
+    * ≤k-vector chosen set (in-row array_min, no corpus×k join) with a
+    * global top-1 — driver state is k rows (the bounded-collect class:
+    * one row per round). At 100 TB real pipelines run this on a
+    * uniform pre-sample; the pass structure is unchanged. */
+  def kcenterCoreset(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val K = 8
+    val quant = graft.Tables.embeddings(spark, sfDir)
+      .select($"vec_id", transform($"embedding",
+        x => floor(x.cast("double") * 1000.0).cast("long")).as("qv"))
+      .localCheckpoint() // scanned K times; don't re-derive per round
+    val seed = quant.orderBy($"vec_id".asc).limit(1).collect()(0) // 1 row
+    var chosen = Vector[Seq[Long]](seed.getSeq[Long](1))
+    val picks = scala.collection.mutable.ArrayBuffer[(Int, Long, Long)](
+      (1, seed.getLong(0), 0L))
+    for (r <- 2 to K) {
+      val dmin = array_min(transform(typedlit(chosen), c =>
+        aggregate(zip_with($"qv", c, (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x)))
+      val next = quant.select($"vec_id", $"qv", dmin.as("d2"))
+        .orderBy($"d2".desc, $"vec_id".asc).limit(1).collect()(0) // 1 row
+      picks += ((r, next.getLong(0), next.getLong(2)))
+      chosen = chosen :+ next.getSeq[Long](1)
+    }
+    picks.toSeq.toDF("rk", "vec_id", "d2").orderBy($"rk")
+  }
+
+  /** DuckDB twin of [[kcenterCoreset]]: K unrolled rounds, each
+    * MATERIALIZED (defeats exponential CTE inlining — the BPE
+    * precedent); ||a−b||² expands to three list_dot_products whose
+    * double partials are integer-exact at qv magnitudes. */
+  private[llm] def kcenterSql: String = {
+    val K = 8
+    def dist(a: String, b: String) =
+      s"CAST(list_dot_product($a,$a) - 2*list_dot_product($a,$b) + " +
+        s"list_dot_product($b,$b) AS BIGINT)"
+    val sb = new StringBuilder
+    sb ++= """WITH q AS MATERIALIZED (
+      SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+        x -> CAST(floor(x*1000) AS BIGINT)) AS qv FROM embeddings),
+    s1 AS MATERIALIZED (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 1),
+    p1 AS (SELECT CAST(1 AS INT) AS rk, vec_id, CAST(0 AS BIGINT) AS d2 FROM s1)"""
+    for (r <- 2 to K) {
+      sb ++= s""",
+    d$r AS MATERIALIZED (
+      SELECT q.vec_id, q.qv, MIN(${dist("q.qv", "c.qv")}) AS d2
+      FROM q CROSS JOIN s${r - 1} c GROUP BY q.vec_id, q.qv),
+    p$r AS MATERIALIZED (
+      SELECT CAST($r AS INT) AS rk, vec_id, d2 FROM d$r
+      ORDER BY d2 DESC, vec_id LIMIT 1),
+    s$r AS MATERIALIZED (
+      SELECT vec_id, qv FROM s${r - 1}
+      UNION ALL SELECT d.vec_id, d.qv FROM d$r d JOIN p$r USING (vec_id))"""
+    }
+    sb ++= "\n" + (1 to K).map(r => s"SELECT rk, vec_id, d2 FROM p$r")
+      .mkString(" UNION ALL ") + " ORDER BY rk"
+    sb.toString
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_simsearch_sq8" -> (sq8TopK _),
+    "q_simsearch_coreset_kcenter" -> (kcenterCoreset _),
     "q_simsearch_label_noise" -> (labelNoise _),
     "q_simsearch_hard_negatives" -> (hardNegatives _),
     "q_simsearch_centroid_sim" -> (centroidSim _),
@@ -695,6 +806,25 @@ object SimSearchOps extends graft.QueryModule {
     "q_simsearch_topk_hnsw" -> (topkHnsw _))
 
   def oracle: Map[String, String] = Map(
+    "q_simsearch_coreset_kcenter" -> kcenterSql,
+    "q_simsearch_sq8" ->
+      """WITH q8 AS (
+        |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+        |    x -> greatest(-127, least(127, CAST(floor(x*127) AS BIGINT)))) AS qv
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |    round(list_dot_product(q.qv, c.qv) /
+        |      (sqrt(list_dot_product(q.qv, q.qv)) *
+        |       sqrt(list_dot_product(c.qv, c.qv))), 6) AS score
+        |  FROM q8 q JOIN q8 c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 10)
+        |SELECT q_id, rk, c_id, score FROM (
+        |  SELECT q_id, c_id, score,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id
+        |                       ORDER BY score DESC, c_id) AS rk
+        |  FROM scored)
+        |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
     "q_simsearch_label_noise" ->
       """WITH scored AS (
         |  SELECT q.vec_id AS q_id, q.label AS q_label,

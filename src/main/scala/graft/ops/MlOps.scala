@@ -737,7 +737,111 @@ object MlOps extends graft.QueryModule {
       .orderBy($"rk", $"bucket")
   }
 
+  /** q_ml_bootstrap_ci — POISSON-bootstrap confidence interval for a
+    * corpus mean (here mean order value): the single-pass bootstrap
+    * used at scale (Chamandy et al., "Estimating Uncertainty for
+    * Massive Data Streams", Google 2012) — instead of resampling n
+    * rows with replacement per replicate (a shuffle per replicate),
+    * each row carries a Poisson(1) weight per replicate, so ALL 100
+    * replicates ride ONE map-side fan-out + one partial-agg'd groupBy
+    * into 100 result rows. Weights are drawn by the repo's stable
+    * integer hash against the Poisson(1) CDF scaled to M=1e9+7 —
+    * hard-coded integer thresholds, so replicate membership is a pure
+    * int64 compare in both engines (no float RNG anywhere); the tail
+    * past w=6 (P ≈ 6e-4) is clamped to 6. Replicate means use the
+    * exact DECIMAL-sum / floor-at-micro discipline; the 95% CI is the
+    * 3rd / 98th order statistic of the 100 replicate means
+    * (ceil(0.025·100) / ceil(0.975·100), ties → replicate id).
+    *
+    * Scale: the fan-out is projection-only (explode of a literal
+    * sequence — no join, no shuffle of the ×100 rows: partial
+    * aggregation collapses them map-side); the ranking window runs
+    * over exactly 100 replicate-mean rows. */
+  def bootstrapCi(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val M = 1000000007L
+    // floor(M * PoissonCDF(1)(k)) for k = 0..5
+    val th = Seq(367879443L, 735758887L, 919698609L, 981011849L,
+      996340160L, 999405822L)
+    val orders = graft.Tables.orders(spark, sfDir)
+      .select($"o_orderkey", AggOps.dec($"o_totalprice").as("p"))
+    val fan = orders
+      .select($"o_orderkey", $"p",
+        explode(sequence(lit(0L), lit(99L))).as("r"))
+      .withColumn("h", pmod($"o_orderkey" * 2654435761L + $"r" * 97003L,
+        lit(M)))
+      .withColumn("w",
+        when($"h" < th(0), 0L).when($"h" < th(1), 1L).when($"h" < th(2), 2L)
+          .when($"h" < th(3), 3L).when($"h" < th(4), 4L)
+          .when($"h" < th(5), 5L).otherwise(6L))
+    val reps = fan.groupBy($"r")
+      .agg((floor(sum($"w" * $"p").cast("double") /
+        sum($"w").cast("double") * 1e6).cast("long") / 1e6).as("mean_r"))
+    val ranked = reps.withColumn("rk", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy($"mean_r".asc, $"r".asc))) // 100 rows by construction
+    val ci = ranked.agg(
+      count(lit(1)).as("n_replicates"),
+      max(when($"rk" === 3, $"mean_r")).as("ci_lo"),
+      max(when($"rk" === 98, $"mean_r")).as("ci_hi"))
+    val point = orders.agg(count(lit(1)).as("n_orders"),
+      (floor(sum($"p").cast("double") / count(lit(1)) * 1e6)
+        .cast("long") / 1e6).as("mean_point"))
+    point.crossJoin(ci) // two 1-row frames
+      .select($"n_orders", $"mean_point", $"n_replicates", $"ci_lo", $"ci_hi")
+  }
+
+  /** q_ml_dsir_select — Data Selection via Importance Resampling
+    * (Xie et al., NeurIPS 2023) over the documents table: score every
+    * RAW-pool document by how much its unigrams look drawn from the
+    * TARGET distribution (sources src0–src4, the "curated" slice)
+    * rather than the raw pool, then keep the top 100. Per-token
+    * log-ratio λ(t) = ln(p_tgt(t)/p_raw(t)) with add-one smoothing
+    * over the joint vocabulary; per-doc weight = Σ_occurrences λ(t),
+    * summed with the round(ln,6)::DECIMAL(18,6) exact-sum discipline
+    * (the bigram-LM precedent), ranked (weight desc, doc_id) with the
+    * weight surfaced in exact micro units.
+    *
+    * Scale: one vocab-sized groupBy for the two count columns, one
+    * 1-row totals frame crossJoined broadcast, one corpus-token join
+    * against the λ table (hash join on token — λ is vocab-sized, NOT
+    * collected), one per-doc aggregation, one global top-100. This is
+    * the published shape: DSIR is two linear passes over the corpus. */
+  def dsirSelect(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val isTgt = $"source".isin((0 until 5).map(i => s"src$i"): _*)
+    val tok = graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"source", explode(split($"text", " ")).as("t"))
+    val cnt = tok.groupBy($"t").agg(
+      sum(when(isTgt, 1L).otherwise(0L)).as("c_t"),
+      sum(when(isTgt, 0L).otherwise(1L)).as("c_r"))
+    val totals = cnt.agg(sum($"c_t").as("n_t"), sum($"c_r").as("n_r"),
+      count(lit(1)).as("v")) // 1 row
+    val lam = cnt.crossJoin(broadcast(totals))
+      .withColumn("lam",
+        round(log((($"c_t" + 1L).cast("double") / ($"n_t" + $"v").cast("double")) /
+          (($"c_r" + 1L).cast("double") / ($"n_r" + $"v").cast("double"))), 6)
+          .cast("decimal(18,6)"))
+      .select($"t", $"lam")
+    val w = tok.filter(!isTgt)
+      .join(lam, Seq("t"))
+      .groupBy($"doc_id", $"source")
+      .agg(count(lit(1)).as("n_tokens"), sum($"lam").as("wsum"))
+    // global top-100 as TakeOrderedAndProject (distributed partial
+    // heaps), NOT a keyless row_number over the corpus-sized frame;
+    // the rank window then runs over exactly 100 rows
+    w.orderBy($"wsum".desc, $"doc_id".asc).limit(100)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy($"wsum".desc, $"doc_id".asc)))
+      .select($"rank", $"doc_id", $"source", $"n_tokens",
+        ($"wsum" * 1000000L).cast("long").as("w_micro"))
+      .orderBy($"rank")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ml_bootstrap_ci" -> (bootstrapCi _),
+    "q_ml_dsir_select" -> (dsirSelect _),
     "q_ml_neyman_sample" -> (neymanSample _),
     "q_ml_curriculum_order" -> (curriculumOrder _),
     "q_ml_eval_metrics" -> (evalMetrics _),
@@ -763,6 +867,69 @@ object MlOps extends graft.QueryModule {
     "q_ml_hashing_tf_sql" -> (hashingTfSql _))
 
   def oracle: Map[String, String] = Map(
+    "q_ml_bootstrap_ci" ->
+      """WITH fan AS (
+        |  SELECT o.o_orderkey, CAST(o.o_totalprice AS DECIMAL(14,2)) AS p,
+        |    g.r,
+        |    (o.o_orderkey * 2654435761 + g.r * 97003) % 1000000007 AS h
+        |  FROM orders o, (SELECT unnest(range(0, 100)) AS r) g),
+        |wtd AS (
+        |  SELECT r, p,
+        |    CASE WHEN h < 367879443 THEN 0 WHEN h < 735758887 THEN 1
+        |         WHEN h < 919698609 THEN 2 WHEN h < 981011849 THEN 3
+        |         WHEN h < 996340160 THEN 4 WHEN h < 999405822 THEN 5
+        |         ELSE 6 END AS w
+        |  FROM fan),
+        |reps AS (
+        |  SELECT r, CAST(floor(CAST(SUM(w * p) AS DOUBLE) /
+        |    CAST(SUM(w) AS DOUBLE) * 1e6) AS BIGINT) / 1e6 AS mean_r
+        |  FROM wtd GROUP BY r),
+        |ranked AS (
+        |  SELECT mean_r, ROW_NUMBER() OVER (ORDER BY mean_r, r) AS rk
+        |  FROM reps),
+        |ci AS (
+        |  SELECT COUNT(*) AS n_replicates,
+        |    MAX(CASE WHEN rk = 3 THEN mean_r END) AS ci_lo,
+        |    MAX(CASE WHEN rk = 98 THEN mean_r END) AS ci_hi
+        |  FROM ranked),
+        |pt AS (
+        |  SELECT COUNT(*) AS n_orders,
+        |    CAST(floor(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2)))
+        |      AS DOUBLE) / COUNT(*) * 1e6) AS BIGINT) / 1e6 AS mean_point
+        |  FROM orders)
+        |SELECT n_orders, mean_point, n_replicates, ci_lo, ci_hi
+        |FROM pt CROSS JOIN ci""".stripMargin,
+    "q_ml_dsir_select" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS t
+        |  FROM documents),
+        |cnt AS (
+        |  SELECT t,
+        |    CAST(SUM(CASE WHEN source IN ('src0','src1','src2','src3','src4')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS c_t,
+        |    CAST(SUM(CASE WHEN source IN ('src0','src1','src2','src3','src4')
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS c_r
+        |  FROM tok GROUP BY t),
+        |tot AS (
+        |  SELECT CAST(SUM(c_t) AS BIGINT) AS n_t,
+        |    CAST(SUM(c_r) AS BIGINT) AS n_r, COUNT(*) AS v FROM cnt),
+        |lam AS (
+        |  SELECT t, CAST(round(ln(
+        |    (CAST(c_t + 1 AS DOUBLE) / CAST(n_t + v AS DOUBLE)) /
+        |    (CAST(c_r + 1 AS DOUBLE) / CAST(n_r + v AS DOUBLE))), 6)
+        |    AS DECIMAL(18,6)) AS lam
+        |  FROM cnt CROSS JOIN tot),
+        |w AS (
+        |  SELECT tok.doc_id, tok.source, COUNT(*) AS n_tokens,
+        |    SUM(lam.lam) AS wsum
+        |  FROM tok JOIN lam ON tok.t = lam.t
+        |  WHERE tok.source NOT IN ('src0','src1','src2','src3','src4')
+        |  GROUP BY tok.doc_id, tok.source)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY wsum DESC, doc_id) AS INT)
+        |    AS rank,
+        |  doc_id, source, n_tokens,
+        |  CAST(wsum * 1000000 AS BIGINT) AS w_micro
+        |FROM w ORDER BY wsum DESC, doc_id LIMIT 100""".stripMargin,
     // integer-exact twin of the histogram-pair AUC: every SUM is cast
     // to BIGINT (HUGEINT lint) and the single division happens last
     "q_ml_eval_metrics_sql" ->

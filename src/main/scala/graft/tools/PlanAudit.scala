@@ -80,6 +80,9 @@ object PlanAudit {
     // corpus x BROADCAST 10-query frame with a label-inequality theta
     // predicate — the adjudicated topkBruteForce shape (bounded build side)
     "q_simsearch_hard_negatives" -> Set("NestedLoop"),
+    // corpus x BROADCAST 10-query quantized frame, self-pair inequality
+    // (the topkBruteForce shape on the int8 index)
+    "q_simsearch_sq8" -> Set("NestedLoop"),
     // corpus x BROADCAST 100-row audited slice, self-pair inequality
     "q_simsearch_label_noise" -> Set("NestedLoop"),
     // |labels|-row centroid frame theta-self-joined (label_a < label_b):
@@ -91,6 +94,12 @@ object PlanAudit {
     "q_ml_temperature_mix" -> Set("SinglePartition", "NestedLoop"),
     // k-strata moment frame crossJoined with its 1-row Σs aggregate
     "q_ml_neyman_sample" -> Set("SinglePartition", "NestedLoop"),
+    // 100-replicate-mean rank window + two 1-row frames crossJoined —
+    // the corpus-sized fan-out collapses map-side via partial agg
+    "q_ml_bootstrap_ci" -> Set("SinglePartition", "NestedLoop"),
+    // 1-row vocab-totals frame crossJoined broadcast; rank window runs
+    // over the 100 TakeOrderedAndProject survivors only
+    "q_ml_dsir_select" -> Set("SinglePartition", "NestedLoop"),
     "q_ml_domain_mix" -> Set("SinglePartition", "NestedLoop"),
     "q_sql_scalar_subquery" -> Set("SinglePartition"),
     // global one-row aggregates (promo share / bracket revenue): the
