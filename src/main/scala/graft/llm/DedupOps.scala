@@ -1002,7 +1002,87 @@ object DedupOps extends graft.QueryModule {
       .orderBy($"vec_id")
   }
 
+  /** distinct word 5-grams — wider than the family's 3-gram recipe on
+    * purpose: prefix filtering wants a feature space where near-dup
+    * pairs are separable from topical overlap (3-grams over this
+    * corpus's ~50-word vocabulary collide broadly; 5-grams isolate the
+    * planted near-duplicates at jaccard ≥ 0.5 while the background
+    * stays far below). */
+  private val fiveGramsUdf = udf((text: String) => {
+    if (text == null) Array.empty[String]
+    else {
+      val toks = text.split(" ", -1)
+      if (toks.length < 5) Array.empty[String]
+      else {
+        val seen = new java.util.LinkedHashSet[String]
+        var i = 0
+        while (i <= toks.length - 5) {
+          seen.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2) + " " +
+            toks(i + 3) + " " + toks(i + 4))
+          i += 1
+        }
+        val out = new Array[String](seen.size)
+        seen.toArray(out)
+        out
+      }
+    }
+  })
+
+  /** q_dedup_prefix_filter — prefix-filtered set-similarity self-join
+    * (All-Pairs / PPJoin family: Bayardo, Ma, Srikant WWW'07;
+    * Chaudhuri, Ganti, Kaushik ICDE'06): all document pairs with
+    * 5-gram-shingle Jaccard ≥ 0.5, WITHOUT the all-pairs token join.
+    * Shingles get a global total order (df asc, shingle asc — rarest
+    * first); a doc with n shingles exposes only its first
+    * p = n − ⌈t·n⌉ + 1 shingles as join keys (any pair with
+    * Jaccard ≥ t MUST collide inside these prefixes — the filter is
+    * lossless for any total order, which is exactly what the all-pairs
+    * DuckDB oracle certifies); candidates are verified with an exact
+    * integer intersection count and the pure-integer threshold
+    * 3·inter ≥ n_a + n_b (⇔ jaccard ≥ 0.5, no float compare).
+    *
+    * Scale: this is the published fix for the posting-join blow-up the
+    * df-cutoff variant (q_dedup_ngram_jaccard_cutoff) only bounds:
+    * join fan-out is Σ_prefix df² over RARE shingles instead of Σ df²
+    * over all, and the prefix shrinks as t rises. One df shuffle, one
+    * per-doc rank window, one prefix self-join, one candidate-bounded
+    * verify join — no corpus×corpus anything. */
+  def prefixFilterJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sh = graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", explode(fiveGramsUdf($"text")).as("s"))
+      .localCheckpoint() // feeds df, sizes, prefix AND both verify legs
+    val df = sh.groupBy($"s").agg(count(lit(1)).as("df"))
+    val sz = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"df".asc, $"s".asc)
+    val pref = sh.join(df, Seq("s"))
+      .withColumn("pos", row_number().over(w))
+      .join(sz, Seq("doc_id"))
+      // p = n − ceil(0.5·n) + 1, in pure integers (div, not `/` —
+      // Column./ is double division)
+      .filter(expr("pos <= n - ((n + 1) div 2) + 1"))
+      .select($"s", $"doc_id")
+    val cands = pref.select($"s", $"doc_id".as("a_id"))
+      .join(pref.select($"s", $"doc_id".as("b_id")), Seq("s"))
+      .filter($"a_id" < $"b_id")
+      .select($"a_id", $"b_id").distinct()
+    val inter = cands
+      .join(sh.select($"doc_id".as("a_id"), $"s"), Seq("a_id"))
+      .join(sh.select($"doc_id".as("b_id"), $"s"), Seq("b_id", "s"))
+      .groupBy($"a_id", $"b_id").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sz.select($"doc_id".as("a_id"), $"n".as("n_a")), Seq("a_id"))
+      .join(sz.select($"doc_id".as("b_id"), $"n".as("n_b")), Seq("b_id"))
+      .filter($"inter" * 3L >= $"n_a" + $"n_b")
+      .select($"a_id", $"b_id", $"inter", $"n_a", $"n_b",
+        round($"inter".cast("double") /
+          ($"n_a" + $"n_b" - $"inter").cast("double"), 6).as("jaccard"))
+      .orderBy($"a_id", $"b_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_prefix_filter" -> (prefixFilterJaccard _),
     "q_dedup_semantic" -> (semanticDedup _),
     "q_dedup_containment" -> (containment _),
     "q_text_novelty" -> (novelty _),
@@ -1227,6 +1307,31 @@ object DedupOps extends graft.QueryModule {
        |ORDER BY a_id, b_id""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    // ALL-PAIRS twin of the prefix-filtered join: equality certifies
+    // the prefix filter is lossless (every jaccard>=0.5 pair collides
+    // in the exposed prefixes), the All-Pairs completeness property
+    "q_dedup_prefix_filter" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS a
+        |  FROM documents),
+        |pos AS (SELECT doc_id, a, unnest(range(1, len(a)-3)) AS i
+        |  FROM w WHERE len(a) >= 5),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    a[i] || ' ' || a[i+1] || ' ' || a[i+2] || ' ' || a[i+3] ||
+        |    ' ' || a[i+4] AS s
+        |  FROM pos),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a_id, b_id, inter, sa.n AS n_a, sb.n AS n_b,
+        |  round(CAST(inter AS DOUBLE) /
+        |    CAST(sa.n + sb.n - inter AS DOUBLE), 6) AS jaccard
+        |FROM inter
+        |JOIN sz sa ON a_id = sa.doc_id
+        |JOIN sz sb ON b_id = sb.doc_id
+        |WHERE 3 * inter >= sa.n + sb.n
+        |ORDER BY a_id, b_id""".stripMargin,
     // bit-exact twin of the portable-hash simhash: token hash = first
     // 8 bytes of sha256 (UBIGINT view of the same bit pattern the Spark
     // expression packs into a signed long), tf-weighted per-bit votes,

@@ -375,7 +375,37 @@ object WindowOps extends graft.QueryModule {
       .orderBy($"user_id", $"ts_ms", $"event_id")
   }
 
+  /** q_window_ewma — exponentially-weighted moving average (α = 1/2)
+    * of each customer's order values, the standard time-series
+    * smoother next to [[movingAvg]]'s uniform window. The recursion
+    * s_t = α·x_t + (1−α)·s_{t−1} is truncated at 16 terms and
+    * normalized over the weights present (partial windows at a
+    * customer's history start use exactly the lags that exist):
+    * ewma_t = Σ_{i<m} 2^{15−i}·x_{t−i} / (2^16 − 2^{16−m}),
+    * m = min(rn, 16). EXACT arithmetic with no decimal: every term
+    * 2^{15−i}·x is a 2-dp value below 2^53/100, so the double sum is
+    * integer-exact at the cent scale in both engines; the single
+    * division is floored at micro (the round-tie-proof recipe).
+    * Scale: one shuffle on o_custkey, one partition-local sort, 16
+    * in-frame lags — no second pass, no unbounded frame state. */
+  def ewma(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    val wsum = (0 until 16).map(i =>
+      coalesce(lag($"o_totalprice", i).over(w), lit(0.0)) *
+        lit((1L << (15 - i)).toDouble)).reduce(_ + _)
+    val m = least(row_number().over(w), lit(16))
+    graft.Tables.orders(spark, sfDir)
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"o_totalprice")
+      .withColumn("denom", lit(65536.0) - pow(lit(2.0), lit(16) - m))
+      .withColumn("ewma",
+        (floor(wsum / $"denom" * 1e6).cast("long") / 1e6))
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"ewma")
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_ewma" -> (ewma _),
     "q_window_anomaly_zscore" -> (anomalyZscore _),
     "q_window_attribution" -> (attribution _),
     "q_window_transitions" -> (transitions _),
@@ -389,7 +419,26 @@ object WindowOps extends graft.QueryModule {
     "q_window_running_sum" -> (runningSum _),
     "q_window_range_frame" -> (rangeFrame _))
 
+  /** DuckDB twin of [[ewma]]: the same 16 lag terms (generated, not
+    * hand-typed) — integer-exact doubles, see the query scaladoc. */
+  private def ewmaSql: String = {
+    val terms = (0 until 16).map(i =>
+      s"COALESCE(lag(o_totalprice, $i) OVER w, 0) * ${(1L << (15 - i)).toDouble}")
+      .mkString(" + ")
+    s"""WITH l AS (
+       |  SELECT o_custkey, o_orderkey, o_orderdate,
+       |    $terms AS wsum,
+       |    LEAST(ROW_NUMBER() OVER w, 16) AS m
+       |  FROM orders
+       |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+       |SELECT o_custkey, o_orderkey, o_orderdate,
+       |  CAST(floor(wsum / (65536.0 - power(2, 16 - m)) * 1e6) AS BIGINT)
+       |    / 1e6 AS ewma
+       |FROM l ORDER BY o_custkey, o_orderkey""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
+    "q_window_ewma" -> ewmaSql,
     // exact-decimal window sums cast to double once, variance in the
     // identical operation order, flag on the ROUNDED z — see
     // anomalyZscore's numeric-discipline scaladoc

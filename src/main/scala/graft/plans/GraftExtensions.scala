@@ -43,7 +43,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => SimHash64Expression(args.head, portable = true)),
     ("zorder64",
       new ExpressionInfo(classOf[ZOrder64Expression].getName, "zorder64"),
-      (args: Seq[Expression]) => ZOrder64Expression(args(0), args(1))))
+      (args: Seq[Expression]) => ZOrder64Expression(args(0), args(1))),
+    ("jaro_winkler",
+      new ExpressionInfo(classOf[JaroWinklerExpression].getName, "jaro_winkler"),
+      (args: Seq[Expression]) => JaroWinklerExpression(args(0), args(1))))
 
   /** Idempotent runtime registration into an existing session. */
   def register(spark: SparkSession): Unit = {

@@ -532,7 +532,39 @@ object TextOps extends graft.QueryModule {
       .limit(20)
   }
 
+  /** q_text_fuzzy_entity — entity resolution / record linkage over the
+    * part-name dictionary with the native [[graft.plans.JaroWinklerExpression]]
+    * (classic Winkler convention, pinned bit-for-bit to the DuckDB
+    * builtin — see the Expression scaladoc): distinct names are
+    * blocked on their first character (the declared blocking key —
+    * standard for JW, whose prefix boost makes cross-initial matches
+    * rare) and pairs at round(sim,4) ≥ 0.85 come back with each name's
+    * row count, the merge-impact readout a dedup decision needs.
+    *
+    * Scale: the self-join runs on the RESOLVED dictionary (one exact
+    * groupBy of the corpus → |distinct names| rows), never on the raw
+    * table — the canonical entity-resolution shape: resolve the
+    * dictionary, then broadcast the mapping back. Blocking bounds the
+    * pair space to Σ_block |block|²; the similarity itself stays in
+    * whole-stage codegen. */
+  def fuzzyEntity(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.plans.GraftExtensions.register(spark)
+    val dict = graft.Tables.part(spark, sfDir)
+      .groupBy($"p_name").agg(count(lit(1)).as("n"))
+    val a = dict.select($"p_name".as("name_a"), $"n".as("n_a"))
+    val b = dict.select($"p_name".as("name_b"), $"n".as("n_b"))
+    a.join(b, $"name_a" < $"name_b" &&
+        substring($"name_a", 1, 1) === substring($"name_b", 1, 1))
+      .withColumn("sim",
+        round(call_function("jaro_winkler", $"name_a", $"name_b"), 4))
+      .filter($"sim" >= 0.85)
+      .select($"name_a", $"name_b", $"sim", $"n_a", $"n_b")
+      .orderBy($"name_a", $"name_b")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_fuzzy_entity" -> (fuzzyEntity _),
     "q_text_bigram_pmi" -> (bigramPmi _),
     "q_text_unigram_logprob" -> (unigramLogprob _),
     "q_text_ppl_bucket" -> (pplBucket _),
@@ -553,6 +585,15 @@ object TextOps extends graft.QueryModule {
     "q_text_langid" -> (langId _))
 
   def oracle: Map[String, String] = Map(
+    "q_text_fuzzy_entity" ->
+      """WITH d AS (SELECT p_name, COUNT(*) AS n FROM part GROUP BY 1)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |  round(jaro_winkler_similarity(a.p_name, b.p_name), 4) AS sim,
+        |  a.n AS n_a, b.n AS n_b
+        |FROM d a JOIN d b ON a.p_name < b.p_name
+        |  AND substr(a.p_name, 1, 1) = substr(b.p_name, 1, 1)
+        |WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 4) >= 0.85
+        |ORDER BY name_a, name_b""".stripMargin,
     "q_text_bigram_pmi" ->
       """WITH toks AS (
         |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),

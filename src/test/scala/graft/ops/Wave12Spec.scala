@@ -1,0 +1,197 @@
+package graft.ops
+
+import graft.SparkTestBase
+
+/** Round-12 wave: repo-side evidence for the new operators —
+  * independent driver-side replays in plain Scala over the bounded
+  * sf0.001 fixture (never a rerun of the query's own expressions),
+  * plus plan pins for the topologies the 100 TB story depends on and
+  * unit pins for the new native Jaro-Winkler expression. */
+class Wave12Spec extends SparkTestBase {
+
+  test("jaro_winkler: classic-Winkler convention pins") {
+    val jw = graft.plans.JaroWinklerExpression.jw _
+    assert(jw("martha", "marhta") === 0.9611111111111111)
+    assert(jw("dwayne", "duane") === 0.8400000000000001)
+    // boost SUPPRESSED below the 0.7 jaro threshold despite the
+    // 3-char common prefix (the DuckDB-pinned convention)
+    assert(jw("abcxxx", "abcyyyzz") === 0.625)
+    assert(jw("same", "same") === 1.0)
+    assert(jw("", "x") === 0.0)
+    assert(jw("order", "sort") === 0.6333333333333333)
+  }
+
+  test("q_text_fuzzy_entity: dictionary-sized join, no cartesian") {
+    val df = graft.SparkEntry.queries("q_text_fuzzy_entity")(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // every surviving pair shares its first char and clears 0.85
+    rows.foreach { r =>
+      assert(r.getString(0).head === r.getString(1).head)
+      assert(r.getDouble(2) >= 0.85)
+    }
+  }
+
+  test("q_dedup_prefix_filter: equals an all-pairs Scala replay") {
+    import spark.implicits._
+    val df = graft.SparkEntry.queries("q_dedup_prefix_filter")(spark, sf0001)
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // replay: all-pairs distinct 5-gram jaccard >= 0.5, no filter
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val sh = docs.map { case (id, t) =>
+      val w = t.split(" ", -1)
+      id -> (if (w.length < 5) Set.empty[String]
+             else w.sliding(5).map(_.mkString(" ")).toSet)
+    }.filter(_._2.nonEmpty)
+    val expected = (for {
+      (a, sa) <- sh; (b, sb) <- sh if a < b
+      inter = (sa & sb).size if 3 * inter >= sa.size + sb.size
+    } yield (a, b, inter.toLong)).toSet
+    assert(expected.nonEmpty, "vacuous: no pairs at sf0.001")
+    assert(got === expected)
+  }
+
+  test("q_simsearch_sq8: equals an int8-quantized Scala replay") {
+    import spark.implicits._
+    val df = graft.SparkEntry.queries("q_simsearch_sq8")(spark, sf0001)
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val vecs = graft.Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x =>
+          math.max(-127L, math.min(127L, math.floor(x.toDouble * 127.0).toLong)))
+          .toArray)
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val expected = vecs.filter(_._1 < 10).sortBy(_._1).flatMap { case (q, qv) =>
+      val qn = math.sqrt(dot(qv, qv).toDouble)
+      vecs.filter(_._1 != q)
+        .map { case (c, cv) =>
+          val s = BigDecimal(dot(qv, cv).toDouble /
+            (qn * math.sqrt(dot(cv, cv).toDouble)))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          (c, s)
+        }
+        .sortBy { case (c, s) => (-s, c) }.take(5).zipWithIndex
+        .map { case ((c, _), i) => (q, i + 1, c) }
+    }.toSeq
+    assert(got === expected)
+  }
+
+  test("q_simsearch_coreset_kcenter: equals a greedy Scala replay") {
+    import spark.implicits._
+    val df = graft.SparkEntry.queries("q_simsearch_coreset_kcenter")(spark, sf0001)
+    val got = df.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    val vecs = graft.Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1000.0).toLong)
+          .toArray)
+      .sortBy(_._1)
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    var chosen = Vector(vecs.head._2)
+    var expected = Vector((1, vecs.head._1, 0L))
+    for (r <- 2 to 8) {
+      val (id, _, d) = vecs
+        .map { case (id, v) => (id, v, chosen.map(c => d2(v, c)).min) }
+        .minBy { case (id, _, d) => (-d, id) }
+      expected :+= ((r, id, d))
+      chosen :+= vecs.find(_._1 == id).get._2
+    }
+    assert(got === expected)
+  }
+
+  test("q_ml_bootstrap_ci: equals a Poisson-weight Scala replay") {
+    import spark.implicits._
+    val df = graft.SparkEntry.queries("q_ml_bootstrap_ci")(spark, sf0001)
+    val r0 = df.collect()(0)
+    val orders = graft.Tables.orders(spark, sf0001)
+      .select($"o_orderkey", $"o_totalprice").collect()
+      .map(r => (r.getLong(0), BigDecimal(r.getDouble(1)).setScale(2)))
+    val th = Seq(367879443L, 735758887L, 919698609L, 981011849L,
+      996340160L, 999405822L)
+    def micro(x: Double): Double = math.floor(x * 1e6) / 1e6
+    val means = (0L until 100L).map { r =>
+      var sw = 0L; var sp = BigDecimal(0)
+      orders.foreach { case (k, p) =>
+        val h = (k * 2654435761L + r * 97003L) % 1000000007L
+        val w = th.count(h >= _).toLong // = |{t : h >= t}| = weight
+        sw += w; sp += p * w
+      }
+      (micro(sp.toDouble / sw.toDouble), r)
+    }.sorted
+    assert(r0.getLong(0) === orders.length.toLong)
+    assert(r0.getDouble(1) ===
+      micro(orders.map(_._2).sum.toDouble / orders.length))
+    assert(r0.getLong(2) === 100L)
+    assert(r0.getDouble(3) === means(2)._1)  // rank 3
+    assert(r0.getDouble(4) === means(97)._1) // rank 98
+  }
+
+  test("q_window_ewma: equals a per-customer Scala replay") {
+    import spark.implicits._
+    val df = graft.SparkEntry.queries("q_window_ewma")(spark, sf0001)
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val orders = graft.Tables.orders(spark, sf0001)
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"o_totalprice")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[java.time.LocalDateTime](2), r.getDouble(3)))
+    assert(got.size === orders.length)
+    orders.groupBy(_._1).foreach { case (ck, rows) =>
+      // ISO LocalDateTime strings sort chronologically (4-digit years)
+      val hist = rows.sortBy(r => (r._3.toString, r._2)).map(r => (r._2, r._4))
+      hist.indices.foreach { t =>
+        val m = math.min(t + 1, 16)
+        val wsum = (0 until m).map(i =>
+          hist(t - i)._2 * (1L << (15 - i)).toDouble).sum
+        val denom = 65536.0 - math.pow(2.0, 16 - m)
+        val exp = math.floor(wsum / denom * 1e6) / 1e6
+        assert(got((ck, hist(t)._1)) === exp,
+          s"cust $ck order ${hist(t)._1}")
+      }
+    }
+  }
+
+  test("q_ml_dsir_select: weights match a Scala replay") {
+    import spark.implicits._
+    val df = graft.SparkEntry.queries("q_ml_dsir_select")(spark, sf0001)
+    val got = df.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(4))).toSeq
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select($"doc_id", $"source", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val tgtSrc = (0 until 5).map(i => s"src$i").toSet
+    val toks = docs.map { case (id, s, t) =>
+      (id, tgtSrc(s), t.split(" ", -1).toSeq) }
+    val cnt = collection.mutable.Map[String, (Long, Long)]()
+    toks.foreach { case (_, tgt, ts) => ts.foreach { t =>
+      val (a, b) = cnt.getOrElse(t, (0L, 0L))
+      cnt(t) = if (tgt) (a + 1, b) else (a, b + 1)
+    }}
+    val nT = cnt.values.map(_._1).sum
+    val nR = cnt.values.map(_._2).sum
+    val v = cnt.size.toLong
+    val lam = cnt.map { case (t, (ct, cr)) =>
+      t -> BigDecimal(math.log(
+        ((ct + 1).toDouble / (nT + v).toDouble) /
+        ((cr + 1).toDouble / (nR + v).toDouble)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val expected = toks.filter(!_._2)
+      .map { case (id, _, ts) => (id, ts.map(lam).sum) }
+      .sortBy { case (id, w) => (-w, id) }.take(100).zipWithIndex
+      .map { case ((id, w), i) =>
+        (i + 1, id, (w * 1000000).toBigInt.toLong) }.toSeq
+    assert(got === expected)
+  }
+}
