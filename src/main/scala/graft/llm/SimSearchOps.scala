@@ -791,7 +791,89 @@ object SimSearchOps extends graft.QueryModule {
     sb.toString
   }
 
+  /** q_simsearch_mmr — Maximal Marginal Relevance diversified top-k
+    * (Carbonell & Goldstein, SIGIR'98), the standard re-rank that
+    * trades relevance against redundancy when the plain top-k returns
+    * five near-copies: greedily pick argmax of
+    * λ·rel(d) − (1−λ)·max_{s∈S} sim(d,s) with λ = 1/2 — at that λ the
+    * argmax equals argmax of rel − max-sim, so the whole selection
+    * runs in EXACT int64 (floor(x·1000) quantized dot products, no
+    * cosine division anywhere); ties → lowest vec_id. Query = vec_id
+    * 0, k = 5; round 1 has no selected set and is pure relevance.
+    * The reported mmr column is rel − max-sim in raw quantized units
+    * (round 1: rel).
+    *
+    * Scale: the kcenterCoreset pass structure — k linear scans, each a
+    * narrow map against a ≤k-vector broadcast selected set with a
+    * global top-1 (one bounded collect per round); rel is computed
+    * once and reused. The DuckDB twin unrolls the k rounds
+    * MATERIALIZED. */
+  def mmrRerank(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val K = 5
+    val quant = graft.Tables.embeddings(spark, sfDir)
+      .select($"vec_id", transform($"embedding",
+        x => floor(x.cast("double") * 1000.0).cast("long")).as("qv"))
+      .localCheckpoint() // scanned K times
+    val qv = quant.filter($"vec_id" === 0L).collect()(0).getSeq[Long](1) // 1 row
+    def idotLit(c: Seq[Long]): Column =
+      aggregate(zip_with($"qv", typedlit(c), (x, y) => x * y),
+        lit(0L), (acc, x) => acc + x)
+    val cands = quant.filter($"vec_id" =!= 0L)
+      .withColumn("rel", idotLit(qv))
+      .localCheckpoint() // rel computed once, reused every round
+    var chosen = Vector[(Long, Seq[Long])]()
+    val picks = scala.collection.mutable.ArrayBuffer[(Int, Long, Long, Long)]()
+    for (r <- 1 to K) {
+      val mmr = if (chosen.isEmpty) $"rel"
+        else $"rel" - chosen.map(c => idotLit(c._2)).reduce(greatest(_, _))
+      val next = cands.filter(!$"vec_id".isin(chosen.map(_._1): _*))
+        .select($"vec_id", $"qv", $"rel", mmr.as("mmr"))
+        .orderBy($"mmr".desc, $"vec_id".asc).limit(1).collect()(0) // 1 row
+      picks += ((r, next.getLong(0), next.getLong(2), next.getLong(3)))
+      chosen = chosen :+ (next.getLong(0), next.getSeq[Long](1))
+    }
+    picks.toSeq.toDF("rk", "vec_id", "rel", "mmr").orderBy($"rk")
+  }
+
+  /** DuckDB twin of [[mmrRerank]]: K unrolled MATERIALIZED rounds. */
+  private[llm] def mmrSql: String = {
+    val K = 5
+    val sb = new StringBuilder
+    sb ++= """WITH q AS MATERIALIZED (
+      SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+        x -> CAST(floor(x*1000) AS BIGINT)) AS qv FROM embeddings),
+    qv AS MATERIALIZED (SELECT qv AS v FROM q WHERE vec_id = 0),
+    c AS MATERIALIZED (
+      SELECT c.vec_id, c.qv,
+        CAST(list_dot_product(c.qv, qv.v) AS BIGINT) AS rel
+      FROM q c, qv WHERE c.vec_id <> 0),
+    p1 AS MATERIALIZED (
+      SELECT CAST(1 AS INT) AS rk, vec_id, rel, rel AS mmr FROM c
+      ORDER BY rel DESC, vec_id LIMIT 1),
+    s1 AS MATERIALIZED (SELECT c.vec_id, c.qv FROM c JOIN p1 USING (vec_id))"""
+    for (r <- 2 to K) {
+      sb ++= s""",
+    d$r AS MATERIALIZED (
+      SELECT c.vec_id, c.qv, c.rel,
+        c.rel - MAX(CAST(list_dot_product(c.qv, s.qv) AS BIGINT)) AS mmr
+      FROM c CROSS JOIN s${r - 1} s
+      WHERE c.vec_id NOT IN (SELECT vec_id FROM s${r - 1})
+      GROUP BY c.vec_id, c.qv, c.rel),
+    p$r AS MATERIALIZED (
+      SELECT CAST($r AS INT) AS rk, vec_id, rel, mmr FROM d$r
+      ORDER BY mmr DESC, vec_id LIMIT 1),
+    s$r AS MATERIALIZED (
+      SELECT vec_id, qv FROM s${r - 1}
+      UNION ALL SELECT d.vec_id, d.qv FROM d$r d JOIN p$r USING (vec_id))"""
+    }
+    sb ++= "\n" + (1 to K).map(r => s"SELECT rk, vec_id, rel, mmr FROM p$r")
+      .mkString(" UNION ALL ") + " ORDER BY rk"
+    sb.toString
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_simsearch_mmr" -> (mmrRerank _),
     "q_simsearch_sq8" -> (sq8TopK _),
     "q_simsearch_coreset_kcenter" -> (kcenterCoreset _),
     "q_simsearch_label_noise" -> (labelNoise _),
@@ -806,6 +888,7 @@ object SimSearchOps extends graft.QueryModule {
     "q_simsearch_topk_hnsw" -> (topkHnsw _))
 
   def oracle: Map[String, String] = Map(
+    "q_simsearch_mmr" -> mmrSql,
     "q_simsearch_coreset_kcenter" -> kcenterSql,
     "q_simsearch_sq8" ->
       """WITH q8 AS (

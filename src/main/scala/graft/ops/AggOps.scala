@@ -329,7 +329,50 @@ object AggOps extends graft.QueryModule {
       .orderBy($"l_returnflag")
   }
 
+  /** q_agg_weighted_median — EXACT weighted percentiles (p50/p90) of
+    * line price weighted by quantity, per return flag: the weighted
+    * order statistic percentile_approx cannot give exactly. Chosen
+    * value = smallest price whose cumulative weight clears q·W, with
+    * the threshold as a PURE INTEGER compare (2·cum ≥ W, 10·cum ≥ 9·W
+    * — no float quantile anywhere).
+    *
+    * Scale: a per-flag running sum over all distinct prices would
+    * sort each flag in ONE partition (3 partitions for the corpus —
+    * the keyless-window trap). Instead the globalShuffle/pack_sequences
+    * two-level decomposition: prices land in 64 fixed ranges, the
+    * 3×64 per-(flag, bucket) totals frame computes prefix offsets
+    * (bounded window), and the within-bucket running sum partitions
+    * by (flag, bucket) — cum(x) = offset(bucket) + local_cum(x).
+    * Equality with the single-window DuckDB twin proves the
+    * decomposition IS the global weighted cumsum. */
+  def weightedMedian(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w2 = org.apache.spark.sql.expressions.Window
+    val g = graft.Tables.lineitem(spark, sfDir)
+      .select($"l_returnflag".as("f"), $"l_extendedprice".as("x"),
+        $"l_quantity".cast("long").as("q"))
+      .groupBy($"f", $"x").agg(sum($"q").as("w"))
+      .withColumn("bkt", least(floor($"x" / 2048.0).cast("long"), lit(63L)))
+    val offsets = g.groupBy($"f", $"bkt").agg(sum($"w").as("bw"))
+      .withColumn("off", coalesce(sum($"bw").over(
+        w2.partitionBy($"f").orderBy($"bkt")
+          .rowsBetween(w2.unboundedPreceding, -1)), lit(0L)))
+      .select($"f", $"bkt", $"off") // 3 x 64 bounded frame
+    val cum = g.join(offsets, Seq("f", "bkt"))
+      .withColumn("cw", $"off" + sum($"w").over(
+        w2.partitionBy($"f", $"bkt").orderBy($"x")))
+    val tot = g.groupBy($"f").agg(sum($"w").as("wtot"))
+    cum.join(broadcast(tot), Seq("f"))
+      .groupBy($"f", $"wtot")
+      .agg(min(when($"cw" * 2L >= $"wtot", $"x")).as("w_median"),
+        min(when($"cw" * 10L >= $"wtot" * 9L, $"x")).as("w_p90"))
+      .select($"f".as("l_returnflag"), $"wtot".as("total_weight"),
+        $"w_median", $"w_p90")
+      .orderBy($"l_returnflag")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_weighted_median" -> (weightedMedian _),
     "q_agg_sample_estimate" -> (sampleEstimate _),
     "q_agg_ab_test" -> (abTest _),
     "q_agg_retention_cohorts" -> (retentionCohorts _),
@@ -348,6 +391,23 @@ object AggOps extends graft.QueryModule {
   )
 
   def oracle: Map[String, String] = Map(
+    // single-window twin of the two-level weighted cumsum (the
+    // decomposition-proving equality; see weightedMedian scaladoc)
+    "q_agg_weighted_median" ->
+      """WITH g AS (
+        |  SELECT l_returnflag AS f, l_extendedprice AS x,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (
+        |  SELECT f, x, w,
+        |    SUM(w) OVER (PARTITION BY f ORDER BY x) AS cw
+        |  FROM g),
+        |t AS (SELECT f, CAST(SUM(w) AS BIGINT) AS wtot FROM g GROUP BY 1)
+        |SELECT c.f AS l_returnflag, t.wtot AS total_weight,
+        |  MIN(CASE WHEN 2 * cw >= wtot THEN x END) AS w_median,
+        |  MIN(CASE WHEN 10 * cw >= 9 * wtot THEN x END) AS w_p90
+        |FROM c JOIN t ON c.f = t.f
+        |GROUP BY c.f, t.wtot ORDER BY l_returnflag""".stripMargin,
     "q_agg_sample_estimate" ->
       """WITH t AS (
         |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,

@@ -364,7 +364,89 @@ object QualityOps extends graft.QueryModule {
       .orderBy($"event_type", $"day", $"cohort")
   }
 
+  /** q_quality_winsorize — per-language winsorized length statistics:
+    * doc lengths clipped at the exact [p5, p95] ORDER STATISTICS
+    * (k = ⌈0.05·n⌉-th / ⌈0.95·n⌉-th smallest, duplicates counted),
+    * with the mean before/after — the standard outlier-robust readout
+    * before length-based mixing decisions. Thresholds come off the
+    * per-(lang, n_chars) cumulative HISTOGRAM — the value domain is
+    * bounded (doc length cap), so the running sum runs over a
+    * domain-sized frame, never a per-row window over the corpus (the
+    * keyless-window trap the weighted-median decomposition also
+    * avoids; here the histogram is small enough that the two-level
+    * split is unnecessary). Integer sums, floor-at-micro divisions;
+    * cum ≥ ⌈q·n⌉ is the scaled integer compare 20·cum ≥ q·20·n (exact
+    * for integer cum). */
+  def winsorize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w2 = org.apache.spark.sql.expressions.Window
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select($"lang", $"n_chars")
+    val hist = docs.groupBy($"lang", $"n_chars")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum($"c").over(
+        w2.partitionBy($"lang").orderBy($"n_chars")))
+    val tot = hist.groupBy($"lang").agg(sum($"c").as("n"))
+    val thr = hist.join(broadcast(tot), Seq("lang"))
+      .groupBy($"lang", $"n")
+      .agg(
+        min(when($"cum" * 20L >= $"n", $"n_chars")).as("lo"),
+        min(when($"cum" * 20L >= $"n" * 19L, $"n_chars")).as("hi"))
+    docs.join(broadcast(thr), Seq("lang"))
+      .groupBy($"lang", $"n", $"lo", $"hi")
+      .agg(
+        (floor(sum($"n_chars").cast("double") / $"n" * 1e6)
+          .cast("long") / 1e6).as("mean_raw"),
+        (floor(sum(greatest($"lo", least($"hi", $"n_chars")))
+          .cast("double") / $"n" * 1e6).cast("long") / 1e6).as("mean_winsor"))
+      .select($"lang", $"n", $"lo", $"hi", $"mean_raw", $"mean_winsor")
+      .orderBy($"lang")
+  }
+
+  /** q_quality_mutual_info — mutual information between the lang and
+    * source columns (plus both marginal entropies), the dependence
+    * diagnostic a mixture designer reads before treating the two axes
+    * as independent sampling knobs: MI(L;S) = Σ p(l,s)·ln(p(l,s)/(p(l)p(s))).
+    * Numerics: each cell's log-ratio argument is assembled in doubles
+    * from exact int64 counts in the SAME operation order both engines
+    * use, then round(ln,6)::DECIMAL(18,6) per cell weighted by the
+    * integer cell count, exact DECIMAL sum, ONE floor-at-micro
+    * division by N at the end (the bigram-LM recipe). Cells =
+    * |lang|×|source| — a bounded contingency table off one
+    * partial-agg'd groupBy; nothing corpus-sized past the first
+    * aggregation. */
+  def mutualInfo(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cells = graft.Tables.documents(spark, sfDir)
+      .groupBy($"lang", $"source").agg(count(lit(1)).as("c_ls"))
+      .localCheckpoint() // bounded contingency table; feeds 3 legs
+    val cl = cells.groupBy($"lang").agg(sum($"c_ls").as("c_l"))
+    val cs = cells.groupBy($"source").agg(sum($"c_ls").as("c_s"))
+    val n = cells.agg(sum($"c_ls").as("n_docs"))
+    val mi = cells.join(broadcast(cl), Seq("lang"))
+      .join(broadcast(cs), Seq("source"))
+      .crossJoin(broadcast(n))
+      .withColumn("term", $"c_ls" *
+        round(log(($"c_ls".cast("double") * $"n_docs".cast("double")) /
+          ($"c_l".cast("double") * $"c_s".cast("double"))), 6)
+          .cast("decimal(18,6)"))
+      .agg(first($"n_docs").as("n_docs"),
+        count(lit(1)).as("n_cells"),
+        (floor(sum($"term").cast("double") / first($"n_docs") * 1e6)
+          .cast("long") / 1e6).as("mi"))
+    def entropy(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor(-sum(c * round(log(c.cast("double") / $"n_docs".cast("double")), 6)
+        .cast("decimal(18,6)")).cast("double") / first($"n_docs") * 1e6)
+        .cast("long") / 1e6
+    val hl = cl.crossJoin(broadcast(n)).agg(entropy($"c_l").as("h_lang"))
+    val hs = cs.crossJoin(broadcast(n)).agg(entropy($"c_s").as("h_source"))
+    mi.crossJoin(hl).crossJoin(hs) // three 1-row frames
+      .select($"n_docs", $"n_cells", $"mi", $"h_lang", $"h_source")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quality_winsorize" -> (winsorize _),
+    "q_quality_mutual_info" -> (mutualInfo _),
     "q_quality_l_diversity" -> (lDiversity _),
     "q_quality_source_gini" -> (sourceGini _),
     "q_quality_dataset_card" -> (datasetCard _),
@@ -378,6 +460,60 @@ object QualityOps extends graft.QueryModule {
     "q_quality_benford" -> (benford _))
 
   def oracle: Map[String, String] = Map(
+    "q_quality_winsorize" ->
+      """WITH h AS (
+        |  SELECT lang, n_chars, COUNT(*) AS c FROM documents GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT lang, n_chars, c,
+        |    SUM(c) OVER (PARTITION BY lang ORDER BY n_chars) AS cw
+        |  FROM h),
+        |t AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n FROM h GROUP BY 1),
+        |thr AS (
+        |  SELECT cum.lang, t.n,
+        |    MIN(CASE WHEN 20 * cw >= t.n THEN n_chars END) AS lo,
+        |    MIN(CASE WHEN 20 * cw >= 19 * t.n THEN n_chars END) AS hi
+        |  FROM cum JOIN t ON cum.lang = t.lang GROUP BY 1, 2)
+        |SELECT d.lang, thr.n, thr.lo, thr.hi,
+        |  CAST(floor(CAST(SUM(d.n_chars) AS DOUBLE) / thr.n * 1e6)
+        |    AS BIGINT) / 1e6 AS mean_raw,
+        |  CAST(floor(CAST(SUM(greatest(thr.lo, least(thr.hi, d.n_chars)))
+        |    AS DOUBLE) / thr.n * 1e6) AS BIGINT) / 1e6 AS mean_winsor
+        |FROM documents d JOIN thr ON d.lang = thr.lang
+        |GROUP BY d.lang, thr.n, thr.lo, thr.hi ORDER BY d.lang""".stripMargin,
+    "q_quality_mutual_info" ->
+      """WITH cells AS (
+        |  SELECT lang, source, COUNT(*) AS c_ls
+        |  FROM documents GROUP BY 1, 2),
+        |cl AS (SELECT lang, CAST(SUM(c_ls) AS BIGINT) AS c_l
+        |  FROM cells GROUP BY 1),
+        |cs AS (SELECT source, CAST(SUM(c_ls) AS BIGINT) AS c_s
+        |  FROM cells GROUP BY 1),
+        |n AS (SELECT CAST(SUM(c_ls) AS BIGINT) AS n_docs FROM cells),
+        |mi AS (
+        |  SELECT MAX(n_docs) AS n_docs, COUNT(*) AS n_cells,
+        |    CAST(floor(CAST(SUM(c_ls * CAST(round(ln(
+        |        (CAST(c_ls AS DOUBLE) * CAST(n_docs AS DOUBLE)) /
+        |        (CAST(c_l AS DOUBLE) * CAST(c_s AS DOUBLE))), 6)
+        |      AS DECIMAL(18,6))) AS DOUBLE) / MAX(n_docs) * 1e6)
+        |      AS BIGINT) / 1e6 AS mi
+        |  FROM cells
+        |  JOIN cl ON cells.lang = cl.lang
+        |  JOIN cs ON cells.source = cs.source
+        |  CROSS JOIN n),
+        |hl AS (
+        |  SELECT CAST(floor(-CAST(SUM(c_l * CAST(round(ln(
+        |      CAST(c_l AS DOUBLE) / CAST(n_docs AS DOUBLE)), 6)
+        |    AS DECIMAL(18,6))) AS DOUBLE) / MAX(n_docs) * 1e6)
+        |    AS BIGINT) / 1e6 AS h_lang
+        |  FROM cl CROSS JOIN n),
+        |hs AS (
+        |  SELECT CAST(floor(-CAST(SUM(c_s * CAST(round(ln(
+        |      CAST(c_s AS DOUBLE) / CAST(n_docs AS DOUBLE)), 6)
+        |    AS DECIMAL(18,6))) AS DOUBLE) / MAX(n_docs) * 1e6)
+        |    AS BIGINT) / 1e6 AS h_source
+        |  FROM cs CROSS JOIN n)
+        |SELECT n_docs, n_cells, mi, h_lang, h_source
+        |FROM mi CROSS JOIN hl CROSS JOIN hs""".stripMargin,
     "q_quality_l_diversity" ->
       """SELECT event_type, CAST(ts AS DATE) AS day, user_id % 100 AS cohort,
         |  COUNT(DISTINCT CAST(floor(value / 10) AS BIGINT)) AS l_bands,

@@ -91,6 +91,9 @@ object PlanAudit {
     // |sources|-row volume frame: rank window + crossJoin with its
     // 1-row (n, Σx) aggregate — both bounded by domain cardinality
     "q_quality_source_gini" -> Set("SinglePartition", "NestedLoop"),
+    // bounded contingency table (|lang|x|source|) crossJoined with its
+    // 1-row N frame; final result = three 1-row frames crossJoined
+    "q_quality_mutual_info" -> Set("SinglePartition", "NestedLoop"),
     "q_ml_temperature_mix" -> Set("SinglePartition", "NestedLoop"),
     // k-strata moment frame crossJoined with its 1-row Σs aggregate
     "q_ml_neyman_sample" -> Set("SinglePartition", "NestedLoop"),

@@ -162,6 +162,106 @@ class Wave12Spec extends SparkTestBase {
     }
   }
 
+  test("q_simsearch_mmr: equals a greedy MMR Scala replay") {
+    import spark.implicits._
+    val df = graft.SparkEntry.queries("q_simsearch_mmr")(spark, sf0001)
+    val got = df.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val vecs = graft.Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1000.0).toLong)
+          .toArray).toMap
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val qv = vecs(0L)
+    val rel = vecs.filter(_._1 != 0L)
+      .map { case (id, v) => id -> dot(qv, v) }
+    var chosen = Vector.empty[Long]
+    var expected = Vector.empty[(Int, Long, Long, Long)]
+    for (r <- 1 to 5) {
+      val (id, m) = rel.filter(p => !chosen.contains(p._1))
+        .map { case (id, rl) =>
+          val pen = if (chosen.isEmpty) 0L
+            else chosen.map(s => dot(vecs(id), vecs(s))).max
+          id -> (if (chosen.isEmpty) rl else rl - pen)
+        }
+        .minBy { case (id, m) => (-m, id) }
+      expected :+= ((r, id, rel(id), m))
+      chosen :+= id
+    }
+    assert(got === expected)
+  }
+
+  test("q_agg_weighted_median: equals a cumulative-weight Scala replay") {
+    import spark.implicits._
+    val df = graft.SparkEntry.queries("q_agg_weighted_median")(spark, sf0001)
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSeq
+    val li = graft.Tables.lineitem(spark, sf0001)
+      .select($"l_returnflag", $"l_extendedprice", $"l_quantity").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2).toLong))
+    val expected = li.groupBy(_._1).toSeq.sortBy(_._1).map { case (f, rows) =>
+      val byPrice = rows.groupBy(_._2).toSeq.sortBy(_._1)
+        .map { case (x, rs) => (x, rs.map(_._3).sum) }
+      val wtot = byPrice.map(_._2).sum
+      def pick(num: Long, den: Long): Double = {
+        var cum = 0L
+        byPrice.find { case (_, w) => cum += w; cum * den >= wtot * num }
+          .get._1
+      }
+      (f, wtot, pick(1, 2), pick(9, 10))
+    }
+    assert(got === expected)
+  }
+
+  test("q_quality_winsorize: equals an order-statistic Scala replay") {
+    import spark.implicits._
+    val df = graft.SparkEntry.queries("q_quality_winsorize")(spark, sf0001)
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toSeq
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select($"lang", $"n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    def micro(x: Double): Double = math.floor(x * 1e6) / 1e6
+    val expected = docs.groupBy(_._1).toSeq.sortBy(_._1).map { case (l, rs) =>
+      val v = rs.map(_._2).sorted
+      val n = v.length
+      val lo = v(math.ceil(0.05 * n).toInt - 1)
+      val hi = v(math.ceil(0.95 * n).toInt - 1)
+      val wins = v.map(x => math.max(lo, math.min(hi, x)))
+      (l, n.toLong, lo, hi,
+        micro(v.sum.toDouble / n), micro(wins.sum.toDouble / n))
+    }
+    assert(got === expected)
+  }
+
+  test("q_quality_mutual_info: equals a contingency-table Scala replay") {
+    import spark.implicits._
+    val df = graft.SparkEntry.queries("q_quality_mutual_info")(spark, sf0001)
+    val r0 = df.collect()(0)
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select($"lang", $"source").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val cells = docs.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val cl = cells.groupBy(_._1._1).map { case (k, v) => k -> v.values.sum }
+    val cs = cells.groupBy(_._1._2).map { case (k, v) => k -> v.values.sum }
+    val n = docs.length.toLong
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    def micro(x: Double): Double = math.floor(x * 1e6) / 1e6
+    val mi = micro(cells.map { case ((l, s), c) =>
+      r6(math.log((c.toDouble * n.toDouble) /
+        (cl(l).toDouble * cs(s).toDouble))) * c }.sum.toDouble / n)
+    val hl = micro(-cl.values.map(c =>
+      r6(math.log(c.toDouble / n.toDouble)) * c).sum.toDouble / n)
+    val hs = micro(-cs.values.map(c =>
+      r6(math.log(c.toDouble / n.toDouble)) * c).sum.toDouble / n)
+    assert((r0.getLong(0), r0.getLong(1), r0.getDouble(2), r0.getDouble(3),
+      r0.getDouble(4)) === ((n, cells.size.toLong, mi, hl, hs)))
+  }
+
   test("q_ml_dsir_select: weights match a Scala replay") {
     import spark.implicits._
     val df = graft.SparkEntry.queries("q_ml_dsir_select")(spark, sf0001)
