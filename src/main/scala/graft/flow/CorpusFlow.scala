@@ -49,7 +49,12 @@ import org.apache.spark.sql.functions._
 final case class CorpusConfig(baseDir: String, sfDir: String,
                               sliceSize: Long = 200, overlap: Long = 50,
                               quotaPerLang: Long = 30,
-                              evalEvery: Long = 50) {
+                              evalEvery: Long = 50,
+                              // DSIR selection stage knob: when set,
+                              // MixBatch consumes DsirSelectBatch and
+                              // raw-pool docs below this w_micro are
+                              // dropped (target-source docs pass).
+                              dsirMinMicro: Option[Long] = None) {
   require(sliceSize > overlap,
     s"sliceSize ($sliceSize) must exceed overlap ($overlap) — " +
       "a non-positive step would never advance the batch ladder")
@@ -389,11 +394,87 @@ object CorpusFlow {
     }
   }
 
-  /** Per-language quota mix of one decontaminated batch (the
-    * quotaSample discipline: stable-hash order, nested samples). */
+  /** The target sources the DSIR stage treats as "curated" — the same
+    * slice q_ml_dsir_select declares. */
+  private[flow] val DsirTargetSources: Seq[String] =
+    (0 until 5).map(i => s"src$i")
+
+  /** One-time DSIR log-ratio table (Xie et al., NeurIPS 2023): per
+    * unigram λ(t) = ln(p_tgt(t)/p_raw(t)) with add-one smoothing over
+    * the joint vocabulary, target = [[DsirTargetSources]] of the RAW
+    * corpus — the q_ml_dsir_select recipe persisted as a once-built
+    * artifact (the BenchmarkShingles pattern: built once, joined by
+    * every batch). round(ln,6)::DECIMAL(18,6) terms so downstream
+    * per-doc sums are exact. */
+  final case class DsirTable(cfg: CorpusConfig) extends Task {
+    val output: DirTarget = DirTarget(s"${cfg.baseDir}/dsir_table")
+    def run(spark: SparkSession): Unit = {
+      val isTgt = col("source").isin(DsirTargetSources: _*)
+      val tok = graft.Tables.documents(spark, cfg.sfDir)
+        .select(col("doc_id"), col("source"),
+          explode(split(col("text"), " ")).as("t"))
+      val cnt = tok.groupBy(col("t")).agg(
+        sum(when(isTgt, 1L).otherwise(0L)).as("c_t"),
+        sum(when(isTgt, 0L).otherwise(1L)).as("c_r"))
+      val totals = cnt.agg(sum(col("c_t")).as("n_t"),
+        sum(col("c_r")).as("n_r"), count(lit(1)).as("v")) // 1 row
+      output.atomicWrite { tmp =>
+        cnt.crossJoin(broadcast(totals))
+          .select(col("t"), round(log(
+            ((col("c_t") + 1L).cast("double") /
+              (col("n_t") + col("v")).cast("double")) /
+            ((col("c_r") + 1L).cast("double") /
+              (col("n_r") + col("v")).cast("double"))), 6)
+            .cast("decimal(18,6)").as("lam"))
+          .write.parquet(tmp)
+      }
+    }
+  }
+
+  /** DSIR importance selection of one decontaminated batch: per-doc
+    * weight = Σ_token-occurrences λ(t) (exact DECIMAL sum); raw-pool
+    * docs below cfg.dsirMinMicro micro-units are dropped, target-source
+    * docs pass unconditionally (they ARE the target distribution).
+    * One narrow explode + one vocab-keyed hash join (the λ table is
+    * vocab-sized, not broadcast-bounded) + one per-doc partial agg +
+    * one id anti/semi join back — batch text never shuffles. */
+  final case class DsirSelectBatch(cfg: CorpusConfig, i: Int) extends Task {
+    override def name = s"DsirSelectBatch($i)"
+    override def requires: Seq[Task] =
+      Seq(DecontaminateBatch(cfg, i), DsirTable(cfg))
+    val output: DirTarget = DirTarget(s"${cfg.baseDir}/batch_$i/selected")
+    def run(spark: SparkSession): Unit = {
+      val th = cfg.dsirMinMicro.getOrElse(
+        sys.error("DsirSelectBatch scheduled without cfg.dsirMinMicro"))
+      val batch = spark.read.parquet(requires.head.output.uri)
+      val lam = spark.read.parquet(requires(1).output.uri)
+      val keepRaw = batch
+        .filter(!col("source").isin(DsirTargetSources: _*))
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+        .join(lam, Seq("t"))
+        .groupBy(col("doc_id"))
+        .agg((sum(col("lam")) * 1000000L).cast("long").as("w_micro"))
+        .filter(col("w_micro") >= th)
+        .select(col("doc_id"))
+      output.atomicWrite { tmp =>
+        batch.join(
+            keepRaw.unionByName(batch
+              .filter(col("source").isin(DsirTargetSources: _*))
+              .select(col("doc_id"))),
+            Seq("doc_id"), "left_semi")
+          .write.parquet(tmp)
+      }
+    }
+  }
+
+  /** Per-language quota mix of one decontaminated (or, with the DSIR
+    * knob on, importance-selected) batch (the quotaSample discipline:
+    * stable-hash order, nested samples). */
   final case class MixBatch(cfg: CorpusConfig, i: Int) extends Task {
     override def name = s"MixBatch($i)"
-    override def requires: Seq[Task] = Seq(DecontaminateBatch(cfg, i))
+    override def requires: Seq[Task] =
+      if (cfg.dsirMinMicro.isDefined) Seq(DsirSelectBatch(cfg, i))
+      else Seq(DecontaminateBatch(cfg, i))
     val output: DirTarget = DirTarget(s"${cfg.baseDir}/batch_$i/mixed")
     def run(spark: SparkSession): Unit = {
       import org.apache.spark.sql.expressions.Window
@@ -518,7 +599,9 @@ object CorpusFlow {
     def run(spark: SparkSession): Unit = {
       val n = readManifest(requires.head.output.uri).length
       val stages = Seq("raw", "clean", "deduped", "near_deduped",
-        "decontaminated", "mixed", "packed")
+        "decontaminated") ++
+        (if (cfg.dsirMinMicro.isDefined) Seq("selected") else Nil) ++
+        Seq("mixed", "packed")
       def stageCounts(stage: String) =
         spark.read.parquet(
             (0 until n).map(i => s"${cfg.baseDir}/batch_$i/$stage"): _*)
@@ -558,8 +641,11 @@ object CorpusFlow {
         ("raw", "clean", "quality_fail"),
         ("clean", "deduped", "exact_dup"),
         ("deduped", "near_deduped", "near_dup"),
-        ("near_deduped", "decontaminated", "decontaminated"),
-        ("decontaminated", "mixed", "quota_cut"))
+        ("near_deduped", "decontaminated", "decontaminated")) ++
+        (if (cfg.dsirMinMicro.isDefined)
+          Seq(("decontaminated", "selected", "dsir_offtarget"),
+            ("selected", "mixed", "quota_cut"))
+        else Seq(("decontaminated", "mixed", "quota_cut")))
       output.atomicWrite { tmp =>
         ladder.map { case (a, b, reason) =>
           ids(a).join(ids(b), Seq("doc_id"), "left_anti")

@@ -444,7 +444,87 @@ object QualityOps extends graft.QueryModule {
       .select($"n_docs", $"n_cells", $"mi", $"h_lang", $"h_source")
   }
 
+  /** q_quality_ks_test — two-sample Kolmogorov–Smirnov distance
+    * between the length distributions of two sources (src0 vs src1),
+    * the drift test psi_drift's binning can blur: D = max_v |F₀(v) −
+    * F₁(v)| over the JOINT value domain. EXACT rational arithmetic:
+    * the compared statistic is the integer |cum₀(v)·n₁ − cum₁(v)·n₀|
+    * (cross-multiplied, no division until the one rounded readout),
+    * argmax reported with the smallest attaining value as tiebreak.
+    *
+    * Scale: per-(source, n_chars) histogram → full outer on the
+    * BOUNDED value domain → cumulative sums over that domain-sized
+    * frame (the winsorize rationale) → one max. Nothing corpus-sized
+    * past the first partial-agg'd groupBy. */
+  def ksTest(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w2 = org.apache.spark.sql.expressions.Window
+    val h = graft.Tables.documents(spark, sfDir)
+      .filter($"source".isin("src0", "src1"))
+      .groupBy($"n_chars")
+      .agg(sum(when($"source" === "src0", 1L).otherwise(0L)).as("c0"),
+        sum(when($"source" === "src1", 1L).otherwise(0L)).as("c1"))
+    val cum = h
+      .withColumn("f0", sum($"c0").over(w2.orderBy($"n_chars"))) // bounded domain
+      .withColumn("f1", sum($"c1").over(w2.orderBy($"n_chars")))
+    val tot = h.agg(sum($"c0").as("n0"), sum($"c1").as("n1")) // 1 row
+    cum.crossJoin(broadcast(tot))
+      .withColumn("dnum", abs($"f0" * $"n1" - $"f1" * $"n0"))
+      .groupBy($"n0", $"n1")
+      .agg(max(struct($"dnum", (-$"n_chars").as("negv"))).as("top"))
+      .select($"n0", $"n1", $"top.dnum".as("d_num"),
+        (-$"top.negv").as("v_at"),
+        round($"top.dnum".cast("double") /
+          ($"n0" * $"n1").cast("double"), 6).as("ks"))
+  }
+
+  /** q_quality_cramers_v — Cramér's V association strength for the
+    * lang×source contingency table, the normalized companion of
+    * [[mutualInfo]]: χ² = Σ (c·N − c_l·c_s)² / (c_l·c_s·N) with every
+    * per-cell term assembled from exact int64 counts in the same
+    * double operation order both engines use, round(,6)::DECIMAL
+    * per cell, exact sum, then V = √(χ²/(N·(min(r,c)−1))) floored at
+    * micro. Same bounded-contingency-table shape as mutualInfo:
+    * ZERO cells contribute e_ls = c_l·c_s/N to χ², so the observed
+    * cells carry the (c−e)²/e term only for c > 0 and the missing
+    * mass is added in closed form (Σ_observed e) — no dense
+    * lang×source materialization is ever needed. */
+  def cramersV(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cells = graft.Tables.documents(spark, sfDir)
+      .groupBy($"lang", $"source").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // bounded contingency table
+    val cl = cells.groupBy($"lang").agg(sum($"c").as("c_l"))
+    val cs = cells.groupBy($"source").agg(sum($"c").as("c_s"))
+    val n = cells.agg(sum($"c").as("n_docs"),
+      countDistinct($"lang").as("r"), countDistinct($"source").as("k"))
+    cells.join(broadcast(cl), Seq("lang"))
+      .join(broadcast(cs), Seq("source"))
+      .crossJoin(broadcast(n))
+      // (c*N - c_l*c_s)^2 / (c_l*c_s*N) per OBSERVED cell, plus each
+      // observed cell's expected mass e; chi2 = sum(term) - sum(e) + N
+      // (the zero-cell closure: sum over ALL cells of e equals N)
+      .withColumn("term", round(
+        (($"c" * $"n_docs" - $"c_l" * $"c_s").cast("double") *
+          ($"c" * $"n_docs" - $"c_l" * $"c_s").cast("double")) /
+        (($"c_l" * $"c_s").cast("double") * $"n_docs".cast("double")), 6)
+        .cast("decimal(18,6)"))
+      .withColumn("e", round(($"c_l" * $"c_s").cast("double") /
+        $"n_docs".cast("double"), 6).cast("decimal(18,6)"))
+      .agg(first($"n_docs").as("n_docs"), first($"r").as("n_lang"),
+        first($"k").as("n_source"),
+        (floor((sum($"term") - sum($"e")).cast("double") * 1e6)
+          .cast("long") / 1e6 + first($"n_docs")).as("chi2_adj"))
+      .withColumn("cramers_v",
+        floor(sqrt($"chi2_adj" / ($"n_docs" *
+          (least($"n_lang", $"n_source") - 1L)).cast("double")) * 1e6)
+          .cast("long") / 1e6)
+      .select($"n_docs", $"n_lang", $"n_source", $"chi2_adj", $"cramers_v")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quality_ks_test" -> (ksTest _),
+    "q_quality_cramers_v" -> (cramersV _),
     "q_quality_winsorize" -> (winsorize _),
     "q_quality_mutual_info" -> (mutualInfo _),
     "q_quality_l_diversity" -> (lDiversity _),
@@ -460,6 +540,58 @@ object QualityOps extends graft.QueryModule {
     "q_quality_benford" -> (benford _))
 
   def oracle: Map[String, String] = Map(
+    "q_quality_ks_test" ->
+      """WITH h AS (
+        |  SELECT n_chars,
+        |    CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c0,
+        |    CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c1
+        |  FROM documents WHERE source IN ('src0', 'src1') GROUP BY 1),
+        |cum AS (
+        |  SELECT n_chars,
+        |    SUM(c0) OVER (ORDER BY n_chars) AS f0,
+        |    SUM(c1) OVER (ORDER BY n_chars) AS f1
+        |  FROM h),
+        |t AS (SELECT CAST(SUM(c0) AS BIGINT) AS n0,
+        |  CAST(SUM(c1) AS BIGINT) AS n1 FROM h)
+        |SELECT n0, n1, CAST(abs(f0*n1 - f1*n0) AS BIGINT) AS d_num,
+        |  n_chars AS v_at,
+        |  round(CAST(abs(f0*n1 - f1*n0) AS DOUBLE) /
+        |    CAST(n0 * n1 AS DOUBLE), 6) AS ks
+        |FROM cum CROSS JOIN t
+        |ORDER BY abs(f0*n1 - f1*n0) DESC, n_chars ASC LIMIT 1""".stripMargin,
+    "q_quality_cramers_v" ->
+      """WITH cells AS (
+        |  SELECT lang, source, COUNT(*) AS c FROM documents GROUP BY 1, 2),
+        |cl AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS c_l
+        |  FROM cells GROUP BY 1),
+        |cs AS (SELECT source, CAST(SUM(c) AS BIGINT) AS c_s
+        |  FROM cells GROUP BY 1),
+        |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n_docs,
+        |  COUNT(DISTINCT lang) AS r, COUNT(DISTINCT source) AS k
+        |  FROM cells),
+        |s AS (
+        |  SELECT MAX(n_docs) AS n_docs, MAX(r) AS n_lang,
+        |    MAX(k) AS n_source,
+        |    CAST(floor(CAST(
+        |      SUM(CAST(round(
+        |        (CAST(c*n_docs - c_l*c_s AS DOUBLE) *
+        |         CAST(c*n_docs - c_l*c_s AS DOUBLE)) /
+        |        (CAST(c_l*c_s AS DOUBLE) * CAST(n_docs AS DOUBLE)), 6)
+        |        AS DECIMAL(18,6)))
+        |      - SUM(CAST(round(CAST(c_l*c_s AS DOUBLE) /
+        |          CAST(n_docs AS DOUBLE), 6) AS DECIMAL(18,6)))
+        |      AS DOUBLE) * 1e6) AS BIGINT) / 1e6 + MAX(n_docs) AS chi2_adj
+        |  FROM cells
+        |  JOIN cl ON cells.lang = cl.lang
+        |  JOIN cs ON cells.source = cs.source
+        |  CROSS JOIN n)
+        |SELECT n_docs, n_lang, n_source, chi2_adj,
+        |  CAST(floor(sqrt(chi2_adj /
+        |    CAST(n_docs * (least(n_lang, n_source) - 1) AS DOUBLE)) * 1e6)
+        |    AS BIGINT) / 1e6 AS cramers_v
+        |FROM s""".stripMargin,
     "q_quality_winsorize" ->
       """WITH h AS (
         |  SELECT lang, n_chars, COUNT(*) AS c FROM documents GROUP BY 1, 2),

@@ -94,6 +94,11 @@ object PlanAudit {
     // bounded contingency table (|lang|x|source|) crossJoined with its
     // 1-row N frame; final result = three 1-row frames crossJoined
     "q_quality_mutual_info" -> Set("SinglePartition", "NestedLoop"),
+    // same bounded contingency table, one 1-row (N, r, k) frame
+    "q_quality_cramers_v" -> Set("SinglePartition", "NestedLoop"),
+    // cumulative F over the BOUNDED n_chars value domain (doc length
+    // cap) + its 1-row (n0, n1) totals frame — the winsorize rationale
+    "q_quality_ks_test" -> Set("SinglePartition", "NestedLoop"),
     "q_ml_temperature_mix" -> Set("SinglePartition", "NestedLoop"),
     // k-strata moment frame crossJoined with its 1-row Σs aggregate
     "q_ml_neyman_sample" -> Set("SinglePartition", "NestedLoop"),

@@ -306,4 +306,77 @@ class CorpusFlowSpec extends SparkTestBase {
       }
     }
   }
+
+  test("corpus flow: DSIR knob inserts a selection stage matching a Scala replay") {
+    import spark.implicits._
+    val cfg = CorpusConfig(
+      Files.createTempDirectory("graft_corpus_dsir").toString, sf0001,
+      dsirMinMicro = Some(0L))
+    val root = CorpusFlow.CurateAll(cfg)
+    val executed = Runner.runParallel(root, spark, workers = 2)
+    val n = CorpusFlow.readManifest(s"${cfg.baseDir}/batches.manifest").length
+    assert(executed.count(_.startsWith("DsirSelectBatch")) == n)
+    assert(executed.count(_ == "DsirTable") == 1)
+    // re-run is a no-op with the knob on too
+    assert(Runner.runParallel(root, spark, workers = 2).isEmpty)
+
+    // λ replay from the raw fixture (the q_ml_dsir_select recipe)
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select($"doc_id", $"source", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val tgt = (0 until 5).map(i => s"src$i").toSet
+    val toks = docs.map { case (id, s, t) =>
+      (id, tgt(s), t.split(" ", -1).toSeq) }
+    val cnt = collection.mutable.Map[String, (Long, Long)]()
+    toks.foreach { case (_, isT, ts) => ts.foreach { t =>
+      val (a, b) = cnt.getOrElse(t, (0L, 0L))
+      cnt(t) = if (isT) (a + 1, b) else (a, b + 1)
+    }}
+    val nT = cnt.values.map(_._1).sum
+    val nR = cnt.values.map(_._2).sum
+    val v = cnt.size.toLong
+    val lam = cnt.map { case (t, (ct, cr)) =>
+      t -> BigDecimal(math.log(
+        ((ct + 1).toDouble / (nT + v).toDouble) /
+        ((cr + 1).toDouble / (nR + v).toDouble)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val srcById = docs.map(d => d._1 -> d._2).toMap
+    val toksById = toks.map(t => t._1 -> t._3).toMap
+    var droppedTotal = 0
+    (0 until n).foreach { i =>
+      val dec = spark.read.parquet(s"${cfg.baseDir}/batch_$i/decontaminated")
+        .select($"doc_id").collect().map(_.getLong(0)).toSet
+      val sel = spark.read.parquet(s"${cfg.baseDir}/batch_$i/selected")
+        .select($"doc_id").collect().map(_.getLong(0)).toSet
+      val expected = dec.filter { id =>
+        tgt(srcById(id)) ||
+          (toksById(id).map(lam).sum * 1000000).toBigInt.toLong >= 0L
+      }
+      assert(sel === expected, s"batch $i DSIR selection mismatch")
+      droppedTotal += dec.size - sel.size
+    }
+    assert(droppedTotal > 0, "DSIR selection dropped nothing (vacuous)")
+
+    // the funnel carries the selected stage and stays monotone
+    // a fully-emptied stage writes no rows for that batch → count 0
+    val funnel = spark.read.parquet(s"${cfg.baseDir}/funnel")
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2))
+      .toMap.withDefaultValue(0L)
+    val ladder = Seq("raw", "clean", "deduped", "near_deduped",
+      "decontaminated", "selected", "mixed", "packed")
+    (0 until n).foreach { i =>
+      ladder.sliding(2).foreach { case Seq(a, b) =>
+        assert(funnel((i, a)) >= funnel((i, b)),
+          s"batch $i: $a=${funnel((i, a))} < $b=${funnel((i, b))}")
+      }
+    }
+    assert(ladder.exists(s => funnel((0, s)) > 0))
+    // and the drop ledger attributes the DSIR drops
+    val reasons = (0 until n).flatMap { i =>
+      spark.read.parquet(s"${cfg.baseDir}/batch_$i/drop_ledger")
+        .select($"reason").collect().map(_.getString(0))
+    }
+    assert(reasons.contains("dsir_offtarget"))
+  }
 }
