@@ -839,7 +839,33 @@ object MlOps extends graft.QueryModule {
       .orderBy($"rank")
   }
 
+  /** q_ml_learning_curve — NESTED training subsets for scaling-law /
+    * learning-curve experiments: ten budget fractions (10%..100%)
+    * where each subset CONTAINS every smaller one — the property that
+    * makes per-fraction runs comparable (Kaplan-style curves assume
+    * nested data, not ten independent samples). Membership is the
+    * repo's stable integer hash: doc d enters fraction f iff
+    * h(d)·10 < f·M, so the subsets nest by construction and
+    * membership is a pure int64 compare. One corpus scan fans each
+    * doc to the fractions it belongs to (map-side explode of ≤10
+    * literals), one partial-agg'd groupBy of 10 result rows — the
+    * readout shape is scale-free. */
+  def learningCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val M = 1000000007L
+    graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"n_chars",
+        pmod($"doc_id" * 2654435761L + 41L, lit(M)).as("h"))
+      .select($"n_chars", $"h",
+        explode(sequence(lit(1L), lit(10L))).as("frac10"))
+      .filter($"h" * 10L < $"frac10" * M) // nested: f ⊂ f+1 by construction
+      .groupBy($"frac10")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
+      .orderBy($"frac10")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ml_learning_curve" -> (learningCurve _),
     "q_ml_bootstrap_ci" -> (bootstrapCi _),
     "q_ml_dsir_select" -> (dsirSelect _),
     "q_ml_neyman_sample" -> (neymanSample _),
@@ -867,6 +893,18 @@ object MlOps extends graft.QueryModule {
     "q_ml_hashing_tf_sql" -> (hashingTfSql _))
 
   def oracle: Map[String, String] = Map(
+    "q_ml_learning_curve" ->
+      """WITH h AS (
+        |  SELECT n_chars,
+        |    (doc_id * 2654435761 + 41) % 1000000007 AS h
+        |  FROM documents),
+        |fan AS (
+        |  SELECT n_chars, h, g.frac10
+        |  FROM h, (SELECT unnest(range(1, 11)) AS frac10) g
+        |  WHERE h * 10 < frac10 * 1000000007)
+        |SELECT frac10, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM fan GROUP BY frac10 ORDER BY frac10""".stripMargin,
     "q_ml_bootstrap_ci" ->
       """WITH fan AS (
         |  SELECT o.o_orderkey, CAST(o.o_totalprice AS DECIMAL(14,2)) AS p,

@@ -262,6 +262,77 @@ class Wave12Spec extends SparkTestBase {
       r0.getDouble(4)) === ((n, cells.size.toLong, mi, hl, hs)))
   }
 
+  test("q_quality_ks_test: equals a cdf-scan Scala replay") {
+    import spark.implicits._
+    val df = graft.SparkEntry.queries("q_quality_ks_test")(spark, sf0001)
+    val r0 = df.collect()(0)
+    val docs = graft.Tables.documents(spark, sf0001)
+      .filter($"source".isin("src0", "src1"))
+      .select($"source", $"n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val s0 = docs.filter(_._1 == "src0").map(_._2)
+    val s1 = docs.filter(_._1 == "src1").map(_._2)
+    val domain = (s0 ++ s1).distinct.sorted
+    val (n0, n1) = (s0.length.toLong, s1.length.toLong)
+    val (dNum, vAt) = domain.map { v =>
+      (math.abs(s0.count(_ <= v) * n1 - s1.count(_ <= v) * n0), v)
+    }.minBy { case (d, v) => (-d, v) }
+    assert((r0.getLong(0), r0.getLong(1), r0.getLong(2), r0.getLong(3)) ===
+      ((n0, n1, dNum, vAt)))
+    assert(r0.getDouble(4) === BigDecimal(dNum.toDouble / (n0 * n1).toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(dNum > 0L)
+  }
+
+  test("q_quality_cramers_v: equals a chi-squared Scala replay") {
+    import spark.implicits._
+    val df = graft.SparkEntry.queries("q_quality_cramers_v")(spark, sf0001)
+    val r0 = df.collect()(0)
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select($"lang", $"source").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val cells = docs.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val cl = cells.groupBy(_._1._1).map { case (k, v) => k -> v.values.sum }
+    val cs = cells.groupBy(_._1._2).map { case (k, v) => k -> v.values.sum }
+    val n = docs.length.toLong
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val term = cells.map { case ((l, s), c) =>
+      val d = (c * n - cl(l) * cs(s)).toDouble
+      r6(d * d / (cl(l).toDouble * cs(s).toDouble * n.toDouble))
+    }.sum
+    val e = cells.map { case ((l, s), _) =>
+      r6(cl(l).toDouble * cs(s).toDouble / n.toDouble) }.sum
+    val chi2Adj = math.floor((term - e).toDouble * 1e6) / 1e6 + n
+    val v = math.floor(math.sqrt(chi2Adj /
+      (n * (math.min(cl.size, cs.size) - 1)).toDouble) * 1e6) / 1e6
+    assert((r0.getLong(0), r0.getLong(1), r0.getLong(2)) ===
+      ((n, cl.size.toLong, cs.size.toLong)))
+    assert(r0.getDouble(3) === chi2Adj)
+    assert(r0.getDouble(4) === v)
+  }
+
+  test("q_ml_learning_curve: fractions nest and match a Scala replay") {
+    import spark.implicits._
+    val df = graft.SparkEntry.queries("q_ml_learning_curve")(spark, sf0001)
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select($"doc_id", $"n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val subsets = (1L to 10L).map { f =>
+      f -> docs.filter { case (id, _) =>
+        ((id * 2654435761L + 41L) % 1000000007L) * 10L < f * 1000000007L }
+    }
+    val expected = subsets.map { case (f, d) =>
+      (f, d.length.toLong, d.map(_._2).sum) }
+    assert(got === expected)
+    // the defining property: every fraction contains the previous one
+    subsets.map(_._2.map(_._1).toSet).sliding(2).foreach {
+      case Seq(a, b) => assert(a.subsetOf(b), "fractions must nest")
+    }
+    assert(got.map(_._2).distinct.length > 1, "all fractions equal (vacuous)")
+  }
+
   test("q_ml_dsir_select: weights match a Scala replay") {
     import spark.implicits._
     val df = graft.SparkEntry.queries("q_ml_dsir_select")(spark, sf0001)
