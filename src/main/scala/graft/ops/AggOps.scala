@@ -371,7 +371,32 @@ object AggOps extends graft.QueryModule {
       .orderBy($"l_returnflag")
   }
 
+  /** q_agg_ohlc — OHLC (open/high/low/close) daily resample of the
+    * event value stream, the time-series bar aggregation every
+    * monitoring/market pipeline runs: open/close are the values at
+    * the (ts, event_id)-first/-last event of the day (the unique
+    * tiebreak makes the pick deterministic — expressed as one
+    * struct-min/max so no per-row window ever runs), high/low are
+    * plain extrema, volume is the exact decimal sum. ONE partial-agg'd
+    * groupBy(day): scale-free readout, no shuffle beyond the day
+    * keys. */
+  def ohlc(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.events(spark, sfDir)
+      .select(to_date($"ts").as("day"), $"ts", $"event_id", $"value")
+      .groupBy($"day")
+      .agg(
+        min(struct($"ts", $"event_id", $"value")).getField("value").as("open"),
+        max($"value").as("high"),
+        min($"value").as("low"),
+        max(struct($"ts", $"event_id", $"value")).getField("value").as("close"),
+        count(lit(1)).as("n_events"),
+        dsum($"value").as("volume"))
+      .orderBy($"day")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_ohlc" -> (ohlc _),
     "q_agg_weighted_median" -> (weightedMedian _),
     "q_agg_sample_estimate" -> (sampleEstimate _),
     "q_agg_ab_test" -> (abTest _),
@@ -391,6 +416,24 @@ object AggOps extends graft.QueryModule {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_agg_ohlc" ->
+      """WITH e AS (
+        |  SELECT CAST(ts AS DATE) AS day, ts, event_id, value
+        |  FROM events),
+        |r AS (
+        |  SELECT day, value,
+        |    ROW_NUMBER() OVER (PARTITION BY day
+        |      ORDER BY ts, event_id) AS rka,
+        |    ROW_NUMBER() OVER (PARTITION BY day
+        |      ORDER BY ts DESC, event_id DESC) AS rkz
+        |  FROM e)
+        |SELECT day,
+        |  MAX(CASE WHEN rka = 1 THEN value END) AS open,
+        |  MAX(value) AS high, MIN(value) AS low,
+        |  MAX(CASE WHEN rkz = 1 THEN value END) AS close,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS volume
+        |FROM r GROUP BY day ORDER BY day""".stripMargin,
     // single-window twin of the two-level weighted cumsum (the
     // decomposition-proving equality; see weightedMedian scaladoc)
     "q_agg_weighted_median" ->

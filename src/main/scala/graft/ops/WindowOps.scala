@@ -404,7 +404,44 @@ object WindowOps extends graft.QueryModule {
       .orderBy($"o_custkey", $"o_orderkey")
   }
 
+  /** q_window_cusum — CUSUM change-point detection (Page 1954) over
+    * the daily-revenue series: S_t = max(0, S_{t−1} + x_t − k) with
+    * k = the series mean. The recursion LOOKS sequential but is
+    * prefix-decomposable: S_t = P_t − min_{j≤t} P_j with
+    * P = cumsum(x − k) — two running windows, no iteration. EXACT
+    * integers throughout: x in cents, the mean never divided out
+    * (work in n-scaled units: dev = n·rev − Σrev, so cusum_scaled =
+    * n·S_t), flag on the pure integer compare cusum_scaled > 2·Σrev
+    * (⇔ unscaled CUSUM > 2× mean daily revenue); the one double
+    * division happens in the floored dollar readout.
+    *
+    * Scale: the series lives on the BOUNDED day domain (the ks_test
+    * rationale) — the keyless windows run over ≤ |days| rows after a
+    * partial-agg'd groupBy; per-key CUSUM over an unbounded key set
+    * would partition the same two windows by key. */
+  def cusum(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w2 = Window.orderBy($"day") // bounded day domain
+    val daily = graft.Tables.orders(spark, sfDir)
+      .select(to_date($"o_orderdate").as("day"),
+        (AggOps.dec($"o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy($"day").agg(sum($"cents").as("rev"))
+    val tot = daily.agg(count(lit(1)).as("n"), sum($"rev").as("s")) // 1 row
+    daily.crossJoin(broadcast(tot))
+      .withColumn("p", sum($"n" * $"rev" - $"s").over(w2))
+      // the running min must include P_0 = 0 (the empty prefix) or the
+      // identity S_t = P_t − min_{0≤j≤t} P_j breaks whenever P starts
+      // positive — caught by the Wave12Spec textbook-recursion replay
+      .withColumn("cusum_scaled", $"p" - least(min($"p").over(w2), lit(0L)))
+      .select($"day", $"rev".as("rev_cents"),
+        (floor($"cusum_scaled".cast("double") / $"n" / 100.0 * 1e6)
+          .cast("long") / 1e6).as("cusum_dollars"),
+        ($"cusum_scaled" > $"s" * 2L).cast("int").as("shift_flag"))
+      .orderBy($"day")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_cusum" -> (cusum _),
     "q_window_ewma" -> (ewma _),
     "q_window_anomaly_zscore" -> (anomalyZscore _),
     "q_window_attribution" -> (attribution _),
@@ -438,6 +475,26 @@ object WindowOps extends graft.QueryModule {
   }
 
   def oracle: Map[String, String] = Map(
+    "q_window_cusum" ->
+      """WITH d AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT COUNT(*) AS n, CAST(SUM(rev) AS BIGINT) AS s FROM d),
+        |p AS (
+        |  SELECT day, rev, n, s,
+        |    CAST(SUM(n*rev - s) OVER (ORDER BY day) AS BIGINT) AS p
+        |  FROM d CROSS JOIN t),
+        |c AS (
+        |  SELECT day, rev, n, s,
+        |    p - least(CAST(MIN(p) OVER (ORDER BY day) AS BIGINT), 0) AS cus
+        |  FROM p)
+        |SELECT day, rev AS rev_cents,
+        |  CAST(floor(CAST(cus AS DOUBLE) / n / 100.0 * 1e6) AS BIGINT)
+        |    / 1e6 AS cusum_dollars,
+        |  CAST(CASE WHEN cus > 2*s THEN 1 ELSE 0 END AS INT) AS shift_flag
+        |FROM c ORDER BY day""".stripMargin,
     "q_window_ewma" -> ewmaSql,
     // exact-decimal window sums cast to double once, variance in the
     // identical operation order, flag on the ROUNDED z — see

@@ -99,6 +99,9 @@ object PlanAudit {
     // cumulative F over the BOUNDED n_chars value domain (doc length
     // cap) + its 1-row (n0, n1) totals frame — the winsorize rationale
     "q_quality_ks_test" -> Set("SinglePartition", "NestedLoop"),
+    // running sum/min over the BOUNDED day domain (|days| rows after
+    // the partial-agg'd groupBy) + its 1-row (n, S) totals frame
+    "q_window_cusum" -> Set("SinglePartition", "NestedLoop"),
     "q_ml_temperature_mix" -> Set("SinglePartition", "NestedLoop"),
     // k-strata moment frame crossJoined with its 1-row Σs aggregate
     "q_ml_neyman_sample" -> Set("SinglePartition", "NestedLoop"),

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkTestBase
+import org.apache.spark.sql.functions.to_date
 
 /** Round-12 wave: repo-side evidence for the new operators —
   * independent driver-side replays in plain Scala over the bounded
@@ -331,6 +332,52 @@ class Wave12Spec extends SparkTestBase {
       case Seq(a, b) => assert(a.subsetOf(b), "fractions must nest")
     }
     assert(got.map(_._2).distinct.length > 1, "all fractions equal (vacuous)")
+  }
+
+  test("q_window_cusum: equals a sequential max(0, .) Scala replay") {
+    import spark.implicits._
+    val df = graft.SparkEntry.queries("q_window_cusum")(spark, sf0001)
+    val got = df.collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSeq
+    // replay with the TEXTBOOK sequential recursion (not the prefix
+    // decomposition the query uses) — equality proves the identity
+    // S_t = P_t - min P_j
+    val daily = graft.Tables.orders(spark, sf0001)
+      .select(to_date($"o_orderdate").as("d"), $"o_totalprice").collect()
+      .map(r => (r.getDate(0).toString,
+        (BigDecimal(r.getDouble(1)).setScale(2) * 100).toLongExact))
+      .groupBy(_._1).map { case (d, rs) => d -> rs.map(_._2).sum }
+      .toSeq.sortBy(_._1)
+    val n = daily.length.toLong
+    val s = daily.map(_._2).sum
+    var st = 0L
+    val expected = daily.map { case (d, rev) =>
+      st = math.max(0L, st + (n * rev - s)) // scaled: k folded into dev
+      (d, rev, math.floor(st.toDouble / n / 100.0 * 1e6) / 1e6,
+        if (st > 2 * s) 1 else 0)
+    }
+    assert(got === expected)
+    assert(got.map(_._4).distinct.length == 2, "flag vacuous")
+  }
+
+  test("q_agg_ohlc: equals a first/last-pick Scala replay") {
+    import spark.implicits._
+    val df = graft.SparkEntry.queries("q_agg_ohlc")(spark, sf0001)
+    val got = df.collect()
+      .map(r => (r.getDate(0).toString, r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getLong(5))).toSeq
+    val ev = graft.Tables.events(spark, sf0001)
+      .select(to_date($"ts").as("d"), $"ts", $"event_id", $"value").collect()
+      .map(r => (r.getDate(0).toString, r.getTimestamp(1).getTime * 1000 +
+        r.getTimestamp(1).getNanos / 1000 % 1000, r.getLong(2),
+        r.getDouble(3)))
+    val expected = ev.groupBy(_._1).toSeq.sortBy(_._1).map { case (d, rs) =>
+      val sorted = rs.sortBy(r => (r._2, r._3))
+      (d, sorted.head._4, rs.map(_._4).max, rs.map(_._4).min,
+        sorted.last._4, rs.length.toLong)
+    }
+    assert(got.map(t => (t._1, t._2, t._3, t._4, t._5, t._6)) === expected)
   }
 
   test("q_ml_dsir_select: weights match a Scala replay") {
