@@ -156,7 +156,41 @@ object SortSetOps extends graft.QueryModule {
       .orderBy($"zval", $"l_orderkey", $"l_linenumber")
   }
 
+  /** q_sort_skyline — Pareto skyline (Börzsönyi, Kossmann, Stocker
+    * ICDE'01): the parts no other part beats on BOTH axes (cheaper
+    * price, larger size, strict somewhere) — the multi-criteria
+    * shortlist operator relational engines lack natively. 2-D
+    * skylines need no pairwise dominance join: group to the distinct
+    * (price, max size) frontier candidates, sweep prices ascending,
+    * keep a price iff its best size EXCEEDS the running max of all
+    * cheaper prices. The DuckDB twin is the TRUE NOT-EXISTS dominance
+    * definition, so equality certifies the sweep implements it.
+    *
+    * Scale: one partial-agg'd groupBy to the bounded (price, size)
+    * domain (fixture: 1000×50 — dominance collapses corpus-sized
+    * input to domain-sized candidates first, which is the published
+    * approach), then one running-max window over ≤ |prices| rows —
+    * never an n² dominance join. */
+  def skyline(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val best = graft.Tables.part(spark, sfDir)
+      .groupBy($"p_retailprice".as("price"), $"p_size")
+      .agg(count(lit(1)).as("n"))
+      // one row per price: its max size (n tags along — unique per
+      // (price, size), so the struct max picks the right count)
+      .groupBy($"price")
+      .agg(max(struct($"p_size", $"n")).as("t"))
+      .select($"price", $"t.p_size".as("smax"), $"t.n".as("n_parts"))
+    val prevMax = max($"smax").over(Window.orderBy($"price")
+      .rowsBetween(Window.unboundedPreceding, -1)) // bounded price domain
+    best.withColumn("pm", prevMax)
+      .filter($"pm".isNull || $"smax" > $"pm")
+      .select($"price", $"smax", $"n_parts")
+      .orderBy($"price")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sort_skyline" -> (skyline _),
     "q_sort_zorder" -> (zorderKey _),
     "q_sort_topk_global_custom" -> (topKGlobalCustom _),
     "q_sort_topk_per_key" -> (topKPerKey _),
@@ -170,6 +204,19 @@ object SortSetOps extends graft.QueryModule {
     "q_dedup_first_per_key" -> (dedupFirstPerKey _))
 
   def oracle: Map[String, String] = Map(
+    // the TRUE dominance definition (NOT EXISTS a strictly-better
+    // point) — equality certifies the price-ascending sweep
+    "q_sort_skyline" ->
+      """WITH pts AS (
+        |  SELECT p_retailprice AS price, p_size, COUNT(*) AS n
+        |  FROM part GROUP BY 1, 2)
+        |SELECT a.price, a.p_size AS smax, a.n AS n_parts
+        |FROM pts a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM pts b
+        |  WHERE b.price <= a.price AND b.p_size >= a.p_size
+        |    AND (b.price < a.price OR b.p_size > a.p_size))
+        |ORDER BY a.price""".stripMargin,
     // arithmetic bit-interleave twin of the native zorder64 expression
     "q_sort_zorder" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,

@@ -102,6 +102,9 @@ object PlanAudit {
     // running sum/min over the BOUNDED day domain (|days| rows after
     // the partial-agg'd groupBy) + its 1-row (n, S) totals frame
     "q_window_cusum" -> Set("SinglePartition", "NestedLoop"),
+    // price-ascending sweep over the BOUNDED price domain (1000
+    // values) after the dominance-collapsing groupBy
+    "q_sort_skyline" -> Set("SinglePartition"),
     "q_ml_temperature_mix" -> Set("SinglePartition", "NestedLoop"),
     // k-strata moment frame crossJoined with its 1-row Σs aggregate
     "q_ml_neyman_sample" -> Set("SinglePartition", "NestedLoop"),

@@ -380,6 +380,25 @@ class Wave12Spec extends SparkTestBase {
     assert(got.map(t => (t._1, t._2, t._3, t._4, t._5, t._6)) === expected)
   }
 
+  test("q_sort_skyline: equals a pairwise-dominance Scala replay") {
+    import spark.implicits._
+    val df = graft.SparkEntry.queries("q_sort_skyline")(spark, sf0001)
+    val got = df.collect()
+      .map(r => (r.getDouble(0), r.getInt(1), r.getLong(2))).toSeq
+    val pts = graft.Tables.part(spark, sf0001)
+      .select($"p_retailprice", $"p_size").collect()
+      .map(r => (r.getDouble(0), r.getInt(1)))
+      .groupBy(identity).map { case (k, v) => (k._1, k._2, v.length.toLong) }
+      .toSeq
+    // brute-force dominance (the definition, not the sweep)
+    val expected = pts.filter { case (p, s, _) =>
+      !pts.exists { case (p2, s2, _) =>
+        p2 <= p && s2 >= s && (p2 < p || s2 > s) }
+    }.sortBy(_._1)
+    assert(got === expected)
+    assert(got.nonEmpty && got.size < pts.size)
+  }
+
   test("q_ml_dsir_select: weights match a Scala replay") {
     import spark.implicits._
     val df = graft.SparkEntry.queries("q_ml_dsir_select")(spark, sf0001)
