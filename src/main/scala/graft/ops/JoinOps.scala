@@ -303,7 +303,45 @@ object JoinOps extends graft.QueryModule {
       .orderBy($"k")
   }
 
+  /** q_join_asof_nearest — NEAREST as-of join (pandas
+    * merge_asof(direction='nearest')): each error event matches the
+    * purchase by the same user with the smallest |Δt| within ±1 day,
+    * in EITHER direction — the sensor-fusion/alignment variant the
+    * backward-only [[asofJoin]] can't express (a purchase 1 min AFTER
+    * the error beats one 5 h before). LEFT semantics: unmatched
+    * errors survive with NULLs. Tie |Δt| → smaller purchase id;
+    * lag_ms is signed (purchase − error), exact integer ms.
+    *
+    * Scale: the ±tolerance range join bounds per-event fan-out
+    * exactly like [[asofTolerance]]; the per-event argmin is ONE
+    * struct-min aggregation (no window, no sort) — partial-agg'd, so
+    * candidate rows collapse map-side. */
+  def asofNearest(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dayMs = 86400000L
+    val ev = graft.Tables.events(spark, sfDir)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), unix_millis($"ts").as("p_ms"),
+        $"event_id".as("p_id"))
+    val errors = ev.filter($"event_type" === "error")
+      .select($"user_id".as("e_user"), unix_millis($"ts").as("e_ms"),
+        $"event_id".as("e_id"))
+    val best = errors.join(purchases,
+        $"e_user" === $"p_user" &&
+          abs($"p_ms" - $"e_ms") <= dayMs)
+      .groupBy($"e_id")
+      .agg(min(struct(abs($"p_ms" - $"e_ms").as("adt"), $"p_id",
+        ($"p_ms" - $"e_ms").as("sdt"))).as("t"))
+      .select($"e_id", $"t.p_id".as("nearest_purchase_id"),
+        $"t.sdt".as("lag_ms"))
+    errors.join(best, Seq("e_id"), "left")
+      .select($"e_id", $"e_user".as("user_id"),
+        $"nearest_purchase_id", $"lag_ms")
+      .orderBy($"e_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_asof_nearest" -> (asofNearest _),
     "q_join_null_safe" -> (nullSafeJoin _),
     "q_join_bloom_pruned" -> (bloomPrunedJoin _),
     "q_join_right" -> (rightJoin _),
@@ -321,6 +359,26 @@ object JoinOps extends graft.QueryModule {
     "q_join_asof_tolerance" -> (asofTolerance _))
 
   def oracle: Map[String, String] = Map(
+    "q_join_asof_nearest" ->
+      """WITH p AS (
+        |  SELECT user_id AS p_user, epoch_ms(ts) AS p_ms,
+        |    event_id AS p_id
+        |  FROM events WHERE event_type = 'purchase'),
+        |e AS (
+        |  SELECT user_id AS e_user, epoch_ms(ts) AS e_ms,
+        |    event_id AS e_id
+        |  FROM events WHERE event_type = 'error'),
+        |m AS (
+        |  SELECT e_id, p_id AS nearest_purchase_id, p_ms - e_ms AS lag_ms,
+        |    ROW_NUMBER() OVER (PARTITION BY e_id
+        |      ORDER BY abs(p_ms - e_ms), p_id) AS rn
+        |  FROM e JOIN p ON e_user = p_user
+        |    AND abs(p_ms - e_ms) <= 86400000)
+        |SELECT e.e_id, e.e_user AS user_id,
+        |  m.nearest_purchase_id, m.lag_ms
+        |FROM e LEFT JOIN (SELECT * FROM m WHERE rn = 1) m
+        |  ON e.e_id = m.e_id
+        |ORDER BY e.e_id""".stripMargin,
     "q_join_null_safe" ->
       """WITH o AS (
         |  SELECT o_orderkey,

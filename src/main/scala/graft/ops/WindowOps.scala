@@ -440,7 +440,28 @@ object WindowOps extends graft.QueryModule {
       .orderBy($"day")
   }
 
+  /** q_window_drawdown — peak-to-current drawdown of the daily
+    * revenue series (the risk readout paired with [[cusum]]'s shift
+    * detector): per day, how far revenue sits below its historical
+    * peak — drawdown_t = max_{j≤t} rev_j − rev_t — plus the new-peak
+    * flag. Pure integer cents (one running max over the bounded day
+    * domain, the cusum rationale), no division anywhere. */
+  def drawdown(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w2 = Window.orderBy($"day") // bounded day domain
+    graft.Tables.orders(spark, sfDir)
+      .select(to_date($"o_orderdate").as("day"),
+        (AggOps.dec($"o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy($"day").agg(sum($"cents").as("rev"))
+      .withColumn("peak", max($"rev").over(w2))
+      .select($"day", $"rev".as("rev_cents"), $"peak".as("peak_cents"),
+        ($"peak" - $"rev").as("drawdown_cents"),
+        ($"rev" === $"peak").cast("int").as("is_new_peak"))
+      .orderBy($"day")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_drawdown" -> (drawdown _),
     "q_window_cusum" -> (cusum _),
     "q_window_ewma" -> (ewma _),
     "q_window_anomaly_zscore" -> (anomalyZscore _),
@@ -475,6 +496,19 @@ object WindowOps extends graft.QueryModule {
   }
 
   def oracle: Map[String, String] = Map(
+    "q_window_drawdown" ->
+      """WITH d AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1)
+        |SELECT day, rev AS rev_cents,
+        |  CAST(MAX(rev) OVER (ORDER BY day) AS BIGINT) AS peak_cents,
+        |  CAST(MAX(rev) OVER (ORDER BY day) - rev AS BIGINT)
+        |    AS drawdown_cents,
+        |  CAST(CASE WHEN rev = MAX(rev) OVER (ORDER BY day)
+        |    THEN 1 ELSE 0 END AS INT) AS is_new_peak
+        |FROM d ORDER BY day""".stripMargin,
     "q_window_cusum" ->
       """WITH d AS (
         |  SELECT CAST(o_orderdate AS DATE) AS day,

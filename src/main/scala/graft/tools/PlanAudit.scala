@@ -105,6 +105,8 @@ object PlanAudit {
     // price-ascending sweep over the BOUNDED price domain (1000
     // values) after the dominance-collapsing groupBy
     "q_sort_skyline" -> Set("SinglePartition"),
+    // running max over the BOUNDED day domain (the cusum rationale)
+    "q_window_drawdown" -> Set("SinglePartition"),
     "q_ml_temperature_mix" -> Set("SinglePartition", "NestedLoop"),
     // k-strata moment frame crossJoined with its 1-row Σs aggregate
     "q_ml_neyman_sample" -> Set("SinglePartition", "NestedLoop"),

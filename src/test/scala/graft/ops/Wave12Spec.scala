@@ -399,6 +399,53 @@ class Wave12Spec extends SparkTestBase {
     assert(got.nonEmpty && got.size < pts.size)
   }
 
+  test("q_join_asof_nearest: equals a brute-force nearest Scala replay") {
+    import spark.implicits._
+    val df = graft.SparkEntry.queries("q_join_asof_nearest")(spark, sf0001)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1),
+      if (r.isNullAt(2)) None else Some(r.getLong(2)),
+      if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSeq
+    val ev = graft.Tables.events(spark, sf0001)
+      .select($"event_id", $"user_id", $"event_type",
+        org.apache.spark.sql.functions.unix_millis($"ts").as("ms"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val purch = ev.filter(_._3 == "purchase")
+    val expected = ev.filter(_._3 == "error").sortBy(_._1).map {
+      case (eid, u, _, ems) =>
+        val cands = purch.filter(p => p._2 == u &&
+          math.abs(p._4 - ems) <= 86400000L)
+        if (cands.isEmpty) (eid, u, None, None)
+        else {
+          val b = cands.minBy(p => (math.abs(p._4 - ems), p._1))
+          (eid, u, Some(b._1), Some(b._4 - ems))
+        }
+    }.toSeq
+    assert(got === expected)
+    assert(expected.exists(_._3.isDefined) && expected.exists(_._3.isEmpty),
+      "nearest-asof vacuous (all or none matched)")
+  }
+
+  test("q_window_drawdown: equals a running-peak Scala replay") {
+    import spark.implicits._
+    val df = graft.SparkEntry.queries("q_window_drawdown")(spark, sf0001)
+    val got = df.collect().map(r => (r.getDate(0).toString, r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getInt(4))).toSeq
+    val daily = graft.Tables.orders(spark, sf0001)
+      .select(to_date($"o_orderdate").as("d"), $"o_totalprice").collect()
+      .map(r => (r.getDate(0).toString,
+        (BigDecimal(r.getDouble(1)).setScale(2) * 100).toLongExact))
+      .groupBy(_._1).map { case (d, rs) => d -> rs.map(_._2).sum }
+      .toSeq.sortBy(_._1)
+    var peak = Long.MinValue
+    val expected = daily.map { case (d, rev) =>
+      peak = math.max(peak, rev)
+      (d, rev, peak, peak - rev, if (rev == peak) 1 else 0)
+    }
+    assert(got === expected)
+    assert(got.map(_._5).distinct.length == 2, "peak flag vacuous")
+  }
+
   test("q_ml_dsir_select: weights match a Scala replay") {
     import spark.implicits._
     val df = graft.SparkEntry.queries("q_ml_dsir_select")(spark, sf0001)
