@@ -61,6 +61,38 @@ object Runner {
     }
   }
 
+  /** One attempt body, honoring Task.timeoutMs (Luigi worker_timeout):
+    * the run executes in a named worker thread under its own Spark job
+    * group; on expiry the job group is cancelled (interrupting the
+    * thread alone never stops a live Spark job), the thread
+    * interrupted, and a TimeoutException thrown — which the attempt
+    * loop counts as an ordinary Failure, so the retry budget applies. */
+  private def runWithTimeout(t: Task, spark: SparkSession): Unit =
+    if (t.timeoutMs <= 0L) t.run(spark)
+    else {
+      val group = s"graft-task-${t.name}-${System.nanoTime()}"
+      @volatile var err: Throwable = null
+      val th = new Thread(() => {
+        try {
+          spark.sparkContext.setJobGroup(group,
+            s"${t.name} (timeoutMs=${t.timeoutMs})",
+            interruptOnCancel = true)
+          t.run(spark)
+        } catch { case e: Throwable => err = e }
+        finally spark.sparkContext.clearJobGroup()
+      }, s"graft-worker-${t.name}")
+      th.setDaemon(true)
+      th.start()
+      th.join(t.timeoutMs)
+      if (th.isAlive) {
+        spark.sparkContext.cancelJobGroup(group)
+        th.interrupt()
+        throw new java.util.concurrent.TimeoutException(
+          s"task ${t.name} exceeded timeoutMs=${t.timeoutMs}")
+      }
+      if (err != null) throw err
+    }
+
   private def attempt(t: Task, spark: SparkSession,
                       log: String => Unit, retries: Int,
                       events: EventHandler): Unit = {
@@ -77,7 +109,7 @@ object Runner {
       events(TaskEvent.Start(t.name))
       val t0 = System.nanoTime()
       try {
-        t.run(spark); lastErr = null
+        runWithTimeout(t, spark); lastErr = null
         events(TaskEvent.Success(t.name, (System.nanoTime() - t0) / 1000000))
       } catch {
         case e: Throwable =>

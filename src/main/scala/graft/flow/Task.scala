@@ -53,6 +53,13 @@ trait Task {
     * tests and backfills stay fast; a REST-source task would set
     * e.g. 500. */
   def retryBackoffMs: Long = 0L
+  /** Luigi `worker_timeout`: wall-clock budget for ONE attempt of this
+    * task's run(); 0 = unlimited (default). On expiry the scheduler
+    * cancels the task's Spark job group (the only cancellation Spark
+    * actually honors — thread interrupts alone don't stop a running
+    * job), interrupts the worker thread, and records a Failure, so a
+    * positive [[retries]] budget gets the usual fresh attempts. */
+  def timeoutMs: Long = 0L
   def output: Target
   def run(spark: SparkSession): Unit
   final def complete: Boolean = output.exists

@@ -143,6 +143,47 @@ class FlowSpec extends SparkTestBase {
       flakyEvents.mkString(","))
   }
 
+  test("per-task timeout: hung attempt cancelled, retry saves a fast second run") {
+    val cfg = freshCfg()
+    var attempts = 0
+    val slowThenFast: Task = new Task {
+      override def name = "SlowThenFast"
+      override def retries: Int = 1
+      override def timeoutMs: Long = 300 // Luigi worker_timeout
+      val output = DirTarget(s"${cfg.baseDir}/timeout_ok")
+      def run(s: SparkSession): Unit = {
+        attempts += 1
+        if (attempts == 1) Thread.sleep(60000) // hangs; must be cut off
+        output.atomicWrite { tmp =>
+          Files.createDirectories(Paths.get(tmp))
+          Files.writeString(Paths.get(tmp, "ok"), "ok")
+        }
+      }
+    }
+    val events = scala.collection.mutable.ArrayBuffer.empty[Runner.TaskEvent]
+    val t0 = System.nanoTime()
+    val executed = Runner.run(slowThenFast, spark, events = events.append(_))
+    val elapsedMs = (System.nanoTime() - t0) / 1000000
+    assert(executed == Seq("SlowThenFast"))
+    assert(attempts == 2, s"expected timeout then retry, saw $attempts")
+    assert(slowThenFast.complete)
+    assert(elapsedMs < 30000, s"timeout did not cut the hung attempt ($elapsedMs ms)")
+    val ev = events.map(_.getClass.getSimpleName)
+    assert(ev == Seq("Start", "Failure", "Start", "Success"), ev.mkString(","))
+
+    // budget exhausted: a permanently-hung task surfaces the TimeoutException
+    val hung: Task = new Task {
+      override def name = "Hung"
+      override def timeoutMs: Long = 200
+      val output = DirTarget(s"${cfg.baseDir}/timeout_hung")
+      def run(s: SparkSession): Unit = Thread.sleep(60000)
+    }
+    val err = intercept[java.util.concurrent.TimeoutException] {
+      Runner.run(hung, spark)
+    }
+    assert(err.getMessage.contains("Hung"))
+  }
+
   test("runParallel: independent tasks truly overlap; wave order deterministic") {
     val base = Files.createTempDirectory("graft_par").toString
     val latchA = new java.util.concurrent.CountDownLatch(1)
