@@ -395,7 +395,44 @@ object AggOps extends graft.QueryModule {
       .orderBy($"day")
   }
 
+  /** q_agg_ratio_delta_ci — delta-method confidence interval for a
+    * RATIO metric (revenue per unit, Σy/Σx per flag): the analytic
+    * companion to q_ml_bootstrap_ci's resampling — ratio metrics are
+    * the common case (CTR, revenue/order, tokens/doc) where naive
+    * per-row averaging is simply wrong and the variance needs the
+    * covariance term: Var(R) ≈ (s_yy − 2R·s_xy + R²·s_xx)/(n·x̄²).
+    * All six moments are EXACT decimal sums off one partial-agg'd
+    * groupBy (one corpus pass, 3 result rows); the double formula is
+    * evaluated in one mirrored operation order, outputs floored at
+    * micro. z = 1.96 (normal 95%). */
+  def ratioDeltaCi(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val x = dec($"l_quantity")
+    val y = dec($"l_extendedprice")
+    val g = graft.Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * x).as("sxx"), sum(y * y).as("syy"),
+        sum(x * y).as("sxy"))
+    def micro(c: Column): Column = floor(c * 1e6).cast("long") / 1e6
+    val r = $"sy".cast("double") / $"sx".cast("double")
+    val xb = $"sx".cast("double") / $"n"
+    def cov(sab: Column, sa: Column, sb: Column): Column =
+      (sab.cast("double") - sa.cast("double") * sb.cast("double") / $"n") /
+        ($"n" - 1)
+    val se = sqrt((cov($"syy", $"sy", $"sy") -
+      lit(2.0) * r * cov($"sxy", $"sx", $"sy") +
+      r * r * cov($"sxx", $"sx", $"sx")) / ($"n" * xb * xb))
+    g.select($"l_returnflag", $"n",
+        micro(r).as("ratio"), micro(se).as("se"),
+        micro(r - lit(1.96) * se).as("ci_lo"),
+        micro(r + lit(1.96) * se).as("ci_hi"))
+      .orderBy($"l_returnflag")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_ratio_delta_ci" -> (ratioDeltaCi _),
     "q_agg_ohlc" -> (ohlc _),
     "q_agg_weighted_median" -> (weightedMedian _),
     "q_agg_sample_estimate" -> (sampleEstimate _),
@@ -416,6 +453,39 @@ object AggOps extends graft.QueryModule {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_agg_ratio_delta_ci" ->
+      """WITH g AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    SUM(CAST(l_quantity AS DECIMAL(14,2))) AS sx,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS sy,
+        |    SUM(CAST(l_quantity AS DECIMAL(14,2)) *
+        |        CAST(l_quantity AS DECIMAL(14,2))) AS sxx,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(14,2)) *
+        |        CAST(l_extendedprice AS DECIMAL(14,2))) AS syy,
+        |    SUM(CAST(l_quantity AS DECIMAL(14,2)) *
+        |        CAST(l_extendedprice AS DECIMAL(14,2))) AS sxy
+        |  FROM lineitem GROUP BY 1),
+        |d AS (
+        |  SELECT l_returnflag, n,
+        |    CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE) AS r,
+        |    CAST(sx AS DOUBLE) / n AS xb,
+        |    (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)/n)
+        |      / (n - 1) AS cyy,
+        |    (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)/n)
+        |      / (n - 1) AS cxy,
+        |    (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)/n)
+        |      / (n - 1) AS cxx
+        |  FROM g),
+        |s AS (
+        |  SELECT l_returnflag, n, r,
+        |    sqrt((cyy - 2.0*r*cxy + r*r*cxx) / (n * xb * xb)) AS se
+        |  FROM d)
+        |SELECT l_returnflag, n,
+        |  CAST(floor(r * 1e6) AS BIGINT) / 1e6 AS ratio,
+        |  CAST(floor(se * 1e6) AS BIGINT) / 1e6 AS se,
+        |  CAST(floor((r - 1.96*se) * 1e6) AS BIGINT) / 1e6 AS ci_lo,
+        |  CAST(floor((r + 1.96*se) * 1e6) AS BIGINT) / 1e6 AS ci_hi
+        |FROM s ORDER BY l_returnflag""".stripMargin,
     "q_agg_ohlc" ->
       """WITH e AS (
         |  SELECT CAST(ts AS DATE) AS day, ts, event_id, value

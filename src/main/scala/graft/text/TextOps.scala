@@ -563,7 +563,33 @@ object TextOps extends graft.QueryModule {
       .orderBy($"name_a", $"name_b")
   }
 
+  /** q_text_concordance — KWIC (keyword-in-context) concordance for a
+    * query term: every occurrence with up to 3 tokens of left/right
+    * context — the corpus-inspection view a curation analyst pulls
+    * before writing a filter rule ("show me how 'spark' is actually
+    * used"). One narrow posexplode + per-row slices (the token array
+    * is carried once); at scale the term filter makes output
+    * occurrence-sized, and a real deployment fronts it with the
+    * inverted index (q_text_keyword_search) so only matching docs are
+    * exploded at all. */
+  def concordance(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val term = "spark"
+    graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .select($"doc_id", $"toks", size($"toks").as("n"),
+        posexplode($"toks").as(Seq("pos0", "tok")))
+      .filter($"tok" === term)
+      .select($"doc_id", ($"pos0" + 1).as("pos"),
+        array_join(slice($"toks", greatest(lit(1), $"pos0" - 2),
+          least(lit(3), $"pos0")), " ").as("left_ctx"),
+        array_join(slice($"toks", $"pos0" + 2,
+          least(lit(3), $"n" - $"pos0" - 1)), " ").as("right_ctx"))
+      .orderBy($"doc_id", $"pos")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_concordance" -> (concordance _),
     "q_text_fuzzy_entity" -> (fuzzyEntity _),
     "q_text_bigram_pmi" -> (bigramPmi _),
     "q_text_unigram_logprob" -> (unigramLogprob _),
@@ -585,6 +611,21 @@ object TextOps extends graft.QueryModule {
     "q_text_langid" -> (langId _))
 
   def oracle: Map[String, String] = Map(
+    "q_text_concordance" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+        |p AS (
+        |  SELECT doc_id, a, unnest(a) AS tok,
+        |    generate_subscripts(a, 1) AS pos
+        |  FROM t)
+        |SELECT doc_id, CAST(pos AS INT) AS pos,
+        |  -- DuckDB's out-of-range slice is NULL, Spark's is empty
+        |  coalesce(array_to_string(a[greatest(1, pos - 3):pos - 1], ' '),
+        |    '') AS left_ctx,
+        |  coalesce(array_to_string(a[pos + 1:least(len(a), pos + 3)], ' '),
+        |    '') AS right_ctx
+        |FROM p WHERE tok = 'spark'
+        |ORDER BY doc_id, pos""".stripMargin,
     "q_text_fuzzy_entity" ->
       """WITH d AS (SELECT p_name, COUNT(*) AS n FROM part GROUP BY 1)
         |SELECT a.p_name AS name_a, b.p_name AS name_b,

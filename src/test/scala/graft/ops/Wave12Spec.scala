@@ -446,6 +446,54 @@ class Wave12Spec extends SparkTestBase {
     assert(got.map(_._5).distinct.length == 2, "peak flag vacuous")
   }
 
+  test("q_text_concordance: equals a sliding-context Scala replay") {
+    import spark.implicits._
+    val df = graft.SparkEntry.queries("q_text_concordance")(spark, sf0001)
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getString(3)))
+      .toSeq
+    val expected = graft.Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text").collect()
+      .flatMap { r =>
+        val toks = r.getString(1).split(" ", -1)
+        toks.zipWithIndex.collect { case ("spark", i) =>
+          (r.getLong(0), i + 1,
+            toks.slice(math.max(0, i - 3), i).mkString(" "),
+            toks.slice(i + 1, math.min(toks.length, i + 4)).mkString(" "))
+        }
+      }.sortBy(t => (t._1, t._2)).toSeq
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
+  test("q_agg_ratio_delta_ci: equals a moments Scala replay") {
+    import spark.implicits._
+    val df = graft.SparkEntry.queries("q_agg_ratio_delta_ci")(spark, sf0001)
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
+    def micro(x: Double): Double = math.floor(x * 1e6) / 1e6
+    val li = graft.Tables.lineitem(spark, sf0001)
+      .select($"l_returnflag", $"l_quantity", $"l_extendedprice").collect()
+      .map(r => (r.getString(0), BigDecimal(r.getDouble(1)).setScale(2),
+        BigDecimal(r.getDouble(2)).setScale(2)))
+    val expected = li.groupBy(_._1).toSeq.sortBy(_._1).map { case (f, rs) =>
+      val n = rs.length
+      val sx = rs.map(_._2).sum; val sy = rs.map(_._3).sum
+      val sxx = rs.map(t => t._2 * t._2).sum
+      val syy = rs.map(t => t._3 * t._3).sum
+      val sxy = rs.map(t => t._2 * t._3).sum
+      val r = sy.toDouble / sx.toDouble
+      val xb = sx.toDouble / n
+      def cov(sab: BigDecimal, sa: BigDecimal, sb: BigDecimal) =
+        (sab.toDouble - sa.toDouble * sb.toDouble / n) / (n - 1)
+      val se = math.sqrt((cov(syy, sy, sy) - 2.0 * r * cov(sxy, sx, sy) +
+        r * r * cov(sxx, sx, sx)) / (n * xb * xb))
+      (f, n.toLong, micro(r), micro(se),
+        micro(r - 1.96 * se), micro(r + 1.96 * se))
+    }
+    assert(got === expected)
+  }
+
   test("q_ml_dsir_select: weights match a Scala replay") {
     import spark.implicits._
     val df = graft.SparkEntry.queries("q_ml_dsir_select")(spark, sf0001)
