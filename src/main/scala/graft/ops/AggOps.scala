@@ -431,7 +431,43 @@ object AggOps extends graft.QueryModule {
       .orderBy($"l_returnflag")
   }
 
+  /** q_agg_ols_fit — per-group ordinary-least-squares fit
+    * (extendedprice ~ quantity per return flag): slope, intercept, and
+    * R², the one-pass regression every metrics warehouse exposes as
+    * regr_slope/regr_r2 — reimplemented from the SAME six exact
+    * decimal moments as [[ratioDeltaCi]] (closed-form normal
+    * equations) rather than the engines' builtins, whose summation
+    * orders differ; the double formulas are evaluated in one mirrored
+    * operation order and floored at micro. One partial-agg'd corpus
+    * pass, 3 result rows. */
+  def olsFit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val x = dec($"l_quantity")
+    val y = dec($"l_extendedprice")
+    val g = graft.Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * x).as("sxx"), sum(y * y).as("syy"),
+        sum(x * y).as("sxy"))
+    def micro(c: Column): Column = floor(c * 1e6).cast("long") / 1e6
+    // centered second moments, one canonical op order on both engines
+    val vxx = $"sxx".cast("double") -
+      $"sx".cast("double") * $"sx".cast("double") / $"n"
+    val vyy = $"syy".cast("double") -
+      $"sy".cast("double") * $"sy".cast("double") / $"n"
+    val vxy = $"sxy".cast("double") -
+      $"sx".cast("double") * $"sy".cast("double") / $"n"
+    val slope = vxy / vxx
+    val intercept = ($"sy".cast("double") - slope * $"sx".cast("double")) / $"n"
+    val r2 = vxy * vxy / (vxx * vyy)
+    g.select($"l_returnflag", $"n", micro(slope).as("slope"),
+        micro(intercept).as("intercept"), micro(r2).as("r2"))
+      .orderBy($"l_returnflag")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_ols_fit" -> (olsFit _),
     "q_agg_ratio_delta_ci" -> (ratioDeltaCi _),
     "q_agg_ohlc" -> (ohlc _),
     "q_agg_weighted_median" -> (weightedMedian _),
@@ -453,6 +489,38 @@ object AggOps extends graft.QueryModule {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_agg_ols_fit" ->
+      """WITH g AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    SUM(CAST(l_quantity AS DECIMAL(14,2))) AS sx,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS sy,
+        |    SUM(CAST(l_quantity AS DECIMAL(14,2)) *
+        |        CAST(l_quantity AS DECIMAL(14,2))) AS sxx,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(14,2)) *
+        |        CAST(l_extendedprice AS DECIMAL(14,2))) AS syy,
+        |    SUM(CAST(l_quantity AS DECIMAL(14,2)) *
+        |        CAST(l_extendedprice AS DECIMAL(14,2))) AS sxy
+        |  FROM lineitem GROUP BY 1),
+        |d AS (
+        |  SELECT l_returnflag, n, sx, sy,
+        |    CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)/n
+        |      AS vxx,
+        |    CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)/n
+        |      AS vyy,
+        |    CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)/n
+        |      AS vxy
+        |  FROM g),
+        |s AS (
+        |  SELECT l_returnflag, n, vxy / vxx AS slope,
+        |    (CAST(sy AS DOUBLE) - (vxy / vxx) * CAST(sx AS DOUBLE)) / n
+        |      AS intercept,
+        |    vxy * vxy / (vxx * vyy) AS r2
+        |  FROM d)
+        |SELECT l_returnflag, n,
+        |  CAST(floor(slope * 1e6) AS BIGINT) / 1e6 AS slope,
+        |  CAST(floor(intercept * 1e6) AS BIGINT) / 1e6 AS intercept,
+        |  CAST(floor(r2 * 1e6) AS BIGINT) / 1e6 AS r2
+        |FROM s ORDER BY l_returnflag""".stripMargin,
     "q_agg_ratio_delta_ci" ->
       """WITH g AS (
         |  SELECT l_returnflag, COUNT(*) AS n,

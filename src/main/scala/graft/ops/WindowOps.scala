@@ -460,7 +460,39 @@ object WindowOps extends graft.QueryModule {
       .orderBy($"day")
   }
 
+  /** q_window_acf — sample autocorrelation of the daily revenue
+    * series at lags 1..7 (the weekly-seasonality diagnostic read
+    * before choosing a resample/forecast window): r_k =
+    * Σ(x_t−x̄)(x_{t−k}−x̄) / Σ(x_t−x̄)². EXACT arithmetic via the
+    * n-scaling trick: u_t = n·rev_t − Σrev makes (x_t−x̄) = u_t/n, and
+    * the n's cancel in the ratio — so numerators and denominator are
+    * exact DECIMAL sums of integer products (u ≤ ~5e10 → DECIMAL(12)
+    * cells, DECIMAL(24) products; int64 would overflow at Σu²) and
+    * the ONE double division per lag is floored at micro.
+    * Scale: the series lives on the bounded day domain (the cusum
+    * rationale); 7 in-frame lags, one aggregation. */
+  def acf(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w2 = Window.orderBy($"day") // bounded day domain
+    val daily = graft.Tables.orders(spark, sfDir)
+      .select(to_date($"o_orderdate").as("day"),
+        (AggOps.dec($"o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy($"day").agg(sum($"cents").as("rev"))
+    val tot = daily.agg(count(lit(1)).as("nd"), sum($"rev").as("s")) // 1 row
+    val u = daily.crossJoin(broadcast(tot))
+      .select($"day", $"nd",
+        ($"nd" * $"rev" - $"s").cast("decimal(19,0)").as("u"))
+    val lagged = u.select(($"nd" +: $"u" +:
+      (1 to 7).map(k => lag($"u", k).over(w2).as(s"u$k"))): _*)
+    def micro(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor(c * 1e6).cast("long") / 1e6
+    lagged.agg(max($"nd").as("n_days"),
+      (1 to 7).map(k => micro(sum($"u" * col(s"u$k")).cast("double") /
+        sum($"u" * $"u").cast("double")).as(s"acf_$k")): _*)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_acf" -> (acf _),
     "q_window_drawdown" -> (drawdown _),
     "q_window_cusum" -> (cusum _),
     "q_window_ewma" -> (ewma _),
@@ -495,7 +527,34 @@ object WindowOps extends graft.QueryModule {
        |FROM l ORDER BY o_custkey, o_orderkey""".stripMargin
   }
 
+  /** DuckDB twin of [[acf]] (generated lag list). */
+  private def acfSql: String = {
+    val lagDefs = (1 to 7).map(k =>
+      s"lag(u, $k) OVER (ORDER BY day) AS u$k").mkString(",\n    ")
+    val cols = (1 to 7).map(k =>
+      s"CAST(floor(CAST(SUM(u * u$k) AS DOUBLE) / " +
+        s"CAST(SUM(u * u) AS DOUBLE) * 1e6) AS BIGINT) / 1e6 AS acf_$k")
+      .mkString(",\n  ")
+    s"""WITH d AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS day,
+       |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+       |      AS BIGINT)) AS BIGINT) AS rev
+       |  FROM orders GROUP BY 1),
+       |t AS (SELECT COUNT(*) AS nd, CAST(SUM(rev) AS BIGINT) AS s FROM d),
+       |u AS (
+       |  SELECT day, nd, CAST(nd * rev - s AS DECIMAL(19,0)) AS u
+       |  FROM d CROSS JOIN t),
+       |l AS (
+       |  SELECT nd, u,
+       |    $lagDefs
+       |  FROM u)
+       |SELECT MAX(nd) AS n_days,
+       |  $cols
+       |FROM l""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
+    "q_window_acf" -> acfSql,
     "q_window_drawdown" ->
       """WITH d AS (
         |  SELECT CAST(o_orderdate AS DATE) AS day,

@@ -107,6 +107,8 @@ object PlanAudit {
     "q_sort_skyline" -> Set("SinglePartition"),
     // running max over the BOUNDED day domain (the cusum rationale)
     "q_window_drawdown" -> Set("SinglePartition"),
+    // 7 lags over the BOUNDED day domain + its 1-row (n, S) frame
+    "q_window_acf" -> Set("SinglePartition", "NestedLoop"),
     "q_ml_temperature_mix" -> Set("SinglePartition", "NestedLoop"),
     // k-strata moment frame crossJoined with its 1-row Σs aggregate
     "q_ml_neyman_sample" -> Set("SinglePartition", "NestedLoop"),

@@ -494,6 +494,55 @@ class Wave12Spec extends SparkTestBase {
     assert(got === expected)
   }
 
+  test("q_agg_ols_fit: equals a normal-equations Scala replay") {
+    import spark.implicits._
+    val df = graft.SparkEntry.queries("q_agg_ols_fit")(spark, sf0001)
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getDouble(2), r.getDouble(3), r.getDouble(4))).toSeq
+    def micro(x: Double): Double = math.floor(x * 1e6) / 1e6
+    val li = graft.Tables.lineitem(spark, sf0001)
+      .select($"l_returnflag", $"l_quantity", $"l_extendedprice").collect()
+      .map(r => (r.getString(0), BigDecimal(r.getDouble(1)).setScale(2),
+        BigDecimal(r.getDouble(2)).setScale(2)))
+    val expected = li.groupBy(_._1).toSeq.sortBy(_._1).map { case (f, rs) =>
+      val n = rs.length
+      val sx = rs.map(_._2).sum; val sy = rs.map(_._3).sum
+      val sxx = rs.map(t => t._2 * t._2).sum
+      val syy = rs.map(t => t._3 * t._3).sum
+      val sxy = rs.map(t => t._2 * t._3).sum
+      val vxx = sxx.toDouble - sx.toDouble * sx.toDouble / n
+      val vyy = syy.toDouble - sy.toDouble * sy.toDouble / n
+      val vxy = sxy.toDouble - sx.toDouble * sy.toDouble / n
+      val slope = vxy / vxx
+      (f, n.toLong, micro(slope),
+        micro((sy.toDouble - slope * sx.toDouble) / n),
+        micro(vxy * vxy / (vxx * vyy)))
+    }
+    assert(got === expected)
+  }
+
+  test("q_window_acf: equals a centered-moments Scala replay") {
+    import spark.implicits._
+    val df = graft.SparkEntry.queries("q_window_acf")(spark, sf0001)
+    val r0 = df.collect()(0)
+    val daily = graft.Tables.orders(spark, sf0001)
+      .select(to_date($"o_orderdate").as("d"), $"o_totalprice").collect()
+      .map(r => (r.getDate(0).toString,
+        (BigDecimal(r.getDouble(1)).setScale(2) * 100).toLongExact))
+      .groupBy(_._1).map { case (d, rs) => d -> rs.map(_._2).sum }
+      .toSeq.sortBy(_._1).map(_._2)
+    val n = daily.length
+    val s = daily.sum
+    val u = daily.map(x => BigDecimal(n.toLong * x - s))
+    val den = u.map(v => v * v).sum
+    assert(r0.getLong(0) === n.toLong)
+    (1 to 7).foreach { k =>
+      val num = (k until n).map(t => u(t) * u(t - k)).sum
+      val exp = math.floor(num.toDouble / den.toDouble * 1e6) / 1e6
+      assert(r0.getDouble(k) === exp, s"acf_$k")
+    }
+  }
+
   test("q_ml_dsir_select: weights match a Scala replay") {
     import spark.implicits._
     val df = graft.SparkEntry.queries("q_ml_dsir_select")(spark, sf0001)
