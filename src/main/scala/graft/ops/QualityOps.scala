@@ -522,7 +522,44 @@ object QualityOps extends graft.QueryModule {
       .select($"n_docs", $"n_lang", $"n_source", $"chi2_adj", $"cramers_v")
   }
 
+  /** q_quality_welch_ttest — Welch's unequal-variance t-test between
+    * two sources' doc-length distributions, the parametric companion
+    * of [[ksTest]]: t = (m₀−m₁)/√(v₀/n₀ + v₁/n₁) with the
+    * Welch–Satterthwaite degrees of freedom. Moments are exact int64
+    * sums off ONE partial-agg'd pass (n, Σx, Σx² per source — n_chars
+    * ≤ doc cap keeps Σx² far inside int64); the double formulas run
+    * in one mirrored operation order, outputs floored at micro. */
+  def welchTtest(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val g = graft.Tables.documents(spark, sfDir)
+      .filter($"source".isin("src0", "src1"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n"), sum($"n_chars").as("sx"),
+        sum($"n_chars" * $"n_chars").as("sxx"))
+    val a = g.filter($"source" === "src0")
+      .select($"n".as("n0"), $"sx".as("sx0"), $"sxx".as("sxx0"))
+    val b = g.filter($"source" === "src1")
+      .select($"n".as("n1"), $"sx".as("sx1"), $"sxx".as("sxx1"))
+    def micro(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor(c * 1e6).cast("long") / 1e6
+    val m0 = $"sx0".cast("double") / $"n0"
+    val m1 = $"sx1".cast("double") / $"n1"
+    val v0 = ($"sxx0".cast("double") -
+      $"sx0".cast("double") * $"sx0".cast("double") / $"n0") / ($"n0" - 1)
+    val v1 = ($"sxx1".cast("double") -
+      $"sx1".cast("double") * $"sx1".cast("double") / $"n1") / ($"n1" - 1)
+    val se2 = v0 / $"n0" + v1 / $"n1"
+    val t = (m0 - m1) / sqrt(se2)
+    val df = se2 * se2 /
+      ((v0 / $"n0") * (v0 / $"n0") / ($"n0" - 1) +
+        (v1 / $"n1") * (v1 / $"n1") / ($"n1" - 1))
+    a.crossJoin(b) // two 1-row frames
+      .select($"n0", $"n1", micro(m0).as("mean0"), micro(m1).as("mean1"),
+        micro(t).as("t_stat"), micro(df).as("df"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quality_welch_ttest" -> (welchTtest _),
     "q_quality_ks_test" -> (ksTest _),
     "q_quality_cramers_v" -> (cramersV _),
     "q_quality_winsorize" -> (winsorize _),
@@ -540,6 +577,37 @@ object QualityOps extends graft.QueryModule {
     "q_quality_benford" -> (benford _))
 
   def oracle: Map[String, String] = Map(
+    "q_quality_welch_ttest" ->
+      """WITH g AS (
+        |  SELECT source, COUNT(*) AS n,
+        |    CAST(SUM(n_chars) AS BIGINT) AS sx,
+        |    CAST(SUM(n_chars * n_chars) AS BIGINT) AS sxx
+        |  FROM documents WHERE source IN ('src0', 'src1') GROUP BY 1),
+        |a AS (SELECT n AS n0, sx AS sx0, sxx AS sxx0 FROM g
+        |  WHERE source = 'src0'),
+        |b AS (SELECT n AS n1, sx AS sx1, sxx AS sxx1 FROM g
+        |  WHERE source = 'src1'),
+        |d AS (
+        |  SELECT n0, n1,
+        |    CAST(sx0 AS DOUBLE) / n0 AS m0,
+        |    CAST(sx1 AS DOUBLE) / n1 AS m1,
+        |    (CAST(sxx0 AS DOUBLE) - CAST(sx0 AS DOUBLE)*CAST(sx0 AS DOUBLE)/n0)
+        |      / (n0 - 1) AS v0,
+        |    (CAST(sxx1 AS DOUBLE) - CAST(sx1 AS DOUBLE)*CAST(sx1 AS DOUBLE)/n1)
+        |      / (n1 - 1) AS v1
+        |  FROM a CROSS JOIN b),
+        |s AS (
+        |  SELECT n0, n1, m0, m1,
+        |    (m0 - m1) / sqrt(v0/n0 + v1/n1) AS t,
+        |    (v0/n0 + v1/n1) * (v0/n0 + v1/n1) /
+        |      ((v0/n0)*(v0/n0)/(n0 - 1) + (v1/n1)*(v1/n1)/(n1 - 1)) AS df
+        |  FROM d)
+        |SELECT n0, n1,
+        |  CAST(floor(m0 * 1e6) AS BIGINT) / 1e6 AS mean0,
+        |  CAST(floor(m1 * 1e6) AS BIGINT) / 1e6 AS mean1,
+        |  CAST(floor(t * 1e6) AS BIGINT) / 1e6 AS t_stat,
+        |  CAST(floor(df * 1e6) AS BIGINT) / 1e6 AS df
+        |FROM s""".stripMargin,
     "q_quality_ks_test" ->
       """WITH h AS (
         |  SELECT n_chars,

@@ -588,7 +588,52 @@ object TextOps extends graft.QueryModule {
       .orderBy($"doc_id", $"pos")
   }
 
+  /** q_text_zipf_fit — Zipf-law exponent of the corpus unigram
+    * distribution: OLS of ln(freq) on ln(rank) over the ranked
+    * vocabulary (slope ≈ −s; a healthy natural-language corpus sits
+    * near s ≈ 1, synthetic or template-heavy corpora deviate — a
+    * cheap corpus-health fingerprint next to lexical_diversity).
+    * Ranks are deterministic ((freq desc, token asc)); both log
+    * coordinates go through round(ln,6)::DECIMAL(18,6), the moment
+    * sums are exact decimals, and the closed-form slope/intercept/R²
+    * run in the ols_fit mirrored double order. The fit uses the
+    * TOP-1000 types (the standard head fit — tail ranks are noise),
+    * which also makes the plan scale-safe: the cut is a
+    * TakeOrderedAndProject over the type counts, and the rank window
+    * then sees ≤ 1000 rows regardless of vocabulary size. */
+  def zipfFit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val freq = graft.Tables.documents(spark, sfDir)
+      .select(explode(split($"text", " ")).as("t"))
+      .groupBy($"t").agg(count(lit(1)).as("c"))
+      .orderBy($"c".desc, $"t".asc).limit(1000) // distributed top-k
+    val ranked = freq.withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy($"c".desc, $"t".asc))) // <= 1000 rows
+      .select(
+        round(log($"rk".cast("double")), 6).cast("decimal(18,6)").as("x"),
+        round(log($"c".cast("double")), 6).cast("decimal(18,6)").as("y"))
+    def micro(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor(c * 1e6).cast("long") / 1e6
+    val g = ranked.agg(count(lit(1)).as("n"),
+      sum($"x").as("sx"), sum($"y").as("sy"),
+      sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"),
+      sum($"x" * $"y").as("sxy"))
+    val vxx = $"sxx".cast("double") -
+      $"sx".cast("double") * $"sx".cast("double") / $"n"
+    val vyy = $"syy".cast("double") -
+      $"sy".cast("double") * $"sy".cast("double") / $"n"
+    val vxy = $"sxy".cast("double") -
+      $"sx".cast("double") * $"sy".cast("double") / $"n"
+    val slope = vxy / vxx
+    g.select($"n".as("n_types"), micro(slope).as("slope"),
+      micro(($"sy".cast("double") - slope * $"sx".cast("double")) / $"n")
+        .as("intercept"),
+      micro(vxy * vxy / (vxx * vyy)).as("r2"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_zipf_fit" -> (zipfFit _),
     "q_text_concordance" -> (concordance _),
     "q_text_fuzzy_entity" -> (fuzzyEntity _),
     "q_text_bigram_pmi" -> (bigramPmi _),
@@ -611,6 +656,36 @@ object TextOps extends graft.QueryModule {
     "q_text_langid" -> (langId _))
 
   def oracle: Map[String, String] = Map(
+    "q_text_zipf_fit" ->
+      """WITH f AS (
+        |  SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+        |c AS (SELECT t, COUNT(*) AS c FROM f GROUP BY 1
+        |      ORDER BY c DESC, t LIMIT 1000),
+        |r AS (
+        |  SELECT CAST(round(ln(CAST(ROW_NUMBER() OVER
+        |      (ORDER BY c DESC, t) AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+        |    CAST(round(ln(CAST(c AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+        |  FROM c),
+        |g AS (
+        |  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(x*y) AS sxy
+        |  FROM r),
+        |d AS (
+        |  SELECT n, sx, sy,
+        |    CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)/n
+        |      AS vxx,
+        |    CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)/n
+        |      AS vyy,
+        |    CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)/n
+        |      AS vxy
+        |  FROM g)
+        |SELECT n AS n_types,
+        |  CAST(floor((vxy / vxx) * 1e6) AS BIGINT) / 1e6 AS slope,
+        |  CAST(floor(((CAST(sy AS DOUBLE) -
+        |    (vxy / vxx) * CAST(sx AS DOUBLE)) / n) * 1e6) AS BIGINT) / 1e6
+        |    AS intercept,
+        |  CAST(floor((vxy * vxy / (vxx * vyy)) * 1e6) AS BIGINT) / 1e6 AS r2
+        |FROM d""".stripMargin,
     "q_text_concordance" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS a FROM documents),

@@ -109,6 +109,11 @@ object PlanAudit {
     "q_window_drawdown" -> Set("SinglePartition"),
     // 7 lags over the BOUNDED day domain + its 1-row (n, S) frame
     "q_window_acf" -> Set("SinglePartition", "NestedLoop"),
+    // two 1-row per-source moment frames crossJoined
+    "q_quality_welch_ttest" -> Set("NestedLoop"),
+    // rank window over the VOCABULARY (type count, ~dozens of rows
+    // after the partial-agg'd unigram groupBy)
+    "q_text_zipf_fit" -> Set("SinglePartition"),
     "q_ml_temperature_mix" -> Set("SinglePartition", "NestedLoop"),
     // k-strata moment frame crossJoined with its 1-row Σs aggregate
     "q_ml_neyman_sample" -> Set("SinglePartition", "NestedLoop"),

@@ -543,6 +543,63 @@ class Wave12Spec extends SparkTestBase {
     }
   }
 
+  test("q_quality_welch_ttest: equals a moments Scala replay") {
+    import spark.implicits._
+    val df = graft.SparkEntry.queries("q_quality_welch_ttest")(spark, sf0001)
+    val r0 = df.collect()(0)
+    def micro(x: Double): Double = math.floor(x * 1e6) / 1e6
+    val docs = graft.Tables.documents(spark, sf0001)
+      .filter($"source".isin("src0", "src1"))
+      .select($"source", $"n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    def mom(src: String) = {
+      val v = docs.filter(_._1 == src).map(_._2)
+      val n = v.length
+      val m = v.sum.toDouble / n
+      (n, m, (v.map(x => x * x).sum.toDouble -
+        v.sum.toDouble * v.sum.toDouble / n) / (n - 1))
+    }
+    val (n0, m0, v0) = mom("src0"); val (n1, m1, v1) = mom("src1")
+    val se2 = v0 / n0 + v1 / n1
+    val t = (m0 - m1) / math.sqrt(se2)
+    val dfw = se2 * se2 / ((v0 / n0) * (v0 / n0) / (n0 - 1) +
+      (v1 / n1) * (v1 / n1) / (n1 - 1))
+    assert((r0.getLong(0), r0.getLong(1)) === ((n0.toLong, n1.toLong)))
+    assert(r0.getDouble(2) === micro(m0))
+    assert(r0.getDouble(3) === micro(m1))
+    assert(r0.getDouble(4) === micro(t))
+    assert(r0.getDouble(5) === micro(dfw))
+  }
+
+  test("q_text_zipf_fit: equals a log-log OLS Scala replay") {
+    import spark.implicits._
+    val df = graft.SparkEntry.queries("q_text_zipf_fit")(spark, sf0001)
+    val r0 = df.collect()(0)
+    def micro(x: Double): Double = math.floor(x * 1e6) / 1e6
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val freq = graft.Tables.documents(spark, sf0001)
+      .select($"text").collect()
+      .flatMap(_.getString(0).split(" ", -1))
+      .groupBy(identity).map { case (t, v) => (t, v.length.toLong) }
+      .toSeq.sortBy { case (t, c) => (-c, t) }.take(1000)
+    val pts = freq.zipWithIndex.map { case ((_, c), i) =>
+      (r6(math.log((i + 1).toDouble)), r6(math.log(c.toDouble))) }
+    val n = pts.length
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val syy = pts.map(p => p._2 * p._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val vxx = sxx.toDouble - sx.toDouble * sx.toDouble / n
+    val vyy = syy.toDouble - sy.toDouble * sy.toDouble / n
+    val vxy = sxy.toDouble - sx.toDouble * sy.toDouble / n
+    val slope = vxy / vxx
+    assert(r0.getLong(0) === n.toLong)
+    assert(r0.getDouble(1) === micro(slope))
+    assert(r0.getDouble(2) === micro((sy.toDouble - slope * sx.toDouble) / n))
+    assert(r0.getDouble(3) === micro(vxy * vxy / (vxx * vyy)))
+    assert(r0.getDouble(1) < 0.0, "zipf slope must be negative")
+  }
+
   test("q_ml_dsir_select: weights match a Scala replay") {
     import spark.implicits._
     val df = graft.SparkEntry.queries("q_ml_dsir_select")(spark, sf0001)
