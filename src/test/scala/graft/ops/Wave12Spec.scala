@@ -10,6 +10,29 @@ import org.apache.spark.sql.functions.to_date
   * unit pins for the new native Jaro-Winkler expression. */
 class Wave12Spec extends SparkTestBase {
 
+  test("round-12 plan pins: the 100 TB topologies are what the scaladocs claim") {
+    // DSIR's global top-100 must be TakeOrderedAndProject (partial
+    // heaps), NOT a keyless row_number window over the corpus frame
+    val dsir = graft.SparkEntry.queries("q_ml_dsir_select")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(dsir.contains("TakeOrderedAndProject"), dsir.take(1500))
+    // prefix filtering joins on shingles only — never a cartesian
+    val pf = graft.SparkEntry.queries("q_dedup_prefix_filter")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!pf.contains("CartesianProduct"), pf.take(1500))
+    // zipf's rank window runs AFTER the distributed top-1000 cut
+    val zipf = graft.SparkEntry.queries("q_text_zipf_fit")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(zipf.contains("TakeOrderedAndProject"), zipf.take(1500))
+    // weighted median: the running sum is partitioned by (flag, bucket)
+    // — the two-level decomposition, not a keyless per-flag window
+    val wm = graft.SparkEntry.queries("q_agg_weighted_median")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(wm.contains("partitionBy") || wm.contains("windowspecdefinition"),
+      wm.take(500))
+    assert(wm.contains("bkt"), "bucketed window key missing: " + wm.take(1500))
+  }
+
   test("jaro_winkler: classic-Winkler convention pins") {
     val jw = graft.plans.JaroWinklerExpression.jw _
     assert(jw("martha", "marhta") === 0.9611111111111111)
