@@ -70,6 +70,14 @@ object Bench {
     // the driver parses the MARKED line (round-10 verdict: the bare line
     // was lost in the sbt tail); emit it LAST so a tail capture keeps it
     println(s"BENCH_JSON: $line")
+    // the 259-query map overflows the driver's tail-capture window even
+    // on the marked line (BENCH_r10/r12 both came back "parsed": null) —
+    // also emit a <200-byte summary WITHOUT the per-query map so ANY
+    // tail window keeps a parseable record; the full map stays in the
+    // line above and in $outFile
+    println(s"""BENCH_SUMMARY: {"metric":"total","unit":"sec",""" +
+      s""""errors":$errs,"n_queries":${results.size},"sf":"$sfDir",""" +
+      s""""value":$total}""")
     // the full JSON also goes to a file (BENCH_r08's captured tail was
     // all error text and the per-query map was unrecoverable) — default
     // BENCH_local.json in the repo root, overridable for round dumps

@@ -15,6 +15,13 @@ object Runner {
   final case class CycleException(at: String)
     extends RuntimeException(s"dependency cycle at task $at")
 
+  /** A timed-out attempt whose worker thread survived job-group
+    * cancellation + interrupt + [[Task.zombieGraceMs]]: retrying while
+    * it runs would race two attempts on the target commit, so the
+    * scheduler aborts the task instead of retrying. */
+  final case class ZombieTaskException(msg: String)
+    extends RuntimeException(msg)
+
   /** Scheduler lifecycle events (Luigi's event-handler surface —
     * Event.START/SUCCESS/FAILURE — plus the skip that Luigi reports as
     * "already done"). SUCCESS carries the processing time, Luigi's
@@ -87,6 +94,19 @@ object Runner {
       if (th.isAlive) {
         spark.sparkContext.cancelJobGroup(group)
         th.interrupt()
+        // the retry attempt must not start while this one can still
+        // run: a worker that swallows the interrupt (or submits new
+        // jobs after cancelJobGroup) would race the retry on the
+        // task's atomic target commit, and a stale attempt could
+        // clobber the retry's committed output AFTER the task was
+        // reported successful. Grace-join; if the thread is still
+        // alive, fail loudly as non-retryable instead of racing.
+        th.join(math.max(1L, t.zombieGraceMs))
+        if (th.isAlive)
+          throw new ZombieTaskException(
+            s"task ${t.name} still running ${t.zombieGraceMs} ms after " +
+              s"cancellation at timeoutMs=${t.timeoutMs}; refusing to " +
+              "retry against a live attempt")
         throw new java.util.concurrent.TimeoutException(
           s"task ${t.name} exceeded timeoutMs=${t.timeoutMs}")
       }
@@ -112,6 +132,11 @@ object Runner {
         runWithTimeout(t, spark); lastErr = null
         events(TaskEvent.Success(t.name, (System.nanoTime() - t0) / 1000000))
       } catch {
+        case z: ZombieTaskException =>
+          // non-retryable by design: the timed-out attempt is still
+          // alive, so any retry would race it on the target commit
+          events(TaskEvent.Failure(t.name, z))
+          throw z
         case e: Throwable =>
           lastErr = e
           events(TaskEvent.Failure(t.name, e))

@@ -60,6 +60,15 @@ trait Task {
     * job), interrupts the worker thread, and records a Failure, so a
     * positive [[retries]] budget gets the usual fresh attempts. */
   def timeoutMs: Long = 0L
+  /** Grace the scheduler gives a CANCELLED attempt's worker thread to
+    * actually die before declaring it a zombie: an attempt that
+    * swallows the interrupt (or keeps submitting jobs after its job
+    * group was cancelled) must not overlap its own retry — both would
+    * race on [[output]]'s atomic commit, and the stale one could
+    * clobber the retry's result after success was reported. A still-
+    * alive thread past this grace aborts the task as non-retryable
+    * ([[Runner.ZombieTaskException]]). */
+  def zombieGraceMs: Long = 2000L
   def output: Target
   def run(spark: SparkSession): Unit
   final def complete: Boolean = output.exists

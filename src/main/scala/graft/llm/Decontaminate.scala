@@ -94,7 +94,7 @@ object Decontaminate extends graft.QueryModule {
     val shingled = spark.read
       .parquet(DedupOps.buildShingleIndex(spark, sfDir))
       .select($"doc_id", $"sh",
-        (pmod($"doc_id" * 2654435761L, lit(1000L)) < 800).as("is_train"))
+        (pmod(pmod($"doc_id", lit(1000L)) * 2654435761L, lit(1000L)) < 800).as("is_train"))
     val trainShingles = shingled.filter($"is_train")
       .select(explode($"sh").as("shingle")).distinct()
     val evalSh = shingled.filter(!$"is_train")
@@ -102,7 +102,7 @@ object Decontaminate extends graft.QueryModule {
       .join(trainShingles, Seq("shingle"), "left_semi")
       .groupBy($"doc_id").agg(count(lit(1)).as("n_leak"))
     graft.Tables.documents(spark, sfDir)
-      .filter(pmod($"doc_id" * 2654435761L, lit(1000L)) >= 800)
+      .filter(pmod(pmod($"doc_id", lit(1000L)) * 2654435761L, lit(1000L)) >= 800)
       .select($"doc_id", $"lang", $"source")
       .join(evalSh.select($"doc_id", size($"sh").as("n_sh")),
         Seq("doc_id"), "left")
@@ -141,7 +141,7 @@ object Decontaminate extends graft.QueryModule {
     "q_pipeline_eval_split" ->
       """WITH docs AS (
         |  SELECT doc_id, lang, source,
-        |    (doc_id * 2654435761) % 1000 < 800 AS is_train,
+        |    ((doc_id % 1000) * 2654435761) % 1000 < 800 AS is_train,
         |    CASE WHEN len(string_split(text, ' ')) >= 3 THEN
         |      list_distinct(list_transform(
         |        generate_series(1, len(string_split(text, ' ')) - 2),

@@ -57,9 +57,13 @@ object MlOps extends graft.QueryModule {
     * 1000 (e.g. shard_id*10^k + seq), that is structured bias, and the
     * right tool is xxhash64(cast(user_id as string)) — full-avalanche,
     * no residue structure — declared rows-only. Pure bigint arithmetic,
-    * so the oracle is the identical expression in DuckDB (sound for ids
-    * < ~3.4e9, where the product stays inside int64 — beyond that the
-    * same xxhash64 switch applies, losing only DuckDB portability).
+    * so the oracle is the identical expression in DuckDB. The id is
+    * reduced mod the final modulus BEFORE the Knuth multiply (the
+    * [[kfold]] recipe) so the product stays inside int64 for EVERY
+    * possible id — value-identical where the raw form is defined, and
+    * still defined where the raw product would overflow (~3.4e9, a
+    * real id range at 100 TB; ANSI Spark and DuckDB both hard-fail
+    * there rather than agree).
     * One narrow map + one agg shuffle; at 100 TB the split column costs
     * nothing and the assignment needs no driver state, no sampling pass,
     * no join. */
@@ -67,7 +71,7 @@ object MlOps extends graft.QueryModule {
     import spark.implicits._
     graft.Tables.events(spark, sfDir)
       .withColumn("split",
-        when(pmod($"user_id" * 2654435761L, lit(1000)) < 800, "train")
+        when(pmod(pmod($"user_id", lit(1000L)) * 2654435761L, lit(1000L)) < 800, "train")
           .otherwise("test"))
       .groupBy($"split")
       .agg(countDistinct($"user_id").as("n_users"),
@@ -84,14 +88,14 @@ object MlOps extends graft.QueryModule {
     * samples, the property curriculum schedules need). Plan-wise this is
     * per-key top-k: one shuffle on lang, bounded k-row heaps via the
     * TopKPerKeyExec rewrite — a hot language costs k rows of memory,
-    * not its corpus share. Pure arithmetic, fully oracled (same int64
-    * envelope as [[groupSplit]]: sound for doc_id < ~3.4e9; beyond that
-    * swap the hash for xxhash64, trading away DuckDB portability). */
+    * not its corpus share. Pure arithmetic, fully oracled (same
+    * mod-first overflow-safe hash as [[groupSplit]]/[[kfold]]: sound
+    * for every int64 doc_id). */
   def quotaSample(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     graft.plans.GraftExtensions.register(spark)
     val w = org.apache.spark.sql.expressions.Window.partitionBy($"lang")
-      .orderBy(pmod($"doc_id" * 2654435761L, lit(1000000007L)).asc, $"doc_id".asc)
+      .orderBy(pmod(pmod($"doc_id", lit(1000000007L)) * 2654435761L, lit(1000000007L)).asc, $"doc_id".asc)
     graft.Tables.documents(spark, sfDir)
       .select($"doc_id", $"lang")
       .withColumn("rk", row_number().over(w))
@@ -133,7 +137,7 @@ object MlOps extends graft.QueryModule {
       .withColumn("quota", greatest(lit(1L), expr("(s * 200) div s_total")))
       .select($"lang", $"quota")
     val w = org.apache.spark.sql.expressions.Window.partitionBy($"lang")
-      .orderBy(pmod($"doc_id" * 2654435761L, lit(1000000007L)).asc,
+      .orderBy(pmod(pmod($"doc_id", lit(1000000007L)) * 2654435761L, lit(1000000007L)).asc,
         $"doc_id".asc)
     docs
       .withColumn("rk", row_number().over(w))
@@ -179,7 +183,7 @@ object MlOps extends graft.QueryModule {
         least($"n", greatest(lit(1L), expr("(w * 400) div w_total"))))
       .select($"source", $"quota")
     val w = org.apache.spark.sql.expressions.Window.partitionBy($"source")
-      .orderBy(pmod($"doc_id" * 2654435761L, lit(1000000007L)).asc,
+      .orderBy(pmod(pmod($"doc_id", lit(1000000007L)) * 2654435761L, lit(1000000007L)).asc,
         $"doc_id".asc)
     docs
       .withColumn("rk", row_number().over(w))
@@ -231,7 +235,7 @@ object MlOps extends graft.QueryModule {
         $"epochs", $"rem")
     val frac = docs.join(broadcast(plan.select($"source", $"rem",
         $"src_chars".as("sc"))), Seq("source"))
-      .filter(pmod($"doc_id" * 2654435761L + 23L, lit(M)) * $"sc" <
+      .filter(pmod(pmod($"doc_id", lit(M)) * 2654435761L + 23L, lit(M)) * $"sc" <
         $"rem" * lit(M))
       .groupBy($"source")
       .agg(count(lit(1)).as("n_frac_docs"), sum($"n_chars").as("frac_chars"))
@@ -352,7 +356,7 @@ object MlOps extends graft.QueryModule {
     val width = (M + nBuckets - 1) / nBuckets
     val hashed = graft.Tables.documents(spark, sfDir)
       .select($"doc_id")
-      .withColumn("h", pmod($"doc_id" * 2654435761L + 17L, lit(M)))
+      .withColumn("h", pmod(pmod($"doc_id", lit(M)) * 2654435761L + 17L, lit(M)))
       .withColumn("bucket", ($"h" / lit(width)).cast("int"))
     val wb = org.apache.spark.sql.expressions.Window.partitionBy($"bucket")
       .orderBy($"h".asc, $"doc_id".asc)
@@ -701,7 +705,7 @@ object MlOps extends graft.QueryModule {
         greatest(lit(1L), expr("(s * 300) div s_total"))))
       .select($"lang", $"quota")
     val w = org.apache.spark.sql.expressions.Window.partitionBy($"lang")
-      .orderBy(pmod($"doc_id" * 2654435761L, lit(1000000007L)).asc,
+      .orderBy(pmod(pmod($"doc_id", lit(1000000007L)) * 2654435761L, lit(1000000007L)).asc,
         $"doc_id".asc)
     docs.select($"doc_id", $"lang")
       .withColumn("rk", row_number().over(w))
@@ -727,7 +731,7 @@ object MlOps extends graft.QueryModule {
     import spark.implicits._
     graft.plans.GraftExtensions.register(spark)
     val w = org.apache.spark.sql.expressions.Window.partitionBy($"bucket")
-      .orderBy(pmod($"doc_id" * 2654435761L, lit(1000000007L)).asc,
+      .orderBy(pmod(pmod($"doc_id", lit(1000000007L)) * 2654435761L, lit(1000000007L)).asc,
         $"doc_id".asc)
     graft.Tables.documents(spark, sfDir)
       .select($"doc_id", least(expr("n_chars div 64"), lit(8L)).as("bucket"))
@@ -768,8 +772,8 @@ object MlOps extends graft.QueryModule {
     val fan = orders
       .select($"o_orderkey", $"p",
         explode(sequence(lit(0L), lit(99L))).as("r"))
-      .withColumn("h", pmod($"o_orderkey" * 2654435761L + $"r" * 97003L,
-        lit(M)))
+      .withColumn("h", pmod(pmod($"o_orderkey", lit(M)) * 2654435761L +
+        $"r" * 97003L, lit(M)))
       .withColumn("w",
         when($"h" < th(0), 0L).when($"h" < th(1), 1L).when($"h" < th(2), 2L)
           .when($"h" < th(3), 3L).when($"h" < th(4), 4L)
@@ -855,7 +859,7 @@ object MlOps extends graft.QueryModule {
     val M = 1000000007L
     graft.Tables.documents(spark, sfDir)
       .select($"doc_id", $"n_chars",
-        pmod($"doc_id" * 2654435761L + 41L, lit(M)).as("h"))
+        pmod(pmod($"doc_id", lit(M)) * 2654435761L + 41L, lit(M)).as("h"))
       .select($"n_chars", $"h",
         explode(sequence(lit(1L), lit(10L))).as("frac10"))
       .filter($"h" * 10L < $"frac10" * M) // nested: f ⊂ f+1 by construction
@@ -896,7 +900,7 @@ object MlOps extends graft.QueryModule {
     "q_ml_learning_curve" ->
       """WITH h AS (
         |  SELECT n_chars,
-        |    (doc_id * 2654435761 + 41) % 1000000007 AS h
+        |    ((doc_id % 1000000007) * 2654435761 + 41) % 1000000007 AS h
         |  FROM documents),
         |fan AS (
         |  SELECT n_chars, h, g.frac10
@@ -909,7 +913,8 @@ object MlOps extends graft.QueryModule {
       """WITH fan AS (
         |  SELECT o.o_orderkey, CAST(o.o_totalprice AS DECIMAL(14,2)) AS p,
         |    g.r,
-        |    (o.o_orderkey * 2654435761 + g.r * 97003) % 1000000007 AS h
+        |    ((o.o_orderkey % 1000000007) * 2654435761 + g.r * 97003)
+        |      % 1000000007 AS h
         |  FROM orders o, (SELECT unnest(range(0, 100)) AS r) g),
         |wtd AS (
         |  SELECT r, p,
@@ -1040,7 +1045,8 @@ object MlOps extends graft.QueryModule {
         |  SELECT d.source, COUNT(*) AS n_frac_docs,
         |    CAST(SUM(d.n_chars) AS BIGINT) AS frac_chars
         |  FROM documents d JOIN p2 ON d.source = p2.source
-        |  WHERE ((d.doc_id * 2654435761 + 23) % 1000000007) * p2.src_chars
+        |  WHERE (((d.doc_id % 1000000007) * 2654435761 + 23) % 1000000007)
+        |    * p2.src_chars
         |        < p2.rem * 1000000007
         |  GROUP BY d.source)
         |SELECT p2.source, p2.w, p2.n_docs, p2.src_chars, p2.budget,
@@ -1137,7 +1143,7 @@ object MlOps extends graft.QueryModule {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY user_id, ts_ms, event_id""".stripMargin,
     "q_ml_group_split" ->
-      """SELECT CASE WHEN (user_id * 2654435761) % 1000 < 800
+      """SELECT CASE WHEN ((user_id % 1000) * 2654435761) % 1000 < 800
         |            THEN 'train' ELSE 'test' END AS split,
         |  COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -1145,7 +1151,7 @@ object MlOps extends graft.QueryModule {
       """SELECT lang, rk, doc_id FROM (
         |  SELECT lang, doc_id,
         |    ROW_NUMBER() OVER (PARTITION BY lang
-        |      ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rk
+        |      ORDER BY ((doc_id % 1000000007) * 2654435761) % 1000000007, doc_id) AS rk
         |  FROM documents)
         |WHERE rk <= 25 ORDER BY lang, rk""".stripMargin,
     // N_h*sigma_h = sqrt(n*sxx - sx^2) exactly; floor(sqrt(bigint))
@@ -1169,7 +1175,7 @@ object MlOps extends graft.QueryModule {
         |ranked AS (
         |  SELECT d.lang, q.quota, d.doc_id,
         |    ROW_NUMBER() OVER (PARTITION BY d.lang
-        |      ORDER BY (d.doc_id * 2654435761) % 1000000007, d.doc_id) AS rk
+        |      ORDER BY ((d.doc_id % 1000000007) * 2654435761) % 1000000007, d.doc_id) AS rk
         |  FROM documents d JOIN q USING (lang))
         |SELECT lang, quota, rk, doc_id FROM ranked
         |WHERE rk <= quota ORDER BY lang, rk""".stripMargin,
@@ -1177,7 +1183,7 @@ object MlOps extends graft.QueryModule {
       """SELECT rk, bucket, doc_id FROM (
         |  SELECT doc_id, least(n_chars // 64, 8) AS bucket,
         |    ROW_NUMBER() OVER (PARTITION BY least(n_chars // 64, 8)
-        |      ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rk
+        |      ORDER BY ((doc_id % 1000000007) * 2654435761) % 1000000007, doc_id) AS rk
         |  FROM documents)
         |WHERE rk <= 40 ORDER BY rk, bucket""".stripMargin,
     // integer-portable by construction: floor(sqrt(bigint)) is exact
@@ -1196,7 +1202,7 @@ object MlOps extends graft.QueryModule {
         |ranked AS (
         |  SELECT d.lang, q.quota, d.doc_id,
         |    ROW_NUMBER() OVER (PARTITION BY d.lang
-        |      ORDER BY (d.doc_id * 2654435761) % 1000000007, d.doc_id) AS rk
+        |      ORDER BY ((d.doc_id % 1000000007) * 2654435761) % 1000000007, d.doc_id) AS rk
         |  FROM documents d JOIN q USING (lang))
         |SELECT lang, quota, rk, doc_id FROM ranked
         |WHERE rk <= quota ORDER BY lang, rk""".stripMargin,
@@ -1221,7 +1227,7 @@ object MlOps extends graft.QueryModule {
         |ranked AS (
         |  SELECT d.source, q.quota, d.doc_id,
         |    ROW_NUMBER() OVER (PARTITION BY d.source
-        |      ORDER BY (d.doc_id * 2654435761) % 1000000007, d.doc_id) AS rk
+        |      ORDER BY ((d.doc_id % 1000000007) * 2654435761) % 1000000007, d.doc_id) AS rk
         |  FROM documents d JOIN q ON d.source = q.source)
         |SELECT source, quota, rk, doc_id FROM ranked
         |WHERE rk <= quota ORDER BY source, rk""".stripMargin,
@@ -1229,7 +1235,8 @@ object MlOps extends graft.QueryModule {
     // (h, doc_id) — contiguous hash ranges concatenate in order
     "q_ml_global_shuffle" ->
       """WITH h AS (
-        |  SELECT doc_id, (doc_id * 2654435761 + 17) % 1000000007 AS h
+        |  SELECT doc_id,
+        |    ((doc_id % 1000000007) * 2654435761 + 17) % 1000000007 AS h
         |  FROM documents),
         |ranked AS (
         |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY h, doc_id) AS pos

@@ -515,10 +515,13 @@ object QualityOps extends graft.QueryModule {
         first($"k").as("n_source"),
         (floor((sum($"term") - sum($"e")).cast("double") * 1e6)
           .cast("long") / 1e6 + first($"n_docs")).as("chi2_adj"))
+      // degenerate table guard: min(r,k)=1 makes the normalizer 0 —
+      // emit NULL (mirrored CASE in the oracle), not Infinity/NaN
       .withColumn("cramers_v",
-        floor(sqrt($"chi2_adj" / ($"n_docs" *
-          (least($"n_lang", $"n_source") - 1L)).cast("double")) * 1e6)
-          .cast("long") / 1e6)
+        when(least($"n_lang", $"n_source") > 1L,
+          floor(sqrt($"chi2_adj" / ($"n_docs" *
+            (least($"n_lang", $"n_source") - 1L)).cast("double")) * 1e6)
+            .cast("long") / 1e6))
       .select($"n_docs", $"n_lang", $"n_source", $"chi2_adj", $"cramers_v")
   }
 
@@ -656,9 +659,10 @@ object QualityOps extends graft.QueryModule {
         |  JOIN cs ON cells.source = cs.source
         |  CROSS JOIN n)
         |SELECT n_docs, n_lang, n_source, chi2_adj,
-        |  CAST(floor(sqrt(chi2_adj /
-        |    CAST(n_docs * (least(n_lang, n_source) - 1) AS DOUBLE)) * 1e6)
-        |    AS BIGINT) / 1e6 AS cramers_v
+        |  CASE WHEN least(n_lang, n_source) > 1 THEN
+        |    CAST(floor(sqrt(chi2_adj /
+        |      CAST(n_docs * (least(n_lang, n_source) - 1) AS DOUBLE)) * 1e6)
+        |      AS BIGINT) / 1e6 END AS cramers_v
         |FROM s""".stripMargin,
     "q_quality_winsorize" ->
       """WITH h AS (

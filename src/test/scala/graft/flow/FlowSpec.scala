@@ -184,6 +184,37 @@ class FlowSpec extends SparkTestBase {
     assert(err.getMessage.contains("Hung"))
   }
 
+  test("zombie attempt: interrupt-swallowing task aborts, never retried") {
+    val cfg = freshCfg()
+    var attempts = 0
+    val zombie: Task = new Task {
+      override def name = "Zombie"
+      override def retries: Int = 3          // budget that must NOT be spent
+      override def timeoutMs: Long = 200
+      override def zombieGraceMs: Long = 300 // keep the spec fast
+      val output = DirTarget(s"${cfg.baseDir}/zombie")
+      def run(s: SparkSession): Unit = {
+        attempts += 1
+        // survives cancellation: swallows the interrupt and keeps going
+        // — the class of worker whose retry would race it on the
+        // target commit
+        val until = System.nanoTime() + 5L * 1000 * 1000 * 1000
+        while (System.nanoTime() < until) {
+          try Thread.sleep(50)
+          catch { case _: InterruptedException => () }
+        }
+      }
+    }
+    val events = scala.collection.mutable.ArrayBuffer.empty[Runner.TaskEvent]
+    val err2 = intercept[Runner.ZombieTaskException] {
+      Runner.run(zombie, spark, events = events.append(_))
+    }
+    assert(err2.getMessage.contains("Zombie"))
+    assert(attempts == 1, s"zombie attempt must not be retried, saw $attempts")
+    val ev2 = events.map(_.getClass.getSimpleName)
+    assert(ev2 == Seq("Start", "Failure"), ev2.mkString(","))
+  }
+
   test("runParallel: independent tasks truly overlap; wave order deterministic") {
     val base = Files.createTempDirectory("graft_par").toString
     val latchA = new java.util.concurrent.CountDownLatch(1)

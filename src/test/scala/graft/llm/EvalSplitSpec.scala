@@ -9,7 +9,8 @@ class EvalSplitSpec extends SparkTestBase {
 
   test("eval split keeps only sub-threshold-leak eval docs, deterministically") {
     val docs = graft.Tables.documents(spark, sf0001)
-    val isTrain = pmod($"doc_id" * 2654435761L, lit(1000L)) < 800
+    val isTrain =
+      pmod(pmod($"doc_id", lit(1000L)) * 2654435761L, lit(1000L)) < 800
     val evalIds = docs.filter(!isTrain).select($"doc_id")
       .collect().map(_.getLong(0)).toSet
     val out = Decontaminate.evalSplit(spark, sf0001)

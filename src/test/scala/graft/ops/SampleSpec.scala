@@ -24,7 +24,7 @@ class SampleSpec extends SparkTestBase {
     // row-level assignment (the declared query only shows aggregates)
     val assigned = graft.Tables.events(spark, sf0001)
       .withColumn("split",
-        when(pmod($"user_id" * 2654435761L, lit(1000)) < 800, "train")
+        when(pmod(pmod($"user_id", lit(1000L)) * 2654435761L, lit(1000L)) < 800, "train")
           .otherwise("test"))
       .select($"user_id", $"split").distinct()
     val both = assigned.groupBy($"user_id")
@@ -50,7 +50,8 @@ class SampleSpec extends SparkTestBase {
     }
     // recompute with quota 10 via the same ordering and compare prefixes
     val w = org.apache.spark.sql.expressions.Window.partitionBy($"lang")
-      .orderBy(pmod($"doc_id" * 2654435761L, lit(1000000007L)).asc, $"doc_id".asc)
+      .orderBy(pmod(pmod($"doc_id", lit(1000000007L)) * 2654435761L,
+        lit(1000000007L)).asc, $"doc_id".asc)
     val q10 = graft.Tables.documents(spark, sf0001)
       .select($"doc_id", $"lang")
       .withColumn("rk", row_number().over(w)).filter($"rk" <= 10)

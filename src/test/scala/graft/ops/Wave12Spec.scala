@@ -28,9 +28,12 @@ class Wave12Spec extends SparkTestBase {
     // — the two-level decomposition, not a keyless per-flag window
     val wm = graft.SparkEntry.queries("q_agg_weighted_median")(spark, sf0001)
       .queryExecution.executedPlan.toString
-    assert(wm.contains("partitionBy") || wm.contains("windowspecdefinition"),
-      wm.take(500))
-    assert(wm.contains("bkt"), "bucketed window key missing: " + wm.take(1500))
+    // the corpus-facing running sum must partition by BOTH f and bkt —
+    // pin the window spec itself (a bare "windowspecdefinition"
+    // substring is vacuous: every plan with any window prints one)
+    val bucketedSpec = """windowspecdefinition\(f#\d+, bkt#\d+L""".r
+    assert(bucketedSpec.findFirstIn(wm).isDefined,
+      "no (f, bkt)-partitioned window spec: " + wm.take(1500))
   }
 
   test("jaro_winkler: classic-Winkler convention pins") {
@@ -146,7 +149,7 @@ class Wave12Spec extends SparkTestBase {
     val means = (0L until 100L).map { r =>
       var sw = 0L; var sp = BigDecimal(0)
       orders.foreach { case (k, p) =>
-        val h = (k * 2654435761L + r * 97003L) % 1000000007L
+        val h = ((k % 1000000007L) * 2654435761L + r * 97003L) % 1000000007L
         val w = th.count(h >= _).toLong // = |{t : h >= t}| = weight
         sw += w; sp += p * w
       }
@@ -345,7 +348,8 @@ class Wave12Spec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1)))
     val subsets = (1L to 10L).map { f =>
       f -> docs.filter { case (id, _) =>
-        ((id * 2654435761L + 41L) % 1000000007L) * 10L < f * 1000000007L }
+        (((id % 1000000007L) * 2654435761L + 41L) % 1000000007L) * 10L <
+          f * 1000000007L }
     }
     val expected = subsets.map { case (f, d) =>
       (f, d.length.toLong, d.map(_._2).sum) }
