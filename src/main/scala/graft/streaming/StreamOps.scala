@@ -269,6 +269,97 @@ object StreamOps extends graft.QueryModule {
       .orderBy($"user_id")
   }
 
+  /** Reference k for the STREAMING CUSUM (cents): the online form of
+    * Page's recursion needs a FIXED target — the batch twin's
+    * series-mean k is unknowable mid-stream — pinned near the median
+    * 15-minute window revenue so the statistic both resets and
+    * accumulates on the fixture (non-vacuous shift flags). */
+  val CusumK = 5000L
+  private val CusumWinMs = 900000L // 15-minute tumbling windows
+
+  /** State fold for [[liveCusum]] (SURVEY §9.2, the round-12 deferral):
+    * per key, per-window revenue buckets accumulate in state; when the
+    * watermark closes a window, the fold emits it in EVENT-TIME ORDER
+    * through the CUSUM recursion S_t = max(0, S_{t−1} + rev_t − k)
+    * (Page 1954) and the running peak → drawdown. `closedThroughMs`
+    * enforces the watermark contract at the operator level: a row
+    * whose window already closed is discarded, never re-emitted — so
+    * per-key emission is monotone in event time no matter how arrival
+    * interleaves across micro-batches.
+    *
+    * Scale: state per key = only the OPEN windows (bounded by the
+    * lateness horizon / window size) plus three longs — the state
+    * store never holds the series history, and the sequential
+    * recursion runs per key over closed windows only, exactly the
+    * partitioned-stateful shape mapGroupsWithState exists for. */
+  def cusumUpdate(key: String, rows: Iterator[SeriesEvent],
+                  state: org.apache.spark.sql.streaming.GroupState[SeriesState])
+      : Iterator[SeriesOut] = {
+    val st = state.getOption.getOrElse(
+      SeriesState(Map.empty, 0L, 0L, Long.MinValue))
+    val wm = state.getCurrentWatermarkMs()
+    var open = st.open
+    rows.foreach { e =>
+      val ws = Math.floorDiv(e.ts.getTime, CusumWinMs) * CusumWinMs
+      if (ws + CusumWinMs > st.closedThroughMs)
+        open = open.updated(ws, open.getOrElse(ws, 0L) + e.cents)
+    }
+    val closable =
+      open.keysIterator.filter(_ + CusumWinMs <= wm).toSeq.sorted
+    var cusum = st.cusum
+    var peak = st.peak
+    val out = closable.map { ws =>
+      val rev = open(ws)
+      cusum = math.max(0L, cusum + rev - CusumK)
+      peak = math.max(peak, rev)
+      SeriesOut(key, ws, rev, cusum, if (cusum > 2L * CusumK) 1 else 0,
+        peak, peak - rev)
+    }
+    open = open.removedAll(closable)
+    val closedThrough =
+      if (closable.nonEmpty) closable.last + CusumWinMs
+      else st.closedThroughMs
+    state.update(SeriesState(open, cusum, peak, closedThrough))
+    // re-arm at minOpenEnd−1: event-time timeouts fire on
+    // timeoutTs < watermark, so end−1 < wm ⟺ end ≤ wm — the exact
+    // closure rule the oracle twin states as win_end ≤ max(ts) − delay
+    if (open.nonEmpty)
+      state.setTimeoutTimestamp(
+        math.max(open.keysIterator.min + CusumWinMs - 1, wm + 1))
+    out.iterator
+  }
+
+  /** TRUE stateful streaming CUSUM + drawdown: readStream →
+    * watermark(10 min) → flatMapGroupsWithState(EventTimeTimeout) per
+    * event type, [[cusumUpdate]] closing tumbling windows as the
+    * watermark passes them. Fully oracled: the final append-mode
+    * output is exactly the windows with win_end ≤ max(ts) − delay,
+    * folded in window order — a twin DuckDB states in two running
+    * windows via the prefix identity S_t = P_t − min(0, min_{j≤t}
+    * P_j), P = cumsum(rev − k). The trailing windows inside the
+    * watermark horizon stay OPEN and are correctly absent from both
+    * sides (the non-vacuity check the late-drop query established). */
+  def liveCusum(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val ev = eventsStream(spark, sfDir)
+      .withWatermark("ts", "10 minutes")
+      .select($"event_type", $"ts",
+        (graft.ops.AggOps.dec($"value") * 100).cast("long").as("cents"))
+      .as[SeriesEvent]
+    val out = ev.groupByKey(_.event_type)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        cusumUpdate)
+    val name = "live_cusum_" + java.lang.Integer.toHexString(sfDir.hashCode)
+    val q = out.toDF().writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy($"event_type", $"win_start_ms")
+  }
+
   /** Watermark late-data drop, declared as its deterministic batch twin
     * (the one streaming-semantics row that previously had no declared
     * query): tumbling aggregation over the events that a 10-minute
@@ -362,7 +453,8 @@ object StreamOps extends graft.QueryModule {
     "q_stream_tumbling" -> (tumbling _),
     "q_stream_sliding" -> (sliding _),
     "q_stream_session" -> (sessions _),
-    "q_stream_late_drop" -> (lateDrop _))
+    "q_stream_late_drop" -> (lateDrop _),
+    "q_stream_live_cusum" -> (liveCusum _))
 
   private val tumblingOracle: String =
     """SELECT (epoch_ms(ts) // 900000) * 900000 AS win_start_ms, event_type,
@@ -392,6 +484,34 @@ object StreamOps extends graft.QueryModule {
         |FROM kept GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_stream_tumbling" -> tumblingOracle,
     "q_stream_live_tumbling" -> tumblingOracle,
+    "q_stream_live_cusum" ->
+      """WITH w AS (
+        |  SELECT event_type,
+        |    (epoch_ms(ts) // 900000) * 900000 AS win_start_ms,
+        |    CAST(SUM(CAST(value AS DECIMAL(14,2))) * 100 AS BIGINT)
+        |      AS rev_cents
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT MAX(epoch_ms(ts)) - 600000 AS wm FROM events),
+        |c AS (
+        |  SELECT event_type, win_start_ms, rev_cents,
+        |    CAST(SUM(rev_cents - 5000) OVER
+        |      (PARTITION BY event_type ORDER BY win_start_ms)
+        |      AS BIGINT) AS p
+        |  FROM w CROSS JOIN m
+        |  WHERE win_start_ms + 900000 <= wm),
+        |s AS (
+        |  SELECT event_type, win_start_ms, rev_cents,
+        |    p - LEAST(CAST(MIN(p) OVER
+        |      (PARTITION BY event_type ORDER BY win_start_ms)
+        |      AS BIGINT), 0) AS cusum_cents,
+        |    CAST(MAX(rev_cents) OVER
+        |      (PARTITION BY event_type ORDER BY win_start_ms)
+        |      AS BIGINT) AS peak_cents
+        |  FROM c)
+        |SELECT event_type, win_start_ms, rev_cents, cusum_cents,
+        |  CASE WHEN cusum_cents > 10000 THEN 1 ELSE 0 END AS shift_flag,
+        |  peak_cents, peak_cents - rev_cents AS drawdown_cents
+        |FROM s ORDER BY event_type, win_start_ms""".stripMargin,
     "q_stream_upsert_sink" -> tumblingOracle,
     "q_stream_stream_join" ->
       """SELECT v.user_id AS user_id, v.event_id AS v_id, c.event_id AS c_id,
@@ -460,3 +580,19 @@ object StreamOps extends graft.QueryModule {
         |FROM sessioned GROUP BY user_id, sid
         |ORDER BY user_id, session_start_ms""".stripMargin
 }
+
+/** Shapes for the stateful CUSUM/drawdown operator — top level so
+  * Spark can derive the case-class encoders. */
+final case class SeriesEvent(event_type: String, ts: java.sql.Timestamp,
+                             cents: Long)
+
+/** Per-key state: open (un-closed) window buckets, the CUSUM after
+  * the last closed window, the running peak, and the event-time
+  * high-water mark of closed windows (late-row discard rule). */
+final case class SeriesState(open: Map[Long, Long], cusum: Long,
+                             peak: Long, closedThroughMs: Long)
+
+final case class SeriesOut(event_type: String, win_start_ms: Long,
+                           rev_cents: Long, cusum_cents: Long,
+                           shift_flag: Int, peak_cents: Long,
+                           drawdown_cents: Long)

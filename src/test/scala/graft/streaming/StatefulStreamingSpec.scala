@@ -50,6 +50,75 @@ class StatefulStreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stateful CUSUM/drawdown: watermark-closed windows fold in event-time order") {
+    implicit val sqlCtx = spark.sqlContext
+    // base is a multiple of the 15-min window so win starts land on :00
+    val base = 1704067200000L // 2024-01-01T00:00Z
+    def ev(m: Int, cents: Long) =
+      SeriesEvent("a", new Timestamp(base + m * 60000L), cents)
+    val s = MemoryStream[SeriesEvent]
+    val out = s.toDS()
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        StreamOps.cusumUpdate)
+    val q = out.toDF().writeStream.format("memory").queryName("cusum_state")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: three windows open; watermark after = 31−10 = 21 min
+      s.addData(ev(1, 6000), ev(16, 7000), ev(31, 2000))
+      q.processAllAvailable()
+      // batch 2: advances the watermark to 51 min → closes w0..w30
+      s.addData(ev(61, 9000))
+      q.processAllAvailable()
+      // batch 3: a LATE row for the already-closed first window (the
+      // watermark contract drops it — engine filter first, the fold's
+      // closedThroughMs guard as defense in depth), an OUT-OF-ORDER
+      // row still inside the horizon (55 min > wm 51) landing in the
+      // not-yet-seen 45-min window, a second row merging into the
+      // 60-min bucket, and a horizon-pusher (wm → 80 min)
+      s.addData(ev(5, 9999), ev(55, 30000), ev(62, 4000), ev(90, 100))
+      q.processAllAvailable()
+      val rows = spark.table("cusum_state").as[SeriesOut].collect()
+        .sortBy(_.win_start_ms)
+      // hand-folded batch twin: S_t = max(0, S_{t−1} + rev − 5000),
+      // peak/drawdown running over CLOSED windows in event-time order;
+      // the 90-min window stays open (inside the watermark horizon)
+      def w(m: Int) = base + m * 60000L
+      val expected = Seq(
+        SeriesOut("a", w(0),  6000L,  1000L,  0, 6000L,  0L),
+        SeriesOut("a", w(15), 7000L,  3000L,  0, 7000L,  0L),
+        SeriesOut("a", w(30), 2000L,  0L,     0, 7000L,  5000L),
+        SeriesOut("a", w(45), 30000L, 25000L, 1, 30000L, 0L),
+        SeriesOut("a", w(60), 13000L, 33000L, 1, 30000L, 17000L))
+      assert(rows.toSeq === expected, rows.mkString("\n"))
+      // the late row was discarded: the closed first window kept its
+      // original revenue and no duplicate emission exists
+      assert(rows.count(_.win_start_ms == w(0)) === 1)
+    } finally q.stop()
+  }
+
+  test("cusumUpdate discards rows for already-closed windows (unit)") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    val base = 1704067200000L
+    // state says everything through the first window is closed; the
+    // watermark sits mid-second-window so nothing new can close
+    import org.apache.spark.api.java.Optional
+    val st = TestGroupState.create[SeriesState](
+      optionalState = Optional.of(SeriesState(Map.empty, 1000L, 6000L,
+        base + 900000L)),
+      timeoutConf = GroupStateTimeout.EventTimeTimeout(),
+      batchProcessingTimeMs = 0L,
+      eventTimeWatermarkMs = Optional.of(base + 1000000L),
+      hasTimedOut = false)
+    val late = SeriesEvent("a", new Timestamp(base + 60000L), 9999L)
+    val out = StreamOps.cusumUpdate("a", Iterator(late), st).toSeq
+    assert(out.isEmpty, out.mkString(","))
+    // the late row neither re-opened the window nor moved the fold
+    assert(st.get === SeriesState(Map.empty, 1000L, 6000L, base + 900000L))
+  }
+
   test("stream-stream interval join matches only within the time bound") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.expr
