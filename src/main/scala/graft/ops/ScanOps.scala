@@ -79,6 +79,30 @@ object ScanOps extends graft.QueryModule {
       .orderBy($"c_custkey")
   }
 
+  /** q_sink_tx_roundtrip — the WRITE-side DataSource V2 commit
+    * protocol under the oracle contract
+    * ([[graft.sources.TxManifestSource]], SURVEY §9.1): a
+    * per-(flag, status) aggregate of lineitem is written through the
+    * transactional sink (task staging → version dir → atomic manifest
+    * rename; overwrite = truncate + manifest swap) and read back
+    * through the same provider's manifest-driven scan, so the sink's
+    * happy path is exact or the hash breaks. TxSinkSpec pins the
+    * failure half: a writer killed mid-batch aborts with the previous
+    * version fully visible and no staging litter. */
+  def txRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val path = tmpDir("tx_sink", sfDir)
+    graft.Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n_rows"),
+        AggOps.dsum($"l_quantity").as("sum_qty"))
+      .write.format("graft.sources.TxManifestSource")
+      .option("path", path).mode("overwrite").save()
+    spark.read.format("graft.sources.TxManifestSource")
+      .option("path", path).load()
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
   /** q_sink_compaction — the small-files maintenance pass every
     * long-lived 100 TB table needs: a streaming/CDC-ingested partition
     * accumulates one file per micro-batch until the NameNode/manifest
@@ -384,6 +408,7 @@ object ScanOps extends graft.QueryModule {
     "q_scan_avro_roundtrip" -> (avroRoundtrip _),
     "q_scan_xml_roundtrip" -> (xmlRoundtrip _),
     "q_sink_partitioned_write" -> (partitionedWrite _),
+    "q_sink_tx_roundtrip" -> (txRoundtrip _),
     "q_sink_compaction" -> (compaction _),
     "q_join_dpp_pruned" -> (dppJoin _))
 
@@ -454,6 +479,10 @@ object ScanOps extends graft.QueryModule {
     "q_scan_csv_roundtrip" ->
       """SELECT c_custkey, c_name, c_mktsegment
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_sink_tx_roundtrip" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_scan_schema_evolution" ->
       """SELECT o_orderkey, o_totalprice,
         |  CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END
