@@ -63,6 +63,9 @@ object Pipelines {
         if (pagesDir.isDirectory)
           spark.read.format("graft.sources.PagedJsonSource")
             .option("path", pagesDir.getAbsolutePath).load()
+            // content columns only: the source's ordinal cursor column
+            // is a paging detail, not part of the roh contract
+            .select("id", "title", "selftext", "subreddit")
         else {
           val days = new java.io.File(cfg.sourceDir).listFiles()
             .filter(_.isDirectory).map(_.getName).sorted

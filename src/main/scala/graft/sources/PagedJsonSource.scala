@@ -36,6 +36,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * contract) and is declared partial, so Spark still applies the global
   * limit.
   *
+  * Beyond LIMIT, the source exposes the cursor position as an
+  * `ordinal` column (record i of page p has ordinal p·pageSize + i —
+  * the position a paged API's cursor walks) and pushes RANGE filters
+  * on it down to the page fan-out: `ordinal >= 26 AND ordinal < 50`
+  * at pageSize 25 plans (and in HTTP mode REQUESTS) only page 1.
+  * Pruning is page-granular, so the filters stay residual — Spark
+  * re-applies them to trim the partial first/last page — mirroring the
+  * partial-limit contract. A bounded ordinal window also substitutes
+  * for `limit` as the HTTP page-count bound.
+  *
   *   spark.read.format("graft.sources.PagedJsonSource")
   *     .option("path", dir).option("pageSize", 25).load()
   *   spark.read.format("graft.sources.PagedJsonSource")
@@ -59,7 +69,8 @@ object PagedJsonSource {
     StructField("id", StringType),
     StructField("title", StringType),
     StructField("selftext", StringType),
-    StructField("subreddit", StringType)))
+    StructField("subreddit", StringType),
+    StructField("ordinal", LongType, nullable = false)))
 
   def pageFiles(dir: String): Array[java.io.File] =
     Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
@@ -80,23 +91,64 @@ class PagedJsonTable(path: String, url: String, pageSize: Int,
 
 class PagedJsonScanBuilder(path: String, url: String, pageSize: Int,
                            totalLimit: Int)
-    extends ScanBuilder with SupportsPushDownLimit {
+    extends ScanBuilder with SupportsPushDownLimit
+    with SupportsPushDownFilters {
+  import org.apache.spark.sql.sources._
+
   private var limit: Int = Int.MaxValue
+  private var ordLo: Long = 0L
+  private var ordHi: Long = Long.MaxValue // inclusive
+  private var accepted: Array[Filter] = Array.empty
+
   override def pushLimit(l: Int): Boolean = { limit = l; true }
   // partial: the source prunes pages/rows, Spark keeps the global limit
   override def isPartiallyPushed: Boolean = true
+
+  private def long(v: Any): Option[Long] = v match {
+    case n: java.lang.Number => Some(n.longValue())
+    case _ => None
+  }
+
+  /** Range filters on `ordinal` narrow the [ordLo, ordHi] window the
+    * page fan-out honors; everything (including the accepted ones) is
+    * returned as residual because the pruning is page-granular — the
+    * same partial contract as the pushed limit. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    accepted = filters.filter {
+      case GreaterThan("ordinal", v) =>
+        long(v).exists { l => ordLo = math.max(ordLo, l + 1); true }
+      case GreaterThanOrEqual("ordinal", v) =>
+        long(v).exists { l => ordLo = math.max(ordLo, l); true }
+      case LessThan("ordinal", v) =>
+        long(v).exists { l => ordHi = math.min(ordHi, l - 1); true }
+      case LessThanOrEqual("ordinal", v) =>
+        long(v).exists { l => ordHi = math.min(ordHi, l); true }
+      case EqualTo("ordinal", v) =>
+        long(v).exists { l =>
+          ordLo = math.max(ordLo, l); ordHi = math.min(ordHi, l); true }
+      case _ => false
+    }
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = accepted
+
   override def build(): Scan =
-    new PagedJsonScan(path, url, pageSize, math.min(limit, totalLimit))
+    new PagedJsonScan(path, url, pageSize, math.min(limit, totalLimit),
+      ordLo, ordHi)
 }
 
-case class PagedJsonScan(path: String, url: String, pageSize: Int, limit: Int)
+case class PagedJsonScan(path: String, url: String, pageSize: Int,
+                         limit: Int, ordLo: Long = 0L,
+                         ordHi: Long = Long.MaxValue)
     extends Scan with Batch {
   override def readSchema(): StructType = PagedJsonSource.Schema
   override def toBatch: Batch = this
   override def description(): String =
     s"paged_json ${if (url != null) s"url=$url" else s"path=$path"} " +
       s"pageSize=$pageSize" +
-      (if (limit != Int.MaxValue) s" pushedLimit=$limit" else "")
+      (if (limit != Int.MaxValue) s" pushedLimit=$limit" else "") +
+      (if (ordLo > 0L || ordHi != Long.MaxValue)
+        s" pushedOrdinalRange=[$ordLo,$ordHi]" else "")
 
   /** pages needed under the full-pages contract: the first
     * ceil(limit/pageSize) pages are guaranteed to contain the first
@@ -106,28 +158,44 @@ case class PagedJsonScan(path: String, url: String, pageSize: Int, limit: Int)
     else math.min(available,
       ((limit.toLong + pageSize - 1) / pageSize).toInt)
 
+  /** first/last page (inclusive) the pushed ordinal window can touch */
+  private def loPage: Int =
+    math.min(math.max(ordLo, 0L) / pageSize, Int.MaxValue.toLong).toInt
+  private def hiPage: Long =
+    if (ordHi == Long.MaxValue) Long.MaxValue else ordHi / pageSize
+
   override def planInputPartitions(): Array[InputPartition] =
-    if (url != null) {
-      require(limit != Int.MaxValue,
-        "HTTP mode needs option(\"limit\", N) to fix the page count " +
-          "(the PRAW limit= contract)")
-      val pages = neededPages(Int.MaxValue)
-      // a large-but-finite limit would otherwise plan ceil(limit/pageSize)
-      // InputPartitions (limit=2e9 at pageSize 25 -> 80M partition objects
-      // ON THE DRIVER before a single request is made)
+    if (ordHi < ordLo) Array.empty // contradictory range: zero fetches
+    else if (url != null) {
+      // either bound fixes the HTTP page count: the PRAW limit=
+      // contract, or a bounded pushed ordinal window
+      require(limit != Int.MaxValue || ordHi != Long.MaxValue,
+        "HTTP mode needs option(\"limit\", N) or a bounded ordinal " +
+          "range filter to fix the page count (the PRAW limit= contract)")
+      val lastByLimit =
+        if (limit == Int.MaxValue) Long.MaxValue
+        else neededPages(Int.MaxValue).toLong - 1
+      val last = math.min(lastByLimit, hiPage)
+      val pages = last - loPage + 1
+      // a large-but-finite window would otherwise plan that many
+      // InputPartitions (limit=2e9 at pageSize 25 -> 80M partition
+      // objects ON THE DRIVER before a single request is made)
       require(pages <= PagedJsonScan.MaxHttpPages,
-        s"limit=$limit at pageSize=$pageSize plans $pages HTTP pages " +
-          s"(max ${PagedJsonScan.MaxHttpPages}); raise option(\"pageSize\") " +
-          "or lower option(\"limit\")")
-      Array.tabulate(pages) { i =>
-        PagedJsonInputPartition(s"$url?page=$i&size=$pageSize", limit)
-          : InputPartition
-      }
+        s"limit=$limit ordinalRange=[$ordLo,$ordHi] at pageSize=$pageSize " +
+          s"plans $pages HTTP pages (max ${PagedJsonScan.MaxHttpPages}); " +
+          "raise option(\"pageSize\") or narrow the range")
+      (loPage.toLong to last).map { i =>
+        PagedJsonInputPartition(s"$url?page=$i&size=$pageSize", limit,
+          i * pageSize): InputPartition
+      }.toArray
     } else {
       val files = PagedJsonSource.pageFiles(path)
-      files.take(neededPages(files.length))
-        .map(f =>
-          PagedJsonInputPartition(f.getAbsolutePath, limit): InputPartition)
+      files.take(neededPages(files.length)).zipWithIndex
+        .filter { case (_, i) => i >= loPage && i <= hiPage }
+        .map { case (f, i) =>
+          PagedJsonInputPartition(f.getAbsolutePath, limit,
+            i.toLong * pageSize): InputPartition
+        }
     }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -141,7 +209,8 @@ object PagedJsonScan {
   val MaxHttpPages = 100000
 }
 
-case class PagedJsonInputPartition(location: String, maxRows: Int)
+case class PagedJsonInputPartition(location: String, maxRows: Int,
+                                   ordinalBase: Long)
     extends InputPartition
 
 class PagedJsonReaderFactory extends PartitionReaderFactory {
@@ -160,6 +229,7 @@ class PagedJsonReaderFactory extends PartitionReaderFactory {
       private val lines =
         source.getLines().filter(_.nonEmpty).take(part.maxRows)
       private val mapper = new ObjectMapper()
+      private var ordinal = part.ordinalBase - 1
       private var current: InternalRow = _
 
       override def next(): Boolean =
@@ -170,8 +240,10 @@ class PagedJsonReaderFactory extends PartitionReaderFactory {
             val v = node.get(n)
             if (v == null || v.isNull) null else UTF8String.fromString(v.asText())
           }
+          ordinal += 1
           current = new GenericInternalRow(Array[Any](
-            field("id"), field("title"), field("selftext"), field("subreddit")))
+            field("id"), field("title"), field("selftext"), field("subreddit"),
+            ordinal))
           true
         }
       override def get(): InternalRow = current

@@ -34,7 +34,10 @@ class PagedJsonSourceSpec extends SparkTestBase {
     val viaSource = spark.read.format("graft.sources.PagedJsonSource")
       .option("path", pages).load()
     assert(viaSource.columns.toSeq ==
-      Seq("id", "title", "selftext", "subreddit"))
+      Seq("id", "title", "selftext", "subreddit", "ordinal"))
+    // the cursor column is the global record position across pages
+    assert(viaSource.select($"ordinal").collect().map(_.getLong(0)).sorted
+      .toSeq == (0L until viaSource.count()).toSeq)
     val days = new java.io.File(goldenDir).listFiles()
       .filter(_.isDirectory).map(_.getName).sorted
     val viaCsv = days.map(d => graft.text.Clean
@@ -96,7 +99,48 @@ class PagedJsonSourceSpec extends SparkTestBase {
       // ceil(30/25) = 2: the pushed limit must stop page 2 from being hit
       assert(read().limit(30).count() == 30)
       assert(hits.asScala.toSet == Set(0, 1), s"pages fetched: $hits")
+
+      // pushed ordinal RANGE prunes requests on both ends: [26, 50)
+      // lives entirely in page 1 of 25, so pages 0 and 2 are never hit
+      hits.clear()
+      val window = read().filter($"ordinal" >= 26 && $"ordinal" < 50)
+      assert(window.count() == 24)
+      assert(window.select($"id").collect().map(_.getString(0)).toSet ==
+        (26 until 50).map(i => s"r$i").toSet)
+      assert(hits.asScala.toSet == Set(1), s"pages fetched: $hits")
+
+      // a bounded range substitutes for limit as the HTTP page bound
+      hits.clear()
+      val noLimit = spark.read.format("graft.sources.PagedJsonSource")
+        .option("url", base).option("pageSize", "25").load()
+        .filter($"ordinal" < 26)
+      assert(noLimit.count() == 26)
+      assert(hits.asScala.toSet == Set(0, 1), s"pages fetched: $hits")
     } finally server.stop(0)
+  }
+
+  test("ordinal range prunes file pages at planning time; residual trims rows") {
+    val pages = buildPages(pageSize = 25)
+    def scanOf(df: org.apache.spark.sql.DataFrame): PagedJsonScan =
+      df.queryExecution.sparkPlan.collect {
+        case b: BatchScanExec => b.scan
+      } match {
+        case Seq(s: PagedJsonScan) => s
+        case other => fail(s"expected one PagedJsonScan, got $other")
+      }
+    val df = spark.read.format("graft.sources.PagedJsonSource")
+      .option("path", pages).option("pageSize", "25").load()
+    val total = df.count()
+    val windowed = df.filter($"ordinal" >= 30 && $"ordinal" <= 60)
+    val scan = scanOf(windowed)
+    assert(scan.ordLo == 30 && scan.ordHi == 60, scan.toString)
+    // pages 1 and 2 of the 6 survive planning
+    assert(scan.planInputPartitions().length == 2)
+    // the filters stay residual: exact row trim at both partial pages
+    assert(windowed.count() == math.min(61, total) - 30)
+    // contradictory range plans ZERO partitions
+    val none = scanOf(df.filter($"ordinal" > 10 && $"ordinal" < 5))
+    assert(none.planInputPartitions().isEmpty)
   }
 
   test("Ingest pulls through the DSv2 source; same rows as the csv mode") {
