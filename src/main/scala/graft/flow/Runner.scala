@@ -146,10 +146,34 @@ object Runner {
     if (lastErr != null) throw lastErr
   }
 
+  /** Runs the attempt loop under the task's worker lease when
+    * [[Task.leaseTtlMs]] is positive: acquire (or take over a stale
+    * lease), heartbeat every TTL/3 on a daemon timer, release on exit.
+    * A fresh foreign lease propagates [[LeaseHeldException]] — the
+    * task belongs to a live worker in another process. */
+  private def withLease[A](t: Task, owner: String)(body: => A): A =
+    if (t.leaseTtlMs <= 0L) body
+    else {
+      Lease.acquire(t, owner)
+      @volatile var live = true
+      val renewer = new Thread(() => {
+        while (live) {
+          try Thread.sleep(math.max(1L, t.leaseTtlMs / 3))
+          catch { case _: InterruptedException => () }
+          if (live) Lease.renew(t, owner)
+        }
+      }, s"graft-lease-${t.name}")
+      renewer.setDaemon(true)
+      renewer.start()
+      try body
+      finally { live = false; renewer.interrupt(); Lease.release(t, owner) }
+    }
+
   def run(root: Task, spark: SparkSession,
           log: String => Unit = _ => (),
           retries: Int = 0,
-          events: EventHandler = noEvents): Seq[String] = {
+          events: EventHandler = noEvents,
+          owner: String = Lease.workerId): Seq[String] = {
     val executed = mutable.ArrayBuffer.empty[String]
     val done = mutable.Set.empty[Task]
     val inStack = mutable.Set.empty[Task]
@@ -168,7 +192,7 @@ object Runner {
       inStack -= t
       if (!t.complete) {
         log(s"RUN  ${t.name} -> ${t.output.uri}")
-        attempt(t, spark, log, retries, events)
+        withLease(t, owner) { attempt(t, spark, log, retries, events) }
         if (!t.complete) throw new IllegalStateException(
           s"task ${t.name} ran but target ${t.output.uri} still missing")
         executed += t.name
@@ -196,7 +220,8 @@ object Runner {
                   log: String => Unit = _ => (),
                   retries: Int = 0,
                   events: EventHandler = noEvents,
-                  resourceCaps: Map[String, Int] = Map.empty): Seq[String] = {
+                  resourceCaps: Map[String, Int] = Map.empty,
+                  owner: String = Lease.workerId): Seq[String] = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     val all = mutable.LinkedHashSet.empty[Task]
@@ -261,7 +286,7 @@ object Runner {
           Future {
             if (!t.complete) {
               log(s"RUN  ${t.name} -> ${t.output.uri}")
-              attempt(t, spark, log, retries, events)
+              withLease(t, owner) { attempt(t, spark, log, retries, events) }
               if (!t.complete) throw new IllegalStateException(
                 s"task ${t.name} ran but target ${t.output.uri} still missing")
               Some(t.name)

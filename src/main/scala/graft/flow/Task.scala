@@ -69,6 +69,14 @@ trait Task {
     * alive thread past this grace aborts the task as non-retryable
     * ([[Runner.ZombieTaskException]]). */
   def zombieGraceMs: Long = 2000L
+  /** Luigi worker `ping`: a positive TTL makes the runner hold a
+    * renewable lease file beside [[output]] while this task's attempt
+    * loop runs (renewed every TTL/3). A second runner PROCESS seeing a
+    * lease renewed within the TTL refuses the task
+    * ([[LeaseHeldException]]); one seeing a stale lease — what a killed
+    * worker leaves behind — takes it over and finishes the work without
+    * re-running completed dependencies. 0 (default) = no leasing. */
+  def leaseTtlMs: Long = 0L
   def output: Target
   def run(spark: SparkSession): Unit
   final def complete: Boolean = output.exists

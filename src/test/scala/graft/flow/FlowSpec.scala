@@ -184,6 +184,73 @@ class FlowSpec extends SparkTestBase {
     assert(err.getMessage.contains("Hung"))
   }
 
+  test("worker lease: stale lease taken over, fresh lease refused, heartbeat renews") {
+    val cfg = freshCfg()
+    var depRuns = 0
+    val dep: Task = new Task {
+      override def name = "LeaseDep"
+      val output = DirTarget(s"${cfg.baseDir}/lease_dep")
+      def run(s: SparkSession): Unit = {
+        depRuns += 1
+        output.atomicWrite { tmp =>
+          Files.createDirectories(Paths.get(tmp))
+          Files.writeString(Paths.get(tmp, "ok"), "ok")
+        }
+      }
+    }
+    val renewStamps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val leased: Task = new Task {
+      override def name = "Leased"
+      override def requires: Seq[Task] = Seq(dep)
+      override def leaseTtlMs: Long = 300
+      val output = DirTarget(s"${cfg.baseDir}/lease_task")
+      def run(s: SparkSession): Unit = {
+        // observe the heartbeat: the lease must be renewed while the
+        // task runs (renew interval = TTL/3 = 100 ms)
+        def stamp() = Lease.read(Lease.leasePath(this)).map(_.renewedMs)
+        stamp().foreach(renewStamps += _)
+        Thread.sleep(650)
+        stamp().foreach(renewStamps += _)
+        output.atomicWrite { tmp =>
+          Files.createDirectories(Paths.get(tmp))
+          Files.writeString(Paths.get(tmp, "ok"), "ok")
+        }
+      }
+    }
+    // a killed worker's residue: finished dep + a STALE lease on the task
+    Runner.run(dep, spark)
+    val leaseFile = Lease.leasePath(leased)
+    Files.createDirectories(leaseFile.getParent)
+    Files.writeString(leaseFile,
+      s"dead-worker\n${System.currentTimeMillis() - 60000}\n")
+
+    // the second runner takes over, finishes, and never re-runs the dep
+    val executed = Runner.run(leased, spark, owner = "w2")
+    assert(executed == Seq("Leased"))
+    assert(leased.complete)
+    assert(depRuns == 1, s"takeover must not re-run completed deps ($depRuns)")
+    assert(!Files.exists(leaseFile), "lease must be released after success")
+    assert(renewStamps.size == 2 && renewStamps(1) > renewStamps(0),
+      s"heartbeat did not renew during the run: $renewStamps")
+
+    // a FRESH lease (a LIVE worker) must be refused, the task untouched
+    val held: Task = new Task {
+      override def name = "Held"
+      override def leaseTtlMs: Long = 60000
+      val output = DirTarget(s"${cfg.baseDir}/lease_held")
+      def run(s: SparkSession): Unit =
+        fail("must not run while another worker holds the lease")
+    }
+    Files.createDirectories(Lease.leasePath(held).getParent)
+    Files.writeString(Lease.leasePath(held),
+      s"live-worker\n${System.currentTimeMillis()}\n")
+    val err = intercept[LeaseHeldException] {
+      Runner.run(held, spark, owner = "w2")
+    }
+    assert(err.getMessage.contains("live-worker"))
+    assert(!held.complete)
+  }
+
   test("zombie attempt: interrupt-swallowing task aborts, never retried") {
     val cfg = freshCfg()
     var attempts = 0
