@@ -1081,7 +1081,54 @@ object DedupOps extends graft.QueryModule {
       .orderBy($"a_id", $"b_id")
   }
 
+  /** q_dedup_url_canonical — crawl-URL canonicalization + dedup, the
+    * FIRST dedup pass of every web-corpus pipeline (cheaper than any
+    * content hash: two fetches of the same resource usually differ
+    * only in URL noise). Synthetic crawl URLs are derived from the
+    * documents table with planted noise — www prefixes, the :443
+    * default port, trailing slashes, utm_* tracking params, fragments
+    * — and canonicalized by the standard rule chain (RFC 3986 §6 plus
+    * the tracking-param strip every crawler applies): drop fragment,
+    * strip utm_* params, tidy dangling ?/&, drop the https default
+    * port, strip www., drop the trailing path slash. Docs sharing
+    * (source, lang, doc_id mod 50) collide by construction, so the
+    * dedup is non-vacuous; keeper = min doc_id per canonical URL.
+    *
+    * Scale: six stateless regex maps + ONE groupBy on the canonical
+    * string — the crawl-frontier shape; no join, no window. Every
+    * regex step is mirrored verbatim in the oracle (DuckDB needs the
+    * explicit 'g' flag where Spark replaces all matches by default). */
+  def urlCanonical(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val raw = graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"source", $"lang",
+        pmod($"doc_id", lit(50L)).as("pid"))
+      .withColumn("url", concat(
+        lit("https://"),
+        when(pmod($"doc_id", lit(3)) === 0, "www.").otherwise(""),
+        $"source", lit(".example.com"),
+        when(pmod($"doc_id", lit(5)) === 0, ":443").otherwise(""),
+        lit("/"), $"lang", lit("/doc-"), $"pid",
+        when(pmod($"doc_id", lit(2)) === 0, "/").otherwise(""),
+        lit("?utm_source="), $"source", lit("&id="), $"pid",
+        when(pmod($"doc_id", lit(4)) > 0,
+          concat(lit("#sec-"), pmod($"doc_id", lit(4)))).otherwise("")))
+    val canon = raw.withColumn("canonical",
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(regexp_replace(
+          $"url", "#.*$", ""),
+          "utm_[a-z_]+=[^&]*&?", ""),
+          "[?&]+$", ""),
+          "^https://www\\.", "https://"),
+          ":443/", "/"),
+          "/\\?", "?"))
+    canon.groupBy($"canonical")
+      .agg(count(lit(1)).as("n_dups"), min($"doc_id").as("keep_doc_id"))
+      .orderBy($"canonical")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_url_canonical" -> (urlCanonical _),
     "q_dedup_prefix_filter" -> (prefixFilterJaccard _),
     "q_dedup_semantic" -> (semanticDedup _),
     "q_dedup_containment" -> (containment _),
@@ -1307,6 +1354,35 @@ object DedupOps extends graft.QueryModule {
        |ORDER BY a_id, b_id""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "q_dedup_url_canonical" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    'https://' ||
+        |    CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END ||
+        |    source || '.example.com' ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END ||
+        |    '/' || lang || '/doc-' || CAST(doc_id % 50 AS VARCHAR) ||
+        |    CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END ||
+        |    '?utm_source=' || source ||
+        |    '&id=' || CAST(doc_id % 50 AS VARCHAR) ||
+        |    CASE WHEN doc_id % 4 > 0
+        |      THEN '#sec-' || CAST(doc_id % 4 AS VARCHAR) ELSE '' END
+        |    AS url
+        |  FROM documents),
+        |canon AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(regexp_replace(
+        |        url, '#.*$', '', 'g'),
+        |        'utm_[a-z_]+=[^&]*&?', '', 'g'),
+        |        '[?&]+$', '', 'g'),
+        |        '^https://www\.', 'https://', 'g'),
+        |        ':443/', '/', 'g'),
+        |        '/\?', '?', 'g') AS canonical
+        |  FROM raw)
+        |SELECT canonical, COUNT(*) AS n_dups,
+        |  CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id
+        |FROM canon GROUP BY 1 ORDER BY 1""".stripMargin,
     // ALL-PAIRS twin of the prefix-filtered join: equality certifies
     // the prefix filter is lossless (every jaccard>=0.5 pair collides
     // in the exposed prefixes), the All-Pairs completeness property

@@ -868,7 +868,43 @@ object MlOps extends graft.QueryModule {
       .orderBy($"frac10")
   }
 
+  /** q_ml_target_encode — LEAVE-ONE-OUT target encoding of a
+    * categorical feature (source → mean doc length), the standard
+    * high-cardinality encoder for tabular/ranker features: a row's own
+    * target is excluded from its category mean (enc = (Σ_g − x)/(n_g − 1))
+    * so the encoding never leaks the row's label, plus the m-estimate
+    * smoothed variant (enc_m = (Σ_g − x + m·μ)/(n_g − 1 + m), m = 10,
+    * μ = the global mean) that shrinks rare categories toward the
+    * prior (Micci-Barreca, SIGKDD Expl. 2001). Numerators stay exact
+    * int64; the one division per variant runs in double in the same
+    * operation order both engines use, micro-floored. A singleton
+    * category yields NULL for the pure LOO (0/0) and the prior-pulled
+    * value for the smoothed one — the reason the m-estimate exists.
+    *
+    * Scale: one partial-agg'd groupBy over the bounded category
+    * domain, the category frame broadcast back; no window, no per-key
+    * shuffle of the corpus. */
+  def targetEncode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"source", $"n_chars")
+    val g = docs.groupBy($"source")
+      .agg(sum($"n_chars").as("s"), count(lit(1)).as("n"))
+    val tot = docs.agg(sum($"n_chars").as("st"), count(lit(1)).as("nt"))
+    docs.join(broadcast(g), Seq("source"))
+      .crossJoin(broadcast(tot)) // 1-row global prior
+      .withColumn("mu", $"st".cast("double") / $"nt")
+      .select($"doc_id", $"source", $"n_chars",
+        when($"n" > 1L,
+          floor(($"s" - $"n_chars").cast("double") / ($"n" - 1L) * 1e6)
+            .cast("long") / 1e6).as("loo_enc"),
+        (floor((($"s" - $"n_chars").cast("double") + lit(10.0) * $"mu") /
+          ($"n" - 1L + 10L) * 1e6).cast("long") / 1e6).as("loo_enc_m10"))
+      .orderBy($"doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ml_target_encode" -> (targetEncode _),
     "q_ml_learning_curve" -> (learningCurve _),
     "q_ml_bootstrap_ci" -> (bootstrapCi _),
     "q_ml_dsir_select" -> (dsirSelect _),
@@ -897,6 +933,21 @@ object MlOps extends graft.QueryModule {
     "q_ml_hashing_tf_sql" -> (hashingTfSql _))
 
   def oracle: Map[String, String] = Map(
+    "q_ml_target_encode" ->
+      """WITH g AS (
+        |  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS s,
+        |    COUNT(*) AS n FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS st, COUNT(*) AS nt
+        |  FROM documents)
+        |SELECT d.doc_id, d.source, d.n_chars,
+        |  CASE WHEN g.n > 1 THEN
+        |    CAST(floor(CAST(g.s - d.n_chars AS DOUBLE) / (g.n - 1) * 1e6)
+        |      AS BIGINT) / 1e6 END AS loo_enc,
+        |  CAST(floor((CAST(g.s - d.n_chars AS DOUBLE)
+        |      + 10.0 * (CAST(t.st AS DOUBLE) / t.nt)) / (g.n - 1 + 10)
+        |      * 1e6) AS BIGINT) / 1e6 AS loo_enc_m10
+        |FROM documents d JOIN g USING (source) CROSS JOIN t
+        |ORDER BY d.doc_id""".stripMargin,
     "q_ml_learning_curve" ->
       """WITH h AS (
         |  SELECT n_chars,

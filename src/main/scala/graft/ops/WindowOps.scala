@@ -460,6 +460,50 @@ object WindowOps extends graft.QueryModule {
       .orderBy($"day")
   }
 
+  /** q_window_seasonal — classical additive day-of-week decomposition
+    * of the daily revenue series (the decompose a monitoring pipeline
+    * runs before setting anomaly thresholds): trend = centered
+    * 7-observation moving average (NULL at the edges where the window
+    * is short), seasonal = per-ISO-weekday mean of the DETRENDED
+    * series, residual = rev − trend − seasonal. Exactness discipline:
+    * rev in integer cents; the detrended series stays n-SCALED
+    * (d = 7·rev − Σ₇rev, exact int64 — the acf/cusum trick) so no
+    * division happens before the seasonal aggregation; each readout
+    * column then divides once in double in the same operation order
+    * both engines use, micro-floored dollars.
+    *
+    * Scale: the series lives on the BOUNDED day domain (the cusum
+    * rationale) — the keyless centered window runs over ≤ |days| rows
+    * after a partial-agg'd groupBy, and the ≤7-row weekday frame is
+    * broadcast back. */
+  def seasonal(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w7 = Window.orderBy($"day").rowsBetween(-3, 3) // bounded day domain
+    val daily = graft.Tables.orders(spark, sfDir)
+      .select(to_date($"o_orderdate").as("day"),
+        (AggOps.dec($"o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy($"day").agg(sum($"cents").as("rev"))
+      .withColumn("t7", sum($"rev").over(w7))
+      .withColumn("c7", count(lit(1)).over(w7))
+      .withColumn("dscaled", when($"c7" === 7, $"rev" * 7L - $"t7"))
+      .withColumn("dow", expr("weekday(day)") + 1) // ISO 1=Mon..7=Sun
+    val seas = daily.filter($"dscaled".isNotNull)
+      .groupBy($"dow")
+      .agg(sum($"dscaled").as("snum"), count(lit(1)).as("scnt")) // ≤7 rows
+    daily.join(broadcast(seas), Seq("dow"), "left")
+      .select($"day", $"rev".as("rev_cents"), $"dow",
+        when($"c7" === 7,
+          floor($"t7".cast("double") / 7.0 / 100.0 * 1e6).cast("long") / 1e6)
+          .as("trend_dollars"),
+        (floor($"snum".cast("double") / (lit(7.0) * $"scnt") / 100.0 * 1e6)
+          .cast("long") / 1e6).as("seasonal_dollars"),
+        when($"c7" === 7,
+          floor(($"rev" - $"t7".cast("double") / 7.0 -
+            $"snum".cast("double") / (lit(7.0) * $"scnt")) / 100.0 * 1e6)
+            .cast("long") / 1e6).as("residual_dollars"))
+      .orderBy($"day")
+  }
+
   /** q_window_acf — sample autocorrelation of the daily revenue
     * series at lags 1..7 (the weekly-seasonality diagnostic read
     * before choosing a resample/forecast window): r_k =
@@ -495,6 +539,7 @@ object WindowOps extends graft.QueryModule {
     "q_window_acf" -> (acf _),
     "q_window_drawdown" -> (drawdown _),
     "q_window_cusum" -> (cusum _),
+    "q_window_seasonal" -> (seasonal _),
     "q_window_ewma" -> (ewma _),
     "q_window_anomaly_zscore" -> (anomalyZscore _),
     "q_window_attribution" -> (attribution _),
@@ -568,6 +613,37 @@ object WindowOps extends graft.QueryModule {
         |  CAST(CASE WHEN rev = MAX(rev) OVER (ORDER BY day)
         |    THEN 1 ELSE 0 END AS INT) AS is_new_peak
         |FROM d ORDER BY day""".stripMargin,
+    "q_window_seasonal" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1),
+        |w AS (
+        |  SELECT day, rev,
+        |    CAST(SUM(rev) OVER (ORDER BY day
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS t7,
+        |    COUNT(*) OVER (ORDER BY day
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS c7,
+        |    isodow(day) AS dow
+        |  FROM daily),
+        |w2 AS (SELECT *, CASE WHEN c7 = 7 THEN rev * 7 - t7 END AS dscaled
+        |  FROM w),
+        |seas AS (
+        |  SELECT dow, CAST(SUM(dscaled) AS BIGINT) AS snum,
+        |    COUNT(*) AS scnt
+        |  FROM w2 WHERE dscaled IS NOT NULL GROUP BY 1)
+        |SELECT w2.day, w2.rev AS rev_cents, w2.dow,
+        |  CASE WHEN c7 = 7 THEN CAST(floor(CAST(t7 AS DOUBLE) / 7.0
+        |    / 100.0 * 1e6) AS BIGINT) / 1e6 END AS trend_dollars,
+        |  CAST(floor(CAST(snum AS DOUBLE) / (7.0 * scnt) / 100.0 * 1e6)
+        |    AS BIGINT) / 1e6 AS seasonal_dollars,
+        |  CASE WHEN c7 = 7 THEN CAST(floor((w2.rev
+        |    - CAST(t7 AS DOUBLE) / 7.0
+        |    - CAST(snum AS DOUBLE) / (7.0 * scnt)) / 100.0 * 1e6)
+        |    AS BIGINT) / 1e6 END AS residual_dollars
+        |FROM w2 LEFT JOIN seas USING (dow)
+        |ORDER BY w2.day""".stripMargin,
     "q_window_cusum" ->
       """WITH d AS (
         |  SELECT CAST(o_orderdate AS DATE) AS day,

@@ -102,6 +102,9 @@ object PlanAudit {
     // running sum/min over the BOUNDED day domain (|days| rows after
     // the partial-agg'd groupBy) + its 1-row (n, S) totals frame
     "q_window_cusum" -> Set("SinglePartition", "NestedLoop"),
+    // bounded day domain (the cusum rationale): the keyless centered
+    // 7-row window runs over ≤|days| rows after a partial-agg'd groupBy
+    "q_window_seasonal" -> Set("SinglePartition", "NestedLoop"),
     // price-ascending sweep over the BOUNDED price domain (1000
     // values) after the dominance-collapsing groupBy
     "q_sort_skyline" -> Set("SinglePartition"),
@@ -120,6 +123,9 @@ object PlanAudit {
     // 100-replicate-mean rank window + two 1-row frames crossJoined —
     // the corpus-sized fan-out collapses map-side via partial agg
     "q_ml_bootstrap_ci" -> Set("SinglePartition", "NestedLoop"),
+    // 1-row global-prior frame crossJoined broadcast (the bootstrap_ci
+    // shape); the category frame itself is a broadcast hash join
+    "q_ml_target_encode" -> Set("SinglePartition", "NestedLoop"),
     // 1-row vocab-totals frame crossJoined broadcast; rank window runs
     // over the 100 TakeOrderedAndProject survivors only
     "q_ml_dsir_select" -> Set("SinglePartition", "NestedLoop"),
