@@ -207,9 +207,57 @@ object SearchOps extends graft.QueryModule {
   private val RrfK = 60
   private val PrfSeeds = 3
 
+  /** q_search_ndcg — NDCG@{5,10,20} of the BM25 ranking (Järvelin &
+    * Kekäläinen, TOIS 2002), the graded retrieval-eval readout a
+    * search stack ships with: graded relevance comes from a
+    * RANKER-INDEPENDENT rule — rel = total query-term occurrences in
+    * the doc, capped at 25 — above every fixture tf, so effectively the raw term-frequency mass (the cap only bounds the 2^rel gain; NOT the ranker's
+    * score: BM25's tf saturation + length normalization reorder it,
+    * so the measured NDCG sits strictly below 1, non-vacuous at every scale) —
+    * DCG@k sums (2^rel − 1)/log2(rank+1) over the BM25 top-k, IDCG@k
+    * over the ideal (rel desc, doc_id) ordering, NDCG = DCG/IDCG.
+    * Per-position terms are round(,6)::DECIMAL and summed exactly (the
+    * double-sum-order discipline); the final ratio divides once in
+    * double, micro-floored.
+    *
+    * Scale: the ranking is the existing BM25 top-k heap; the ideal
+    * ranking is a global top-20 (TakeOrderedAndProject) over the
+    * rel frame, its rank window running over exactly 20 rows (the
+    * dsir pattern); the cutoff fan-out joins a 3-row k frame to
+    * ≤20-row frames — every NDCG-specific structure is bounded. */
+  def ndcg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w20 = org.apache.spark.sql.expressions.Window
+      .orderBy($"rel".desc, $"doc_id".asc) // runs over the 20-row cut
+    val ranked = bm25TopK(spark, sfDir).select($"rank", $"doc_id")
+    val rel = graft.Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        least(lit(25), size(filter(split($"text", " "),
+          t => t.isin(Terms: _*)))).as("rel"))
+    val dcgTerms = ranked.join(rel, Seq("doc_id"))
+      .withColumn("g", round((pow(lit(2.0), $"rel") - 1.0) /
+        log2($"rank" + 1.0), 6).cast("decimal(18,6)"))
+    val idealTerms = rel.orderBy($"rel".desc, $"doc_id".asc).limit(20)
+      .withColumn("irank", row_number().over(w20))
+      .withColumn("ig", round((pow(lit(2.0), $"rel") - 1.0) /
+        log2($"irank" + 1.0), 6).cast("decimal(18,6)"))
+    val ks = Seq(5, 10, 20).toDF("k")
+    val dcg = ks.join(dcgTerms, $"rank" <= $"k")
+      .groupBy($"k").agg(sum($"g").as("dcg"))
+    val idcg = ks.join(idealTerms, $"irank" <= $"k")
+      .groupBy($"k").agg(sum($"ig").as("idcg"))
+    dcg.join(idcg, Seq("k"))
+      .select($"k", $"dcg".cast("double").as("dcg"),
+        $"idcg".cast("double").as("idcg"),
+        (floor($"dcg".cast("double") / $"idcg".cast("double") * 1e6)
+          .cast("long") / 1e6).as("ndcg"))
+      .orderBy($"k")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_keyword_search" -> (keywordSearch _),
     "q_text_bm25_topk" -> (bm25TopK _),
+    "q_search_ndcg" -> (ndcg _),
     "q_search_hybrid_rrf" -> (hybridRrf _))
 
   private def termList = Terms.map(t => s"'$t'").mkString(", ")
@@ -235,6 +283,39 @@ object SearchOps extends graft.QueryModule {
          |    AS rank,
          |  doc_id, score
          |FROM sc ORDER BY rank LIMIT 20""".stripMargin,
+    "q_search_ndcg" ->
+      s"""$bm25Ctes,
+         |ranked AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+         |    AS INT) AS rank, doc_id
+         |  FROM sc ORDER BY rank LIMIT 20),
+         |rel AS (
+         |  SELECT doc_id,
+         |    least(25, len(list_filter(string_split(text, ' '),
+         |      t -> list_contains([$termList], t)))) AS rel
+         |  FROM documents),
+         |dcgt AS (
+         |  SELECT r.rank,
+         |    CAST(round((pow(2.0, rel.rel) - 1.0) / log2(r.rank + 1.0), 6)
+         |      AS DECIMAL(18,6)) AS g
+         |  FROM ranked r JOIN rel USING (doc_id)),
+         |ideal AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY rel DESC, doc_id)
+         |    AS INT) AS irank, rel
+         |  FROM rel ORDER BY rel DESC, doc_id LIMIT 20),
+         |idt AS (
+         |  SELECT irank,
+         |    CAST(round((pow(2.0, rel) - 1.0) / log2(irank + 1.0), 6)
+         |      AS DECIMAL(18,6)) AS ig
+         |  FROM ideal),
+         |ks AS (SELECT unnest([5, 10, 20]) AS k),
+         |d AS (SELECT k, CAST(SUM(g) AS DOUBLE) AS dcg
+         |  FROM ks JOIN dcgt ON rank <= k GROUP BY k),
+         |i AS (SELECT k, CAST(SUM(ig) AS DOUBLE) AS idcg
+         |  FROM ks JOIN idt ON irank <= k GROUP BY k)
+         |SELECT d.k, d.dcg, i.idcg,
+         |  CAST(floor(d.dcg / i.idcg * 1e6) AS BIGINT) / 1e6 AS ndcg
+         |FROM d JOIN i USING (k) ORDER BY k""".stripMargin,
     "q_search_hybrid_rrf" ->
       s"""$bm25Ctes,
          |bm AS (

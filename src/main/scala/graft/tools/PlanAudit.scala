@@ -126,6 +126,10 @@ object PlanAudit {
     // 1-row global-prior frame crossJoined broadcast (the bootstrap_ci
     // shape); the category frame itself is a broadcast hash join
     "q_ml_target_encode" -> Set("SinglePartition", "NestedLoop"),
+    // cutoff fan-out joins a 3-row k frame to <=20-row ranked frames
+    // (inequality -> broadcast nested loop); the ideal-rank window
+    // runs over exactly 20 rows after TakeOrdered (the dsir pattern)
+    "q_search_ndcg" -> Set("SinglePartition", "NestedLoop"),
     // 1-row vocab-totals frame crossJoined broadcast; rank window runs
     // over the 100 TakeOrderedAndProject survivors only
     "q_ml_dsir_select" -> Set("SinglePartition", "NestedLoop"),

@@ -90,6 +90,24 @@ class Wave13Spec extends SparkTestBase {
     }
   }
 
+  test("q_search_ndcg: monotone cutoffs, bounded in (0,1], non-vacuous") {
+    val rows = graft.SparkEntry.queries("q_search_ndcg")(spark, sf0001)
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(5, 10, 20))
+    rows.foreach { case (k, dcg, idcg, ndcg) =>
+      assert(dcg > 0 && idcg >= dcg, s"k=$k dcg=$dcg idcg=$idcg")
+      assert(ndcg > 0 && ndcg <= 1, s"k=$k ndcg=$ndcg")
+      assert(ndcg == micro(dcg / idcg), s"k=$k readout")
+    }
+    // DCG/IDCG accumulate with k (gains are non-negative)
+    assert(rows.map(_._2).toSeq == rows.map(_._2).sorted.toSeq)
+    assert(rows.map(_._3).toSeq == rows.map(_._3).sorted.toSeq)
+    // non-vacuous: the tf-graded ideal diverges from the BM25 order
+    // somewhere in the top-20 (BM25 saturates tf; raw tf does not)
+    assert(rows.exists(_._4 < 1.0), rows.mkString(","))
+  }
+
   test("q_dedup_url_canonical: canonicalizer replay; dups are real") {
     val rows = graft.SparkEntry.queries("q_dedup_url_canonical")(spark, sf0001)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
