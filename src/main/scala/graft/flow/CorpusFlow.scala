@@ -54,7 +54,14 @@ final case class CorpusConfig(baseDir: String, sfDir: String,
                               // MixBatch consumes DsirSelectBatch and
                               // raw-pool docs below this w_micro are
                               // dropped (target-source docs pass).
-                              dsirMinMicro: Option[Long] = None) {
+                              dsirMinMicro: Option[Long] = None,
+                              // crawl-URL dedup knob: when on, a
+                              // UrlDedupBatch stage (canonical-URL
+                              // first-seen-wins, cumulative UrlIndex
+                              // chain) runs at the HEAD of the ladder
+                              // before the quality gate — the cheapest
+                              // dedup pass of a web corpus.
+                              urlDedup: Boolean = false) {
   require(sliceSize > overlap,
     s"sliceSize ($sliceSize) must exceed overlap ($overlap) — " +
       "a non-positive step would never advance the batch ladder")
@@ -115,14 +122,70 @@ object CorpusFlow {
 
   /** Gopher-lite quality gate over one batch: token floor + unique
     * ratio + alpha ratio, a pure narrow map (filters reach the scan). */
+  /** Config-gated crawl-URL dedup at the HEAD of the ladder (the
+    * cheapest dedup pass a web corpus has — URL noise is resolved
+    * before any content hashing): per canonical URL
+    * ([[graft.llm.DedupOps.canonicalUrl]], first-seen-wins by doc_id),
+    * keep only rows whose canonical is not already claimed by the
+    * cumulative [[UrlIndex]] (batches 0..i-1's survivors — the FpIndex
+    * i-chain discipline). The fixture derives its synthetic crawl URL;
+    * a real crawl carries the column and drops that one line. */
+  final case class UrlDedupBatch(cfg: CorpusConfig, i: Int) extends Task {
+    override def name = s"UrlDedupBatch($i)"
+    override def requires: Seq[Task] =
+      if (i == 0) Seq(IngestBatch(cfg, i))
+      else Seq(IngestBatch(cfg, i), UrlIndex(cfg, i - 1))
+    val output: DirTarget = DirTarget(s"${cfg.baseDir}/batch_$i/url_deduped")
+    def run(spark: SparkSession): Unit = {
+      import org.apache.spark.sql.expressions.Window
+      val batch = spark.read.parquet(requires.head.output.uri)
+        .withColumn("curl", graft.llm.DedupOps.canonicalUrl(
+          graft.llm.DedupOps.syntheticCrawlUrl(
+            col("doc_id"), col("source"), col("lang"))))
+      val withinFirst = batch.withColumn("rn",
+          row_number().over(Window.partitionBy(col("curl"))
+            .orderBy(col("doc_id"))))
+        .filter(col("rn") === 1).drop("rn")
+      val kept =
+        if (i == 0) withinFirst
+        else withinFirst.join(
+          spark.read.parquet(requires(1).output.uri), Seq("curl"),
+          "left_anti")
+      output.atomicWrite { tmp => kept.write.parquet(tmp) }
+    }
+  }
+
+  /** Cumulative canonical-URL index after batch i — one column, read
+    * back from the batch UrlDedupBatch just wrote (never recomputed);
+    * the FpIndex discipline applied to the URL chain. */
+  final case class UrlIndex(cfg: CorpusConfig, i: Int) extends Task {
+    override def name = s"UrlIndex($i)"
+    override def requires: Seq[Task] =
+      if (i == 0) Seq(UrlDedupBatch(cfg, i))
+      else Seq(UrlDedupBatch(cfg, i), UrlIndex(cfg, i - 1))
+    val output: DirTarget = DirTarget(s"${cfg.baseDir}/batch_$i/url_index")
+    def run(spark: SparkSession): Unit = {
+      val batchUrls = spark.read.parquet(requires.head.output.uri)
+        .select(col("curl"))
+      val newIndex =
+        if (i == 0) batchUrls.distinct()
+        else spark.read.parquet(requires(1).output.uri)
+          .union(batchUrls).distinct()
+      output.atomicWrite { tmp => newIndex.write.parquet(tmp) }
+    }
+  }
+
   final case class QualityGate(cfg: CorpusConfig, i: Int) extends Task {
     override def name = s"QualityGate($i)"
-    override def requires: Seq[Task] = Seq(IngestBatch(cfg, i))
+    override def requires: Seq[Task] =
+      if (cfg.urlDedup) Seq(UrlDedupBatch(cfg, i))
+      else Seq(IngestBatch(cfg, i))
     val output: DirTarget = DirTarget(s"${cfg.baseDir}/batch_$i/clean")
     def run(spark: SparkSession): Unit = {
       val toks = split(col("text"), " ")
       output.atomicWrite { tmp =>
         spark.read.parquet(requires.head.output.uri)
+          .drop("curl") // the URL stage's working column, not corpus data
           .withColumn("n_tokens", size(toks))
           .withColumn("unique_ratio",
             size(array_distinct(toks)).cast("double") /
@@ -598,8 +661,9 @@ object CorpusFlow {
     val output: DirTarget = DirTarget(s"${cfg.baseDir}/funnel")
     def run(spark: SparkSession): Unit = {
       val n = readManifest(requires.head.output.uri).length
-      val stages = Seq("raw", "clean", "deduped", "near_deduped",
-        "decontaminated") ++
+      val stages = Seq("raw") ++
+        (if (cfg.urlDedup) Seq("url_deduped") else Nil) ++
+        Seq("clean", "deduped", "near_deduped", "decontaminated") ++
         (if (cfg.dsirMinMicro.isDefined) Seq("selected") else Nil) ++
         Seq("mixed", "packed")
       def stageCounts(stage: String) =
@@ -637,8 +701,11 @@ object CorpusFlow {
     def run(spark: SparkSession): Unit = {
       def ids(stage: String) = spark.read
         .parquet(s"${cfg.baseDir}/batch_$i/$stage").select(col("doc_id"))
-      val ladder = Seq(
-        ("raw", "clean", "quality_fail"),
+      val ladder =
+        (if (cfg.urlDedup)
+          Seq(("raw", "url_deduped", "url_dup"),
+            ("url_deduped", "clean", "quality_fail"))
+        else Seq(("raw", "clean", "quality_fail"))) ++ Seq(
         ("clean", "deduped", "exact_dup"),
         ("deduped", "near_deduped", "near_dup"),
         ("near_deduped", "decontaminated", "decontaminated")) ++

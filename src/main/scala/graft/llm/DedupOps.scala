@@ -1100,32 +1100,53 @@ object DedupOps extends graft.QueryModule {
     * explicit 'g' flag where Spark replaces all matches by default). */
   def urlCanonical(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val raw = graft.Tables.documents(spark, sfDir)
-      .select($"doc_id", $"source", $"lang",
-        pmod($"doc_id", lit(50L)).as("pid"))
-      .withColumn("url", concat(
-        lit("https://"),
-        when(pmod($"doc_id", lit(3)) === 0, "www.").otherwise(""),
-        $"source", lit(".example.com"),
-        when(pmod($"doc_id", lit(5)) === 0, ":443").otherwise(""),
-        lit("/"), $"lang", lit("/doc-"), $"pid",
-        when(pmod($"doc_id", lit(2)) === 0, "/").otherwise(""),
-        lit("?utm_source="), $"source", lit("&id="), $"pid",
-        when(pmod($"doc_id", lit(4)) > 0,
-          concat(lit("#sec-"), pmod($"doc_id", lit(4)))).otherwise("")))
-    val canon = raw.withColumn("canonical",
-      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-        regexp_replace(regexp_replace(
-          $"url", "#.*$", ""),
-          "utm_[a-z_]+=[^&]*&?", ""),
-          "[?&]+$", ""),
-          "^https://www\\.", "https://"),
-          ":443/", "/"),
-          "/\\?", "?"))
-    canon.groupBy($"canonical")
+    graft.Tables.documents(spark, sfDir)
+      .withColumn("canonical",
+        canonicalUrl(syntheticCrawlUrl($"doc_id", $"source", $"lang")))
+      .groupBy($"canonical")
       .agg(count(lit(1)).as("n_dups"), min($"doc_id").as("keep_doc_id"))
       .orderBy($"canonical")
   }
+
+  /** The synthetic crawl URL of a fixture doc (the fixture carries no
+    * url column; a real crawl does and skips this) — planted noise:
+    * www prefix, https default port, trailing slash, utm params,
+    * fragment; docs sharing (source, lang, doc_id mod 50) collide by
+    * construction. Shared by q_dedup_url_canonical and the CorpusFlow
+    * UrlDedupBatch stage so the two can never drift. */
+  def syntheticCrawlUrl(docId: org.apache.spark.sql.Column,
+                        source: org.apache.spark.sql.Column,
+                        lang: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val pid = pmod(docId, lit(50L))
+    concat(
+      lit("https://"),
+      when(pmod(docId, lit(3)) === 0, "www.").otherwise(""),
+      source, lit(".example.com"),
+      when(pmod(docId, lit(5)) === 0, ":443").otherwise(""),
+      lit("/"), lang, lit("/doc-"), pid,
+      when(pmod(docId, lit(2)) === 0, "/").otherwise(""),
+      lit("?utm_source="), source, lit("&id="), pid,
+      when(pmod(docId, lit(4)) > 0,
+        concat(lit("#sec-"), pmod(docId, lit(4)))).otherwise(""))
+  }
+
+  /** The canonicalization rule chain (RFC 3986 §6 plus the
+    * tracking-param strip every crawler applies): drop fragment, strip
+    * utm_* params, tidy dangling ?/&, drop the https default port,
+    * strip www., drop the trailing path slash. Mirrored verbatim in
+    * the q_dedup_url_canonical oracle (DuckDB needs the explicit 'g'
+    * flag where Spark replaces all matches by default). */
+  def canonicalUrl(url: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(
+        url, "#.*$", ""),
+        "utm_[a-z_]+=[^&]*&?", ""),
+        "[?&]+$", ""),
+        "^https://www\\.", "https://"),
+        ":443/", "/"),
+        "/\\?", "?")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_url_canonical" -> (urlCanonical _),

@@ -307,6 +307,68 @@ class CorpusFlowSpec extends SparkTestBase {
     }
   }
 
+  test("corpus flow: URL-dedup knob heads the ladder, cumulative across batches") {
+    import spark.implicits._
+    val cfg = CorpusConfig(
+      Files.createTempDirectory("graft_corpus_url").toString, sf0001,
+      urlDedup = true)
+    val root = CorpusFlow.CurateAll(cfg)
+    val executed = Runner.runParallel(root, spark, workers = 2)
+    val manifest = CorpusFlow.readManifest(s"${cfg.baseDir}/batches.manifest")
+    val n = manifest.length
+    assert(executed.count(_.startsWith("UrlDedupBatch")) == n)
+    // the LAST index has no consumer yet — it builds on demand when a
+    // future batch n arrives (the FpIndex chain behaves the same way)
+    assert(executed.count(_.startsWith("UrlIndex")) == n - 1)
+    // re-run is a no-op with the knob on too
+    assert(Runner.runParallel(root, spark, workers = 2).isEmpty)
+
+    // replay: first-seen-wins per canonical URL, cumulative in batch
+    // order, via the CLEAN-form canonicalizer (not the regex chain)
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select($"doc_id", $"source", $"lang").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    def canon(id: Long, src: String, lang: String) =
+      s"https://$src.example.com/$lang/doc-${id % 50}?id=${id % 50}"
+    val byId = docs.map(d => d._1 -> d).toMap
+    val seen = collection.mutable.Set.empty[String]
+    var urlDropsTotal = 0L
+    manifest.zipWithIndex.foreach { case ((lo, hi), i) =>
+      val raw = spark.read.parquet(s"${cfg.baseDir}/batch_$i/raw")
+        .select($"doc_id").collect().map(_.getLong(0)).sorted
+      val expected = raw.flatMap { id =>
+        val (_, src, lang) = byId(id)
+        val c = canon(id, src, lang)
+        if (seen.add(c)) Some(id) else None
+      }.toSet
+      val kept = spark.read.parquet(s"${cfg.baseDir}/batch_$i/url_deduped")
+        .select($"doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept === expected, s"batch $i URL dedup mismatch")
+      urlDropsTotal += raw.length - kept.size
+    }
+    assert(urlDropsTotal > 0, "URL dedup dropped nothing (vacuous)")
+
+    // funnel carries the stage at the ladder head and stays monotone
+    val funnel = spark.read.parquet(s"${cfg.baseDir}/funnel")
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2))
+      .toMap.withDefaultValue(0L)
+    (0 until n).foreach { i =>
+      Seq("raw", "url_deduped", "clean").sliding(2).foreach {
+        case Seq(a, b) => assert(funnel((i, a)) >= funnel((i, b)),
+          s"batch $i: $a=${funnel((i, a))} < $b=${funnel((i, b))}")
+      }
+    }
+    // the drop ledger attributes URL drops, and the working column
+    // never leaks downstream
+    val reasons = (0 until n).flatMap { i =>
+      spark.read.parquet(s"${cfg.baseDir}/batch_$i/drop_ledger")
+        .select($"reason").collect().map(_.getString(0))
+    }
+    assert(reasons.contains("url_dup"))
+    assert(!spark.read.parquet(s"${cfg.baseDir}/batch_0/clean")
+      .columns.contains("curl"))
+  }
+
   test("corpus flow: DSIR knob inserts a selection stage matching a Scala replay") {
     import spark.implicits._
     val cfg = CorpusConfig(
