@@ -149,6 +149,43 @@ object StreamOps extends graft.QueryModule {
       .orderBy($"win_start_ms", $"event_type")
   }
 
+  /** q_stream_tx_publish — streaming SNAPSHOT PUBLISH through the
+    * transactional DSv2 sink ([[graft.sources.TxManifestSource]]): the
+    * per-(window, type) aggregate runs in complete mode and each
+    * micro-batch republishes the serving snapshot atomically — one
+    * staging write + ONE manifest rename per trigger, so a reader sees
+    * the previous complete snapshot or the new one, never a
+    * half-written table, and a crashed trigger leaves the old snapshot
+    * live (TxSinkSpec's abort contract). The snapshot pattern fits
+    * BOUNDED serving aggregates (window × type totals here — the
+    * output domain, not the stream, bounds the rewrite); unbounded-key
+    * serving tables take the partition-scoped upsert path
+    * ([[liveTumblingUpsert]]) instead. Final published snapshot equals
+    * the batch aggregate, so this shares the tumbling oracle. */
+  def liveTxPublish(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val agg = eventsStream(spark, sfDir)
+      .groupBy(window($"ts", "15 minutes").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+        graft.ops.AggOps.dsum($"value").as("sum_value"))
+      .select(unix_millis($"w.start").as("win_start_ms"), $"event_type",
+        $"n", $"sum_value")
+    val target = s"${graft.Artifacts.root}/graft_stream_txpub/" +
+      java.lang.Integer.toHexString(sfDir.hashCode)
+    val q = agg.writeStream
+      .outputMode("complete")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.format("graft.sources.TxManifestSource")
+          .option("path", target).mode("overwrite").save()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.format("graft.sources.TxManifestSource")
+      .option("path", target).load()
+      .orderBy($"win_start_ms", $"event_type")
+  }
+
   /** MERGE a micro-batch into a parquet target PARTITION-SCOPED: the
     * target is partitioned on a window-derived key (`partCol` =
     * `partExpr`, e.g. the window's calendar date) and each micro-batch
@@ -454,7 +491,8 @@ object StreamOps extends graft.QueryModule {
     "q_stream_sliding" -> (sliding _),
     "q_stream_session" -> (sessions _),
     "q_stream_late_drop" -> (lateDrop _),
-    "q_stream_live_cusum" -> (liveCusum _))
+    "q_stream_live_cusum" -> (liveCusum _),
+    "q_stream_tx_publish" -> (liveTxPublish _))
 
   private val tumblingOracle: String =
     """SELECT (epoch_ms(ts) // 900000) * 900000 AS win_start_ms, event_type,
@@ -513,6 +551,7 @@ object StreamOps extends graft.QueryModule {
         |  peak_cents, peak_cents - rev_cents AS drawdown_cents
         |FROM s ORDER BY event_type, win_start_ms""".stripMargin,
     "q_stream_upsert_sink" -> tumblingOracle,
+    "q_stream_tx_publish" -> tumblingOracle,
     "q_stream_stream_join" ->
       """SELECT v.user_id AS user_id, v.event_id AS v_id, c.event_id AS c_id,
         |  epoch_ms(c.ts) - epoch_ms(v.ts) AS lag_ms

@@ -117,6 +117,42 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("tx-publish sink: each trigger swaps the snapshot atomically, one version live") {
+    implicit val sqlCtx = spark.sqlContext
+    val target = java.nio.file.Files
+      .createTempDirectory("graft_txpub").toString + "/table"
+    val fmt = "graft.sources.TxManifestSource"
+    val stream = MemoryStream[(Timestamp, String)]
+    val agg = stream.toDF().toDF("ts", "event_type")
+      .groupBy(window($"ts", "5 minutes").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select(unix_millis($"w.start").as("win_start_ms"), $"event_type", $"n")
+    val q = agg.writeStream.outputMode(OutputMode.Complete())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.write.format(fmt).option("path", target)
+          .mode("overwrite").save()
+      }.start()
+    try {
+      def snapshot() = spark.read.format(fmt).option("path", target).load()
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      val (w0, w5) = (ts(0).getTime, ts(5).getTime)
+      stream.addData((ts(1), "a"), (ts(2), "a"), (ts(7), "b"))
+      q.processAllAvailable()
+      assert(snapshot() == Map((w0, "a") -> 2L, (w5, "b") -> 1L))
+      stream.addData((ts(3), "a"))
+      q.processAllAvailable()
+      // complete-mode snapshot REPLACED, not merged
+      assert(snapshot() == Map((w0, "a") -> 3L, (w5, "b") -> 1L))
+      // the swap GC'd the previous version: exactly one version dir
+      // referenced, no staging litter
+      val files = new java.io.File(target).listFiles()
+      assert(files.count(f => f.isDirectory && f.getName.startsWith("v-")) == 1,
+        files.mkString(","))
+      assert(!files.exists(_.getName.startsWith(".staging-")))
+    } finally q.stop()
+  }
+
   test("upsert sink rewrites only touched partitions; others stay byte-identical") {
     implicit val sqlCtx = spark.sqlContext
     val target = java.nio.file.Files
