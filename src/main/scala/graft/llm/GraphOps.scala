@@ -147,7 +147,98 @@ object GraphOps extends graft.QueryModule {
       out.result()
     })
 
+  /** q_graph_adamic_adar — link prediction over the BASKET co-purchase
+    * graph (edges = part pairs with support ≥ 2, [[marketBasket]]'s
+    * output): for every non-adjacent pair at distance 2, the
+    * common-neighbor count and the Adamic–Adar score
+    * Σ_{w ∈ N(u)∩N(v)} 1/ln(deg w) (Adamic & Adar, Social Networks
+    * 2003) — rare shared neighbors count more than hubs. Top-20
+    * predicted links out. (Runs on the basket graph, not the near-dup
+    * graph, for the reason [[marketBasket]]'s scaladoc records:
+    * planted dup groups are cliques — every wedge closes — so common-
+    * neighbor scores there are structurally vacuous.)
+    *
+    * Numerics: each wedge term is round(1/ln(deg_w),6)::DECIMAL(18,6)
+    * from the integer degree (deg ≥ 2 by construction — a wedge
+    * middle has ≥ 2 neighbors), summed exactly; the readout casts
+    * once. Scale: the wedge join fans out Σ_w deg(w)² over the
+    * SUPPORT-FILTERED edge list — the support threshold is the hub
+    * guard (the df-cutoff discipline: a mega-hub part would need
+    * support ≥ 2 with thousands of partners to blow up, and the cap
+    * documented in marketBasket bounds baskets first); the anti-join
+    * removes existing edges before any per-pair work, and the top-20
+    * is a TakeOrderedAndProject heap, never a global sort. */
+  def adamicAdar(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val edges = marketBasket(spark, sfDir)
+      .select($"a_id", $"b_id").localCheckpoint() // feeds adj ×2 + anti
+    val adj = edges.select($"a_id".as("src"), $"b_id".as("dst"))
+      .union(edges.select($"b_id".as("src"), $"a_id".as("dst")))
+    val deg = adj.groupBy($"src").agg(count(lit(1)).as("deg"))
+    val wedges = adj.select($"src".as("u"), $"dst".as("w"))
+      .join(adj.select($"src".as("w"), $"dst".as("v")), Seq("w"))
+      .filter($"u" < $"v") // each unordered pair once per middle
+      .join(deg.select($"src".as("w"), $"deg"), Seq("w"))
+    val scored = wedges.groupBy($"u", $"v")
+      .agg(count(lit(1)).as("common_neighbors"),
+        sum(round(lit(1.0) / log($"deg".cast("double")), 6)
+          .cast("decimal(18,6)")).as("aa"))
+    scored.join(edges,
+        scored("u") === edges("a_id") && scored("v") === edges("b_id"),
+        "left_anti") // predicted links only — drop existing edges
+      .select($"u".as("a_id"), $"v".as("b_id"), $"common_neighbors",
+        $"aa".cast("double").as("aa_score"))
+      .orderBy($"aa_score".desc, $"a_id", $"b_id").limit(20) // top-k heap
+  }
+
+  /** q_graph_assortativity — degree assortativity of the basket
+    * co-purchase graph (Newman, PRL 2002): the Pearson correlation of
+    * endpoint degrees over the directed edge list (each undirected
+    * edge contributes both orientations — exactly Newman's r). r < 0
+    * (hubs attach to leaves) vs r > 0 (hub-hub cores) is the one-
+    * number structure readout that says whether the dedup/basket
+    * graph is star-like or clique-like — and hence which traversal
+    * strategies degrade. All five moments are exact int64 sums of
+    * degree products (deg ≤ |V|, safe far past any vocab), ONE
+    * micro-floored double division; the edge list and degree frame
+    * are [[marketBasket]]'s support-filtered output.
+    *
+    * Scale: two hash aggregations (degrees, moments) over the
+    * vocabulary-sized edge list + a broadcast degree join. 1-row
+    * readout. */
+  def assortativity(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = marketBasket(spark, sfDir).select($"a_id", $"b_id")
+    val edges = pairs.select($"a_id".as("src"), $"b_id".as("dst"))
+      .union(pairs.select($"b_id".as("src"), $"a_id".as("dst")))
+      .localCheckpoint() // feeds degrees + both moment joins
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+    def micro(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor(c * 1e6).cast("long") / 1e6
+    val n = deg.agg(count(lit(1)).as("n_nodes")) // 1 row
+    edges
+      .join(deg.select($"src", $"deg".as("dj")), Seq("src"))
+      .join(deg.select($"src".as("dst"), $"deg".as("dk")), Seq("dst"))
+      .agg(count(lit(1)).as("m2"), sum($"dj" * $"dk").as("sjk"),
+        sum($"dj" + $"dk").as("sj"),
+        sum($"dj" * $"dj" + $"dk" * $"dk").as("sjj"))
+      .crossJoin(broadcast(n))
+      // Newman's r = (M·Σjk − ΣjΣk)/√((M·Σj²−(Σj)²)(M·Σk²−(Σk)²));
+      // both orientations present ⇒ Σj = Σk = sj/2 and Σj² = Σk² =
+      // sjj/2 (both even), so the sqrt collapses and r =
+      // (m2·sjk − h²)/(m2·(sjj/2) − h²) with h = sj/2 — EXACT int64
+      // end to end (deg ≤ |V|: all products ≤ ~5e13 at vocab scale),
+      // one micro-floored double division
+      .withColumn("h", expr("sj div 2L"))
+      .select($"n_nodes", expr("m2 div 2L").as("n_edges"),
+        micro(($"m2" * $"sjk" - $"h" * $"h").cast("double") /
+          ($"m2" * expr("sjj div 2L") - $"h" * $"h").cast("double"))
+          .as("assortativity"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_assortativity" -> (assortativity _),
+    "q_graph_adamic_adar" -> (adamicAdar _),
     "q_graph_pagerank" -> (pagerank _),
     "q_graph_market_basket" -> (marketBasket _))
 
@@ -165,6 +256,59 @@ object GraphOps extends graft.QueryModule {
        |  FROM deg d LEFT JOIN s$k s ON d.src = s.id)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "q_graph_assortativity" ->
+      """WITH bi AS (
+        |  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+        |  FROM lineitem),
+        |p AS (
+        |  SELECT x.item AS a_id, y.item AS b_id
+        |  FROM bi x JOIN bi y ON x.basket = y.basket AND x.item < y.item
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |adj AS (
+        |  SELECT a_id AS src, b_id AS dst FROM p
+        |  UNION ALL SELECT b_id, a_id FROM p),
+        |deg AS (SELECT src, COUNT(*) AS deg FROM adj GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_nodes FROM deg),
+        |g AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS m2,
+        |    CAST(SUM(dj.deg * dk.deg) AS BIGINT) AS sjk,
+        |    CAST(SUM(dj.deg + dk.deg) AS BIGINT) AS sj,
+        |    CAST(SUM(dj.deg * dj.deg + dk.deg * dk.deg) AS BIGINT) AS sjj
+        |  FROM adj e
+        |  JOIN deg dj ON e.src = dj.src
+        |  JOIN deg dk ON e.dst = dk.src)
+        |SELECT n_nodes, m2 // 2 AS n_edges,
+        |  CAST(floor(CAST(m2 * sjk - (sj // 2) * (sj // 2) AS DOUBLE) /
+        |    CAST(m2 * (sjj // 2) - (sj // 2) * (sj // 2) AS DOUBLE)
+        |    * 1e6) AS BIGINT) / 1e6 AS assortativity
+        |FROM g CROSS JOIN n""".stripMargin,
+    "q_graph_adamic_adar" ->
+      """WITH bi AS (
+        |  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+        |  FROM lineitem),
+        |p AS (
+        |  SELECT x.item AS a_id, y.item AS b_id
+        |  FROM bi x JOIN bi y ON x.basket = y.basket AND x.item < y.item
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |adj AS (
+        |  SELECT a_id AS src, b_id AS dst FROM p
+        |  UNION ALL SELECT b_id, a_id FROM p),
+        |deg AS (SELECT src, COUNT(*) AS deg FROM adj GROUP BY 1),
+        |wedge AS (
+        |  SELECT x.src AS u, y.dst AS v, d.deg
+        |  FROM adj x JOIN adj y ON x.dst = y.src AND x.src < y.dst
+        |  JOIN deg d ON x.dst = d.src),
+        |scored AS (
+        |  SELECT u, v, CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+        |    SUM(CAST(round(1.0 / ln(CAST(deg AS DOUBLE)), 6)
+        |      AS DECIMAL(18,6))) AS aa
+        |  FROM wedge GROUP BY 1, 2)
+        |SELECT u AS a_id, v AS b_id, common_neighbors,
+        |  CAST(aa AS DOUBLE) AS aa_score
+        |FROM scored s
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM p WHERE p.a_id = s.u AND p.b_id = s.v)
+        |ORDER BY aa_score DESC, a_id, b_id LIMIT 20""".stripMargin,
     "q_graph_market_basket" ->
       """WITH bi AS (
         |  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item

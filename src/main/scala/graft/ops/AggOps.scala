@@ -466,7 +466,131 @@ object AggOps extends graft.QueryModule {
       .orderBy($"l_returnflag")
   }
 
+  /** q_agg_theil_sen — Theil–Sen estimator (Theil 1950, Sen 1968) of
+    * the daily-revenue trend: the MEDIAN of all pairwise slopes
+    * (rev_j − rev_i)/(day_j − day_i), the robust companion to
+    * [[olsFit]] — a single outlier day moves OLS arbitrarily but
+    * shifts a median of ~n²/2 slopes by one order statistic.
+    * Numerics: revenue in exact integer cents; each pairwise slope is
+    * ONE double division round(Δcents/(Δdays·100),6)::DECIMAL(18,6)
+    * (dollars/day, identical operation order in the twin); the median
+    * is the mean of the slope VALUES at the two middle ranks of the
+    * multiset (ties need no row tiebreak — the value at a fixed rank
+    * is permutation-invariant), summed as exact DECIMAL and divided
+    * once, micro-floored.
+    *
+    * Scale: the pair frame is the bounded-day-domain self-join
+    * (|days|² grows with the calendar, not the corpus — the
+    * mann_kendall rationale), but even calendar-bounded it is ~3M
+    * rows at a 6½-year span, so NO global sort or keyless window ever
+    * sees it: distributed SELECTION with sign(m)·⌊√|m|⌋ buckets —
+    * sqrt is IEEE-correctly-rounded in both engines (the
+    * temperatureMix bridge), the transform is monotone so bucket
+    * order = value order, and its width grows with |m|, which makes
+    * the dense-near-zero slope mass land in FINE buckets. Pass 1 is a
+    * map-side-combined bucket count (3M rows → ≤2·√max|m| cells);
+    * the bucket cumsum locates which 1-2 buckets hold the middle
+    * ranks; pass 2 ranks INSIDE those buckets only. (Measured at
+    * sf0.1: plain global rank window 7.4 s → full-frame per-bucket
+    * window 4.8-6.9 s → this two-pass selection is the one that
+    * actually removes the 3M-row sort from the plan.) */
+  def theilSen(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w2 = org.apache.spark.sql.expressions.Window
+    val daily = graft.Tables.orders(spark, sfDir)
+      .select(to_date($"o_orderdate").as("day"),
+        (dec($"o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy($"day").agg(sum($"cents").as("rev"))
+      .localCheckpoint() // bounded day domain; feeds both join legs
+    val a = daily.select($"day".as("d1"), $"rev".as("r1"))
+    val b = daily.select($"day".as("d2"), $"rev".as("r2"))
+    // greatest(·,1): InferFiltersFromConstraints derives isnotnull(bkt)
+    // from the downstream equi-join and evaluates it INSIDE the BNLJ
+    // condition, i.e. on d1==d2 diagonal pairs the d1<d2 conjunct has
+    // not yet excluded — an unguarded datediff hits ANSI
+    // DIVIDE_BY_ZERO there. No surviving row has datediff < 1, so the
+    // guard never changes a value (the oracle needs none: DuckDB
+    // applies the join condition first).
+    val slopes = a.join(b, $"d1" < $"d2") // bounded |days|² pair frame
+      .select(round(($"r2" - $"r1").cast("double") /
+          (greatest(datediff($"d2", $"d1"), lit(1)).cast("double") * 100.0),
+          6).cast("decimal(18,6)").as("m"))
+      .withColumn("bkt", (signum($"m".cast("double")) *
+        floor(sqrt(abs($"m".cast("double"))))).cast("long"))
+      // checkpointed: the per-pair projection (round + decimal cast +
+      // sqrt bucket) is the expensive part — measured 10 s when both
+      // passes replay it vs 3.8 s materializing (m, bkt) once
+      .localCheckpoint()
+    val bcum = slopes.groupBy($"bkt").agg(count(lit(1)).as("bw"))
+      .withColumn("off", coalesce(sum($"bw").over(
+        w2.orderBy($"bkt").rowsBetween(w2.unboundedPreceding, -1)),
+        lit(0L))) // cumsum over the ≤2·√max|m| bounded bucket frame
+      .localCheckpoint() // tiny; feeds total + target filter
+    val tot = bcum.agg(sum($"bw").as("n_pairs")) // 1 row
+      .withColumn("k1", expr("(n_pairs + 1L) div 2L"))
+      .withColumn("k2", expr("n_pairs div 2L + 1L"))
+    // the 1-2 buckets whose rank interval (off, off+bw] covers a
+    // middle rank; everything outside them is never ranked at all
+    val targets = bcum.crossJoin(broadcast(tot))
+      .filter(($"off" < $"k1" && $"off" + $"bw" >= $"k1") ||
+        ($"off" < $"k2" && $"off" + $"bw" >= $"k2"))
+      .select($"bkt", $"off")
+    val nd = daily.agg(count(lit(1)).as("n_days"))
+    def micro(c: Column): Column = floor(c * 1e6).cast("long") / 1e6
+    slopes.join(broadcast(targets), Seq("bkt")) // middle buckets only
+      .withColumn("cw", $"off" + row_number().over(
+        w2.partitionBy($"bkt").orderBy($"m")))
+      .crossJoin(broadcast(tot))
+      .agg(first($"n_pairs").as("n_pairs"),
+        min(when($"cw" === $"k1", $"m")).as("s1"),
+        min(when($"cw" === $"k2", $"m")).as("s2"))
+      .crossJoin(broadcast(nd)) // two 1-row frames
+      .select($"n_days", $"n_pairs",
+        micro(($"s1" + $"s2").cast("double") / 2.0).as("sen_slope"))
+  }
+
+  /** q_agg_hill_tail — Hill estimator (Hill, Ann. Stat. 1975) of the
+    * order-value tail index over the top k=100 order statistics:
+    * γ̂ = (1/k)·Σ_{i≤k} ln(x_(i)/x_(k+1)), α̂ = 1/γ̂ — the
+    * heavy-tail diagnostic (is total order value dominated by whales?)
+    * read before trusting mean-based revenue projections, and the
+    * numeric cousin of zipfFit's rank-frequency exponent. Numerics:
+    * prices in exact integer cents; each term is
+    * round(ln(cents/cents_{k+1}),6)::DECIMAL(18,6) with the division
+    * inside the ln done in double in the SAME order both engines use;
+    * exact DECIMAL sum, ONE micro-floored division per readout.
+    *
+    * Scale: the ONLY corpus-sized structure is the global top-(k+1)
+    * heap — orderBy+limit plans as TakeOrderedAndProject (the
+    * zipf/dsir discipline), so no keyless window ever sees corpus
+    * rows; the rank window runs over the 101-row cut and the x_(k+1)
+    * pivot joins back as a broadcast 1-row frame. */
+  def hillTail(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val k = 100
+    val top = graft.Tables.orders(spark, sfDir)
+      .select($"o_orderkey",
+        (dec($"o_totalprice") * 100).cast("long").as("cents"))
+      .orderBy($"cents".desc, $"o_orderkey".asc).limit(k + 1) // top-k heap
+    val ranked = top.withColumn("rk", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy($"cents".desc, $"o_orderkey".asc))) // ≤ k+1 rows
+    val pivot = ranked.filter($"rk" === k + 1)
+      .select($"cents".as("ck1")) // 1 row
+    def micro(c: Column): Column = floor(c * 1e6).cast("long") / 1e6
+    ranked.filter($"rk" <= k).crossJoin(broadcast(pivot))
+      .select(round(log($"cents".cast("double") / $"ck1".cast("double")), 6)
+        .cast("decimal(18,6)").as("term"), $"ck1")
+      .agg(lit(k).cast("long").as("k"),
+        first($"ck1").as("x_k1_cents"),
+        micro(sum($"term").cast("double") / k).as("gamma"),
+        micro(lit(k).cast("double") / sum($"term").cast("double"))
+          .as("alpha"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_theil_sen" -> (theilSen _),
+    "q_agg_hill_tail" -> (hillTail _),
     "q_agg_ols_fit" -> (olsFit _),
     "q_agg_ratio_delta_ci" -> (ratioDeltaCi _),
     "q_agg_ohlc" -> (ohlc _),
@@ -489,6 +613,49 @@ object AggOps extends graft.QueryModule {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_agg_theil_sen" ->
+      """WITH d AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1),
+        |sl AS (
+        |  SELECT a.day AS d1, b.day AS d2,
+        |    CAST(round(CAST(b.rev - a.rev AS DOUBLE) /
+        |      (CAST(date_diff('day', a.day, b.day) AS DOUBLE) * 100.0), 6)
+        |      AS DECIMAL(18,6)) AS m
+        |  FROM d a JOIN d b ON a.day < b.day),
+        |rk AS (
+        |  SELECT m, row_number() OVER (ORDER BY m, d1, d2) AS rk FROM sl),
+        |np AS (SELECT COUNT(*) AS n_pairs FROM sl),
+        |nd AS (SELECT COUNT(*) AS n_days FROM d),
+        |med AS (
+        |  SELECT MAX(n_pairs) AS n_pairs,
+        |    CAST(floor(CAST(SUM(m) AS DOUBLE) / COUNT(*) * 1e6) AS BIGINT)
+        |      / 1e6 AS sen_slope
+        |  FROM rk CROSS JOIN np
+        |  WHERE rk = (n_pairs + 1) // 2 OR rk = n_pairs // 2 + 1)
+        |SELECT n_days, n_pairs, sen_slope FROM med CROSS JOIN nd""".stripMargin,
+    "q_agg_hill_tail" ->
+      """WITH top AS (
+        |  SELECT o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders ORDER BY cents DESC, o_orderkey ASC LIMIT 101),
+        |rk AS (
+        |  SELECT cents,
+        |    row_number() OVER (ORDER BY cents DESC, o_orderkey ASC) AS rk
+        |  FROM top),
+        |pv AS (SELECT cents AS ck1 FROM rk WHERE rk = 101)
+        |SELECT CAST(100 AS BIGINT) AS k, MAX(ck1) AS x_k1_cents,
+        |  CAST(floor(CAST(SUM(CAST(round(ln(CAST(cents AS DOUBLE) /
+        |      CAST(ck1 AS DOUBLE)), 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |    / 100 * 1e6) AS BIGINT) / 1e6 AS gamma,
+        |  CAST(floor(CAST(100 AS DOUBLE) /
+        |    CAST(SUM(CAST(round(ln(CAST(cents AS DOUBLE) /
+        |      CAST(ck1 AS DOUBLE)), 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |    * 1e6) AS BIGINT) / 1e6 AS alpha
+        |FROM rk CROSS JOIN pv WHERE rk <= 100""".stripMargin,
     "q_agg_ols_fit" ->
       """WITH g AS (
         |  SELECT l_returnflag, COUNT(*) AS n,

@@ -674,6 +674,147 @@ object MlOps extends graft.QueryModule {
       .orderBy($"bin")
   }
 
+  /** q_ml_cuped — CUPED variance reduction (Deng, Xu, Kohavi & Walker,
+    * WSDM 2013), the standard pre-experiment-covariate adjustment every
+    * A/B platform runs: per customer, y = post-period spend (orders on
+    * or after 1999-01-01, cents), x = pre-period spend; θ = cov(x,y)/
+    * var(x) POOLED across arms (the paper's recommendation — a per-arm
+    * θ biases the delta); adjusted metric y* = y − θ(x − x̄). Arms are
+    * the overflow-safe Knuth split on c_custkey. Readout: per-arm n and
+    * raw/adjusted mean (dollars), the adjusted treatment delta, and the
+    * variance-reduction ratio 1 − var(y*)/var(y) ≈ ρ² (the whole point
+    * of CUPED). Numerics: ONE groupBy(customer) collapses the corpus;
+    * the metric is WHOLE DOLLARS (cents div 100 per order — exact
+    * floor in both engines; cents-level moments would push Σx² past
+    * int64 near sf1, dollars hold to ~sf10, the neyman moment-bound
+    * discipline) so Σx, Σy, Σxy, Σxx, Σyy are exact int64; θ and
+    * every readout assemble in doubles in the SAME operation order
+    * both engines use, micro-floored. var(y*) expands ALGEBRAICALLY —
+    * var(y) − 2θcov + θ²var(x) — so no second pass over the data is
+    * ever needed: two narrow aggregations at any scale. */
+  def cuped(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dollars = expr(
+      "cast(cast(o_totalprice as decimal(14,2)) * 100 as bigint) div 100")
+    val per = graft.Tables.orders(spark, sfDir)
+      .groupBy($"o_custkey")
+      .agg(
+        sum(when($"o_orderdate" < lit("1999-01-01").cast("timestamp"),
+          dollars).otherwise(0L)).as("x"),
+        sum(when($"o_orderdate" >= lit("1999-01-01").cast("timestamp"),
+          dollars).otherwise(0L)).as("y"))
+      .withColumn("arm",
+        when(pmod(pmod($"o_custkey", lit(1000000007L)) * 2654435761L + 13L,
+          lit(1000L)) < 500L, "treat").otherwise("control"))
+      .localCheckpoint() // customer frame, feeds pooled + per-arm legs
+    val pooled = per.agg(count(lit(1)).as("n"),
+      sum($"x").as("sx"), sum($"y").as("sy"), sum($"x" * $"y").as("sxy"),
+      sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy")) // 1 row
+    def micro(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor(c * 1e6).cast("long") / 1e6
+    // pooled θ, x̄ and the algebraic variance identities, all from the
+    // six exact moments (cents → dollars only in the readouts)
+    val cov = $"sxy".cast("double") / $"n" -
+      ($"sx".cast("double") / $"n") * ($"sy".cast("double") / $"n")
+    val varx = $"sxx".cast("double") / $"n" -
+      ($"sx".cast("double") / $"n") * ($"sx".cast("double") / $"n")
+    val vary = $"syy".cast("double") / $"n" -
+      ($"sy".cast("double") / $"n") * ($"sy".cast("double") / $"n")
+    val scalars = pooled.select($"n",
+      (cov / varx).as("theta"),
+      ($"sx".cast("double") / $"n").as("xbar"),
+      (lit(1.0) - (vary - lit(2.0) * (cov / varx) * cov +
+        (cov / varx) * (cov / varx) * varx) / vary).as("vrr"))
+    val arms = per.groupBy($"arm")
+      .agg(count(lit(1)).as("n_arm"), sum($"x").as("ax"), sum($"y").as("ay"))
+    arms.crossJoin(broadcast(scalars)) // 2-row × 1-row frames
+      .select($"arm", $"n_arm",
+        micro($"ay".cast("double") / $"n_arm").as("mean_y"),
+        micro($"ay".cast("double") / $"n_arm" - $"theta" *
+          ($"ax".cast("double") / $"n_arm" - $"xbar"))
+          .as("mean_y_adj"),
+        micro($"theta").as("theta"),
+        micro($"vrr").as("var_reduction"))
+      .orderBy($"arm")
+  }
+
+  /** q_ml_ate_strata — stratified average-treatment-effect estimate
+    * (Imbens & Rubin 2015, the subclassification estimator): treatment
+    * propensity is deliberately CONFOUNDED with the lang stratum (the
+    * Knuth-hash threshold shifts for 'en' docs), so the naive
+    * treated-vs-control mean difference is biased and the
+    * stratum-weighted estimate Σ_s (n_s/N)(ȳ₁ₛ − ȳ₀ₛ) corrects it —
+    * the readout demonstrates exactly that gap. Numerics: per-(stratum,
+    * arm) exact int64 (n, Σy) cells — a bounded |lang|×2 contingency
+    * frame (the cramers_v shape); each stratum's mean difference is
+    * ONE double subtraction round(,6)::DECIMAL, weighted by the
+    * integer n_s, summed exactly, divided once micro-floored. */
+  def ateStrata(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val flagged = graft.Tables.documents(spark, sfDir)
+      .withColumn("treat",
+        (pmod(pmod($"doc_id", lit(1000000007L)) * 2654435761L + 29L,
+          lit(1000L)) <
+          when($"lang" === "en", 650L).otherwise(350L)).cast("long"))
+    val cells = flagged.groupBy($"lang", $"treat")
+      .agg(count(lit(1)).as("n"), sum($"n_chars").as("sy"))
+      .localCheckpoint() // bounded |lang|×2 frame
+    val tot = cells.groupBy($"treat")
+      .agg(sum($"n").as("nt"), sum($"sy").as("st")) // 2 rows
+    def micro(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor(c * 1e6).cast("long") / 1e6
+    val naive = tot.agg(
+      sum($"nt").as("n_docs"),
+      micro(max(when($"treat" === 1L, $"st".cast("double") / $"nt")) -
+        max(when($"treat" === 0L, $"st".cast("double") / $"nt")))
+        .as("naive_diff")) // 1 row
+    val strata = cells.groupBy($"lang")
+      .agg(sum($"n").as("ns"),
+        max(when($"treat" === 1L, $"sy".cast("double") / $"n")).as("m1"),
+        max(when($"treat" === 0L, $"sy".cast("double") / $"n")).as("m0"))
+      .withColumn("term", $"ns" * round($"m1" - $"m0", 6)
+        .cast("decimal(18,6)"))
+    strata.agg(count(lit(1)).as("n_strata"), sum($"term").as("s"),
+        sum($"ns").as("nn"))
+      .crossJoin(broadcast(naive)) // two 1-row frames
+      .select($"n_docs", $"n_strata", $"naive_diff",
+        micro($"s".cast("double") / $"nn".cast("double")).as("ate_strat"))
+  }
+
+  /** q_ml_auc_rank — ROC AUC of [[calibration]]'s deterministic scorer
+    * via the Mann–Whitney rank-sum identity, computed from the SCORE
+    * HISTOGRAM (the only AUC formulation that scales): AUC =
+    * P(s⁺ > s⁻) + ½P(s⁺ = s⁻) = Σ_s pos_s·(2·negBelow_s + neg_s) /
+    * (2·n⁺·n⁻). A row-level rank would need a keyless window over the
+    * corpus; the histogram form needs ONE hash aggregation to the
+    * bounded score domain (≤97 cells here) and a running sum over that
+    * domain-sized frame (the ks_test cumulative-histogram shape).
+    * EXACT int64 throughout — the numerator is an integer (ties carry
+    * the exact ½ via the 2-scaling), with ONE micro-floored double
+    * division per readout; gini = (num − n⁺n⁻)/(n⁺n⁻) from the same
+    * integers, so AUC and Gini cannot disagree. */
+  def aucRank(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"s")
+    val h = graft.Tables.documents(spark, sfDir)
+      .select(when($"lang" === "en", 1L).otherwise(0L).as("label"),
+        ($"n_chars" % 97).as("s"))
+      .groupBy($"s")
+      .agg(sum($"label").as("pos"),
+        sum(lit(1L) - $"label").as("neg")) // bounded score domain
+    val cum = h.withColumn("negb",
+      sum($"neg").over(w) - $"neg") // ≤97-row running sum
+    def micro(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor(c * 1e6).cast("long") / 1e6
+    cum.agg(sum($"pos").as("n_pos"), sum($"neg").as("n_neg"),
+        sum($"pos" * (lit(2L) * $"negb" + $"neg")).as("num2"))
+      .select($"n_pos", $"n_neg",
+        micro($"num2".cast("double") /
+          (lit(2.0) * ($"n_pos" * $"n_neg").cast("double"))).as("auc"),
+        micro(($"num2" - $"n_pos" * $"n_neg").cast("double") /
+          ($"n_pos" * $"n_neg").cast("double")).as("gini"))
+  }
+
   /** q_ml_neyman_sample — NEYMAN-allocated stratified sampling: the
     * survey-statistics optimum (allocate budget to stratum h ∝
     * N_h·σ_h, minimizing estimator variance at fixed budget — Neyman
@@ -913,6 +1054,9 @@ object MlOps extends graft.QueryModule {
     "q_ml_eval_metrics" -> (evalMetrics _),
     "q_ml_eval_metrics_sql" -> (evalMetricsSql _),
     "q_ml_calibration" -> (calibration _),
+    "q_ml_auc_rank" -> (aucRank _),
+    "q_ml_cuped" -> (cuped _),
+    "q_ml_ate_strata" -> (ateStrata _),
     "q_ml_weighted_sample" -> (weightedSample _),
     "q_ml_class_weights" -> (classWeights _),
     "q_ml_kfold" -> (kfold _),
@@ -1141,6 +1285,129 @@ object MlOps extends graft.QueryModule {
         |    CAST(SUM(least(n_chars, 512)) AS BIGINT) AS used_chars
         |  FROM documents GROUP BY 1)
         |ORDER BY bucket""".stripMargin,
+    "q_ml_cuped" ->
+      """WITH per AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1999-01-01' THEN
+        |      CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+        |      // 100 ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1999-01-01' THEN
+        |      CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+        |      // 100 ELSE 0 END) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1),
+        |arms AS (
+        |  SELECT *, CASE WHEN ((o_custkey % 1000000007) * 2654435761 + 13)
+        |      % 1000 < 500 THEN 'treat' ELSE 'control' END AS arm
+        |  FROM per),
+        |pooled AS (
+        |  SELECT COUNT(*) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x*y) AS BIGINT) AS sxy,
+        |    CAST(SUM(x*x) AS BIGINT) AS sxx,
+        |    CAST(SUM(y*y) AS BIGINT) AS syy
+        |  FROM arms),
+        |sc AS (
+        |  SELECT n,
+        |    (CAST(sxy AS DOUBLE)/n - (CAST(sx AS DOUBLE)/n) *
+        |      (CAST(sy AS DOUBLE)/n)) /
+        |    (CAST(sxx AS DOUBLE)/n - (CAST(sx AS DOUBLE)/n) *
+        |      (CAST(sx AS DOUBLE)/n)) AS theta,
+        |    CAST(sx AS DOUBLE)/n AS xbar,
+        |    1.0 - (
+        |      (CAST(syy AS DOUBLE)/n - (CAST(sy AS DOUBLE)/n) *
+        |        (CAST(sy AS DOUBLE)/n))
+        |      - 2.0 * ((CAST(sxy AS DOUBLE)/n - (CAST(sx AS DOUBLE)/n) *
+        |          (CAST(sy AS DOUBLE)/n)) /
+        |        (CAST(sxx AS DOUBLE)/n - (CAST(sx AS DOUBLE)/n) *
+        |          (CAST(sx AS DOUBLE)/n))) *
+        |        (CAST(sxy AS DOUBLE)/n - (CAST(sx AS DOUBLE)/n) *
+        |          (CAST(sy AS DOUBLE)/n))
+        |      + ((CAST(sxy AS DOUBLE)/n - (CAST(sx AS DOUBLE)/n) *
+        |          (CAST(sy AS DOUBLE)/n)) /
+        |        (CAST(sxx AS DOUBLE)/n - (CAST(sx AS DOUBLE)/n) *
+        |          (CAST(sx AS DOUBLE)/n))) *
+        |        ((CAST(sxy AS DOUBLE)/n - (CAST(sx AS DOUBLE)/n) *
+        |          (CAST(sy AS DOUBLE)/n)) /
+        |        (CAST(sxx AS DOUBLE)/n - (CAST(sx AS DOUBLE)/n) *
+        |          (CAST(sx AS DOUBLE)/n))) *
+        |        (CAST(sxx AS DOUBLE)/n - (CAST(sx AS DOUBLE)/n) *
+        |          (CAST(sx AS DOUBLE)/n))
+        |    ) / (CAST(syy AS DOUBLE)/n - (CAST(sy AS DOUBLE)/n) *
+        |        (CAST(sy AS DOUBLE)/n)) AS vrr
+        |  FROM pooled),
+        |am AS (
+        |  SELECT arm, COUNT(*) AS n_arm,
+        |    CAST(SUM(x) AS BIGINT) AS ax, CAST(SUM(y) AS BIGINT) AS ay
+        |  FROM arms GROUP BY 1)
+        |SELECT arm, n_arm,
+        |  CAST(floor(CAST(ay AS DOUBLE) / n_arm * 1e6) AS BIGINT)
+        |    / 1e6 AS mean_y,
+        |  CAST(floor((CAST(ay AS DOUBLE) / n_arm - theta *
+        |    (CAST(ax AS DOUBLE) / n_arm - xbar)) * 1e6) AS BIGINT)
+        |    / 1e6 AS mean_y_adj,
+        |  CAST(floor(theta * 1e6) AS BIGINT) / 1e6 AS theta,
+        |  CAST(floor(vrr * 1e6) AS BIGINT) / 1e6 AS var_reduction
+        |FROM am CROSS JOIN sc ORDER BY arm""".stripMargin,
+    "q_ml_ate_strata" ->
+      """WITH f AS (
+        |  SELECT lang, n_chars,
+        |    CASE WHEN ((doc_id % 1000000007) * 2654435761 + 29) % 1000 <
+        |      CASE WHEN lang = 'en' THEN 650 ELSE 350 END
+        |      THEN 1 ELSE 0 END AS treat
+        |  FROM documents),
+        |cells AS (
+        |  SELECT lang, treat, COUNT(*) AS n,
+        |    CAST(SUM(n_chars) AS BIGINT) AS sy
+        |  FROM f GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT treat, CAST(SUM(n) AS BIGINT) AS nt,
+        |    CAST(SUM(sy) AS BIGINT) AS st
+        |  FROM cells GROUP BY 1),
+        |naive AS (
+        |  SELECT CAST(SUM(nt) AS BIGINT) AS n_docs,
+        |    CAST(floor((
+        |      MAX(CASE WHEN treat = 1 THEN CAST(st AS DOUBLE) / nt END) -
+        |      MAX(CASE WHEN treat = 0 THEN CAST(st AS DOUBLE) / nt END))
+        |      * 1e6) AS BIGINT) / 1e6 AS naive_diff
+        |  FROM tot),
+        |strata AS (
+        |  SELECT lang, CAST(SUM(n) AS BIGINT) AS ns,
+        |    MAX(CASE WHEN treat = 1 THEN CAST(sy AS DOUBLE) / n END) AS m1,
+        |    MAX(CASE WHEN treat = 0 THEN CAST(sy AS DOUBLE) / n END) AS m0
+        |  FROM cells GROUP BY 1),
+        |g AS (
+        |  SELECT COUNT(*) AS n_strata,
+        |    SUM(ns * CAST(round(m1 - m0, 6) AS DECIMAL(18,6))) AS s,
+        |    CAST(SUM(ns) AS BIGINT) AS nn
+        |  FROM strata)
+        |SELECT n_docs, n_strata, naive_diff,
+        |  CAST(floor(CAST(s AS DOUBLE) / CAST(nn AS DOUBLE) * 1e6)
+        |    AS BIGINT) / 1e6 AS ate_strat
+        |FROM g CROSS JOIN naive""".stripMargin,
+    "q_ml_auc_rank" ->
+      """WITH h AS (
+        |  SELECT n_chars % 97 AS s,
+        |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS pos,
+        |    CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS neg
+        |  FROM documents GROUP BY 1),
+        |c AS (
+        |  SELECT pos, neg,
+        |    CAST(SUM(neg) OVER (ORDER BY s) AS BIGINT) - neg AS negb
+        |  FROM h),
+        |g AS (
+        |  SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+        |    CAST(SUM(neg) AS BIGINT) AS n_neg,
+        |    CAST(SUM(pos * (2*negb + neg)) AS BIGINT) AS num2
+        |  FROM c)
+        |SELECT n_pos, n_neg,
+        |  CAST(floor(CAST(num2 AS DOUBLE) /
+        |    (2.0 * CAST(n_pos * n_neg AS DOUBLE)) * 1e6) AS BIGINT) / 1e6
+        |    AS auc,
+        |  CAST(floor(CAST(num2 - n_pos * n_neg AS DOUBLE) /
+        |    CAST(n_pos * n_neg AS DOUBLE) * 1e6) AS BIGINT) / 1e6 AS gini
+        |FROM g""".stripMargin,
     "q_ml_calibration" ->
       """SELECT (n_chars % 97) // 10 AS bin, COUNT(*) AS n,
         |  CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)

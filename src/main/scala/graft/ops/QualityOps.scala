@@ -561,7 +561,91 @@ object QualityOps extends graft.QueryModule {
         micro(t).as("t_stat"), micro(df).as("df"))
   }
 
+  /** q_quality_mann_whitney — two-sample Mann–Whitney U test (Mann &
+    * Whitney, Ann. Math. Stat. 1947) between the src0/src1 doc-length
+    * distributions: the RANK-based companion to [[welchTtest]] (no
+    * normality assumption) and the location-shift complement to
+    * [[ksTest]]'s shape test. Computed from the value HISTOGRAM via
+    * the Mann–Whitney/AUC identity U = Σ_v c0_v·(negBelow_v + ½c1_v)
+    * — a row-level rank would need a keyless window over the corpus;
+    * the histogram form needs one hash aggregation to the bounded
+    * length domain plus a running sum over it (the ks_test shape).
+    * EXACT int64: U is carried 2-SCALED (ties contribute the exact ½),
+    * the tie-corrected variance assembles from integer Σ(t³−t) in the
+    * documented double order, and z / the rank-biserial effect size
+    * each divide once, micro-floored. */
+  def mannWhitney(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"v")
+    val h = graft.Tables.documents(spark, sfDir)
+      .filter($"source".isin("src0", "src1"))
+      .groupBy($"n_chars".as("v"))
+      .agg(sum(when($"source" === "src0", 1L).otherwise(0L)).as("c0"),
+        sum(when($"source" === "src1", 1L).otherwise(0L)).as("c1"))
+    val cum = h.withColumn("c1b",
+      sum($"c1").over(w) - $"c1") // bounded length domain
+    def micro(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor(c * 1e6).cast("long") / 1e6
+    cum.agg(sum($"c0").as("n0"), sum($"c1").as("n1"),
+        sum($"c0" * (lit(2L) * $"c1b" + $"c1")).as("ux2"),
+        sum(($"c0" + $"c1") * ($"c0" + $"c1") * ($"c0" + $"c1") -
+          ($"c0" + $"c1")).as("t3t"))
+      .withColumn("n", $"n0" + $"n1")
+      .withColumn("variance",
+        ($"n0" * $"n1").cast("double") / 12.0 *
+          (($"n" + 1L).cast("double") -
+            $"t3t".cast("double") / ($"n" * ($"n" - 1L)).cast("double")))
+      .select($"n0", $"n1",
+        ($"ux2".cast("double") / 2.0).as("u"), // exact halving
+        micro(($"ux2" - $"n0" * $"n1").cast("double") /
+          (lit(2.0) * sqrt($"variance"))).as("z_stat"),
+        micro(($"ux2" - $"n0" * $"n1").cast("double") /
+          ($"n0" * $"n1").cast("double")).as("rank_biserial"))
+  }
+
+  /** q_quality_js_divergence — Jensen–Shannon divergence (Lin, IEEE
+    * Trans. IT 1991) between the src0/src1 doc-length distributions:
+    * the SYMMETRIC, always-finite drift measure completing the
+    * [[ksTest]] (sup-norm) / [[psiDrift]] (binned, unbounded on empty
+    * bins) family — JS handles zero cells without psi's epsilon
+    * fudge. JS = ½KL(p‖m) + ½KL(q‖m), m = (p+q)/2. The per-cell log
+    * argument is an INTEGER ratio (p/m = 2·c0·n1/(c0·n1 + c1·n0)), so
+    * each term is c0·round(ln(·),6)::DECIMAL summed exactly (the
+    * mutualInfo recipe); zero cells contribute exactly 0 via the same
+    * when-guard in both engines; the readouts divide once,
+    * micro-floored. Same bounded-histogram shape as mannWhitney. */
+  def jsDivergence(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val h = graft.Tables.documents(spark, sfDir)
+      .filter($"source".isin("src0", "src1"))
+      .groupBy($"n_chars".as("v"))
+      .agg(sum(when($"source" === "src0", 1L).otherwise(0L)).as("c0"),
+        sum(when($"source" === "src1", 1L).otherwise(0L)).as("c1"))
+      .localCheckpoint() // bounded length-domain histogram, feeds 2 legs
+    val tot = h.agg(sum($"c0").as("n0"), sum($"c1").as("n1")) // 1 row
+    def micro(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor(c * 1e6).cast("long") / 1e6
+    h.crossJoin(broadcast(tot))
+      .withColumn("den", $"c0" * $"n1" + $"c1" * $"n0")
+      .withColumn("t0", when($"c0" > 0L, $"c0" *
+        round(log(lit(2.0) * ($"c0" * $"n1").cast("double") /
+          $"den".cast("double")), 6).cast("decimal(18,6)")))
+      .withColumn("t1", when($"c1" > 0L, $"c1" *
+        round(log(lit(2.0) * ($"c1" * $"n0").cast("double") /
+          $"den".cast("double")), 6).cast("decimal(18,6)")))
+      .agg(first($"n0").as("n0"), first($"n1").as("n1"),
+        count(lit(1)).as("n_cells"),
+        sum($"t0").as("s0"), sum($"t1").as("s1"))
+      .select($"n0", $"n1", $"n_cells",
+        micro($"s0".cast("double") / $"n0".cast("double")).as("kl_pm"),
+        micro($"s1".cast("double") / $"n1".cast("double")).as("kl_qm"),
+        micro(($"s0".cast("double") / $"n0".cast("double") +
+          $"s1".cast("double") / $"n1".cast("double")) / 2.0).as("js"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quality_mann_whitney" -> (mannWhitney _),
+    "q_quality_js_divergence" -> (jsDivergence _),
     "q_quality_welch_ttest" -> (welchTtest _),
     "q_quality_ks_test" -> (ksTest _),
     "q_quality_cramers_v" -> (cramersV _),
@@ -580,6 +664,70 @@ object QualityOps extends graft.QueryModule {
     "q_quality_benford" -> (benford _))
 
   def oracle: Map[String, String] = Map(
+    "q_quality_mann_whitney" ->
+      """WITH h AS (
+        |  SELECT n_chars AS v,
+        |    CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c0,
+        |    CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c1
+        |  FROM documents WHERE source IN ('src0', 'src1') GROUP BY 1),
+        |cum AS (
+        |  SELECT c0, c1,
+        |    CAST(SUM(c1) OVER (ORDER BY v) AS BIGINT) - c1 AS c1b
+        |  FROM h),
+        |g AS (
+        |  SELECT CAST(SUM(c0) AS BIGINT) AS n0,
+        |    CAST(SUM(c1) AS BIGINT) AS n1,
+        |    CAST(SUM(c0 * (2*c1b + c1)) AS BIGINT) AS ux2,
+        |    CAST(SUM((c0+c1)*(c0+c1)*(c0+c1) - (c0+c1)) AS BIGINT) AS t3t
+        |  FROM cum),
+        |v AS (
+        |  SELECT n0, n1, ux2,
+        |    CAST(n0 * n1 AS DOUBLE) / 12.0 *
+        |      (CAST(n0 + n1 + 1 AS DOUBLE) -
+        |       CAST(t3t AS DOUBLE) /
+        |         CAST((n0 + n1) * (n0 + n1 - 1) AS DOUBLE)) AS variance
+        |  FROM g)
+        |SELECT n0, n1, CAST(ux2 AS DOUBLE) / 2.0 AS u,
+        |  CAST(floor(CAST(ux2 - n0*n1 AS DOUBLE) /
+        |    (2.0 * sqrt(variance)) * 1e6) AS BIGINT) / 1e6 AS z_stat,
+        |  CAST(floor(CAST(ux2 - n0*n1 AS DOUBLE) /
+        |    CAST(n0 * n1 AS DOUBLE) * 1e6) AS BIGINT) / 1e6
+        |    AS rank_biserial
+        |FROM v""".stripMargin,
+    "q_quality_js_divergence" ->
+      """WITH h AS (
+        |  SELECT n_chars AS v,
+        |    CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c0,
+        |    CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c1
+        |  FROM documents WHERE source IN ('src0', 'src1') GROUP BY 1),
+        |t AS (SELECT CAST(SUM(c0) AS BIGINT) AS n0,
+        |  CAST(SUM(c1) AS BIGINT) AS n1 FROM h),
+        |terms AS (
+        |  SELECT n0, n1, c0, c1, c0*n1 + c1*n0 AS den,
+        |    CASE WHEN c0 > 0 THEN c0 * CAST(round(ln(
+        |      2.0 * CAST(c0*n1 AS DOUBLE) / CAST(c0*n1 + c1*n0 AS DOUBLE)
+        |      ), 6) AS DECIMAL(18,6)) END AS t0,
+        |    CASE WHEN c1 > 0 THEN c1 * CAST(round(ln(
+        |      2.0 * CAST(c1*n0 AS DOUBLE) / CAST(c0*n1 + c1*n0 AS DOUBLE)
+        |      ), 6) AS DECIMAL(18,6)) END AS t1
+        |  FROM h CROSS JOIN t),
+        |g AS (
+        |  SELECT MAX(n0) AS n0, MAX(n1) AS n1, COUNT(*) AS n_cells,
+        |    SUM(t0) AS s0, SUM(t1) AS s1
+        |  FROM terms)
+        |SELECT n0, n1, n_cells,
+        |  CAST(floor(CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) * 1e6)
+        |    AS BIGINT) / 1e6 AS kl_pm,
+        |  CAST(floor(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) * 1e6)
+        |    AS BIGINT) / 1e6 AS kl_qm,
+        |  CAST(floor((CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) +
+        |    CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) / 2.0 * 1e6)
+        |    AS BIGINT) / 1e6 AS js
+        |FROM g""".stripMargin,
     "q_quality_welch_ttest" ->
       """WITH g AS (
         |  SELECT source, COUNT(*) AS n,

@@ -535,7 +535,124 @@ object WindowOps extends graft.QueryModule {
         sum($"u" * $"u").cast("double")).as(s"acf_$k")): _*)
   }
 
+  /** q_window_mann_kendall — Mann–Kendall trend test (Mann 1945,
+    * Kendall 1975) + tie-corrected Kendall τ_b over the daily revenue
+    * series, the NON-parametric companion to the OLS/Theil–Sen slope
+    * readouts: S = Σ_{i<j} sign(rev_j − rev_i) needs no distributional
+    * assumption and is immune to outlier days. EXACT integers end to
+    * end: S and the tie counts are int64; the variance is kept
+    * 18-SCALED (var18 = n(n−1)(2n+5) − Σ t(t−1)(2t+5), the acf
+    * n-scaling idea — no /18 until the readout) so z =
+    * (S ∓ 1)/√(var18/18) and τ_b = S/√(D·(D−U)) each divide ONCE in
+    * double, micro-floored; the trend call compares the micro-floored
+    * z against ±1.96 (identical arithmetic in the twin).
+    *
+    * Scale: the pair enumeration is the bounded-day-domain self-join
+    * (|days|² grows with the CALENDAR, not the corpus — the ks_test /
+    * cusum rationale); everything corpus-sized collapses in the one
+    * partial-agg'd groupBy producing the daily frame. Per-key trend
+    * tests would partition the same join by key. */
+  def mannKendall(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = graft.Tables.orders(spark, sfDir)
+      .select(to_date($"o_orderdate").as("day"),
+        (AggOps.dec($"o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy($"day").agg(sum($"cents").as("rev"))
+      .localCheckpoint() // bounded day domain; feeds pairs + ties + n
+    val a = daily.select($"day".as("d1"), $"rev".as("r1"))
+    val b = daily.select($"day".as("d2"), $"rev".as("r2"))
+    val s = a.join(b, $"d1" < $"d2") // bounded |days|² pair frame
+      .agg(sum(signum($"r2" - $"r1").cast("long")).as("s_stat"))
+    // tie terms kept 2-SCALED (t(t−1) is even) so everything stays
+    // int64: D and U enter τ_b as d0x2/2.0 and (d0x2−ux2)/2.0 — exact
+    // binary halvings, no truncating division anywhere
+    val ties = daily.groupBy($"rev").agg(count(lit(1)).as("t"))
+      .agg(sum($"t" * ($"t" - 1L)).as("ux2"),
+        sum($"t" * ($"t" - 1L) * (lit(2L) * $"t" + 5L)).as("tcorr"))
+    val n = daily.agg(count(lit(1)).as("n_days"))
+    def micro(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor(c * 1e6).cast("long") / 1e6
+    s.crossJoin(broadcast(ties)).crossJoin(broadcast(n)) // three 1-row frames
+      .withColumn("var18",
+        $"n_days" * ($"n_days" - 1L) * (lit(2L) * $"n_days" + 5L) - $"tcorr")
+      .withColumn("d0x2", $"n_days" * ($"n_days" - 1L))
+      .withColumn("z", when($"s_stat" > 0L,
+          micro(($"s_stat" - 1L).cast("double") /
+            sqrt($"var18".cast("double") / 18.0)))
+        .when($"s_stat" < 0L,
+          micro(($"s_stat" + 1L).cast("double") /
+            sqrt($"var18".cast("double") / 18.0)))
+        .otherwise(lit(0.0)))
+      .select($"n_days", $"s_stat", $"var18",
+        micro($"s_stat".cast("double") /
+          sqrt(($"d0x2".cast("double") / 2.0) *
+            (($"d0x2" - $"ux2").cast("double") / 2.0)))
+          .as("tau_b"),
+        $"z".as("z_stat"),
+        when($"z" >= 1.96, "increasing").when($"z" <= -1.96, "decreasing")
+          .otherwise("none").as("trend"))
+  }
+
+  /** q_window_spearman — Spearman rank correlation between the daily
+    * revenue and daily order-count series (Spearman 1904), the
+    * monotone-association companion to [[mannKendall]]'s trend test:
+    * "do big-revenue days have many orders" without assuming
+    * linearity. TIE-SAFE: each series gets average ranks kept
+    * 2-SCALED as exact integers (ar2 = 2·minrank + t − 1, t = the
+    * value's tie count — order counts tie constantly, and the naive
+    * 1−6Σd²/… shortcut is simply wrong under ties), then ρ = Pearson
+    * over the integer (ar2x, ar2y) pairs from six exact int64
+    * moments, ONE micro-floored double division. A raw Pearson r of
+    * the original series ships alongside — the ρ-vs-r gap is the
+    * nonlinearity readout.
+    *
+    * Scale: both rank windows run over the BOUNDED day domain after
+    * the one partial-agg'd groupBy (the cusum rationale); the moment
+    * pass is a 1-row aggregate. */
+  def spearman(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = graft.Tables.orders(spark, sfDir)
+      .select(to_date($"o_orderdate").as("day"),
+        (AggOps.dec($"o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy($"day").agg(sum($"cents").as("rev"),
+        count(lit(1)).as("cnt"))
+    // rank() is min-rank; 2·minrank + t − 1 == the 2-scaled average
+    // rank (exact integers, no halves)
+    def ar2(v: org.apache.spark.sql.Column, name: String) =
+      (lit(2L) * rank().over(Window.orderBy(v)) +
+        count(lit(1)).over(Window.partitionBy(v)) - 1L).as(name)
+    val ranked = daily.select($"rev", $"cnt",
+      ar2($"rev", "ax"), ar2($"cnt", "ay"))
+    // moments as EXACT decimal sums (daily-rev² in cents overflows
+    // int64 past ~sf0.05); every readout casts each sum to double
+    // ONCE and assembles in the same operation order as the twin
+    def d(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
+    val g = ranked.agg(count(lit(1)).as("nd"),
+      sum(d($"rev")).as("sx"), sum(d($"cnt")).as("sy"),
+      sum(d($"rev") * d($"cnt")).as("sxy"),
+      sum(d($"rev") * d($"rev")).as("sxx"),
+      sum(d($"cnt") * d($"cnt")).as("syy"),
+      sum(d($"ax")).as("rx"), sum(d($"ay")).as("ry"),
+      sum(d($"ax") * d($"ay")).as("rxy"),
+      sum(d($"ax") * d($"ax")).as("rxx"),
+      sum(d($"ay") * d($"ay")).as("ryy"))
+    def micro(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor(c * 1e6).cast("long") / 1e6
+    def corr2(sx: String, sy: String, sxy: String, sxx: String,
+              syy: String) = {
+      def D(n: String) = col(n).cast("double")
+      micro(($"nd" * D(sxy) - D(sx) * D(sy)) /
+        (sqrt($"nd" * D(sxx) - D(sx) * D(sx)) *
+          sqrt($"nd" * D(syy) - D(sy) * D(sy))))
+    }
+    g.select($"nd".as("n_days"),
+      corr2("sx", "sy", "sxy", "sxx", "syy").as("pearson_r"),
+      corr2("rx", "ry", "rxy", "rxx", "ryy").as("spearman_rho"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_spearman" -> (spearman _),
+    "q_window_mann_kendall" -> (mannKendall _),
     "q_window_acf" -> (acf _),
     "q_window_drawdown" -> (drawdown _),
     "q_window_cusum" -> (cusum _),
@@ -644,6 +761,94 @@ object WindowOps extends graft.QueryModule {
         |    AS BIGINT) / 1e6 END AS residual_dollars
         |FROM w2 LEFT JOIN seas USING (dow)
         |ORDER BY w2.day""".stripMargin,
+    "q_window_spearman" ->
+      """WITH d AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS rev,
+        |    COUNT(*) AS cnt
+        |  FROM orders GROUP BY 1),
+        |r AS (
+        |  SELECT rev, cnt,
+        |    2 * rank() OVER (ORDER BY rev) +
+        |      count(*) OVER (PARTITION BY rev) - 1 AS ax,
+        |    2 * rank() OVER (ORDER BY cnt) +
+        |      count(*) OVER (PARTITION BY cnt) - 1 AS ay
+        |  FROM d),
+        |g AS (
+        |  SELECT COUNT(*) AS nd,
+        |    SUM(CAST(rev AS DECIMAL(19,0))) AS sx,
+        |    SUM(CAST(cnt AS DECIMAL(19,0))) AS sy,
+        |    SUM(CAST(rev AS DECIMAL(19,0)) * CAST(cnt AS DECIMAL(19,0)))
+        |      AS sxy,
+        |    SUM(CAST(rev AS DECIMAL(19,0)) * CAST(rev AS DECIMAL(19,0)))
+        |      AS sxx,
+        |    SUM(CAST(cnt AS DECIMAL(19,0)) * CAST(cnt AS DECIMAL(19,0)))
+        |      AS syy,
+        |    SUM(CAST(ax AS DECIMAL(19,0))) AS rx,
+        |    SUM(CAST(ay AS DECIMAL(19,0))) AS ry,
+        |    SUM(CAST(ax AS DECIMAL(19,0)) * CAST(ay AS DECIMAL(19,0)))
+        |      AS rxy,
+        |    SUM(CAST(ax AS DECIMAL(19,0)) * CAST(ax AS DECIMAL(19,0)))
+        |      AS rxx,
+        |    SUM(CAST(ay AS DECIMAL(19,0)) * CAST(ay AS DECIMAL(19,0)))
+        |      AS ryy
+        |  FROM r)
+        |SELECT nd AS n_days,
+        |  CAST(floor((nd * CAST(sxy AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |    (sqrt(nd * CAST(sxx AS DOUBLE) -
+        |        CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |     sqrt(nd * CAST(syy AS DOUBLE) -
+        |        CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) * 1e6)
+        |    AS BIGINT) / 1e6 AS pearson_r,
+        |  CAST(floor((nd * CAST(rxy AS DOUBLE) -
+        |      CAST(rx AS DOUBLE) * CAST(ry AS DOUBLE)) /
+        |    (sqrt(nd * CAST(rxx AS DOUBLE) -
+        |        CAST(rx AS DOUBLE) * CAST(rx AS DOUBLE)) *
+        |     sqrt(nd * CAST(ryy AS DOUBLE) -
+        |        CAST(ry AS DOUBLE) * CAST(ry AS DOUBLE))) * 1e6)
+        |    AS BIGINT) / 1e6 AS spearman_rho
+        |FROM g""".stripMargin,
+    "q_window_mann_kendall" ->
+      """WITH d AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1),
+        |s AS (
+        |  SELECT CAST(SUM(CAST(sign(b.rev - a.rev) AS BIGINT)) AS BIGINT)
+        |    AS s_stat
+        |  FROM d a JOIN d b ON a.day < b.day),
+        |ties AS (
+        |  SELECT CAST(SUM(t*(t-1)) AS BIGINT) AS ux2,
+        |    CAST(SUM(t*(t-1)*(2*t+5)) AS BIGINT) AS tcorr
+        |  FROM (SELECT COUNT(*) AS t FROM d GROUP BY rev)),
+        |n AS (SELECT COUNT(*) AS n_days FROM d),
+        |v AS (
+        |  SELECT n_days, s_stat, ux2,
+        |    n_days*(n_days-1)*(2*n_days+5) - tcorr AS var18,
+        |    n_days*(n_days-1) AS d0x2
+        |  FROM s CROSS JOIN ties CROSS JOIN n),
+        |z AS (
+        |  SELECT n_days, s_stat, CAST(var18 AS BIGINT) AS var18,
+        |    CAST(floor(CAST(s_stat AS DOUBLE) /
+        |      sqrt((CAST(d0x2 AS DOUBLE) / 2.0) *
+        |           (CAST(d0x2 - ux2 AS DOUBLE) / 2.0)) * 1e6)
+        |      AS BIGINT) / 1e6 AS tau_b,
+        |    CASE WHEN s_stat > 0 THEN
+        |        CAST(floor(CAST(s_stat - 1 AS DOUBLE) /
+        |          sqrt(CAST(var18 AS DOUBLE) / 18.0) * 1e6) AS BIGINT) / 1e6
+        |      WHEN s_stat < 0 THEN
+        |        CAST(floor(CAST(s_stat + 1 AS DOUBLE) /
+        |          sqrt(CAST(var18 AS DOUBLE) / 18.0) * 1e6) AS BIGINT) / 1e6
+        |      ELSE 0.0 END AS z_stat
+        |  FROM v)
+        |SELECT n_days, s_stat, var18, tau_b, z_stat,
+        |  CASE WHEN z_stat >= 1.96 THEN 'increasing'
+        |       WHEN z_stat <= -1.96 THEN 'decreasing'
+        |       ELSE 'none' END AS trend
+        |FROM z""".stripMargin,
     "q_window_cusum" ->
       """WITH d AS (
         |  SELECT CAST(o_orderdate AS DATE) AS day,

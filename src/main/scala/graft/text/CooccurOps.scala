@@ -175,13 +175,121 @@ object CooccurOps extends graft.QueryModule {
       .orderBy($"lang")
   }
 
+  /** q_text_textrank — WEIGHTED TextRank keyword centrality (Mihalcea
+    * & Tarau, EMNLP 2004, §3.1's weighted-graph variant): PageRank
+    * over the word co-occurrence graph — nodes are CONTENT words (the
+    * pinned NLTK stopword list filtered out), edge weight = the
+    * co-occurrence instance count within the ±2 window over the
+    * original token sequence ([[pairInstances]] reused). The WEIGHTED
+    * walk is load-bearing here: the synthetic vocabulary is ~31 types,
+    * so the unweighted co-occurrence graph is COMPLETE and unweighted
+    * rank degenerates to a constant — counts are where the structure
+    * lives (measured: top-20 rank values all equal unweighted, all
+    * distinct weighted).
+    *
+    * Determinism (the GraphOps integer contract, extended to weights):
+    * each directed edge's transition share is quantized ONCE to
+    * millionths — share = (w·10⁶) div wdeg_src — and a node's
+    * contribution is (pr div 10⁶)·share + ((pr mod 10⁶)·share) div 10⁶,
+    * the EXACT algebraic identity for (pr·share) div 10⁶ that never
+    * forms the overflowing product (pr can reach |V|·10¹², share 10⁶).
+    * Integer sums → bit-identical across partitionings and engines;
+    * the quantization loses < deg(u) millionths of u's outflow,
+    * deterministic and far below rank gaps. 3 iterations, damping
+    * 85/100, top-20 words by (rank, word).
+    *
+    * Scale: pair generation is the linear offset-shifted equi-join;
+    * the weighted edge list is VOCABULARY-sized, so each iteration is
+    * one shuffle over |V|·avg-deg rows, never the corpus; the final
+    * cut is a TakeOrderedAndProject heap. */
+  def textrank(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val stop = Stopwords.tokensOnly
+    val pairs = pairInstances(spark, sfDir)
+      .filter($"a" =!= $"b" &&
+        !$"a".isin(stop: _*) && !$"b".isin(stop: _*))
+      .groupBy($"a", $"b").agg(count(lit(1)).as("w"))
+    val edges = pairs.select($"a".as("src"), $"b".as("dst"), $"w")
+      .union(pairs.select($"b".as("src"), $"a".as("dst"), $"w"))
+    val wdeg = edges.groupBy($"src").agg(sum($"w").as("wdeg"),
+      count(lit(1)).as("deg"))
+    val eshare = edges.join(wdeg.select($"src", $"wdeg"), Seq("src"))
+      .select($"src", $"dst", expr("(w * 1000000L) div wdeg").as("share"))
+      .localCheckpoint() // vocabulary-sized, feeds every iteration
+    val nodes = wdeg.localCheckpoint()
+    var pr = nodes.select($"src".as("id"), lit(1000000000000L).as("pr"))
+    for (_ <- 1 to 3) {
+      val sums = eshare.join(pr, eshare("src") === pr("id"))
+        .select($"dst", expr("(pr div 1000000L) * share + " +
+          "((pr % 1000000L) * share) div 1000000L").as("c"))
+        .groupBy($"dst").agg(sum($"c").as("s"))
+      pr = nodes.select($"src".as("id"))
+        .join(sums, $"id" === $"dst", "left")
+        .select($"id",
+          expr("150000000000L + (85L * coalesce(s, 0L)) div 100L").as("pr"))
+    }
+    pr.join(nodes.select($"src".as("id"), $"deg", $"wdeg"), Seq("id"))
+      .select($"id".as("word"), $"deg".as("degree"),
+        $"wdeg".as("weight_degree"), $"pr".as("pr_scaled"))
+      .orderBy($"pr_scaled".desc, $"word").limit(20) // top-k heap
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_textrank" -> (textrank _),
     "q_text_skipgram_ppmi" -> (skipgramPpmi _),
     "q_text_bigram_lm_nll" -> (bigramLmNll _),
     "q_text_vocab_coverage" -> (vocabCoverage _),
     "q_text_lexical_diversity" -> (lexicalDiversity _))
 
+  /** one unrolled weighted-integer-PageRank iteration (the GraphOps
+    * prIterSql shape on word keys with the millionth-share identity;
+    * per-iteration BIGINT cast — DuckDB SUM promotes to HUGEINT) */
+  private def trIterSql(k: Int): String =
+    s"""s$k AS (
+       |  SELECT e.dst AS id,
+       |    CAST(SUM((p.pr // 1000000) * e.share +
+       |             ((p.pr % 1000000) * e.share) // 1000000) AS BIGINT) AS s
+       |  FROM eshare e JOIN pr${k - 1} p ON e.src = p.id GROUP BY 1),
+       |pr$k AS (
+       |  SELECT n.src AS id,
+       |    CAST(150000000000 + (85 * coalesce(s.s, 0)) // 100 AS BIGINT)
+       |      AS pr
+       |  FROM nodes n LEFT JOIN s$k s ON n.src = s.id)""".stripMargin
+
   def oracle: Map[String, String] = Map(
+    "q_text_textrank" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    unnest(string_split(text, ' ')) AS tok,
+         |    generate_subscripts(string_split(text, ' '), 1) AS pos
+         |  FROM documents),
+         |pd AS (
+         |  SELECT least(t1.tok, t2.tok) AS a,
+         |    greatest(t1.tok, t2.tok) AS b, COUNT(*) AS w
+         |  FROM t t1 JOIN t t2
+         |    ON t1.doc_id = t2.doc_id
+         |   AND t2.pos - t1.pos BETWEEN 1 AND $Window
+         |  WHERE t1.tok <> t2.tok
+         |    AND NOT list_contains(${Stopwords.duckdbArray}, t1.tok)
+         |    AND NOT list_contains(${Stopwords.duckdbArray}, t2.tok)
+         |  GROUP BY 1, 2),
+         |edges(src, dst, w) AS (
+         |  SELECT a, b, w FROM pd UNION ALL SELECT b, a, w FROM pd),
+         |nodes AS (
+         |  SELECT src, CAST(SUM(w) AS BIGINT) AS wdeg,
+         |    COUNT(*) AS deg
+         |  FROM edges GROUP BY 1),
+         |eshare AS (
+         |  SELECT e.src, e.dst, (e.w * 1000000) // n.wdeg AS share
+         |  FROM edges e JOIN nodes n ON e.src = n.src),
+         |pr0 AS (
+         |  SELECT src AS id, CAST(1000000000000 AS BIGINT) AS pr
+         |  FROM nodes),
+         |${(1 to 3).map(trIterSql).mkString(",\n")}
+         |SELECT p.id AS word, n.deg AS degree, n.wdeg AS weight_degree,
+         |  p.pr AS pr_scaled
+         |FROM pr3 p JOIN nodes n ON p.id = n.src
+         |ORDER BY pr_scaled DESC, word LIMIT 20""".stripMargin,
     "q_text_skipgram_ppmi" ->
       s"""WITH t AS (
          |  SELECT doc_id,

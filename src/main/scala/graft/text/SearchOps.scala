@@ -254,7 +254,56 @@ object SearchOps extends graft.QueryModule {
       .orderBy($"k")
   }
 
+  /** q_search_map_mrr — MAP@{5,10,20} + MRR of the BM25 ranking, the
+    * BINARY-relevance companion to [[ndcg]]'s graded readout (Voorhees,
+    * TREC; the pair every retrieval eval ships): relevant = the docs
+    * containing ALL query terms (the conjunctive q_text_keyword_search
+    * set — ranker-independent, BM25 matches disjunctively). AP@k =
+    * Σ_{i≤k, rel} P@i / min(R, k) with each P@i = round(hits_i/i,6)::
+    * DECIMAL summed exactly and ONE micro-floored division; MRR =
+    * 1/rank of the first relevant hit (0.0 when the top-20 has none,
+    * both engines spelling the same CASE).
+    *
+    * Scale: relevance comes from the partition-pruned postings (never
+    * the corpus text), R is a 1-row aggregate, and every
+    * MAP/MRR-specific structure — the cumulative-hit window, the
+    * cutoff fan-out — runs over the 20-row ranked cut (the ndcg
+    * rationale). */
+  def mapMrr(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w20 = org.apache.spark.sql.expressions.Window
+      .orderBy($"rank") // runs over the 20-row ranked cut
+    val ranked = bm25TopK(spark, sfDir).select($"rank", $"doc_id")
+    val rel = queryPostings(spark, sfDir)
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_terms"))
+      .filter($"n_terms" === Terms.size)
+      .select($"doc_id", lit(1L).as("is_rel"))
+    val nRel = rel.agg(count(lit(1)).as("n_rel")) // 1 row
+    val flags = ranked.join(rel, Seq("doc_id"), "left")
+      .withColumn("r", coalesce($"is_rel", lit(0L)))
+      .withColumn("cum", sum($"r").over(w20))
+      .withColumn("pterm", when($"r" === 1L,
+        round($"cum".cast("double") / $"rank", 6).cast("decimal(18,6)")))
+    val firstRel = flags.filter($"r" === 1L)
+      .agg(min($"rank").as("fr")) // 1 row (NULL fr when no hit)
+    def micro(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor(c * 1e6).cast("long") / 1e6
+    Seq(5, 10, 20).toDF("k").join(flags, $"rank" <= $"k")
+      .groupBy($"k")
+      .agg(sum($"r").as("hits_at_k"),
+        sum($"pterm").as("sum_p")) // ≤20 rows per k
+      .crossJoin(broadcast(nRel)).crossJoin(broadcast(firstRel))
+      .select($"k", $"hits_at_k",
+        micro($"hits_at_k".cast("double") / $"k").as("prec_at_k"),
+        micro(coalesce($"sum_p", lit(0).cast("decimal(18,6)"))
+          .cast("double") / least($"n_rel", $"k")).as("ap_at_k"),
+        when($"fr".isNotNull, micro(lit(1.0) / $"fr"))
+          .otherwise(lit(0.0)).as("mrr"))
+      .orderBy($"k")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_search_map_mrr" -> (mapMrr _),
     "q_text_keyword_search" -> (keywordSearch _),
     "q_text_bm25_topk" -> (bm25TopK _),
     "q_search_ndcg" -> (ndcg _),
@@ -283,6 +332,44 @@ object SearchOps extends graft.QueryModule {
          |    AS rank,
          |  doc_id, score
          |FROM sc ORDER BY rank LIMIT 20""".stripMargin,
+    "q_search_map_mrr" ->
+      s"""$bm25Ctes,
+         |ranked AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+         |    AS INT) AS rank, doc_id
+         |  FROM sc ORDER BY rank LIMIT 20),
+         |rel AS (
+         |  SELECT doc_id FROM tf GROUP BY doc_id
+         |  HAVING count(*) = ${Terms.size}),
+         |nrel AS (SELECT CAST(count(*) AS BIGINT) AS n_rel FROM rel),
+         |flags AS (
+         |  SELECT r.rank,
+         |    CASE WHEN rel.doc_id IS NULL THEN 0 ELSE 1 END AS r
+         |  FROM ranked r LEFT JOIN rel ON r.doc_id = rel.doc_id),
+         |cumf AS (
+         |  SELECT rank, r,
+         |    CAST(SUM(r) OVER (ORDER BY rank) AS BIGINT) AS cum
+         |  FROM flags),
+         |pterms AS (
+         |  SELECT rank, r, cum,
+         |    CASE WHEN r = 1 THEN CAST(round(CAST(cum AS DOUBLE) / rank, 6)
+         |      AS DECIMAL(18,6)) END AS pterm
+         |  FROM cumf),
+         |fr AS (SELECT MIN(rank) AS fr FROM pterms WHERE r = 1),
+         |ks AS (SELECT unnest([5, 10, 20]) AS k),
+         |g AS (
+         |  SELECT k, CAST(SUM(r) AS BIGINT) AS hits_at_k,
+         |    SUM(pterm) AS sum_p
+         |  FROM ks JOIN pterms ON rank <= k GROUP BY k)
+         |SELECT k, hits_at_k,
+         |  CAST(floor(CAST(hits_at_k AS DOUBLE) / k * 1e6) AS BIGINT) / 1e6
+         |    AS prec_at_k,
+         |  CAST(floor(CAST(coalesce(sum_p, 0) AS DOUBLE) /
+         |    least(n_rel, k) * 1e6) AS BIGINT) / 1e6 AS ap_at_k,
+         |  CASE WHEN fr IS NOT NULL THEN
+         |    CAST(floor(CAST(1.0 AS DOUBLE) / fr * 1e6) AS BIGINT) / 1e6
+         |    ELSE 0.0 END AS mrr
+         |FROM g CROSS JOIN nrel CROSS JOIN fr ORDER BY k""".stripMargin,
     "q_search_ndcg" ->
       s"""$bm25Ctes,
          |ranked AS (

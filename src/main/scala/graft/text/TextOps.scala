@@ -632,7 +632,142 @@ object TextOps extends graft.QueryModule {
       micro(vxy * vxy / (vxx * vyy)).as("r2"))
   }
 
+  /** q_text_rake — RAKE keyword extraction (Rose et al., "Automatic
+    * Keyword Extraction from Individual Documents", 2010), corpus-wide:
+    * candidate phrases are the maximal stopword-free token runs
+    * (delimiters = the pinned NLTK list, the q_text_clean filter set);
+    * each word scores deg(w)/freq(w) where freq counts candidate
+    * occurrences and deg sums the lengths of the phrases containing
+    * them (hub words inside long collocations outrank isolated
+    * frequent words); a phrase scores the sum of its words' scores.
+    * Top-20 phrases by (score, phrase). Numerics: deg/freq is ONE
+    * double division per word occurrence, round(,6)::DECIMAL, exact
+    * DECIMAL phrase sums, cast once at the readout (identical phrase
+    * text ⇒ identical word multiset ⇒ identical score, so the
+    * cross-doc collapse can take max(score) without ambiguity).
+    *
+    * Scale: one narrow posexplode; the segmentation window and the
+    * phrase-length window are PARTITIONED BY doc (pid) — never keyless
+    * over the corpus; word stats are one hash aggregation over
+    * candidate occurrences; the final top-20 is a
+    * TakeOrderedAndProject heap. Linear in corpus tokens end to end. */
+  def rake(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"pos") // per-doc, scale-safe
+    val wPhrase = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id", $"pid")
+    val toks = graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "tok")))
+      .withColumn("is_stop",
+        $"tok".isin(Stopwords.tokensOnly: _*).cast("long"))
+    val seg = toks
+      .withColumn("pid", sum($"is_stop").over(wDoc))
+      .filter($"is_stop" === 0L) // candidate words only
+      .withColumn("plen", count(lit(1)).over(wPhrase))
+    val wordstats = seg.groupBy($"tok")
+      .agg(count(lit(1)).as("freq"), sum($"plen").as("deg"))
+    val phrases = seg.join(wordstats, Seq("tok"))
+      .withColumn("term",
+        round($"deg".cast("double") / $"freq".cast("double"), 6)
+          .cast("decimal(18,6)"))
+      .groupBy($"doc_id", $"pid")
+      .agg(array_join(transform(
+          array_sort(collect_list(struct($"pos", $"tok"))),
+          x => x.getField("tok")), " ").as("phrase"),
+        count(lit(1)).as("n_words"),
+        sum($"term").as("score"))
+    phrases.groupBy($"phrase")
+      .agg(max($"n_words").as("n_words"), count(lit(1)).as("n_occur"),
+        max($"score").as("score"))
+      .select($"phrase", $"n_words", $"n_occur",
+        $"score".cast("double").as("score"))
+      .orderBy($"score".desc, $"phrase").limit(20) // top-k heap
+  }
+
+  /** q_text_keyness — corpus-contrastive keyword extraction by Dunning
+    * log-likelihood G² (Dunning, Comp. Ling. 1993; the keyness measure
+    * corpus linguistics standardized on — unlike raw frequency ratio
+    * it is calibrated for rare words): for each token, the 2×2 table
+    * (count in src0, count in src1, rest of src0, rest of src1) and
+    * G² = 2·Σ O·ln(O/E). The log arguments are INTEGER ratios
+    * (O/E_a = a·N/((a+b)·n0) — the js_divergence recipe), each term
+    * O·round(ln(·),6)::DECIMAL with zero cells contributing exactly 0
+    * via the same when-guard both engines spell; the ×2 and the one
+    * double cast happen at the readout. `direction` says WHICH corpus
+    * overuses the token (a·n1 vs b·n0, pure integers). Top-20 by
+    * (G², token).
+    *
+    * Scale: one token hash-aggregation to the vocabulary, a broadcast
+    * 1-row totals frame, per-row arithmetic, and a
+    * TakeOrderedAndProject heap — never a window, never a second
+    * corpus pass. */
+  def keyness(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tf = graft.Tables.documents(spark, sfDir)
+      .filter($"source".isin("src0", "src1"))
+      .select($"source", explode(split($"text", " ")).as("tok"))
+      .groupBy($"tok")
+      .agg(sum(when($"source" === "src0", 1L).otherwise(0L)).as("a"),
+        sum(when($"source" === "src1", 1L).otherwise(0L)).as("b"))
+    val tot = tf.agg(sum($"a").as("n0"), sum($"b").as("n1")) // 1 row
+    def term(o: Column, num: Column, den: Column): Column =
+      when(o > 0L, o * round(log(num.cast("double") / den.cast("double")), 6)
+        .cast("decimal(18,6)")).otherwise(lit(0).cast("decimal(18,6)"))
+    tf.crossJoin(broadcast(tot))
+      .withColumn("n", $"n0" + $"n1")
+      .withColumn("c", $"n0" - $"a").withColumn("d", $"n1" - $"b")
+      .withColumn("g2x2",
+        term($"a", $"a" * $"n", ($"a" + $"b") * $"n0") +
+        term($"b", $"b" * $"n", ($"a" + $"b") * $"n1") +
+        term($"c", $"c" * $"n", ($"c" + $"d") * $"n0") +
+        term($"d", $"d" * $"n", ($"c" + $"d") * $"n1"))
+      .select($"tok", $"a".as("count_src0"), $"b".as("count_src1"),
+        (floor($"g2x2".cast("double") * 2.0 * 1e6).cast("long") / 1e6)
+          .as("g2"),
+        when($"a" * $"n1" > $"b" * $"n0", "src0").otherwise("src1")
+          .as("overused_in"))
+      .orderBy($"g2".desc, $"tok").limit(20) // top-k heap
+  }
+
+  /** q_text_burstiness — per-token dispersion (variance-to-mean ratio
+    * of the per-document count, Church & Gale 1995's burstiness): a
+    * token whose occurrences CLUMP (vmr ≫ 1) is topical; one spread
+    * evenly (vmr ≈ 1, the Poisson baseline) is function-word-like —
+    * the signal that separates the two at equal corpus frequency.
+    * Closed form over zeros WITHOUT densifying: with per-doc counts c
+    * over all N docs (absent docs contribute 0), vmr =
+    * (N·Σc² − (Σc)²)/(N·Σc) — pure int64 from one (doc, tok)
+    * aggregation and one token aggregation, ONE micro-floored double
+    * division (df ≥ 50 floor keeps the readout stable). Top-20 by
+    * (vmr, token).
+    *
+    * Scale: two hash aggregations (corpus → doc-token counts →
+    * vocabulary) + a broadcast 1-row N + a top-k heap. */
+  def burstiness(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dc = graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+    val n = graft.Tables.documents(spark, sfDir)
+      .agg(count(lit(1)).as("n_docs")) // 1 row
+    def micro(c: Column): Column = floor(c * 1e6).cast("long") / 1e6
+    dc.groupBy($"tok")
+      .agg(count(lit(1)).as("df"), sum($"c").as("s1"),
+        sum($"c" * $"c").as("s2"))
+      .filter($"df" >= 50L)
+      .crossJoin(broadcast(n))
+      .select($"tok", $"df", $"s1".as("total_tf"),
+        micro($"s1".cast("double") / $"n_docs".cast("double")).as("mean_tf"),
+        micro(($"n_docs" * $"s2" - $"s1" * $"s1").cast("double") /
+          ($"n_docs" * $"s1").cast("double")).as("vmr"))
+      .orderBy($"vmr".desc, $"tok").limit(20) // top-k heap
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_keyness" -> (keyness _),
+    "q_text_burstiness" -> (burstiness _),
+    "q_text_rake" -> (rake _),
     "q_text_zipf_fit" -> (zipfFit _),
     "q_text_concordance" -> (concordance _),
     "q_text_fuzzy_entity" -> (fuzzyEntity _),
@@ -656,6 +791,100 @@ object TextOps extends graft.QueryModule {
     "q_text_langid" -> (langId _))
 
   def oracle: Map[String, String] = Map(
+    "q_text_keyness" ->
+      """WITH tf AS (
+        |  SELECT tok,
+        |    CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS a,
+        |    CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS b
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents WHERE source IN ('src0', 'src1'))
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(a) AS BIGINT) AS n0,
+        |  CAST(SUM(b) AS BIGINT) AS n1 FROM tf),
+        |g AS (
+        |  SELECT tok, a, b, n0 - a AS c, n1 - b AS d, n0, n1, n0 + n1 AS n
+        |  FROM tf CROSS JOIN tot),
+        |t AS (
+        |  SELECT tok, a, b,
+        |    (CASE WHEN a > 0 THEN a * CAST(round(ln(
+        |        CAST(a*n AS DOUBLE) / CAST((a+b)*n0 AS DOUBLE)), 6)
+        |        AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END) +
+        |    (CASE WHEN b > 0 THEN b * CAST(round(ln(
+        |        CAST(b*n AS DOUBLE) / CAST((a+b)*n1 AS DOUBLE)), 6)
+        |        AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END) +
+        |    (CASE WHEN c > 0 THEN c * CAST(round(ln(
+        |        CAST(c*n AS DOUBLE) / CAST((c+d)*n0 AS DOUBLE)), 6)
+        |        AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END) +
+        |    (CASE WHEN d > 0 THEN d * CAST(round(ln(
+        |        CAST(d*n AS DOUBLE) / CAST((c+d)*n1 AS DOUBLE)), 6)
+        |        AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END)
+        |      AS g2x2,
+        |    CASE WHEN a*n1 > b*n0 THEN 'src0' ELSE 'src1' END
+        |      AS overused_in
+        |  FROM g)
+        |SELECT tok, a AS count_src0, b AS count_src1,
+        |  CAST(floor(CAST(g2x2 AS DOUBLE) * 2.0 * 1e6) AS BIGINT) / 1e6
+        |    AS g2,
+        |  overused_in
+        |FROM t ORDER BY g2 DESC, tok LIMIT 20""".stripMargin,
+    "q_text_burstiness" ->
+      """WITH dc AS (
+        |  SELECT doc_id, tok, COUNT(*) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |g AS (
+        |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS df,
+        |    CAST(SUM(c) AS BIGINT) AS s1, CAST(SUM(c*c) AS BIGINT) AS s2
+        |  FROM dc GROUP BY 1 HAVING COUNT(*) >= 50)
+        |SELECT tok, df, s1 AS total_tf,
+        |  CAST(floor(CAST(s1 AS DOUBLE) / CAST(n_docs AS DOUBLE) * 1e6)
+        |    AS BIGINT) / 1e6 AS mean_tf,
+        |  CAST(floor(CAST(n_docs*s2 - s1*s1 AS DOUBLE) /
+        |    CAST(n_docs*s1 AS DOUBLE) * 1e6) AS BIGINT) / 1e6 AS vmr
+        |FROM g CROSS JOIN n
+        |ORDER BY vmr DESC, tok LIMIT 20""".stripMargin,
+    "q_text_rake" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, unnest(a) AS tok,
+         |    generate_subscripts(a, 1) AS pos
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS a
+         |        FROM documents)),
+         |m AS (
+         |  SELECT doc_id, pos, tok,
+         |    CASE WHEN list_contains(${Stopwords.duckdbArray}, tok)
+         |      THEN 1 ELSE 0 END AS is_stop
+         |  FROM tk),
+         |seg0 AS (
+         |  SELECT doc_id, pos, tok, is_stop,
+         |    CAST(SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY pos)
+         |      AS BIGINT) AS pid
+         |  FROM m),
+         |seg AS (
+         |  SELECT doc_id, pos, tok, pid,
+         |    CAST(COUNT(*) OVER (PARTITION BY doc_id, pid) AS BIGINT)
+         |      AS plen
+         |  FROM seg0 WHERE is_stop = 0),
+         |ws AS (
+         |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq,
+         |    CAST(SUM(plen) AS BIGINT) AS deg
+         |  FROM seg GROUP BY 1),
+         |ph AS (
+         |  SELECT seg.doc_id, seg.pid,
+         |    string_agg(seg.tok, ' ' ORDER BY seg.pos) AS phrase,
+         |    CAST(COUNT(*) AS BIGINT) AS n_words,
+         |    SUM(CAST(round(CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE), 6)
+         |      AS DECIMAL(18,6))) AS score
+         |  FROM seg JOIN ws ON seg.tok = ws.tok
+         |  GROUP BY 1, 2)
+         |SELECT phrase, MAX(n_words) AS n_words,
+         |  CAST(COUNT(*) AS BIGINT) AS n_occur,
+         |  CAST(MAX(score) AS DOUBLE) AS score
+         |FROM ph GROUP BY 1
+         |ORDER BY score DESC, phrase LIMIT 20""".stripMargin,
     "q_text_zipf_fit" ->
       """WITH f AS (
         |  SELECT unnest(string_split(text, ' ')) AS t FROM documents),

@@ -102,6 +102,50 @@ object PlanAudit {
     // running sum/min over the BOUNDED day domain (|days| rows after
     // the partial-agg'd groupBy) + its 1-row (n, S) totals frame
     "q_window_cusum" -> Set("SinglePartition", "NestedLoop"),
+    // bounded |days|² pairwise self-join (calendar-sized, not
+    // corpus-sized — the cusum rationale squared) + three 1-row
+    // (S / ties / n) frames crossJoined
+    "q_window_mann_kendall" -> Set("SinglePartition", "NestedLoop"),
+    // the same bounded |days|² pair frame, collapsed to a slope-value
+    // histogram; the only keyless window is the bucket-offset cumsum
+    // over the ≤2·√max|m| bucket frame (the weighted_median two-level
+    // decomposition — the per-value cumsum is partitioned by bucket)
+    "q_agg_theil_sen" -> Set("SinglePartition", "NestedLoop"),
+    // rank window over the 101-row TakeOrderedAndProject cut + its
+    // broadcast 1-row x_(k+1) pivot frame (the dsir pattern)
+    "q_agg_hill_tail" -> Set("SinglePartition", "NestedLoop"),
+    // cumulative-negatives window over the BOUNDED score domain
+    // (≤97 cells after the one corpus hash aggregation — the ks_test
+    // cumulative-histogram shape)
+    "q_ml_auc_rank" -> Set("SinglePartition"),
+    // the ndcg shape: cutoff fan-out joins a 3-row k frame to the
+    // 20-row ranked cut; cumulative-hit window over those 20 rows;
+    // 1-row R and first-hit frames crossJoined broadcast
+    "q_search_map_mrr" -> Set("SinglePartition", "NestedLoop"),
+    // cumulative-rank window over the BOUNDED length-domain histogram
+    // (the ks_test shape), final 1-row aggregate
+    "q_quality_mann_whitney" -> Set("SinglePartition"),
+    // same bounded histogram crossJoined with its 1-row (n0, n1)
+    // totals frame (the mutualInfo shape)
+    "q_quality_js_divergence" -> Set("SinglePartition", "NestedLoop"),
+    // 1-row pooled-moments scalar frame (θ, x̄, vrr) crossJoined
+    // broadcast onto the 2-row per-arm frame
+    "q_ml_cuped" -> Set("SinglePartition", "NestedLoop"),
+    // bounded |lang|×2 contingency cells; 1-row naive frame
+    // crossJoined with the 1-row stratified aggregate
+    "q_ml_ate_strata" -> Set("SinglePartition", "NestedLoop"),
+    // vocabulary-sized token frame crossJoined with its broadcast
+    // 1-row (n0, n1) totals; top-20 is a TakeOrdered heap
+    "q_text_keyness" -> Set("SinglePartition", "NestedLoop"),
+    // vocabulary-sized dispersion frame crossJoined with the 1-row
+    // doc-count frame; top-20 heap
+    "q_text_burstiness" -> Set("SinglePartition", "NestedLoop"),
+    // two rank windows over the BOUNDED day domain (the cusum
+    // rationale) + the 1-row eleven-moment aggregate
+    "q_window_spearman" -> Set("SinglePartition"),
+    // 1-row moment frame crossJoined with the 1-row node count over
+    // the vocabulary-sized basket edge list
+    "q_graph_assortativity" -> Set("SinglePartition", "NestedLoop"),
     // bounded day domain (the cusum rationale): the keyless centered
     // 7-row window runs over ≤|days| rows after a partial-agg'd groupBy
     "q_window_seasonal" -> Set("SinglePartition", "NestedLoop"),
