@@ -340,7 +340,47 @@ object JoinOps extends graft.QueryModule {
       .orderBy($"e_id")
   }
 
+  /** q_join_interval_overlap — interval-overlap self-join via BIN
+    * DECOMPOSITION, the standard scale rewrite for temporal overlap
+    * (a raw `a.s ≤ b.e AND b.s ≤ a.e` theta join plans as a per-key
+    * nested loop — O(n²) per customer and a cartesian without a key):
+    * each order carries a validity interval [orderdate, orderdate +
+    * 1 + key%5 days]; every interval EXPLODES to the calendar weeks
+    * it touches (≤ 2 bins for ≤ 6-day spans — the fan-out is
+    * ⌈span/binwidth⌉+1, a constant here), candidates meet through the
+    * (custkey, week) EQUI join, the exact predicate filters, and
+    * DISTINCT collapses pairs that met in both shared bins. Readout:
+    * per customer, how many of their order pairs overlap in time.
+    *
+    * Scale: the join is a plain shuffled equi join on a composite
+    * key — no nested loop, no cartesian (plan-pinned in Wave13eSpec);
+    * bin width trades fan-out (longer spans → more bins/row) against
+    * candidate density (wider bins → more false candidates), the
+    * documented knob. */
+  def intervalOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val iv = graft.Tables.orders(spark, sfDir)
+      .select($"o_orderkey".as("k"), $"o_custkey".as("c"),
+        to_date($"o_orderdate").as("s"))
+      .withColumn("e",
+        date_add($"s", (lit(1) + pmod($"k", lit(5L))).cast("int")))
+    val binned = iv.withColumn("bin", explode(sequence(
+      expr("datediff(s, date'1995-01-01') div 7"),
+      expr("datediff(e, date'1995-01-01') div 7"))))
+    val a = binned.select($"c", $"bin", $"k".as("ka"), $"s".as("sa"),
+      $"e".as("ea"))
+    val b = binned.select($"c", $"bin", $"k".as("kb"), $"s".as("sb"),
+      $"e".as("eb"))
+    a.join(b, Seq("c", "bin")) // equi join on (customer, week)
+      .filter($"ka" < $"kb" && $"sa" <= $"eb" && $"sb" <= $"ea")
+      .select($"c", $"ka", $"kb").distinct() // pairs met in 2 bins once
+      .groupBy($"c").agg(count(lit(1)).as("n_overlapping_pairs"))
+      .select($"c".as("o_custkey"), $"n_overlapping_pairs")
+      .orderBy($"o_custkey")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_interval_overlap" -> (intervalOverlap _),
     "q_join_asof_nearest" -> (asofNearest _),
     "q_join_null_safe" -> (nullSafeJoin _),
     "q_join_bloom_pruned" -> (bloomPrunedJoin _),
@@ -359,6 +399,21 @@ object JoinOps extends graft.QueryModule {
     "q_join_asof_tolerance" -> (asofTolerance _))
 
   def oracle: Map[String, String] = Map(
+    // the twin is the NAIVE theta self-join the bin decomposition
+    // replaces — equality certifies the rewrite lossless (no pair
+    // missed across a bin boundary, no duplicate from shared bins)
+    "q_join_interval_overlap" ->
+      """WITH iv AS (
+        |  SELECT o_orderkey AS k, o_custkey AS c,
+        |    CAST(o_orderdate AS DATE) AS s,
+        |    CAST(o_orderdate AS DATE) +
+        |      CAST((1 + o_orderkey % 5) AS INT) AS e
+        |  FROM orders)
+        |SELECT a.c AS o_custkey,
+        |  CAST(COUNT(*) AS BIGINT) AS n_overlapping_pairs
+        |FROM iv a JOIN iv b
+        |  ON a.c = b.c AND a.k < b.k AND a.s <= b.e AND b.s <= a.e
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_join_asof_nearest" ->
       """WITH p AS (
         |  SELECT user_id AS p_user, epoch_ms(ts) AS p_ms,

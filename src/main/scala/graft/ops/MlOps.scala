@@ -781,6 +781,45 @@ object MlOps extends graft.QueryModule {
         micro($"s".cast("double") / $"nn".cast("double")).as("ate_strat"))
   }
 
+  /** q_ml_power_analysis — A/B sample-size calculator (the standard
+    * two-sample normal-approximation power formula): n per arm =
+    * ⌈2(z_α/2 + z_β)²·s²/δ²⌉ at α = 0.05 two-sided, power = 0.80
+    * (z = 1.959964, 0.841621 — the same literals both engines carry),
+    * for minimum detectable effects of 1/2/5% of the mean — the
+    * pre-experiment readout that pairs with [[cuped]] (whose measured
+    * variance-reduction ratio shrinks s² and hence these n's).
+    * Numerics: order value in whole dollars (the cuped moment-bound
+    * discipline); n, Σy, Σy² exact int64; the sample variance and
+    * each n_per_arm assemble in doubles in the mirrored operation
+    * order, ceil at the end (exact in both engines). One corpus
+    * aggregation + a 3-row MDE fan-out: scale-free. */
+  def powerAnalysis(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val g = graft.Tables.orders(spark, sfDir)
+      .select(expr(
+        "cast(cast(o_totalprice as decimal(14,2)) * 100 as bigint) div 100")
+        .as("y"))
+      .agg(count(lit(1)).as("n"), sum($"y").as("sy"),
+        sum($"y" * $"y").as("syy")) // 1 row
+    def micro(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor(c * 1e6).cast("long") / 1e6
+    val mean = $"sy".cast("double") / $"n"
+    // n·Σy² overflows int64 near sf0.01 — the numerator runs in
+    // DECIMAL(38) exactly, one double cast (mirrored in the twin)
+    val variance = ($"n".cast("decimal(20,0)") * $"syy".cast("decimal(20,0)") -
+      $"sy".cast("decimal(20,0)") * $"sy".cast("decimal(20,0)"))
+      .cast("double") / ($"n" * ($"n" - 1L)).cast("double")
+    Seq(1, 2, 5).toDF("mde_pct").crossJoin(broadcast(g))
+      .select($"mde_pct", $"n".as("n_obs"),
+        micro(mean).as("mean_y"), micro(variance).as("var_y"),
+        ceil(lit(2.0) * (lit(1.959964) + lit(0.841621)) *
+          (lit(1.959964) + lit(0.841621)) * variance /
+          ((lit(0.01) * $"mde_pct" * mean) *
+            (lit(0.01) * $"mde_pct" * mean))).cast("long")
+          .as("n_per_arm"))
+      .orderBy($"mde_pct")
+  }
+
   /** q_ml_auc_rank — ROC AUC of [[calibration]]'s deterministic scorer
     * via the Mann–Whitney rank-sum identity, computed from the SCORE
     * HISTOGRAM (the only AUC formulation that scales): AUC =
@@ -1055,6 +1094,7 @@ object MlOps extends graft.QueryModule {
     "q_ml_eval_metrics_sql" -> (evalMetricsSql _),
     "q_ml_calibration" -> (calibration _),
     "q_ml_auc_rank" -> (aucRank _),
+    "q_ml_power_analysis" -> (powerAnalysis _),
     "q_ml_cuped" -> (cuped _),
     "q_ml_ate_strata" -> (ateStrata _),
     "q_ml_weighted_sample" -> (weightedSample _),
@@ -1384,6 +1424,30 @@ object MlOps extends graft.QueryModule {
         |  CAST(floor(CAST(s AS DOUBLE) / CAST(nn AS DOUBLE) * 1e6)
         |    AS BIGINT) / 1e6 AS ate_strat
         |FROM g CROSS JOIN naive""".stripMargin,
+    "q_ml_power_analysis" ->
+      """WITH g AS (
+        |  SELECT COUNT(*) AS n,
+        |    CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(y*y) AS BIGINT) AS syy
+        |  FROM (SELECT CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+        |      AS BIGINT) // 100 AS y FROM orders)),
+        |m AS (SELECT unnest([1, 2, 5]) AS mde_pct)
+        |SELECT mde_pct, n AS n_obs,
+        |  CAST(floor(CAST(sy AS DOUBLE) / n * 1e6) AS BIGINT) / 1e6
+        |    AS mean_y,
+        |  CAST(floor(CAST(CAST(n AS DECIMAL(20,0)) * CAST(syy AS DECIMAL(20,0))
+        |      - CAST(sy AS DECIMAL(20,0)) * CAST(sy AS DECIMAL(20,0))
+        |      AS DOUBLE) /
+        |    CAST(n*(n-1) AS DOUBLE) * 1e6) AS BIGINT) / 1e6 AS var_y,
+        |  CAST(ceil(CAST(2.0 AS DOUBLE) *
+        |    (CAST(1.959964 AS DOUBLE) + CAST(0.841621 AS DOUBLE)) *
+        |    (CAST(1.959964 AS DOUBLE) + CAST(0.841621 AS DOUBLE)) *
+        |    (CAST(CAST(n AS DECIMAL(20,0)) * CAST(syy AS DECIMAL(20,0))
+        |      - CAST(sy AS DECIMAL(20,0)) * CAST(sy AS DECIMAL(20,0))
+        |      AS DOUBLE) / CAST(n*(n-1) AS DOUBLE)) /
+        |    ((CAST(0.01 AS DOUBLE) * mde_pct * (CAST(sy AS DOUBLE) / n)) *
+        |     (CAST(0.01 AS DOUBLE) * mde_pct * (CAST(sy AS DOUBLE) / n))))
+        |    AS BIGINT) AS n_per_arm
+        |FROM m CROSS JOIN g ORDER BY mde_pct""".stripMargin,
     "q_ml_auc_rank" ->
       """WITH h AS (
         |  SELECT n_chars % 97 AS s,

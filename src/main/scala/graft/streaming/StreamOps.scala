@@ -397,6 +397,70 @@ object StreamOps extends graft.QueryModule {
     spark.table(name).orderBy($"event_type", $"win_start_ms")
   }
 
+  /** State fold for [[liveTopk]]: the group key IS the tumbling
+    * window start, so state is exactly one window's per-type revenue
+    * map (bounded by |event types|, never by event count). A window
+    * publishes its top-3 ONCE when the watermark passes its end —
+    * the `emitted` latch makes any later arrival for a published
+    * window a deterministic no-op (the cusumUpdate closedThroughMs
+    * rule, per-window form). Production note: published latches are
+    * freed once the lateness horizon passes (here they live to end of
+    * run — bounded by the fixture's window count). */
+  def topkUpdate(ws: Long, rows: Iterator[SeriesEvent],
+                 state: org.apache.spark.sql.streaming.GroupState[TopkState])
+      : Iterator[TopkOut] = {
+    val st = state.getOption.getOrElse(TopkState(Map.empty, emitted = false))
+    if (st.emitted) return Iterator.empty // late rows after publish
+    var sums = st.sums
+    rows.foreach { e =>
+      sums = sums.updated(e.event_type, sums.getOrElse(e.event_type, 0L) +
+        e.cents)
+    }
+    val wm = state.getCurrentWatermarkMs()
+    if (ws + CusumWinMs <= wm) {
+      state.update(TopkState(Map.empty, emitted = true))
+      sums.toSeq.sortBy { case (t, c) => (-c, t) }.take(3)
+        .zipWithIndex.iterator.map { case ((t, c), i) =>
+          TopkOut(ws, i + 1, t, c) }
+    } else {
+      state.update(TopkState(sums, emitted = false))
+      // end−1 < wm ⟺ end ≤ wm (the cusumUpdate re-arm rule)
+      state.setTimeoutTimestamp(math.max(ws + CusumWinMs - 1, wm + 1))
+      Iterator.empty
+    }
+  }
+
+  /** TRUE stateful streaming per-window top-k: readStream →
+    * watermark(10 min) → flatMapGroupsWithState keyed by WINDOW START
+    * — the leaderboard shape (top event types by exact revenue per
+    * closed 15-minute window) that complete-mode aggregation cannot
+    * express incrementally at scale (complete mode re-emits ALL
+    * windows every trigger; this emits each window once, on closure).
+    * Fully oracled: the append output is exactly the windows with
+    * win_end ≤ max(ts) − delay, each cut to rank ≤ 3 by (revenue
+    * desc, type) — the live_cusum closure contract, per-window. */
+  def liveTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val ev = eventsStream(spark, sfDir)
+      .withWatermark("ts", "10 minutes")
+      .select($"event_type", $"ts",
+        (graft.ops.AggOps.dec($"value") * 100).cast("long").as("cents"))
+      .as[SeriesEvent]
+    val out = ev.groupByKey(e =>
+        Math.floorDiv(e.ts.getTime, CusumWinMs) * CusumWinMs)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        topkUpdate)
+    val name = "live_topk_" + java.lang.Integer.toHexString(sfDir.hashCode)
+    val q = out.toDF().writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy($"win_start_ms", $"rank")
+  }
+
   /** Watermark late-data drop, declared as its deterministic batch twin
     * (the one streaming-semantics row that previously had no declared
     * query): tumbling aggregation over the events that a 10-minute
@@ -492,6 +556,7 @@ object StreamOps extends graft.QueryModule {
     "q_stream_session" -> (sessions _),
     "q_stream_late_drop" -> (lateDrop _),
     "q_stream_live_cusum" -> (liveCusum _),
+    "q_stream_live_topk" -> (liveTopk _),
     "q_stream_tx_publish" -> (liveTxPublish _))
 
   private val tumblingOracle: String =
@@ -522,6 +587,26 @@ object StreamOps extends graft.QueryModule {
         |FROM kept GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_stream_tumbling" -> tumblingOracle,
     "q_stream_live_tumbling" -> tumblingOracle,
+    "q_stream_live_topk" ->
+      """WITH w AS (
+        |  SELECT event_type,
+        |    (epoch_ms(ts) // 900000) * 900000 AS win_start_ms,
+        |    CAST(SUM(CAST(value AS DECIMAL(14,2))) * 100 AS BIGINT)
+        |      AS rev_cents
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT MAX(epoch_ms(ts)) - 600000 AS wm FROM events),
+        |closed AS (
+        |  SELECT event_type, win_start_ms, rev_cents
+        |  FROM w CROSS JOIN m WHERE win_start_ms + 900000 <= wm),
+        |r AS (
+        |  SELECT win_start_ms,
+        |    CAST(row_number() OVER (PARTITION BY win_start_ms
+        |      ORDER BY rev_cents DESC, event_type) AS INT) AS rank,
+        |    event_type, rev_cents
+        |  FROM closed)
+        |SELECT win_start_ms, rank, event_type, rev_cents
+        |FROM r WHERE rank <= 3
+        |ORDER BY win_start_ms, rank""".stripMargin,
     "q_stream_live_cusum" ->
       """WITH w AS (
         |  SELECT event_type,
@@ -635,3 +720,12 @@ final case class SeriesOut(event_type: String, win_start_ms: Long,
                            rev_cents: Long, cusum_cents: Long,
                            shift_flag: Int, peak_cents: Long,
                            drawdown_cents: Long)
+
+/** Shapes for the stateful per-window top-k operator: state is the
+  * exact per-type revenue map of ONE tumbling window plus the
+  * emitted latch (late rows arriving after the window published are
+  * discarded, never re-emitted). */
+final case class TopkState(sums: Map[String, Long], emitted: Boolean)
+
+final case class TopkOut(win_start_ms: Long, rank: Int,
+                         event_type: String, rev_cents: Long)

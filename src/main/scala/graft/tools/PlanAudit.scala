@@ -131,6 +131,8 @@ object PlanAudit {
     // 1-row pooled-moments scalar frame (θ, x̄, vrr) crossJoined
     // broadcast onto the 2-row per-arm frame
     "q_ml_cuped" -> Set("SinglePartition", "NestedLoop"),
+    // 3-row MDE fan-out crossJoined with the 1-row moment frame
+    "q_ml_power_analysis" -> Set("SinglePartition", "NestedLoop"),
     // bounded |lang|×2 contingency cells; 1-row naive frame
     // crossJoined with the 1-row stratified aggregate
     "q_ml_ate_strata" -> Set("SinglePartition", "NestedLoop"),

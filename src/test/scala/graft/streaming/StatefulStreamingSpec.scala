@@ -165,6 +165,41 @@ class StatefulStreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stateful per-window top-k: publish once on closure, late rows dead") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1704067200000L // 2024-01-01T00:00Z, window-aligned
+    def ev(t: String, m: Int, cents: Long) =
+      SeriesEvent(t, new Timestamp(base + m * 60000L), cents)
+    val s = MemoryStream[SeriesEvent]
+    val out = s.toDS()
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(e => Math.floorDiv(e.ts.getTime, 900000L) * 900000L)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        StreamOps.topkUpdate)
+    val q = out.toDF().writeStream.format("memory").queryName("topk_state")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // window 0 gets FOUR types (so the top-3 cut is real); window 15
+      // stays open after batch 2's watermark (31+9−10 = 30)
+      s.addData(ev("a", 1, 500), ev("b", 2, 900), ev("c", 3, 700),
+        ev("d", 4, 600), ev("a", 5, 300))
+      q.processAllAvailable()
+      s.addData(ev("a", 40, 100)) // wm → 30 min: closes window 0 only
+      q.processAllAvailable()
+      val afterClose = spark.table("topk_state").as[TopkOut].collect().toSeq
+      assert(afterClose === Seq(
+        TopkOut(base, 1, "b", 900L), TopkOut(base, 2, "a", 800L),
+        TopkOut(base, 3, "c", 700L)), afterClose.mkString(","))
+      // a late row for the PUBLISHED window is a no-op: no re-emission,
+      // no fourth row, even though it would have changed the ranking
+      s.addData(ev("d", 6, 5000))
+      q.processAllAvailable()
+      val afterLate = spark.table("topk_state").as[TopkOut].collect().toSeq
+      assert(afterLate === afterClose, afterLate.mkString(","))
+    } finally q.stop()
+  }
+
   test("file-source readStream (availableNow) matches the batch count") {
     graft.Tables.events(spark, sf0001) // sets the nanosAsLong conf
     val batchCount = graft.Tables.events(spark, sf0001).count()
