@@ -781,6 +781,62 @@ object MlOps extends graft.QueryModule {
         micro($"s".cast("double") / $"nn".cast("double")).as("ate_strat"))
   }
 
+  /** q_ml_kaplan_meier — Kaplan–Meier survival curve (Kaplan & Meier,
+    * JASA 1958) over customer LIFETIME (days between first and last
+    * order), the churn readout that handles RIGHT-CENSORING correctly
+    * — a customer whose last order sits within 90 days of the corpus
+    * end may still be alive, and dropping or counting them as churned
+    * both bias the curve. Ŝ(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ) over event
+    * times; computed in LOG space with the bigram-LM discipline —
+    * each factor round(ln((nᵢ−dᵢ)/nᵢ),6)::DECIMAL, exact cumulative
+    * DECIMAL sum over the bounded duration domain, readouts exp once
+    * + micro-floor (exp of a 6-dp-rounded argument: the same
+    * cross-engine contract every ln-recipe query already carries).
+    *
+    * Scale: ONE groupBy(customer) collapses the corpus; everything
+    * after lives on the bounded duration domain (≤ calendar days —
+    * the cusum rationale): risk sets are a cumulative sum over that
+    * domain, never a per-customer window. */
+  def kaplanMeier(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w2 = org.apache.spark.sql.expressions.Window
+    val per = graft.Tables.orders(spark, sfDir)
+      .groupBy($"o_custkey")
+      .agg(min(to_date($"o_orderdate")).as("first"),
+        max(to_date($"o_orderdate")).as("last"))
+    val horizon = broadcast(graft.Tables.orders(spark, sfDir)
+      .agg(max(to_date($"o_orderdate")).as("m"))) // 1 row
+    val durs = per.crossJoin(horizon)
+      .select(datediff($"last", $"first").cast("long").as("dur"),
+        (datediff($"m", $"last") > 90).cast("long").as("event"))
+    val cells = durs.groupBy($"dur")
+      .agg(sum($"event").as("d"),
+        sum(lit(1L) - $"event").as("c")) // bounded duration domain
+    val tot = cells.agg(sum($"d" + $"c").as("n_total")) // 1 row
+    def micro(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor(c * 1e6).cast("long") / 1e6
+    cells.crossJoin(broadcast(tot))
+      .withColumn("n_risk", $"n_total" - coalesce(sum($"d" + $"c").over(
+        w2.orderBy($"dur").rowsBetween(w2.unboundedPreceding, -1)),
+        lit(0L)))
+      // the terminal row can exhaust the risk set (n_risk == d, all
+      // events): ln(0) is the curve hitting EXACTLY 0 — emitted as
+      // surv = 0 / NULL log_surv, never fed through ln (mirrored CASE)
+      .withColumn("term", when($"d" > 0L && $"n_risk" > $"d",
+        round(log(($"n_risk" - $"d").cast("double") /
+          $"n_risk".cast("double")), 6).cast("decimal(18,6)"))
+        .otherwise(lit(0).cast("decimal(18,6)")))
+      .withColumn("cum",
+        sum($"term").over(w2.orderBy($"dur"))) // bounded domain
+      .filter($"d" > 0L) // KM reports event times
+      .select($"dur".as("dur_days"), $"n_risk", $"d".as("n_events"),
+        $"c".as("n_censored_at"),
+        when($"n_risk" > $"d", $"cum".cast("double")).as("log_surv"),
+        when($"n_risk" > $"d", micro(exp($"cum".cast("double"))))
+          .otherwise(lit(0.0)).as("surv"))
+      .orderBy($"dur_days")
+  }
+
   /** q_ml_power_analysis — A/B sample-size calculator (the standard
     * two-sample normal-approximation power formula): n per arm =
     * ⌈2(z_α/2 + z_β)²·s²/δ²⌉ at α = 0.05 two-sided, power = 0.80
@@ -1095,6 +1151,7 @@ object MlOps extends graft.QueryModule {
     "q_ml_calibration" -> (calibration _),
     "q_ml_auc_rank" -> (aucRank _),
     "q_ml_power_analysis" -> (powerAnalysis _),
+    "q_ml_kaplan_meier" -> (kaplanMeier _),
     "q_ml_cuped" -> (cuped _),
     "q_ml_ate_strata" -> (ateStrata _),
     "q_ml_weighted_sample" -> (weightedSample _),
@@ -1424,6 +1481,45 @@ object MlOps extends graft.QueryModule {
         |  CAST(floor(CAST(s AS DOUBLE) / CAST(nn AS DOUBLE) * 1e6)
         |    AS BIGINT) / 1e6 AS ate_strat
         |FROM g CROSS JOIN naive""".stripMargin,
+    "q_ml_kaplan_meier" ->
+      """WITH per AS (
+        |  SELECT o_custkey, MIN(CAST(o_orderdate AS DATE)) AS f,
+        |    MAX(CAST(o_orderdate AS DATE)) AS l
+        |  FROM orders GROUP BY 1),
+        |h AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS m FROM orders),
+        |durs AS (
+        |  SELECT CAST(date_diff('day', f, l) AS BIGINT) AS dur,
+        |    CASE WHEN date_diff('day', l, m) > 90 THEN 1 ELSE 0 END
+        |      AS event
+        |  FROM per CROSS JOIN h),
+        |cells AS (
+        |  SELECT dur, CAST(SUM(event) AS BIGINT) AS d,
+        |    CAST(SUM(1 - event) AS BIGINT) AS c
+        |  FROM durs GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(d + c) AS BIGINT) AS n_total FROM cells),
+        |risk AS (
+        |  SELECT dur, d, c,
+        |    n_total - coalesce(CAST(SUM(d + c) OVER (ORDER BY dur
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) AS n_risk
+        |  FROM cells CROSS JOIN tot),
+        |terms AS (
+        |  SELECT dur, d, c, n_risk,
+        |    CASE WHEN d > 0 AND n_risk > d THEN CAST(round(ln(
+        |      CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE)), 6)
+        |      AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END AS term
+        |  FROM risk),
+        |cum AS (
+        |  SELECT dur, d, c, n_risk,
+        |    SUM(term) OVER (ORDER BY dur) AS cum
+        |  FROM terms)
+        |SELECT dur AS dur_days, n_risk, d AS n_events,
+        |  c AS n_censored_at,
+        |  CASE WHEN n_risk > d THEN CAST(cum AS DOUBLE) END AS log_surv,
+        |  CASE WHEN n_risk > d THEN
+        |    CAST(floor(exp(CAST(cum AS DOUBLE)) * 1e6) AS BIGINT) / 1e6
+        |    ELSE 0.0 END AS surv
+        |FROM cum WHERE d > 0 ORDER BY dur""".stripMargin,
     "q_ml_power_analysis" ->
       """WITH g AS (
         |  SELECT COUNT(*) AS n,

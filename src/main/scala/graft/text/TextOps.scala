@@ -764,7 +764,55 @@ object TextOps extends graft.QueryModule {
       .orderBy($"vmr".desc, $"tok").limit(20) // top-k heap
   }
 
+  /** q_text_bigram_llr — collocation extraction by Dunning
+    * log-likelihood over the bigram 2×2 table (Dunning, Comp. Ling.
+    * 1993 — the paper's ORIGINAL application, and the fix for PMI's
+    * known failure on sparse counts: q_text_bigram_pmi top-ranks rare
+    * pairs, G² is frequency-calibrated, so the two declared queries
+    * disagree on purpose). Margins come from the bigram table itself
+    * (first-position / second-position sums — unigram counts are off
+    * by one per document boundary), cells k11..k22 in exact int64,
+    * each O·round(ln(O·T/(rowΣ·colΣ)),6)::DECIMAL with the keyness
+    * zero-cell guard, ×2 at the readout. k11 ≥ 5 floor (the PMI
+    * MinPair), top-20 by (G², bigram).
+    *
+    * Scale: one bigram hash aggregation (vocab²-bounded), two margin
+    * re-aggregations of THAT table, a broadcast 1-row total, a top-k
+    * heap. */
+  def bigramLlr(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val bc = graft.Tables.documents(spark, sfDir)
+      .select(explode(bigramsUdf($"text")).as("bg"))
+      .groupBy($"bg").agg(count(lit(1)).as("k11"))
+      .withColumn("a", split($"bg", " ").getItem(0))
+      .withColumn("b", split($"bg", " ").getItem(1))
+      .localCheckpoint() // vocab²-bounded; feeds margins + total + self
+    val ra = bc.groupBy($"a").agg(sum($"k11").as("ca"))
+    val cb = bc.groupBy($"b").agg(sum($"k11").as("cbm"))
+    val tt = bc.agg(sum($"k11").as("t")) // 1 row
+    def term(o: Column, rs: Column, cs: Column): Column =
+      when(o > 0L, o * round(log(
+        (o * $"t").cast("double") / (rs * cs).cast("double")), 6)
+        .cast("decimal(18,6)")).otherwise(lit(0).cast("decimal(18,6)"))
+    bc.filter($"k11" >= 5L)
+      .join(ra, Seq("a")).join(cb, Seq("b")).crossJoin(broadcast(tt))
+      .withColumn("k12", $"ca" - $"k11")
+      .withColumn("k21", $"cbm" - $"k11")
+      .withColumn("k22", $"t" - $"ca" - $"cbm" + $"k11")
+      .withColumn("g2x2",
+        term($"k11", $"ca", $"cbm") +
+        term($"k12", $"ca", $"t" - $"cbm") +
+        term($"k21", $"t" - $"ca", $"cbm") +
+        term($"k22", $"t" - $"ca", $"t" - $"cbm"))
+      .select($"bg", $"k11".as("c_ab"), $"ca".as("c_a_first"),
+        $"cbm".as("c_b_second"),
+        (floor($"g2x2".cast("double") * 2.0 * 1e6).cast("long") / 1e6)
+          .as("g2"))
+      .orderBy($"g2".desc, $"bg").limit(20) // top-k heap
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_bigram_llr" -> (bigramLlr _),
     "q_text_keyness" -> (keyness _),
     "q_text_burstiness" -> (burstiness _),
     "q_text_rake" -> (rake _),
@@ -939,6 +987,46 @@ object TextOps extends graft.QueryModule {
         |  AND substr(a.p_name, 1, 1) = substr(b.p_name, 1, 1)
         |WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 4) >= 0.85
         |ORDER BY name_a, name_b""".stripMargin,
+    "q_text_bigram_llr" ->
+      """WITH bgs AS (
+        |  SELECT unnest(list_transform(
+        |    range(1, greatest(len(string_split(text, ' ')), 1)),
+        |    i -> string_split(text, ' ')[CAST(i AS INT)] || ' ' ||
+        |         string_split(text, ' ')[CAST(i + 1 AS INT)])) AS bg
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        |bc AS (
+        |  SELECT bg, string_split(bg, ' ')[1] AS a,
+        |    string_split(bg, ' ')[2] AS b, COUNT(*) AS k11
+        |  FROM bgs GROUP BY 1, 2, 3),
+        |ra AS (SELECT a, CAST(SUM(k11) AS BIGINT) AS ca FROM bc GROUP BY 1),
+        |cbm AS (SELECT b, CAST(SUM(k11) AS BIGINT) AS cbm FROM bc GROUP BY 1),
+        |tt AS (SELECT CAST(SUM(k11) AS BIGINT) AS t FROM bc),
+        |cells AS (
+        |  SELECT bg, k11, ca, cbm, t,
+        |    ca - k11 AS k12, cbm - k11 AS k21,
+        |    t - ca - cbm + k11 AS k22
+        |  FROM bc JOIN ra USING (a) JOIN cbm USING (b) CROSS JOIN tt
+        |  WHERE k11 >= 5),
+        |scored AS (
+        |  SELECT bg, k11, ca, cbm,
+        |    (CASE WHEN k11 > 0 THEN k11 * CAST(round(ln(
+        |        CAST(k11*t AS DOUBLE) / CAST(ca*cbm AS DOUBLE)), 6)
+        |        AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END) +
+        |    (CASE WHEN k12 > 0 THEN k12 * CAST(round(ln(
+        |        CAST(k12*t AS DOUBLE) / CAST(ca*(t-cbm) AS DOUBLE)), 6)
+        |        AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END) +
+        |    (CASE WHEN k21 > 0 THEN k21 * CAST(round(ln(
+        |        CAST(k21*t AS DOUBLE) / CAST((t-ca)*cbm AS DOUBLE)), 6)
+        |        AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END) +
+        |    (CASE WHEN k22 > 0 THEN k22 * CAST(round(ln(
+        |        CAST(k22*t AS DOUBLE) / CAST((t-ca)*(t-cbm) AS DOUBLE)), 6)
+        |        AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END)
+        |      AS g2x2
+        |  FROM cells)
+        |SELECT bg, k11 AS c_ab, ca AS c_a_first, cbm AS c_b_second,
+        |  CAST(floor(CAST(g2x2 AS DOUBLE) * 2.0 * 1e6) AS BIGINT) / 1e6
+        |    AS g2
+        |FROM scored ORDER BY g2 DESC, bg LIMIT 20""".stripMargin,
     "q_text_bigram_pmi" ->
       """WITH toks AS (
         |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),

@@ -133,6 +133,13 @@ object PlanAudit {
     "q_ml_cuped" -> Set("SinglePartition", "NestedLoop"),
     // 3-row MDE fan-out crossJoined with the 1-row moment frame
     "q_ml_power_analysis" -> Set("SinglePartition", "NestedLoop"),
+    // risk-set cumsum + log-survival cumsum over the BOUNDED duration
+    // domain (calendar-sized, the cusum rationale); 1-row horizon and
+    // total frames crossJoined broadcast
+    "q_ml_kaplan_meier" -> Set("SinglePartition", "NestedLoop"),
+    // vocab²-bounded bigram table crossJoined with its broadcast
+    // 1-row total; top-20 heap
+    "q_text_bigram_llr" -> Set("SinglePartition", "NestedLoop"),
     // bounded |lang|×2 contingency cells; 1-row naive frame
     // crossJoined with the 1-row stratified aggregate
     "q_ml_ate_strata" -> Set("SinglePartition", "NestedLoop"),
