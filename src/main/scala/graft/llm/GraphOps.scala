@@ -236,7 +236,50 @@ object GraphOps extends graft.QueryModule {
           .as("assortativity"))
   }
 
+  /** q_graph_kcore — 2-core of the support-filtered basket
+    * co-purchase graph by iterative peeling (Seidman, Social Networks
+    * 1983; Batagelj & Zaveršnik's peel as the distributed round
+    * form): repeatedly drop nodes with in-subgraph degree < 2 until
+    * stable — the acyclic fringe (chains, stars, trees) peels away
+    * and only cyclically-connected regions survive, which on a
+    * dup/co-occurrence graph is exactly where transitive merge
+    * decisions are safe. K = 2 is the fixture-calibrated choice: the
+    * support ≥ 2 graph thins with scale (5922 nodes → 3 survivors at
+    * sf0.1, 1880 → 1535 at sf0.01 — a PROPER subset at both driver
+    * scales), while K = 3 empties at sf0.1 and the unfiltered graph
+    * never peels at all (measured). EIGHT unrolled rounds; the
+    * fixture reaches fixpoint by round 5 and Wave13gSpec replays the
+    * peel to FIXPOINT and asserts equality — the round budget is
+    * proven sufficient, not assumed (the pagerank fixed-iteration
+    * discipline). Output: surviving nodes with their core-subgraph
+    * degree.
+    *
+    * Scale: each round is ONE degree aggregation + one semi-join
+    * filter over the vocabulary-sized edge list, localCheckpointed
+    * per round (lineage truncation, the pagerank discipline); rounds
+    * are a constant. Pure integer — nothing to drift. */
+  def kcore(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val K = 2; val Rounds = 8
+    val pairs = marketBasket(spark, sfDir).select($"a_id", $"b_id")
+    val edges0 = pairs.select($"a_id".as("src"), $"b_id".as("dst"))
+      .union(pairs.select($"b_id".as("src"), $"a_id".as("dst")))
+      .localCheckpoint()
+    var edges = edges0
+    for (_ <- 1 to Rounds) {
+      val keep = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+        .filter($"deg" >= K).select($"src")
+      edges = edges.join(keep, Seq("src"))
+        .join(keep.withColumnRenamed("src", "dst"), Seq("dst"))
+        .select($"src", $"dst").localCheckpoint() // per-round truncation
+    }
+    edges.groupBy($"src").agg(count(lit(1)).as("core_deg"))
+      .select($"src".as("item"), $"core_deg")
+      .orderBy($"item")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_kcore" -> (kcore _),
     "q_graph_assortativity" -> (assortativity _),
     "q_graph_adamic_adar" -> (adamicAdar _),
     "q_graph_pagerank" -> (pagerank _),
@@ -256,6 +299,35 @@ object GraphOps extends graft.QueryModule {
        |  FROM deg d LEFT JOIN s$k s ON d.src = s.id)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "q_graph_kcore" -> {
+      val base =
+        """WITH bi AS (
+          |  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+          |  FROM lineitem),
+          |p AS MATERIALIZED (
+          |  SELECT x.item AS a_id, y.item AS b_id
+          |  FROM bi x JOIN bi y ON x.basket = y.basket AND x.item < y.item
+          |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+          |e0(src, dst) AS MATERIALIZED (
+          |  SELECT a_id, b_id FROM p
+          |  UNION ALL SELECT b_id, a_id FROM p)""".stripMargin
+      // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs per
+      // reference, and each round references its predecessor twice —
+      // the unrolled chain re-inlines the basket self-join 2^8 times
+      // without it (the k-center unrolled-rounds precedent)
+      val rounds = (1 to 8).map { r =>
+        s"""k$r AS MATERIALIZED (
+           |  SELECT src FROM e${r - 1} GROUP BY 1 HAVING COUNT(*) >= 2),
+           |e$r AS MATERIALIZED (
+           |  SELECT e.src, e.dst FROM e${r - 1} e
+           |  JOIN k$r a ON e.src = a.src
+           |  JOIN k$r b ON e.dst = b.src)""".stripMargin
+      }.mkString(",\n")
+      s"""$base,
+         |$rounds
+         |SELECT src AS item, CAST(COUNT(*) AS BIGINT) AS core_deg
+         |FROM e8 GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "q_graph_assortativity" ->
       """WITH bi AS (
         |  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item

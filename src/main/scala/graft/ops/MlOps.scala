@@ -781,6 +781,63 @@ object MlOps extends graft.QueryModule {
         micro($"s".cast("double") / $"nn".cast("double")).as("ate_strat"))
   }
 
+  /** q_ml_propensity_balance — pre-experiment covariate balance check
+    * (standardized mean differences, the Table-1 diagnostic of Austin
+    * 2009): for the SAME arm assignment [[cuped]] uses, the SMD of
+    * each pre-period covariate — spend, order count, active days —
+    * between arms: SMD = (m₁−m₀)/√((s₁²+s₀²)/2). |SMD| < 0.1 is the
+    * conventional "balanced" bar, and a hash-randomized split should
+    * pass it on every covariate (Wave13gSpec pins exactly that, plus
+    * that the SMDs are not identically zero — the check is live).
+    * Numerics: per-customer covariates exact int64 (dollars via the
+    * cuped div-100 bound); per-(covariate, arm) moments from ONE
+    * conditional aggregation; variance numerators DECIMAL(38) (the
+    * power_analysis rule); each SMD is one mirrored double chain,
+    * micro-floored. Scale: one groupBy(customer) + one 3-row
+    * aggregation. */
+  def propensityBalance(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dollars = expr(
+      "cast(cast(o_totalprice as decimal(14,2)) * 100 as bigint) div 100")
+    val per = graft.Tables.orders(spark, sfDir)
+      .groupBy($"o_custkey")
+      .agg(
+        sum(when($"o_orderdate" < lit("1999-01-01").cast("timestamp"),
+          dollars).otherwise(0L)).as("pre_dollars"),
+        sum(when($"o_orderdate" < lit("1999-01-01").cast("timestamp"), 1L)
+          .otherwise(0L)).as("pre_orders"),
+        countDistinct(when($"o_orderdate" <
+          lit("1999-01-01").cast("timestamp"),
+          to_date($"o_orderdate"))).as("pre_days"))
+      .withColumn("t",
+        (pmod(pmod($"o_custkey", lit(1000000007L)) * 2654435761L + 13L,
+          lit(1000L)) < 500L).cast("long"))
+    val long3 = per.select($"t", expr(
+      "stack(3, 'pre_dollars', pre_dollars, 'pre_orders', pre_orders," +
+        " 'pre_days', pre_days) as (covariate, v)"))
+    def micro(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor(c * 1e6).cast("long") / 1e6
+    def m(arm: Long, f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      sum(when($"t" === arm, f($"v")).otherwise(lit(0).cast("decimal(20,0)")))
+    val g = long3.groupBy($"covariate").agg(
+      sum(when($"t" === 1L, 1L).otherwise(0L)).as("n1"),
+      sum(when($"t" === 0L, 1L).otherwise(0L)).as("n0"),
+      m(1L, v => v.cast("decimal(20,0)")).as("s1"),
+      m(0L, v => v.cast("decimal(20,0)")).as("s0"),
+      m(1L, v => v.cast("decimal(20,0)") * v.cast("decimal(20,0)")).as("q1"),
+      m(0L, v => v.cast("decimal(20,0)") * v.cast("decimal(20,0)")).as("q0"))
+    def varOf(n: String, s: String, q: String) =
+      (col(n).cast("decimal(20,0)") * col(q) - col(s) * col(s))
+        .cast("double") / (col(n) * (col(n) - 1L)).cast("double")
+    g.select($"covariate", $"n1".as("n_treat"), $"n0".as("n_ctrl"),
+        micro($"s1".cast("double") / $"n1").as("mean_treat"),
+        micro($"s0".cast("double") / $"n0").as("mean_ctrl"),
+        micro(($"s1".cast("double") / $"n1" - $"s0".cast("double") / $"n0") /
+          sqrt((varOf("n1", "s1", "q1") + varOf("n0", "s0", "q0")) / 2.0))
+          .as("smd"))
+      .orderBy($"covariate")
+  }
+
   /** q_ml_kaplan_meier — Kaplan–Meier survival curve (Kaplan & Meier,
     * JASA 1958) over customer LIFETIME (days between first and last
     * order), the churn readout that handles RIGHT-CENSORING correctly
@@ -1152,6 +1209,7 @@ object MlOps extends graft.QueryModule {
     "q_ml_auc_rank" -> (aucRank _),
     "q_ml_power_analysis" -> (powerAnalysis _),
     "q_ml_kaplan_meier" -> (kaplanMeier _),
+    "q_ml_propensity_balance" -> (propensityBalance _),
     "q_ml_cuped" -> (cuped _),
     "q_ml_ate_strata" -> (ateStrata _),
     "q_ml_weighted_sample" -> (weightedSample _),
@@ -1481,6 +1539,53 @@ object MlOps extends graft.QueryModule {
         |  CAST(floor(CAST(s AS DOUBLE) / CAST(nn AS DOUBLE) * 1e6)
         |    AS BIGINT) / 1e6 AS ate_strat
         |FROM g CROSS JOIN naive""".stripMargin,
+    "q_ml_propensity_balance" ->
+      """WITH per AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1999-01-01' THEN
+        |      CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+        |      // 100 ELSE 0 END) AS BIGINT) AS pre_dollars,
+        |    CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1999-01-01'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS pre_orders,
+        |    CAST(COUNT(DISTINCT CASE WHEN o_orderdate <
+        |      TIMESTAMP '1999-01-01' THEN CAST(o_orderdate AS DATE) END)
+        |      AS BIGINT) AS pre_days,
+        |    CASE WHEN ((o_custkey % 1000000007) * 2654435761 + 13)
+        |      % 1000 < 500 THEN 1 ELSE 0 END AS t
+        |  FROM orders GROUP BY o_custkey),
+        |long3 AS (
+        |  SELECT t, 'pre_dollars' AS covariate, pre_dollars AS v FROM per
+        |  UNION ALL
+        |  SELECT t, 'pre_orders', pre_orders FROM per
+        |  UNION ALL
+        |  SELECT t, 'pre_days', pre_days FROM per),
+        |g AS (
+        |  SELECT covariate,
+        |    CAST(SUM(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    SUM(CASE WHEN t = 1 THEN CAST(v AS DECIMAL(20,0))
+        |      ELSE CAST(0 AS DECIMAL(20,0)) END) AS s1,
+        |    SUM(CASE WHEN t = 0 THEN CAST(v AS DECIMAL(20,0))
+        |      ELSE CAST(0 AS DECIMAL(20,0)) END) AS s0,
+        |    SUM(CASE WHEN t = 1 THEN
+        |      CAST(v AS DECIMAL(20,0)) * CAST(v AS DECIMAL(20,0))
+        |      ELSE CAST(0 AS DECIMAL(20,0)) END) AS q1,
+        |    SUM(CASE WHEN t = 0 THEN
+        |      CAST(v AS DECIMAL(20,0)) * CAST(v AS DECIMAL(20,0))
+        |      ELSE CAST(0 AS DECIMAL(20,0)) END) AS q0
+        |  FROM long3 GROUP BY 1)
+        |SELECT covariate, n1 AS n_treat, n0 AS n_ctrl,
+        |  CAST(floor(CAST(s1 AS DOUBLE) / n1 * 1e6) AS BIGINT) / 1e6
+        |    AS mean_treat,
+        |  CAST(floor(CAST(s0 AS DOUBLE) / n0 * 1e6) AS BIGINT) / 1e6
+        |    AS mean_ctrl,
+        |  CAST(floor((CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0) /
+        |    sqrt((CAST(CAST(n1 AS DECIMAL(20,0)) * q1 - s1 * s1 AS DOUBLE) /
+        |          CAST(n1 * (n1 - 1) AS DOUBLE) +
+        |          CAST(CAST(n0 AS DECIMAL(20,0)) * q0 - s0 * s0 AS DOUBLE) /
+        |          CAST(n0 * (n0 - 1) AS DOUBLE)) / 2.0) * 1e6) AS BIGINT)
+        |    / 1e6 AS smd
+        |FROM g ORDER BY covariate""".stripMargin,
     "q_ml_kaplan_meier" ->
       """WITH per AS (
         |  SELECT o_custkey, MIN(CAST(o_orderdate AS DATE)) AS f,

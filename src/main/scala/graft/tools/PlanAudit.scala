@@ -140,6 +140,8 @@ object PlanAudit {
     // vocab²-bounded bigram table crossJoined with its broadcast
     // 1-row total; top-20 heap
     "q_text_bigram_llr" -> Set("SinglePartition", "NestedLoop"),
+    // 3-row covariate frame from one conditional aggregation
+    "q_ml_propensity_balance" -> Set("SinglePartition", "NestedLoop"),
     // bounded |lang|×2 contingency cells; 1-row naive frame
     // crossJoined with the 1-row stratified aggregate
     "q_ml_ate_strata" -> Set("SinglePartition", "NestedLoop"),
