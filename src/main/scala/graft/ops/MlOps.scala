@@ -894,6 +894,50 @@ object MlOps extends graft.QueryModule {
       .orderBy($"dur_days")
   }
 
+  /** q_ml_nelson_aalen — Nelson–Aalen cumulative hazard (Nelson 1972,
+    * Aalen 1978) over the same censored customer-lifetime data as
+    * [[kaplanMeier]]: Ĥ(t) = Σ_{tᵢ≤t} dᵢ/nᵢ — the estimator of choice
+    * when the HAZARD (instantaneous churn rate) is the readout, and
+    * numerically friendlier than KM's product (a plain sum of exact
+    * rationals: each dᵢ/nᵢ is round(,6)::DECIMAL, the cumulative sum
+    * exact — no logs, no exp anywhere, unlike KM this estimator is
+    * fully rational). Same bounded-duration-domain shape; also emits
+    * exp(−Ĥ), the Breslow survival estimate, for the KM cross-check
+    * (Wave13hSpec pins Breslow ≥ KM pointwise — a known identity). */
+  def nelsonAalen(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w2 = org.apache.spark.sql.expressions.Window
+    val per = graft.Tables.orders(spark, sfDir)
+      .groupBy($"o_custkey")
+      .agg(min(to_date($"o_orderdate")).as("first"),
+        max(to_date($"o_orderdate")).as("last"))
+    val horizon = broadcast(graft.Tables.orders(spark, sfDir)
+      .agg(max(to_date($"o_orderdate")).as("m"))) // 1 row
+    val cells = per.crossJoin(horizon)
+      .select(datediff($"last", $"first").cast("long").as("dur"),
+        (datediff($"m", $"last") > 90).cast("long").as("event"))
+      .groupBy($"dur")
+      .agg(sum($"event").as("d"),
+        sum(lit(1L) - $"event").as("c")) // bounded duration domain
+    val tot = cells.agg(sum($"d" + $"c").as("n_total")) // 1 row
+    def micro(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor(c * 1e6).cast("long") / 1e6
+    cells.crossJoin(broadcast(tot))
+      .withColumn("n_risk", $"n_total" - coalesce(sum($"d" + $"c").over(
+        w2.orderBy($"dur").rowsBetween(w2.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("term", when($"d" > 0L,
+        round($"d".cast("double") / $"n_risk".cast("double"), 6)
+          .cast("decimal(18,6)"))
+        .otherwise(lit(0).cast("decimal(18,6)")))
+      .withColumn("chaz", sum($"term").over(w2.orderBy($"dur")))
+      .filter($"d" > 0L)
+      .select($"dur".as("dur_days"), $"n_risk", $"d".as("n_events"),
+        $"chaz".cast("double").as("cum_hazard"),
+        micro(exp(-$"chaz".cast("double"))).as("surv_breslow"))
+      .orderBy($"dur_days")
+  }
+
   /** q_ml_power_analysis — A/B sample-size calculator (the standard
     * two-sample normal-approximation power formula): n per arm =
     * ⌈2(z_α/2 + z_β)²·s²/δ²⌉ at α = 0.05 two-sided, power = 0.80
@@ -1209,6 +1253,7 @@ object MlOps extends graft.QueryModule {
     "q_ml_auc_rank" -> (aucRank _),
     "q_ml_power_analysis" -> (powerAnalysis _),
     "q_ml_kaplan_meier" -> (kaplanMeier _),
+    "q_ml_nelson_aalen" -> (nelsonAalen _),
     "q_ml_propensity_balance" -> (propensityBalance _),
     "q_ml_cuped" -> (cuped _),
     "q_ml_ate_strata" -> (ateStrata _),
@@ -1586,6 +1631,38 @@ object MlOps extends graft.QueryModule {
         |          CAST(n0 * (n0 - 1) AS DOUBLE)) / 2.0) * 1e6) AS BIGINT)
         |    / 1e6 AS smd
         |FROM g ORDER BY covariate""".stripMargin,
+    "q_ml_nelson_aalen" ->
+      """WITH per AS (
+        |  SELECT o_custkey, MIN(CAST(o_orderdate AS DATE)) AS f,
+        |    MAX(CAST(o_orderdate AS DATE)) AS l
+        |  FROM orders GROUP BY 1),
+        |h AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS m FROM orders),
+        |cells AS (
+        |  SELECT CAST(date_diff('day', f, l) AS BIGINT) AS dur,
+        |    CAST(SUM(CASE WHEN date_diff('day', l, m) > 90
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    CAST(SUM(CASE WHEN date_diff('day', l, m) > 90
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS c
+        |  FROM per CROSS JOIN h GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(d + c) AS BIGINT) AS n_total FROM cells),
+        |risk AS (
+        |  SELECT dur, d, c,
+        |    n_total - coalesce(CAST(SUM(d + c) OVER (ORDER BY dur
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) AS n_risk
+        |  FROM cells CROSS JOIN tot),
+        |cum AS (
+        |  SELECT dur, d, n_risk,
+        |    SUM(CASE WHEN d > 0 THEN CAST(round(
+        |      CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE), 6)
+        |      AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END)
+        |      OVER (ORDER BY dur) AS chaz
+        |  FROM risk)
+        |SELECT dur AS dur_days, n_risk, d AS n_events,
+        |  CAST(chaz AS DOUBLE) AS cum_hazard,
+        |  CAST(floor(exp(-CAST(chaz AS DOUBLE)) * 1e6) AS BIGINT) / 1e6
+        |    AS surv_breslow
+        |FROM cum WHERE d > 0 ORDER BY dur""".stripMargin,
     "q_ml_kaplan_meier" ->
       """WITH per AS (
         |  SELECT o_custkey, MIN(CAST(o_orderdate AS DATE)) AS f,

@@ -643,7 +643,50 @@ object QualityOps extends graft.QueryModule {
           $"s1".cast("double") / $"n1".cast("double")) / 2.0).as("js"))
   }
 
+  /** q_quality_theil_index — Theil's T inequality index of doc length
+    * with its exact within/between-source DECOMPOSITION (Theil 1967)
+    * — the property [[sourceGini]] lacks: T = T_between + T_within
+    * splits corpus inequality into "sources differ in mean" vs
+    * "inequality inside sources", the readout that says whether
+    * rebalancing SOURCES can fix a skewed corpus at all. Exact
+    * discipline: every log argument is an INTEGER ratio
+    * (x/μ = x·N/S; μ_g/μ = S_g·N/(N_g·S)), per-row terms
+    * weight·round(ln(·),6)::DECIMAL summed exactly, T_within emitted
+    * as the DIFFERENCE of the two exact sums (the identity is
+    * enforced by construction, one micro-floored division each).
+    *
+    * Scale: one corpus pass for the row terms (crossJoined with the
+    * broadcast 1-row (N, S) frame), one |sources|-row group frame. */
+  def theilIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select($"source", $"n_chars".as("x"))
+    val tot = docs.agg(count(lit(1)).as("n"), sum($"x").as("s")) // 1 row
+    val rowSum = docs.crossJoin(broadcast(tot))
+      .select(($"x" * round(log(($"x" * $"n").cast("double") /
+        $"s".cast("double")), 6).cast("decimal(18,6)")).as("t"))
+      .agg(sum($"t").as("st")) // 1 row
+    val grpSum = docs.groupBy($"source")
+      .agg(count(lit(1)).as("ng"), sum($"x").as("sg")) // |sources| rows
+      .crossJoin(broadcast(tot))
+      .select(($"sg" * round(log(($"sg" * $"n").cast("double") /
+        ($"ng" * $"s").cast("double")), 6).cast("decimal(18,6)")).as("t"),
+        lit(1L).as("one"))
+      .agg(sum($"t").as("sb"), sum($"one").as("n_sources")) // 1 row
+    def micro(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor(c * 1e6).cast("long") / 1e6
+    rowSum.crossJoin(grpSum).crossJoin(broadcast(tot)) // three 1-row frames
+      .select($"n".as("n_docs"), $"n_sources",
+        micro($"st".cast("double") / $"s".cast("double"))
+          .as("theil_total"),
+        micro($"sb".cast("double") / $"s".cast("double"))
+          .as("theil_between"),
+        micro(($"st" - $"sb").cast("double") / $"s".cast("double"))
+          .as("theil_within"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quality_theil_index" -> (theilIndex _),
     "q_quality_mann_whitney" -> (mannWhitney _),
     "q_quality_js_divergence" -> (jsDivergence _),
     "q_quality_welch_ttest" -> (welchTtest _),
@@ -664,6 +707,32 @@ object QualityOps extends graft.QueryModule {
     "q_quality_benford" -> (benford _))
 
   def oracle: Map[String, String] = Map(
+    "q_quality_theil_index" ->
+      """WITH tot AS (
+        |  SELECT COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS s
+        |  FROM documents),
+        |rs AS (
+        |  SELECT SUM(n_chars * CAST(round(ln(
+        |      CAST(n_chars * n AS DOUBLE) / CAST(s AS DOUBLE)), 6)
+        |      AS DECIMAL(18,6))) AS st
+        |  FROM documents CROSS JOIN tot),
+        |gs AS (
+        |  SELECT source, COUNT(*) AS ng, CAST(SUM(n_chars) AS BIGINT) AS sg
+        |  FROM documents GROUP BY 1),
+        |gb AS (
+        |  SELECT SUM(sg * CAST(round(ln(
+        |      CAST(sg * n AS DOUBLE) / CAST(ng * s AS DOUBLE)), 6)
+        |      AS DECIMAL(18,6))) AS sb,
+        |    CAST(COUNT(*) AS BIGINT) AS n_sources
+        |  FROM gs CROSS JOIN tot)
+        |SELECT n AS n_docs, n_sources,
+        |  CAST(floor(CAST(st AS DOUBLE) / CAST(s AS DOUBLE) * 1e6)
+        |    AS BIGINT) / 1e6 AS theil_total,
+        |  CAST(floor(CAST(sb AS DOUBLE) / CAST(s AS DOUBLE) * 1e6)
+        |    AS BIGINT) / 1e6 AS theil_between,
+        |  CAST(floor(CAST(st - sb AS DOUBLE) / CAST(s AS DOUBLE) * 1e6)
+        |    AS BIGINT) / 1e6 AS theil_within
+        |FROM rs CROSS JOIN gb CROSS JOIN tot""".stripMargin,
     "q_quality_mann_whitney" ->
       """WITH h AS (
         |  SELECT n_chars AS v,

@@ -811,7 +811,51 @@ object TextOps extends graft.QueryModule {
       .orderBy($"g2".desc, $"bg").limit(20) // top-k heap
   }
 
+  /** q_text_heaps_fit — Heaps'-law fit of vocabulary growth (Heaps
+    * 1978): V = k·N^β, fitted as log V = log k + β·log N over the
+    * per-source (tokens, types) points — the companion fingerprint to
+    * [[zipfFit]]'s rank-frequency exponent, and the one that answers
+    * "how fast does a tokenizer vocab need to grow as this corpus
+    * scales". Same numeric recipe as zipfFit: each point's logs
+    * round(,6)::DECIMAL, the five OLS moments exact sums over the
+    * BOUNDED |sources| frame, double formula once per readout,
+    * micro-floored.
+    *
+    * Scale: one (source, token) hash aggregation → one |sources|-row
+    * frame; nothing corpus-sized past the first groupBy. */
+  def heapsFit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pts = graft.Tables.documents(spark, sfDir)
+      .select($"source", explode(split($"text", " ")).as("tok"))
+      .groupBy($"source", $"tok").agg(count(lit(1)).as("c"))
+      .groupBy($"source")
+      .agg(sum($"c").as("n_tokens"), count(lit(1)).as("n_types"))
+      .select(
+        round(log($"n_tokens".cast("double")), 6).cast("decimal(18,6)")
+          .as("x"),
+        round(log($"n_types".cast("double")), 6).cast("decimal(18,6)")
+          .as("y")) // bounded |sources| frame
+    def micro(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor(c * 1e6).cast("long") / 1e6
+    val g = pts.agg(count(lit(1)).as("n"),
+      sum($"x").as("sx"), sum($"y").as("sy"),
+      sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"),
+      sum($"x" * $"y").as("sxy"))
+    val vxx = $"sxx".cast("double") -
+      $"sx".cast("double") * $"sx".cast("double") / $"n"
+    val vyy = $"syy".cast("double") -
+      $"sy".cast("double") * $"sy".cast("double") / $"n"
+    val vxy = $"sxy".cast("double") -
+      $"sx".cast("double") * $"sy".cast("double") / $"n"
+    val slope = vxy / vxx
+    g.select($"n".as("n_sources"), micro(slope).as("beta"),
+      micro(($"sy".cast("double") - slope * $"sx".cast("double")) / $"n")
+        .as("log_k"),
+      micro(vxy * vxy / (vxx * vyy)).as("r2"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_heaps_fit" -> (heapsFit _),
     "q_text_bigram_llr" -> (bigramLlr _),
     "q_text_keyness" -> (keyness _),
     "q_text_burstiness" -> (burstiness _),
@@ -839,6 +883,44 @@ object TextOps extends graft.QueryModule {
     "q_text_langid" -> (langId _))
 
   def oracle: Map[String, String] = Map(
+    "q_text_heaps_fit" ->
+      """WITH st AS (
+        |  SELECT source, tok, COUNT(*) AS c
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |pts AS (
+        |  SELECT CAST(round(ln(CAST(SUM(c) AS DOUBLE)), 6)
+        |      AS DECIMAL(18,6)) AS x,
+        |    CAST(round(ln(CAST(COUNT(*) AS DOUBLE)), 6)
+        |      AS DECIMAL(18,6)) AS y
+        |  FROM st GROUP BY source),
+        |g AS (
+        |  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(x*y) AS sxy
+        |  FROM pts)
+        |SELECT n AS n_sources,
+        |  CAST(floor((CAST(sxy AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) /
+        |    (CAST(sxx AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) * 1e6)
+        |    AS BIGINT) / 1e6 AS beta,
+        |  CAST(floor((CAST(sy AS DOUBLE) -
+        |    ((CAST(sxy AS DOUBLE) -
+        |        CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) /
+        |     (CAST(sxx AS DOUBLE) -
+        |        CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)) *
+        |    CAST(sx AS DOUBLE)) / n * 1e6) AS BIGINT) / 1e6 AS log_k,
+        |  CAST(floor((CAST(sxy AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) *
+        |    (CAST(sxy AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) /
+        |    ((CAST(sxx AS DOUBLE) -
+        |        CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) *
+        |     (CAST(syy AS DOUBLE) -
+        |        CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)) * 1e6)
+        |    AS BIGINT) / 1e6 AS r2
+        |FROM g""".stripMargin,
     "q_text_keyness" ->
       """WITH tf AS (
         |  SELECT tok,

@@ -142,6 +142,14 @@ object PlanAudit {
     "q_text_bigram_llr" -> Set("SinglePartition", "NestedLoop"),
     // 3-row covariate frame from one conditional aggregation
     "q_ml_propensity_balance" -> Set("SinglePartition", "NestedLoop"),
+    // the kaplan_meier shape: risk-set + hazard cumsums over the
+    // BOUNDED duration domain, 1-row horizon/total frames broadcast
+    "q_ml_nelson_aalen" -> Set("SinglePartition", "NestedLoop"),
+    // corpus row terms crossJoined with the broadcast 1-row (N, S)
+    // frame; three 1-row sums crossJoined at the readout
+    "q_quality_theil_index" -> Set("SinglePartition", "NestedLoop"),
+    // five OLS moments over the BOUNDED |sources| point frame
+    "q_text_heaps_fit" -> Set("SinglePartition"),
     // bounded |lang|×2 contingency cells; 1-row naive frame
     // crossJoined with the 1-row stratified aggregate
     "q_ml_ate_strata" -> Set("SinglePartition", "NestedLoop"),
