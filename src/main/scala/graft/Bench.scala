@@ -66,18 +66,30 @@ object Bench {
     val line = s"""{"metric":"total","unit":"sec","queries":$qs,""" +
       s""""errors":$errs,"n_queries":${results.size},"sf":"$sfDir",""" +
       s""""value":$total}"""
+    // <200-byte summary WITHOUT the per-query map: the 259-query map
+    // overflowed the driver's tail-capture window four rounds running
+    // (BENCH_r10/r12/r13 all came back "parsed": null), and the r13
+    // verdict suspects its parser also trips on the sbt "[info] "
+    // prefix / first-line-only heuristics — so the BARE summary JSON
+    // is now the FIRST bench output line (nothing before it to
+    // truncate against) AND a committed file (no stdout parsing at
+    // all), in addition to the marked lines below.
+    val summary = s"""{"metric":"total","unit":"sec",""" +
+      s""""errors":$errs,"n_queries":${results.size},"sf":"$sfDir",""" +
+      s""""value":$total}"""
+    println(summary)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/BENCH_SUMMARY.json"),
+      summary + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"BENCH could not write BENCH_SUMMARY.json: " +
+        e.getMessage)
+    }
     println(line)
     // the driver parses the MARKED line (round-10 verdict: the bare line
     // was lost in the sbt tail); emit it LAST so a tail capture keeps it
     println(s"BENCH_JSON: $line")
-    // the 259-query map overflows the driver's tail-capture window even
-    // on the marked line (BENCH_r10/r12 both came back "parsed": null) —
-    // also emit a <200-byte summary WITHOUT the per-query map so ANY
-    // tail window keeps a parseable record; the full map stays in the
-    // line above and in $outFile
-    println(s"""BENCH_SUMMARY: {"metric":"total","unit":"sec",""" +
-      s""""errors":$errs,"n_queries":${results.size},"sf":"$sfDir",""" +
-      s""""value":$total}""")
+    println(s"BENCH_SUMMARY: $summary")
     // the full JSON also goes to a file (BENCH_r08's captured tail was
     // all error text and the per-query map was unrecoverable) — default
     // BENCH_local.json in the repo root, overridable for round dumps

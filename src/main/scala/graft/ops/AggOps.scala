@@ -584,7 +584,14 @@ object AggOps extends graft.QueryModule {
       .agg(lit(k).cast("long").as("k"),
         first($"ck1").as("x_k1_cents"),
         micro(sum($"term").cast("double") / k).as("gamma"),
-        micro(lit(k).cast("double") / sum($"term").cast("double"))
+        // r13 advisory: on degenerate corpora (all top-101 prices
+        // equal → Σterm = 0; <101 orders → Σterm NULL) the alpha
+        // division emitted Infinity/NaN here while DuckDB errored on
+        // CAST(floor(inf) AS BIGINT) — engine-divergent. NULL alpha is
+        // the honest readout (no tail to estimate), mirrored by the
+        // same CASE guard in the oracle (the cramersV r12 pattern).
+        micro(when(sum($"term") > 0,
+          lit(k).cast("double") / sum($"term").cast("double")))
           .as("alpha"))
   }
 
@@ -651,10 +658,12 @@ object AggOps extends graft.QueryModule {
         |  CAST(floor(CAST(SUM(CAST(round(ln(CAST(cents AS DOUBLE) /
         |      CAST(ck1 AS DOUBLE)), 6) AS DECIMAL(18,6))) AS DOUBLE)
         |    / 100 * 1e6) AS BIGINT) / 1e6 AS gamma,
-        |  CAST(floor(CAST(100 AS DOUBLE) /
-        |    CAST(SUM(CAST(round(ln(CAST(cents AS DOUBLE) /
-        |      CAST(ck1 AS DOUBLE)), 6) AS DECIMAL(18,6))) AS DOUBLE)
-        |    * 1e6) AS BIGINT) / 1e6 AS alpha
+        |  CASE WHEN SUM(CAST(round(ln(CAST(cents AS DOUBLE) /
+        |      CAST(ck1 AS DOUBLE)), 6) AS DECIMAL(18,6))) > 0 THEN
+        |    CAST(floor(CAST(100 AS DOUBLE) /
+        |      CAST(SUM(CAST(round(ln(CAST(cents AS DOUBLE) /
+        |        CAST(ck1 AS DOUBLE)), 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |      * 1e6) AS BIGINT) / 1e6 END AS alpha
         |FROM rk CROSS JOIN pv WHERE rk <= 100""".stripMargin,
     "q_agg_ols_fit" ->
       """WITH g AS (

@@ -756,6 +756,14 @@ object MlOps extends graft.QueryModule {
         (pmod(pmod($"doc_id", lit(1000000007L)) * 2654435761L + 29L,
           lit(1000L)) <
           when($"lang" === "en", 650L).otherwise(350L)).cast("long"))
+    ateStrataFrom(flagged)
+  }
+
+  /** The estimator body over a pre-flagged (lang, treat, n_chars)
+    * frame — split out so the one-armed-stratum guard below is
+    * pinnable on a synthetic fixture (Wave14Spec). */
+  private[graft] def ateStrataFrom(flagged: DataFrame): DataFrame = {
+    import flagged.sparkSession.implicits._
     val cells = flagged.groupBy($"lang", $"treat")
       .agg(count(lit(1)).as("n"), sum($"n_chars").as("sy"))
       .localCheckpoint() // bounded |lang|×2 frame
@@ -772,12 +780,23 @@ object MlOps extends graft.QueryModule {
       .agg(sum($"n").as("ns"),
         max(when($"treat" === 1L, $"sy".cast("double") / $"n")).as("m1"),
         max(when($"treat" === 0L, $"sy".cast("double") / $"n")).as("m0"))
-      .withColumn("term", $"ns" * round($"m1" - $"m0", 6)
-        .cast("decimal(18,6)"))
-    strata.agg(count(lit(1)).as("n_strata"), sum($"term").as("s"),
-        sum($"ns").as("nn"))
+    // r13 advisory (ADVICE.md): a stratum missing one arm has NULL
+    // m1/m0, so its term vanished from the numerator while its ns
+    // still counted in nn — silently biasing the estimate toward 0 by
+    // that stratum's weight. Subclassification is only defined over
+    // strata with BOTH arms observed (Imbens & Rubin 2015 §17), so
+    // one-armed strata now leave numerator AND denominator together,
+    // and the readout counts how many were dropped.
+    val both = $"m1".isNotNull && $"m0".isNotNull
+    strata
+      .withColumn("term",
+        when(both, $"ns" * round($"m1" - $"m0", 6).cast("decimal(18,6)")))
+      .agg(sum(when(both, 1L).otherwise(0L)).as("n_strata"),
+        sum(when(both, lit(0L)).otherwise(1L)).as("n_strata_dropped"),
+        sum($"term").as("s"),
+        sum(when(both, $"ns")).as("nn"))
       .crossJoin(broadcast(naive)) // two 1-row frames
-      .select($"n_docs", $"n_strata", $"naive_diff",
+      .select($"n_docs", $"n_strata", $"n_strata_dropped", $"naive_diff",
         micro($"s".cast("double") / $"nn".cast("double")).as("ate_strat"))
   }
 
@@ -1576,11 +1595,17 @@ object MlOps extends graft.QueryModule {
         |    MAX(CASE WHEN treat = 0 THEN CAST(sy AS DOUBLE) / n END) AS m0
         |  FROM cells GROUP BY 1),
         |g AS (
-        |  SELECT COUNT(*) AS n_strata,
-        |    SUM(ns * CAST(round(m1 - m0, 6) AS DECIMAL(18,6))) AS s,
-        |    CAST(SUM(ns) AS BIGINT) AS nn
+        |  SELECT
+        |    CAST(SUM(CASE WHEN m1 IS NOT NULL AND m0 IS NOT NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_strata,
+        |    CAST(SUM(CASE WHEN m1 IS NULL OR m0 IS NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_strata_dropped,
+        |    SUM(CASE WHEN m1 IS NOT NULL AND m0 IS NOT NULL
+        |      THEN ns * CAST(round(m1 - m0, 6) AS DECIMAL(18,6)) END) AS s,
+        |    CAST(SUM(CASE WHEN m1 IS NOT NULL AND m0 IS NOT NULL
+        |      THEN ns END) AS BIGINT) AS nn
         |  FROM strata)
-        |SELECT n_docs, n_strata, naive_diff,
+        |SELECT n_docs, n_strata, n_strata_dropped, naive_diff,
         |  CAST(floor(CAST(s AS DOUBLE) / CAST(nn AS DOUBLE) * 1e6)
         |    AS BIGINT) / 1e6 AS ate_strat
         |FROM g CROSS JOIN naive""".stripMargin,

@@ -295,8 +295,13 @@ object SearchOps extends graft.QueryModule {
       .crossJoin(broadcast(nRel)).crossJoin(broadcast(firstRel))
       .select($"k", $"hits_at_k",
         micro($"hits_at_k".cast("double") / $"k").as("prec_at_k"),
-        micro(coalesce($"sum_p", lit(0).cast("decimal(18,6)"))
-          .cast("double") / least($"n_rel", $"k")).as("ap_at_k"),
+        // r13 advisory: with no fully-relevant document (n_rel = 0)
+        // the AP denominator least(n_rel, k) is 0 — NaN in Spark vs a
+        // cast error in DuckDB. AP is undefined over an empty relevant
+        // set, so NULL, mirrored by the CASE guard in the oracle.
+        when($"n_rel" > 0L,
+          micro(coalesce($"sum_p", lit(0).cast("decimal(18,6)"))
+            .cast("double") / least($"n_rel", $"k"))).as("ap_at_k"),
         when($"fr".isNotNull, micro(lit(1.0) / $"fr"))
           .otherwise(lit(0.0)).as("mrr"))
       .orderBy($"k")
@@ -364,8 +369,9 @@ object SearchOps extends graft.QueryModule {
          |SELECT k, hits_at_k,
          |  CAST(floor(CAST(hits_at_k AS DOUBLE) / k * 1e6) AS BIGINT) / 1e6
          |    AS prec_at_k,
-         |  CAST(floor(CAST(coalesce(sum_p, 0) AS DOUBLE) /
-         |    least(n_rel, k) * 1e6) AS BIGINT) / 1e6 AS ap_at_k,
+         |  CASE WHEN n_rel > 0 THEN
+         |    CAST(floor(CAST(coalesce(sum_p, 0) AS DOUBLE) /
+         |      least(n_rel, k) * 1e6) AS BIGINT) / 1e6 END AS ap_at_k,
          |  CASE WHEN fr IS NOT NULL THEN
          |    CAST(floor(CAST(1.0 AS DOUBLE) / fr * 1e6) AS BIGINT) / 1e6
          |    ELSE 0.0 END AS mrr

@@ -134,7 +134,8 @@ class Wave13cSpec extends SparkTestBase {
     val row = graft.SparkEntry.queries("q_ml_ate_strata")(spark, sf0001)
       .collect().head
     assert(row.getLong(0) == docs.length && row.getLong(1) == 5)
-    assert(row.getDouble(2) == naive && row.getDouble(3) == ate)
+    assert(row.getLong(2) == 0L) // all 5 fixture strata have both arms
+    assert(row.getDouble(3) == naive && row.getDouble(4) == ate)
     // the design's point: propensity is confounded with lang, so the
     // naive difference and the stratified estimate genuinely disagree
     assert(math.abs(naive - ate) > 1e-6)
