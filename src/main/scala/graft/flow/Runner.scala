@@ -156,17 +156,34 @@ object Runner {
     else {
       Lease.acquire(t, owner)
       @volatile var live = true
+      // theft detection (round 14): renew is a CAS — if the heartbeat
+      // finds the lease gone/foreign (this worker stalled past the
+      // TTL and a contender took over), the attempt must not be
+      // reported successful, and the foreign lease must NOT be
+      // released by us.
+      @volatile var lost: Option[LeaseLostException] = None
       val renewer = new Thread(() => {
         while (live) {
           try Thread.sleep(math.max(1L, t.leaseTtlMs / 3))
           catch { case _: InterruptedException => () }
-          if (live) Lease.renew(t, owner)
+          if (live) {
+            try Lease.renew(t, owner)
+            catch {
+              case e: LeaseLostException => lost = Some(e); live = false
+            }
+          }
         }
       }, s"graft-lease-${t.name}")
       renewer.setDaemon(true)
       renewer.start()
-      try body
-      finally { live = false; renewer.interrupt(); Lease.release(t, owner) }
+      try {
+        val r = body
+        lost.foreach(throw _)
+        r
+      } finally {
+        live = false; renewer.interrupt()
+        if (lost.isEmpty) Lease.release(t, owner)
+      }
     }
 
   def run(root: Task, spark: SparkSession,
