@@ -92,13 +92,22 @@ class PagedJsonTable(path: String, url: String, pageSize: Int,
 class PagedJsonScanBuilder(path: String, url: String, pageSize: Int,
                            totalLimit: Int)
     extends ScanBuilder with SupportsPushDownLimit
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   import org.apache.spark.sql.sources._
 
   private var limit: Int = Int.MaxValue
   private var ordLo: Long = 0L
   private var ordHi: Long = Long.MaxValue // inclusive
   private var accepted: Array[Filter] = Array.empty
+  private var required: StructType = PagedJsonSource.Schema
+
+  /** Column pruning reaches the JSON decode itself: the reader extracts
+    * only the required fields from each page record, so a 2-column
+    * projection over a 100 TB crawl pull parses 2 fields per record,
+    * not 4 (and skips the ordinal bookkeeping when ordinal is neither
+    * selected nor range-filtered). */
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
 
   override def pushLimit(l: Int): Boolean = { limit = l; true }
   // partial: the source prunes pages/rows, Spark keeps the global limit
@@ -134,21 +143,23 @@ class PagedJsonScanBuilder(path: String, url: String, pageSize: Int,
 
   override def build(): Scan =
     new PagedJsonScan(path, url, pageSize, math.min(limit, totalLimit),
-      ordLo, ordHi)
+      ordLo, ordHi, required)
 }
 
 case class PagedJsonScan(path: String, url: String, pageSize: Int,
                          limit: Int, ordLo: Long = 0L,
-                         ordHi: Long = Long.MaxValue)
+                         ordHi: Long = Long.MaxValue,
+                         required: StructType = PagedJsonSource.Schema)
     extends Scan with Batch {
-  override def readSchema(): StructType = PagedJsonSource.Schema
+  override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"paged_json ${if (url != null) s"url=$url" else s"path=$path"} " +
       s"pageSize=$pageSize" +
       (if (limit != Int.MaxValue) s" pushedLimit=$limit" else "") +
       (if (ordLo > 0L || ordHi != Long.MaxValue)
-        s" pushedOrdinalRange=[$ordLo,$ordHi]" else "")
+        s" pushedOrdinalRange=[$ordLo,$ordHi]" else "") +
+      s" decodedFields=[${required.fieldNames.mkString(",")}]"
 
   /** pages needed under the full-pages contract: the first
     * ceil(limit/pageSize) pages are guaranteed to contain the first
@@ -186,7 +197,7 @@ case class PagedJsonScan(path: String, url: String, pageSize: Int,
           "raise option(\"pageSize\") or narrow the range")
       (loPage.toLong to last).map { i =>
         PagedJsonInputPartition(s"$url?page=$i&size=$pageSize", limit,
-          i * pageSize): InputPartition
+          i * pageSize, required.fieldNames): InputPartition
       }.toArray
     } else {
       val files = PagedJsonSource.pageFiles(path)
@@ -194,7 +205,7 @@ case class PagedJsonScan(path: String, url: String, pageSize: Int,
         .filter { case (_, i) => i >= loPage && i <= hiPage }
         .map { case (f, i) =>
           PagedJsonInputPartition(f.getAbsolutePath, limit,
-            i.toLong * pageSize): InputPartition
+            i.toLong * pageSize, required.fieldNames): InputPartition
         }
     }
 
@@ -210,7 +221,8 @@ object PagedJsonScan {
 }
 
 case class PagedJsonInputPartition(location: String, maxRows: Int,
-                                   ordinalBase: Long)
+                                   ordinalBase: Long,
+                                   fields: Array[String])
     extends InputPartition
 
 class PagedJsonReaderFactory extends PartitionReaderFactory {
@@ -241,9 +253,12 @@ class PagedJsonReaderFactory extends PartitionReaderFactory {
             if (v == null || v.isNull) null else UTF8String.fromString(v.asText())
           }
           ordinal += 1
-          current = new GenericInternalRow(Array[Any](
-            field("id"), field("title"), field("selftext"), field("subreddit"),
-            ordinal))
+          // pruned decode: only the pushed-down required fields are
+          // extracted from the page record, in the pruned schema's order
+          current = new GenericInternalRow(part.fields.map {
+            case "ordinal" => ordinal: Any
+            case n => field(n): Any
+          })
           true
         }
       override def get(): InternalRow = current

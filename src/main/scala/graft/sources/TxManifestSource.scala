@@ -119,7 +119,7 @@ class TxManifestTable(pathStr: String, writeSchema: StructType,
       TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => TxScan(pathStr)
+    new TxScanBuilder(pathStr)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new TxWriteBuilder(pathStr, info.schema(), info.queryId(), abortOnValue)
@@ -254,40 +254,70 @@ object TxCodec {
       }
     }.mkString("\t")
 
-  def decode(line: String, schema: StructType): InternalRow = {
-    val parts = line.split('\t')
-    new GenericInternalRow(schema.fields.indices.map { i =>
+  def decode(line: String, schema: StructType): InternalRow =
+    decodeColumns(line, schema, schema.fields.indices.toArray)
+
+  /** Pruned decode: convert only the fields at `positions` (full-schema
+    * indexes), emitting a row in that pruned order. */
+  def decodeColumns(line: String, schema: StructType,
+                    positions: Array[Int]): InternalRow = {
+    // -1 keeps trailing empty fields: a row ending in an empty string
+    // column would otherwise split short and throw on access
+    val parts = line.split("\t", -1)
+    new GenericInternalRow(positions.map { i =>
       val p = parts(i)
       if (p == "\\N") null
-      else schema.fields(i).dataType match {
+      else (schema.fields(i).dataType match {
         case LongType    => p.toLong
         case IntegerType => p.toInt
         case DoubleType  => p.toDouble
         case BooleanType => p.toBoolean
         case StringType  => UTF8String.fromString(unescape(p))
         case dt => throw new UnsupportedOperationException(dt.toString)
-      }
-    }.toArray[Any])
+      }): Any
+    })
   }
+}
+
+/** Read side gets the same column pruning the write side's parquet
+  * sibling would: a projection pushes its required-column set down to
+  * the scan, readSchema shrinks, and the row decode converts ONLY the
+  * required field positions (the split still walks the line — it must,
+  * to find the tabs — but string unescape/boxing happens per required
+  * column, and the rows Spark materializes are as narrow as the
+  * projection). */
+class TxScanBuilder(pathStr: String)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private val manifest = TxManifest.read(Paths.get(pathStr)).getOrElse(
+    throw new IllegalArgumentException(s"no committed manifest at $pathStr"))
+  private var required: StructType = manifest.schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = TxScan(pathStr, manifest, required)
 }
 
 /** Read path: the manifest IS the table — one InputPartition per
   * committed file; orphaned staging/version files are unreachable. */
-final case class TxScan(pathStr: String) extends Scan with Batch {
-  private val manifest = TxManifest.read(Paths.get(pathStr)).getOrElse(
-    throw new IllegalArgumentException(s"no committed manifest at $pathStr"))
-  override def readSchema(): StructType = manifest.schema
+final case class TxScan(pathStr: String, manifest: TxManifest,
+                        required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft_tx path=$pathStr files=${manifest.files.size}"
-  override def planInputPartitions(): Array[InputPartition] =
+    s"graft_tx path=$pathStr files=${manifest.files.size} " +
+      s"decodedColumns=[${required.fieldNames.mkString(",")}]"
+  override def planInputPartitions(): Array[InputPartition] = {
+    // positions of the required columns within the full manifest schema
+    val positions = required.fieldNames.map(manifest.schema.fieldIndex)
     manifest.files.map(f =>
-      TxInputPartition(s"$pathStr/$f", manifest.schema): InputPartition).toArray
+      TxInputPartition(s"$pathStr/$f", manifest.schema, positions)
+        : InputPartition).toArray
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     new TxReaderFactory
 }
 
-final case class TxInputPartition(file: String, schema: StructType)
+final case class TxInputPartition(file: String, schema: StructType,
+                                  positions: Array[Int])
     extends InputPartition
 
 class TxReaderFactory extends PartitionReaderFactory {
@@ -299,7 +329,11 @@ class TxReaderFactory extends PartitionReaderFactory {
       private var current: InternalRow = _
       override def next(): Boolean =
         if (!lines.hasNext) false
-        else { current = TxCodec.decode(lines.next(), part.schema); true }
+        else {
+          current = TxCodec.decodeColumns(lines.next(), part.schema,
+            part.positions)
+          true
+        }
       override def get(): InternalRow = current
       override def close(): Unit = source.close()
     }

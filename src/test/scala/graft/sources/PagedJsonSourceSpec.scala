@@ -143,6 +143,43 @@ class PagedJsonSourceSpec extends SparkTestBase {
     assert(none.planInputPartitions().isEmpty)
   }
 
+  test("column pruning reaches the JSON decode: 2-column select shrinks the scan schema") {
+    val pages = buildPages(pageSize = 25)
+    val df = spark.read.format("graft.sources.PagedJsonSource")
+      .option("path", pages).option("pageSize", "25").load()
+    def scanOf(d: org.apache.spark.sql.DataFrame): PagedJsonScan =
+      d.queryExecution.executedPlan.collect {
+        case b: BatchScanExec => b.scan
+      } match {
+        case Seq(s: PagedJsonScan) => s
+        case other => fail(s"expected one PagedJsonScan, got $other")
+      }
+    // full scan decodes all 5 fields
+    assert(scanOf(df).readSchema().fieldNames.toSeq ==
+      Seq("id", "title", "selftext", "subreddit", "ordinal"))
+    // a 2-column projection prunes the decoded field set to exactly those 2
+    val two = df.select($"id", $"subreddit")
+    val scan = scanOf(two)
+    assert(scan.readSchema().fieldNames.toSeq == Seq("id", "subreddit"),
+      s"decode not pruned: ${scan.description()}")
+    assert(two.count() == df.count())
+    assert(two.select($"id").collect().map(_.getString(0)).toSet ==
+      df.select($"id").collect().map(_.getString(0)).toSet)
+    // the synthesized cursor column survives pruning on its own
+    val ords = df.select($"ordinal")
+    assert(scanOf(ords).readSchema().fieldNames.toSeq == Seq("ordinal"))
+    assert(ords.collect().map(_.getLong(0)).sorted.toSeq ==
+      (0L until df.count()).toSeq)
+    // pruning composes with the pushed ordinal range
+    val windowed = df.filter($"ordinal" >= 30 && $"ordinal" <= 60)
+      .select($"title")
+    val ws = scanOf(windowed)
+    // residual ordinal filter keeps ordinal in the scan schema; title rides along
+    assert(ws.readSchema().fieldNames.toSet.subsetOf(Set("title", "ordinal")))
+    assert(ws.planInputPartitions().length == 2)
+    assert(windowed.count() == 31)
+  }
+
   test("Ingest pulls through the DSv2 source; same rows as the csv mode") {
     val srcDir = Files.createTempDirectory("graft_pagesrc").toString
     val pages = buildPages()

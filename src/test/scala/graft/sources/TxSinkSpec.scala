@@ -77,6 +77,34 @@ class TxSinkSpec extends SparkTestBase {
     assert(litter.isEmpty, litter.mkString(","))
   }
 
+  test("read-side column pruning: projection shrinks the scan schema and decode") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val dir = freshDir()
+    df((1L, "a", 1.0), (2L, "tab\tb", null), (3L, "", 3.5))
+      .write.format(fmt).option("path", dir).mode("overwrite").save()
+    val full = spark.read.format(fmt).option("path", dir).load()
+    def scanOf(d: DataFrame): TxScan =
+      d.queryExecution.executedPlan.collect {
+        case b: BatchScanExec => b.scan
+      } match {
+        case Seq(s: TxScan) => s
+        case other => fail(s"expected one TxScan, got $other")
+      }
+    assert(scanOf(full).readSchema().fieldNames.toSeq ==
+      Seq("id", "name", "score"))
+    // 2-column projection prunes the decoded column set
+    val two = full.select($"score", $"id")
+    val scan = scanOf(two)
+    // Spark prunes in table order and re-orders with a Project above
+    assert(scan.readSchema().fieldNames.toSeq == Seq("id", "score"),
+      scan.description())
+    assert(two.as[(Option[Double], Long)].collect().toSet ===
+      Set((Some(1.0), 1L), (None, 2L), (Some(3.5), 3L)))
+    // a trailing empty-string column decodes under pruning (split keeps it)
+    assert(full.select($"name").as[String].collect().toSet ===
+      Set("a", "tab\tb", ""))
+  }
+
   test("a failed FIRST write publishes nothing at all") {
     val dir = freshDir()
     intercept[Exception] {
