@@ -68,7 +68,8 @@ class TxManifestSource extends TableProvider {
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
     new TxManifestTable(properties.get("path"), schema,
-      Option(properties.get("abortOnValue")).map(_.toLong))
+      Option(properties.get("abortOnValue")).map(_.toLong),
+      Option(properties.get("txid")))
 }
 
 /** The committed state: schema + the exact data files that are visible. */
@@ -107,7 +108,8 @@ object TxManifest {
 }
 
 class TxManifestTable(pathStr: String, writeSchema: StructType,
-                      abortOnValue: Option[Long])
+                      abortOnValue: Option[Long],
+                      txid: Option[String] = None)
     extends Table with SupportsRead with SupportsWrite {
   require(pathStr != null, "graft tx sink needs option(\"path\", dir)")
   override def name(): String = s"graft_tx($pathStr)"
@@ -122,17 +124,18 @@ class TxManifestTable(pathStr: String, writeSchema: StructType,
     new TxScanBuilder(pathStr)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new TxWriteBuilder(pathStr, info.schema(), info.queryId(), abortOnValue)
+    new TxWriteBuilder(pathStr, info.schema(), info.queryId(), abortOnValue,
+      txid)
 }
 
 class TxWriteBuilder(path: String, schema: StructType, queryId: String,
-                     abortOnValue: Option[Long])
+                     abortOnValue: Option[Long], txid: Option[String])
     extends WriteBuilder with SupportsTruncate {
   private var replace = false
   override def truncate(): WriteBuilder = { replace = true; this }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new TxBatchWrite(path, schema, queryId, replace, abortOnValue)
+      new TxBatchWrite(path, schema, queryId, replace, abortOnValue, txid)
   }
 }
 
@@ -140,7 +143,8 @@ final case class TxCommitMessage(fileName: String, rows: Long)
     extends WriterCommitMessage
 
 class TxBatchWrite(pathStr: String, schema: StructType, writeId: String,
-                   replace: Boolean, abortOnValue: Option[Long])
+                   replace: Boolean, abortOnValue: Option[Long],
+                   txid: Option[String] = None)
     extends BatchWrite {
   private val root = Paths.get(pathStr)
   private val staging = root.resolve(s".staging-$writeId")
@@ -151,15 +155,32 @@ class TxBatchWrite(pathStr: String, schema: StructType, writeId: String,
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val versionDir = s"v-$writeId"
+    // option("txid", t): IDEMPOTENT commit — the version dir is named by
+    // the caller's transaction id (Delta's SetTransaction appId/version
+    // pattern, made for Structured Streaming's foreachBatch replay: a
+    // restarted query re-runs its last uncommitted batchId with the same
+    // deterministic content, and the sink must publish it exactly once).
+    // If the manifest already references this txid's version, the replay
+    // is dropped whole; a version DIR that exists but is unreferenced is
+    // a crash between dir-rename and manifest-publish — dead by the
+    // manifest contract, so it is replaced. Single-writer sequential
+    // (the streaming query) is the supported contract; racing writers
+    // with the SAME txid would need a manifest CAS, same as §Lease.
+    val versionDir = txid.map(t => "v-tx-" +
+      t.replaceAll("[^A-Za-z0-9_-]", "_")).getOrElse(s"v-$writeId")
+    val prevManifest = if (replace) None else TxManifest.read(root)
+    if (txid.isDefined && prevManifest.exists(
+        _.files.exists(_.startsWith(versionDir + "/")))) {
+      TxManifest.deleteRecursively(staging) // replayed commit: no-op
+      return
+    }
     // only files a task attempt COMMITTED are listed; stray files from
     // failed/zombie attempts ride along in the dir but are invisible
     val committed = messages.map(_.asInstanceOf[TxCommitMessage].fileName)
-    Files.move(staging, root.resolve(versionDir),
-      StandardCopyOption.ATOMIC_MOVE)
-    val prev =
-      if (replace) Seq.empty
-      else TxManifest.read(root).map(_.files).getOrElse(Seq.empty)
+    val target = root.resolve(versionDir)
+    if (Files.exists(target)) TxManifest.deleteRecursively(target)
+    Files.move(staging, target, StandardCopyOption.ATOMIC_MOVE)
+    val prev = prevManifest.map(_.files).getOrElse(Seq.empty)
     val files = prev ++ committed.sorted.map(f => s"$versionDir/$f")
     TxManifest.publish(root, TxManifest(schema, files), writeId)
     // GC version dirs the new manifest no longer references
