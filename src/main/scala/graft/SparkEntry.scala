@@ -20,7 +20,7 @@ object SparkEntry {
     ops.AggOps, ops.ScanOps, ops.FilterOps, ops.JoinOps,
     ops.WindowOps, ops.SortSetOps, ops.ScalarOps, ops.UdafOps, ops.MlOps,
     ops.SqlOps, ops.TpchOps, ops.ReshapeOps, ops.QualityOps,
-    ops.IncrementalOps,
+    ops.IncrementalOps, ops.EvalOps,
     text.TextOps, text.BpeOps, text.SearchOps, text.CooccurOps,
     llm.DedupOps, llm.SpanDedup, llm.GraphOps, llm.SimSearchOps,
     llm.MultimodalOps,

@@ -133,6 +133,17 @@ object PlanAudit {
     "q_ml_cuped" -> Set("SinglePartition", "NestedLoop"),
     // 3-row MDE fan-out crossJoined with the 1-row moment frame
     "q_ml_power_analysis" -> Set("SinglePartition", "NestedLoop"),
+    // round-14 eval stats (EvalOps): 1-row scalar frames (mean-rating
+    // norm, vocab totals, single-cell readouts) cross-joined, plus
+    // bounded-domain pieces — a 3-row k-dim theta join (pass@k), the
+    // ≤100-bin interval self-join and its domain windows (isotonic),
+    // the m≤31-token rank/step-up windows (fdr_bh) — all bounded by
+    // construction, see each operator's scaladoc
+    "q_ml_bradley_terry" -> Set("SinglePartition", "NestedLoop"),
+    "q_ml_pass_at_k" -> Set("NestedLoop"),
+    "q_ml_mcnemar" -> Set("SinglePartition"),
+    "q_ml_fdr_bh" -> Set("SinglePartition", "NestedLoop"),
+    "q_ml_isotonic_calibration" -> Set("SinglePartition", "NestedLoop"),
     // risk-set cumsum + log-survival cumsum over the BOUNDED duration
     // domain (calendar-sized, the cusum rationale); 1-row horizon and
     // total frames crossJoined broadcast
