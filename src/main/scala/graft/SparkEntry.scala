@@ -21,7 +21,7 @@ object SparkEntry {
     ops.WindowOps, ops.SortSetOps, ops.ScalarOps, ops.UdafOps, ops.MlOps,
     ops.SqlOps, ops.TpchOps, ops.ReshapeOps, ops.QualityOps,
     ops.IncrementalOps, ops.EvalOps,
-    text.TextOps, text.BpeOps, text.SearchOps, text.CooccurOps,
+    text.TextOps, text.BpeOps, text.SearchOps, text.CooccurOps, text.LmOps,
     llm.DedupOps, llm.SpanDedup, llm.GraphOps, llm.SimSearchOps,
     llm.MultimodalOps,
     llm.CorpusPipeline, llm.Decontaminate,

@@ -144,6 +144,12 @@ object PlanAudit {
     "q_ml_mcnemar" -> Set("SinglePartition"),
     "q_ml_fdr_bh" -> Set("SinglePartition", "NestedLoop"),
     "q_ml_isotonic_calibration" -> Set("SinglePartition", "NestedLoop"),
+    // round-14 LM stats (LmOps): 1-row scalar frames (corpus token
+    // total, distinct-trigram count) cross-joined; good_turing's ≤11-row
+    // r-dim left-joins the bounded freq-of-freqs table — all bounded by
+    // construction, see the operator scaladocs
+    "q_text_good_turing" -> Set("SinglePartition", "NestedLoop"),
+    "q_text_kneser_ney" -> Set("SinglePartition", "NestedLoop"),
     // risk-set cumsum + log-survival cumsum over the BOUNDED duration
     // domain (calendar-sized, the cusum rationale); 1-row horizon and
     // total frames crossJoined broadcast
