@@ -278,7 +278,149 @@ object GraphOps extends graft.QueryModule {
       .orderBy($"item")
   }
 
+  /** q_graph_label_propagation — community detection over the basket
+    * co-purchase graph via synchronous label propagation (Raghavan,
+    * Albert & Kumara, Phys. Rev. E 2007) made DETERMINISTIC: every
+    * node votes its neighbors' labels PLUS its own (the self-loop
+    * damps the bipartite oscillation the raw synchronous update is
+    * known for), the new label is the most frequent with ties broken
+    * by SMALLEST label — no randomness anywhere, so engine and oracle
+    * agree bit-for-bit. 4 fixed rounds (the kcore constant-rounds
+    * discipline; the support-filtered graph's diameter is small and
+    * Wave14cSpec replays the rounds independently), then the readout
+    * collapses to per-community size + smallest member. The
+    * coarser-than-components community structure is the dedup-sharding
+    * readout connected components can't give: components lump
+    * everything touching, LPA splits dense cliques from bridges.
+    *
+    * Scale: per round, ONE equi-join of the vocabulary-bounded
+    * adjacency against the ≤|V| label frame and one (node, label)
+    * hash agg; the argmax window partitions by node over ≤deg+1 rows.
+    * Round count is constant and each round localCheckpoints (lineage
+    * cut, the MM/kcore pattern). Nothing is corpus-sized. */
+  def labelPropagation(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (_, lbl) = lpaLabels(spark, sfDir)
+    lbl.groupBy($"lbl".as("community"))
+      .agg(count(lit(1)).as("n_members"), min($"node").as("min_member"))
+      .orderBy($"n_members".desc, $"community")
+  }
+
+  /** The shared 4-round deterministic LPA core: returns the
+    * support-filtered (a<b) edge list and the final (node, lbl)
+    * assignment — [[labelPropagation]] reads the partition,
+    * [[modularity]] scores it. */
+  private def lpaLabels(spark: SparkSession, sfDir: String)
+      : (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+    val edges = marketBasket(spark, sfDir)
+      .select($"a_id", $"b_id").localCheckpoint() // support-filtered
+    val adj = edges.select($"a_id".as("src"), $"b_id".as("dst"))
+      .union(edges.select($"b_id".as("src"), $"a_id".as("dst")))
+    val nodes = adj.select($"src").distinct()
+    val adjS = adj.union(nodes.select($"src", $"src".as("dst")))
+      .localCheckpoint() // reused all 4 rounds
+    var lbl = nodes.select($"src".as("node"), $"src".as("lbl"))
+      .localCheckpoint()
+    for (_ <- 1 to 4) {
+      lbl = adjS
+        .join(lbl.select($"node".as("dst"), $"lbl"), Seq("dst"))
+        .groupBy($"src", $"lbl").agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(
+          w.partitionBy($"src").orderBy($"cnt".desc, $"lbl")))
+        .filter($"rn" === 1)
+        .select($"src".as("node"), $"lbl")
+        .localCheckpoint()
+    }
+    (edges, lbl)
+  }
+
+  /** q_graph_modularity — Newman–Girvan modularity (Phys. Rev. E
+    * 2004) of the [[labelPropagation]] partition: Q = Σ_c (e_c/m −
+    * (d_c/2m)²) — the one-number "is this community structure real"
+    * gate (Q near 0: the partition explains nothing; Q ≳ 0.3:
+    * genuine structure), read before sharding dedup work along
+    * communities. Computed EXACTLY: Q·4m² = Σ_c (4m·e_c − d_c²) is
+    * an int64 sum (m is vocabulary-bounded), ONE micro-floored
+    * division by the double 4m².
+    *
+    * Scale: the LPA rounds dominate (constant count, vocab-bounded
+    * frames); the scoring adds two equi-joins of the edge list
+    * against the ≤|V| label frame and two bounded hash aggs. 1-row
+    * readout. */
+  def modularity(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (edges, lbl) = lpaLabels(spark, sfDir)
+    val m = edges.agg(count(lit(1)).as("m")) // 1-row edge total
+    val adj = edges.select($"a_id".as("src"), $"b_id".as("dst"))
+      .union(edges.select($"b_id".as("src"), $"a_id".as("dst")))
+    val deg = adj.groupBy($"src").agg(count(lit(1)).as("degree"))
+    val dc = deg.join(lbl, $"src" === $"node")
+      .groupBy($"lbl").agg(sum($"degree").as("d"))
+    val ec = edges
+      .join(lbl.select($"node".as("a_id"), $"lbl".as("la")), Seq("a_id"))
+      .join(lbl.select($"node".as("b_id"), $"lbl".as("lb")), Seq("b_id"))
+      .filter($"la" === $"lb")
+      .groupBy($"la".as("lbl")).agg(count(lit(1)).as("e"))
+    def micro(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor(c * 1e6).cast("long") / 1e6
+    dc.join(ec, Seq("lbl"), "left")
+      .crossJoin(broadcast(m)) // 1-row edge count
+      .agg(count(lit(1)).as("n_communities"),
+        sum(lit(4L) * $"m" * coalesce($"e", lit(0L)) - $"d" * $"d")
+          .as("num"), first($"m").as("m"))
+      .select($"n_communities", $"m".as("m_edges"),
+        micro($"num".cast("double") /
+          (lit(4.0) * $"m".cast("double") * $"m".cast("double")))
+          .as("modularity"))
+  }
+
+  /** q_graph_local_clustering — per-node local clustering coefficient
+    * (Watts & Strogatz, Nature 1998) over the basket co-purchase
+    * graph: C_v = 2·T_v / (deg_v·(deg_v−1)) with T_v = the triangles
+    * through v, counted as the CLOSED WEDGES CENTERED at v — each
+    * triangle has exactly one middle at each of its three vertices, so
+    * the per-node count needs no /3 correction. "Is this node's
+    * neighborhood a clique or a star" is the per-node refinement of
+    * assortativity's one global number, and the structural signal for
+    * whether a dedup cluster is one dense blob (safe to collapse) or a
+    * hub chaining unrelated docs (split before collapsing). deg < 2 →
+    * C undefined → NULL (oracle mirrors the CASE).
+    *
+    * Scale: the adamicAdar wedge discipline — wedge join over the
+    * support-filtered adjacency (the support floor is the hub guard),
+    * closure check as an equi-join against the (a<b) edge list, ONE
+    * (w) hash agg, broadcast-sized degree join. Everything is bounded
+    * by the part catalog, not the corpus. */
+  def localClustering(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val edges = marketBasket(spark, sfDir)
+      .select($"a_id", $"b_id").localCheckpoint() // feeds adj + closure
+    val adj = edges.select($"a_id".as("src"), $"b_id".as("dst"))
+      .union(edges.select($"b_id".as("src"), $"a_id".as("dst")))
+    val deg = adj.groupBy($"src").agg(count(lit(1)).as("degree"))
+    val tri = adj.select($"src".as("u"), $"dst".as("w"))
+      .join(adj.select($"src".as("w"), $"dst".as("v")), Seq("w"))
+      .filter($"u" < $"v") // each wedge at middle w counted once
+      .join(edges.select($"a_id".as("u"), $"b_id".as("v")), Seq("u", "v"))
+      .groupBy($"w").agg(count(lit(1)).as("triangles"))
+    def micro(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor(c * 1e6).cast("long") / 1e6
+    deg.join(tri, $"src" === $"w", "left")
+      .select($"src".as("node"), $"degree",
+        coalesce($"triangles", lit(0L)).as("triangles"),
+        when($"degree" >= 2L, micro(
+          (lit(2L) * coalesce($"triangles", lit(0L))).cast("double") /
+            ($"degree" * ($"degree" - 1L)).cast("double")))
+          .as("c_local"))
+      .orderBy($"node")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_modularity" -> (modularity _),
+    "q_graph_local_clustering" -> (localClustering _),
+    "q_graph_label_propagation" -> (labelPropagation _),
     "q_graph_kcore" -> (kcore _),
     "q_graph_assortativity" -> (assortativity _),
     "q_graph_adamic_adar" -> (adamicAdar _),
@@ -381,6 +523,105 @@ object GraphOps extends graft.QueryModule {
         |WHERE NOT EXISTS (
         |  SELECT 1 FROM p WHERE p.a_id = s.u AND p.b_id = s.v)
         |ORDER BY aa_score DESC, a_id, b_id LIMIT 20""".stripMargin,
+    "q_graph_local_clustering" ->
+      """WITH bi AS (
+        |  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+        |  FROM lineitem),
+        |p AS (
+        |  SELECT x.item AS a_id, y.item AS b_id
+        |  FROM bi x JOIN bi y ON x.basket = y.basket AND x.item < y.item
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |adj AS (SELECT a_id AS src, b_id AS dst FROM p
+        |        UNION ALL SELECT b_id, a_id FROM p),
+        |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS degree
+        |        FROM adj GROUP BY 1),
+        |tri AS (
+        |  SELECT a1.dst AS w, CAST(COUNT(*) AS BIGINT) AS triangles
+        |  FROM adj a1
+        |  JOIN adj a2 ON a1.dst = a2.src AND a1.src < a2.dst
+        |  JOIN p ON a1.src = p.a_id AND a2.dst = p.b_id
+        |  GROUP BY 1)
+        |SELECT src AS node, degree,
+        |  CAST(COALESCE(triangles, 0) AS BIGINT) AS triangles,
+        |  CASE WHEN degree >= 2 THEN
+        |    CAST(floor(CAST(2 * COALESCE(triangles, 0) AS DOUBLE) /
+        |      CAST(degree * (degree - 1) AS DOUBLE) * 1e6) AS BIGINT)
+        |      / 1e6
+        |  END AS c_local
+        |FROM deg LEFT JOIN tri ON deg.src = tri.w
+        |ORDER BY node""".stripMargin,
+    "q_graph_modularity" -> {
+      val rounds = (1 to 4).map { i =>
+        s"""v$i AS (
+           |  SELECT a.src AS node, l.lbl, COUNT(*) AS cnt
+           |  FROM adjs a JOIN l${i - 1} l ON a.dst = l.node GROUP BY 1, 2),
+           |l$i AS (
+           |  SELECT node, lbl FROM v$i
+           |  QUALIFY ROW_NUMBER() OVER (PARTITION BY node
+           |    ORDER BY cnt DESC, lbl) = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH bi AS (
+         |  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+         |  FROM lineitem),
+         |p AS (
+         |  SELECT x.item AS a_id, y.item AS b_id
+         |  FROM bi x JOIN bi y ON x.basket = y.basket AND x.item < y.item
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |adj AS (SELECT a_id AS src, b_id AS dst FROM p
+         |        UNION ALL SELECT b_id, a_id FROM p),
+         |nodes AS (SELECT DISTINCT src FROM adj),
+         |adjs AS (SELECT src, dst FROM adj
+         |         UNION ALL SELECT src, src FROM nodes),
+         |l0 AS (SELECT src AS node, src AS lbl FROM nodes),
+         |$rounds,
+         |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM p),
+         |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS degree
+         |        FROM adj GROUP BY 1),
+         |dc AS (
+         |  SELECT l.lbl, CAST(SUM(degree) AS BIGINT) AS d
+         |  FROM deg JOIN l4 l ON deg.src = l.node GROUP BY 1),
+         |ec AS (
+         |  SELECT la.lbl, CAST(COUNT(*) AS BIGINT) AS e
+         |  FROM p JOIN l4 la ON p.a_id = la.node
+         |  JOIN l4 lb ON p.b_id = lb.node
+         |  WHERE la.lbl = lb.lbl GROUP BY 1)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+         |  CAST(m AS BIGINT) AS m_edges,
+         |  CAST(floor(CAST(SUM(4 * m * COALESCE(e, 0) - d * d)
+         |      AS DOUBLE) /
+         |    (4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)) * 1e6)
+         |    AS BIGINT) / 1e6 AS modularity
+         |FROM dc LEFT JOIN ec USING (lbl), mm
+         |GROUP BY m""".stripMargin
+    },
+    "q_graph_label_propagation" -> {
+      val rounds = (1 to 4).map { i =>
+        s"""v$i AS (
+           |  SELECT a.src AS node, l.lbl, COUNT(*) AS cnt
+           |  FROM adjs a JOIN l${i - 1} l ON a.dst = l.node GROUP BY 1, 2),
+           |l$i AS (
+           |  SELECT node, lbl FROM v$i
+           |  QUALIFY ROW_NUMBER() OVER (PARTITION BY node
+           |    ORDER BY cnt DESC, lbl) = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH bi AS (
+         |  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+         |  FROM lineitem),
+         |p AS (
+         |  SELECT x.item AS a_id, y.item AS b_id
+         |  FROM bi x JOIN bi y ON x.basket = y.basket AND x.item < y.item
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |adj AS (SELECT a_id AS src, b_id AS dst FROM p
+         |        UNION ALL SELECT b_id, a_id FROM p),
+         |nodes AS (SELECT DISTINCT src FROM adj),
+         |adjs AS (SELECT src, dst FROM adj
+         |         UNION ALL SELECT src, src FROM nodes),
+         |l0 AS (SELECT src AS node, src AS lbl FROM nodes),
+         |$rounds
+         |SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_members,
+         |  MIN(node) AS min_member
+         |FROM l4 GROUP BY 1 ORDER BY n_members DESC, community""".stripMargin
+    },
     "q_graph_market_basket" ->
       """WITH bi AS (
         |  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item

@@ -262,14 +262,432 @@ object EvalOps extends graft.QueryModule {
       .orderBy($"bin")
   }
 
+  /** q_ml_friedman_test — Friedman's rank test (Friedman, JASA 1937)
+    * comparing k=|mktsegment| "systems" across monthly blocks: within
+    * each complete month (all k segments observed) the segments'
+    * exact-cents revenue totals are ranked, rank sums per segment feed
+    * χ²_F = 3·ΣR2_j²/(n·k·(k+1)) − 3·n·(k+1) (the classical statistic
+    * rewritten over 2-SCALED average ranks R2 = 2·R, so ties — however
+    * unlikely over cents sums — stay exact integers: ar2 = 2·rank +
+    * tiecount − 1 = minrank + maxrank, the spearman recipe). Kendall's
+    * W = χ²_F/(n(k−1)) ships alongside as the [0,1] concordance
+    * readout, and the significance call uses the χ²_{k−1} 0.05
+    * critical value via a bounded CASE (df 2–6). Numerics: ΣR2² is
+    * int64 (R2_j ≤ 2k·n_blocks), ONE micro-floored double readout per
+    * column with the oracle mirroring the exact expression order.
+    *
+    * Scale: one orders⋈customer equi-join (dim side, co-partitioned or
+    * AQE-broadcast at real scale), ONE partial-agg'd groupBy to the
+    * (month × segment) cell frame — everything after runs on that
+    * calendar×catalog-BOUNDED frame: the rank windows partition by
+    * month over ≤k rows each, the completeness filter broadcasts the
+    * ≤|months| count frame, and the readout is 1 row. */
+  def friedmanTest(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+    val cell = graft.Tables.orders(spark, sfDir)
+      .join(graft.Tables.customer(spark, sfDir)
+          .select($"c_custkey", $"c_mktsegment"),
+        $"o_custkey" === $"c_custkey")
+      .groupBy(to_date(date_trunc("month", $"o_orderdate")).as("blk"),
+        $"c_mktsegment".as("sys"))
+      .agg(sum((AggOps.dec($"o_totalprice") * 100).cast("long")).as("v"))
+      .localCheckpoint() // bounded months × segments; feeds k + filter
+    val kSys = cell.agg(countDistinct($"sys").as("k_systems"))
+    val complete = cell.join(
+      broadcast(cell.groupBy($"blk").agg(count(lit(1)).as("nb"))
+        .crossJoin(kSys).filter($"nb" === $"k_systems").select($"blk")),
+      Seq("blk"))
+    val ranked = complete.withColumn("ar2",
+      lit(2L) * rank().over(w.partitionBy($"blk").orderBy($"v")) +
+        count(lit(1)).over(w.partitionBy($"blk", $"v")) - 1L)
+    val perSys = ranked.groupBy($"sys").agg(sum($"ar2").as("r2"))
+    val nBlk = ranked.agg(countDistinct($"blk").as("n_blocks"))
+    perSys.agg(sum($"r2" * $"r2").as("ssq"),
+        count(lit(1)).cast("long").as("k_systems"))
+      .crossJoin(broadcast(nBlk)) // two 1-row frames
+      .withColumn("chi2_raw",
+        lit(3.0) * $"ssq".cast("double") /
+          ($"n_blocks" * $"k_systems" * ($"k_systems" + 1L)).cast("double")
+          - lit(3.0) * ($"n_blocks" * ($"k_systems" + 1L)).cast("double"))
+      .withColumn("crit",
+        when($"k_systems" === 3L, 5.991).when($"k_systems" === 4L, 7.815)
+          .when($"k_systems" === 5L, 9.488).when($"k_systems" === 6L, 11.070)
+          .when($"k_systems" === 7L, 12.592))
+      .select($"n_blocks", $"k_systems", micro($"chi2_raw").as("chi2"),
+        micro($"chi2_raw" / ($"n_blocks" * ($"k_systems" - 1L))
+          .cast("double")).as("kendall_w"),
+        (micro($"chi2_raw") > $"crit").as("significant"))
+  }
+
+  /** q_ml_conformal_interval — split conformal prediction (Vovk et al.
+    * 2005; Lei et al., JASA 2018): orders are hash-split by
+    * o_orderkey mod 4 into train (0,1) / calibration (2) / test (3); a
+    * month-of-year mean model fits on train (exact integer cents,
+    * truncating div — non-negative, so Spark `div` == DuckDB `//`);
+    * the calibration nonconformity scores s = |y − ŷ| yield q̂ = the
+    * ⌈(n_cal+1)·0.9⌉-th smallest score, and the readout is the test
+    * half's empirical coverage of [ŷ ± q̂] — the distribution-free
+    * ≥90% guarantee a quality-score threshold inherits. The rank k is
+    * exact integer arithmetic ((9n+18) div 10, clamped to n_cal).
+    *
+    * Scale: the ONLY order statistic is q̂, and it is found by the
+    * theil_sen two-pass √-bucket selection — scores bucket by
+    * s div 65536 (bounded by the PRICE domain, not the corpus), a
+    * cumsum over that bounded bucket frame locates the one target
+    * bucket, and only ITS rows are ever ranked. No keyless corpus
+    * window; the model join broadcasts a 12-row frame; readout 1 row.
+    */
+  def conformalInterval(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+    val base = graft.Tables.orders(spark, sfDir)
+      .select(pmod($"o_orderkey", lit(4L)).as("fold"),
+        month($"o_orderdate").as("m"),
+        (AggOps.dec($"o_totalprice") * 100).cast("long").as("cents"))
+    val model = base.filter($"fold" <= 1L).groupBy($"m")
+      .agg(expr("sum(cents) div count(1)").as("yhat")) // 12-row frame
+    val cal = base.filter($"fold" === 2L)
+      .join(broadcast(model), Seq("m"))
+      .select(abs($"cents" - $"yhat").as("s"))
+      .withColumn("bkt", expr("s div 65536L"))
+      .localCheckpoint() // feeds bucket counts AND the ranked pass
+    val bcum = cal.groupBy($"bkt").agg(count(lit(1)).as("bw"))
+      .withColumn("off", coalesce(sum($"bw").over(
+        w.orderBy($"bkt").rowsBetween(w.unboundedPreceding, -1)),
+        lit(0L))) // cumsum over the price-bounded bucket frame
+    val tot = cal.agg(count(lit(1)).as("n_cal"))
+      .withColumn("k", least(expr("(9L * n_cal + 18L) div 10L"), $"n_cal"))
+    val target = bcum.crossJoin(broadcast(tot))
+      .filter($"off" < $"k" && $"off" + $"bw" >= $"k")
+      .select($"bkt", $"off", $"k", $"n_cal")
+    val qhat = cal.join(broadcast(target), Seq("bkt")) // one bucket only
+      .withColumn("cw",
+        $"off" + row_number().over(w.partitionBy($"bkt").orderBy($"s")))
+      .filter($"cw" === $"k")
+      .groupBy().agg(min($"s").as("qhat_cents"), first($"k").as("rank_k"),
+        first($"n_cal").as("n_cal"))
+    base.filter($"fold" === 3L).join(broadcast(model), Seq("m"))
+      .select(abs($"cents" - $"yhat").as("s"))
+      .crossJoin(broadcast(qhat)) // 1-row scalar frame
+      .agg(first($"n_cal").as("n_cal"), count(lit(1)).as("n_test"),
+        first($"rank_k").as("rank_k"),
+        first($"qhat_cents").as("qhat_cents"),
+        sum(when($"s" <= $"qhat_cents", 1L).otherwise(0L)).as("n_in"))
+      .select($"n_cal", $"n_test", $"rank_k", $"qhat_cents",
+        micro($"n_in".cast("double") / $"n_test".cast("double"))
+          .as("coverage"))
+  }
+
+  /** q_ml_cochran_q — Cochran's Q (Biometrika 1950), the k-classifier
+    * generalization of [[mcnemar]]: do k=3 binary classifiers (the
+    * McNemar pair plus a first-half-year seasonal rule) have the same
+    * accuracy against the same truth? Q = k(k−1)·Σ_j(G_j − T/k)² /
+    * (k·T − ΣL_i²) with G_j = per-classifier corrects, L_i =
+    * per-subject corrects, T = ΣG = ΣL. All MOMENTS are exact int64
+    * hash-aggregates; Σ(G_j − T/k)² is expanded k²-scaled as
+    * Σ(k·G_j − T)² so the mean never divides — each deviation stays
+    * int64, its square is taken in double (int64 would overflow past
+    * ~3e9 rows), and the single division happens once at readout
+    * (df = k−1 = 2, crit 5.991).
+    * Degenerate guard: all-equal L_i (denominator 0) → NULL q_stat,
+    * mirrored CASE in the oracle.
+    *
+    * Scale: ONE pass over orders computing per-row L_i moments plus
+    * the three G_j sums in the same aggregate — no join, no window,
+    * 1-row readout. */
+  def cochranQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val truth = $"o_orderstatus" === "F"
+    val ok = Seq(
+      ($"o_totalprice" > 150000.0) === truth,
+      $"o_orderpriority".isin("1-URGENT", "2-HIGH") === truth,
+      (month($"o_orderdate") <= 6) === truth)
+    val li = ok.map(c => when(c, 1L).otherwise(0L)).reduce(_ + _)
+    graft.Tables.orders(spark, sfDir)
+      .agg(count(lit(1)).as("n_obs"),
+        sum(when(ok(0), 1L).otherwise(0L)).as("g1"),
+        sum(when(ok(1), 1L).otherwise(0L)).as("g2"),
+        sum(when(ok(2), 1L).otherwise(0L)).as("g3"),
+        sum(li).as("t"), sum(li * li).as("l2"))
+      // each deviation is exact int64 (≤3·rows); its SQUARE would
+      // overflow past ~3e9 rows, so square in double (mirrored order)
+      .withColumn("num",
+        ($"g1" * 3L - $"t").cast("double") *
+          ($"g1" * 3L - $"t").cast("double") +
+          ($"g2" * 3L - $"t").cast("double") *
+            ($"g2" * 3L - $"t").cast("double") +
+          ($"g3" * 3L - $"t").cast("double") *
+            ($"g3" * 3L - $"t").cast("double"))
+      .withColumn("den", lit(3L) * $"t" - $"l2")
+      .select($"n_obs", $"g1", $"g2", $"g3",
+        when($"den" > 0L, micro(
+          lit(2.0) * $"num" / (lit(3.0) * $"den".cast("double"))))
+          .as("q_stat"),
+        when($"den" > 0L, micro(
+          lit(2.0) * $"num" / (lit(3.0) * $"den".cast("double")))
+          > 5.991).as("significant")) // chi2 df=2
+  }
+
+  /** q_ml_gains_table — cumulative gains / lift over score bins: rank
+    * orders by the o_totalprice "model score" into the ≤100 exact
+    * bins of the isotonic recipe and read, per bin from the top down,
+    * the cumulative population share, cumulative capture of the
+    * positive class (o_orderstatus = 'F'), and lift vs the base rate
+    * — the targeting readout behind "contact the top decile, catch
+    * which share of responders?". All cumulative sums are int64
+    * prefix sums over the BOUNDED bin frame (descending-score order);
+    * three micro-floored divisions per row, base rate via exact
+    * integer cross-multiplication (lift = cum_pos·N / (cum_n·P)).
+    *
+    * Scale: one partial-agg'd groupBy to ≤100 bins; the cumsum
+    * windows and readout run on that bounded frame only. */
+  def gainsTable(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+    val bins = graft.Tables.orders(spark, sfDir)
+      .groupBy(least(floor($"o_totalprice" / 6000.0), lit(99.0))
+        .cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when($"o_orderstatus" === "F", 1L).otherwise(0L)).as("pos"))
+    val tot = bins.agg(sum($"n").as("nn"), sum($"pos").as("pp"))
+    bins
+      .withColumn("cum_n", sum($"n").over(
+        w.orderBy($"bin".desc).rowsBetween(w.unboundedPreceding, 0)))
+      .withColumn("cum_pos", sum($"pos").over(
+        w.orderBy($"bin".desc).rowsBetween(w.unboundedPreceding, 0)))
+      .crossJoin(broadcast(tot)) // 1-row totals frame
+      .select($"bin", $"n", $"pos", $"cum_n", $"cum_pos",
+        micro($"cum_n".cast("double") / $"nn".cast("double"))
+          .as("pop_share"),
+        micro($"cum_pos".cast("double") / $"pp".cast("double"))
+          .as("gain"),
+        // count×count crosses int64 past ~3e9 rows: cast-then-multiply
+        micro($"cum_pos".cast("double") * $"nn".cast("double") /
+          ($"cum_n".cast("double") * $"pp".cast("double"))).as("lift"))
+      .orderBy($"bin".desc)
+  }
+
+  /** q_ml_brier_decomposition — Brier score with the Murphy (1973)
+    * reliability/resolution/uncertainty decomposition: a deliberately
+    * LINEAR forecast f_b = bin/100 (the miscalibrated straw model the
+    * decomposition exists to expose) against the 'F' outcome, binned
+    * by the isotonic price bins so the decomposition identity
+    * Brier = REL − RES + UNC holds EXACTLY (it only does for
+    * bin-constant forecasts; Wave14dSpec pins the identity to 1e-12).
+    * Per-bin terms use exact int64 (n_b, s_b) moments; the double
+    * arithmetic per ≤100-row bin term is mirrored operation-for-
+    * operation in the oracle, decimal-summed after a per-term
+    * round(,6) (the datasetCard order-independence discipline), and
+    * the readout is ONE row.
+    *
+    * Scale: one groupBy to ≤100 bins + a broadcast 1-row totals
+    * frame; nothing corpus-sized past the first aggregate. */
+  def brierDecomposition(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val bins = graft.Tables.orders(spark, sfDir)
+      .groupBy(least(floor($"o_totalprice" / 6000.0), lit(99.0))
+        .cast("long").as("bin"))
+      .agg(count(lit(1)).as("nb"),
+        sum(when($"o_orderstatus" === "F", 1L).otherwise(0L)).as("sb"))
+      .localCheckpoint() // ≤100 rows; feeds totals + three term sums
+    val tot = bins.agg(sum($"nb").as("nn"), sum($"sb").as("ss"))
+    val terms = bins.crossJoin(broadcast(tot))
+      .withColumn("fb", $"bin".cast("double") / 100.0)
+      .withColumn("yb", $"sb".cast("double") / $"nb".cast("double"))
+      .withColumn("ybar", $"ss".cast("double") / $"nn".cast("double"))
+      .select($"nn", $"ss",
+        round($"nb" * ($"fb" - $"yb") * ($"fb" - $"yb"), 6)
+          .cast("decimal(18,6)").as("rel_t"),
+        round($"nb" * ($"yb" - $"ybar") * ($"yb" - $"ybar"), 6)
+          .cast("decimal(18,6)").as("res_t"),
+        // per-bin Brier sum: n_b·f_b² − 2·f_b·s_b + s_b (y² = y)
+        round($"nb" * $"fb" * $"fb" - lit(2.0) * $"fb" * $"sb" + $"sb", 6)
+          .cast("decimal(18,6)").as("brier_t"))
+    terms.groupBy($"nn", $"ss")
+      .agg(sum($"rel_t").as("rel_s"), sum($"res_t").as("res_s"),
+        sum($"brier_t").as("brier_s"))
+      .select($"nn".as("n_obs"),
+        micro($"brier_s".cast("double") / $"nn".cast("double"))
+          .as("brier"),
+        micro($"rel_s".cast("double") / $"nn".cast("double"))
+          .as("reliability"),
+        micro($"res_s".cast("double") / $"nn".cast("double"))
+          .as("resolution"),
+        micro(($"ss".cast("double") / $"nn".cast("double")) *
+          (lit(1.0) - $"ss".cast("double") / $"nn".cast("double")))
+          .as("uncertainty"))
+  }
+
+  /** q_ml_expected_calibration_error — ECE and MCE (Naeini et al.,
+    * AAAI 2015; Guo et al., ICML 2017), the standard LLM-eval
+    * calibration readouts, over the same linear bin-confidence
+    * forecast as [[brierDecomposition]] (conf_b = bin/100 vs the 'F'
+    * outcome): ECE = Σ (n_b/N)·|acc_b − conf_b| with per-bin terms
+    * 6dp-rounded and DECIMAL-summed (order-independent across 1000-way
+    * partials — the datasetCard discipline), MCE = max_b |acc_b −
+    * conf_b| (max is order-independent by nature). Per-bin acc uses
+    * exact int64 (n_b, s_b); ONE division per term, mirrored verbatim.
+    *
+    * Scale: one groupBy to ≤100 bins + a broadcast 1-row total;
+    * readout 1 row. */
+  def expectedCalibrationError(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    import spark.implicits._
+    val bins = graft.Tables.orders(spark, sfDir)
+      .groupBy(least(floor($"o_totalprice" / 6000.0), lit(99.0))
+        .cast("long").as("bin"))
+      .agg(count(lit(1)).as("nb"),
+        sum(when($"o_orderstatus" === "F", 1L).otherwise(0L)).as("sb"))
+    val tot = bins.agg(sum($"nb").as("nn"))
+    bins.crossJoin(broadcast(tot)) // 1-row totals frame
+      .withColumn("gap",
+        abs($"sb".cast("double") / $"nb".cast("double") -
+          $"bin".cast("double") / 100.0))
+      .withColumn("term",
+        round($"nb".cast("double") * $"gap", 6).cast("decimal(18,6)"))
+      .groupBy($"nn")
+      .agg(sum($"term").as("ece_s"), max(round($"gap", 6)).as("mce"),
+        count(lit(1)).as("n_bins"))
+      .select($"nn".as("n_obs"), $"n_bins",
+        micro($"ece_s".cast("double") / $"nn".cast("double")).as("ece"),
+        micro($"mce").as("mce"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ml_expected_calibration_error" -> (expectedCalibrationError _),
+    "q_ml_cochran_q" -> (cochranQ _),
+    "q_ml_gains_table" -> (gainsTable _),
+    "q_ml_brier_decomposition" -> (brierDecomposition _),
     "q_ml_bradley_terry" -> (bradleyTerry _),
     "q_ml_pass_at_k" -> (passAtK _),
     "q_ml_mcnemar" -> (mcnemar _),
     "q_ml_fdr_bh" -> (fdrBh _),
-    "q_ml_isotonic_calibration" -> (isotonicCalibration _))
+    "q_ml_isotonic_calibration" -> (isotonicCalibration _),
+    "q_ml_friedman_test" -> (friedmanTest _),
+    "q_ml_conformal_interval" -> (conformalInterval _))
 
   def oracle: Map[String, String] = Map(
+    "q_ml_expected_calibration_error" ->
+      """WITH bins AS (
+        |  SELECT CAST(least(floor(o_totalprice / 6000.0), 99.0)
+        |      AS BIGINT) AS bin,
+        |    CAST(COUNT(*) AS BIGINT) AS nb,
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS sb
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(nb) AS BIGINT) AS nn FROM bins),
+        |g AS (
+        |  SELECT nn, nb,
+        |    abs(CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) -
+        |      CAST(bin AS DOUBLE) / 100.0) AS gap
+        |  FROM bins, tot)
+        |SELECT nn AS n_obs, CAST(COUNT(*) AS BIGINT) AS n_bins,
+        |  CAST(floor(CAST(SUM(CAST(round(CAST(nb AS DOUBLE) * gap, 6)
+        |    AS DECIMAL(18,6))) AS DOUBLE) / CAST(nn AS DOUBLE) * 1e6)
+        |    AS BIGINT) / 1e6 AS ece,
+        |  CAST(floor(MAX(round(gap, 6)) * 1e6) AS BIGINT) / 1e6 AS mce
+        |FROM g GROUP BY nn""".stripMargin,
+    "q_ml_cochran_q" ->
+      """WITH rows_ AS (
+        |  SELECT
+        |    CASE WHEN (o_totalprice > 150000.0) =
+        |      (o_orderstatus = 'F') THEN 1 ELSE 0 END AS c1,
+        |    CASE WHEN (o_orderpriority IN ('1-URGENT', '2-HIGH')) =
+        |      (o_orderstatus = 'F') THEN 1 ELSE 0 END AS c2,
+        |    CASE WHEN (month(o_orderdate) <= 6) =
+        |      (o_orderstatus = 'F') THEN 1 ELSE 0 END AS c3
+        |  FROM orders),
+        |agg AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_obs,
+        |    CAST(SUM(c1) AS BIGINT) AS g1,
+        |    CAST(SUM(c2) AS BIGINT) AS g2,
+        |    CAST(SUM(c3) AS BIGINT) AS g3,
+        |    CAST(SUM(c1 + c2 + c3) AS BIGINT) AS t,
+        |    CAST(SUM((c1 + c2 + c3) * (c1 + c2 + c3)) AS BIGINT) AS l2
+        |  FROM rows_),
+        |s AS (
+        |  SELECT n_obs, g1, g2, g3,
+        |    CAST(g1 * 3 - t AS DOUBLE) * CAST(g1 * 3 - t AS DOUBLE) +
+        |      CAST(g2 * 3 - t AS DOUBLE) * CAST(g2 * 3 - t AS DOUBLE) +
+        |      CAST(g3 * 3 - t AS DOUBLE) * CAST(g3 * 3 - t AS DOUBLE)
+        |      AS num,
+        |    3 * t - l2 AS den
+        |  FROM agg)
+        |SELECT n_obs, g1, g2, g3,
+        |  CASE WHEN den > 0 THEN
+        |    CAST(floor(2.0 * num /
+        |      (3.0 * CAST(den AS DOUBLE)) * 1e6) AS BIGINT) / 1e6
+        |  END AS q_stat,
+        |  CASE WHEN den > 0 THEN
+        |    CAST(floor(2.0 * num /
+        |      (3.0 * CAST(den AS DOUBLE)) * 1e6) AS BIGINT) / 1e6 > 5.991
+        |  END AS significant
+        |FROM s""".stripMargin,
+    "q_ml_gains_table" ->
+      """WITH bins AS (
+        |  SELECT CAST(least(floor(o_totalprice / 6000.0), 99.0)
+        |      AS BIGINT) AS bin,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS pos
+        |  FROM orders GROUP BY 1),
+        |c AS (
+        |  SELECT bin, n, pos,
+        |    CAST(SUM(n) OVER (ORDER BY bin DESC) AS BIGINT) AS cum_n,
+        |    CAST(SUM(pos) OVER (ORDER BY bin DESC) AS BIGINT) AS cum_pos,
+        |    (SELECT CAST(SUM(n) AS BIGINT) FROM bins) AS nn,
+        |    (SELECT CAST(SUM(pos) AS BIGINT) FROM bins) AS pp
+        |  FROM bins)
+        |SELECT bin, n, pos, cum_n, cum_pos,
+        |  CAST(floor(CAST(cum_n AS DOUBLE) / CAST(nn AS DOUBLE) * 1e6)
+        |    AS BIGINT) / 1e6 AS pop_share,
+        |  CAST(floor(CAST(cum_pos AS DOUBLE) / CAST(pp AS DOUBLE) * 1e6)
+        |    AS BIGINT) / 1e6 AS gain,
+        |  CAST(floor(CAST(cum_pos AS DOUBLE) * CAST(nn AS DOUBLE) /
+        |    (CAST(cum_n AS DOUBLE) * CAST(pp AS DOUBLE)) * 1e6)
+        |    AS BIGINT) / 1e6 AS lift
+        |FROM c ORDER BY bin DESC""".stripMargin,
+    "q_ml_brier_decomposition" ->
+      """WITH bins AS (
+        |  SELECT CAST(least(floor(o_totalprice / 6000.0), 99.0)
+        |      AS BIGINT) AS bin,
+        |    CAST(COUNT(*) AS BIGINT) AS nb,
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS sb
+        |  FROM orders GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(SUM(nb) AS BIGINT) AS nn,
+        |    CAST(SUM(sb) AS BIGINT) AS ss
+        |  FROM bins),
+        |terms AS (
+        |  SELECT nn, ss,
+        |    CAST(round(nb * (CAST(bin AS DOUBLE) / 100.0 -
+        |        CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)) *
+        |      (CAST(bin AS DOUBLE) / 100.0 -
+        |        CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)), 6)
+        |      AS DECIMAL(18,6)) AS rel_t,
+        |    CAST(round(nb * (CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) -
+        |        CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE)) *
+        |      (CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) -
+        |        CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE)), 6)
+        |      AS DECIMAL(18,6)) AS res_t,
+        |    CAST(round(nb * (CAST(bin AS DOUBLE) / 100.0) *
+        |        (CAST(bin AS DOUBLE) / 100.0) -
+        |      2.0 * (CAST(bin AS DOUBLE) / 100.0) * sb + sb, 6)
+        |      AS DECIMAL(18,6)) AS brier_t
+        |  FROM bins, tot)
+        |SELECT nn AS n_obs,
+        |  CAST(floor(CAST(SUM(brier_t) AS DOUBLE) /
+        |    CAST(nn AS DOUBLE) * 1e6) AS BIGINT) / 1e6 AS brier,
+        |  CAST(floor(CAST(SUM(rel_t) AS DOUBLE) /
+        |    CAST(nn AS DOUBLE) * 1e6) AS BIGINT) / 1e6 AS reliability,
+        |  CAST(floor(CAST(SUM(res_t) AS DOUBLE) /
+        |    CAST(nn AS DOUBLE) * 1e6) AS BIGINT) / 1e6 AS resolution,
+        |  CAST(floor((CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE)) *
+        |    (1.0 - CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE)) * 1e6)
+        |    AS BIGINT) / 1e6 AS uncertainty
+        |FROM terms GROUP BY nn, ss""".stripMargin,
     "q_ml_bradley_terry" -> btOracle,
     "q_ml_pass_at_k" ->
       """WITH per AS (
@@ -378,5 +796,83 @@ object EvalOps extends graft.QueryModule {
         |  CAST(floor(CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) * 1e6)
         |    AS BIGINT) / 1e6 AS rate,
         |  CAST(floor(iso_raw * 1e6) AS BIGINT) / 1e6 AS iso_rate
-        |FROM bins JOIN iso ON bins.bin = iso.bin ORDER BY bin""".stripMargin)
+        |FROM bins JOIN iso ON bins.bin = iso.bin ORDER BY bin""".stripMargin,
+    "q_ml_friedman_test" ->
+      """WITH cell AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS blk,
+        |    c_mktsegment AS sys,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS v
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |k AS (SELECT CAST(COUNT(DISTINCT sys) AS BIGINT) AS k_systems
+        |      FROM cell),
+        |complete AS (
+        |  SELECT cell.* FROM cell
+        |  JOIN (SELECT blk FROM cell, k GROUP BY blk, k_systems
+        |        HAVING COUNT(*) = k_systems) c USING (blk)),
+        |ranked AS (
+        |  SELECT sys,
+        |    2 * RANK() OVER (PARTITION BY blk ORDER BY v) +
+        |      COUNT(*) OVER (PARTITION BY blk, v) - 1 AS ar2
+        |  FROM complete),
+        |persys AS (
+        |  SELECT sys, CAST(SUM(ar2) AS BIGINT) AS r2
+        |  FROM ranked GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(SUM(r2 * r2) AS BIGINT) AS ssq,
+        |    CAST(COUNT(*) AS BIGINT) AS k_systems,
+        |    (SELECT CAST(COUNT(DISTINCT blk) AS BIGINT) FROM complete)
+        |      AS n_blocks
+        |  FROM persys),
+        |readout AS (
+        |  SELECT n_blocks, k_systems,
+        |    3.0 * CAST(ssq AS DOUBLE) /
+        |      CAST(n_blocks * k_systems * (k_systems + 1) AS DOUBLE)
+        |      - 3.0 * CAST(n_blocks * (k_systems + 1) AS DOUBLE)
+        |      AS chi2_raw,
+        |    CASE k_systems WHEN 3 THEN 5.991 WHEN 4 THEN 7.815
+        |      WHEN 5 THEN 9.488 WHEN 6 THEN 11.070 WHEN 7 THEN 12.592
+        |    END AS crit
+        |  FROM tot)
+        |SELECT n_blocks, k_systems,
+        |  CAST(floor(chi2_raw * 1e6) AS BIGINT) / 1e6 AS chi2,
+        |  CAST(floor(chi2_raw / CAST(n_blocks * (k_systems - 1)
+        |    AS DOUBLE) * 1e6) AS BIGINT) / 1e6 AS kendall_w,
+        |  CAST(floor(chi2_raw * 1e6) AS BIGINT) / 1e6 > crit
+        |    AS significant
+        |FROM readout""".stripMargin,
+    "q_ml_conformal_interval" ->
+      """WITH base AS (
+        |  SELECT o_orderkey % 4 AS fold, month(o_orderdate) AS m,
+        |    CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders),
+        |model AS (
+        |  SELECT m, CAST(CAST(SUM(cents) AS BIGINT) // COUNT(*)
+        |    AS BIGINT) AS yhat
+        |  FROM base WHERE fold <= 1 GROUP BY 1),
+        |cal AS (
+        |  SELECT abs(cents - yhat) AS s
+        |  FROM base JOIN model USING (m) WHERE fold = 2),
+        |tot AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_cal,
+        |    least((9 * CAST(COUNT(*) AS BIGINT) + 18) // 10,
+        |      CAST(COUNT(*) AS BIGINT)) AS k
+        |  FROM cal),
+        |q AS (
+        |  SELECT s AS qhat_cents, k AS rank_k, n_cal
+        |  FROM (SELECT s, ROW_NUMBER() OVER (ORDER BY s) AS rn FROM cal),
+        |    tot
+        |  WHERE rn = k),
+        |test AS (
+        |  SELECT abs(cents - yhat) AS s
+        |  FROM base JOIN model USING (m) WHERE fold = 3)
+        |SELECT n_cal, CAST(COUNT(*) AS BIGINT) AS n_test, rank_k,
+        |  qhat_cents,
+        |  CAST(floor(CAST(SUM(CASE WHEN s <= qhat_cents THEN 1 ELSE 0
+        |    END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) * 1e6)
+        |    AS BIGINT) / 1e6 AS coverage
+        |FROM test, q
+        |GROUP BY n_cal, rank_k, qhat_cents""".stripMargin)
 }

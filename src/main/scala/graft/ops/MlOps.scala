@@ -1259,7 +1259,69 @@ object MlOps extends graft.QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** q_ml_best_split — the decision-stump split finder (CART, Breiman
+    * et al. 1984 ch. 2): the best single price threshold separating
+    * 'F' orders by weighted Gini impurity. The corpus collapses ONCE
+    * to the ≤100 exact isotonic price bins; every candidate threshold
+    * (split after bin b, right side non-empty) reads its left/right
+    * (n, s) from int64 prefix sums, and weighted Gini uses the exact
+    * identity G_side·(n_side/N) = 2·s(n−s)/(n·N) — integer numerators,
+    * the two divisions per candidate done in double over the ≤99-row
+    * candidate frame and micro-floored BEFORE the argmin, so the
+    * winner is selected on identical values in both engines (tie →
+    * smallest bin). Readout: parent impurity, best split, its
+    * impurity, and the gain.
+    *
+    * Scale: one partial-agg'd groupBy to the bounded bin frame;
+    * cumsums, candidate scoring, and the argmin window all run on
+    * ≤100 rows. 1-row readout. */
+  def bestSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+    def micro(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor(c * 1e6).cast("long") / 1e6
+    val bins = graft.Tables.orders(spark, sfDir)
+      .groupBy(least(floor($"o_totalprice" / 6000.0), lit(99.0))
+        .cast("long").as("bin"))
+      .agg(count(lit(1)).as("nb"),
+        sum(when($"o_orderstatus" === "F", 1L).otherwise(0L)).as("sb"))
+    val tot = bins.agg(sum($"nb").as("nn"), sum($"sb").as("ss"))
+    val cand = bins
+      .withColumn("nl", sum($"nb").over(
+        w.orderBy($"bin").rowsBetween(w.unboundedPreceding, 0)))
+      .withColumn("sl", sum($"sb").over(
+        w.orderBy($"bin").rowsBetween(w.unboundedPreceding, 0)))
+      .crossJoin(broadcast(tot)) // 1-row totals frame
+      .filter($"nl" < $"nn") // right side must be non-empty
+      .withColumn("nr", $"nn" - $"nl")
+      .withColumn("sr", $"ss" - $"sl")
+      // every count product is cast-to-double BEFORE multiplying —
+      // n·N and s(n−s) overflow int64 past ~3e9 rows (the 100 TB rule)
+      .withColumn("g6", floor( // micro-scaled weighted Gini, argmin key
+        (lit(2.0) * $"sl".cast("double") * ($"nl" - $"sl").cast("double") /
+          ($"nl".cast("double") * $"nn".cast("double")) +
+         lit(2.0) * $"sr".cast("double") * ($"nr" - $"sr").cast("double") /
+          ($"nr".cast("double") * $"nn".cast("double"))) * 1e6)
+        .cast("long"))
+    cand.withColumn("rn",
+        row_number().over(w.orderBy($"g6", $"bin")))
+      .filter($"rn" === 1)
+      .select($"nn".as("n_obs"), $"bin".as("best_bin"),
+        $"nl".as("n_left"), $"nr".as("n_right"),
+        micro(lit(2.0) * $"ss".cast("double") *
+          ($"nn" - $"ss").cast("double") /
+          ($"nn".cast("double") * $"nn".cast("double")))
+          .as("gini_parent"),
+        ($"g6" / 1e6).as("gini_split"),
+        (floor((lit(2.0) * $"ss".cast("double") *
+          ($"nn" - $"ss").cast("double") /
+          ($"nn".cast("double") * $"nn".cast("double"))) * 1e6)
+          .cast("long") - $"g6")
+          .cast("double").divide(lit(1e6)).as("gini_gain"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ml_best_split" -> (bestSplit _),
     "q_ml_target_encode" -> (targetEncode _),
     "q_ml_learning_curve" -> (learningCurve _),
     "q_ml_bootstrap_ci" -> (bootstrapCi _),
@@ -1296,6 +1358,45 @@ object MlOps extends graft.QueryModule {
     "q_ml_hashing_tf_sql" -> (hashingTfSql _))
 
   def oracle: Map[String, String] = Map(
+    "q_ml_best_split" ->
+      """WITH bins AS (
+        |  SELECT CAST(least(floor(o_totalprice / 6000.0), 99.0)
+        |      AS BIGINT) AS bin,
+        |    CAST(COUNT(*) AS BIGINT) AS nb,
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS sb
+        |  FROM orders GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(SUM(nb) AS BIGINT) AS nn,
+        |    CAST(SUM(sb) AS BIGINT) AS ss
+        |  FROM bins),
+        |cand AS (
+        |  SELECT bin, nn, ss,
+        |    CAST(SUM(nb) OVER (ORDER BY bin) AS BIGINT) AS nl,
+        |    CAST(SUM(sb) OVER (ORDER BY bin) AS BIGINT) AS sl
+        |  FROM bins, tot),
+        |scored AS (
+        |  SELECT bin, nn, ss, nl, sl, nn - nl AS nr, ss - sl AS sr,
+        |    CAST(floor(
+        |      (2.0 * CAST(sl AS DOUBLE) * CAST(nl - sl AS DOUBLE) /
+        |         (CAST(nl AS DOUBLE) * CAST(nn AS DOUBLE)) +
+        |       2.0 * CAST(ss - sl AS DOUBLE) *
+        |         CAST((nn - nl) - (ss - sl) AS DOUBLE) /
+        |         (CAST(nn - nl AS DOUBLE) * CAST(nn AS DOUBLE)))
+        |      * 1e6) AS BIGINT) AS g6
+        |  FROM cand WHERE nl < nn)
+        |SELECT nn AS n_obs, bin AS best_bin, nl AS n_left,
+        |  nr AS n_right,
+        |  CAST(floor(2.0 * CAST(ss AS DOUBLE) *
+        |    CAST(nn - ss AS DOUBLE) /
+        |    (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)) * 1e6)
+        |    AS BIGINT) / 1e6 AS gini_parent,
+        |  g6 / 1e6 AS gini_split,
+        |  CAST(CAST(floor(2.0 * CAST(ss AS DOUBLE) *
+        |    CAST(nn - ss AS DOUBLE) /
+        |    (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)) * 1e6)
+        |    AS BIGINT) - g6 AS DOUBLE) / 1e6 AS gini_gain
+        |FROM scored ORDER BY g6, bin LIMIT 1""".stripMargin,
     "q_ml_target_encode" ->
       """WITH g AS (
         |  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS s,

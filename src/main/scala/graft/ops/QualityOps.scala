@@ -561,6 +561,49 @@ object QualityOps extends graft.QueryModule {
         micro(t).as("t_stat"), micro(df).as("df"))
   }
 
+  /** q_quality_tost_equivalence — TOST equivalence test (Schuirmann,
+    * J. Pharmacokinet. Biopharm. 1987): the flip side of
+    * [[welchTtest]] — failing to reject "different" is NOT evidence of
+    * "same"; TOST tests H0: |Δ| ≥ δ with TWO one-sided t statistics
+    * t_low = (Δ+δ)/se and t_high = (Δ−δ)/se against the equivalence
+    * margin δ = 15 chars, declaring equivalence iff t_low > 1.645 AND
+    * t_high < −1.645 (large-sample normal critical, α = 0.05) — the
+    * drift gate a corpus refresh needs before swapping sources.
+    * Same exact int64 moment pass as welchTtest (n, Σx, Σx² per
+    * source), same mirrored double order, micro-floored readouts.
+    *
+    * Scale: ONE partial-agg'd groupBy to 2 rows, crossed 1-row
+    * frames. */
+  def tostEquivalence(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val g = graft.Tables.documents(spark, sfDir)
+      .filter($"source".isin("src0", "src1"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n"), sum($"n_chars").as("sx"),
+        sum($"n_chars" * $"n_chars").as("sxx"))
+    val a = g.filter($"source" === "src0")
+      .select($"n".as("n0"), $"sx".as("sx0"), $"sxx".as("sxx0"))
+    val b = g.filter($"source" === "src1")
+      .select($"n".as("n1"), $"sx".as("sx1"), $"sxx".as("sxx1"))
+    def micro(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor(c * 1e6).cast("long") / 1e6
+    val m0 = $"sx0".cast("double") / $"n0"
+    val m1 = $"sx1".cast("double") / $"n1"
+    val v0 = ($"sxx0".cast("double") -
+      $"sx0".cast("double") * $"sx0".cast("double") / $"n0") / ($"n0" - 1)
+    val v1 = ($"sxx1".cast("double") -
+      $"sx1".cast("double") * $"sx1".cast("double") / $"n1") / ($"n1" - 1)
+    val se = sqrt(v0 / $"n0" + v1 / $"n1")
+    val diff = m0 - m1
+    val tLow = (diff + lit(15.0)) / se
+    val tHigh = (diff - lit(15.0)) / se
+    a.crossJoin(b) // two 1-row frames
+      .select($"n0", $"n1", micro(diff).as("mean_diff"),
+        micro(se).as("se"),
+        micro(tLow).as("t_lower"), micro(tHigh).as("t_upper"),
+        (micro(tLow) > 1.645 && micro(tHigh) < -1.645).as("equivalent"))
+  }
+
   /** q_quality_mann_whitney — two-sample Mann–Whitney U test (Mann &
     * Whitney, Ann. Math. Stat. 1947) between the src0/src1 doc-length
     * distributions: the RANK-based companion to [[welchTtest]] (no
@@ -685,7 +728,66 @@ object QualityOps extends graft.QueryModule {
           .as("theil_within"))
   }
 
+  /** q_quality_krippendorff_alpha — Krippendorff's α (Krippendorff,
+    * Content Analysis 2004, nominal metric) over three deterministic
+    * "annotators" labeling every document into 3 length classes from
+    * INDEPENDENT feature views (char count / token count / distinct
+    * tokens — the labelAgreement construction widened from 2 raters ×
+    * 2 classes to the m×c case κ can't handle): α = 1 − D_o/D_e from
+    * the coincidence counts, algebraically reduced for constant m=3 to
+    * α = 1 − do_num·(3n−1) / (2·de_num) with do_num = Σ_u Σ_c
+    * n_uc(m−n_uc) (exact int64 — ≤6n) and de_num = Σ_c P_c(N−P_c)
+    * kept DECIMAL(38,0) (P_c·N crosses int64 past ~3e9 docs); the
+    * readout ships the observed/expected disagreement RATES D_o, D_e
+    * (scale-free doubles) plus α, each ONE micro-floored division
+    * with every count product cast-to-double before multiplying. α vs
+    * the pairwise-κ readout is the house multi-annotator
+    * label-quality gate.
+    *
+    * Scale: one per-row label projection, an explode to 3n rows, one
+    * partial-agg'd (doc, class) groupBy, then everything is 1-row or
+    * ≤3-row frames cross-joined broadcast. No window, no join on the
+    * corpus. */
+  def krippendorffAlpha(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sfDir)
+    val lab = docs.select($"doc_id",
+      when($"n_chars" < 250, 0L).when($"n_chars" <= 400, 1L)
+        .otherwise(2L).as("a1"),
+      when(size(split($"text", " ")) < 45, 0L)
+        .when(size(split($"text", " ")) <= 75, 1L).otherwise(2L).as("a2"),
+      when(size(array_distinct(split($"text", " "))) < 22, 0L)
+        .when(size(array_distinct(split($"text", " "))) <= 27, 1L)
+        .otherwise(2L).as("a3"))
+    val ouc = lab
+      .select($"doc_id", explode(array($"a1", $"a2", $"a3")).as("c"))
+      .groupBy($"doc_id", $"c").agg(count(lit(1)).as("o"))
+      .localCheckpoint() // ≤3n rows; feeds D_o, P_c, and n
+    val n = ouc.agg(countDistinct($"doc_id").as("n_units"))
+    val doN = ouc.agg(sum($"o" * (lit(3L) - $"o")).as("do_num"))
+    val deN = ouc.groupBy($"c").agg(sum($"o").as("p_c")) // ≤3 rows
+      .crossJoin(broadcast(n))
+      .agg(sum($"p_c".cast("decimal(19,0)") *
+        (lit(3L) * $"n_units" - $"p_c").cast("decimal(19,0)"))
+        .as("de_num")) // decimal(38,0): exact past the int64 ceiling
+    def micro(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor(c * 1e6).cast("long") / 1e6
+    n.crossJoin(broadcast(doN)).crossJoin(broadcast(deN)) // 1-row frames
+      .select($"n_units", lit(3L).as("n_raters"),
+        micro($"do_num".cast("double") /
+          (lit(6.0) * $"n_units".cast("double"))).as("d_o"),
+        micro($"de_num".cast("double") /
+          (lit(3.0) * $"n_units".cast("double") *
+            (lit(3.0) * $"n_units".cast("double") - 1.0))).as("d_e"),
+        micro(lit(1.0) -
+          $"do_num".cast("double") *
+            (lit(3.0) * $"n_units".cast("double") - 1.0) /
+            (lit(2.0) * $"de_num".cast("double"))).as("alpha"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quality_tost_equivalence" -> (tostEquivalence _),
+    "q_quality_krippendorff_alpha" -> (krippendorffAlpha _),
     "q_quality_theil_index" -> (theilIndex _),
     "q_quality_mann_whitney" -> (mannWhitney _),
     "q_quality_js_divergence" -> (jsDivergence _),
@@ -707,6 +809,76 @@ object QualityOps extends graft.QueryModule {
     "q_quality_benford" -> (benford _))
 
   def oracle: Map[String, String] = Map(
+    "q_quality_tost_equivalence" ->
+      """WITH g AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(n_chars) AS BIGINT) AS sx,
+        |    CAST(SUM(n_chars * n_chars) AS BIGINT) AS sxx
+        |  FROM documents WHERE source IN ('src0', 'src1') GROUP BY 1),
+        |ab AS (
+        |  SELECT a.n AS n0, a.sx AS sx0, a.sxx AS sxx0,
+        |    b.n AS n1, b.sx AS sx1, b.sxx AS sxx1
+        |  FROM (SELECT * FROM g WHERE source = 'src0') a,
+        |    (SELECT * FROM g WHERE source = 'src1') b),
+        |s AS (
+        |  SELECT n0, n1,
+        |    CAST(sx0 AS DOUBLE) / n0 - CAST(sx1 AS DOUBLE) / n1 AS diff,
+        |    sqrt(((CAST(sxx0 AS DOUBLE) - CAST(sx0 AS DOUBLE) *
+        |        CAST(sx0 AS DOUBLE) / n0) / (n0 - 1)) / n0 +
+        |      ((CAST(sxx1 AS DOUBLE) - CAST(sx1 AS DOUBLE) *
+        |        CAST(sx1 AS DOUBLE) / n1) / (n1 - 1)) / n1) AS se
+        |  FROM ab)
+        |SELECT n0, n1,
+        |  CAST(floor(diff * 1e6) AS BIGINT) / 1e6 AS mean_diff,
+        |  CAST(floor(se * 1e6) AS BIGINT) / 1e6 AS se,
+        |  CAST(floor((diff + 15.0) / se * 1e6) AS BIGINT) / 1e6
+        |    AS t_lower,
+        |  CAST(floor((diff - 15.0) / se * 1e6) AS BIGINT) / 1e6
+        |    AS t_upper,
+        |  CAST(floor((diff + 15.0) / se * 1e6) AS BIGINT) / 1e6 > 1.645
+        |    AND CAST(floor((diff - 15.0) / se * 1e6) AS BIGINT) / 1e6
+        |      < -1.645 AS equivalent
+        |FROM s""".stripMargin,
+    "q_quality_krippendorff_alpha" ->
+      """WITH lab AS (
+        |  SELECT doc_id,
+        |    CASE WHEN n_chars < 250 THEN 0 WHEN n_chars <= 400 THEN 1
+        |      ELSE 2 END AS a1,
+        |    CASE WHEN len(string_split(text, ' ')) < 45 THEN 0
+        |      WHEN len(string_split(text, ' ')) <= 75 THEN 1
+        |      ELSE 2 END AS a2,
+        |    CASE WHEN len(list_distinct(string_split(text, ' '))) < 22
+        |      THEN 0
+        |      WHEN len(list_distinct(string_split(text, ' '))) <= 27
+        |      THEN 1 ELSE 2 END AS a3
+        |  FROM documents),
+        |ouc AS (
+        |  SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS o
+        |  FROM (SELECT doc_id, unnest([a1, a2, a3]) AS c FROM lab)
+        |  GROUP BY 1, 2),
+        |n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_units
+        |      FROM ouc),
+        |don AS (SELECT CAST(SUM(o * (3 - o)) AS BIGINT) AS do_num
+        |        FROM ouc),
+        |den AS (
+        |  SELECT CAST(SUM(CAST(p_c AS DECIMAL(19,0)) *
+        |    CAST(3 * n_units - p_c AS DECIMAL(19,0)))
+        |    AS DECIMAL(38,0)) AS de_num
+        |  FROM (SELECT c, CAST(SUM(o) AS BIGINT) AS p_c
+        |        FROM ouc GROUP BY 1), n)
+        |SELECT n_units, CAST(3 AS BIGINT) AS n_raters,
+        |  CAST(floor(CAST(do_num AS DOUBLE) /
+        |    (6.0 * CAST(n_units AS DOUBLE)) * 1e6) AS BIGINT) / 1e6
+        |    AS d_o,
+        |  CAST(floor(CAST(de_num AS DOUBLE) /
+        |    (3.0 * CAST(n_units AS DOUBLE) *
+        |      (3.0 * CAST(n_units AS DOUBLE) - 1.0)) * 1e6) AS BIGINT)
+        |    / 1e6 AS d_e,
+        |  CAST(floor((1.0 - CAST(do_num AS DOUBLE) *
+        |    (3.0 * CAST(n_units AS DOUBLE) - 1.0) /
+        |    (2.0 * CAST(de_num AS DOUBLE))) * 1e6) AS BIGINT) / 1e6
+        |    AS alpha
+        |FROM n, don, den""".stripMargin,
     "q_quality_theil_index" ->
       """WITH tot AS (
         |  SELECT COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS s

@@ -593,6 +593,151 @@ object WindowOps extends graft.QueryModule {
           .otherwise("none").as("trend"))
   }
 
+  /** q_window_pettitt — Pettitt's changepoint test (Pettitt, JRSS-C
+    * 1979) on the daily-revenue series: the rank-based U_t statistic
+    * located via its V-recursion U_t = U_{t−1} + V_t with
+    * V_t = Σ_{j≠t} sgn(x_t − x_j) — each day's one-vs-all sign sum
+    * comes from the mannKendall |days|² pair frame, the running sum is
+    * a cumsum over the BOUNDED day domain, and K = max|U_t| with the
+    * earliest argmax day as the changepoint call. The approximate
+    * significance p ≈ 2·exp(−6K²/(n³+n²)) (Pettitt's eq. 7) is capped
+    * at 1 and micro-floored — K² ≤ (n²/2)² stays comfortably int64 at
+    * any calendar. The nonparametric "did the level SHIFT and when"
+    * companion to mannKendall's monotone-trend call.
+    *
+    * Scale: identical frame discipline to mannKendall/theil_sen — ONE
+    * partial-agg'd groupBy to the day domain, a calendar-bounded (not
+    * corpus-bounded) pair join, a cumsum window over ≤|days| rows, and
+    * 1-row readouts cross-joined broadcast. */
+  def pettitt(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = graft.Tables.orders(spark, sfDir)
+      .select(to_date($"o_orderdate").as("day"),
+        (AggOps.dec($"o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy($"day").agg(sum($"cents").as("rev"))
+      .localCheckpoint() // bounded day domain; feeds both pair legs
+    val a = daily.select($"day".as("d1"), $"rev".as("r1"))
+    val b = daily.select($"day".as("d2"), $"rev".as("r2"))
+    val u = a.join(b, $"d1" =!= $"d2") // bounded |days|² pair frame
+      .groupBy($"d1")
+      .agg(sum(signum($"r1" - $"r2").cast("long")).as("v"))
+      .withColumn("u", sum($"v").over(Window.orderBy($"d1")))
+      .localCheckpoint() // ≤|days| rows; feeds the max AND the argmax
+    val k = u.agg(max(abs($"u")).as("k_stat"),
+      count(lit(1)).as("n_days")) // 1-row frame
+    def micro(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor(c * 1e6).cast("long") / 1e6
+    u.crossJoin(broadcast(k))
+      .filter(abs($"u") === $"k_stat")
+      .agg(first($"n_days").as("n_days"), first($"k_stat").as("k_stat"),
+        min($"d1").as("change_day")) // earliest argmax day
+      .withColumn("exparg",
+        lit(-6.0) * ($"k_stat" * $"k_stat").cast("double") /
+          ($"n_days" * $"n_days" * ($"n_days" + 1L)).cast("double"))
+      .select($"n_days", $"k_stat", $"change_day",
+        micro(least(lit(1.0), lit(2.0) * exp($"exparg"))).as("p_value"),
+        (micro(least(lit(1.0), lit(2.0) * exp($"exparg"))) <= 0.05)
+          .as("significant"))
+  }
+
+  /** q_window_ccf — the cross-correlation function (Box & Jenkins
+    * 1970 ch. 11) between daily revenue and daily order count at lags
+    * 0..7: ρ_l = corr(rev_t, cnt_{t−l}), the lead/lag readout acf
+    * (own-series) and spearman (contemporaneous) can't give — "do
+    * busy days predict revenue days later". Per lag, Pearson runs
+    * over the ALIGNED pairs only (both endpoints inside the
+    * calendar), from six moments: counts/sums stay int64, every
+    * cross/square product is cast DECIMAL(19,0)×DECIMAL(19,0) →
+    * DECIMAL(38,0) before summing (rev·cnt crosses int64 at real
+    * scale; decimal sums are also order-independent), ONE
+    * micro-floored double division per lag.
+    *
+    * Scale: the pair frame is the mannKendall discipline — a
+    * calendar-bounded band join (0 ≤ datediff ≤ 7, ~8·|days| rows),
+    * one hash agg per lag. Corpus enters through the one partial-agg'd
+    * daily groupBy only. */
+  def ccf(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = graft.Tables.orders(spark, sfDir)
+      .select(to_date($"o_orderdate").as("day"),
+        (AggOps.dec($"o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy($"day").agg(sum($"cents").as("rev"),
+        count(lit(1)).as("cnt"))
+      .localCheckpoint() // bounded day domain; feeds both band legs
+    def d19(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
+    def micro(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor(c * 1e6).cast("long") / 1e6
+    val a = daily.select($"day".as("d1"), $"rev".as("x"))
+    val b = daily.select($"day".as("d2"), $"cnt".as("y"))
+    a.join(b, datediff($"d1", $"d2").between(0, 7)) // calendar band
+      .select(datediff($"d1", $"d2").as("lag"), $"x", $"y")
+      .groupBy($"lag")
+      .agg(count(lit(1)).as("n"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum(d19($"x") * d19($"y")).as("sxy"),
+        sum(d19($"x") * d19($"x")).as("sxx"),
+        sum(d19($"y") * d19($"y")).as("syy"))
+      .select($"lag".cast("long").as("lag"), $"n",
+        micro(($"n".cast("double") * $"sxy".cast("double") -
+          $"sx".cast("double") * $"sy".cast("double")) /
+          (sqrt($"n".cast("double") * $"sxx".cast("double") -
+            $"sx".cast("double") * $"sx".cast("double")) *
+           sqrt($"n".cast("double") * $"syy".cast("double") -
+            $"sy".cast("double") * $"sy".cast("double")))).as("ccf"))
+      .orderBy($"lag")
+  }
+
+  /** q_window_runs_test — the Wald–Wolfowitz runs test (Ann. Math.
+    * Stat. 1940) for randomness of the daily-revenue series around
+    * its MEDIAN: days above/below the (lower) median form a ±
+    * sequence; too few runs means level persistence (regimes), too
+    * many means oscillation — the model-free "is this series i.i.d."
+    * gate read before trusting any i.i.d.-assuming statistic on it.
+    * Median-equal days drop (the standard treatment); R counts sign
+    * changes via ONE lag over the bounded day frame; μ_R, σ_R from
+    * the exact n1/n2 formulas (products stay int64 — counts are
+    * calendar-bounded by construction); z micro-floored once.
+    *
+    * Scale: the median comes from a rank over the BOUNDED day frame
+    * (post-aggregate), not the corpus; everything downstream is
+    * 1-row. */
+  def runsTest(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.orderBy($"day")
+    val daily = graft.Tables.orders(spark, sfDir)
+      .select(to_date($"o_orderdate").as("day"),
+        (AggOps.dec($"o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy($"day").agg(sum($"cents").as("rev"))
+      .localCheckpoint() // bounded day domain; feeds median + signs
+    val med = daily
+      .withColumn("rn", row_number().over(Window.orderBy($"rev", $"day")))
+      .crossJoin(broadcast(daily.agg(count(lit(1)).as("nd"))))
+      .filter($"rn" === expr("(nd + 1L) div 2L")) // lower median
+      .select($"rev".as("median_rev"))
+    val signs = daily.crossJoin(broadcast(med))
+      .filter($"rev" =!= $"median_rev") // standard: drop exact-median
+      .select($"day", ($"rev" > $"median_rev").cast("long").as("s"))
+    val runs = signs
+      .withColumn("chg",
+        when(lag($"s", 1).over(w).isNull ||
+          lag($"s", 1).over(w) =!= $"s", 1L).otherwise(0L))
+      .agg(sum($"chg").as("r"), sum($"s").as("n1"),
+        sum(lit(1L) - $"s").as("n2"))
+    def micro(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor(c * 1e6).cast("long") / 1e6
+    runs
+      .withColumn("mu", lit(2.0) * ($"n1" * $"n2").cast("double") /
+        ($"n1" + $"n2").cast("double") + lit(1.0))
+      .withColumn("s2", lit(2.0) * ($"n1" * $"n2").cast("double") *
+        (lit(2L) * $"n1" * $"n2" - $"n1" - $"n2").cast("double") /
+        ((($"n1" + $"n2") * ($"n1" + $"n2")).cast("double") *
+          ($"n1" + $"n2" - 1L).cast("double")))
+      .select($"n1", $"n2", $"r".as("n_runs"), micro($"mu").as("mu_runs"),
+        micro(($"r".cast("double") - $"mu") / sqrt($"s2")).as("z_stat"),
+        (abs(micro(($"r".cast("double") - $"mu") / sqrt($"s2"))) > 1.96)
+          .as("significant"))
+  }
+
   /** q_window_spearman — Spearman rank correlation between the daily
     * revenue and daily order-count series (Spearman 1904), the
     * monotone-association companion to [[mannKendall]]'s trend test:
@@ -653,6 +798,9 @@ object WindowOps extends graft.QueryModule {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_window_spearman" -> (spearman _),
     "q_window_mann_kendall" -> (mannKendall _),
+    "q_window_pettitt" -> (pettitt _),
+    "q_window_ccf" -> (ccf _),
+    "q_window_runs_test" -> (runsTest _),
     "q_window_acf" -> (acf _),
     "q_window_drawdown" -> (drawdown _),
     "q_window_cusum" -> (cusum _),
@@ -810,6 +958,105 @@ object WindowOps extends graft.QueryModule {
         |        CAST(ry AS DOUBLE) * CAST(ry AS DOUBLE))) * 1e6)
         |    AS BIGINT) / 1e6 AS spearman_rho
         |FROM g""".stripMargin,
+    "q_window_ccf" ->
+      """WITH d AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS rev,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM orders GROUP BY 1),
+        |p AS (
+        |  SELECT CAST(datediff('day', b.day, a.day) AS BIGINT) AS lag,
+        |    a.rev AS x, b.cnt AS y
+        |  FROM d a JOIN d b
+        |    ON datediff('day', b.day, a.day) BETWEEN 0 AND 7),
+        |m AS (
+        |  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+        |      AS DECIMAL(38,0)) AS sxy,
+        |    CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
+        |      AS DECIMAL(38,0)) AS sxx,
+        |    CAST(SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+        |      AS DECIMAL(38,0)) AS syy
+        |  FROM p GROUP BY 1)
+        |SELECT lag, n,
+        |  CAST(floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |    (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |     sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+        |      CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) * 1e6)
+        |    AS BIGINT) / 1e6 AS ccf
+        |FROM m ORDER BY lag""".stripMargin,
+    "q_window_runs_test" ->
+      """WITH d AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1),
+        |med AS (
+        |  SELECT rev AS median_rev
+        |  FROM (SELECT rev,
+        |      ROW_NUMBER() OVER (ORDER BY rev, day) AS rn,
+        |      COUNT(*) OVER () AS nd
+        |    FROM d)
+        |  WHERE rn = (nd + 1) // 2),
+        |signs AS (
+        |  SELECT day, CASE WHEN rev > median_rev THEN 1 ELSE 0 END AS s
+        |  FROM d, med WHERE rev <> median_rev),
+        |runs AS (
+        |  SELECT CAST(SUM(chg) AS BIGINT) AS r,
+        |    CAST(SUM(s) AS BIGINT) AS n1,
+        |    CAST(SUM(1 - s) AS BIGINT) AS n2
+        |  FROM (SELECT s, CASE WHEN LAG(s) OVER (ORDER BY day) IS NULL
+        |      OR LAG(s) OVER (ORDER BY day) <> s THEN 1 ELSE 0 END
+        |      AS chg
+        |    FROM signs)),
+        |s2 AS (
+        |  SELECT n1, n2, r,
+        |    2.0 * CAST(n1 * n2 AS DOUBLE) /
+        |      CAST(n1 + n2 AS DOUBLE) + 1.0 AS mu,
+        |    2.0 * CAST(n1 * n2 AS DOUBLE) *
+        |      CAST(2 * n1 * n2 - n1 - n2 AS DOUBLE) /
+        |      (CAST((n1 + n2) * (n1 + n2) AS DOUBLE) *
+        |        CAST(n1 + n2 - 1 AS DOUBLE)) AS v
+        |  FROM runs)
+        |SELECT n1, n2, r AS n_runs,
+        |  CAST(floor(mu * 1e6) AS BIGINT) / 1e6 AS mu_runs,
+        |  CAST(floor((CAST(r AS DOUBLE) - mu) / sqrt(v) * 1e6)
+        |    AS BIGINT) / 1e6 AS z_stat,
+        |  abs(CAST(floor((CAST(r AS DOUBLE) - mu) / sqrt(v) * 1e6)
+        |    AS BIGINT) / 1e6) > 1.96 AS significant
+        |FROM s2""".stripMargin,
+    "q_window_pettitt" ->
+      """WITH d AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1),
+        |v AS (
+        |  SELECT a.day AS d1,
+        |    CAST(SUM(CAST(sign(a.rev - b.rev) AS BIGINT)) AS BIGINT) AS v
+        |  FROM d a JOIN d b ON a.day <> b.day GROUP BY 1),
+        |u AS (
+        |  SELECT d1, CAST(SUM(v) OVER (ORDER BY d1) AS BIGINT) AS u
+        |  FROM v),
+        |k AS (
+        |  SELECT CAST(MAX(abs(u)) AS BIGINT) AS k_stat,
+        |    CAST(COUNT(*) AS BIGINT) AS n_days
+        |  FROM u),
+        |arg AS (
+        |  SELECT n_days, k_stat, MIN(d1) AS change_day,
+        |    -6.0 * CAST(k_stat * k_stat AS DOUBLE) /
+        |      CAST(n_days * n_days * (n_days + 1) AS DOUBLE) AS exparg
+        |  FROM u, k WHERE abs(u) = k_stat GROUP BY 1, 2)
+        |SELECT n_days, k_stat, change_day,
+        |  CAST(floor(least(1.0, 2.0 * exp(exparg)) * 1e6) AS BIGINT)
+        |    / 1e6 AS p_value,
+        |  CAST(floor(least(1.0, 2.0 * exp(exparg)) * 1e6) AS BIGINT)
+        |    / 1e6 <= 0.05 AS significant
+        |FROM arg""".stripMargin,
     "q_window_mann_kendall" ->
       """WITH d AS (
         |  SELECT CAST(o_orderdate AS DATE) AS day,

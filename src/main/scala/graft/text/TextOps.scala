@@ -85,6 +85,43 @@ object TextOps extends graft.QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** q_text_readability — FORCAST readability grade (Caylor & Sticht,
+    * HumRRO TR 73-5, 1973: grade = 20 − 150·mono/words/10) per
+    * document, the readability formula built for text WITHOUT sentence
+    * punctuation — exactly this corpus (and at 100 TB, a large share
+    * of web-extracted text post-cleaning). Syllables are the
+    * deterministic vowel-run proxy (count of [aeiouy]+ groups per
+    * word, clamped to ≥1 — the hyphenation-free heuristic both engines
+    * can evaluate identically); a word is monosyllabic iff it has ≤1
+    * vowel run. Ships syllables-per-word as the second readability
+    * axis. Exact integer counts per row; TWO micro-floored divisions
+    * per readout row, each mirrored verbatim in the oracle.
+    *
+    * Scale: pure per-row projection over codegen'd higher-order array
+    * functions — no shuffle at all beyond the final presentation sort,
+    * which a real pipeline drops. */
+  def readability(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    def micro(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor(c * 1e6).cast("long") / 1e6
+    graft.Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        size(split($"text", " ")).cast("long").as("n_words"),
+        expr("""aggregate(transform(split(text, ' '),
+                w -> greatest(size(regexp_extract_all(w, '[aeiouy]+', 0)),
+                              1)),
+              0L, (acc, x) -> acc + x)""").as("n_syllables"),
+        expr("""cast(size(filter(split(text, ' '),
+                w -> w rlike '^[^aeiouy]*[aeiouy]*[^aeiouy]*$'))
+              as bigint)""").as("n_mono"))
+      .select($"doc_id", $"n_words", $"n_syllables", $"n_mono",
+        micro($"n_syllables".cast("double") / $"n_words".cast("double"))
+          .as("syll_per_word"),
+        micro(lit(20.0) - lit(15.0) * $"n_mono".cast("double") /
+          $"n_words".cast("double")).as("forcast_grade"))
+      .orderBy($"doc_id")
+  }
+
   /** q_text_quality — heuristic quality scoring: length, stopword ratio,
     * unique-token ratio, mean token length (all exact-arithmetic so the
     * oracle twin matches bit-for-bit after round(,6)). */
@@ -875,6 +912,7 @@ object TextOps extends graft.QueryModule {
     "q_text_clean_stemmed" -> (textCleanStemmed _),
     "q_text_token_stats" -> (tokenStats _),
     "q_text_token_count" -> (tokenCount _),
+    "q_text_readability" -> (readability _),
     "q_text_quality" -> (quality _),
     "q_text_fingerprint" -> (fingerprint _),
     "q_text_pii_redact" -> (piiRedact _),
@@ -1345,6 +1383,25 @@ object TextOps extends graft.QueryModule {
          |  len(regexp_extract_all(text, '$Ipv4Re')) AS n_ips,
          |  len(regexp_extract_all(text, '$LongDigitsRe')) AS n_numbers
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_readability" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(string_split(text, ' '),
+        |      w -> greatest(len(regexp_extract_all(w, '[aeiouy]+')), 1)))
+        |      AS BIGINT) AS n_syllables,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      w -> regexp_matches(w, '^[^aeiouy]*[aeiouy]*[^aeiouy]*$')))
+        |      AS BIGINT) AS n_mono
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_syllables, n_mono,
+        |  CAST(floor(CAST(n_syllables AS DOUBLE) /
+        |    CAST(n_words AS DOUBLE) * 1e6) AS BIGINT) / 1e6
+        |    AS syll_per_word,
+        |  CAST(floor((20.0 - 15.0 * CAST(n_mono AS DOUBLE) /
+        |    CAST(n_words AS DOUBLE)) * 1e6) AS BIGINT) / 1e6
+        |    AS forcast_grade
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q_text_token_count" ->
       """SELECT doc_id,
         |  len(string_split(text, ' ')) AS ws_tokens,

@@ -44,6 +44,38 @@ object PlanAudit {
     "q_quality_profile" -> Set("SinglePartition"),
     // 1-row watermark ledger (documented sequential piece)
     "q_stream_late_drop" -> Set("SinglePartition"),
+    // cumsum window over the bounded day domain + 1-row K readout
+    // crossed back (the mann_kendall/theil_sen calendar discipline)
+    "q_window_pettitt" -> Set("SinglePartition"),
+    // cumsum over the PRICE-bounded score-bucket frame (theil_sen
+    // two-pass selection) + 12-row model / 1-row q̂ broadcast joins
+    "q_ml_conformal_interval" -> Set("NestedLoop", "SinglePartition"),
+    // ≤|months| completeness frame and three ≤k-row/1-row readout
+    // frames crossed broadcast; rank windows partition by month
+    "q_ml_friedman_test" -> Set("NestedLoop", "SinglePartition"),
+    // three 1-row coincidence aggregates (n, D_o, D_e) crossed
+    "q_quality_krippendorff_alpha" -> Set("NestedLoop", "SinglePartition"),
+    // one global 1-row moment aggregate (the mcnemar shape)
+    "q_ml_cochran_q" -> Set("SinglePartition"),
+    // ≤100-bin frame crossed with its 1-row total (the brier shape)
+    "q_ml_expected_calibration_error" ->
+      Set("NestedLoop", "SinglePartition"),
+    // two 1-row per-source moment frames crossed (the welch shape)
+    "q_quality_tost_equivalence" -> Set("NestedLoop"),
+    // calendar band join over the bounded day domain (0..7 lags) —
+    // the mannKendall pair-frame discipline
+    "q_window_ccf" -> Set("NestedLoop"),
+    // bounded-day median rank + sign-change lag windows + 1-row
+    // readout frames crossed broadcast
+    "q_window_runs_test" -> Set("NestedLoop", "SinglePartition"),
+    // 1-row edge total crossed into the bounded community frame; the
+    // LPA rounds upstream are localCheckpointed (audit sees LogicalRDD)
+    "q_graph_modularity" -> Set("NestedLoop", "SinglePartition"),
+    // cumsum + argmin windows over the ≤100-row price-bin frame with
+    // its 1-row totals crossed broadcast (the quantile_portable shape)
+    "q_ml_gains_table" -> Set("NestedLoop", "SinglePartition"),
+    "q_ml_best_split" -> Set("NestedLoop", "SinglePartition"),
+    "q_ml_brier_decomposition" -> Set("NestedLoop", "SinglePartition"),
     // 1-row corpus totals / bounded config dims joined non-equi
     "q_text_bm25_topk" -> Set("SinglePartition", "NestedLoop"),
     // day-spine generation: 1-row (min,max) date frame crossed to the
