@@ -63,7 +63,14 @@ object ScaleSweep {
     ("q_text_textrank", 1.0,
       "vocabulary-bounded frame; synthetic vocab grows x10 (pessimistic)"),
     ("q_simsearch_topk_hnsw", 1.0,
-      "top-layer exact scan E[n/64] + bucket-join beam descent"))
+      "top-layer exact scan E[n/64] + bucket-join beam descent"),
+    // round-14 graph wave: constant-round iterative + wedge shapes
+    ("q_graph_label_propagation", 1.0,
+      "4 constant LPA rounds, each linear in support-filtered adjacency"),
+    ("q_graph_modularity", 1.0,
+      "LPA rounds + two bounded hash aggs over the edge list"),
+    ("q_graph_local_clustering", 1.0,
+      "closed-wedge join over support-filtered adjacency (adamic_adar)"))
 
   private val Off = 1000000000L // replica key offset; > any sf1 key
 
