@@ -554,7 +554,48 @@ object EvalOps extends graft.QueryModule {
         micro($"mce").as("mce"))
   }
 
+  /** q_ml_youden_j — the optimal operating point on the ROC curve by
+    * Youden's J (Cancer 1950): J(t) = TPR(t) − FPR(t) maximized over
+    * every score threshold, the standard "where do I actually cut"
+    * companion to the threshold-free AUC. Thresholds are the ≤100
+    * exact price bins scored top-down; TPR/FPR come from int64 prefix
+    * sums, J is micro-scaled to an integer argmax key so BOTH engines
+    * select the same winner (tie → smallest bin). Readout: the chosen
+    * bin, its TPR/FPR/J, and the confusion counts at the cut.
+    *
+    * Scale: one partial-agg'd groupBy to the bounded bin frame;
+    * cumsums + argmax run on ≤100 rows. 1-row readout. */
+  def youdenJ(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+    val bins = graft.Tables.orders(spark, sfDir)
+      .groupBy(least(floor($"o_totalprice" / 6000.0), lit(99.0))
+        .cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when($"o_orderstatus" === "F", 1L).otherwise(0L)).as("pos"))
+    val tot = bins.agg(sum($"n").as("nn"), sum($"pos").as("pp"))
+    bins
+      .withColumn("tp", sum($"pos").over(
+        w.orderBy($"bin".desc).rowsBetween(w.unboundedPreceding, 0)))
+      .withColumn("predpos", sum($"n").over(
+        w.orderBy($"bin".desc).rowsBetween(w.unboundedPreceding, 0)))
+      .crossJoin(broadcast(tot)) // 1-row totals frame
+      .withColumn("fp", $"predpos" - $"tp")
+      .withColumn("tpr", $"tp".cast("double") / $"pp".cast("double"))
+      .withColumn("fpr",
+        $"fp".cast("double") / ($"nn" - $"pp").cast("double"))
+      .withColumn("j6",
+        floor(($"tpr" - $"fpr") * 1e6).cast("long")) // argmax key
+      .withColumn("rn", row_number().over(w.orderBy($"j6".desc, $"bin")))
+      .filter($"rn" === 1)
+      .select($"bin".as("threshold_bin"), $"tp", $"fp",
+        ($"pp" - $"tp").as("fn"), ($"nn" - $"pp" - $"fp").as("tn"),
+        micro($"tpr").as("tpr"), micro($"fpr").as("fpr"),
+        ($"j6" / 1e6).as("youden_j"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ml_youden_j" -> (youdenJ _),
     "q_ml_expected_calibration_error" -> (expectedCalibrationError _),
     "q_ml_cochran_q" -> (cochranQ _),
     "q_ml_gains_table" -> (gainsTable _),
@@ -568,6 +609,36 @@ object EvalOps extends graft.QueryModule {
     "q_ml_conformal_interval" -> (conformalInterval _))
 
   def oracle: Map[String, String] = Map(
+    "q_ml_youden_j" ->
+      """WITH bins AS (
+        |  SELECT CAST(least(floor(o_totalprice / 6000.0), 99.0)
+        |      AS BIGINT) AS bin,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS pos
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+        |               CAST(SUM(pos) AS BIGINT) AS pp FROM bins),
+        |c AS (
+        |  SELECT bin, nn, pp,
+        |    CAST(SUM(pos) OVER (ORDER BY bin DESC) AS BIGINT) AS tp,
+        |    CAST(SUM(n) OVER (ORDER BY bin DESC) AS BIGINT) AS predpos
+        |  FROM bins, tot),
+        |s AS (
+        |  SELECT bin, nn, pp, tp, predpos - tp AS fp,
+        |    CAST(tp AS DOUBLE) / CAST(pp AS DOUBLE) AS tpr,
+        |    CAST(predpos - tp AS DOUBLE) / CAST(nn - pp AS DOUBLE)
+        |      AS fpr
+        |  FROM c),
+        |k AS (
+        |  SELECT *, CAST(floor((tpr - fpr) * 1e6) AS BIGINT) AS j6
+        |  FROM s)
+        |SELECT bin AS threshold_bin, tp, fp, pp - tp AS fn,
+        |  nn - pp - fp AS tn,
+        |  CAST(floor(tpr * 1e6) AS BIGINT) / 1e6 AS tpr,
+        |  CAST(floor(fpr * 1e6) AS BIGINT) / 1e6 AS fpr,
+        |  j6 / 1e6 AS youden_j
+        |FROM k ORDER BY j6 DESC, bin LIMIT 1""".stripMargin,
     "q_ml_expected_calibration_error" ->
       """WITH bins AS (
         |  SELECT CAST(least(floor(o_totalprice / 6000.0), 99.0)

@@ -604,6 +604,87 @@ object QualityOps extends graft.QueryModule {
         (micro(tLow) > 1.645 && micro(tHigh) < -1.645).as("equivalent"))
   }
 
+  /** q_quality_hedges_g — standardized effect size between the
+    * src0/src1 doc-length distributions: Cohen's d (1969) over the
+    * pooled SD, with Hedges' (1981) small-sample bias correction
+    * g = d·(1 − 3/(4(n₀+n₁)−9)) — the MAGNITUDE readout the
+    * welch/tost p-values deliberately don't give (at corpus n,
+    * everything is "significant"; only the effect size says whether
+    * it matters). Same exact int64 moment pass as welchTtest, double
+    * formulas in one mirrored order, micro-floored readouts.
+    *
+    * Scale: ONE partial-agg'd groupBy to 2 rows, crossed 1-row
+    * frames. */
+  def hedgesG(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val g = graft.Tables.documents(spark, sfDir)
+      .filter($"source".isin("src0", "src1"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n"), sum($"n_chars").as("sx"),
+        sum($"n_chars" * $"n_chars").as("sxx"))
+    val a = g.filter($"source" === "src0")
+      .select($"n".as("n0"), $"sx".as("sx0"), $"sxx".as("sxx0"))
+    val b = g.filter($"source" === "src1")
+      .select($"n".as("n1"), $"sx".as("sx1"), $"sxx".as("sxx1"))
+    def micro(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor(c * 1e6).cast("long") / 1e6
+    val diff = $"sx0".cast("double") / $"n0" -
+      $"sx1".cast("double") / $"n1"
+    val v0 = ($"sxx0".cast("double") -
+      $"sx0".cast("double") * $"sx0".cast("double") / $"n0") / ($"n0" - 1)
+    val v1 = ($"sxx1".cast("double") -
+      $"sx1".cast("double") * $"sx1".cast("double") / $"n1") / ($"n1" - 1)
+    val sp = sqrt((($"n0" - 1) * v0 + ($"n1" - 1) * v1) /
+      ($"n0" + $"n1" - 2).cast("double"))
+    val d = diff / sp
+    val corr = lit(1.0) -
+      lit(3.0) / (lit(4L) * ($"n0" + $"n1") - 9L).cast("double")
+    a.crossJoin(b) // two 1-row frames
+      .select($"n0", $"n1", micro(diff).as("mean_diff"),
+        micro(sp).as("pooled_sd"), micro(d).as("cohens_d"),
+        micro(d * corr).as("hedges_g"))
+  }
+
+  /** q_quality_weighted_kappa — quadratic-weighted Cohen's kappa
+    * (Cohen, Psych. Bull. 1968) between the two ORDINAL 3-class
+    * annotators of [[krippendorffAlpha]] (char-length vs token-count
+    * class): disagreeing by two classes is worse than by one, which
+    * plain kappa can't express — κ_w = 1 − Σw_ij·O_ij / Σw_ij·E_ij
+    * with w_ij = (i−j)². The observed weighted disagreement Σw·O is
+    * exact int64; the expected one Σw·row_i·col_j is DECIMAL(19,0)
+    * products (row·col crosses int64 past ~3e9 docs), and
+    * κ_w = 1 − N·ΣwO / ΣwE is ONE micro-floored double division with
+    * cast-before-multiply.
+    *
+    * Scale: one per-row label projection, one ≤9-cell confusion
+    * groupBy, 1-row readout. */
+  def weightedKappa(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val lab = graft.Tables.documents(spark, sfDir).select(
+      when($"n_chars" < 250, 0L).when($"n_chars" <= 400, 1L)
+        .otherwise(2L).as("i"),
+      when(size(split($"text", " ")) < 45, 0L)
+        .when(size(split($"text", " ")) <= 75, 1L).otherwise(2L).as("j"))
+    val cells = lab.groupBy($"i", $"j").agg(count(lit(1)).as("o"))
+      .localCheckpoint() // ≤9 rows; feeds margins + both sums
+    val n = cells.agg(sum($"o").as("nn"))
+    val rows = cells.groupBy($"i").agg(sum($"o").as("ri"))
+    val cols = cells.groupBy($"j").agg(sum($"o").as("cj"))
+    val wo = cells
+      .agg(sum(($"i" - $"j") * ($"i" - $"j") * $"o").as("sum_wo"))
+    val we = rows.crossJoin(cols) // ≤9-cell margin grid
+      .agg(sum((($"i" - $"j") * ($"i" - $"j") * $"ri")
+        .cast("decimal(19,0)") * $"cj".cast("decimal(19,0)"))
+        .as("sum_we")) // (w·row)·col as DECIMAL(38,0): exact past int64
+    def micro(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor(c * 1e6).cast("long") / 1e6
+    n.crossJoin(broadcast(wo)).crossJoin(broadcast(we)) // 1-row frames
+      .select($"nn".as("n_obs"), $"sum_wo",
+        micro(lit(1.0) -
+          $"nn".cast("double") * $"sum_wo".cast("double") /
+            $"sum_we".cast("double")).as("kappa_w"))
+  }
+
   /** q_quality_mann_whitney — two-sample Mann–Whitney U test (Mann &
     * Whitney, Ann. Math. Stat. 1947) between the src0/src1 doc-length
     * distributions: the RANK-based companion to [[welchTtest]] (no
@@ -787,6 +868,8 @@ object QualityOps extends graft.QueryModule {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_quality_tost_equivalence" -> (tostEquivalence _),
+    "q_quality_hedges_g" -> (hedgesG _),
+    "q_quality_weighted_kappa" -> (weightedKappa _),
     "q_quality_krippendorff_alpha" -> (krippendorffAlpha _),
     "q_quality_theil_index" -> (theilIndex _),
     "q_quality_mann_whitney" -> (mannWhitney _),
@@ -809,6 +892,64 @@ object QualityOps extends graft.QueryModule {
     "q_quality_benford" -> (benford _))
 
   def oracle: Map[String, String] = Map(
+    "q_quality_hedges_g" ->
+      """WITH g AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(n_chars) AS BIGINT) AS sx,
+        |    CAST(SUM(n_chars * n_chars) AS BIGINT) AS sxx
+        |  FROM documents WHERE source IN ('src0', 'src1') GROUP BY 1),
+        |ab AS (
+        |  SELECT a.n AS n0, a.sx AS sx0, a.sxx AS sxx0,
+        |    b.n AS n1, b.sx AS sx1, b.sxx AS sxx1
+        |  FROM (SELECT * FROM g WHERE source = 'src0') a,
+        |    (SELECT * FROM g WHERE source = 'src1') b),
+        |s AS (
+        |  SELECT n0, n1,
+        |    CAST(sx0 AS DOUBLE) / n0 - CAST(sx1 AS DOUBLE) / n1 AS diff,
+        |    sqrt(((n0 - 1) * ((CAST(sxx0 AS DOUBLE) -
+        |        CAST(sx0 AS DOUBLE) * CAST(sx0 AS DOUBLE) / n0) /
+        |        (n0 - 1)) +
+        |      (n1 - 1) * ((CAST(sxx1 AS DOUBLE) -
+        |        CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE) / n1) /
+        |        (n1 - 1))) / CAST(n0 + n1 - 2 AS DOUBLE)) AS sp,
+        |    1.0 - 3.0 / CAST(4 * (n0 + n1) - 9 AS DOUBLE) AS corr
+        |  FROM ab)
+        |SELECT n0, n1,
+        |  CAST(floor(diff * 1e6) AS BIGINT) / 1e6 AS mean_diff,
+        |  CAST(floor(sp * 1e6) AS BIGINT) / 1e6 AS pooled_sd,
+        |  CAST(floor(diff / sp * 1e6) AS BIGINT) / 1e6 AS cohens_d,
+        |  CAST(floor(diff / sp * corr * 1e6) AS BIGINT) / 1e6
+        |    AS hedges_g
+        |FROM s""".stripMargin,
+    "q_quality_weighted_kappa" ->
+      """WITH lab AS (
+        |  SELECT
+        |    CASE WHEN n_chars < 250 THEN 0 WHEN n_chars <= 400 THEN 1
+        |      ELSE 2 END AS i,
+        |    CASE WHEN len(string_split(text, ' ')) < 45 THEN 0
+        |      WHEN len(string_split(text, ' ')) <= 75 THEN 1
+        |      ELSE 2 END AS j
+        |  FROM documents),
+        |cells AS (
+        |  SELECT i, j, CAST(COUNT(*) AS BIGINT) AS o
+        |  FROM lab GROUP BY 1, 2),
+        |n AS (SELECT CAST(SUM(o) AS BIGINT) AS nn FROM cells),
+        |r AS (SELECT i, CAST(SUM(o) AS BIGINT) AS ri
+        |      FROM cells GROUP BY 1),
+        |c AS (SELECT j, CAST(SUM(o) AS BIGINT) AS cj
+        |      FROM cells GROUP BY 1),
+        |wo AS (SELECT CAST(SUM((i - j) * (i - j) * o) AS BIGINT)
+        |         AS sum_wo FROM cells),
+        |we AS (
+        |  SELECT CAST(SUM(CAST((i - j) * (i - j) * ri
+        |      AS DECIMAL(19,0)) * CAST(cj AS DECIMAL(19,0)))
+        |    AS DECIMAL(38,0)) AS sum_we
+        |  FROM r CROSS JOIN c)
+        |SELECT nn AS n_obs, sum_wo,
+        |  CAST(floor((1.0 - CAST(nn AS DOUBLE) *
+        |    CAST(sum_wo AS DOUBLE) / CAST(sum_we AS DOUBLE)) * 1e6)
+        |    AS BIGINT) / 1e6 AS kappa_w
+        |FROM n, wo, we""".stripMargin,
     "q_quality_tost_equivalence" ->
       """WITH g AS (
         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,

@@ -738,6 +738,85 @@ object WindowOps extends graft.QueryModule {
           .as("significant"))
   }
 
+  /** q_window_hurst — rescaled-range (R/S) Hurst exponent (Hurst,
+    * Trans. ASCE 1951; Mandelbrot & Wallis 1969) of the daily-revenue
+    * series: for block sizes s ∈ {16,32,64,128} the series splits
+    * into full blocks, each block reads R = range of its cumulative
+    * mean-deviations and S = its population SD, and H is the log-log
+    * OLS slope of mean(R/S) on s — H ≈ 0.5 random walk/noise,
+    * H > 0.5 long-range persistence (trending regimes), H < 0.5
+    * mean-reversion: whether history helps at all, before any
+    * forecasting op is trusted. Numerics: block sums exact int64,
+    * block Σx² in DECIMAL(38,0) (cents² × 128 crosses int64), R/S
+    * terms and the four log points 6dp-rounded and DECIMAL-summed
+    * (order-independent), the final slope ONE double expression
+    * mirrored verbatim; zero-variance blocks drop on BOTH sides.
+    *
+    * Scale: everything beyond the one partial-agg'd daily groupBy
+    * runs on the bounded day frame ×4 sizes — block windows partition
+    * by (size, block). Readout: 4 rows + the constant H column. */
+  def hurst(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = graft.Tables.orders(spark, sfDir)
+      .select(to_date($"o_orderdate").as("day"),
+        (AggOps.dec($"o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy($"day").agg(sum($"cents").as("rev"))
+      .withColumn("idx",
+        row_number().over(Window.orderBy($"day")).cast("long"))
+      .localCheckpoint() // bounded day domain, indexed once
+    val rows = daily.crossJoin(
+        spark.range(4).select(
+          expr("shiftleft(16L, cast(id as int))").as("bs"))) // 16..128
+      .withColumn("blk", expr("(idx - 1L) div bs"))
+    val wP = Window.partitionBy($"bs", $"blk")
+    val wO = wP.orderBy($"idx")
+    val scored = rows
+      .withColumn("n", count(lit(1)).over(wP))
+      .filter($"n" === $"bs") // full blocks only
+      .withColumn("tot", sum($"rev").over(wP))
+      .withColumn("ssq",
+        sum($"rev".cast("decimal(19,0)") * $"rev".cast("decimal(19,0)"))
+          .over(wP)) // cents² sums cross int64 — DECIMAL(38,0)
+      .withColumn("cum", sum($"rev").over(
+        wO.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("pos", row_number().over(wO).cast("long"))
+      .withColumn("mu", $"tot".cast("double") / $"bs".cast("double"))
+      .withColumn("dev", $"cum".cast("double") -
+        $"pos".cast("double") * $"mu")
+    val blocks = scored.groupBy($"bs", $"blk")
+      .agg((max($"dev") - min($"dev")).as("r"),
+        first($"ssq").as("ssq"), first($"mu").as("mu"))
+      .withColumn("sd", sqrt(
+        $"ssq".cast("double") / $"bs".cast("double") - $"mu" * $"mu"))
+      .filter($"sd" > 0.0)
+      .select($"bs",
+        round($"r" / $"sd", 6).cast("decimal(18,6)").as("rs"))
+    val bySize = blocks.groupBy($"bs")
+      .agg(count(lit(1)).as("n_blocks"), sum($"rs").as("rs_sum"))
+      .withColumn("mean_rs",
+        $"rs_sum".cast("double") / $"n_blocks".cast("double"))
+      .localCheckpoint() // 4 rows; feeds the slope AND the readout
+    val pts = bySize.select(
+      round(log($"bs".cast("double")), 6).cast("decimal(18,6)").as("x"),
+      round(log($"mean_rs"), 6).cast("decimal(18,6)").as("y"),
+      round(log($"bs".cast("double")) * log($"mean_rs"), 6)
+        .cast("decimal(18,6)").as("xy"),
+      round(log($"bs".cast("double")) * log($"bs".cast("double")), 6)
+        .cast("decimal(18,6)").as("xx"))
+    def micro(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor(c * 1e6).cast("long") / 1e6
+    val slope = pts.agg(count(lit(1)).as("k"), sum($"x").as("sx"),
+        sum($"y").as("sy"), sum($"xy").as("sxy"), sum($"xx").as("sxx"))
+      .select(micro(($"k".cast("double") * $"sxy".cast("double") -
+        $"sx".cast("double") * $"sy".cast("double")) /
+        ($"k".cast("double") * $"sxx".cast("double") -
+          $"sx".cast("double") * $"sx".cast("double"))).as("hurst"))
+    bySize.select($"bs".as("block_size"), $"n_blocks",
+        micro($"mean_rs").as("mean_rs"))
+      .crossJoin(broadcast(slope)) // 1-row slope frame
+      .orderBy($"block_size")
+  }
+
   /** q_window_spearman — Spearman rank correlation between the daily
     * revenue and daily order-count series (Spearman 1904), the
     * monotone-association companion to [[mannKendall]]'s trend test:
@@ -801,6 +880,7 @@ object WindowOps extends graft.QueryModule {
     "q_window_pettitt" -> (pettitt _),
     "q_window_ccf" -> (ccf _),
     "q_window_runs_test" -> (runsTest _),
+    "q_window_hurst" -> (hurst _),
     "q_window_acf" -> (acf _),
     "q_window_drawdown" -> (drawdown _),
     "q_window_cusum" -> (cusum _),
@@ -958,6 +1038,77 @@ object WindowOps extends graft.QueryModule {
         |        CAST(ry AS DOUBLE) * CAST(ry AS DOUBLE))) * 1e6)
         |    AS BIGINT) / 1e6 AS spearman_rho
         |FROM g""".stripMargin,
+    "q_window_hurst" ->
+      """WITH d AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1),
+        |di AS (
+        |  SELECT rev,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS idx
+        |  FROM d),
+        |sz AS (SELECT CAST(unnest([16, 32, 64, 128]) AS BIGINT) AS bs),
+        |rows_ AS (
+        |  SELECT bs, (idx - 1) // bs AS blk, idx, rev FROM di, sz),
+        |full_ AS (
+        |  SELECT * FROM (
+        |    SELECT *, COUNT(*) OVER (PARTITION BY bs, blk) AS n
+        |    FROM rows_)
+        |  WHERE n = bs),
+        |sc AS (
+        |  SELECT bs, blk,
+        |    CAST(SUM(rev) OVER (PARTITION BY bs, blk) AS BIGINT) AS tot,
+        |    CAST(SUM(CAST(rev AS DECIMAL(19,0)) *
+        |        CAST(rev AS DECIMAL(19,0)))
+        |      OVER (PARTITION BY bs, blk) AS DECIMAL(38,0)) AS ssq,
+        |    CAST(SUM(rev) OVER (PARTITION BY bs, blk ORDER BY idx)
+        |      AS BIGINT) AS cum,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY bs, blk ORDER BY idx)
+        |      AS BIGINT) AS pos
+        |  FROM full_),
+        |dev AS (
+        |  SELECT bs, blk, ssq,
+        |    CAST(tot AS DOUBLE) / CAST(bs AS DOUBLE) AS mu,
+        |    CAST(cum AS DOUBLE) - CAST(pos AS DOUBLE) *
+        |      (CAST(tot AS DOUBLE) / CAST(bs AS DOUBLE)) AS dv
+        |  FROM sc),
+        |blocks AS (
+        |  SELECT bs, blk, MAX(dv) - MIN(dv) AS r,
+        |    MIN(ssq) AS ssq, MIN(mu) AS mu
+        |  FROM dev GROUP BY 1, 2),
+        |rs AS (
+        |  SELECT bs,
+        |    CAST(round(r / sqrt(CAST(ssq AS DOUBLE) /
+        |      CAST(bs AS DOUBLE) - mu * mu), 6) AS DECIMAL(18,6)) AS rs
+        |  FROM blocks
+        |  WHERE sqrt(CAST(ssq AS DOUBLE) / CAST(bs AS DOUBLE) - mu * mu)
+        |    > 0.0),
+        |m AS (
+        |  SELECT bs, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+        |    CAST(CAST(SUM(rs) AS DECIMAL(18,6)) AS DOUBLE) /
+        |      CAST(COUNT(*) AS DOUBLE) AS mean_rs
+        |  FROM rs GROUP BY 1),
+        |pts AS (
+        |  SELECT
+        |    CAST(round(ln(CAST(bs AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+        |    CAST(round(ln(mean_rs), 6) AS DECIMAL(18,6)) AS y,
+        |    CAST(round(ln(CAST(bs AS DOUBLE)) * ln(mean_rs), 6)
+        |      AS DECIMAL(18,6)) AS xy,
+        |    CAST(round(ln(CAST(bs AS DOUBLE)) * ln(CAST(bs AS DOUBLE)),
+        |      6) AS DECIMAL(18,6)) AS xx
+        |  FROM m),
+        |slope AS (
+        |  SELECT CAST(floor((CAST(COUNT(*) AS DOUBLE) *
+        |      CAST(SUM(xy) AS DOUBLE) -
+        |      CAST(SUM(x) AS DOUBLE) * CAST(SUM(y) AS DOUBLE)) /
+        |    (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(xx) AS DOUBLE) -
+        |      CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE)) * 1e6)
+        |    AS BIGINT) / 1e6 AS hurst
+        |  FROM pts)
+        |SELECT bs AS block_size, n_blocks,
+        |  CAST(floor(mean_rs * 1e6) AS BIGINT) / 1e6 AS mean_rs, hurst
+        |FROM m, slope ORDER BY block_size""".stripMargin,
     "q_window_ccf" ->
       """WITH d AS (
         |  SELECT CAST(o_orderdate AS DATE) AS day,

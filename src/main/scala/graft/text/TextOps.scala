@@ -122,6 +122,70 @@ object TextOps extends graft.QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** q_text_burrows_delta — Burrows's Delta (Literary & Linguistic
+    * Computing 2002), the standard stylometric distance between
+    * sources: per (source, word) relative frequencies are z-scored
+    * across sources per word, and Delta(a,b) = mean_w |z_aw − z_bw| —
+    * the "same author/pipeline?" readout between corpus slices (a
+    * crawl source whose Delta to everything suddenly drops is
+    * duplicating another feed). Numerics: relative frequencies are
+    * micro-floored ONCE to exact integers f6 = (count·1e6) div total
+    * (non-negative: Spark div == DuckDB //), so per-word means/
+    * variances across the N sources are exact int64 (S_w = Σf6,
+    * Q_w = Σf6²) and z differences reduce to N·|f6_a − f6_b| /
+    * √(N·Q_w − S_w²) — one double division per (pair, word) term,
+    * 6dp-rounded and DECIMAL-summed per pair; zero-variance words are
+    * excluded and the per-pair divisor is the included-word count
+    * (deterministic both engines).
+    *
+    * Scale: one (source, token) partial-agg'd groupBy; everything
+    * after lives on the |sources|·|vocab| frame and the
+    * |sources|²·|vocab| pair-term frame — catalog-bounded, never
+    * corpus-sized. */
+  def burrowsDelta(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sw = graft.Tables.documents(spark, sfDir)
+      .select($"source", explode(split($"text", " ")).as("w"))
+      .filter(length($"w") > 0)
+      .groupBy($"source", $"w").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // sources × vocab; feeds totals + stats
+    val tot = sw.groupBy($"source").agg(sum($"c").as("t"))
+    // DENSIFY over the full source × vocab grid (catalog-bounded): a
+    // word a source never uses is a REAL stylometric signal (f6 = 0),
+    // not a missing pair term
+    val f = tot.select($"source", $"t")
+      .crossJoin(sw.select($"w").distinct())
+      .join(sw, Seq("source", "w"), "left")
+      .select($"source", $"w",
+        expr("coalesce(c, 0L) * 1000000L div t").as("f6"))
+      .localCheckpoint() // sources × vocab; feeds stats + both pair legs
+    val ns = tot.agg(count(lit(1)).as("n_src"))
+    val stats = f.groupBy($"w")
+      .agg(sum($"f6").as("s"), sum($"f6" * $"f6").as("q"))
+      .crossJoin(broadcast(ns))
+      .withColumn("varn", $"n_src" * $"q" - $"s" * $"s")
+      .filter($"varn" > 0L) // zero-variance words carry no signal
+      .select($"w", $"n_src", $"varn")
+    val pairs = f.select($"source".as("sa"), $"w", $"f6".as("fa"))
+      .join(f.select($"source".as("sb"), $"w", $"f6".as("fb")),
+        Seq("w"))
+      .filter($"sa" < $"sb")
+      .join(stats, Seq("w"))
+      .select($"sa", $"sb",
+        round($"n_src".cast("double") *
+          abs($"fa" - $"fb").cast("double") /
+          sqrt($"varn".cast("double")), 6)
+          .cast("decimal(18,6)").as("term"))
+    def micro(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor(c * 1e6).cast("long") / 1e6
+    pairs.groupBy($"sa", $"sb")
+      .agg(sum($"term").as("ts"), count(lit(1)).as("n_words"))
+      .select($"sa".as("source_a"), $"sb".as("source_b"), $"n_words",
+        micro($"ts".cast("double") / $"n_words".cast("double"))
+          .as("delta"))
+      .orderBy($"source_a", $"source_b")
+  }
+
   /** q_text_quality — heuristic quality scoring: length, stopword ratio,
     * unique-token ratio, mean token length (all exact-arithmetic so the
     * oracle twin matches bit-for-bit after round(,6)). */
@@ -913,6 +977,7 @@ object TextOps extends graft.QueryModule {
     "q_text_token_stats" -> (tokenStats _),
     "q_text_token_count" -> (tokenCount _),
     "q_text_readability" -> (readability _),
+    "q_text_burrows_delta" -> (burrowsDelta _),
     "q_text_quality" -> (quality _),
     "q_text_fingerprint" -> (fingerprint _),
     "q_text_pii_redact" -> (piiRedact _),
@@ -1383,6 +1448,41 @@ object TextOps extends graft.QueryModule {
          |  len(regexp_extract_all(text, '$Ipv4Re')) AS n_ips,
          |  len(regexp_extract_all(text, '$LongDigitsRe')) AS n_numbers
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_burrows_delta" ->
+      """WITH sw AS (
+        |  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+        |        FROM documents)
+        |  WHERE length(w) > 0 GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS t
+        |        FROM sw GROUP BY 1),
+        |vocab AS (SELECT DISTINCT w FROM sw),
+        |f AS (
+        |  SELECT tot.source, vocab.w,
+        |    CAST(COALESCE(sw.c, 0) * 1000000 // tot.t AS BIGINT) AS f6
+        |  FROM tot CROSS JOIN vocab
+        |  LEFT JOIN sw ON sw.source = tot.source AND sw.w = vocab.w),
+        |ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_src FROM tot),
+        |stats AS (
+        |  SELECT * FROM (
+        |    SELECT w, n_src,
+        |      CAST(n_src * CAST(SUM(f6 * f6) AS BIGINT) -
+        |        CAST(SUM(f6) AS BIGINT) * CAST(SUM(f6) AS BIGINT)
+        |        AS BIGINT) AS varn
+        |    FROM f, ns GROUP BY w, n_src)
+        |  WHERE varn > 0),
+        |pairs AS (
+        |  SELECT a.source AS sa, b.source AS sb,
+        |    CAST(round(CAST(s.n_src AS DOUBLE) *
+        |      CAST(abs(a.f6 - b.f6) AS DOUBLE) /
+        |      sqrt(CAST(s.varn AS DOUBLE)), 6) AS DECIMAL(18,6)) AS term
+        |  FROM f a JOIN f b ON a.w = b.w AND a.source < b.source
+        |  JOIN stats s ON a.w = s.w)
+        |SELECT sa AS source_a, sb AS source_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_words,
+        |  CAST(floor(CAST(SUM(term) AS DOUBLE) /
+        |    CAST(COUNT(*) AS DOUBLE) * 1e6) AS BIGINT) / 1e6 AS delta
+        |FROM pairs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_text_readability" ->
       """WITH c AS (
         |  SELECT doc_id,

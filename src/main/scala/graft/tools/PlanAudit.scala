@@ -71,6 +71,16 @@ object PlanAudit {
     // 1-row edge total crossed into the bounded community frame; the
     // LPA rounds upstream are localCheckpointed (audit sees LogicalRDD)
     "q_graph_modularity" -> Set("NestedLoop", "SinglePartition"),
+    // ≤100-bin ROC frame + 1-row totals (the gains_table shape)
+    "q_ml_youden_j" -> Set("NestedLoop", "SinglePartition"),
+    // two 1-row per-source moment frames crossed (the welch shape)
+    "q_quality_hedges_g" -> Set("NestedLoop"),
+    // ≤9-cell confusion margins crossed with three 1-row readouts
+    "q_quality_weighted_kappa" -> Set("NestedLoop", "SinglePartition"),
+    // source×vocab densify grid (catalog-bounded) + 1-row source count
+    "q_text_burrows_delta" -> Set("NestedLoop", "SinglePartition"),
+    // bounded-day index window ×4 block sizes + 4-point slope frame
+    "q_window_hurst" -> Set("NestedLoop", "SinglePartition"),
     // cumsum + argmin windows over the ≤100-row price-bin frame with
     // its 1-row totals crossed broadcast (the quantile_portable shape)
     "q_ml_gains_table" -> Set("NestedLoop", "SinglePartition"),
