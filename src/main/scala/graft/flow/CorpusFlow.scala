@@ -61,7 +61,15 @@ final case class CorpusConfig(baseDir: String, sfDir: String,
                               // chain) runs at the HEAD of the ladder
                               // before the quality gate — the cheapest
                               // dedup pass of a web corpus.
-                              urlDedup: Boolean = false) {
+                              urlDedup: Boolean = false,
+                              // readability knob: when set, the
+                              // quality gate ALSO drops docs whose
+                              // FORCAST grade (q_text_readability's
+                              // monosyllable formula — built for
+                              // punctuation-less text) exceeds this
+                              // ceiling; stays a narrow per-row
+                              // predicate inside the same gate pass.
+                              maxForcastGrade: Option[Double] = None) {
   require(sliceSize > overlap,
     s"sliceSize ($sliceSize) must exceed overlap ($overlap) — " +
       "a non-positive step would never advance the batch ladder")
@@ -184,7 +192,7 @@ object CorpusFlow {
     def run(spark: SparkSession): Unit = {
       val toks = split(col("text"), " ")
       output.atomicWrite { tmp =>
-        spark.read.parquet(requires.head.output.uri)
+        val base = spark.read.parquet(requires.head.output.uri)
           .drop("curl") // the URL stage's working column, not corpus data
           .withColumn("n_tokens", size(toks))
           .withColumn("unique_ratio",
@@ -192,7 +200,20 @@ object CorpusFlow {
               size(toks).cast("double"))
           .filter(col("n_tokens") >= 10 && col("unique_ratio") >= 0.3)
           .drop("unique_ratio")
-          .write.parquet(tmp)
+        // config-gated FORCAST readability ceiling (q_text_readability
+        // semantics): still one narrow per-row predicate in the same
+        // gate pass — no extra scan, no shuffle
+        val gated = cfg.maxForcastGrade.fold(base) { bound =>
+          base.withColumn("n_mono",
+              expr("""cast(size(filter(split(text, ' '),
+                  w -> w rlike '^[^aeiouy]*[aeiouy]*[^aeiouy]*$'))
+                as bigint)"""))
+            .filter(lit(20.0) -
+              lit(15.0) * col("n_mono").cast("double") /
+                col("n_tokens").cast("double") <= bound)
+            .drop("n_mono")
+        }
+        gated.write.parquet(tmp)
       }
     }
   }

@@ -685,6 +685,128 @@ object QualityOps extends graft.QueryModule {
             $"sum_we".cast("double")).as("kappa_w"))
   }
 
+  /** q_quality_anova_oneway — one-way ANOVA F across ALL sources'
+    * doc-length distributions (Fisher 1925), the k-group
+    * generalization welchTtest's two-sample frame can't ask: "do the
+    * 20 crawl feeds differ in length profile AT ALL" in one test,
+    * with η² = SSB/SST as the variance-explained effect size. Moments
+    * are exact int64 per source (n, Σx, Σx²); the k between-group
+    * terms Σx_g²/n_g are 6dp-rounded and DECIMAL-summed
+    * (order-independent), the F assembly is ONE mirrored double
+    * expression, micro-floored.
+    *
+    * Scale: one partial-agg'd groupBy to |sources| rows; everything
+    * after is catalog-bounded. 1-row readout. */
+  def anovaOneway(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val g = graft.Tables.documents(spark, sfDir)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n"), sum($"n_chars").as("sx"),
+        sum($"n_chars" * $"n_chars").as("sxx"))
+      .localCheckpoint() // |sources| rows; feeds totals + SSB terms
+    val tot = g.agg(sum($"n").as("nn"), sum($"sx").as("ss"),
+      sum($"sxx").as("sq"), count(lit(1)).as("k"))
+    val ssb = g.select(round($"sx".cast("double") * $"sx".cast("double") /
+        $"n".cast("double"), 6).cast("decimal(24,6)").as("t"))
+      .agg(sum($"t").as("ssb_raw"))
+    def micro(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor(c * 1e6).cast("long") / 1e6
+    val grand = $"ss".cast("double") * $"ss".cast("double") /
+      $"nn".cast("double")
+    val ssbD = $"ssb_raw".cast("double") - grand
+    val sstD = $"sq".cast("double") - grand
+    tot.crossJoin(broadcast(ssb)) // two 1-row frames
+      .select($"nn".as("n_obs"), $"k".as("k_groups"),
+        micro((ssbD / ($"k" - 1L).cast("double")) /
+          ((sstD - ssbD) / ($"nn" - $"k").cast("double"))).as("f_stat"),
+        micro(ssbD / sstD).as("eta_sq"))
+  }
+
+  /** q_quality_mmd_poly — maximum mean discrepancy (Gretton et al.,
+    * JMLR 2012) between the src0/src1 doc-length distributions under
+    * the explicit quadratic kernel k(x,y) = (1 + xy/c)², c = 1e6: the
+    * V-statistic MMD² collapses ALGEBRAICALLY to
+    * 2(μ₀−μ₁)²/c + (m₂₀−m₂₁)²/c² — a pure moment-matching distance
+    * (first + second moments), the kernel-two-sample companion to
+    * ks_test (shape) and welch (mean only) that needs NO pairwise
+    * kernel matrix at any scale. Exact int64 moments, double assembly
+    * in one mirrored order, micro-floored.
+    *
+    * Scale: ONE partial-agg'd groupBy to 2 rows — the all-pairs
+    * kernel sum never materializes, which is the whole point. */
+  def mmdPoly(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val g = graft.Tables.documents(spark, sfDir)
+      .filter($"source".isin("src0", "src1"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n"), sum($"n_chars").as("sx"),
+        sum($"n_chars" * $"n_chars").as("sxx"))
+    val a = g.filter($"source" === "src0")
+      .select($"n".as("n0"), $"sx".as("sx0"), $"sxx".as("sxx0"))
+    val b = g.filter($"source" === "src1")
+      .select($"n".as("n1"), $"sx".as("sx1"), $"sxx".as("sxx1"))
+    def micro(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor(c * 1e6).cast("long") / 1e6
+    val muGap = $"sx0".cast("double") / $"n0" -
+      $"sx1".cast("double") / $"n1"
+    val m2Gap = $"sxx0".cast("double") / $"n0" -
+      $"sxx1".cast("double") / $"n1"
+    a.crossJoin(b) // two 1-row frames
+      .select($"n0", $"n1", micro(muGap).as("mean_gap"),
+        micro(m2Gap).as("m2_gap"),
+        micro(lit(2.0) * muGap * muGap / 1e6 +
+          m2Gap * m2Gap / 1e12).as("mmd2"))
+  }
+
+  /** q_quality_levene_bf — the Brown–Forsythe test (JASA 1974), the
+    * robust Levene variant: one-way ANOVA on z = |x − median_group|
+    * across all sources — "do the feeds differ in SPREAD" (anovaOneway
+    * asks about level), with the median center making it heavy-tail
+    * safe. Per-source medians come from cumulative counts over the
+    * BOUNDED length-value histogram (the mann_whitney recipe — no
+    * per-row rank), z is exact integer, and the F machinery is
+    * anovaOneway's: exact moments, 6dp DECIMAL-summed SSB terms, one
+    * mirrored double assembly.
+    *
+    * Scale: one (source, value) histogram groupBy, windows over the
+    * bounded value domain, a ≤|sources| median broadcast back, one
+    * moment pass. 1-row readout. */
+  def leveneBf(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select($"source", $"n_chars")
+    val h = docs.groupBy($"source", $"n_chars".as("v"))
+      .agg(count(lit(1)).as("c"))
+    val med = h
+      .withColumn("cum", sum($"c").over(
+        w.partitionBy($"source").orderBy($"v")))
+      .withColumn("nd", sum($"c").over(w.partitionBy($"source")))
+      .filter($"cum" >= expr("(nd + 1L) div 2L"))
+      .groupBy($"source").agg(min($"v").as("med")) // lower median
+    val z = docs.join(broadcast(med), Seq("source"))
+      .select($"source", abs($"n_chars" - $"med").as("z"))
+    val g = z.groupBy($"source")
+      .agg(count(lit(1)).as("n"), sum($"z").as("sx"),
+        sum($"z" * $"z").as("sxx"))
+      .localCheckpoint() // |sources| rows; feeds totals + SSB terms
+    val tot = g.agg(sum($"n").as("nn"), sum($"sx").as("ss"),
+      sum($"sxx").as("sq"), count(lit(1)).as("k"))
+    val ssb = g.select(round($"sx".cast("double") * $"sx".cast("double") /
+        $"n".cast("double"), 6).cast("decimal(24,6)").as("t"))
+      .agg(sum($"t").as("ssb_raw"))
+    def micro(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor(c * 1e6).cast("long") / 1e6
+    val grand = $"ss".cast("double") * $"ss".cast("double") /
+      $"nn".cast("double")
+    val ssbD = $"ssb_raw".cast("double") - grand
+    val sstD = $"sq".cast("double") - grand
+    tot.crossJoin(broadcast(ssb)) // two 1-row frames
+      .select($"nn".as("n_obs"), $"k".as("k_groups"),
+        micro((ssbD / ($"k" - 1L).cast("double")) /
+          ((sstD - ssbD) / ($"nn" - $"k").cast("double"))).as("f_stat"))
+  }
+
   /** q_quality_mann_whitney — two-sample Mann–Whitney U test (Mann &
     * Whitney, Ann. Math. Stat. 1947) between the src0/src1 doc-length
     * distributions: the RANK-based companion to [[welchTtest]] (no
@@ -870,6 +992,9 @@ object QualityOps extends graft.QueryModule {
     "q_quality_tost_equivalence" -> (tostEquivalence _),
     "q_quality_hedges_g" -> (hedgesG _),
     "q_quality_weighted_kappa" -> (weightedKappa _),
+    "q_quality_anova_oneway" -> (anovaOneway _),
+    "q_quality_mmd_poly" -> (mmdPoly _),
+    "q_quality_levene_bf" -> (leveneBf _),
     "q_quality_krippendorff_alpha" -> (krippendorffAlpha _),
     "q_quality_theil_index" -> (theilIndex _),
     "q_quality_mann_whitney" -> (mannWhitney _),
@@ -892,6 +1017,102 @@ object QualityOps extends graft.QueryModule {
     "q_quality_benford" -> (benford _))
 
   def oracle: Map[String, String] = Map(
+    "q_quality_anova_oneway" ->
+      """WITH g AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(n_chars) AS BIGINT) AS sx,
+        |    CAST(SUM(n_chars * n_chars) AS BIGINT) AS sxx
+        |  FROM documents GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(SUM(n) AS BIGINT) AS nn,
+        |    CAST(SUM(sx) AS BIGINT) AS ss,
+        |    CAST(SUM(sxx) AS BIGINT) AS sq,
+        |    CAST(COUNT(*) AS BIGINT) AS k
+        |  FROM g),
+        |ssb AS (
+        |  SELECT CAST(SUM(CAST(round(CAST(sx AS DOUBLE) *
+        |      CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |      AS DECIMAL(24,6))) AS DOUBLE) AS ssb_raw
+        |  FROM g),
+        |e AS (
+        |  SELECT nn, k,
+        |    ssb_raw - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE) /
+        |      CAST(nn AS DOUBLE) AS ssbd,
+        |    CAST(sq AS DOUBLE) - CAST(ss AS DOUBLE) *
+        |      CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE) AS sstd
+        |  FROM tot, ssb)
+        |SELECT nn AS n_obs, k AS k_groups,
+        |  CAST(floor((ssbd / CAST(k - 1 AS DOUBLE)) /
+        |    ((sstd - ssbd) / CAST(nn - k AS DOUBLE)) * 1e6) AS BIGINT)
+        |    / 1e6 AS f_stat,
+        |  CAST(floor(ssbd / sstd * 1e6) AS BIGINT) / 1e6 AS eta_sq
+        |FROM e""".stripMargin,
+    "q_quality_mmd_poly" ->
+      """WITH g AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(n_chars) AS BIGINT) AS sx,
+        |    CAST(SUM(n_chars * n_chars) AS BIGINT) AS sxx
+        |  FROM documents WHERE source IN ('src0', 'src1') GROUP BY 1),
+        |ab AS (
+        |  SELECT a.n AS n0, a.sx AS sx0, a.sxx AS sxx0,
+        |    b.n AS n1, b.sx AS sx1, b.sxx AS sxx1
+        |  FROM (SELECT * FROM g WHERE source = 'src0') a,
+        |    (SELECT * FROM g WHERE source = 'src1') b),
+        |s AS (
+        |  SELECT n0, n1,
+        |    CAST(sx0 AS DOUBLE) / n0 - CAST(sx1 AS DOUBLE) / n1
+        |      AS mu_gap,
+        |    CAST(sxx0 AS DOUBLE) / n0 - CAST(sxx1 AS DOUBLE) / n1
+        |      AS m2_gap
+        |  FROM ab)
+        |SELECT n0, n1,
+        |  CAST(floor(mu_gap * 1e6) AS BIGINT) / 1e6 AS mean_gap,
+        |  CAST(floor(m2_gap * 1e6) AS BIGINT) / 1e6 AS m2_gap,
+        |  CAST(floor((2.0 * mu_gap * mu_gap / 1e6 +
+        |    m2_gap * m2_gap / 1e12) * 1e6) AS BIGINT) / 1e6 AS mmd2
+        |FROM s""".stripMargin,
+    "q_quality_levene_bf" ->
+      """WITH h AS (
+        |  SELECT source, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |med AS (
+        |  SELECT source, MIN(v) AS med
+        |  FROM (SELECT source, v,
+        |      SUM(c) OVER (PARTITION BY source ORDER BY v) AS cum,
+        |      SUM(c) OVER (PARTITION BY source) AS nd
+        |    FROM h)
+        |  WHERE cum >= (nd + 1) // 2 GROUP BY 1),
+        |z AS (
+        |  SELECT d.source, abs(d.n_chars - m.med) AS z
+        |  FROM documents d JOIN med m ON d.source = m.source),
+        |g AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(z) AS BIGINT) AS sx,
+        |    CAST(SUM(z * z) AS BIGINT) AS sxx
+        |  FROM z GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(SUM(n) AS BIGINT) AS nn,
+        |    CAST(SUM(sx) AS BIGINT) AS ss,
+        |    CAST(SUM(sxx) AS BIGINT) AS sq,
+        |    CAST(COUNT(*) AS BIGINT) AS k
+        |  FROM g),
+        |ssb AS (
+        |  SELECT CAST(SUM(CAST(round(CAST(sx AS DOUBLE) *
+        |      CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |      AS DECIMAL(24,6))) AS DOUBLE) AS ssb_raw
+        |  FROM g),
+        |e AS (
+        |  SELECT nn, k,
+        |    ssb_raw - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE) /
+        |      CAST(nn AS DOUBLE) AS ssbd,
+        |    CAST(sq AS DOUBLE) - CAST(ss AS DOUBLE) *
+        |      CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE) AS sstd
+        |  FROM tot, ssb)
+        |SELECT nn AS n_obs, k AS k_groups,
+        |  CAST(floor((ssbd / CAST(k - 1 AS DOUBLE)) /
+        |    ((sstd - ssbd) / CAST(nn - k AS DOUBLE)) * 1e6) AS BIGINT)
+        |    / 1e6 AS f_stat
+        |FROM e""".stripMargin,
     "q_quality_hedges_g" ->
       """WITH g AS (
         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,

@@ -535,6 +535,120 @@ object WindowOps extends graft.QueryModule {
         sum($"u" * $"u").cast("double")).as(s"acf_$k")): _*)
   }
 
+  /** q_window_newey_west — HAC (heteroskedasticity-and-autocorrelation
+    * consistent) standard error of the mean daily revenue (Newey &
+    * West, Econometrica 1987) with Bartlett weights w_k = 1 − k/(L+1),
+    * L = 7: the naive se = √(γ₀/n) silently assumes i.i.d. days; when
+    * days autocorrelate, every corpus-level "revenue ± se" readout is
+    * overconfident by exactly the ratio this query reports. Exactness
+    * via the acf n-scaling trick: u_t = n·x_t − Σx makes every
+    * autocovariance numerator Σu_t·u_{t−k} an exact DECIMAL sum
+    * (γ_k = Σuu′/n³), and the Bartlett combination + two square roots
+    * run in double in ONE mirrored order, micro-floored.
+    *
+    * Scale: the series lives on the bounded day domain; 7 in-frame
+    * lags, one aggregation, 1-row readout. */
+  def neweyWest(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w2 = Window.orderBy($"day") // bounded day domain
+    val daily = graft.Tables.orders(spark, sfDir)
+      .select(to_date($"o_orderdate").as("day"),
+        (AggOps.dec($"o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy($"day").agg(sum($"cents").as("rev"))
+    val tot = daily.agg(count(lit(1)).as("nd"), sum($"rev").as("s"))
+    val u = daily.crossJoin(broadcast(tot))
+      .select($"day", $"nd", $"s",
+        ($"nd" * $"rev" - $"s").cast("decimal(19,0)").as("u"))
+    val lagged = u.select(($"nd" +: $"s" +: $"u" +:
+      (1 to 7).map(k => lag($"u", k).over(w2).as(s"u$k"))): _*)
+    val aggCols = Seq(max($"nd").as("nd"), max($"s").as("s"),
+      sum($"u" * $"u").as("g0")) ++
+      (1 to 7).map(k => sum($"u" * col(s"u$k")).as(s"g$k"))
+    val g = lagged.agg(aggCols.head, aggCols.tail: _*)
+    def micro(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor(c * 1e6).cast("long") / 1e6
+    val n3 = $"nd".cast("double") * $"nd".cast("double") *
+      $"nd".cast("double")
+    // lrv = γ0 + 2·Σ w_k γ_k, all γ in the same n³ scaling
+    val lrv = (1 to 7).foldLeft($"g0".cast("double") / n3) { (acc, k) =>
+      acc + lit(2.0) * (lit(1.0) - lit(k.toDouble) / 8.0) *
+        (col(s"g$k").cast("double") / n3)
+    }
+    g.select($"nd".as("n_days"),
+        micro($"s".cast("double") / $"nd".cast("double") / 100.0)
+          .as("mean_dollars"),
+        micro(sqrt($"g0".cast("double") / n3 / $"nd".cast("double")) /
+          100.0).as("se_naive_dollars"),
+        micro(sqrt(lrv / $"nd".cast("double")) / 100.0)
+          .as("se_hac_dollars"),
+        micro(sqrt(lrv / $"nd".cast("double")) /
+          sqrt($"g0".cast("double") / n3 / $"nd".cast("double")))
+          .as("hac_ratio"))
+  }
+
+  /** q_window_stl_strength — seasonal/trend STRENGTH of the classical
+    * decomposition (Wang, Smith & Hyndman, J. Comp. Graph. Stat.
+    * 2006; the feasts/FPP3 F_s, F_t readouts): F_s = max(0,
+    * 1 − Var(R)/Var(S+R)) and F_t = max(0, 1 − Var(R)/Var(T+R)) over
+    * the SAME trend/seasonal/residual frames as q_window_seasonal —
+    * the one-number answer to "is the weekly cycle worth modeling at
+    * all". Component values are rationals; each variance term is
+    * 6dp-rounded and DECIMAL-summed (order-independent across
+    * partials), the two variance ratios divide in double once each,
+    * micro-floored and clamped at 0 via greatest (both engines).
+    *
+    * Scale: identical frame discipline to q_window_seasonal — one
+    * partial-agg'd daily groupBy, centered-7 windows over the bounded
+    * day domain, ≤7-row seasonal frame broadcast back. 1-row
+    * readout. */
+  def stlStrength(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w7 = Window.orderBy($"day").rowsBetween(-3, 3)
+    val daily = graft.Tables.orders(spark, sfDir)
+      .select(to_date($"o_orderdate").as("day"),
+        (AggOps.dec($"o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy($"day").agg(sum($"cents").as("rev"))
+      .withColumn("t7", sum($"rev").over(w7))
+      .withColumn("c7", count(lit(1)).over(w7))
+      .withColumn("dscaled", when($"c7" === 7, $"rev" * 7L - $"t7"))
+      .withColumn("dow", expr("weekday(day)") + 1)
+    val seas = daily.filter($"dscaled".isNotNull)
+      .groupBy($"dow")
+      .agg(sum($"dscaled").as("snum"), count(lit(1)).as("scnt"))
+    val comp = daily.filter($"c7" === 7)
+      .join(broadcast(seas), Seq("dow"))
+      .withColumn("tr", $"t7".cast("double") / 7.0)
+      .withColumn("se", $"snum".cast("double") / (lit(7.0) * $"scnt"))
+      .withColumn("re", $"rev".cast("double") - $"tr" - $"se")
+      .select(
+        round($"re", 6).cast("decimal(24,6)").as("r1"),
+        round($"re" * $"re", 6).cast("decimal(30,6)").as("r2"),
+        round($"se" + $"re", 6).cast("decimal(24,6)").as("sr1"),
+        round(($"se" + $"re") * ($"se" + $"re"), 6)
+          .cast("decimal(30,6)").as("sr2"),
+        round($"tr" + $"re", 6).cast("decimal(24,6)").as("tr1"),
+        round(($"tr" + $"re") * ($"tr" + $"re"), 6)
+          .cast("decimal(30,6)").as("tr2"))
+    def micro(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor(c * 1e6).cast("long") / 1e6
+    def varOf(s1: org.apache.spark.sql.Column, s2: org.apache.spark.sql.Column,
+        n: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      s2.cast("double") / n.cast("double") -
+        (s1.cast("double") / n.cast("double")) *
+          (s1.cast("double") / n.cast("double"))
+    comp.agg(count(lit(1)).as("n"), sum($"r1").as("r1"),
+        sum($"r2").as("r2"), sum($"sr1").as("sr1"),
+        sum($"sr2").as("sr2"), sum($"tr1").as("tr1"),
+        sum($"tr2").as("tr2"))
+      .select($"n".as("n_days"),
+        micro(greatest(lit(0.0), lit(1.0) -
+          varOf($"r1", $"r2", $"n") / varOf($"sr1", $"sr2", $"n")))
+          .as("f_seasonal"),
+        micro(greatest(lit(0.0), lit(1.0) -
+          varOf($"r1", $"r2", $"n") / varOf($"tr1", $"tr2", $"n")))
+          .as("f_trend"))
+  }
+
   /** q_window_mann_kendall — Mann–Kendall trend test (Mann 1945,
     * Kendall 1975) + tie-corrected Kendall τ_b over the daily revenue
     * series, the NON-parametric companion to the OLS/Theil–Sen slope
@@ -881,6 +995,8 @@ object WindowOps extends graft.QueryModule {
     "q_window_ccf" -> (ccf _),
     "q_window_runs_test" -> (runsTest _),
     "q_window_hurst" -> (hurst _),
+    "q_window_newey_west" -> (neweyWest _),
+    "q_window_stl_strength" -> (stlStrength _),
     "q_window_acf" -> (acf _),
     "q_window_drawdown" -> (drawdown _),
     "q_window_cusum" -> (cusum _),
@@ -1038,6 +1154,107 @@ object WindowOps extends graft.QueryModule {
         |        CAST(ry AS DOUBLE) * CAST(ry AS DOUBLE))) * 1e6)
         |    AS BIGINT) / 1e6 AS spearman_rho
         |FROM g""".stripMargin,
+    "q_window_newey_west" -> {
+      val lags = (1 to 7).map(k =>
+        s"LAG(u, $k) OVER (ORDER BY day) AS u$k").mkString(",\n|    ")
+      val gs = (1 to 7).map(k =>
+        s"CAST(SUM(u * u$k) AS DECIMAL(38,0)) AS g$k").mkString(",\n|    ")
+      val lrv = (1 to 7).foldLeft("CAST(g0 AS DOUBLE) / n3") { (acc, k) =>
+        s"$acc + 2.0 * (1.0 - $k.0 / 8.0) * (CAST(g$k AS DOUBLE) / n3)"
+      }
+      s"""WITH d AS (
+         |  SELECT CAST(o_orderdate AS DATE) AS day,
+         |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+         |      AS BIGINT)) AS BIGINT) AS rev
+         |  FROM orders GROUP BY 1),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+         |               CAST(SUM(rev) AS BIGINT) AS s FROM d),
+         |u AS (
+         |  SELECT day, nd, s,
+         |    CAST(nd * rev - s AS DECIMAL(19,0)) AS u
+         |  FROM d, tot),
+         |lagd AS (
+         |  SELECT nd, s, u,
+         |    $lags
+         |  FROM u),
+         |g AS (
+         |  SELECT MAX(nd) AS nd, MAX(s) AS s,
+         |    CAST(SUM(u * u) AS DECIMAL(38,0)) AS g0,
+         |    $gs
+         |  FROM lagd),
+         |e AS (
+         |  SELECT g.*,
+         |    CAST(nd AS DOUBLE) * CAST(nd AS DOUBLE) *
+         |      CAST(nd AS DOUBLE) AS n3
+         |  FROM g),
+         |f AS (
+         |  SELECT nd, s, g0, n3, $lrv AS lrv
+         |  FROM e)
+         |SELECT nd AS n_days,
+         |  CAST(floor(CAST(s AS DOUBLE) / CAST(nd AS DOUBLE) / 100.0
+         |    * 1e6) AS BIGINT) / 1e6 AS mean_dollars,
+         |  CAST(floor(sqrt(CAST(g0 AS DOUBLE) / n3 /
+         |    CAST(nd AS DOUBLE)) / 100.0 * 1e6) AS BIGINT) / 1e6
+         |    AS se_naive_dollars,
+         |  CAST(floor(sqrt(lrv / CAST(nd AS DOUBLE)) / 100.0 * 1e6)
+         |    AS BIGINT) / 1e6 AS se_hac_dollars,
+         |  CAST(floor(sqrt(lrv / CAST(nd AS DOUBLE)) /
+         |    sqrt(CAST(g0 AS DOUBLE) / n3 / CAST(nd AS DOUBLE)) * 1e6)
+         |    AS BIGINT) / 1e6 AS hac_ratio
+         |FROM f""".stripMargin
+    },
+    "q_window_stl_strength" ->
+      """WITH d AS (
+        |  SELECT day, rev,
+        |    SUM(rev) OVER w7 AS t7, COUNT(*) OVER w7 AS c7,
+        |    CAST(isodow(day) AS BIGINT) AS dow
+        |  FROM (SELECT CAST(o_orderdate AS DATE) AS day,
+        |      CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+        |        AS BIGINT)) AS BIGINT) AS rev
+        |    FROM orders GROUP BY 1)
+        |  WINDOW w7 AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND
+        |    3 FOLLOWING)),
+        |seas AS (
+        |  SELECT dow, CAST(SUM(rev * 7 - t7) AS BIGINT) AS snum,
+        |    CAST(COUNT(*) AS BIGINT) AS scnt
+        |  FROM d WHERE c7 = 7 GROUP BY 1),
+        |comp AS (
+        |  SELECT
+        |    CAST(rev AS DOUBLE) - tr - se AS re, tr, se
+        |  FROM (SELECT rev,
+        |      CAST(t7 AS DOUBLE) / 7.0 AS tr,
+        |      CAST(snum AS DOUBLE) / (7.0 * scnt) AS se
+        |    FROM d JOIN seas USING (dow) WHERE c7 = 7)),
+        |terms AS (
+        |  SELECT
+        |    CAST(round(re, 6) AS DECIMAL(24,6)) AS r1,
+        |    CAST(round(re * re, 6) AS DECIMAL(30,6)) AS r2,
+        |    CAST(round(se + re, 6) AS DECIMAL(24,6)) AS sr1,
+        |    CAST(round((se + re) * (se + re), 6) AS DECIMAL(30,6))
+        |      AS sr2,
+        |    CAST(round(tr + re, 6) AS DECIMAL(24,6)) AS tr1,
+        |    CAST(round((tr + re) * (tr + re), 6) AS DECIMAL(30,6))
+        |      AS tr2
+        |  FROM comp),
+        |agg AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(r1) AS DOUBLE) AS r1, CAST(SUM(r2) AS DOUBLE)
+        |      AS r2,
+        |    CAST(SUM(sr1) AS DOUBLE) AS sr1, CAST(SUM(sr2) AS DOUBLE)
+        |      AS sr2,
+        |    CAST(SUM(tr1) AS DOUBLE) AS tr1, CAST(SUM(tr2) AS DOUBLE)
+        |      AS tr2
+        |  FROM terms)
+        |SELECT n AS n_days,
+        |  CAST(floor(greatest(0.0, 1.0 -
+        |    (r2 / n - (r1 / n) * (r1 / n)) /
+        |    (sr2 / n - (sr1 / n) * (sr1 / n))) * 1e6) AS BIGINT) / 1e6
+        |    AS f_seasonal,
+        |  CAST(floor(greatest(0.0, 1.0 -
+        |    (r2 / n - (r1 / n) * (r1 / n)) /
+        |    (tr2 / n - (tr1 / n) * (tr1 / n))) * 1e6) AS BIGINT) / 1e6
+        |    AS f_trend
+        |FROM agg""".stripMargin,
     "q_window_hurst" ->
       """WITH d AS (
         |  SELECT CAST(o_orderdate AS DATE) AS day,

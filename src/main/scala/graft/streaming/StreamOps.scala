@@ -62,9 +62,18 @@ object StreamOps extends graft.QueryModule {
   private def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     graft.Tables.events(spark, sfDir) // sets the nanosAsLong conf
     val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    graft.Tables.normalizeEventTs(
-      spark.readStream.schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet").parquet(sfDir))
+    // two fixture layouts exist: the driver's single FILE
+    // events.parquet (stream the parent dir, glob on the file name —
+    // pathGlobFilter matches LEAF names, so it would see zero files
+    // under a directory table) and the production DIRECTORY layout
+    // (e.g. the synthesized sf1) — stream the directory itself
+    val raw =
+      if (new java.io.File(s"$sfDir/events.parquet").isDirectory)
+        spark.readStream.schema(rawSchema).parquet(s"$sfDir/events.parquet")
+      else
+        spark.readStream.schema(rawSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+    graft.Tables.normalizeEventTs(raw)
   }
 
   /** TRUE streaming execution of the tumbling aggregate: parquet file

@@ -81,6 +81,15 @@ object PlanAudit {
     "q_text_burrows_delta" -> Set("NestedLoop", "SinglePartition"),
     // bounded-day index window ×4 block sizes + 4-point slope frame
     "q_window_hurst" -> Set("NestedLoop", "SinglePartition"),
+    // |sources|-row moment frame crossed with two 1-row aggregates
+    "q_quality_anova_oneway" -> Set("NestedLoop", "SinglePartition"),
+    "q_quality_levene_bf" -> Set("NestedLoop", "SinglePartition"),
+    // two 1-row per-source moment frames crossed (the welch shape)
+    "q_quality_mmd_poly" -> Set("NestedLoop"),
+    // bounded-day lag windows + 1-row HAC readout crossed broadcast
+    "q_window_newey_west" -> Set("NestedLoop", "SinglePartition"),
+    // the q_window_seasonal centered-7 windows + 1-row variance frame
+    "q_window_stl_strength" -> Set("SinglePartition"),
     // cumsum + argmin windows over the ≤100-row price-bin frame with
     // its 1-row totals crossed broadcast (the quantile_portable shape)
     "q_ml_gains_table" -> Set("NestedLoop", "SinglePartition"),

@@ -441,4 +441,43 @@ class CorpusFlowSpec extends SparkTestBase {
     }
     assert(reasons.contains("dsir_offtarget"))
   }
+
+  test("corpus flow: FORCAST readability ceiling gates the quality pass") {
+    import spark.implicits._
+    val cfg = CorpusConfig(
+      Files.createTempDirectory("graft_corpus_read").toString, sf0001,
+      maxForcastGrade = Some(11.0))
+    val root = CorpusFlow.CurateAll(cfg)
+    Runner.runParallel(root, spark, workers = 2)
+    val manifest = CorpusFlow.readManifest(s"${cfg.baseDir}/batches.manifest")
+
+    // replay the WHOLE gate driver-side: token floor + unique ratio +
+    // the q_text_readability FORCAST predicate
+    val vowelRun = "[aeiouy]+".r
+    def passes(text: String): Boolean = {
+      val ws = text.split(" ", -1)
+      val mono = ws.count(w => vowelRun.findAllIn(w).size <= 1)
+      val grade = 20.0 - 15.0 * mono / ws.length
+      ws.length >= 10 &&
+        ws.distinct.length.toDouble / ws.length >= 0.3 &&
+        grade <= 11.0
+    }
+    val byId = graft.Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    var (dropped, kept) = (0L, 0L)
+    manifest.indices.foreach { i =>
+      val raw = spark.read.parquet(s"${cfg.baseDir}/batch_$i/raw")
+        .select($"doc_id").collect().map(_.getLong(0))
+      val expected = raw.filter(id => passes(byId(id))).toSet
+      val clean = spark.read.parquet(s"${cfg.baseDir}/batch_$i/clean")
+        .select($"doc_id").collect().map(_.getLong(0)).toSet
+      assert(clean === expected, s"batch $i readability gate mismatch")
+      dropped += raw.length - clean.size
+      kept += clean.size
+    }
+    // non-vacuous at this bound: the ceiling bites, but not everything
+    assert(dropped > 0, "readability ceiling dropped nothing (vacuous)")
+    assert(kept > 0, "readability ceiling dropped everything")
+  }
 }
