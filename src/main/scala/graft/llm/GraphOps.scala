@@ -300,18 +300,19 @@ object GraphOps extends graft.QueryModule {
     * cut, the MM/kcore pattern). Nothing is corpus-sized. */
   def labelPropagation(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val (_, lbl) = lpaLabels(spark, sfDir)
+    val (_, _, lbl) = lpaLabels(spark, sfDir)
     lbl.groupBy($"lbl".as("community"))
       .agg(count(lit(1)).as("n_members"), min($"node").as("min_member"))
       .orderBy($"n_members".desc, $"community")
   }
 
   /** The shared 4-round deterministic LPA core: returns the
-    * support-filtered (a<b) edge list and the final (node, lbl)
-    * assignment — [[labelPropagation]] reads the partition,
-    * [[modularity]] scores it. */
+    * support-filtered (a<b) edge list, the round-2 snapshot, and the
+    * final (node, lbl) assignment — [[labelPropagation]] reads the
+    * partition, [[modularity]] scores it, [[lpaStability]] compares
+    * the snapshots. */
   private def lpaLabels(spark: SparkSession, sfDir: String)
-      : (DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame) = {
     import spark.implicits._
     val w = org.apache.spark.sql.expressions.Window
     val edges = marketBasket(spark, sfDir)
@@ -323,7 +324,8 @@ object GraphOps extends graft.QueryModule {
       .localCheckpoint() // reused all 4 rounds
     var lbl = nodes.select($"src".as("node"), $"src".as("lbl"))
       .localCheckpoint()
-    for (_ <- 1 to 4) {
+    var lbl2 = lbl
+    for (r <- 1 to 4) {
       lbl = adjS
         .join(lbl.select($"node".as("dst"), $"lbl"), Seq("dst"))
         .groupBy($"src", $"lbl").agg(count(lit(1)).as("cnt"))
@@ -332,8 +334,57 @@ object GraphOps extends graft.QueryModule {
         .filter($"rn" === 1)
         .select($"src".as("node"), $"lbl")
         .localCheckpoint()
+      if (r == 2) lbl2 = lbl
     }
-    (edges, lbl)
+    (edges, lbl2, lbl)
+  }
+
+  /** q_graph_lpa_stability — convergence readout for the LPA
+    * partition via the Adjusted Rand Index (Hubert & Arabie, J.
+    * Classification 1985) between the round-2 and round-4 label
+    * snapshots: ARI = 1 means the extra rounds changed nothing (the
+    * constant round budget is sufficient — the empirical twin of the
+    * kcore fixpoint argument), ARI ≪ 1 means the partition is still
+    * churning and the budget is suspect. All pair-count terms
+    * Σ C(n,2) are exact int64 (communities are vocabulary-bounded);
+    * the one cross-margin product Σa·Σb is DECIMAL(19,0)² (it crosses
+    * int64 once C(n,2) passes ~3e9), and ARI divides ONCE in double,
+    * micro-floored. Expected-index degenerate case (both partitions
+    * all-singletons or one block) → NULL, mirrored.
+    *
+    * Scale: one equi-join of two ≤|V| label frames, a contingency
+    * groupBy bounded by communities², three margin aggregates. 1-row
+    * readout. */
+  def lpaStability(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (_, lbl2, lbl4) = lpaLabels(spark, sfDir)
+    def c2(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      c * (c - 1L) / 2L // exact: n(n−1) is even
+    val joint = lbl2.select($"node", $"lbl".as("la"))
+      .join(lbl4.select($"node", $"lbl".as("lb")), Seq("node"))
+      .localCheckpoint() // ≤|V| rows; feeds contingency + margins + n
+    val nij = joint.groupBy($"la", $"lb").agg(count(lit(1)).as("c"))
+      .agg(sum(c2($"c")).as("sum_nij2"))
+    val ai = joint.groupBy($"la").agg(count(lit(1)).as("c"))
+      .agg(sum(c2($"c")).as("sum_a2"), count(lit(1)).as("k2"))
+    val bj = joint.groupBy($"lb").agg(count(lit(1)).as("c"))
+      .agg(sum(c2($"c")).as("sum_b2"), count(lit(1)).as("k4"))
+    val n = joint.agg(count(lit(1)).as("n_nodes"))
+    def micro(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor(c * 1e6).cast("long") / 1e6
+    n.crossJoin(broadcast(nij)).crossJoin(broadcast(ai))
+      .crossJoin(broadcast(bj)) // four 1-row frames
+      .withColumn("cn2", c2($"n_nodes"))
+      .withColumn("expected",
+        ($"sum_a2".cast("decimal(19,0)") * $"sum_b2".cast("decimal(19,0)"))
+          .cast("double") / $"cn2".cast("double"))
+      .withColumn("maxi",
+        ($"sum_a2" + $"sum_b2").cast("double") / 2.0)
+      .select($"n_nodes", $"k2".as("n_com_round2"),
+        $"k4".as("n_com_round4"),
+        when($"maxi" =!= $"expected", micro(
+          ($"sum_nij2".cast("double") - $"expected") /
+            ($"maxi" - $"expected"))).as("ari"))
   }
 
   /** q_graph_modularity — Newman–Girvan modularity (Phys. Rev. E
@@ -351,7 +402,7 @@ object GraphOps extends graft.QueryModule {
     * readout. */
   def modularity(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val (edges, lbl) = lpaLabels(spark, sfDir)
+    val (edges, _, lbl) = lpaLabels(spark, sfDir)
     val m = edges.agg(count(lit(1)).as("m")) // 1-row edge total
     val adj = edges.select($"a_id".as("src"), $"b_id".as("dst"))
       .union(edges.select($"b_id".as("src"), $"a_id".as("dst")))
@@ -419,6 +470,7 @@ object GraphOps extends graft.QueryModule {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_graph_modularity" -> (modularity _),
+    "q_graph_lpa_stability" -> (lpaStability _),
     "q_graph_local_clustering" -> (localClustering _),
     "q_graph_label_propagation" -> (labelPropagation _),
     "q_graph_kcore" -> (kcore _),
@@ -550,6 +602,62 @@ object GraphOps extends graft.QueryModule {
         |  END AS c_local
         |FROM deg LEFT JOIN tri ON deg.src = tri.w
         |ORDER BY node""".stripMargin,
+    "q_graph_lpa_stability" -> {
+      val rounds = (1 to 4).map { i =>
+        s"""v$i AS (
+           |  SELECT a.src AS node, l.lbl, COUNT(*) AS cnt
+           |  FROM adjs a JOIN l${i - 1} l ON a.dst = l.node GROUP BY 1, 2),
+           |l$i AS (
+           |  SELECT node, lbl FROM v$i
+           |  QUALIFY ROW_NUMBER() OVER (PARTITION BY node
+           |    ORDER BY cnt DESC, lbl) = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH bi AS (
+         |  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+         |  FROM lineitem),
+         |p AS (
+         |  SELECT x.item AS a_id, y.item AS b_id
+         |  FROM bi x JOIN bi y ON x.basket = y.basket AND x.item < y.item
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |adj AS (SELECT a_id AS src, b_id AS dst FROM p
+         |        UNION ALL SELECT b_id, a_id FROM p),
+         |nodes AS (SELECT DISTINCT src FROM adj),
+         |adjs AS (SELECT src, dst FROM adj
+         |         UNION ALL SELECT src, src FROM nodes),
+         |l0 AS (SELECT src AS node, src AS lbl FROM nodes),
+         |$rounds,
+         |joint AS (
+         |  SELECT l2.node, l2.lbl AS la, l4.lbl AS lb
+         |  FROM l2 JOIN l4 ON l2.node = l4.node),
+         |nij AS (
+         |  SELECT CAST(SUM(c * (c - 1) / 2) AS BIGINT) AS sum_nij2
+         |  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS c
+         |        FROM joint GROUP BY la, lb)),
+         |ai AS (
+         |  SELECT CAST(SUM(c * (c - 1) / 2) AS BIGINT) AS sum_a2,
+         |    CAST(COUNT(*) AS BIGINT) AS k2
+         |  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS c
+         |        FROM joint GROUP BY la)),
+         |bj AS (
+         |  SELECT CAST(SUM(c * (c - 1) / 2) AS BIGINT) AS sum_b2,
+         |    CAST(COUNT(*) AS BIGINT) AS k4
+         |  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS c
+         |        FROM joint GROUP BY lb)),
+         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM joint),
+         |e AS (
+         |  SELECT n_nodes, k2, k4, sum_nij2,
+         |    CAST(CAST(sum_a2 AS DECIMAL(19,0)) *
+         |      CAST(sum_b2 AS DECIMAL(19,0)) AS DOUBLE) /
+         |      CAST(n_nodes * (n_nodes - 1) / 2 AS DOUBLE) AS expected,
+         |    CAST(sum_a2 + sum_b2 AS DOUBLE) / 2.0 AS maxi
+         |  FROM n, nij, ai, bj)
+         |SELECT n_nodes, k2 AS n_com_round2, k4 AS n_com_round4,
+         |  CASE WHEN maxi <> expected THEN
+         |    CAST(floor((CAST(sum_nij2 AS DOUBLE) - expected) /
+         |      (maxi - expected) * 1e6) AS BIGINT) / 1e6
+         |  END AS ari
+         |FROM e""".stripMargin
+    },
     "q_graph_modularity" -> {
       val rounds = (1 to 4).map { i =>
         s"""v$i AS (

@@ -649,6 +649,63 @@ object WindowOps extends graft.QueryModule {
           .as("f_trend"))
   }
 
+  /** q_window_variance_ratio — the Lo–MacKinlay variance-ratio test
+    * (Rev. Financial Studies 1988) on the daily-revenue increment
+    * series: VR(q) = Var(q-day overlapping sums)/(q·Var(1-day)) — 1
+    * under i.i.d. increments, >1 persistence, <1 mean-reversion; the
+    * aggregation-level companion to hurst (which fits ONE exponent;
+    * VR reads the same question at each horizon q ∈ {2,5,10}).
+    * Exactness: each overlapping q-sum is an exact int64 window sum
+    * over the bounded day frame; variances come from the n-scaling
+    * trick (u = n·x − Σx ⇒ Var = Σu²/n³ population) with Σu² in
+    * DECIMAL(38,0) — no double accumulates anything; ONE micro-floored
+    * division per readout row.
+    *
+    * Scale: the series lives on the bounded day domain (one
+    * partial-agg'd groupBy); per-q window sums and two moment
+    * aggregates over ≤|days| rows. 3-row readout. */
+  def varianceRatio(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val wO = Window.orderBy($"day")
+    val daily = graft.Tables.orders(spark, sfDir)
+      .select(to_date($"o_orderdate").as("day"),
+        (AggOps.dec($"o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy($"day").agg(sum($"cents").as("rev"))
+      .localCheckpoint() // bounded day frame; feeds base + 3 q-frames
+    def popVarN3(df: DataFrame, c: String): DataFrame = {
+      // (n, Σu²) with u = n·x − Σx: population Var = Σu²/n³ exactly
+      val tot = df.agg(count(lit(1)).as("n"), sum(col(c)).as("s"))
+      df.crossJoin(broadcast(tot))
+        .select((($"n" * col(c) - $"s")).cast("decimal(19,0)").as("u"),
+          $"n")
+        .groupBy($"n").agg(sum($"u" * $"u").as("uu"))
+    }
+    val base = popVarN3(daily.select($"day", $"rev"), "rev")
+      .select($"n".as("n1"), $"uu".as("uu1"))
+    def micro(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor(c * 1e6).cast("long") / 1e6
+    val perQ = Seq(2, 5, 10).map { q =>
+      val sums = daily
+        .withColumn("qs", sum($"rev").over(
+          wO.rowsBetween(-(q - 1), 0)))
+        .withColumn("cnt", count(lit(1)).over(
+          wO.rowsBetween(-(q - 1), 0)))
+        .filter($"cnt" === q) // full windows only
+        .select($"day", $"qs")
+      popVarN3(sums, "qs")
+        .select(lit(q.toLong).as("q"), $"n".as("nq"), $"uu".as("uuq"))
+    }.reduce(_.unionAll(_))
+    perQ.crossJoin(broadcast(base)) // 1-row base-variance frame
+      .select($"q", $"nq".as("n_windows"),
+        micro(($"uuq".cast("double") /
+          ($"nq".cast("double") * $"nq".cast("double") *
+            $"nq".cast("double"))) /
+          ($"q".cast("double") * ($"uu1".cast("double") /
+            ($"n1".cast("double") * $"n1".cast("double") *
+              $"n1".cast("double"))))).as("vr"))
+      .orderBy($"q")
+  }
+
   /** q_window_mann_kendall — Mann–Kendall trend test (Mann 1945,
     * Kendall 1975) + tie-corrected Kendall τ_b over the daily revenue
     * series, the NON-parametric companion to the OLS/Theil–Sen slope
@@ -997,6 +1054,7 @@ object WindowOps extends graft.QueryModule {
     "q_window_hurst" -> (hurst _),
     "q_window_newey_west" -> (neweyWest _),
     "q_window_stl_strength" -> (stlStrength _),
+    "q_window_variance_ratio" -> (varianceRatio _),
     "q_window_acf" -> (acf _),
     "q_window_drawdown" -> (drawdown _),
     "q_window_cusum" -> (cusum _),
@@ -1202,6 +1260,51 @@ object WindowOps extends graft.QueryModule {
          |    sqrt(CAST(g0 AS DOUBLE) / n3 / CAST(nd AS DOUBLE)) * 1e6)
          |    AS BIGINT) / 1e6 AS hac_ratio
          |FROM f""".stripMargin
+    },
+    "q_window_variance_ratio" -> {
+      val qCases = Seq(2, 5, 10).map { q =>
+        s"""q$q AS (
+           |  SELECT CAST($q AS BIGINT) AS q, day,
+           |    CAST(SUM(rev) OVER (ORDER BY day
+           |      ROWS BETWEEN ${q - 1} PRECEDING AND CURRENT ROW)
+           |      AS BIGINT) AS qs,
+           |    COUNT(*) OVER (ORDER BY day
+           |      ROWS BETWEEN ${q - 1} PRECEDING AND CURRENT ROW) AS c
+           |  FROM d),
+           |v$q AS (
+           |  SELECT q, CAST(COUNT(*) AS BIGINT) AS nq,
+           |    CAST(SUM(CAST(n * qs - s AS DECIMAL(19,0)) *
+           |      CAST(n * qs - s AS DECIMAL(19,0))) AS DECIMAL(38,0))
+           |      AS uuq
+           |  FROM (SELECT q, qs,
+           |      CAST(COUNT(*) OVER () AS BIGINT) AS n,
+           |      CAST(SUM(qs) OVER () AS BIGINT) AS s
+           |    FROM q$q WHERE c = $q)
+           |  GROUP BY q)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH d AS (
+         |  SELECT CAST(o_orderdate AS DATE) AS day,
+         |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+         |      AS BIGINT)) AS BIGINT) AS rev
+         |  FROM orders GROUP BY 1),
+         |base AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n1,
+         |    CAST(SUM(CAST(n * rev - s AS DECIMAL(19,0)) *
+         |      CAST(n * rev - s AS DECIMAL(19,0))) AS DECIMAL(38,0))
+         |      AS uu1
+         |  FROM (SELECT rev, CAST(COUNT(*) OVER () AS BIGINT) AS n,
+         |      CAST(SUM(rev) OVER () AS BIGINT) AS s FROM d)),
+         |$qCases,
+         |allq AS (SELECT * FROM v2 UNION ALL SELECT * FROM v5
+         |         UNION ALL SELECT * FROM v10)
+         |SELECT q, nq AS n_windows,
+         |  CAST(floor((CAST(uuq AS DOUBLE) /
+         |    (CAST(nq AS DOUBLE) * CAST(nq AS DOUBLE) *
+         |      CAST(nq AS DOUBLE))) /
+         |    (CAST(q AS DOUBLE) * (CAST(uu1 AS DOUBLE) /
+         |      (CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE) *
+         |        CAST(n1 AS DOUBLE)))) * 1e6) AS BIGINT) / 1e6 AS vr
+         |FROM allq, base ORDER BY q""".stripMargin
     },
     "q_window_stl_strength" ->
       """WITH d AS (

@@ -90,6 +90,12 @@ object PlanAudit {
     "q_window_newey_west" -> Set("NestedLoop", "SinglePartition"),
     // the q_window_seasonal centered-7 windows + 1-row variance frame
     "q_window_stl_strength" -> Set("SinglePartition"),
+    // bounded-day overlapping-sum windows ×3 horizons + 1-row base
+    // variance crossed broadcast
+    "q_window_variance_ratio" -> Set("NestedLoop", "SinglePartition"),
+    // four 1-row pair-count aggregates crossed (contingency margins);
+    // the LPA rounds upstream are localCheckpointed
+    "q_graph_lpa_stability" -> Set("NestedLoop", "SinglePartition"),
     // cumsum + argmin windows over the ≤100-row price-bin frame with
     // its 1-row totals crossed broadcast (the quantile_portable shape)
     "q_ml_gains_table" -> Set("NestedLoop", "SinglePartition"),
