@@ -807,6 +807,56 @@ object QualityOps extends graft.QueryModule {
           ((sstD - ssbD) / ($"nn" - $"k").cast("double"))).as("f_stat"))
   }
 
+  /** q_quality_cliff_delta — Cliff's delta (Psych. Bull. 1993), the
+    * ORDINAL effect size between the src0/src1 length distributions:
+    * δ = P(x > y) − P(x < y) over all cross pairs — the
+    * nonparametric companion to hedgesG (whose pooled-SD d is
+    * meaningless under skew) and the effect-size face of
+    * mannWhitney's U. Computed from the bounded value HISTOGRAM (the
+    * mann_whitney recipe — never a pair join): n_gt = Σ_v c0_v·(#y<v)
+    * with products in DECIMAL(19,0)² (they cross int64 past ~3e9
+    * rows), ONE micro-floored division per rate, and the magnitude
+    * call uses Romano et al. (2006) thresholds on the micro'd |δ| so
+    * both engines bucket identically.
+    *
+    * Scale: one hash agg to the bounded length domain, a cumsum over
+    * it, 1-row readout. */
+  def cliffDelta(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"v")
+    val h = graft.Tables.documents(spark, sfDir)
+      .filter($"source".isin("src0", "src1"))
+      .groupBy($"n_chars".as("v"))
+      .agg(sum(when($"source" === "src0", 1L).otherwise(0L)).as("c0"),
+        sum(when($"source" === "src1", 1L).otherwise(0L)).as("c1"))
+      .localCheckpoint() // bounded value domain; feeds cum + totals
+    val tot = h.agg(sum($"c0").as("n0"), sum($"c1").as("n1"))
+    val cum = h.withColumn("cin", sum($"c1").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)))
+      .crossJoin(broadcast(tot))
+      .withColumn("c1b", $"cin" - $"c1") // src1 strictly below v
+      .withColumn("c1a", $"n1" - $"cin") // src1 strictly above v
+    val sums = cum.agg(first($"n0").as("n0"), first($"n1").as("n1"),
+      sum($"c0".cast("decimal(19,0)") * $"c1b".cast("decimal(19,0)"))
+        .as("n_gt"),
+      sum($"c0".cast("decimal(19,0)") * $"c1a".cast("decimal(19,0)"))
+        .as("n_lt"))
+    def micro(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor(c * 1e6).cast("long") / 1e6
+    val pairsD = $"n0".cast("double") * $"n1".cast("double")
+    val delta6 = micro(($"n_gt".cast("double") - $"n_lt".cast("double"))
+      / pairsD)
+    sums.select($"n0", $"n1",
+      micro($"n_gt".cast("double") / pairsD).as("p_gt"),
+      micro($"n_lt".cast("double") / pairsD).as("p_lt"),
+      delta6.as("cliff_delta"),
+      when(abs(delta6) < 0.147, "negligible")
+        .when(abs(delta6) < 0.33, "small")
+        .when(abs(delta6) < 0.474, "medium")
+        .otherwise("large").as("magnitude"))
+  }
+
   /** q_quality_mann_whitney — two-sample Mann–Whitney U test (Mann &
     * Whitney, Ann. Math. Stat. 1947) between the src0/src1 doc-length
     * distributions: the RANK-based companion to [[welchTtest]] (no
@@ -995,6 +1045,7 @@ object QualityOps extends graft.QueryModule {
     "q_quality_anova_oneway" -> (anovaOneway _),
     "q_quality_mmd_poly" -> (mmdPoly _),
     "q_quality_levene_bf" -> (leveneBf _),
+    "q_quality_cliff_delta" -> (cliffDelta _),
     "q_quality_krippendorff_alpha" -> (krippendorffAlpha _),
     "q_quality_theil_index" -> (theilIndex _),
     "q_quality_mann_whitney" -> (mannWhitney _),
@@ -1017,6 +1068,47 @@ object QualityOps extends graft.QueryModule {
     "q_quality_benford" -> (benford _))
 
   def oracle: Map[String, String] = Map(
+    "q_quality_cliff_delta" ->
+      """WITH h AS (
+        |  SELECT n_chars AS v,
+        |    CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c0,
+        |    CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c1
+        |  FROM documents WHERE source IN ('src0', 'src1') GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(c0) AS BIGINT) AS n0,
+        |               CAST(SUM(c1) AS BIGINT) AS n1 FROM h),
+        |cum AS (
+        |  SELECT c0,
+        |    CAST(SUM(c1) OVER (ORDER BY v) AS BIGINT) - c1 AS c1b,
+        |    n1 - CAST(SUM(c1) OVER (ORDER BY v) AS BIGINT) AS c1a,
+        |    n0, n1
+        |  FROM h, tot),
+        |s AS (
+        |  SELECT MIN(n0) AS n0, MIN(n1) AS n1,
+        |    CAST(SUM(CAST(c0 AS DECIMAL(19,0)) *
+        |      CAST(c1b AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS n_gt,
+        |    CAST(SUM(CAST(c0 AS DECIMAL(19,0)) *
+        |      CAST(c1a AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS n_lt
+        |  FROM cum),
+        |e AS (
+        |  SELECT n0, n1,
+        |    CAST(floor(CAST(n_gt AS DOUBLE) /
+        |      (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)) * 1e6)
+        |      AS BIGINT) / 1e6 AS p_gt,
+        |    CAST(floor(CAST(n_lt AS DOUBLE) /
+        |      (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)) * 1e6)
+        |      AS BIGINT) / 1e6 AS p_lt,
+        |    CAST(floor((CAST(n_gt AS DOUBLE) - CAST(n_lt AS DOUBLE)) /
+        |      (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)) * 1e6)
+        |      AS BIGINT) / 1e6 AS d6
+        |  FROM s)
+        |SELECT n0, n1, p_gt, p_lt, d6 AS cliff_delta,
+        |  CASE WHEN abs(d6) < 0.147 THEN 'negligible'
+        |    WHEN abs(d6) < 0.33 THEN 'small'
+        |    WHEN abs(d6) < 0.474 THEN 'medium'
+        |    ELSE 'large' END AS magnitude
+        |FROM e""".stripMargin,
     "q_quality_anova_oneway" ->
       """WITH g AS (
         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,

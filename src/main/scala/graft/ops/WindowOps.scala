@@ -706,6 +706,95 @@ object WindowOps extends graft.QueryModule {
       .orderBy($"q")
   }
 
+  /** q_window_kruskal_dow — Kruskal–Wallis H test (JASA 1952) of the
+    * daily-revenue distribution across the 7 weekdays: the
+    * NONPARAMETRIC one-way ANOVA ("does any weekday distribute
+    * revenue differently"), rank-based so outlier days can't buy
+    * significance — the distribution-level companion to
+    * stl_strength's variance-share readout (which found no weekly
+    * cycle; this tests that finding formally). Ranks are 2-SCALED
+    * average ranks over the BOUNDED day frame (ar2 = 2·rank + ties −
+    * 1, the spearman recipe — exact under ties), ΣR2²/n_j terms are
+    * 6dp-rounded DECIMAL sums, the tie correction Σ(t³−t)/(N³−N) is
+    * exact int64, and H divides in double ONCE, micro-floored
+    * (df = 6, crit 12.592).
+    *
+    * Scale: rank windows over ≤|days| rows post-aggregate; 7-row
+    * group frame; 1-row readout. */
+  def kruskalDow(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = graft.Tables.orders(spark, sfDir)
+      .select(to_date($"o_orderdate").as("day"),
+        (AggOps.dec($"o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy($"day").agg(sum($"cents").as("rev"))
+      .withColumn("dow", expr("weekday(day)") + 1)
+      .withColumn("ar2",
+        lit(2L) * rank().over(Window.orderBy($"rev")) +
+          count(lit(1)).over(Window.partitionBy($"rev")) - 1L)
+      .localCheckpoint() // bounded day frame; feeds groups + ties + N
+    val grp = daily.groupBy($"dow")
+      .agg(sum($"ar2").as("r2"), count(lit(1)).as("nj"))
+      .select(round(($"r2" * $"r2").cast("double") /
+        $"nj".cast("double"), 6).cast("decimal(24,6)").as("t"))
+      .agg(sum($"t").as("sum_r2sq"), count(lit(1)).as("k"))
+    val ties = daily.groupBy($"rev").agg(count(lit(1)).as("t"))
+      .agg(sum($"t" * $"t" * $"t" - $"t").as("tcorr"))
+    val n = daily.agg(count(lit(1)).as("n_days"))
+    def micro(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor(c * 1e6).cast("long") / 1e6
+    n.crossJoin(broadcast(grp)).crossJoin(broadcast(ties)) // 1-row frames
+      .withColumn("h_raw",
+        lit(3.0) * $"sum_r2sq".cast("double") /
+          ($"n_days" * ($"n_days" + 1L)).cast("double") -
+          lit(3.0) * ($"n_days" + 1L).cast("double"))
+      .withColumn("corr", lit(1.0) - $"tcorr".cast("double") /
+        ($"n_days" * $"n_days" * $"n_days" - $"n_days").cast("double"))
+      .select($"n_days", $"k".as("k_groups"),
+        micro($"h_raw" / $"corr").as("h_stat"),
+        (micro($"h_raw" / $"corr") > 12.592).as("significant")) // df=6
+  }
+
+  /** q_window_ljung_box — the Ljung–Box portmanteau test (Biometrika
+    * 1978) on the first 7 daily-revenue autocorrelations:
+    * Q = n(n+2)·Σ_k r_k²/(n−k), the ONE formal joint test behind the
+    * informal i.i.d. quartet (acf eyeballing, runs z, Hurst, VR) —
+    * χ²₇ at 0.05 is 14.067. The r_k reuse the acf machinery exactly:
+    * u = n·x − Σx makes each r_k = Σu·u_k / Σu² a ratio of exact
+    * DECIMAL sums, and Q assembles the 7 terms in ONE mirrored fold
+    * order, micro-floored.
+    *
+    * Scale: the acf shape — bounded day frame, 7 in-frame lags, one
+    * aggregation, 1-row readout. */
+  def ljungBox(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w2 = Window.orderBy($"day")
+    val daily = graft.Tables.orders(spark, sfDir)
+      .select(to_date($"o_orderdate").as("day"),
+        (AggOps.dec($"o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy($"day").agg(sum($"cents").as("rev"))
+    val tot = daily.agg(count(lit(1)).as("nd"), sum($"rev").as("s"))
+    val u = daily.crossJoin(broadcast(tot))
+      .select($"day", $"nd",
+        ($"nd" * $"rev" - $"s").cast("decimal(19,0)").as("u"))
+    val lagged = u.select(($"nd" +: $"u" +:
+      (1 to 7).map(k => lag($"u", k).over(w2).as(s"u$k"))): _*)
+    val aggCols = Seq(max($"nd").as("nd"), sum($"u" * $"u").as("g0")) ++
+      (1 to 7).map(k => sum($"u" * col(s"u$k")).as(s"g$k"))
+    val g = lagged.agg(aggCols.head, aggCols.tail: _*)
+    def micro(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor(c * 1e6).cast("long") / 1e6
+    val q = (1 to 7).foldLeft(lit(0.0)) { (acc, k) =>
+      acc + (col(s"g$k").cast("double") / $"g0".cast("double")) *
+        (col(s"g$k").cast("double") / $"g0".cast("double")) /
+        ($"nd" - k.toLong).cast("double")
+    }
+    g.select($"nd".as("n_days"),
+        micro($"nd".cast("double") * ($"nd" + 2L).cast("double") * q)
+          .as("q_stat"),
+        (micro($"nd".cast("double") * ($"nd" + 2L).cast("double") * q)
+          > 14.067).as("significant")) // chi2 df=7
+  }
+
   /** q_window_mann_kendall — Mann–Kendall trend test (Mann 1945,
     * Kendall 1975) + tie-corrected Kendall τ_b over the daily revenue
     * series, the NON-parametric companion to the OLS/Theil–Sen slope
@@ -1055,6 +1144,8 @@ object WindowOps extends graft.QueryModule {
     "q_window_newey_west" -> (neweyWest _),
     "q_window_stl_strength" -> (stlStrength _),
     "q_window_variance_ratio" -> (varianceRatio _),
+    "q_window_kruskal_dow" -> (kruskalDow _),
+    "q_window_ljung_box" -> (ljungBox _),
     "q_window_acf" -> (acf _),
     "q_window_drawdown" -> (drawdown _),
     "q_window_cusum" -> (cusum _),
@@ -1259,6 +1350,79 @@ object WindowOps extends graft.QueryModule {
          |  CAST(floor(sqrt(lrv / CAST(nd AS DOUBLE)) /
          |    sqrt(CAST(g0 AS DOUBLE) / n3 / CAST(nd AS DOUBLE)) * 1e6)
          |    AS BIGINT) / 1e6 AS hac_ratio
+         |FROM f""".stripMargin
+    },
+    "q_window_kruskal_dow" ->
+      """WITH d AS (
+        |  SELECT day, rev,
+        |    CAST(isodow(day) AS BIGINT) AS dow,
+        |    2 * RANK() OVER (ORDER BY rev) +
+        |      COUNT(*) OVER (PARTITION BY rev) - 1 AS ar2
+        |  FROM (SELECT CAST(o_orderdate AS DATE) AS day,
+        |      CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+        |        AS BIGINT)) AS BIGINT) AS rev
+        |    FROM orders GROUP BY 1)),
+        |grp AS (
+        |  SELECT CAST(SUM(t) AS DOUBLE) AS sum_r2sq,
+        |    CAST(COUNT(*) AS BIGINT) AS k
+        |  FROM (SELECT CAST(round(CAST(r2 * r2 AS DOUBLE) /
+        |      CAST(nj AS DOUBLE), 6) AS DECIMAL(24,6)) AS t
+        |    FROM (SELECT dow, CAST(SUM(ar2) AS BIGINT) AS r2,
+        |        CAST(COUNT(*) AS BIGINT) AS nj
+        |      FROM d GROUP BY 1))),
+        |ties AS (
+        |  SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS tcorr
+        |  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t
+        |        FROM d GROUP BY rev)),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM d),
+        |e AS (
+        |  SELECT n_days, k,
+        |    (3.0 * sum_r2sq / CAST(n_days * (n_days + 1) AS DOUBLE) -
+        |      3.0 * CAST(n_days + 1 AS DOUBLE)) /
+        |    (1.0 - CAST(tcorr AS DOUBLE) /
+        |      CAST(n_days * n_days * n_days - n_days AS DOUBLE)) AS h
+        |  FROM n, grp, ties)
+        |SELECT n_days, k AS k_groups,
+        |  CAST(floor(h * 1e6) AS BIGINT) / 1e6 AS h_stat,
+        |  CAST(floor(h * 1e6) AS BIGINT) / 1e6 > 12.592 AS significant
+        |FROM e""".stripMargin,
+    "q_window_ljung_box" -> {
+      val lags = (1 to 7).map(k =>
+        s"LAG(u, $k) OVER (ORDER BY day) AS u$k").mkString(",\n|    ")
+      val gs = (1 to 7).map(k =>
+        s"CAST(SUM(u * u$k) AS DECIMAL(38,0)) AS g$k").mkString(",\n|    ")
+      val qsum = (1 to 7).foldLeft("0.0") { (acc, k) =>
+        s"$acc + (CAST(g$k AS DOUBLE) / CAST(g0 AS DOUBLE)) * " +
+          s"(CAST(g$k AS DOUBLE) / CAST(g0 AS DOUBLE)) / " +
+          s"CAST(nd - $k AS DOUBLE)"
+      }
+      s"""WITH d AS (
+         |  SELECT CAST(o_orderdate AS DATE) AS day,
+         |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+         |      AS BIGINT)) AS BIGINT) AS rev
+         |  FROM orders GROUP BY 1),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+         |               CAST(SUM(rev) AS BIGINT) AS s FROM d),
+         |u AS (
+         |  SELECT day, nd,
+         |    CAST(nd * rev - s AS DECIMAL(19,0)) AS u
+         |  FROM d, tot),
+         |lagd AS (
+         |  SELECT nd, u,
+         |    $lags
+         |  FROM u),
+         |g AS (
+         |  SELECT MAX(nd) AS nd,
+         |    CAST(SUM(u * u) AS DECIMAL(38,0)) AS g0,
+         |    $gs
+         |  FROM lagd),
+         |f AS (
+         |  SELECT nd,
+         |    CAST(nd AS DOUBLE) * CAST(nd + 2 AS DOUBLE) * ($qsum) AS q
+         |  FROM g)
+         |SELECT nd AS n_days,
+         |  CAST(floor(q * 1e6) AS BIGINT) / 1e6 AS q_stat,
+         |  CAST(floor(q * 1e6) AS BIGINT) / 1e6 > 14.067 AS significant
          |FROM f""".stripMargin
     },
     "q_window_variance_ratio" -> {

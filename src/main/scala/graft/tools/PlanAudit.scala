@@ -96,6 +96,12 @@ object PlanAudit {
     // four 1-row pair-count aggregates crossed (contingency margins);
     // the LPA rounds upstream are localCheckpointed
     "q_graph_lpa_stability" -> Set("NestedLoop", "SinglePartition"),
+    // bounded-day rank windows + three 1-row readout frames crossed
+    "q_window_kruskal_dow" -> Set("NestedLoop", "SinglePartition"),
+    // the acf lag-window shape + 1-row totals crossed broadcast
+    "q_window_ljung_box" -> Set("NestedLoop", "SinglePartition"),
+    // bounded length-histogram cumsum + 1-row totals (mann_whitney)
+    "q_quality_cliff_delta" -> Set("NestedLoop", "SinglePartition"),
     // cumsum + argmin windows over the ≤100-row price-bin frame with
     // its 1-row totals crossed broadcast (the quantile_portable shape)
     "q_ml_gains_table" -> Set("NestedLoop", "SinglePartition"),
