@@ -138,10 +138,11 @@ object TextOps extends graft.QueryModule {
     * excluded and the per-pair divisor is the included-word count
     * (deterministic both engines).
     *
-    * Scale: one (source, token) partial-agg'd groupBy; everything
-    * after lives on the |sources|·|vocab| frame and the
-    * |sources|²·|vocab| pair-term frame — catalog-bounded, never
-    * corpus-sized. */
+    * Scale: one (source, token) partial-agg'd groupBy; the top-150
+    * MFW cut (a TakeOrderedAndProject heap, the published method's
+    * own restriction) bounds everything after to the |sources|·150
+    * grid and the |sources|²·150 pair-term frame — catalog-bounded
+    * even when the vocabulary is millions of types. */
   def burrowsDelta(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val sw = graft.Tables.documents(spark, sfDir)
@@ -150,15 +151,22 @@ object TextOps extends graft.QueryModule {
       .groupBy($"source", $"w").agg(count(lit(1)).as("c"))
       .localCheckpoint() // sources × vocab; feeds totals + stats
     val tot = sw.groupBy($"source").agg(sum($"c").as("t"))
-    // DENSIFY over the full source × vocab grid (catalog-bounded): a
-    // word a source never uses is a REAL stylometric signal (f6 = 0),
-    // not a missing pair term
+    // Burrows restricts to the top-V most-frequent words (the MFW
+    // list, classically 100-300): V = 150 here, selected by corpus
+    // count with a token tiebreak via TakeOrderedAndProject — this is
+    // BOTH the published method and the scale guard (the densified
+    // grid and the pair-term frame are |sources|·150 and
+    // |sources|²·150, never |vocab|-sized)
+    val mfw = sw.groupBy($"w").agg(sum($"c").as("cw"))
+      .orderBy($"cw".desc, $"w").limit(150).select($"w")
+    // DENSIFY over the source × MFW grid: a word a source never uses
+    // is a REAL stylometric signal (f6 = 0), not a missing pair term
     val f = tot.select($"source", $"t")
-      .crossJoin(sw.select($"w").distinct())
+      .crossJoin(mfw)
       .join(sw, Seq("source", "w"), "left")
       .select($"source", $"w",
         expr("coalesce(c, 0L) * 1000000L div t").as("f6"))
-      .localCheckpoint() // sources × vocab; feeds stats + both pair legs
+      .localCheckpoint() // sources × 150; feeds stats + both pair legs
     val ns = tot.agg(count(lit(1)).as("n_src"))
     val stats = f.groupBy($"w")
       .agg(sum($"f6").as("s"), sum($"f6" * $"f6").as("q"))
@@ -1456,12 +1464,13 @@ object TextOps extends graft.QueryModule {
         |  WHERE length(w) > 0 GROUP BY 1, 2),
         |tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS t
         |        FROM sw GROUP BY 1),
-        |vocab AS (SELECT DISTINCT w FROM sw),
+        |mfw AS (SELECT w FROM (SELECT w, SUM(c) AS cw FROM sw GROUP BY 1
+        |        ORDER BY cw DESC, w LIMIT 150)),
         |f AS (
-        |  SELECT tot.source, vocab.w,
+        |  SELECT tot.source, mfw.w,
         |    CAST(COALESCE(sw.c, 0) * 1000000 // tot.t AS BIGINT) AS f6
-        |  FROM tot CROSS JOIN vocab
-        |  LEFT JOIN sw ON sw.source = tot.source AND sw.w = vocab.w),
+        |  FROM tot CROSS JOIN mfw
+        |  LEFT JOIN sw ON sw.source = tot.source AND sw.w = mfw.w),
         |ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_src FROM tot),
         |stats AS (
         |  SELECT * FROM (
