@@ -157,6 +157,39 @@ object DedupOps extends graft.QueryModule {
       .orderBy($"a_id", $"b_id")
   }
 
+  /** q_dedup_threshold_curve — the dedup-rate-vs-threshold curve: for
+    * every Jaccard cutoff θ ∈ {0.2..0.9}, how many candidate pairs
+    * survive and how many documents they touch — THE tuning readout
+    * behind "where do we set the near-dup threshold" (the knee of
+    * this curve is where a corpus's duplication structure lives;
+    * sweeping θ by re-running the dedup 8 times is 8 corpus scans,
+    * this is one). Reuses [[ngramJaccard]]'s inverted-index candidate
+    * pairs verbatim (θ ≥ 0.2 floor), crossed with the 8-row threshold
+    * dim; zero-pair thresholds still emit (left join from the dim, the
+    * oracle mirrors).
+    *
+    * Scale: the candidate-pair frame is the bounded object (df-pruned
+    * posting join, pre-collapsed fp groups); the sweep adds one
+    * broadcast 8-row cross and two hash aggs over it. */
+  def thresholdCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = ngramJaccard(spark, sfDir)
+      .localCheckpoint() // candidate-bounded; feeds both aggs
+    val th = spark.range(8)
+      .select(((lit(2L) + $"id").cast("double") / 10.0).as("threshold"))
+    val f = pairs.crossJoin(broadcast(th))
+      .filter($"jaccard" >= $"threshold")
+    val np = f.groupBy($"threshold").agg(count(lit(1)).as("np"))
+    val nd = f.select($"threshold",
+        explode(array($"a_id", $"b_id")).as("d"))
+      .groupBy($"threshold").agg(countDistinct($"d").as("nd"))
+    th.join(np, Seq("threshold"), "left")
+      .join(nd, Seq("threshold"), "left")
+      .select($"threshold", coalesce($"np", lit(0L)).as("n_pairs"),
+        coalesce($"nd", lit(0L)).as("n_docs"))
+      .orderBy($"threshold")
+  }
+
   /** Location of the persisted shingled-corpus artifact (doc_id, lang,
     * length-bucket, shingle set) — the dedup pipeline's FIRST working
     * set, built once per corpus and read by the scale-path queries. */
@@ -1157,6 +1190,7 @@ object DedupOps extends graft.QueryModule {
     "q_dedup_exact" -> (exactDedup _),
     "q_dedup_incremental" -> (incrementalDedup _),
     "q_dedup_ngram_jaccard" -> (ngramJaccard _),
+    "q_dedup_threshold_curve" -> (thresholdCurve _),
     "q_dedup_ngram_jaccard_cutoff" -> (ngramJaccardCutoff _),
     "q_dedup_minhash_lsh" -> (minhashLsh _),
     "q_dedup_incremental_minhash" -> (incrementalMinhash _),
@@ -1701,6 +1735,26 @@ object DedupOps extends graft.QueryModule {
         |FROM pairs
         |WHERE CAST(inter AS DOUBLE) / CAST(asz + bsz - inter AS DOUBLE) >= 0.2
         |ORDER BY a_id, b_id""".stripMargin,
+    "q_dedup_threshold_curve" ->
+      s"""WITH $ngramPairsSql,
+         |th AS (
+         |  SELECT (2 + unnest(generate_series(0, 7))) / 10.0
+         |    AS threshold),
+         |f AS (
+         |  SELECT threshold, a_id, b_id
+         |  FROM nearpairs, th WHERE jaccard >= threshold),
+         |np AS (SELECT threshold, CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |       FROM f GROUP BY 1),
+         |nd AS (
+         |  SELECT threshold, CAST(COUNT(DISTINCT d) AS BIGINT) AS n_docs
+         |  FROM (SELECT threshold, unnest([a_id, b_id]) AS d FROM f)
+         |  GROUP BY 1)
+         |SELECT th.threshold,
+         |  CAST(COALESCE(n_pairs, 0) AS BIGINT) AS n_pairs,
+         |  CAST(COALESCE(n_docs, 0) AS BIGINT) AS n_docs
+         |FROM th LEFT JOIN np USING (threshold)
+         |LEFT JOIN nd USING (threshold)
+         |ORDER BY threshold""".stripMargin,
     "q_dedup_embedding_cosine" ->
       embeddingCosineOracle("\n AND b.vec_id - a.vec_id <= 100"),
     // the UNBLOCKED all-pairs-within-label twin: proves the LSH blocking

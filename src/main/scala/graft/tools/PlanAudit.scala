@@ -102,6 +102,9 @@ object PlanAudit {
     "q_window_ljung_box" -> Set("NestedLoop", "SinglePartition"),
     // bounded length-histogram cumsum + 1-row totals (mann_whitney)
     "q_quality_cliff_delta" -> Set("NestedLoop", "SinglePartition"),
+    // candidate-pair frame crossed with the broadcast 8-row threshold
+    // dim (the pair frame itself is the checkpointed ngramJaccard)
+    "q_dedup_threshold_curve" -> Set("NestedLoop"),
     // cumsum + argmin windows over the ≤100-row price-bin frame with
     // its 1-row totals crossed broadcast (the quantile_portable shape)
     "q_ml_gains_table" -> Set("NestedLoop", "SinglePartition"),
