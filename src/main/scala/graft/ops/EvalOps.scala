@@ -314,10 +314,17 @@ object EvalOps extends graft.QueryModule {
         when($"k_systems" === 3L, 5.991).when($"k_systems" === 4L, 7.815)
           .when($"k_systems" === 5L, 9.488).when($"k_systems" === 6L, 11.070)
           .when($"k_systems" === 7L, 12.592))
-      .select($"n_blocks", $"k_systems", micro($"chi2_raw").as("chi2"),
-        micro($"chi2_raw" / ($"n_blocks" * ($"k_systems" - 1L))
-          .cast("double")).as("kendall_w"),
-        (micro($"chi2_raw") > $"crit").as("significant"))
+      // degenerate guards: zero complete blocks (0/0) or a single
+      // system (W's denominator n(k−1)=0 → ±Inf, which DuckDB cannot
+      // cast) → NULL readouts, mirrored CASEs in the twin
+      .select($"n_blocks", $"k_systems",
+        when($"n_blocks" > 0L && $"k_systems" > 1L,
+          micro($"chi2_raw")).as("chi2"),
+        when($"n_blocks" > 0L && $"k_systems" > 1L,
+          micro($"chi2_raw" / ($"n_blocks" * ($"k_systems" - 1L))
+            .cast("double"))).as("kendall_w"),
+        when($"n_blocks" > 0L && $"k_systems" > 1L,
+          micro($"chi2_raw") > $"crit").as("significant"))
   }
 
   /** q_ml_conformal_interval — split conformal prediction (Vovk et al.
@@ -457,6 +464,9 @@ object EvalOps extends graft.QueryModule {
       .withColumn("cum_pos", sum($"pos").over(
         w.orderBy($"bin".desc).rowsBetween(w.unboundedPreceding, 0)))
       .crossJoin(broadcast(tot)) // 1-row totals frame
+      // degenerate guard: zero positives ⇒ gain/lift are 0/0 — emit
+      // zero rows, the oracle mirrors the WHERE
+      .filter($"pp" > 0L)
       .select($"bin", $"n", $"pos", $"cum_n", $"cum_pos",
         micro($"cum_n".cast("double") / $"nn".cast("double"))
           .as("pop_share"),
@@ -580,6 +590,9 @@ object EvalOps extends graft.QueryModule {
       .withColumn("predpos", sum($"n").over(
         w.orderBy($"bin".desc).rowsBetween(w.unboundedPreceding, 0)))
       .crossJoin(broadcast(tot)) // 1-row totals frame
+      // degenerate guard: a single-class corpus has no ROC (TPR or
+      // FPR is 0/0) — emit zero rows, the oracle mirrors the WHERE
+      .filter($"pp" > 0L && $"nn" > $"pp")
       .withColumn("fp", $"predpos" - $"tp")
       .withColumn("tpr", $"tp".cast("double") / $"pp".cast("double"))
       .withColumn("fpr",
@@ -623,7 +636,7 @@ object EvalOps extends graft.QueryModule {
         |  SELECT bin, nn, pp,
         |    CAST(SUM(pos) OVER (ORDER BY bin DESC) AS BIGINT) AS tp,
         |    CAST(SUM(n) OVER (ORDER BY bin DESC) AS BIGINT) AS predpos
-        |  FROM bins, tot),
+        |  FROM bins, tot WHERE pp > 0 AND nn > pp),
         |s AS (
         |  SELECT bin, nn, pp, tp, predpos - tp AS fp,
         |    CAST(tp AS DOUBLE) / CAST(pp AS DOUBLE) AS tpr,
@@ -709,7 +722,8 @@ object EvalOps extends graft.QueryModule {
         |    CAST(SUM(pos) OVER (ORDER BY bin DESC) AS BIGINT) AS cum_pos,
         |    (SELECT CAST(SUM(n) AS BIGINT) FROM bins) AS nn,
         |    (SELECT CAST(SUM(pos) AS BIGINT) FROM bins) AS pp
-        |  FROM bins)
+        |  FROM bins
+        |  WHERE (SELECT CAST(SUM(pos) AS BIGINT) FROM bins) > 0)
         |SELECT bin, n, pos, cum_n, cum_pos,
         |  CAST(floor(CAST(cum_n AS DOUBLE) / CAST(nn AS DOUBLE) * 1e6)
         |    AS BIGINT) / 1e6 AS pop_share,
@@ -907,11 +921,16 @@ object EvalOps extends graft.QueryModule {
         |    END AS crit
         |  FROM tot)
         |SELECT n_blocks, k_systems,
-        |  CAST(floor(chi2_raw * 1e6) AS BIGINT) / 1e6 AS chi2,
-        |  CAST(floor(chi2_raw / CAST(n_blocks * (k_systems - 1)
-        |    AS DOUBLE) * 1e6) AS BIGINT) / 1e6 AS kendall_w,
-        |  CAST(floor(chi2_raw * 1e6) AS BIGINT) / 1e6 > crit
-        |    AS significant
+        |  CASE WHEN n_blocks > 0 AND k_systems > 1 THEN
+        |    CAST(floor(chi2_raw * 1e6) AS BIGINT) / 1e6
+        |  END AS chi2,
+        |  CASE WHEN n_blocks > 0 AND k_systems > 1 THEN
+        |    CAST(floor(chi2_raw / CAST(n_blocks * (k_systems - 1)
+        |      AS DOUBLE) * 1e6) AS BIGINT) / 1e6
+        |  END AS kendall_w,
+        |  CASE WHEN n_blocks > 0 AND k_systems > 1 THEN
+        |    CAST(floor(chi2_raw * 1e6) AS BIGINT) / 1e6 > crit
+        |  END AS significant
         |FROM readout""".stripMargin,
     "q_ml_conformal_interval" ->
       """WITH base AS (

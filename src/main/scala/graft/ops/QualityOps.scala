@@ -597,11 +597,17 @@ object QualityOps extends graft.QueryModule {
     val diff = m0 - m1
     val tLow = (diff + lit(15.0)) / se
     val tHigh = (diff - lit(15.0)) / se
+    // degenerate guards: n ≤ 1 zeroes a variance denominator, two
+    // constant samples zero se itself — either way the t's are
+    // undefined → NULL, mirrored CASEs in the twin
+    val ok = $"n0" > 1L && $"n1" > 1L && se > 0.0
     a.crossJoin(b) // two 1-row frames
       .select($"n0", $"n1", micro(diff).as("mean_diff"),
-        micro(se).as("se"),
-        micro(tLow).as("t_lower"), micro(tHigh).as("t_upper"),
-        (micro(tLow) > 1.645 && micro(tHigh) < -1.645).as("equivalent"))
+        when(ok, micro(se)).as("se"),
+        when(ok, micro(tLow)).as("t_lower"),
+        when(ok, micro(tHigh)).as("t_upper"),
+        when(ok, micro(tLow) > 1.645 && micro(tHigh) < -1.645)
+          .as("equivalent"))
   }
 
   /** q_quality_hedges_g — standardized effect size between the
@@ -639,10 +645,14 @@ object QualityOps extends graft.QueryModule {
     val d = diff / sp
     val corr = lit(1.0) -
       lit(3.0) / (lit(4L) * ($"n0" + $"n1") - 9L).cast("double")
+    // degenerate guards: the welch/tost class — n ≤ 1 or two constant
+    // samples make the pooled SD 0 and d undefined → NULL
+    val ok = $"n0" > 1L && $"n1" > 1L && sp > 0.0
     a.crossJoin(b) // two 1-row frames
       .select($"n0", $"n1", micro(diff).as("mean_diff"),
-        micro(sp).as("pooled_sd"), micro(d).as("cohens_d"),
-        micro(d * corr).as("hedges_g"))
+        when(ok, micro(sp)).as("pooled_sd"),
+        when(ok, micro(d)).as("cohens_d"),
+        when(ok, micro(d * corr)).as("hedges_g"))
   }
 
   /** q_quality_weighted_kappa — quadratic-weighted Cohen's kappa
@@ -678,11 +688,13 @@ object QualityOps extends graft.QueryModule {
         .as("sum_we")) // (w·row)·col as DECIMAL(38,0): exact past int64
     def micro(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       floor(c * 1e6).cast("long") / 1e6
+    // degenerate guard: one observed class zeroes every weight in the
+    // expected margin product -> kappa_w undefined -> NULL
     n.crossJoin(broadcast(wo)).crossJoin(broadcast(we)) // 1-row frames
       .select($"nn".as("n_obs"), $"sum_wo",
-        micro(lit(1.0) -
+        when($"sum_we" > 0L, micro(lit(1.0) -
           $"nn".cast("double") * $"sum_wo".cast("double") /
-            $"sum_we".cast("double")).as("kappa_w"))
+            $"sum_we".cast("double"))).as("kappa_w"))
   }
 
   /** q_quality_anova_oneway — one-way ANOVA F across ALL sources'
@@ -715,11 +727,17 @@ object QualityOps extends graft.QueryModule {
       $"nn".cast("double")
     val ssbD = $"ssb_raw".cast("double") - grand
     val sstD = $"sq".cast("double") - grand
+    // degenerate guards: one group (df1 = 0), no residual df (nn = k),
+    // an all-constant corpus (SST = 0), or perfect separation
+    // (SSW = 0 → F = ∞, which DuckDB cannot cast) → NULL
+    val ok = $"k" > 1L && $"nn" > $"k" && sstD > 0.0 &&
+      (sstD - ssbD) > 0.0
     tot.crossJoin(broadcast(ssb)) // two 1-row frames
       .select($"nn".as("n_obs"), $"k".as("k_groups"),
-        micro((ssbD / ($"k" - 1L).cast("double")) /
-          ((sstD - ssbD) / ($"nn" - $"k").cast("double"))).as("f_stat"),
-        micro(ssbD / sstD).as("eta_sq"))
+        when(ok, micro((ssbD / ($"k" - 1L).cast("double")) /
+          ((sstD - ssbD) / ($"nn" - $"k").cast("double"))))
+          .as("f_stat"),
+        when(ok, micro(ssbD / sstD)).as("eta_sq"))
   }
 
   /** q_quality_mmd_poly — maximum mean discrepancy (Gretton et al.,
@@ -801,10 +819,15 @@ object QualityOps extends graft.QueryModule {
       $"nn".cast("double")
     val ssbD = $"ssb_raw".cast("double") - grand
     val sstD = $"sq".cast("double") - grand
+    // the anovaOneway degenerate guards, plus: every |x − median| can
+    // be 0 under per-group-constant data, zeroing SST on z itself
+    val ok = $"k" > 1L && $"nn" > $"k" && sstD > 0.0 &&
+      (sstD - ssbD) > 0.0
     tot.crossJoin(broadcast(ssb)) // two 1-row frames
       .select($"nn".as("n_obs"), $"k".as("k_groups"),
-        micro((ssbD / ($"k" - 1L).cast("double")) /
-          ((sstD - ssbD) / ($"nn" - $"k").cast("double"))).as("f_stat"))
+        when(ok, micro((ssbD / ($"k" - 1L).cast("double")) /
+          ((sstD - ssbD) / ($"nn" - $"k").cast("double"))))
+          .as("f_stat"))
   }
 
   /** q_quality_cliff_delta — Cliff's delta (Psych. Bull. 1993), the
@@ -847,14 +870,18 @@ object QualityOps extends graft.QueryModule {
     val pairsD = $"n0".cast("double") * $"n1".cast("double")
     val delta6 = micro(($"n_gt".cast("double") - $"n_lt".cast("double"))
       / pairsD)
+    // degenerate guard: a missing side (n0 or n1 = 0) has no cross
+    // pairs -> rates and delta undefined -> NULL (lazily gated)
+    val ok = $"n0" > 0L && $"n1" > 0L
     sums.select($"n0", $"n1",
-      micro($"n_gt".cast("double") / pairsD).as("p_gt"),
-      micro($"n_lt".cast("double") / pairsD).as("p_lt"),
-      delta6.as("cliff_delta"),
-      when(abs(delta6) < 0.147, "negligible")
-        .when(abs(delta6) < 0.33, "small")
-        .when(abs(delta6) < 0.474, "medium")
-        .otherwise("large").as("magnitude"))
+      when(ok, micro($"n_gt".cast("double") / pairsD)).as("p_gt"),
+      when(ok, micro($"n_lt".cast("double") / pairsD)).as("p_lt"),
+      when(ok, delta6).as("cliff_delta"),
+      when(ok,
+        when(abs(delta6) < 0.147, "negligible")
+          .when(abs(delta6) < 0.33, "small")
+          .when(abs(delta6) < 0.474, "medium")
+          .otherwise("large")).as("magnitude"))
   }
 
   /** q_quality_mann_whitney — two-sample Mann–Whitney U test (Mann &
@@ -1025,17 +1052,20 @@ object QualityOps extends graft.QueryModule {
         .as("de_num")) // decimal(38,0): exact past the int64 ceiling
     def micro(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       floor(c * 1e6).cast("long") / 1e6
+    // degenerate guard: a corpus every annotator labels identically
+    // zeroes D_e and alpha is undefined -> NULL (lazily gated: ANSI
+    // throws on the division otherwise)
     n.crossJoin(broadcast(doN)).crossJoin(broadcast(deN)) // 1-row frames
       .select($"n_units", lit(3L).as("n_raters"),
-        micro($"do_num".cast("double") /
-          (lit(6.0) * $"n_units".cast("double"))).as("d_o"),
-        micro($"de_num".cast("double") /
+        when($"n_units" > 0L, micro($"do_num".cast("double") /
+          (lit(6.0) * $"n_units".cast("double")))).as("d_o"),
+        when($"n_units" > 0L, micro($"de_num".cast("double") /
           (lit(3.0) * $"n_units".cast("double") *
-            (lit(3.0) * $"n_units".cast("double") - 1.0))).as("d_e"),
-        micro(lit(1.0) -
+            (lit(3.0) * $"n_units".cast("double") - 1.0)))).as("d_e"),
+        when($"de_num" > 0L, micro(lit(1.0) -
           $"do_num".cast("double") *
             (lit(3.0) * $"n_units".cast("double") - 1.0) /
-            (lit(2.0) * $"de_num".cast("double"))).as("alpha"))
+            (lit(2.0) * $"de_num".cast("double")))).as("alpha"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1093,18 +1123,22 @@ object QualityOps extends graft.QueryModule {
         |  FROM cum),
         |e AS (
         |  SELECT n0, n1,
-        |    CAST(floor(CAST(n_gt AS DOUBLE) /
-        |      (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)) * 1e6)
-        |      AS BIGINT) / 1e6 AS p_gt,
-        |    CAST(floor(CAST(n_lt AS DOUBLE) /
-        |      (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)) * 1e6)
-        |      AS BIGINT) / 1e6 AS p_lt,
-        |    CAST(floor((CAST(n_gt AS DOUBLE) - CAST(n_lt AS DOUBLE)) /
-        |      (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)) * 1e6)
-        |      AS BIGINT) / 1e6 AS d6
+        |    CASE WHEN n0 > 0 AND n1 > 0 THEN
+        |      CAST(floor(CAST(n_gt AS DOUBLE) /
+        |        (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)) * 1e6)
+        |        AS BIGINT) / 1e6 END AS p_gt,
+        |    CASE WHEN n0 > 0 AND n1 > 0 THEN
+        |      CAST(floor(CAST(n_lt AS DOUBLE) /
+        |        (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)) * 1e6)
+        |        AS BIGINT) / 1e6 END AS p_lt,
+        |    CASE WHEN n0 > 0 AND n1 > 0 THEN
+        |      CAST(floor((CAST(n_gt AS DOUBLE) - CAST(n_lt AS DOUBLE))
+        |        / (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)) * 1e6)
+        |        AS BIGINT) / 1e6 END AS d6
         |  FROM s)
         |SELECT n0, n1, p_gt, p_lt, d6 AS cliff_delta,
-        |  CASE WHEN abs(d6) < 0.147 THEN 'negligible'
+        |  CASE WHEN d6 IS NULL THEN NULL
+        |    WHEN abs(d6) < 0.147 THEN 'negligible'
         |    WHEN abs(d6) < 0.33 THEN 'small'
         |    WHEN abs(d6) < 0.474 THEN 'medium'
         |    ELSE 'large' END AS magnitude
@@ -1134,10 +1168,16 @@ object QualityOps extends graft.QueryModule {
         |      CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE) AS sstd
         |  FROM tot, ssb)
         |SELECT nn AS n_obs, k AS k_groups,
-        |  CAST(floor((ssbd / CAST(k - 1 AS DOUBLE)) /
-        |    ((sstd - ssbd) / CAST(nn - k AS DOUBLE)) * 1e6) AS BIGINT)
-        |    / 1e6 AS f_stat,
-        |  CAST(floor(ssbd / sstd * 1e6) AS BIGINT) / 1e6 AS eta_sq
+        |  CASE WHEN k > 1 AND nn > k AND sstd > 0.0
+        |      AND sstd - ssbd > 0.0 THEN
+        |    CAST(floor((ssbd / CAST(k - 1 AS DOUBLE)) /
+        |      ((sstd - ssbd) / CAST(nn - k AS DOUBLE)) * 1e6)
+        |      AS BIGINT) / 1e6
+        |  END AS f_stat,
+        |  CASE WHEN k > 1 AND nn > k AND sstd > 0.0
+        |      AND sstd - ssbd > 0.0 THEN
+        |    CAST(floor(ssbd / sstd * 1e6) AS BIGINT) / 1e6
+        |  END AS eta_sq
         |FROM e""".stripMargin,
     "q_quality_mmd_poly" ->
       """WITH g AS (
@@ -1201,9 +1241,12 @@ object QualityOps extends graft.QueryModule {
         |      CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE) AS sstd
         |  FROM tot, ssb)
         |SELECT nn AS n_obs, k AS k_groups,
-        |  CAST(floor((ssbd / CAST(k - 1 AS DOUBLE)) /
-        |    ((sstd - ssbd) / CAST(nn - k AS DOUBLE)) * 1e6) AS BIGINT)
-        |    / 1e6 AS f_stat
+        |  CASE WHEN k > 1 AND nn > k AND sstd > 0.0
+        |      AND sstd - ssbd > 0.0 THEN
+        |    CAST(floor((ssbd / CAST(k - 1 AS DOUBLE)) /
+        |      ((sstd - ssbd) / CAST(nn - k AS DOUBLE)) * 1e6)
+        |      AS BIGINT) / 1e6
+        |  END AS f_stat
         |FROM e""".stripMargin,
     "q_quality_hedges_g" ->
       """WITH g AS (
@@ -1229,10 +1272,14 @@ object QualityOps extends graft.QueryModule {
         |  FROM ab)
         |SELECT n0, n1,
         |  CAST(floor(diff * 1e6) AS BIGINT) / 1e6 AS mean_diff,
-        |  CAST(floor(sp * 1e6) AS BIGINT) / 1e6 AS pooled_sd,
-        |  CAST(floor(diff / sp * 1e6) AS BIGINT) / 1e6 AS cohens_d,
-        |  CAST(floor(diff / sp * corr * 1e6) AS BIGINT) / 1e6
-        |    AS hedges_g
+        |  CASE WHEN n0 > 1 AND n1 > 1 AND sp > 0.0 THEN
+        |    CAST(floor(sp * 1e6) AS BIGINT) / 1e6 END AS pooled_sd,
+        |  CASE WHEN n0 > 1 AND n1 > 1 AND sp > 0.0 THEN
+        |    CAST(floor(diff / sp * 1e6) AS BIGINT) / 1e6
+        |  END AS cohens_d,
+        |  CASE WHEN n0 > 1 AND n1 > 1 AND sp > 0.0 THEN
+        |    CAST(floor(diff / sp * corr * 1e6) AS BIGINT) / 1e6
+        |  END AS hedges_g
         |FROM s""".stripMargin,
     "q_quality_weighted_kappa" ->
       """WITH lab AS (
@@ -1259,9 +1306,11 @@ object QualityOps extends graft.QueryModule {
         |    AS DECIMAL(38,0)) AS sum_we
         |  FROM r CROSS JOIN c)
         |SELECT nn AS n_obs, sum_wo,
-        |  CAST(floor((1.0 - CAST(nn AS DOUBLE) *
-        |    CAST(sum_wo AS DOUBLE) / CAST(sum_we AS DOUBLE)) * 1e6)
-        |    AS BIGINT) / 1e6 AS kappa_w
+        |  CASE WHEN sum_we > 0 THEN
+        |    CAST(floor((1.0 - CAST(nn AS DOUBLE) *
+        |      CAST(sum_wo AS DOUBLE) / CAST(sum_we AS DOUBLE)) * 1e6)
+        |      AS BIGINT) / 1e6
+        |  END AS kappa_w
         |FROM n, wo, we""".stripMargin,
     "q_quality_tost_equivalence" ->
       """WITH g AS (
@@ -1284,14 +1333,20 @@ object QualityOps extends graft.QueryModule {
         |  FROM ab)
         |SELECT n0, n1,
         |  CAST(floor(diff * 1e6) AS BIGINT) / 1e6 AS mean_diff,
-        |  CAST(floor(se * 1e6) AS BIGINT) / 1e6 AS se,
-        |  CAST(floor((diff + 15.0) / se * 1e6) AS BIGINT) / 1e6
-        |    AS t_lower,
-        |  CAST(floor((diff - 15.0) / se * 1e6) AS BIGINT) / 1e6
-        |    AS t_upper,
-        |  CAST(floor((diff + 15.0) / se * 1e6) AS BIGINT) / 1e6 > 1.645
+        |  CASE WHEN n0 > 1 AND n1 > 1 AND se > 0.0 THEN
+        |    CAST(floor(se * 1e6) AS BIGINT) / 1e6 END AS se,
+        |  CASE WHEN n0 > 1 AND n1 > 1 AND se > 0.0 THEN
+        |    CAST(floor((diff + 15.0) / se * 1e6) AS BIGINT) / 1e6
+        |  END AS t_lower,
+        |  CASE WHEN n0 > 1 AND n1 > 1 AND se > 0.0 THEN
+        |    CAST(floor((diff - 15.0) / se * 1e6) AS BIGINT) / 1e6
+        |  END AS t_upper,
+        |  CASE WHEN n0 > 1 AND n1 > 1 AND se > 0.0 THEN
+        |    CAST(floor((diff + 15.0) / se * 1e6) AS BIGINT) / 1e6
+        |      > 1.645
         |    AND CAST(floor((diff - 15.0) / se * 1e6) AS BIGINT) / 1e6
-        |      < -1.645 AS equivalent
+        |      < -1.645
+        |  END AS equivalent
         |FROM s""".stripMargin,
     "q_quality_krippendorff_alpha" ->
       """WITH lab AS (
@@ -1321,17 +1376,21 @@ object QualityOps extends graft.QueryModule {
         |  FROM (SELECT c, CAST(SUM(o) AS BIGINT) AS p_c
         |        FROM ouc GROUP BY 1), n)
         |SELECT n_units, CAST(3 AS BIGINT) AS n_raters,
-        |  CAST(floor(CAST(do_num AS DOUBLE) /
-        |    (6.0 * CAST(n_units AS DOUBLE)) * 1e6) AS BIGINT) / 1e6
-        |    AS d_o,
-        |  CAST(floor(CAST(de_num AS DOUBLE) /
-        |    (3.0 * CAST(n_units AS DOUBLE) *
-        |      (3.0 * CAST(n_units AS DOUBLE) - 1.0)) * 1e6) AS BIGINT)
-        |    / 1e6 AS d_e,
-        |  CAST(floor((1.0 - CAST(do_num AS DOUBLE) *
-        |    (3.0 * CAST(n_units AS DOUBLE) - 1.0) /
-        |    (2.0 * CAST(de_num AS DOUBLE))) * 1e6) AS BIGINT) / 1e6
-        |    AS alpha
+        |  CASE WHEN n_units > 0 THEN
+        |    CAST(floor(CAST(do_num AS DOUBLE) /
+        |      (6.0 * CAST(n_units AS DOUBLE)) * 1e6) AS BIGINT) / 1e6
+        |  END AS d_o,
+        |  CASE WHEN n_units > 0 THEN
+        |    CAST(floor(CAST(de_num AS DOUBLE) /
+        |      (3.0 * CAST(n_units AS DOUBLE) *
+        |        (3.0 * CAST(n_units AS DOUBLE) - 1.0)) * 1e6)
+        |      AS BIGINT) / 1e6
+        |  END AS d_e,
+        |  CASE WHEN de_num > 0 THEN
+        |    CAST(floor((1.0 - CAST(do_num AS DOUBLE) *
+        |      (3.0 * CAST(n_units AS DOUBLE) - 1.0) /
+        |      (2.0 * CAST(de_num AS DOUBLE))) * 1e6) AS BIGINT) / 1e6
+        |  END AS alpha
         |FROM n, don, den""".stripMargin,
     "q_quality_theil_index" ->
       """WITH tot AS (

@@ -640,12 +640,17 @@ object WindowOps extends graft.QueryModule {
         sum($"r2").as("r2"), sum($"sr1").as("sr1"),
         sum($"sr2").as("sr2"), sum($"tr1").as("tr1"),
         sum($"tr2").as("tr2"))
+      // degenerate guard: a CONSTANT series zeroes Var(S+R)/Var(T+R)
+      // and the strength ratio is undefined → NULL; the when gates the
+      // division itself (ANSI throws on x/0 even for doubles)
       .select($"n".as("n_days"),
-        micro(greatest(lit(0.0), lit(1.0) -
-          varOf($"r1", $"r2", $"n") / varOf($"sr1", $"sr2", $"n")))
+        when(varOf($"sr1", $"sr2", $"n") > 0.0,
+          micro(greatest(lit(0.0), lit(1.0) -
+            varOf($"r1", $"r2", $"n") / varOf($"sr1", $"sr2", $"n"))))
           .as("f_seasonal"),
-        micro(greatest(lit(0.0), lit(1.0) -
-          varOf($"r1", $"r2", $"n") / varOf($"tr1", $"tr2", $"n")))
+        when(varOf($"tr1", $"tr2", $"n") > 0.0,
+          micro(greatest(lit(0.0), lit(1.0) -
+            varOf($"r1", $"r2", $"n") / varOf($"tr1", $"tr2", $"n"))))
           .as("f_trend"))
   }
 
@@ -747,11 +752,21 @@ object WindowOps extends graft.QueryModule {
         lit(3.0) * $"sum_r2sq".cast("double") /
           ($"n_days" * ($"n_days" + 1L)).cast("double") -
           lit(3.0) * ($"n_days" + 1L).cast("double"))
-      .withColumn("corr", lit(1.0) - $"tcorr".cast("double") /
-        ($"n_days" * $"n_days" * $"n_days" - $"n_days").cast("double"))
+      // degenerate guards: a 1-day series zeroes the correction's
+      // denominator, an ALL-TIED series zeroes corr itself — both
+      // make H 0/0; NULL is the defined readout. The n_days guard
+      // wraps corr's own division (ANSI mode throws on x/0 even for
+      // doubles, so the division must be lazily gated, not just its
+      // consumer); `when` branches evaluate lazily in Spark, the
+      // CASE twin does the same in DuckDB.
+      .withColumn("corr", when($"n_days" > 1L,
+        lit(1.0) - $"tcorr".cast("double") /
+          ($"n_days" * $"n_days" * $"n_days" - $"n_days").cast("double")))
       .select($"n_days", $"k".as("k_groups"),
-        micro($"h_raw" / $"corr").as("h_stat"),
-        (micro($"h_raw" / $"corr") > 12.592).as("significant")) // df=6
+        when($"corr" > 0.0,
+          micro($"h_raw" / $"corr")).as("h_stat"),
+        when($"corr" > 0.0,
+          micro($"h_raw" / $"corr") > 12.592).as("significant")) // df=6
   }
 
   /** q_window_ljung_box — the Ljung–Box portmanteau test (Biometrika
@@ -891,6 +906,10 @@ object WindowOps extends graft.QueryModule {
       .filter(abs($"u") === $"k_stat")
       .agg(first($"n_days").as("n_days"), first($"k_stat").as("k_stat"),
         min($"d1").as("change_day")) // earliest argmax day
+      // degenerate guard (≤1 day ⇒ no pairs): the empty-frame global
+      // agg yields one all-NULL row here while the oracle's GROUP BY
+      // yields zero rows — drop it so both engines emit 0 rows
+      .filter($"k_stat".isNotNull)
       .withColumn("exparg",
         lit(-6.0) * ($"k_stat" * $"k_stat").cast("double") /
           ($"n_days" * $"n_days" * ($"n_days" + 1L)).cast("double"))
@@ -1377,14 +1396,20 @@ object WindowOps extends graft.QueryModule {
         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM d),
         |e AS (
         |  SELECT n_days, k,
-        |    (3.0 * sum_r2sq / CAST(n_days * (n_days + 1) AS DOUBLE) -
-        |      3.0 * CAST(n_days + 1 AS DOUBLE)) /
-        |    (1.0 - CAST(tcorr AS DOUBLE) /
-        |      CAST(n_days * n_days * n_days - n_days AS DOUBLE)) AS h
+        |    3.0 * sum_r2sq / CAST(n_days * (n_days + 1) AS DOUBLE) -
+        |      3.0 * CAST(n_days + 1 AS DOUBLE) AS h_raw,
+        |    CASE WHEN n_days > 1 THEN
+        |      1.0 - CAST(tcorr AS DOUBLE) /
+        |        CAST(n_days * n_days * n_days - n_days AS DOUBLE)
+        |    END AS corr
         |  FROM n, grp, ties)
         |SELECT n_days, k AS k_groups,
-        |  CAST(floor(h * 1e6) AS BIGINT) / 1e6 AS h_stat,
-        |  CAST(floor(h * 1e6) AS BIGINT) / 1e6 > 12.592 AS significant
+        |  CASE WHEN corr > 0.0 THEN
+        |    CAST(floor(h_raw / corr * 1e6) AS BIGINT) / 1e6
+        |  END AS h_stat,
+        |  CASE WHEN corr > 0.0 THEN
+        |    CAST(floor(h_raw / corr * 1e6) AS BIGINT) / 1e6 > 12.592
+        |  END AS significant
         |FROM e""".stripMargin,
     "q_window_ljung_box" -> {
       val lags = (1 to 7).map(k =>
@@ -1513,14 +1538,18 @@ object WindowOps extends graft.QueryModule {
         |      AS tr2
         |  FROM terms)
         |SELECT n AS n_days,
-        |  CAST(floor(greatest(0.0, 1.0 -
-        |    (r2 / n - (r1 / n) * (r1 / n)) /
-        |    (sr2 / n - (sr1 / n) * (sr1 / n))) * 1e6) AS BIGINT) / 1e6
-        |    AS f_seasonal,
-        |  CAST(floor(greatest(0.0, 1.0 -
-        |    (r2 / n - (r1 / n) * (r1 / n)) /
-        |    (tr2 / n - (tr1 / n) * (tr1 / n))) * 1e6) AS BIGINT) / 1e6
-        |    AS f_trend
+        |  CASE WHEN sr2 / n - (sr1 / n) * (sr1 / n) > 0.0 THEN
+        |    CAST(floor(greatest(0.0, 1.0 -
+        |      (r2 / n - (r1 / n) * (r1 / n)) /
+        |      (sr2 / n - (sr1 / n) * (sr1 / n))) * 1e6) AS BIGINT)
+        |      / 1e6
+        |  END AS f_seasonal,
+        |  CASE WHEN tr2 / n - (tr1 / n) * (tr1 / n) > 0.0 THEN
+        |    CAST(floor(greatest(0.0, 1.0 -
+        |      (r2 / n - (r1 / n) * (r1 / n)) /
+        |      (tr2 / n - (tr1 / n) * (tr1 / n))) * 1e6) AS BIGINT)
+        |      / 1e6
+        |  END AS f_trend
         |FROM agg""".stripMargin,
     "q_window_hurst" ->
       """WITH d AS (
