@@ -574,6 +574,11 @@ object WindowOps extends graft.QueryModule {
       acc + lit(2.0) * (lit(1.0) - lit(k.toDouble) / 8.0) *
         (col(s"g$k").cast("double") / n3)
     }
+    // degenerate guard: a CONSTANT (or single-day) series zeroes every
+    // u_t, so γ₀ = 0 and the ratio's denominator SE is 0 → 0/0; the
+    // `when` lazily gates the DIVISION itself (ANSI throws on double
+    // x/0), mirrored as CASE WHEN g0 > 0 in the twin. se_naive/se_hac
+    // stay defined (0 resp. NULL-via-lag-propagation on 1 day).
     g.select($"nd".as("n_days"),
         micro($"s".cast("double") / $"nd".cast("double") / 100.0)
           .as("mean_dollars"),
@@ -581,8 +586,9 @@ object WindowOps extends graft.QueryModule {
           100.0).as("se_naive_dollars"),
         micro(sqrt(lrv / $"nd".cast("double")) / 100.0)
           .as("se_hac_dollars"),
-        micro(sqrt(lrv / $"nd".cast("double")) /
-          sqrt($"g0".cast("double") / n3 / $"nd".cast("double")))
+        when($"g0" > 0,
+          micro(sqrt(lrv / $"nd".cast("double")) /
+            sqrt($"g0".cast("double") / n3 / $"nd".cast("double"))))
           .as("hac_ratio"))
   }
 
@@ -700,14 +706,18 @@ object WindowOps extends graft.QueryModule {
       popVarN3(sums, "qs")
         .select(lit(q.toLong).as("q"), $"n".as("nq"), $"uu".as("uuq"))
     }.reduce(_.unionAll(_))
+    // degenerate guard: a CONSTANT series zeroes the 1-day variance
+    // Σu² (uu1), making VR 0/0 — the `when` lazily gates the DIVISION
+    // (ANSI throws on double x/0), mirrored as CASE in the twin.
     perQ.crossJoin(broadcast(base)) // 1-row base-variance frame
       .select($"q", $"nq".as("n_windows"),
-        micro(($"uuq".cast("double") /
-          ($"nq".cast("double") * $"nq".cast("double") *
-            $"nq".cast("double"))) /
-          ($"q".cast("double") * ($"uu1".cast("double") /
-            ($"n1".cast("double") * $"n1".cast("double") *
-              $"n1".cast("double"))))).as("vr"))
+        when($"uu1" > 0,
+          micro(($"uuq".cast("double") /
+            ($"nq".cast("double") * $"nq".cast("double") *
+              $"nq".cast("double"))) /
+            ($"q".cast("double") * ($"uu1".cast("double") /
+              ($"n1".cast("double") * $"n1".cast("double") *
+                $"n1".cast("double")))))).as("vr"))
       .orderBy($"q")
   }
 
@@ -762,11 +772,19 @@ object WindowOps extends graft.QueryModule {
       .withColumn("corr", when($"n_days" > 1L,
         lit(1.0) - $"tcorr".cast("double") /
           ($"n_days" * $"n_days" * $"n_days" - $"n_days").cast("double")))
+      // the χ²_{k−1} 0.05 critical value follows the OBSERVED group
+      // count (a calendar missing weekdays has df = k_groups−1, not
+      // 6) via a bounded CASE — the friedmanTest pattern; k_groups=1
+      // has no between-group df, so significant is NULL with h_stat
+      .withColumn("crit",
+        when($"k" === 2L, 3.841).when($"k" === 3L, 5.991)
+          .when($"k" === 4L, 7.815).when($"k" === 5L, 9.488)
+          .when($"k" === 6L, 11.070).when($"k" === 7L, 12.592))
       .select($"n_days", $"k".as("k_groups"),
         when($"corr" > 0.0,
           micro($"h_raw" / $"corr")).as("h_stat"),
         when($"corr" > 0.0,
-          micro($"h_raw" / $"corr") > 12.592).as("significant")) // df=6
+          micro($"h_raw" / $"corr") > $"crit").as("significant"))
   }
 
   /** q_window_ljung_box — the Ljung–Box portmanteau test (Biometrika
@@ -803,11 +821,18 @@ object WindowOps extends graft.QueryModule {
         (col(s"g$k").cast("double") / $"g0".cast("double")) /
         ($"nd" - k.toLong).cast("double")
     }
+    // degenerate guard: a CONSTANT series zeroes γ₀ (every r_k is
+    // 0/0), and nd ≤ 7 zeroes an (n−k) denominator — both gated
+    // LAZILY around the division-bearing q fold (ANSI throws on
+    // double x/0), mirrored as CASE in the twin. The test needs
+    // n > lag count anyway, so NULL is the defined readout.
     g.select($"nd".as("n_days"),
-        micro($"nd".cast("double") * ($"nd" + 2L).cast("double") * q)
+        when($"g0" > 0 && $"nd" > 7L,
+          micro($"nd".cast("double") * ($"nd" + 2L).cast("double") * q))
           .as("q_stat"),
-        (micro($"nd".cast("double") * ($"nd" + 2L).cast("double") * q)
-          > 14.067).as("significant")) // chi2 df=7
+        when($"g0" > 0 && $"nd" > 7L,
+          micro($"nd".cast("double") * ($"nd" + 2L).cast("double") * q)
+            > 14.067).as("significant")) // chi2 df=7
   }
 
   /** q_window_mann_kendall — Mann–Kendall trend test (Mann 1945,
@@ -1084,12 +1109,20 @@ object WindowOps extends graft.QueryModule {
         .cast("decimal(18,6)").as("xx"))
     def micro(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       floor(c * 1e6).cast("long") / 1e6
+    // degenerate guard: a 16–31-day series yields full blocks at ONE
+    // size only, so the log-log OLS denominator k·Σxx − (Σx)² is
+    // exactly 0 → 0/0; the `when` lazily gates the DIVISION (ANSI
+    // throws on double x/0), mirrored as CASE in the twin. H needs
+    // ≥2 sizes to be a slope at all, so NULL is the defined readout.
     val slope = pts.agg(count(lit(1)).as("k"), sum($"x").as("sx"),
         sum($"y").as("sy"), sum($"xy").as("sxy"), sum($"xx").as("sxx"))
-      .select(micro(($"k".cast("double") * $"sxy".cast("double") -
-        $"sx".cast("double") * $"sy".cast("double")) /
+      .select(when($"k" >= 2L &&
         ($"k".cast("double") * $"sxx".cast("double") -
-          $"sx".cast("double") * $"sx".cast("double"))).as("hurst"))
+          $"sx".cast("double") * $"sx".cast("double")) > 0.0,
+        micro(($"k".cast("double") * $"sxy".cast("double") -
+          $"sx".cast("double") * $"sy".cast("double")) /
+          ($"k".cast("double") * $"sxx".cast("double") -
+            $"sx".cast("double") * $"sx".cast("double")))).as("hurst"))
     bySize.select($"bs".as("block_size"), $"n_blocks",
         micro($"mean_rs").as("mean_rs"))
       .crossJoin(broadcast(slope)) // 1-row slope frame
@@ -1366,9 +1399,11 @@ object WindowOps extends graft.QueryModule {
          |    AS se_naive_dollars,
          |  CAST(floor(sqrt(lrv / CAST(nd AS DOUBLE)) / 100.0 * 1e6)
          |    AS BIGINT) / 1e6 AS se_hac_dollars,
-         |  CAST(floor(sqrt(lrv / CAST(nd AS DOUBLE)) /
-         |    sqrt(CAST(g0 AS DOUBLE) / n3 / CAST(nd AS DOUBLE)) * 1e6)
-         |    AS BIGINT) / 1e6 AS hac_ratio
+         |  CASE WHEN g0 > 0 THEN
+         |    CAST(floor(sqrt(lrv / CAST(nd AS DOUBLE)) /
+         |      sqrt(CAST(g0 AS DOUBLE) / n3 / CAST(nd AS DOUBLE)) * 1e6)
+         |      AS BIGINT) / 1e6
+         |  END AS hac_ratio
          |FROM f""".stripMargin
     },
     "q_window_kruskal_dow" ->
@@ -1408,7 +1443,10 @@ object WindowOps extends graft.QueryModule {
         |    CAST(floor(h_raw / corr * 1e6) AS BIGINT) / 1e6
         |  END AS h_stat,
         |  CASE WHEN corr > 0.0 THEN
-        |    CAST(floor(h_raw / corr * 1e6) AS BIGINT) / 1e6 > 12.592
+        |    CAST(floor(h_raw / corr * 1e6) AS BIGINT) / 1e6 >
+        |      CASE k WHEN 2 THEN 3.841 WHEN 3 THEN 5.991
+        |        WHEN 4 THEN 7.815 WHEN 5 THEN 9.488
+        |        WHEN 6 THEN 11.070 WHEN 7 THEN 12.592 END
         |  END AS significant
         |FROM e""".stripMargin,
     "q_window_ljung_box" -> {
@@ -1443,7 +1481,9 @@ object WindowOps extends graft.QueryModule {
          |  FROM lagd),
          |f AS (
          |  SELECT nd,
-         |    CAST(nd AS DOUBLE) * CAST(nd + 2 AS DOUBLE) * ($qsum) AS q
+         |    CASE WHEN g0 > 0 AND nd > 7 THEN
+         |      CAST(nd AS DOUBLE) * CAST(nd + 2 AS DOUBLE) * ($qsum)
+         |    END AS q
          |  FROM g)
          |SELECT nd AS n_days,
          |  CAST(floor(q * 1e6) AS BIGINT) / 1e6 AS q_stat,
@@ -1487,12 +1527,14 @@ object WindowOps extends graft.QueryModule {
          |allq AS (SELECT * FROM v2 UNION ALL SELECT * FROM v5
          |         UNION ALL SELECT * FROM v10)
          |SELECT q, nq AS n_windows,
-         |  CAST(floor((CAST(uuq AS DOUBLE) /
-         |    (CAST(nq AS DOUBLE) * CAST(nq AS DOUBLE) *
-         |      CAST(nq AS DOUBLE))) /
-         |    (CAST(q AS DOUBLE) * (CAST(uu1 AS DOUBLE) /
-         |      (CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE) *
-         |        CAST(n1 AS DOUBLE)))) * 1e6) AS BIGINT) / 1e6 AS vr
+         |  CASE WHEN uu1 > 0 THEN
+         |    CAST(floor((CAST(uuq AS DOUBLE) /
+         |      (CAST(nq AS DOUBLE) * CAST(nq AS DOUBLE) *
+         |        CAST(nq AS DOUBLE))) /
+         |      (CAST(q AS DOUBLE) * (CAST(uu1 AS DOUBLE) /
+         |        (CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE) *
+         |          CAST(n1 AS DOUBLE)))) * 1e6) AS BIGINT) / 1e6
+         |  END AS vr
          |FROM allq, base ORDER BY q""".stripMargin
     },
     "q_window_stl_strength" ->
@@ -1612,12 +1654,17 @@ object WindowOps extends graft.QueryModule {
         |      6) AS DECIMAL(18,6)) AS xx
         |  FROM m),
         |slope AS (
-        |  SELECT CAST(floor((CAST(COUNT(*) AS DOUBLE) *
-        |      CAST(SUM(xy) AS DOUBLE) -
-        |      CAST(SUM(x) AS DOUBLE) * CAST(SUM(y) AS DOUBLE)) /
-        |    (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(xx) AS DOUBLE) -
-        |      CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE)) * 1e6)
-        |    AS BIGINT) / 1e6 AS hurst
+        |  SELECT CASE WHEN COUNT(*) >= 2 AND
+        |      CAST(COUNT(*) AS DOUBLE) * CAST(SUM(xx) AS DOUBLE) -
+        |        CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE) > 0.0
+        |    THEN
+        |      CAST(floor((CAST(COUNT(*) AS DOUBLE) *
+        |          CAST(SUM(xy) AS DOUBLE) -
+        |          CAST(SUM(x) AS DOUBLE) * CAST(SUM(y) AS DOUBLE)) /
+        |        (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(xx) AS DOUBLE) -
+        |          CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE)) * 1e6)
+        |        AS BIGINT) / 1e6
+        |    END AS hurst
         |  FROM pts)
         |SELECT bs AS block_size, n_blocks,
         |  CAST(floor(mean_rs * 1e6) AS BIGINT) / 1e6 AS mean_rs, hurst

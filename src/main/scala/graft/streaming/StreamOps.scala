@@ -66,9 +66,17 @@ object StreamOps extends graft.QueryModule {
     // events.parquet (stream the parent dir, glob on the file name —
     // pathGlobFilter matches LEAF names, so it would see zero files
     // under a directory table) and the production DIRECTORY layout
-    // (e.g. the synthesized sf1) — stream the directory itself
+    // (e.g. the synthesized sf1) — stream the directory itself. The
+    // probe goes through the Hadoop FileSystem of the path (NOT
+    // java.io.File, which only answers for local paths and would
+    // silently mis-route an HDFS/S3 directory table into the
+    // zero-match glob branch).
+    val evPath = new org.apache.hadoop.fs.Path(s"$sfDir/events.parquet")
+    val isDirLayout = evPath
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .getFileStatus(evPath).isDirectory
     val raw =
-      if (new java.io.File(s"$sfDir/events.parquet").isDirectory)
+      if (isDirLayout)
         spark.readStream.schema(rawSchema).parquet(s"$sfDir/events.parquet")
       else
         spark.readStream.schema(rawSchema)
