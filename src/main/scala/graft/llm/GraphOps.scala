@@ -306,12 +306,38 @@ object GraphOps extends graft.QueryModule {
       .orderBy($"n_members".desc, $"community")
   }
 
-  /** The shared 4-round deterministic LPA core: returns the
-    * support-filtered (a<b) edge list, the round-2 snapshot, and the
-    * final (node, lbl) assignment — [[labelPropagation]] reads the
+  private[llm] def lpaArtifactPath(sfDir: String): String =
+    s"${graft.Artifacts.root}/graft_lpa_labels/" +
+      graft.Artifacts.key("v1", sfDir, "lineitem.parquet")
+
+  /** The shared 4-round deterministic LPA core, persisted ONCE per
+    * fixture generation as a build-once artifact (the shingle-index
+    * pattern): three consumers — [[labelPropagation]] reads the
     * partition, [[modularity]] scores it, [[lpaStability]] compares
-    * the snapshots. */
+    * the snapshots — used to re-run the same four vocabulary-bounded
+    * rounds each (~10.7 s combined at sf0.1, the r14 verdict's cheap
+    * win #3); now the first caller materializes edges + round-2 +
+    * round-4 under one content-keyed path and the other two read
+    * parquet. Rebuild-if-missing is pinned by GraphArtifactSpec. */
   private def lpaLabels(spark: SparkSession, sfDir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val path = lpaArtifactPath(sfDir)
+    val target = graft.flow.DirTarget(path)
+    if (!target.exists) target.atomicWrite { tmp =>
+      val (edges, lbl2, lbl4) = lpaLabelsCompute(spark, sfDir)
+      edges.write.mode("overwrite").parquet(s"$tmp/edges")
+      lbl2.write.mode("overwrite").parquet(s"$tmp/lbl2")
+      lbl4.write.mode("overwrite").parquet(s"$tmp/lbl4")
+    }
+    graft.Artifacts.sweepStale(path)
+    (spark.read.parquet(s"$path/edges"),
+      spark.read.parquet(s"$path/lbl2"),
+      spark.read.parquet(s"$path/lbl4"))
+  }
+
+  /** One LPA run: the support-filtered (a<b) edge list, the round-2
+    * snapshot, and the final (node, lbl) assignment. */
+  private def lpaLabelsCompute(spark: SparkSession, sfDir: String)
       : (DataFrame, DataFrame, DataFrame) = {
     import spark.implicits._
     val w = org.apache.spark.sql.expressions.Window

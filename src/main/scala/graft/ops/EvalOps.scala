@@ -31,7 +31,18 @@ object EvalOps extends graft.QueryModule {
     * domain squared (observed pairs only), and every MM round joins
     * that matrix to the ≤|supplier| rating frame (broadcast) — round
     * count is constant, each round localCheckpointed to cut lineage
-    * (the kcore discipline). The corpus is scanned exactly once. */
+    * (the kcore discipline), COALESCED to 1 partition first: the frame
+    * is ≤|supplier| rows, and materializing it as 32 shuffle
+    * partitions made checkpoint task overhead the dominant cost of
+    * the whole query (8.5 s at sf0.1, the r14 suite's slowest). The
+    * corpus is scanned exactly once. The readout ships
+    * conv_max_delta = max_s |p₈/p̄₈ − p₇/p̄₇|, the empirical pin for
+    * the 8-round budget (the lpaStability ARI pattern): ≈0 says the
+    * ratings had already converged a round earlier. 100 TB caveat:
+    * the per-round broadcast is |competitor-domain|-sized — right for
+    * catalog-bounded domains like suppliers; for an unbounded domain
+    * past spark.sql.autoBroadcastJoinThreshold, drop the broadcast()
+    * hints and let the rating join shuffle on s/o instead. */
   def bradleyTerry(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val per = graft.Tables.lineitem(spark, sfDir)
@@ -53,8 +64,11 @@ object EvalOps extends graft.QueryModule {
       .agg(sum($"wi").as("wij"), sum($"wj").as("wji"),
         count(lit(1)).as("nij"))
       .localCheckpoint()
+    // the doubled edge frame is read by all 8 rounds — pin it once
+    // (bounded by observed supplier pairs ×2, a few partitions suffice)
     val edges = pairs.select($"si".as("s"), $"sj".as("o"), $"nij".as("n"))
       .unionAll(pairs.select($"sj".as("s"), $"si".as("o"), $"nij".as("n")))
+      .coalesce(4).localCheckpoint()
     val wins = pairs.select($"si".as("s"), $"wij".as("w"), $"nij".as("n"))
       .unionAll(pairs.select($"sj".as("s"), $"wji".as("w"), $"nij".as("n")))
       .groupBy($"s").agg(sum($"w").as("w"), sum($"n").as("nc"))
@@ -62,20 +76,37 @@ object EvalOps extends graft.QueryModule {
     // 8 MM rounds; a supplier that never wins fixes at p=0 (the MLE
     // boundary), and p_i+p_j>0 holds for every observed pair because
     // tie-dropped duels always produce a winner on one side
-    var p = wins.select($"s", lit(1.0).as("p")).localCheckpoint()
-    for (_ <- 1 to 8) {
+    var p = wins.select($"s", lit(1.0).as("p")).coalesce(1).localCheckpoint()
+    var p7 = p // round-7 snapshot for the convergence readout
+    for (r <- 1 to 8) {
       val denom = edges
         .join(broadcast(p.select($"s", $"p".as("ps"))), Seq("s"))
         .join(broadcast(p.select($"s".as("o"), $"p".as("po"))), Seq("o"))
         .groupBy($"s").agg(sum($"n" / ($"ps" + $"po")).as("den"))
-      p = wins.join(denom, Seq("s"))
+      val next = wins.join(denom, Seq("s"))
         .select($"s", ($"w".cast("double") / $"den").as("p"))
-        .localCheckpoint()
+      // materialize every other round (plus the snapshot rounds): the
+      // lazy odd round is recomputed inside the even round's two
+      // broadcast legs — on the ≤|supplier| frame that recompute is
+      // cheaper than a full checkpoint job round-trip
+      p = if (r % 2 == 0 || r == 7) next.coalesce(1).localCheckpoint()
+          else next
+      if (r == 7) p7 = p
     }
     val norm = p.agg(avg($"p").as("pbar")) // 1-row scalar frame
+    val norm7 = p7.agg(avg($"p").as("pbar7")) // 1-row scalar frame
+    // max over doubles is order-independent, so the convergence pin is
+    // bit-deterministic; both rounds normalize by their own mean (the
+    // MM iterate is scale-free, raw rounds are not comparable)
+    val conv = p7.select($"s", $"p".as("pa"))
+      .join(p.select($"s", $"p".as("pb")), Seq("s"))
+      .crossJoin(broadcast(norm)).crossJoin(broadcast(norm7))
+      .agg(max(abs($"pb" / $"pbar" - $"pa" / $"pbar7")).as("cd"))
     wins.join(p, Seq("s")).crossJoin(broadcast(norm))
+      .crossJoin(broadcast(conv)) // 1-row convergence frame
       .select($"s".as("suppkey"), $"w".as("wins"),
-        $"nc".as("n_comparisons"), micro($"p" / $"pbar").as("rating"))
+        $"nc".as("n_comparisons"), micro($"p" / $"pbar").as("rating"),
+        micro($"cd").as("conv_max_delta"))
       .orderBy($"suppkey")
   }
 
@@ -111,11 +142,16 @@ object EvalOps extends graft.QueryModule {
        |        UNION ALL SELECT sj, wji, nij FROM pairs)
        |  GROUP BY 1),
        |r0 AS MATERIALIZED (SELECT s, CAST(1.0 AS DOUBLE) AS p FROM wins),
-       |$iters
+       |$iters,
+       |conv AS (
+       |  SELECT MAX(ABS(b.p / (SELECT AVG(p) FROM r8) -
+       |                 a.p / (SELECT AVG(p) FROM r7))) AS cd
+       |  FROM r7 a JOIN r8 b ON a.s = b.s)
        |SELECT wins.s AS suppkey, wins.w AS wins, wins.nc AS n_comparisons,
        |  CAST(floor(r8.p / (SELECT AVG(p) FROM r8) * 1e6) AS BIGINT) / 1e6
-       |    AS rating
-       |FROM wins JOIN r8 ON wins.s = r8.s ORDER BY suppkey""".stripMargin
+       |    AS rating,
+       |  CAST(floor(conv.cd * 1e6) AS BIGINT) / 1e6 AS conv_max_delta
+       |FROM wins JOIN r8 ON wins.s = r8.s, conv ORDER BY suppkey""".stripMargin
   }
 
   /** q_ml_pass_at_k — the unbiased pass@k estimator (Chen et al. 2021,
@@ -272,7 +308,8 @@ object EvalOps extends graft.QueryModule {
     * tiecount − 1 = minrank + maxrank, the spearman recipe). Kendall's
     * W = χ²_F/(n(k−1)) ships alongside as the [0,1] concordance
     * readout, and the significance call uses the χ²_{k−1} 0.05
-    * critical value via a bounded CASE (df 2–6). Numerics: ΣR2² is
+    * critical value via a bounded CASE (df 1–10; k=2 is the valid
+    * sign-test shape, crit 3.841). Numerics: ΣR2² is
     * int64 (R2_j ≤ 2k·n_blocks), ONE micro-floored double readout per
     * column with the oracle mirroring the exact expression order.
     *
@@ -310,10 +347,17 @@ object EvalOps extends graft.QueryModule {
         lit(3.0) * $"ssq".cast("double") /
           ($"n_blocks" * $"k_systems" * ($"k_systems" + 1L)).cast("double")
           - lit(3.0) * ($"n_blocks" * ($"k_systems" + 1L)).cast("double"))
+      // χ²_{k−1} 0.05 critical values for df 1..9 — k=2 IS a valid
+      // Friedman test (the sign-test shape, crit 3.841); beyond k=11
+      // crit is NULL and so is significant, while chi2/W (exact
+      // arithmetic, no table) stay defined
       .withColumn("crit",
-        when($"k_systems" === 3L, 5.991).when($"k_systems" === 4L, 7.815)
+        when($"k_systems" === 2L, 3.841)
+          .when($"k_systems" === 3L, 5.991).when($"k_systems" === 4L, 7.815)
           .when($"k_systems" === 5L, 9.488).when($"k_systems" === 6L, 11.070)
-          .when($"k_systems" === 7L, 12.592))
+          .when($"k_systems" === 7L, 12.592).when($"k_systems" === 8L, 14.067)
+          .when($"k_systems" === 9L, 15.507).when($"k_systems" === 10L, 16.919)
+          .when($"k_systems" === 11L, 18.307))
       // degenerate guards: zero complete blocks (0/0) or a single
       // system (W's denominator n(k−1)=0 → ±Inf, which DuckDB cannot
       // cast) → NULL readouts, mirrored CASEs in the twin
@@ -916,8 +960,11 @@ object EvalOps extends graft.QueryModule {
         |      CAST(n_blocks * k_systems * (k_systems + 1) AS DOUBLE)
         |      - 3.0 * CAST(n_blocks * (k_systems + 1) AS DOUBLE)
         |      AS chi2_raw,
-        |    CASE k_systems WHEN 3 THEN 5.991 WHEN 4 THEN 7.815
+        |    CASE k_systems WHEN 2 THEN 3.841
+        |      WHEN 3 THEN 5.991 WHEN 4 THEN 7.815
         |      WHEN 5 THEN 9.488 WHEN 6 THEN 11.070 WHEN 7 THEN 12.592
+        |      WHEN 8 THEN 14.067 WHEN 9 THEN 15.507 WHEN 10 THEN 16.919
+        |      WHEN 11 THEN 18.307
         |    END AS crit
         |  FROM tot)
         |SELECT n_blocks, k_systems,
