@@ -195,10 +195,148 @@ object MultimodalOps extends graft.QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** The per-cell luminance of the synthetic image corpus: a
+    * multiply-shift mixer (Knuth constant) over the injective cell
+    * index base·65599 + r·499 + c·31, int64-safe (mod 2¹⁶ before the
+    * big multiply) and built ONLY from %, xor, and shifts so the
+    * DuckDB twin derives the SAME pixel values without a codec. A
+    * plain additive congruential grid is NOT enough here: it gives
+    * every doc a constant-shifted copy of one pattern, whose dHashes
+    * collide en masse (measured: 63 k "pairs" over 500 docs). */
+  private[llm] def gridLum(base: Long, r: Int, c: Int): Int = {
+    val x = base * 65599L + r * 499L + c * 31L
+    val x1 = (x ^ (x >> 7)) % 65536L
+    ((((x1 * 2654435761L) % 4294967296L) >> 16) % 256L).toInt
+  }
+
+  /** Renders one 9×8 grayscale PNG per (doc, base, perturb) row from
+    * [[gridLum]]; perturbed rows shift ONE cell (3,4) by +8 mod 256 —
+    * the planted near-duplicate. Gray pixels make the ITU-601
+    * luminance exact: (299+587+114)/1000 of the same byte. */
+  private[llm] def renderGridPng(base: Long, perturb: Boolean): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 9) {
+        var lum = gridLum(base, r, c)
+        if (perturb && r == 3 && c == 4) lum = (lum + 8) % 256
+        img.setRGB(c, r, (lum << 16) | (lum << 8) | lum)
+        c += 1
+      }
+      r += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** dHash of a decoded 9×8 image as 4 LSH bands of 16 bits: bit
+    * (r, c) is set iff lum(r,c) < lum(r,c+1) (horizontal difference
+    * hash, Krawetz 2013), row r's 8 bits pack into a byte, and band
+    * k = rows 2k (low byte) + 2k+1 (high byte). */
+  private[llm] def dhashBands(img: java.awt.image.BufferedImage): Array[Long] = {
+    Array.tabulate(4) { k =>
+      var v = 0L
+      var rr = 0
+      while (rr < 2) {
+        val r = k * 2 + rr
+        var c = 0
+        while (c < 8) {
+          if ((img.getRGB(c, r) & 0xff) < (img.getRGB(c + 1, r) & 0xff))
+            v |= 1L << (rr * 8 + c)
+          c += 1
+        }
+        rr += 1
+      }
+      v
+    }
+  }
+
+  /** q_dedup_image_phash — perceptual near-duplicate detection for
+    * IMAGES: the dHash difference hash (Krawetz 2013; the standard
+    * cheap perceptual hash) + Hamming-band LSH candidate pairing —
+    * the image-pipeline twin of MinHash-LSH that a multimodal 100 TB
+    * corpus needs (crop-resistant "same picture, re-encoded" dedup,
+    * where exact byte dedup sees nothing). The pipeline is REAL end
+    * to end on the Spark side: each doc renders a deterministic
+    * grayscale PNG ([[renderGridPng]] — docs with doc_id ≡ 1 (mod
+    * 10) render their predecessor's image with one cell perturbed,
+    * the planted near-dups), the bytes are DECODED BACK through
+    * ImageIO (the actual codec path), and the 64-bit dHash is read
+    * off the decoded pixels as 4×16-bit bands. Candidates come from
+    * band-equality buckets (≤2 flipped bits can break at most 2 of 4
+    * bands — a planted pair always shares ≥2), full Hamming distance
+    * is Σ bit_count(xor) over the 4 bands, threshold ≤ 6. The DuckDB
+    * twin derives the SAME pixel grid from the closed-form luminance
+    * (no codec needed), so a green row proves the whole render →
+    * PNG-encode → ImageIO-decode → luminance → hash → band-join →
+    * Hamming chain lossless and correct — not just the SQL half.
+    *
+    * Scale: hashing is one narrow mapPartitions pass (codec init per
+    * partition, no shuffle); the hash frame is pinned once and feeds
+    * bands + both pair legs. Banding is the MinHash-LSH discipline —
+    * never all-pairs: candidates are equi-join buckets on (band,
+    * 16-bit value); expected bucket collision rate is n²·4/65536
+    * random pairs, and at real scale a hot-bucket cap (drop band
+    * values whose bucket exceeds a df-style cutoff — flat images all
+    * hash to band 0) bounds the quadratic term exactly like the
+    * shingle df-cutoff. The Hamming scoring join touches candidate
+    * pairs only. */
+  def imagePhashDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ids = graft.Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        when($"doc_id" % 10 === 1, $"doc_id" - 1).otherwise($"doc_id")
+          .as("base"),
+        ($"doc_id" % 10 === 1).as("isdup"))
+    // render: binary payload column, REAL PNG bytes
+    val png = ids.as[(Long, Long, Boolean)].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // per-partition codec init
+      it.map { case (docId, base, isdup) =>
+        (docId, renderGridPng(base, isdup))
+      }
+    }.toDF("doc_id", "payload")
+    // decode + hash: the codec path under test; pinned once — feeds
+    // the band explode AND both legs of the Hamming scoring join
+    val hashed = png.as[(Long, Array[Byte])].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { case (docId, bytes) =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        require(img != null, s"undecodable PNG for doc $docId")
+        val b = dhashBands(img)
+        (docId, b(0), b(1), b(2), b(3))
+      }
+    }.toDF("doc_id", "s0", "s1", "s2", "s3").localCheckpoint()
+    val bands = hashed
+      .select($"doc_id", posexplode(array($"s0", $"s1", $"s2", $"s3")))
+      .toDF("doc_id", "band", "v")
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.v") === col("y.v") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(hashed.select($"doc_id".as("doc_a"), $"s0".as("a0"),
+        $"s1".as("a1"), $"s2".as("a2"), $"s3".as("a3")), Seq("doc_a"))
+      .join(hashed.select($"doc_id".as("doc_b"), $"s0".as("b0"),
+        $"s1".as("b1"), $"s2".as("b2"), $"s3".as("b3")), Seq("doc_b"))
+      .select($"doc_a", $"doc_b",
+        expr("cast(bit_count(a0 ^ b0) + bit_count(a1 ^ b1) + " +
+          "bit_count(a2 ^ b2) + bit_count(a3 ^ b3) as bigint)")
+          .as("hamming"),
+        ($"doc_b" === $"doc_a" + 1 && $"doc_b" % 10 === 1).as("planted"))
+      .filter($"hamming" <= 6)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_meta" -> (mediaMeta _),
     "q_multimodal_features" -> (mediaFeatures _),
-    "q_multimodal_ingest_files" -> (mediaIngest _))
+    "q_multimodal_ingest_files" -> (mediaIngest _),
+    "q_dedup_image_phash" -> (imagePhashDedup _))
 
   def oracle: Map[String, String] = Map(
     "q_multimodal_meta" ->
@@ -211,6 +349,71 @@ object MultimodalOps extends graft.QueryModule {
         |  octet_length(CAST(text AS BLOB)) AS n_bytes,
         |  sha256(text) AS content_sha256
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the codec-free twin: the SAME pixel grid from the closed-form
+    // luminance, the same banding and Hamming set logic — equality
+    // proves the Spark side's codec roundtrip lossless
+    "q_dedup_image_phash" ->
+      """WITH ids AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |    CAST(CASE WHEN doc_id % 10 = 1 THEN doc_id - 1
+        |         ELSE doc_id END AS BIGINT) AS base,
+        |    doc_id % 10 = 1 AS isdup
+        |  FROM documents),
+        |mix AS (
+        |  SELECT doc_id, r, c, isdup,
+        |    xor(x, x >> 7) % 65536 AS x1
+        |  FROM (SELECT doc_id, r, c, isdup,
+        |      base * 65599 + r * 499 + c * 31 AS x
+        |    FROM ids
+        |    CROSS JOIN (SELECT CAST(range AS BIGINT) AS r
+        |                FROM range(0, 8)) rr
+        |    CROSS JOIN (SELECT CAST(range AS BIGINT) AS c
+        |                FROM range(0, 9)) cc)),
+        |cells AS (
+        |  SELECT doc_id, r, c,
+        |    CASE WHEN isdup AND r = 3 AND c = 4
+        |      THEN ((((x1 * 2654435761) % 4294967296) >> 16) % 256
+        |            + 8) % 256
+        |      ELSE (((x1 * 2654435761) % 4294967296) >> 16) % 256
+        |    END AS lum
+        |  FROM mix),
+        |rowbytes AS (
+        |  SELECT a.doc_id, a.r,
+        |    CAST(SUM(CASE WHEN a.lum < b.lum THEN 1 << a.c ELSE 0 END)
+        |      AS BIGINT) AS rv
+        |  FROM cells a JOIN cells b
+        |    ON a.doc_id = b.doc_id AND a.r = b.r AND b.c = a.c + 1
+        |  WHERE a.c < 8
+        |  GROUP BY 1, 2),
+        |bands AS (
+        |  SELECT doc_id, r // 2 AS band,
+        |    CAST(SUM(rv * CASE WHEN r % 2 = 1 THEN 256 ELSE 1 END)
+        |      AS BIGINT) AS v
+        |  FROM rowbytes GROUP BY 1, 2),
+        |h AS (
+        |  SELECT doc_id,
+        |    MAX(CASE WHEN band = 0 THEN v END) AS s0,
+        |    MAX(CASE WHEN band = 1 THEN v END) AS s1,
+        |    MAX(CASE WHEN band = 2 THEN v END) AS s2,
+        |    MAX(CASE WHEN band = 3 THEN v END) AS s3
+        |  FROM bands GROUP BY 1),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM bands x JOIN bands y
+        |    ON x.band = y.band AND x.v = y.v AND x.doc_id < y.doc_id),
+        |scored AS (
+        |  SELECT doc_a, doc_b,
+        |    CAST(bit_count(xor(ha.s0, hb.s0)) +
+        |         bit_count(xor(ha.s1, hb.s1)) +
+        |         bit_count(xor(ha.s2, hb.s2)) +
+        |         bit_count(xor(ha.s3, hb.s3)) AS BIGINT) AS hamming,
+        |    (doc_b = doc_a + 1 AND doc_b % 10 = 1) AS planted
+        |  FROM cand
+        |  JOIN h ha ON cand.doc_a = ha.doc_id
+        |  JOIN h hb ON cand.doc_b = hb.doc_id)
+        |SELECT doc_a, doc_b, hamming, planted
+        |FROM scored WHERE hamming <= 6
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // the table-derived truth of the file-tree ingest: same slice, same
     // byte accounting — lossless ingest means equality
     "q_multimodal_ingest_files" ->
