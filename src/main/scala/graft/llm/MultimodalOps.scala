@@ -209,19 +209,22 @@ object MultimodalOps extends graft.QueryModule {
     ((((x1 * 2654435761L) % 4294967296L) >> 16) % 256L).toInt
   }
 
-  /** Renders one 9×8 grayscale PNG per (doc, base, perturb) row from
-    * [[gridLum]]; perturbed rows shift ONE cell (3,4) by +8 mod 256 —
-    * the planted near-duplicate. Gray pixels make the ITU-601
-    * luminance exact: (299+587+114)/1000 of the same byte. */
-  private[llm] def renderGridPng(base: Long, perturb: Boolean): Array[Byte] = {
+  /** Renders one 9×8 grayscale PNG per (doc, base, perturb, flat)
+    * row from [[gridLum]]; perturbed rows shift ONE cell (3,4) by
+    * +8 mod 256 — the planted near-duplicate — and flat rows render
+    * the CONSTANT 128 image (the pathological "blank thumbnail"
+    * population that floods one LSH bucket). Gray pixels make the
+    * ITU-601 luminance exact: (299+587+114)/1000 of the same byte. */
+  private[llm] def renderGridPng(base: Long, perturb: Boolean,
+                                 flat: Boolean = false): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var r = 0
     while (r < 8) {
       var c = 0
       while (c < 9) {
-        var lum = gridLum(base, r, c)
-        if (perturb && r == 3 && c == 4) lum = (lum + 8) % 256
+        var lum = if (flat) 128 else gridLum(base, r, c)
+        if (!flat && perturb && r == 3 && c == 4) lum = (lum + 8) % 256
         img.setRGB(c, r, (lum << 16) | (lum << 8) | lum)
         c += 1
       }
@@ -279,23 +282,43 @@ object MultimodalOps extends graft.QueryModule {
     * bands + both pair legs. Banding is the MinHash-LSH discipline —
     * never all-pairs: candidates are equi-join buckets on (band,
     * 16-bit value); expected bucket collision rate is n²·4/65536
-    * random pairs, and at real scale a hot-bucket cap (drop band
-    * values whose bucket exceeds a df-style cutoff — flat images all
-    * hash to band 0) bounds the quadratic term exactly like the
+    * random pairs, and the [[BAND_CAP]] hot-bucket cap (exercised by
+    * the flat-thumbnail population, doc_id ≡ 24 mod 40 — see
+    * [[imagePhashPairs]]) bounds the quadratic term exactly like the
     * shingle df-cutoff. The Hamming scoring join touches candidate
     * pairs only. */
-  def imagePhashDedup(spark: SparkSession, sfDir: String): DataFrame = {
+  // (scaladoc above describes imagePhashDedup, declared as
+  // q_dedup_image_phash; the shared pieces follow)
+
+  /** Hot-bucket cap for the Hamming-band join: band buckets larger
+    * than this are dropped from candidate generation (both engines).
+    * The flat-image population (every blank thumbnail hashes to the
+    * SAME bands) would otherwise contribute C(n,2) degenerate pairs —
+    * the exact failure mode the shingle df-cutoff guards against on
+    * text. A real near-dup loses candidacy only if ALL FOUR of its
+    * bands are hot, which requires four independent 16-bit
+    * collisions with mass populations. */
+  private val BAND_CAP = 8L
+
+  /** The shared scored-pair frame: hashed corpus (pinned once),
+    * cap-filtered band buckets, candidate equi-join, full Hamming
+    * scoring — NO threshold, so both consumers (the dedup cutoff and
+    * the threshold curve) read the same candidates. */
+  private def imagePhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val ids = graft.Tables.documents(spark, sfDir)
       .select($"doc_id",
         when($"doc_id" % 10 === 1, $"doc_id" - 1).otherwise($"doc_id")
           .as("base"),
-        ($"doc_id" % 10 === 1).as("isdup"))
+        ($"doc_id" % 10 === 1).as("isdup"),
+        // flat "blank thumbnails": doc_id ≡ 24 (mod 40) — always ≡ 4
+        // (mod 10), so never a dup nor a dup's base, by construction
+        ($"doc_id" % 40 === 24).as("isflat"))
     // render: binary payload column, REAL PNG bytes
-    val png = ids.as[(Long, Long, Boolean)].mapPartitions { it =>
+    val png = ids.as[(Long, Long, Boolean, Boolean)].mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false) // per-partition codec init
-      it.map { case (docId, base, isdup) =>
-        (docId, renderGridPng(base, isdup))
+      it.map { case (docId, base, isdup, isflat) =>
+        (docId, renderGridPng(base, isdup, isflat))
       }
     }.toDF("doc_id", "payload")
     // decode + hash: the codec path under test; pinned once — feeds
@@ -313,7 +336,13 @@ object MultimodalOps extends graft.QueryModule {
     val bands = hashed
       .select($"doc_id", posexplode(array($"s0", $"s1", $"s2", $"s3")))
       .toDF("doc_id", "band", "v")
-    val cand = bands.as("x").join(bands.as("y"),
+    // the hot-bucket cap runs BEFORE pair generation, so a flooded
+    // bucket costs one group row, never C(n,2) join rows
+    val kept = bands.join(
+      bands.groupBy($"band", $"v").agg(count(lit(1)).as("n"))
+        .filter($"n" <= BAND_CAP).select($"band", $"v"),
+      Seq("band", "v"))
+    val cand = kept.as("x").join(kept.as("y"),
         col("x.band") === col("y.band") && col("x.v") === col("y.v") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
@@ -326,17 +355,116 @@ object MultimodalOps extends graft.QueryModule {
       .select($"doc_a", $"doc_b",
         expr("cast(bit_count(a0 ^ b0) + bit_count(a1 ^ b1) + " +
           "bit_count(a2 ^ b2) + bit_count(a3 ^ b3) as bigint)")
-          .as("hamming"),
+          .as("hamming"))
+  }
+
+  def imagePhashDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    imagePhashPairs(spark, sfDir)
+      .select($"doc_a", $"doc_b", $"hamming",
         ($"doc_b" === $"doc_a" + 1 && $"doc_b" % 10 === 1).as("planted"))
       .filter($"hamming" <= 6)
       .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** q_dedup_image_threshold_curve — dup-rate-vs-threshold sweep for
+    * the image pipeline (the q_dedup_threshold_curve discipline on
+    * the Hamming axis): for each cutoff θ ∈ 0..8, how many candidate
+    * pairs collapse and how many documents they touch — the readout
+    * that picks the production Hamming threshold before a destructive
+    * dedup run. ONE scored-pair computation (checkpointed), a
+    * broadcast 9-row θ dim crossed against it — never 9 re-scans;
+    * zero-pair cutoffs stay as rows via the dim-side left join. */
+  def imagePhashThresholdCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = imagePhashPairs(spark, sfDir).localCheckpoint()
+    val thetas = spark.range(0, 9).select($"id".as("theta"))
+    val nPairs = broadcast(thetas)
+      .join(pairs, $"hamming" <= $"theta", "left")
+      .groupBy($"theta").agg(count($"doc_a").as("n_pairs"))
+    val docsSide = pairs.select($"doc_a".as("d"), $"hamming")
+      .unionAll(pairs.select($"doc_b".as("d"), $"hamming"))
+    val nDocs = broadcast(thetas)
+      .join(docsSide, $"hamming" <= $"theta", "left")
+      .groupBy($"theta").agg(countDistinct($"d").as("n_docs_linked"))
+    nPairs.join(nDocs, Seq("theta")).orderBy($"theta")
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_meta" -> (mediaMeta _),
     "q_multimodal_features" -> (mediaFeatures _),
     "q_multimodal_ingest_files" -> (mediaIngest _),
-    "q_dedup_image_phash" -> (imagePhashDedup _))
+    "q_dedup_image_phash" -> (imagePhashDedup _),
+    "q_dedup_image_threshold_curve" -> (imagePhashThresholdCurve _))
+
+  /** Shared CTE block of the two image-phash twins: ids (dup + flat
+    * roles), the mixer grid, dHash row bytes, 16-bit bands, per-doc
+    * band columns, the ≤[[BAND_CAP]] bucket filter, candidate pairs,
+    * and Hamming-scored pairs. */
+  private def imagePhashSqlCtes: String =
+    """WITH ids AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |    CAST(CASE WHEN doc_id % 10 = 1 THEN doc_id - 1
+      |         ELSE doc_id END AS BIGINT) AS base,
+      |    doc_id % 10 = 1 AS isdup,
+      |    doc_id % 40 = 24 AS isflat
+      |  FROM documents),
+      |mix AS (
+      |  SELECT doc_id, r, c, isdup, isflat,
+      |    xor(x, x >> 7) % 65536 AS x1
+      |  FROM (SELECT doc_id, r, c, isdup, isflat,
+      |      base * 65599 + r * 499 + c * 31 AS x
+      |    FROM ids
+      |    CROSS JOIN (SELECT CAST(range AS BIGINT) AS r
+      |                FROM range(0, 8)) rr
+      |    CROSS JOIN (SELECT CAST(range AS BIGINT) AS c
+      |                FROM range(0, 9)) cc)),
+      |cells AS (
+      |  SELECT doc_id, r, c,
+      |    CASE WHEN isflat THEN 128
+      |      WHEN isdup AND r = 3 AND c = 4
+      |      THEN ((((x1 * 2654435761) % 4294967296) >> 16) % 256
+      |            + 8) % 256
+      |      ELSE (((x1 * 2654435761) % 4294967296) >> 16) % 256
+      |    END AS lum
+      |  FROM mix),
+      |rowbytes AS (
+      |  SELECT a.doc_id, a.r,
+      |    CAST(SUM(CASE WHEN a.lum < b.lum THEN 1 << a.c ELSE 0 END)
+      |      AS BIGINT) AS rv
+      |  FROM cells a JOIN cells b
+      |    ON a.doc_id = b.doc_id AND a.r = b.r AND b.c = a.c + 1
+      |  WHERE a.c < 8
+      |  GROUP BY 1, 2),
+      |bands AS (
+      |  SELECT doc_id, r // 2 AS band,
+      |    CAST(SUM(rv * CASE WHEN r % 2 = 1 THEN 256 ELSE 1 END)
+      |      AS BIGINT) AS v
+      |  FROM rowbytes GROUP BY 1, 2),
+      |h AS (
+      |  SELECT doc_id,
+      |    MAX(CASE WHEN band = 0 THEN v END) AS s0,
+      |    MAX(CASE WHEN band = 1 THEN v END) AS s1,
+      |    MAX(CASE WHEN band = 2 THEN v END) AS s2,
+      |    MAX(CASE WHEN band = 3 THEN v END) AS s3
+      |  FROM bands GROUP BY 1),
+      |kept AS (
+      |  SELECT b.* FROM bands b
+      |  JOIN (SELECT band, v FROM bands GROUP BY band, v
+      |        HAVING COUNT(*) <= 8) ok USING (band, v)),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      |  FROM kept x JOIN kept y
+      |    ON x.band = y.band AND x.v = y.v AND x.doc_id < y.doc_id),
+      |scored AS (
+      |  SELECT doc_a, doc_b,
+      |    CAST(bit_count(xor(ha.s0, hb.s0)) +
+      |         bit_count(xor(ha.s1, hb.s1)) +
+      |         bit_count(xor(ha.s2, hb.s2)) +
+      |         bit_count(xor(ha.s3, hb.s3)) AS BIGINT) AS hamming
+      |  FROM cand
+      |  JOIN h ha ON cand.doc_a = ha.doc_id
+      |  JOIN h hb ON cand.doc_b = hb.doc_id)""".stripMargin
 
   def oracle: Map[String, String] = Map(
     "q_multimodal_meta" ->
@@ -350,70 +478,32 @@ object MultimodalOps extends graft.QueryModule {
         |  sha256(text) AS content_sha256
         |FROM documents ORDER BY doc_id""".stripMargin,
     // the codec-free twin: the SAME pixel grid from the closed-form
-    // luminance, the same banding and Hamming set logic — equality
-    // proves the Spark side's codec roundtrip lossless
+    // luminance, the same banding, cap, and Hamming set logic —
+    // equality proves the Spark side's codec roundtrip lossless
     "q_dedup_image_phash" ->
-      """WITH ids AS (
-        |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
-        |    CAST(CASE WHEN doc_id % 10 = 1 THEN doc_id - 1
-        |         ELSE doc_id END AS BIGINT) AS base,
-        |    doc_id % 10 = 1 AS isdup
-        |  FROM documents),
-        |mix AS (
-        |  SELECT doc_id, r, c, isdup,
-        |    xor(x, x >> 7) % 65536 AS x1
-        |  FROM (SELECT doc_id, r, c, isdup,
-        |      base * 65599 + r * 499 + c * 31 AS x
-        |    FROM ids
-        |    CROSS JOIN (SELECT CAST(range AS BIGINT) AS r
-        |                FROM range(0, 8)) rr
-        |    CROSS JOIN (SELECT CAST(range AS BIGINT) AS c
-        |                FROM range(0, 9)) cc)),
-        |cells AS (
-        |  SELECT doc_id, r, c,
-        |    CASE WHEN isdup AND r = 3 AND c = 4
-        |      THEN ((((x1 * 2654435761) % 4294967296) >> 16) % 256
-        |            + 8) % 256
-        |      ELSE (((x1 * 2654435761) % 4294967296) >> 16) % 256
-        |    END AS lum
-        |  FROM mix),
-        |rowbytes AS (
-        |  SELECT a.doc_id, a.r,
-        |    CAST(SUM(CASE WHEN a.lum < b.lum THEN 1 << a.c ELSE 0 END)
-        |      AS BIGINT) AS rv
-        |  FROM cells a JOIN cells b
-        |    ON a.doc_id = b.doc_id AND a.r = b.r AND b.c = a.c + 1
-        |  WHERE a.c < 8
-        |  GROUP BY 1, 2),
-        |bands AS (
-        |  SELECT doc_id, r // 2 AS band,
-        |    CAST(SUM(rv * CASE WHEN r % 2 = 1 THEN 256 ELSE 1 END)
-        |      AS BIGINT) AS v
-        |  FROM rowbytes GROUP BY 1, 2),
-        |h AS (
-        |  SELECT doc_id,
-        |    MAX(CASE WHEN band = 0 THEN v END) AS s0,
-        |    MAX(CASE WHEN band = 1 THEN v END) AS s1,
-        |    MAX(CASE WHEN band = 2 THEN v END) AS s2,
-        |    MAX(CASE WHEN band = 3 THEN v END) AS s3
-        |  FROM bands GROUP BY 1),
-        |cand AS (
-        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-        |  FROM bands x JOIN bands y
-        |    ON x.band = y.band AND x.v = y.v AND x.doc_id < y.doc_id),
-        |scored AS (
-        |  SELECT doc_a, doc_b,
-        |    CAST(bit_count(xor(ha.s0, hb.s0)) +
-        |         bit_count(xor(ha.s1, hb.s1)) +
-        |         bit_count(xor(ha.s2, hb.s2)) +
-        |         bit_count(xor(ha.s3, hb.s3)) AS BIGINT) AS hamming,
-        |    (doc_b = doc_a + 1 AND doc_b % 10 = 1) AS planted
-        |  FROM cand
-        |  JOIN h ha ON cand.doc_a = ha.doc_id
-        |  JOIN h hb ON cand.doc_b = hb.doc_id)
-        |SELECT doc_a, doc_b, hamming, planted
+      s"""$imagePhashSqlCtes
+        |SELECT doc_a, doc_b, hamming,
+        |  (doc_b = doc_a + 1 AND doc_b % 10 = 1) AS planted
         |FROM scored WHERE hamming <= 6
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dedup_image_threshold_curve" ->
+      s"""$imagePhashSqlCtes,
+        |thetas AS (SELECT CAST(range AS BIGINT) AS theta
+        |           FROM range(0, 9)),
+        |np AS (
+        |  SELECT theta, CAST(COUNT(p.doc_a) AS BIGINT) AS n_pairs
+        |  FROM thetas t LEFT JOIN scored p ON p.hamming <= t.theta
+        |  GROUP BY 1),
+        |nd AS (
+        |  SELECT theta, CAST(COUNT(DISTINCT e.d) AS BIGINT)
+        |    AS n_docs_linked
+        |  FROM thetas t LEFT JOIN (
+        |    SELECT doc_a AS d, hamming FROM scored
+        |    UNION ALL SELECT doc_b, hamming FROM scored) e
+        |    ON e.hamming <= t.theta
+        |  GROUP BY 1)
+        |SELECT theta, n_pairs, n_docs_linked
+        |FROM np JOIN nd USING (theta) ORDER BY theta""".stripMargin,
     // the table-derived truth of the file-tree ingest: same slice, same
     // byte accounting — lossless ingest means equality
     "q_multimodal_ingest_files" ->

@@ -105,6 +105,9 @@ object PlanAudit {
     // candidate-pair frame crossed with the broadcast 8-row threshold
     // dim (the pair frame itself is the checkpointed ngramJaccard)
     "q_dedup_threshold_curve" -> Set("NestedLoop"),
+    // broadcast 9-row theta dim range-joined against the checkpointed
+    // image pair frame — the same bounded-dim cross as the text curve
+    "q_dedup_image_threshold_curve" -> Set("NestedLoop"),
     // cumsum + argmin windows over the ≤100-row price-bin frame with
     // its 1-row totals crossed broadcast (the quantile_portable shape)
     "q_ml_gains_table" -> Set("NestedLoop", "SinglePartition"),

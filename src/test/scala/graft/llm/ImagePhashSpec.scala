@@ -47,4 +47,30 @@ class ImagePhashSpec extends SparkTestBase {
     assert(rows.filter(_.getBoolean(3)).length === 3) // exactly the planted
     assert(rows.forall(r => !r.getBoolean(3) || r.getLong(2) <= 2))
   }
+
+  test("hot-bucket cap: a flooded flat-thumbnail bucket yields no pairs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-phash2").toString
+    // 0..399: ten flat docs (24, 64, ..., 384) — all render the SAME
+    // constant image, so without the cap they'd contribute C(10,2)=45
+    // hamming-0 pairs; the bucket (10 > cap 8) is dropped instead
+    (0L until 400L).toDF("doc_id").write.parquet(s"$dir/documents.parquet")
+    val rows = MultimodalOps.imagePhashDedup(spark, dir).collect()
+    assert(rows.count(_.getBoolean(3)) === 40) // planted survive the cap
+    val flatPair = rows.exists(r =>
+      r.getLong(0) % 40 == 24 && r.getLong(1) % 40 == 24)
+    assert(!flatPair, "capped flat bucket still produced pairs")
+  }
+
+  test("threshold curve: 9 monotone rows, planted pairs visible by theta=2") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-phash3").toString
+    (0L until 30L).toDF("doc_id").write.parquet(s"$dir/documents.parquet")
+    val rows = MultimodalOps.imagePhashThresholdCurve(spark, dir).collect()
+    assert(rows.length === 9)
+    assert(rows.map(_.getLong(0)).toSeq === (0L to 8L))
+    val np = rows.map(_.getLong(1))
+    assert(np.zip(np.tail).forall { case (a, b) => a <= b }, np.mkString(","))
+    assert(np(2) >= 3, s"planted pairs missing at theta=2: ${np.mkString(",")}")
+    val ndocs = rows.map(_.getLong(2))
+    assert(ndocs(2) >= 6) // each planted pair links 2 docs
+  }
 }
