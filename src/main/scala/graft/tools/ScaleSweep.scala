@@ -70,7 +70,15 @@ object ScaleSweep {
     ("q_graph_modularity", 1.0,
       "LPA rounds + two bounded hash aggs over the edge list"),
     ("q_graph_local_clustering", 1.0,
-      "closed-wedge join over support-filtered adjacency (adamic_adar)"))
+      "closed-wedge join over support-filtered adjacency (adamic_adar)"),
+    // round-15 wave: image-dedup + the MM-round shape
+    ("q_dedup_image_phash", 1.0,
+      "narrow render/decode/hash pass + capped band-bucket join"),
+    ("q_dedup_image_threshold_curve", 1.0,
+      "same capped pairs once, broadcast 9-row theta dim cross"),
+    ("q_ml_bradley_terry", 1.0,
+      "one corpus scan to the win matrix; 8 constant MM rounds on " +
+        "supplier-bounded frames"))
 
   private val Off = 1000000000L // replica key offset; > any sf1 key
 
