@@ -11,9 +11,12 @@ import org.apache.spark.sql.functions._
   * encoding of documents.text), but the decode step is REAL for images:
   * ImageIO (JDK-built-in) decodes PNG/JPEG/GIF/BMP payloads into true
   * dimensions + luminance features (proved on generated PNGs in
-  * MultimodalSpec); payloads no codec claims fall back to a clearly
-  * marked deterministic stub, which is what the fixture and the
-  * audio/video modalities exercise. Around the decoder is the Spark
+  * MultimodalSpec), and REAL for PCM WAV audio: javax.sound.sampled
+  * (JDK-built-in) parses the RIFF container back to samples (the
+  * audio_energy / audio_fingerprint queries run that path end to
+  * end). Payloads no codec claims fall back to a clearly marked
+  * deterministic stub, which is what the fixture's text-byte payloads
+  * and the video modality exercise. Around the decoder is the Spark
   * plumbing this operator family needs at 100 TB:
   *  - binary column + metadata struct schema,
   *  - mapPartitions with an iterator (batch-shaped: one decoder init per
@@ -127,8 +130,9 @@ object MultimodalOps extends graft.QueryModule {
   }
 
   /** STUB decoder — deterministic fake, NOT a real codec; the fallback
-    * for payloads no installed codec claims (non-media bytes, audio and
-    * video in this JDK-only container). Shapes the same decode/resize/
+    * for payloads no installed codec claims (non-media bytes and video
+    * in this JDK-only container; PCM WAV audio has a REAL decode path
+    * via [[audioBandEnergies]]). Shapes the same decode/resize/
     * frame-sample contract as the real path: resize = aspect-preserving
     * fit into 224x224; frame-sample = uniform stride down to <=16. */
   private def decodeStub(m: MediaRow): MediaFeatures = {
@@ -390,12 +394,182 @@ object MultimodalOps extends graft.QueryModule {
     nPairs.join(nDocs, Seq("theta")).orderBy($"theta")
   }
 
+  /** Per-sample value of the synthetic audio corpus: the [[gridLum]]
+    * mixer over the sample index (16-bit signed), with three roles
+    * mirrored from the image corpus — dup docs (doc_id ≡ 1 mod 10)
+    * replay their predecessor's waveform with window 3 (samples
+    * 384..511) shifted by +1 (a one-window near-duplicate), and flat
+    * docs (doc_id ≡ 24 mod 40) are pure SILENCE, the hot-bucket
+    * population. Pure %/xor/shift arithmetic — the DuckDB twin
+    * derives the SAME samples without a codec. */
+  private[llm] def audioSample(base: Long, i: Int, perturb: Boolean,
+                               flat: Boolean): Int = {
+    if (flat) 0
+    else {
+      val x = base * 65599L + i * 9973L
+      var x1 = (x ^ (x >> 7)) % 65536L
+      if (perturb && i >= 384 && i < 512) x1 = (x1 + 1L) % 65536L
+      (x1 - 32768L).toInt
+    }
+  }
+
+  /** Renders one 1024-sample 16-bit PCM mono WAV (8 kHz) from
+    * [[audioSample]] — a REAL RIFF container the JDK's AudioSystem
+    * parses back. */
+  private[llm] def renderWav(base: Long, perturb: Boolean,
+                             flat: Boolean): Array[Byte] = {
+    val n = 1024
+    val bb = java.nio.ByteBuffer.allocate(44 + n * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n * 2)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(8000).putInt(16000) // rate, byte rate
+      .putShort(2).putShort(16) // block align, bits
+      .put("data".getBytes("US-ASCII")).putInt(n * 2)
+    var i = 0
+    while (i < n) {
+      bb.putShort(audioSample(base, i, perturb, flat).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** Decodes a WAV payload through the REAL javax.sound.sampled path
+    * and returns the 8 per-band energies Σ s² over 128-sample bands —
+    * exact int64 (|s| ≤ 32768 ⇒ Σ ≤ 2³⁷). */
+  private[llm] def audioBandEnergies(bytes: Array[Byte]): Array[Long] = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val fmt = in.getFormat
+    require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+      !fmt.isBigEndian, s"unexpected decoded format: $fmt")
+    val data = in.readAllBytes()
+    val energies = new Array[Long](8)
+    var i = 0
+    while (i * 2 + 1 < data.length) {
+      val s = ((data(i * 2) & 0xff) | (data(i * 2 + 1) << 8)).toShort.toLong
+      energies(i / 128) += s * s
+      i += 1
+    }
+    energies
+  }
+
+  /** The shared decoded-audio energy frame: render (binary WAV
+    * payload), REAL AudioSystem decode, 8 exact band energies per doc
+    * — pinned once for its consumers. */
+  private def audioEnergyFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ids = graft.Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        when($"doc_id" % 10 === 1, $"doc_id" - 1).otherwise($"doc_id")
+          .as("base"),
+        ($"doc_id" % 10 === 1).as("isdup"),
+        ($"doc_id" % 40 === 24).as("isflat"))
+    val wav = ids.as[(Long, Long, Boolean, Boolean)].mapPartitions { it =>
+      it.map { case (docId, base, isdup, isflat) =>
+        (docId, renderWav(base, isdup, isflat))
+      }
+    }.toDF("doc_id", "payload")
+    wav.as[(Long, Array[Byte])].mapPartitions { it =>
+      it.map { case (docId, bytes) =>
+        val e = audioBandEnergies(bytes)
+        (docId, e(0), e(1), e(2), e(3), e(4), e(5), e(6), e(7))
+      }
+    }.toDF("doc_id", "e0", "e1", "e2", "e3", "e4", "e5", "e6", "e7")
+      .localCheckpoint()
+  }
+
+  /** q_multimodal_audio_energy — banded energy profile of a REAL
+    * audio decode: each doc renders a deterministic 1024-sample
+    * 16-bit PCM WAV ([[renderWav]]), the bytes go back through the
+    * JDK's javax.sound.sampled (an actual RIFF/PCM codec — this
+    * corrects the earlier stub-only claim for audio), and the readout
+    * is the 8 per-band energies Σ s² as exact int64. The DuckDB twin
+    * derives the SAME samples closed-form, so a green row proves the
+    * render → WAV-encode → AudioSystem-decode → energy chain lossless
+    * — the audio twin of the image phash codec proof. Scale: one
+    * narrow mapPartitions pass per stage, no shuffle before the final
+    * sort. */
+  def audioEnergy(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    audioEnergyFrame(spark, sfDir)
+      .select($"doc_id", posexplode(
+        array($"e0", $"e1", $"e2", $"e3", $"e4", $"e5", $"e6", $"e7")))
+      .toDF("doc_id", "band", "energy")
+      .orderBy($"doc_id", $"band")
+  }
+
+  /** q_dedup_audio_fingerprint — near-duplicate AUDIO detection via
+    * banded-energy LSH (the Hamming-band discipline on the audio
+    * axis): docs bucket by each (band, exact energy) pair, the
+    * hot-bucket cap (≤[[BAND_CAP]], exercised by the silence
+    * population — every silent clip has the all-zero profile) drops
+    * flooded buckets BEFORE pair generation, candidates score by the
+    * NUMBER of equal bands, and ≥6 of 8 equal bands is the dup call
+    * (the planted one-window perturbation leaves exactly 7 equal).
+    * All-integer end to end — the oracle mirrors the whole chain from
+    * the closed-form samples. Scale: same argument as the image
+    * banding — bucket join never all-pairs, cap bounds the
+    * degenerate-population quadratic. */
+  def audioFingerprintDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val frame = audioEnergyFrame(spark, sfDir)
+    val bands = frame
+      .select($"doc_id", posexplode(
+        array($"e0", $"e1", $"e2", $"e3", $"e4", $"e5", $"e6", $"e7")))
+      .toDF("doc_id", "band", "energy")
+    val kept = bands.join(
+      bands.groupBy($"band", $"energy").agg(count(lit(1)).as("n"))
+        .filter($"n" <= BAND_CAP).select($"band", $"energy"),
+      Seq("band", "energy"))
+    kept.as("x").join(kept.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.energy") === col("y.energy") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_equal_bands"))
+      .filter($"n_equal_bands" >= 6)
+      .select($"doc_a", $"doc_b", $"n_equal_bands",
+        ($"doc_b" === $"doc_a" + 1 && $"doc_b" % 10 === 1).as("planted"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_meta" -> (mediaMeta _),
     "q_multimodal_features" -> (mediaFeatures _),
     "q_multimodal_ingest_files" -> (mediaIngest _),
     "q_dedup_image_phash" -> (imagePhashDedup _),
-    "q_dedup_image_threshold_curve" -> (imagePhashThresholdCurve _))
+    "q_dedup_image_threshold_curve" -> (imagePhashThresholdCurve _),
+    "q_multimodal_audio_energy" -> (audioEnergy _),
+    "q_dedup_audio_fingerprint" -> (audioFingerprintDedup _))
+
+  /** Shared CTE block of the two audio twins: ids (dup + silence
+    * roles), the mixer samples, and exact per-band energies. */
+  private def audioSqlCtes: String =
+    """WITH ids AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |    CAST(CASE WHEN doc_id % 10 = 1 THEN doc_id - 1
+      |         ELSE doc_id END AS BIGINT) AS base,
+      |    doc_id % 10 = 1 AS isdup,
+      |    doc_id % 40 = 24 AS isflat
+      |  FROM documents),
+      |samp AS (
+      |  SELECT doc_id, i // 128 AS band,
+      |    CASE WHEN isflat THEN 0
+      |      ELSE (CASE WHEN isdup AND i >= 384 AND i < 512
+      |              THEN (xor(x, x >> 7) % 65536 + 1) % 65536
+      |              ELSE xor(x, x >> 7) % 65536 END) - 32768
+      |    END AS s
+      |  FROM (SELECT doc_id, isdup, isflat, i,
+      |      base * 65599 + i * 9973 AS x
+      |    FROM ids
+      |    CROSS JOIN (SELECT CAST(range AS BIGINT) AS i
+      |                FROM range(0, 1024)) ii)),
+      |energy AS (
+      |  SELECT doc_id, band, CAST(SUM(s * s) AS BIGINT) AS energy
+      |  FROM samp GROUP BY 1, 2)""".stripMargin
 
   /** Shared CTE block of the two image-phash twins: ids (dup + flat
     * roles), the mixer grid, dHash row bytes, 16-bit bands, per-doc
@@ -504,6 +678,29 @@ object MultimodalOps extends graft.QueryModule {
         |  GROUP BY 1)
         |SELECT theta, n_pairs, n_docs_linked
         |FROM np JOIN nd USING (theta) ORDER BY theta""".stripMargin,
+    // the codec-free audio twin: the SAME samples closed-form — green
+    // proves the WAV render -> AudioSystem decode -> energy chain
+    "q_multimodal_audio_energy" ->
+      s"""$audioSqlCtes
+        |SELECT doc_id, band, energy
+        |FROM energy ORDER BY doc_id, band""".stripMargin,
+    "q_dedup_audio_fingerprint" ->
+      s"""$audioSqlCtes,
+        |kept AS (
+        |  SELECT e.* FROM energy e
+        |  JOIN (SELECT band, energy FROM energy GROUP BY band, energy
+        |        HAVING COUNT(*) <= 8) ok USING (band, energy)),
+        |pairs AS (
+        |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_equal_bands
+        |  FROM kept x JOIN kept y
+        |    ON x.band = y.band AND x.energy = y.energy
+        |    AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, n_equal_bands,
+        |  (doc_b = doc_a + 1 AND doc_b % 10 = 1) AS planted
+        |FROM pairs WHERE n_equal_bands >= 6
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // the table-derived truth of the file-tree ingest: same slice, same
     // byte accounting — lossless ingest means equality
     "q_multimodal_ingest_files" ->
