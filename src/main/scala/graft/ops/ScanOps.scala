@@ -396,7 +396,67 @@ object ScanOps extends graft.QueryModule {
         coalesce($"name", lit("")), $"corrupt_raw")
   }
 
+  /** The 16-bit Morton interleave of two 8-bit normalized keys, as an
+    * UNROLLED integer expression (32 shift/mask terms — whole-stage
+    * codegen in Spark, the identical operator text in DuckDB). */
+  private def mortonSpark(p: String, s: String): String =
+    (0 until 8).map(i =>
+      s"shiftleft(shiftright($p, $i) & 1, ${2 * i}) + " +
+        s"shiftleft(shiftright($s, $i) & 1, ${2 * i + 1})")
+      .mkString(" + ")
+
+  private def mortonDuck(p: String, s: String): String =
+    (0 until 8).map(i =>
+      s"((($p >> $i) & 1) << ${2 * i}) + ((($s >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
+
+  /** q_sink_zorder_stats — Z-ORDER clustered write + the min/max
+    * data-skipping readout (the Morton-curve layout Delta/Iceberg
+    * expose as OPTIMIZE ZORDER BY; Morton 1966): both cluster keys
+    * normalize to 8 bits, interleave to a 16-bit Z-value, and the top
+    * 6 bits name one of 64 Z-cells — each cell a 1/8 × 1/8 rectangle
+    * of the (partkey, suppkey) key space, so a range predicate on
+    * EITHER key intersects ~8 of 64 cells, where a single-column sort
+    * prunes one key and nothing on the other. The write is REAL
+    * (partitionBy(zbucket) — one directory per cell), and the readout
+    * is computed FROM THE WRITTEN FILES: per-cell row count and raw
+    * min/max of both keys — exactly the footer stats a data-skipping
+    * reader consults. The oracle derives the same 64 rows from the
+    * SOURCE table, so green proves the clustered write lossless and
+    * the cell math right; ZOrderSkipSpec turns the readout into the
+    * skipping claim itself (≤16 of 64 cells survive a 1/8-range probe
+    * on each axis).
+    *
+    * Scale: one exchange on the bucket key (the clustering shuffle
+    * every OPTIMIZE pays), then per-cell hash aggs; the readout frame
+    * is 64 rows. At 100 TB the same layout writes one FILE SET per
+    * cell and the reader prunes on footer min/max without this query
+    * ever scanning data. */
+  def zorderStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val path = tmpDir("lineitem_zorder", sfDir)
+    val li = graft.Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
+    val ext = li.agg(max($"l_partkey").as("pmax"),
+      max($"l_suppkey").as("smax"))
+    li.crossJoin(broadcast(ext)) // 1-row extents frame
+      .withColumn("p8", expr("(l_partkey * 256) div (pmax + 1)"))
+      .withColumn("s8", expr("(l_suppkey * 256) div (smax + 1)"))
+      .withColumn("zbucket",
+        expr(s"shiftright(${mortonSpark("p8", "s8")}, 10)"))
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey",
+        $"zbucket")
+      .write.mode("overwrite").partitionBy("zbucket").parquet(path)
+    spark.read.parquet(path)
+      .groupBy($"zbucket".cast("long").as("zbucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min($"l_partkey").as("min_p"), max($"l_partkey").as("max_p"),
+        min($"l_suppkey").as("min_s"), max($"l_suppkey").as("max_s"))
+      .orderBy($"zbucket")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sink_zorder_stats" -> (zorderStats _),
     "q_scan_corrupt_records" -> (corruptRecords _),
     "q_scan_schema_evolution" -> (schemaEvolution _),
     "q_sink_upsert_merge" -> (upsertMerge _),
@@ -451,6 +511,27 @@ object ScanOps extends graft.QueryModule {
   }
 
   def oracle: Map[String, String] = Map(
+    // derived from the SOURCE table — equality against the Spark
+    // readout (computed from the written files) proves the clustered
+    // write lossless and the Z-cell math identical
+    "q_sink_zorder_stats" ->
+      s"""WITH ext AS (
+        |  SELECT MAX(l_partkey) AS pmax, MAX(l_suppkey) AS smax
+        |  FROM lineitem),
+        |z AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    (l_partkey * 256) // (pmax + 1) AS p8,
+        |    (l_suppkey * 256) // (smax + 1) AS s8
+        |  FROM lineitem, ext),
+        |zb AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    (${mortonDuck("p8", "s8")}) >> 10 AS zbucket
+        |  FROM z)
+        |SELECT CAST(zbucket AS BIGINT) AS zbucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  MIN(l_partkey) AS min_p, MAX(l_partkey) AS max_p,
+        |  MIN(l_suppkey) AS min_s, MAX(l_suppkey) AS max_s
+        |FROM zb GROUP BY 1 ORDER BY 1""".stripMargin,
     // the dim is the literal 5-row type->category map; pruning never
     // changes the answer, so the oracle is the equivalent IN-filter
     "q_join_dpp_pruned" ->
