@@ -606,6 +606,30 @@ object MultimodalOps extends graft.QueryModule {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** q_dedup_image_keep_list — the destructive half of the image
+    * dedup: connected components over the ≤6-Hamming pair graph (the
+    * same min-label propagation the text keep-list runs —
+    * [[DedupOps.propagateMinLabel]], fixpoint-checked with the
+    * star-contraction fallback), keep = each component's min doc plus
+    * every unlinked doc. Completes pairs → clusters → keep on the
+    * image axis; the oracle closes the same graph with WITH RECURSIVE
+    * over the closed-form pair CTEs. Scale: the pair graph is the
+    * capped candidate output (tiny relative to the corpus); the
+    * keep-list join is doc-keyed. */
+  def imageKeepList(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = imagePhashPairs(spark, sfDir).filter($"hamming" <= 6)
+      .select($"doc_a".as("a_id"), $"doc_b".as("b_id"))
+    val comps = DedupOps.propagateMinLabel(pairs)
+      .toDF("doc_id", "component_id")
+    graft.Tables.documents(spark, sfDir).select($"doc_id")
+      .join(comps, Seq("doc_id"), "left")
+      .withColumn("component_id", coalesce($"component_id", $"doc_id"))
+      .filter($"doc_id" === $"component_id")
+      .select($"doc_id", $"component_id")
+      .orderBy($"doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_meta" -> (mediaMeta _),
     "q_multimodal_features" -> (mediaFeatures _),
@@ -614,7 +638,8 @@ object MultimodalOps extends graft.QueryModule {
     "q_dedup_image_threshold_curve" -> (imagePhashThresholdCurve _),
     "q_multimodal_audio_energy" -> (audioEnergy _),
     "q_dedup_audio_fingerprint" -> (audioFingerprintDedup _),
-    "q_dedup_video_framehash" -> (videoFramehashDedup _))
+    "q_dedup_video_framehash" -> (videoFramehashDedup _),
+    "q_dedup_image_keep_list" -> (imageKeepList _))
 
   /** Shared CTE block of the two audio twins: ids (dup + silence
     * roles), the mixer samples, and exact per-band energies. */
@@ -749,6 +774,28 @@ object MultimodalOps extends graft.QueryModule {
         |  GROUP BY 1)
         |SELECT theta, n_pairs, n_docs_linked
         |FROM np JOIN nd USING (theta) ORDER BY theta""".stripMargin,
+    // the recursive closure of the same closed-form pair graph
+    "q_dedup_image_keep_list" ->
+      s"""${imagePhashSqlCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+        |nearpairs AS (
+        |  SELECT doc_a AS a_id, doc_b AS b_id FROM scored
+        |  WHERE hamming <= 6),
+        |edges(src, dst) AS (
+        |  SELECT a_id, b_id FROM nearpairs
+        |  UNION ALL SELECT b_id, a_id FROM nearpairs),
+        |reach(id, comp) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id),
+        |comps AS (
+        |  SELECT id AS doc_id, MIN(comp) AS component_id
+        |  FROM reach GROUP BY id)
+        |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+        |  CAST(coalesce(c.component_id, d.doc_id) AS BIGINT)
+        |    AS component_id
+        |FROM documents d LEFT JOIN comps c ON d.doc_id = c.doc_id
+        |WHERE c.component_id IS NULL OR d.doc_id = c.component_id
+        |ORDER BY d.doc_id""".stripMargin,
     // the codec-free video twin: every frame grid closed-form — the
     // same mixer keyed by base*131+f, sampled positions 0/2/4/6,
     // per-frame dHash, capped bucket join, >=3-of-4 overlap
