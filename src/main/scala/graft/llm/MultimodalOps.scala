@@ -639,7 +639,42 @@ object MultimodalOps extends graft.QueryModule {
     "q_multimodal_audio_energy" -> (audioEnergy _),
     "q_dedup_audio_fingerprint" -> (audioFingerprintDedup _),
     "q_dedup_video_framehash" -> (videoFramehashDedup _),
-    "q_dedup_image_keep_list" -> (imageKeepList _))
+    "q_dedup_image_keep_list" -> (imageKeepList _),
+    "q_multimodal_dedup_consensus" -> (dedupConsensus _))
+
+  /** q_multimodal_dedup_consensus — cross-modal agreement of the three
+    * perceptual dedup detectors: per doc, is it dup-LINKED (member of
+    * any near-dup pair, either side) by image phash, audio
+    * fingerprint, and/or video frame-hash — aggregated to one 8-cell
+    * contingency readout. Modality agreement is the standard precision
+    * lever for destructive multimodal dedup (drop only what ≥2
+    * modalities flag; route single-modality flags to review), and the
+    * contingency table IS the calibration readout for that policy: on
+    * this corpus the planted replays flag in all three modalities
+    * while the handful of random image band collisions flag in exactly
+    * one. Scale: three already-capped pair frames (tiny relative to
+    * the corpus), three doc-keyed semi-joins, one 8-row aggregate. */
+  def dedupConsensus(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    def linked(pairs: DataFrame, flag: String): DataFrame =
+      pairs.select($"doc_a".as("doc_id"))
+        .unionAll(pairs.select($"doc_b".as("doc_id")))
+        .distinct().withColumn(flag, lit(true))
+    val docs = graft.Tables.documents(spark, sfDir).select($"doc_id")
+    docs
+      .join(linked(imagePhashDedup(spark, sfDir), "li"), Seq("doc_id"), "left")
+      .join(linked(audioFingerprintDedup(spark, sfDir), "la"),
+        Seq("doc_id"), "left")
+      .join(linked(videoFramehashDedup(spark, sfDir), "lv"),
+        Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"li", lit(false)).as("linked_image"),
+        coalesce($"la", lit(false)).as("linked_audio"),
+        coalesce($"lv", lit(false)).as("linked_video"))
+      .groupBy($"linked_image", $"linked_audio", $"linked_video")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy($"linked_image", $"linked_audio", $"linked_video")
+  }
 
   /** Shared CTE block of the two audio twins: ids (dup + silence
     * roles), the mixer samples, and exact per-band energies. */
@@ -736,6 +771,100 @@ object MultimodalOps extends graft.QueryModule {
       |  JOIN h ha ON cand.doc_a = ha.doc_id
       |  JOIN h hb ON cand.doc_b = hb.doc_id)""".stripMargin
 
+  private lazy val imagePhashOracle: String =
+    s"""$imagePhashSqlCtes
+      |SELECT doc_a, doc_b, hamming,
+      |  (doc_b = doc_a + 1 AND doc_b % 10 = 1) AS planted
+      |FROM scored WHERE hamming <= 6
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  private lazy val videoFramehashOracle: String =
+    """WITH ids AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |    CAST(CASE WHEN doc_id % 10 = 1 THEN doc_id - 1
+      |         ELSE doc_id END AS BIGINT) AS base,
+      |    doc_id % 10 = 1 AS isdup,
+      |    doc_id % 40 = 24 AS isflat
+      |  FROM documents),
+      |mix AS (
+      |  SELECT doc_id, f, r, c, isdup, isflat,
+      |    xor(x, x >> 7) % 65536 AS x1
+      |  FROM (SELECT doc_id, f, r, c, isdup, isflat,
+      |      (base * 131 + f) * 65599 + r * 499 + c * 31 AS x
+      |    FROM ids
+      |    CROSS JOIN (SELECT CAST(range AS BIGINT) AS f
+      |                FROM range(0, 8) WHERE range % 2 = 0) ff
+      |    CROSS JOIN (SELECT CAST(range AS BIGINT) AS r
+      |                FROM range(0, 8)) rr
+      |    CROSS JOIN (SELECT CAST(range AS BIGINT) AS c
+      |                FROM range(0, 9)) cc)),
+      |cells AS (
+      |  SELECT doc_id, f, r, c,
+      |    CASE WHEN isflat THEN 128
+      |      WHEN isdup AND f = 4 AND r = 3 AND c = 4
+      |      THEN ((((x1 * 2654435761) % 4294967296) >> 16) % 256
+      |            + 8) % 256
+      |      ELSE (((x1 * 2654435761) % 4294967296) >> 16) % 256
+      |    END AS lum
+      |  FROM mix),
+      |rowbytes AS (
+      |  SELECT a.doc_id, a.f, a.r,
+      |    CAST(SUM(CASE WHEN a.lum < b.lum THEN 1 << a.c ELSE 0 END)
+      |      AS BIGINT) AS rv
+      |  FROM cells a JOIN cells b
+      |    ON a.doc_id = b.doc_id AND a.f = b.f AND a.r = b.r
+      |    AND b.c = a.c + 1
+      |  WHERE a.c < 8
+      |  GROUP BY 1, 2, 3),
+      |fbands AS (
+      |  SELECT doc_id, f, r // 2 AS band,
+      |    CAST(SUM(rv * CASE WHEN r % 2 = 1 THEN 256 ELSE 1 END)
+      |      AS BIGINT) AS v
+      |  FROM rowbytes GROUP BY 1, 2, 3),
+      |h AS (
+      |  SELECT doc_id, f AS pos,
+      |    MAX(CASE WHEN band = 0 THEN v END) AS s0,
+      |    MAX(CASE WHEN band = 1 THEN v END) AS s1,
+      |    MAX(CASE WHEN band = 2 THEN v END) AS s2,
+      |    MAX(CASE WHEN band = 3 THEN v END) AS s3
+      |  FROM fbands GROUP BY 1, 2),
+      |kept AS (
+      |  SELECT h.* FROM h
+      |  JOIN (SELECT pos, s0, s1, s2, s3 FROM h
+      |        GROUP BY pos, s0, s1, s2, s3
+      |        HAVING COUNT(*) <= 8) ok
+      |    USING (pos, s0, s1, s2, s3)),
+      |pairs AS (
+      |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+      |    CAST(COUNT(*) AS BIGINT) AS n_frames_equal
+      |  FROM kept x JOIN kept y
+      |    ON x.pos = y.pos AND x.s0 = y.s0 AND x.s1 = y.s1
+      |    AND x.s2 = y.s2 AND x.s3 = y.s3
+      |    AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, n_frames_equal,
+      |  (doc_b = doc_a + 1 AND doc_b % 10 = 1) AS planted
+      |FROM pairs WHERE n_frames_equal >= 3
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  private lazy val audioFingerprintOracle: String =
+    s"""$audioSqlCtes,
+      |kept AS (
+      |  SELECT e.* FROM energy e
+      |  JOIN (SELECT band, energy FROM energy GROUP BY band, energy
+      |        HAVING COUNT(*) <= 8) ok USING (band, energy)),
+      |pairs AS (
+      |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+      |    CAST(COUNT(*) AS BIGINT) AS n_equal_bands
+      |  FROM kept x JOIN kept y
+      |    ON x.band = y.band AND x.energy = y.energy
+      |    AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, n_equal_bands,
+      |  (doc_b = doc_a + 1 AND doc_b % 10 = 1) AS planted
+      |FROM pairs WHERE n_equal_bands >= 6
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "q_multimodal_meta" ->
       """SELECT doc_id,
@@ -750,12 +879,7 @@ object MultimodalOps extends graft.QueryModule {
     // the codec-free twin: the SAME pixel grid from the closed-form
     // luminance, the same banding, cap, and Hamming set logic —
     // equality proves the Spark side's codec roundtrip lossless
-    "q_dedup_image_phash" ->
-      s"""$imagePhashSqlCtes
-        |SELECT doc_a, doc_b, hamming,
-        |  (doc_b = doc_a + 1 AND doc_b % 10 = 1) AS planted
-        |FROM scored WHERE hamming <= 6
-        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dedup_image_phash" -> imagePhashOracle,
     "q_dedup_image_threshold_curve" ->
       s"""$imagePhashSqlCtes,
         |thetas AS (SELECT CAST(range AS BIGINT) AS theta
@@ -774,6 +898,28 @@ object MultimodalOps extends graft.QueryModule {
         |  GROUP BY 1)
         |SELECT theta, n_pairs, n_docs_linked
         |FROM np JOIN nd USING (theta) ORDER BY theta""".stripMargin,
+    // each modality's full twin nests as a subquery; the consensus is
+    // pure set logic over their pair outputs
+    "q_multimodal_dedup_consensus" ->
+      s"""WITH img AS (SELECT doc_a, doc_b FROM ($imagePhashOracle) iq),
+        |aud AS (SELECT doc_a, doc_b FROM ($audioFingerprintOracle) aq),
+        |vid AS (SELECT doc_a, doc_b FROM ($videoFramehashOracle) vq),
+        |li AS (SELECT DISTINCT d FROM (
+        |  SELECT doc_a AS d FROM img UNION ALL SELECT doc_b FROM img)),
+        |la AS (SELECT DISTINCT d FROM (
+        |  SELECT doc_a AS d FROM aud UNION ALL SELECT doc_b FROM aud)),
+        |lv AS (SELECT DISTINCT d FROM (
+        |  SELECT doc_a AS d FROM vid UNION ALL SELECT doc_b FROM vid))
+        |SELECT
+        |  li.d IS NOT NULL AS linked_image,
+        |  la.d IS NOT NULL AS linked_audio,
+        |  lv.d IS NOT NULL AS linked_video,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs
+        |FROM documents doc
+        |LEFT JOIN li ON doc.doc_id = li.d
+        |LEFT JOIN la ON doc.doc_id = la.d
+        |LEFT JOIN lv ON doc.doc_id = lv.d
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     // the recursive closure of the same closed-form pair graph
     "q_dedup_image_keep_list" ->
       s"""${imagePhashSqlCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
@@ -799,97 +945,14 @@ object MultimodalOps extends graft.QueryModule {
     // the codec-free video twin: every frame grid closed-form — the
     // same mixer keyed by base*131+f, sampled positions 0/2/4/6,
     // per-frame dHash, capped bucket join, >=3-of-4 overlap
-    "q_dedup_video_framehash" ->
-      """WITH ids AS (
-        |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
-        |    CAST(CASE WHEN doc_id % 10 = 1 THEN doc_id - 1
-        |         ELSE doc_id END AS BIGINT) AS base,
-        |    doc_id % 10 = 1 AS isdup,
-        |    doc_id % 40 = 24 AS isflat
-        |  FROM documents),
-        |mix AS (
-        |  SELECT doc_id, f, r, c, isdup, isflat,
-        |    xor(x, x >> 7) % 65536 AS x1
-        |  FROM (SELECT doc_id, f, r, c, isdup, isflat,
-        |      (base * 131 + f) * 65599 + r * 499 + c * 31 AS x
-        |    FROM ids
-        |    CROSS JOIN (SELECT CAST(range AS BIGINT) AS f
-        |                FROM range(0, 8) WHERE range % 2 = 0) ff
-        |    CROSS JOIN (SELECT CAST(range AS BIGINT) AS r
-        |                FROM range(0, 8)) rr
-        |    CROSS JOIN (SELECT CAST(range AS BIGINT) AS c
-        |                FROM range(0, 9)) cc)),
-        |cells AS (
-        |  SELECT doc_id, f, r, c,
-        |    CASE WHEN isflat THEN 128
-        |      WHEN isdup AND f = 4 AND r = 3 AND c = 4
-        |      THEN ((((x1 * 2654435761) % 4294967296) >> 16) % 256
-        |            + 8) % 256
-        |      ELSE (((x1 * 2654435761) % 4294967296) >> 16) % 256
-        |    END AS lum
-        |  FROM mix),
-        |rowbytes AS (
-        |  SELECT a.doc_id, a.f, a.r,
-        |    CAST(SUM(CASE WHEN a.lum < b.lum THEN 1 << a.c ELSE 0 END)
-        |      AS BIGINT) AS rv
-        |  FROM cells a JOIN cells b
-        |    ON a.doc_id = b.doc_id AND a.f = b.f AND a.r = b.r
-        |    AND b.c = a.c + 1
-        |  WHERE a.c < 8
-        |  GROUP BY 1, 2, 3),
-        |fbands AS (
-        |  SELECT doc_id, f, r // 2 AS band,
-        |    CAST(SUM(rv * CASE WHEN r % 2 = 1 THEN 256 ELSE 1 END)
-        |      AS BIGINT) AS v
-        |  FROM rowbytes GROUP BY 1, 2, 3),
-        |h AS (
-        |  SELECT doc_id, f AS pos,
-        |    MAX(CASE WHEN band = 0 THEN v END) AS s0,
-        |    MAX(CASE WHEN band = 1 THEN v END) AS s1,
-        |    MAX(CASE WHEN band = 2 THEN v END) AS s2,
-        |    MAX(CASE WHEN band = 3 THEN v END) AS s3
-        |  FROM fbands GROUP BY 1, 2),
-        |kept AS (
-        |  SELECT h.* FROM h
-        |  JOIN (SELECT pos, s0, s1, s2, s3 FROM h
-        |        GROUP BY pos, s0, s1, s2, s3
-        |        HAVING COUNT(*) <= 8) ok
-        |    USING (pos, s0, s1, s2, s3)),
-        |pairs AS (
-        |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
-        |    CAST(COUNT(*) AS BIGINT) AS n_frames_equal
-        |  FROM kept x JOIN kept y
-        |    ON x.pos = y.pos AND x.s0 = y.s0 AND x.s1 = y.s1
-        |    AND x.s2 = y.s2 AND x.s3 = y.s3
-        |    AND x.doc_id < y.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT doc_a, doc_b, n_frames_equal,
-        |  (doc_b = doc_a + 1 AND doc_b % 10 = 1) AS planted
-        |FROM pairs WHERE n_frames_equal >= 3
-        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dedup_video_framehash" -> videoFramehashOracle,
     // the codec-free audio twin: the SAME samples closed-form — green
     // proves the WAV render -> AudioSystem decode -> energy chain
     "q_multimodal_audio_energy" ->
       s"""$audioSqlCtes
         |SELECT doc_id, band, energy
         |FROM energy ORDER BY doc_id, band""".stripMargin,
-    "q_dedup_audio_fingerprint" ->
-      s"""$audioSqlCtes,
-        |kept AS (
-        |  SELECT e.* FROM energy e
-        |  JOIN (SELECT band, energy FROM energy GROUP BY band, energy
-        |        HAVING COUNT(*) <= 8) ok USING (band, energy)),
-        |pairs AS (
-        |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
-        |    CAST(COUNT(*) AS BIGINT) AS n_equal_bands
-        |  FROM kept x JOIN kept y
-        |    ON x.band = y.band AND x.energy = y.energy
-        |    AND x.doc_id < y.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT doc_a, doc_b, n_equal_bands,
-        |  (doc_b = doc_a + 1 AND doc_b % 10 = 1) AS planted
-        |FROM pairs WHERE n_equal_bands >= 6
-        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dedup_audio_fingerprint" -> audioFingerprintOracle,
     // the table-derived truth of the file-tree ingest: same slice, same
     // byte accounting — lossless ingest means equality
     "q_multimodal_ingest_files" ->
