@@ -530,9 +530,16 @@ object WindowOps extends graft.QueryModule {
       (1 to 7).map(k => lag($"u", k).over(w2).as(s"u$k"))): _*)
     def micro(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       floor(c * 1e6).cast("long") / 1e6
-    lagged.agg(max($"nd").as("n_days"),
-      (1 to 7).map(k => micro(sum($"u" * col(s"u$k")).cast("double") /
-        sum($"u" * $"u").cast("double")).as(s"acf_$k")): _*)
+    // degenerate guard: a CONSTANT series zeroes γ₀ and every r_k is
+    // 0/0 — the `when` lazily gates the division (ANSI throws on
+    // double x/0), mirrored as CASE in the twin
+    val aggCols = Seq(max($"nd").as("nd"), sum($"u" * $"u").as("g0")) ++
+      (1 to 7).map(k => sum($"u" * col(s"u$k")).as(s"g$k"))
+    lagged.agg(aggCols.head, aggCols.tail: _*)
+      .select(($"nd".as("n_days") +:
+        (1 to 7).map(k => when($"g0" > 0,
+          micro(col(s"g$k").cast("double") / $"g0".cast("double")))
+          .as(s"acf_$k"))): _*)
   }
 
   /** q_window_newey_west — HAC (heteroskedasticity-and-autocorrelation
@@ -883,10 +890,15 @@ object WindowOps extends graft.QueryModule {
           micro(($"s_stat" + 1L).cast("double") /
             sqrt($"var18".cast("double") / 18.0)))
         .otherwise(lit(0.0)))
+      // degenerate guard: an ALL-TIED (constant) series makes τ_b's
+      // D−U factor 0 (and a 1-day series zeroes D itself) → 0/0; the
+      // `when` lazily gates the division (ANSI throws on double x/0),
+      // CASE-mirrored in the twin
       .select($"n_days", $"s_stat", $"var18",
-        micro($"s_stat".cast("double") /
-          sqrt(($"d0x2".cast("double") / 2.0) *
-            (($"d0x2" - $"ux2").cast("double") / 2.0)))
+        when($"d0x2" > $"ux2" && $"d0x2" > 0L,
+          micro($"s_stat".cast("double") /
+            sqrt(($"d0x2".cast("double") / 2.0) *
+              (($"d0x2" - $"ux2").cast("double") / 2.0))))
           .as("tau_b"),
         $"z".as("z_stat"),
         when($"z" >= 1.96, "increasing").when($"z" <= -1.96, "decreasing")
@@ -981,13 +993,22 @@ object WindowOps extends graft.QueryModule {
         sum(d19($"x") * d19($"y")).as("sxy"),
         sum(d19($"x") * d19($"x")).as("sxx"),
         sum(d19($"y") * d19($"y")).as("syy"))
+      // degenerate guard: a constant series (either side) zeroes its
+      // variance term within a lag group — the correlation is
+      // undefined, and the `when` lazily gates the division (ANSI
+      // throws on double x/0), CASE-mirrored in the twin
       .select($"lag".cast("long").as("lag"), $"n",
-        micro(($"n".cast("double") * $"sxy".cast("double") -
-          $"sx".cast("double") * $"sy".cast("double")) /
-          (sqrt($"n".cast("double") * $"sxx".cast("double") -
-            $"sx".cast("double") * $"sx".cast("double")) *
-           sqrt($"n".cast("double") * $"syy".cast("double") -
-            $"sy".cast("double") * $"sy".cast("double")))).as("ccf"))
+        when(($"n".cast("double") * $"sxx".cast("double") -
+            $"sx".cast("double") * $"sx".cast("double")) > 0.0 &&
+          ($"n".cast("double") * $"syy".cast("double") -
+            $"sy".cast("double") * $"sy".cast("double")) > 0.0,
+          micro(($"n".cast("double") * $"sxy".cast("double") -
+            $"sx".cast("double") * $"sy".cast("double")) /
+            (sqrt($"n".cast("double") * $"sxx".cast("double") -
+              $"sx".cast("double") * $"sx".cast("double")) *
+             sqrt($"n".cast("double") * $"syy".cast("double") -
+              $"sy".cast("double") * $"sy".cast("double")))))
+          .as("ccf"))
       .orderBy($"lag")
   }
 
@@ -1029,16 +1050,25 @@ object WindowOps extends graft.QueryModule {
         sum(lit(1L) - $"s").as("n2"))
     def micro(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       floor(c * 1e6).cast("long") / 1e6
+    // degenerate guards: a ONE-SIDED sign sequence (n1=0 or n2=0 —
+    // e.g. a 2-day series where the median day drops) zeroes σ²'s
+    // (n1+n2−1) denominator, and n1=n2=1 zeroes σ² itself — both make
+    // z 0/0; the `when`s lazily gate each DIVISION (ANSI throws on
+    // double x/0), CASE-mirrored in the twin
     runs
       .withColumn("mu", lit(2.0) * ($"n1" * $"n2").cast("double") /
         ($"n1" + $"n2").cast("double") + lit(1.0))
-      .withColumn("s2", lit(2.0) * ($"n1" * $"n2").cast("double") *
+      .withColumn("s2", when($"n1" > 0L && $"n2" > 0L,
+        lit(2.0) * ($"n1" * $"n2").cast("double") *
         (lit(2L) * $"n1" * $"n2" - $"n1" - $"n2").cast("double") /
         ((($"n1" + $"n2") * ($"n1" + $"n2")).cast("double") *
-          ($"n1" + $"n2" - 1L).cast("double")))
+          ($"n1" + $"n2" - 1L).cast("double"))))
       .select($"n1", $"n2", $"r".as("n_runs"), micro($"mu").as("mu_runs"),
-        micro(($"r".cast("double") - $"mu") / sqrt($"s2")).as("z_stat"),
-        (abs(micro(($"r".cast("double") - $"mu") / sqrt($"s2"))) > 1.96)
+        when($"s2" > 0.0,
+          micro(($"r".cast("double") - $"mu") / sqrt($"s2")))
+          .as("z_stat"),
+        when($"s2" > 0.0,
+          abs(micro(($"r".cast("double") - $"mu") / sqrt($"s2"))) > 1.96)
           .as("significant"))
   }
 
@@ -1174,12 +1204,17 @@ object WindowOps extends graft.QueryModule {
       sum(d($"ay") * d($"ay")).as("ryy"))
     def micro(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       floor(c * 1e6).cast("long") / 1e6
+    // degenerate guard: a constant series (or all-tied ranks) zeroes
+    // a variance factor — correlation undefined; the `when` lazily
+    // gates the division (ANSI throws on double x/0), CASE-mirrored
     def corr2(sx: String, sy: String, sxy: String, sxx: String,
               syy: String) = {
       def D(n: String) = col(n).cast("double")
-      micro(($"nd" * D(sxy) - D(sx) * D(sy)) /
-        (sqrt($"nd" * D(sxx) - D(sx) * D(sx)) *
-          sqrt($"nd" * D(syy) - D(sy) * D(sy))))
+      when(($"nd" * D(sxx) - D(sx) * D(sx)) > 0.0 &&
+          ($"nd" * D(syy) - D(sy) * D(sy)) > 0.0,
+        micro(($"nd" * D(sxy) - D(sx) * D(sy)) /
+          (sqrt($"nd" * D(sxx) - D(sx) * D(sx)) *
+            sqrt($"nd" * D(syy) - D(sy) * D(sy)))))
     }
     g.select($"nd".as("n_days"),
       corr2("sx", "sy", "sxy", "sxx", "syy").as("pearson_r"),
@@ -1238,9 +1273,11 @@ object WindowOps extends graft.QueryModule {
   private def acfSql: String = {
     val lagDefs = (1 to 7).map(k =>
       s"lag(u, $k) OVER (ORDER BY day) AS u$k").mkString(",\n    ")
+    val gs = (1 to 7).map(k =>
+      s"CAST(SUM(u * u$k) AS DECIMAL(38,0)) AS g$k").mkString(",\n  ")
     val cols = (1 to 7).map(k =>
-      s"CAST(floor(CAST(SUM(u * u$k) AS DOUBLE) / " +
-        s"CAST(SUM(u * u) AS DOUBLE) * 1e6) AS BIGINT) / 1e6 AS acf_$k")
+      s"CASE WHEN g0 > 0 THEN CAST(floor(CAST(g$k AS DOUBLE) / " +
+        s"CAST(g0 AS DOUBLE) * 1e6) AS BIGINT) / 1e6 END AS acf_$k")
       .mkString(",\n  ")
     s"""WITH d AS (
        |  SELECT CAST(o_orderdate AS DATE) AS day,
@@ -1254,10 +1291,15 @@ object WindowOps extends graft.QueryModule {
        |l AS (
        |  SELECT nd, u,
        |    $lagDefs
-       |  FROM u)
-       |SELECT MAX(nd) AS n_days,
+       |  FROM u),
+       |g AS (
+       |  SELECT MAX(nd) AS n_days,
+       |    CAST(SUM(u * u) AS DECIMAL(38,0)) AS g0,
+       |  $gs
+       |  FROM l)
+       |SELECT n_days,
        |  $cols
-       |FROM l""".stripMargin
+       |FROM g""".stripMargin
   }
 
   def oracle: Map[String, String] = Map(
@@ -1340,20 +1382,32 @@ object WindowOps extends graft.QueryModule {
         |      AS ryy
         |  FROM r)
         |SELECT nd AS n_days,
-        |  CAST(floor((nd * CAST(sxy AS DOUBLE) -
-        |      CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
-        |    (sqrt(nd * CAST(sxx AS DOUBLE) -
-        |        CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
-        |     sqrt(nd * CAST(syy AS DOUBLE) -
-        |        CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) * 1e6)
-        |    AS BIGINT) / 1e6 AS pearson_r,
-        |  CAST(floor((nd * CAST(rxy AS DOUBLE) -
-        |      CAST(rx AS DOUBLE) * CAST(ry AS DOUBLE)) /
-        |    (sqrt(nd * CAST(rxx AS DOUBLE) -
-        |        CAST(rx AS DOUBLE) * CAST(rx AS DOUBLE)) *
-        |     sqrt(nd * CAST(ryy AS DOUBLE) -
-        |        CAST(ry AS DOUBLE) * CAST(ry AS DOUBLE))) * 1e6)
-        |    AS BIGINT) / 1e6 AS spearman_rho
+        |  CASE WHEN nd * CAST(sxx AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0
+        |    AND nd * CAST(syy AS DOUBLE) -
+        |      CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0.0
+        |  THEN
+        |    CAST(floor((nd * CAST(sxy AS DOUBLE) -
+        |        CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |      (sqrt(nd * CAST(sxx AS DOUBLE) -
+        |          CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |       sqrt(nd * CAST(syy AS DOUBLE) -
+        |          CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) * 1e6)
+        |      AS BIGINT) / 1e6
+        |  END AS pearson_r,
+        |  CASE WHEN nd * CAST(rxx AS DOUBLE) -
+        |      CAST(rx AS DOUBLE) * CAST(rx AS DOUBLE) > 0.0
+        |    AND nd * CAST(ryy AS DOUBLE) -
+        |      CAST(ry AS DOUBLE) * CAST(ry AS DOUBLE) > 0.0
+        |  THEN
+        |    CAST(floor((nd * CAST(rxy AS DOUBLE) -
+        |        CAST(rx AS DOUBLE) * CAST(ry AS DOUBLE)) /
+        |      (sqrt(nd * CAST(rxx AS DOUBLE) -
+        |          CAST(rx AS DOUBLE) * CAST(rx AS DOUBLE)) *
+        |       sqrt(nd * CAST(ryy AS DOUBLE) -
+        |          CAST(ry AS DOUBLE) * CAST(ry AS DOUBLE))) * 1e6)
+        |      AS BIGINT) / 1e6
+        |  END AS spearman_rho
         |FROM g""".stripMargin,
     "q_window_newey_west" -> {
       val lags = (1 to 7).map(k =>
@@ -1692,13 +1746,19 @@ object WindowOps extends graft.QueryModule {
         |      AS DECIMAL(38,0)) AS syy
         |  FROM p GROUP BY 1)
         |SELECT lag, n,
-        |  CAST(floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
-        |      CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
-        |    (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
-        |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
-        |     sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
-        |      CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) * 1e6)
-        |    AS BIGINT) / 1e6 AS ccf
+        |  CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0
+        |    AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+        |      CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0.0
+        |  THEN
+        |    CAST(floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |        CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |      (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |        CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |       sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+        |        CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) * 1e6)
+        |      AS BIGINT) / 1e6
+        |  END AS ccf
         |FROM m ORDER BY lag""".stripMargin,
     "q_window_runs_test" ->
       """WITH d AS (
@@ -1728,17 +1788,23 @@ object WindowOps extends graft.QueryModule {
         |  SELECT n1, n2, r,
         |    2.0 * CAST(n1 * n2 AS DOUBLE) /
         |      CAST(n1 + n2 AS DOUBLE) + 1.0 AS mu,
-        |    2.0 * CAST(n1 * n2 AS DOUBLE) *
-        |      CAST(2 * n1 * n2 - n1 - n2 AS DOUBLE) /
-        |      (CAST((n1 + n2) * (n1 + n2) AS DOUBLE) *
-        |        CAST(n1 + n2 - 1 AS DOUBLE)) AS v
+        |    CASE WHEN n1 > 0 AND n2 > 0 THEN
+        |      2.0 * CAST(n1 * n2 AS DOUBLE) *
+        |        CAST(2 * n1 * n2 - n1 - n2 AS DOUBLE) /
+        |        (CAST((n1 + n2) * (n1 + n2) AS DOUBLE) *
+        |          CAST(n1 + n2 - 1 AS DOUBLE))
+        |    END AS v
         |  FROM runs)
         |SELECT n1, n2, r AS n_runs,
         |  CAST(floor(mu * 1e6) AS BIGINT) / 1e6 AS mu_runs,
-        |  CAST(floor((CAST(r AS DOUBLE) - mu) / sqrt(v) * 1e6)
-        |    AS BIGINT) / 1e6 AS z_stat,
-        |  abs(CAST(floor((CAST(r AS DOUBLE) - mu) / sqrt(v) * 1e6)
-        |    AS BIGINT) / 1e6) > 1.96 AS significant
+        |  CASE WHEN v > 0.0 THEN
+        |    CAST(floor((CAST(r AS DOUBLE) - mu) / sqrt(v) * 1e6)
+        |      AS BIGINT) / 1e6
+        |  END AS z_stat,
+        |  CASE WHEN v > 0.0 THEN
+        |    abs(CAST(floor((CAST(r AS DOUBLE) - mu) / sqrt(v) * 1e6)
+        |      AS BIGINT) / 1e6) > 1.96
+        |  END AS significant
         |FROM s2""".stripMargin,
     "q_window_pettitt" ->
       """WITH d AS (
@@ -1790,10 +1856,12 @@ object WindowOps extends graft.QueryModule {
         |  FROM s CROSS JOIN ties CROSS JOIN n),
         |z AS (
         |  SELECT n_days, s_stat, CAST(var18 AS BIGINT) AS var18,
-        |    CAST(floor(CAST(s_stat AS DOUBLE) /
-        |      sqrt((CAST(d0x2 AS DOUBLE) / 2.0) *
-        |           (CAST(d0x2 - ux2 AS DOUBLE) / 2.0)) * 1e6)
-        |      AS BIGINT) / 1e6 AS tau_b,
+        |    CASE WHEN d0x2 > ux2 AND d0x2 > 0 THEN
+        |      CAST(floor(CAST(s_stat AS DOUBLE) /
+        |        sqrt((CAST(d0x2 AS DOUBLE) / 2.0) *
+        |             (CAST(d0x2 - ux2 AS DOUBLE) / 2.0)) * 1e6)
+        |        AS BIGINT) / 1e6
+        |    END AS tau_b,
         |    CASE WHEN s_stat > 0 THEN
         |        CAST(floor(CAST(s_stat - 1 AS DOUBLE) /
         |          sqrt(CAST(var18 AS DOUBLE) / 18.0) * 1e6) AS BIGINT) / 1e6

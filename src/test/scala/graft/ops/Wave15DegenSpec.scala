@@ -100,6 +100,54 @@ class Wave15DegenSpec extends SparkTestBase {
     assert(row.getBoolean(4) === false)
   }
 
+  test("acf: constant series -> every r_k is 0/0 -> all NULL") {
+    val row = WindowOps.acf(spark, constTenDir).collect().head
+    assert(row.getLong(0) === 10L)
+    assert((1 to 7).forall(row.isNullAt))
+  }
+
+  test("ccf: constant series zeroes both variance factors -> NULL ccf") {
+    val rows = WindowOps.ccf(spark, constTenDir).collect()
+    assert(rows.length === 8) // lags 0..7
+    assert(rows.forall(_.isNullAt(2)))
+  }
+
+  test("spearman: constant series -> undefined correlations -> NULLs") {
+    val row = WindowOps.spearman(spark, constTenDir).collect().head
+    assert(row.getLong(0) === 10L)
+    assert(row.isNullAt(1) && row.isNullAt(2))
+  }
+
+  test("mann_kendall: all-tied series -> NULL tau_b, z=0, trend none") {
+    val row = WindowOps.mannKendall(spark, constTenDir).collect().head
+    assert(row.getLong(1) === 0L) // S = 0
+    assert(row.isNullAt(3)) // tau_b is 0/0 -> gated NULL
+    assert(row.getDouble(4) === 0.0)
+    assert(row.getString(5) === "none")
+  }
+
+  test("runs_test: one-sided and 1-vs-1 sign sequences -> NULL z") {
+    // 2 days: the median day drops, one sign remains (n2 = 0)
+    val dir1 = java.nio.file.Files.createTempDirectory("graft-dg15g").toString
+    Seq((1L, "1995-01-01 00:00:00", 100.0), (2L, "1995-01-02 00:00:00", 200.0))
+      .toDF("o_orderkey", "ts", "o_totalprice")
+      .withColumn("o_orderdate", expr("cast(ts as timestamp)")).drop("ts")
+      .write.parquet(s"$dir1/orders.parquet")
+    val r1 = WindowOps.runsTest(spark, dir1).collect().head
+    assert(r1.getLong(0) + r1.getLong(1) === 1L)
+    assert(r1.isNullAt(4) && r1.isNullAt(5))
+    // 3 days: n1 = n2 = 1 zeroes sigma^2 itself
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-dg15h").toString
+    Seq((1L, "1995-01-01 00:00:00", 100.0), (2L, "1995-01-02 00:00:00", 200.0),
+      (3L, "1995-01-03 00:00:00", 300.0))
+      .toDF("o_orderkey", "ts", "o_totalprice")
+      .withColumn("o_orderdate", expr("cast(ts as timestamp)")).drop("ts")
+      .write.parquet(s"$dir2/orders.parquet")
+    val r2 = WindowOps.runsTest(spark, dir2).collect().head
+    assert(r2.getLong(0) === 1L && r2.getLong(1) === 1L)
+    assert(r2.isNullAt(4) && r2.isNullAt(5))
+  }
+
   test("kruskal_dow: a 3-weekday calendar tests at df=2 (crit 5.991)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-dg15f").toString
     // Mon/Tue/Wed twice each: k_groups = 3, all revenues distinct
