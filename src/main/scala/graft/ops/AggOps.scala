@@ -424,10 +424,14 @@ object AggOps extends graft.QueryModule {
     val se = sqrt((cov($"syy", $"sy", $"sy") -
       lit(2.0) * r * cov($"sxy", $"sx", $"sy") +
       r * r * cov($"sxx", $"sx", $"sx")) / ($"n" * xb * xb))
+    // degenerate guard: a 1-row group zeroes the covariance (n−1)
+    // denominator → 0/0; the ratio itself stays defined. Lazily
+    // gated (ANSI throws on double x/0), CASE-mirrored in the twin.
     g.select($"l_returnflag", $"n",
-        micro(r).as("ratio"), micro(se).as("se"),
-        micro(r - lit(1.96) * se).as("ci_lo"),
-        micro(r + lit(1.96) * se).as("ci_hi"))
+        micro(r).as("ratio"),
+        when($"n" > 1L, micro(se)).as("se"),
+        when($"n" > 1L, micro(r - lit(1.96) * se)).as("ci_lo"),
+        when($"n" > 1L, micro(r + lit(1.96) * se)).as("ci_hi"))
       .orderBy($"l_returnflag")
   }
 
@@ -461,8 +465,12 @@ object AggOps extends graft.QueryModule {
     val slope = vxy / vxx
     val intercept = ($"sy".cast("double") - slope * $"sx".cast("double")) / $"n"
     val r2 = vxy * vxy / (vxx * vyy)
-    g.select($"l_returnflag", $"n", micro(slope).as("slope"),
-        micro(intercept).as("intercept"), micro(r2).as("r2"))
+    // degenerate guard: a constant-x group (every line the same
+    // quantity) zeroes vxx → 0/0; lazily gated, CASE-mirrored
+    g.select($"l_returnflag", $"n",
+        when(vxx > 0.0, micro(slope)).as("slope"),
+        when(vxx > 0.0, micro(intercept)).as("intercept"),
+        when(vxx > 0.0 && vyy > 0.0, micro(r2)).as("r2"))
       .orderBy($"l_returnflag")
   }
 
@@ -687,10 +695,13 @@ object AggOps extends graft.QueryModule {
         |      AS vxy
         |  FROM g),
         |s AS (
-        |  SELECT l_returnflag, n, vxy / vxx AS slope,
-        |    (CAST(sy AS DOUBLE) - (vxy / vxx) * CAST(sx AS DOUBLE)) / n
-        |      AS intercept,
-        |    vxy * vxy / (vxx * vyy) AS r2
+        |  SELECT l_returnflag, n,
+        |    CASE WHEN vxx > 0.0 THEN vxy / vxx END AS slope,
+        |    CASE WHEN vxx > 0.0 THEN
+        |      (CAST(sy AS DOUBLE) - (vxy / vxx) * CAST(sx AS DOUBLE)) / n
+        |    END AS intercept,
+        |    CASE WHEN vxx > 0.0 AND vyy > 0.0 THEN
+        |      vxy * vxy / (vxx * vyy) END AS r2
         |  FROM d)
         |SELECT l_returnflag, n,
         |  CAST(floor(slope * 1e6) AS BIGINT) / 1e6 AS slope,
@@ -722,7 +733,9 @@ object AggOps extends graft.QueryModule {
         |  FROM g),
         |s AS (
         |  SELECT l_returnflag, n, r,
-        |    sqrt((cyy - 2.0*r*cxy + r*r*cxx) / (n * xb * xb)) AS se
+        |    CASE WHEN n > 1 THEN
+        |      sqrt((cyy - 2.0*r*cxy + r*r*cxx) / (n * xb * xb))
+        |    END AS se
         |  FROM d)
         |SELECT l_returnflag, n,
         |  CAST(floor(r * 1e6) AS BIGINT) / 1e6 AS ratio,

@@ -735,10 +735,17 @@ object TextOps extends graft.QueryModule {
     val vxy = $"sxy".cast("double") -
       $"sx".cast("double") * $"sy".cast("double") / $"n"
     val slope = vxy / vxx
-    g.select($"n".as("n_types"), micro(slope).as("slope"),
-      micro(($"sy".cast("double") - slope * $"sx".cast("double")) / $"n")
+    // degenerate guard: a one-type vocabulary leaves a single rank
+    // point → vxx = 0 → 0/0 (and a constant-frequency head zeroes
+    // vyy for R²); the `when` lazily gates each division (ANSI throws
+    // on double x/0), CASE-mirrored in the twin
+    g.select($"n".as("n_types"),
+      when(vxx > 0.0, micro(slope)).as("slope"),
+      when(vxx > 0.0,
+        micro(($"sy".cast("double") - slope * $"sx".cast("double")) / $"n"))
         .as("intercept"),
-      micro(vxy * vxy / (vxx * vyy)).as("r2"))
+      when(vxx > 0.0 && vyy > 0.0,
+        micro(vxy * vxy / (vxx * vyy))).as("r2"))
   }
 
   /** q_text_rake — RAKE keyword extraction (Rose et al., "Automatic
@@ -957,10 +964,15 @@ object TextOps extends graft.QueryModule {
     val vxy = $"sxy".cast("double") -
       $"sx".cast("double") * $"sy".cast("double") / $"n"
     val slope = vxy / vxx
-    g.select($"n".as("n_sources"), micro(slope).as("beta"),
-      micro(($"sy".cast("double") - slope * $"sx".cast("double")) / $"n")
+    // degenerate guard: a single-source corpus (or equal-token-count
+    // sources) leaves vxx = 0 → 0/0; lazily gated, CASE-mirrored
+    g.select($"n".as("n_sources"),
+      when(vxx > 0.0, micro(slope)).as("beta"),
+      when(vxx > 0.0,
+        micro(($"sy".cast("double") - slope * $"sx".cast("double")) / $"n"))
         .as("log_k"),
-      micro(vxy * vxy / (vxx * vyy)).as("r2"))
+      when(vxx > 0.0 && vyy > 0.0,
+        micro(vxy * vxy / (vxx * vyy))).as("r2"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1009,29 +1021,27 @@ object TextOps extends graft.QueryModule {
         |g AS (
         |  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
         |    SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(x*y) AS sxy
-        |  FROM pts)
+        |  FROM pts),
+        |d AS (
+        |  SELECT n, sx, sy,
+        |    CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)/n
+        |      AS vxx,
+        |    CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)/n
+        |      AS vyy,
+        |    CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)/n
+        |      AS vxy
+        |  FROM g)
         |SELECT n AS n_sources,
-        |  CAST(floor((CAST(sxy AS DOUBLE) -
-        |      CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) /
-        |    (CAST(sxx AS DOUBLE) -
-        |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) * 1e6)
-        |    AS BIGINT) / 1e6 AS beta,
-        |  CAST(floor((CAST(sy AS DOUBLE) -
-        |    ((CAST(sxy AS DOUBLE) -
-        |        CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) /
-        |     (CAST(sxx AS DOUBLE) -
-        |        CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)) *
-        |    CAST(sx AS DOUBLE)) / n * 1e6) AS BIGINT) / 1e6 AS log_k,
-        |  CAST(floor((CAST(sxy AS DOUBLE) -
-        |      CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) *
-        |    (CAST(sxy AS DOUBLE) -
-        |      CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) /
-        |    ((CAST(sxx AS DOUBLE) -
-        |        CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) *
-        |     (CAST(syy AS DOUBLE) -
-        |        CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)) * 1e6)
-        |    AS BIGINT) / 1e6 AS r2
-        |FROM g""".stripMargin,
+        |  CASE WHEN vxx > 0.0 THEN
+        |    CAST(floor((vxy / vxx) * 1e6) AS BIGINT) / 1e6 END AS beta,
+        |  CASE WHEN vxx > 0.0 THEN
+        |    CAST(floor((CAST(sy AS DOUBLE) -
+        |      (vxy / vxx) * CAST(sx AS DOUBLE)) / n * 1e6) AS BIGINT)
+        |      / 1e6 END AS log_k,
+        |  CASE WHEN vxx > 0.0 AND vyy > 0.0 THEN
+        |    CAST(floor((vxy * vxy / (vxx * vyy)) * 1e6) AS BIGINT) / 1e6
+        |  END AS r2
+        |FROM d""".stripMargin,
     "q_text_keyness" ->
       """WITH tf AS (
         |  SELECT tok,
@@ -1150,11 +1160,15 @@ object TextOps extends graft.QueryModule {
         |      AS vxy
         |  FROM g)
         |SELECT n AS n_types,
-        |  CAST(floor((vxy / vxx) * 1e6) AS BIGINT) / 1e6 AS slope,
-        |  CAST(floor(((CAST(sy AS DOUBLE) -
-        |    (vxy / vxx) * CAST(sx AS DOUBLE)) / n) * 1e6) AS BIGINT) / 1e6
-        |    AS intercept,
-        |  CAST(floor((vxy * vxy / (vxx * vyy)) * 1e6) AS BIGINT) / 1e6 AS r2
+        |  CASE WHEN vxx > 0.0 THEN
+        |    CAST(floor((vxy / vxx) * 1e6) AS BIGINT) / 1e6 END AS slope,
+        |  CASE WHEN vxx > 0.0 THEN
+        |    CAST(floor(((CAST(sy AS DOUBLE) -
+        |      (vxy / vxx) * CAST(sx AS DOUBLE)) / n) * 1e6) AS BIGINT)
+        |      / 1e6 END AS intercept,
+        |  CASE WHEN vxx > 0.0 AND vyy > 0.0 THEN
+        |    CAST(floor((vxy * vxy / (vxx * vyy)) * 1e6) AS BIGINT) / 1e6
+        |  END AS r2
         |FROM d""".stripMargin,
     "q_text_concordance" ->
       """WITH t AS (

@@ -148,6 +148,37 @@ class Wave15DegenSpec extends SparkTestBase {
     assert(r2.isNullAt(4) && r2.isNullAt(5))
   }
 
+  test("zipf/heaps: one-type vocabulary / single source -> NULL fits") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dg15i").toString
+    Seq((1L, "src0", 5L, "a a a"), (2L, "src0", 5L, "a a"))
+      .toDF("doc_id", "source", "n_chars", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val z = graft.text.TextOps.zipfFit(spark, dir).collect().head
+    assert(z.getLong(0) === 1L) // one type -> one rank point
+    assert(z.isNullAt(1) && z.isNullAt(2) && z.isNullAt(3))
+    val h = graft.text.TextOps.heapsFit(spark, dir).collect().head
+    assert(h.getLong(0) === 1L) // one source -> one growth point
+    assert(h.isNullAt(1) && h.isNullAt(2) && h.isNullAt(3))
+  }
+
+  test("ols/ratio_ci: constant-x and 1-row groups -> NULL fit columns") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dg15j").toString
+    // group A: two lines, SAME quantity (vxx = 0); group N: one line
+    Seq((1L, 1, "A", 5.0, 100.0), (2L, 1, "A", 5.0, 200.0),
+      (3L, 1, "N", 7.0, 300.0))
+      .toDF("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity",
+        "l_extendedprice")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val ols = AggOps.olsFit(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(ols("A").isNullAt(2) && ols("A").isNullAt(3) && ols("A").isNullAt(4))
+    assert(ols("N").isNullAt(2)) // 1 row: vxx = 0 too
+    val rci = AggOps.ratioDeltaCi(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(!rci("N").isNullAt(2)) // the ratio itself stays defined
+    assert(rci("N").isNullAt(3) && rci("N").isNullAt(4) && rci("N").isNullAt(5))
+  }
+
   test("kruskal_dow: a 3-weekday calendar tests at df=2 (crit 5.991)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-dg15f").toString
     // Mon/Tue/Wed twice each: k_groups = 3, all revenues distinct
