@@ -337,8 +337,31 @@ object SimSearchOps extends graft.QueryModule {
         (d, i)
       }.sortBy(_._1).take(n).map(_._2).toSeq
     })
+    // the delta is only valid against the base GENERATION whose
+    // quantizer assigned it: the content key ties both artifacts to the
+    // fixture, but a base deleted and REBUILT from the same fixture may
+    // fit different centroids (KMeans over an unordered limit(4096) is
+    // not stable across partitioning changes), and a surviving delta
+    // would then hold old-quantizer cell assignments while queries
+    // probe new-quantizer cells — silent recall loss. Guard: stamp the
+    // delta with a hash of the persisted centroids and rebuild it
+    // whenever the stamp disagrees with the base it is about to serve.
+    val baseGen = java.lang.Long.toHexString(
+      centroids.flatten.foldLeft(1125899906842597L)((a, d) =>
+        a * 31L + java.lang.Double.doubleToLongBits(d)))
     val deltaPath = ivfIncrDeltaPath(sfDir)
     val deltaTarget = graft.flow.DirTarget(deltaPath)
+    val genFile = java.nio.file.Paths.get(s"$deltaPath/base_gen")
+    if (deltaTarget.exists &&
+        (!java.nio.file.Files.exists(genFile) ||
+          new String(java.nio.file.Files.readAllBytes(genFile),
+            "UTF-8").trim != baseGen)) {
+      // stale delta from a previous base generation — drop and re-add
+      val dir = java.nio.file.Paths.get(deltaPath)
+      java.nio.file.Files.walk(dir)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    }
     if (!deltaTarget.exists) deltaTarget.atomicWrite { tmp =>
       // the add: new batch only — the base corpus is NOT re-read
       graft.Tables.embeddings(spark, sfDir)
@@ -350,6 +373,9 @@ object SimSearchOps extends graft.QueryModule {
         .repartition($"cell")
         .write.mode("overwrite").partitionBy("cell")
         .parquet(s"$tmp/cells")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$tmp/base_gen"),
+        baseGen.getBytes("UTF-8"))
     }
     graft.Artifacts.sweepStale(deltaPath)
     val queries = graft.Tables.embeddings(spark, sfDir)

@@ -347,7 +347,7 @@ object EvalOps extends graft.QueryModule {
         lit(3.0) * $"ssq".cast("double") /
           ($"n_blocks" * $"k_systems" * ($"k_systems" + 1L)).cast("double")
           - lit(3.0) * ($"n_blocks" * ($"k_systems" + 1L)).cast("double"))
-      // χ²_{k−1} 0.05 critical values for df 1..9 — k=2 IS a valid
+      // χ²_{k−1} 0.05 critical values for df 1..10 — k=2 IS a valid
       // Friedman test (the sign-test shape, crit 3.841); beyond k=11
       // crit is NULL and so is significant, while chi2/W (exact
       // arithmetic, no table) stay defined

@@ -72,9 +72,15 @@ object StreamOps extends graft.QueryModule {
     // silently mis-route an HDFS/S3 directory table into the
     // zero-match glob branch).
     val evPath = new org.apache.hadoop.fs.Path(s"$sfDir/events.parquet")
-    val isDirLayout = evPath
-      .getFileSystem(spark.sessionState.newHadoopConf())
-      .getFileStatus(evPath).isDirectory
+    val evFs = evPath.getFileSystem(spark.sessionState.newHadoopConf())
+    // probe existence FIRST: getFileStatus on a missing path throws a
+    // bare FileNotFoundException — a missing fixture should fail with a
+    // message naming the fixture, not an unexplained FNF from the
+    // layout probe
+    require(evFs.exists(evPath),
+      s"events fixture missing: $evPath (expected a file or directory " +
+        "table under the sf dir)")
+    val isDirLayout = evFs.getFileStatus(evPath).isDirectory
     val raw =
       if (isDirLayout)
         spark.readStream.schema(rawSchema).parquet(s"$sfDir/events.parquet")

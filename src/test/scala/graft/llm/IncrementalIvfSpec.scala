@@ -48,6 +48,22 @@ class IncrementalIvfSpec extends SparkTestBase {
     assert(cellFileStamps(s"$basePath/cells") === baseStamps,
       "base cell files were rewritten, not read")
 
+    // base-generation guard: a delta stamped with a DIFFERENT base_gen
+    // (the "base was deleted and rebuilt under a surviving delta"
+    // hazard — a rebuilt KMeans quantizer need not reproduce its
+    // centroids) must be dropped and re-added, not silently served
+    val genFile = java.nio.file.Paths.get(s"$deltaPath/base_gen")
+    val liveGen = new String(
+      java.nio.file.Files.readAllBytes(genFile), "UTF-8")
+    java.nio.file.Files.write(genFile, "stale-generation".getBytes("UTF-8"))
+    val deltaStamps = cellFileStamps(s"$deltaPath/cells")
+    val third = SimSearchOps.topkIvfIncremental(spark, sf0001).collect()
+    assert(third.map(_.toString).sameElements(first.map(_.toString)))
+    assert(new String(java.nio.file.Files.readAllBytes(genFile), "UTF-8")
+      === liveGen, "guard did not restamp the rebuilt delta")
+    assert(cellFileStamps(s"$deltaPath/cells") !== deltaStamps,
+      "stale-generation delta was served, not rebuilt")
+
     // recall@5 vs the FULL-corpus brute-force truth — delta members in
     // the truth set are only findable if the add made them searchable
     val exact = SimSearchOps.topkBruteForce(spark, sf0001)

@@ -45,13 +45,15 @@ class ZOrderSkipSpec extends SparkTestBase {
     assert(sSurv < sortedSurv / 2,
       s"z-order ($sSurv) should beat sorted ($sortedSurv) on key 2")
 
-    // physical layout: one directory per Z-cell
-    val dirs = Option(new java.io.File(
-      s"${graft.Artifacts.root}/graft_roundtrip").listFiles())
-      .getOrElse(Array.empty)
-      .filter(_.getName.startsWith("lineitem_zorder_"))
-    assert(dirs.nonEmpty)
-    val cellDirs = Option(dirs.head.listFiles()).getOrElse(Array.empty)
+    // physical layout: one directory per Z-cell — resolve the EXACT
+    // directory the collected rows came from (the same sfDir-hash
+    // keying ScanOps.tmpDir uses), not a prefix glob that could pick a
+    // different scale's leftover when several fixtures share the root
+    val zdir = new java.io.File(
+      s"${graft.Artifacts.root}/graft_roundtrip/lineitem_zorder_" +
+        java.lang.Integer.toHexString(sf0001.hashCode))
+    assert(zdir.isDirectory, s"clustered write missing at $zdir")
+    val cellDirs = Option(zdir.listFiles()).getOrElse(Array.empty)
       .count(_.getName.startsWith("zbucket="))
     assert(cellDirs === rows.length)
   }
