@@ -304,44 +304,84 @@ object MultimodalOps extends graft.QueryModule {
     * collisions with mass populations. */
   private val BAND_CAP = 8L
 
-  /** The shared scored-pair frame: hashed corpus (pinned once),
-    * cap-filtered band buckets, candidate equi-join, full Hamming
-    * scoring — NO threshold, so both consumers (the dedup cutoff and
-    * the threshold curve) read the same candidates. */
-  private def imagePhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Content-keyed path of one modality's persisted hash+pair frames
+    * (documents.parquet is the source every media fixture derives
+    * from, so its (length, mtime) keys all three). */
+  private[llm] def mediaArtifactPath(modality: String, sfDir: String): String =
+    s"${graft.Artifacts.root}/graft_media_$modality/" +
+      graft.Artifacts.key("v1", sfDir, "documents.parquet")
+
+  /** Build-once wrapper shared by the three modality artifacts: ensure
+    * the content-keyed dir, sweep stale generations, hand back the
+    * path. `build` receives the temp dir and writes its frames. */
+  private def ensureMediaArtifact(modality: String, sfDir: String)
+                                 (build: String => Unit): String = {
+    val path = mediaArtifactPath(modality, sfDir)
+    val target = graft.flow.DirTarget(path)
+    if (!target.exists) target.atomicWrite(build)
+    graft.Artifacts.sweepStale(path)
+    path
+  }
+
+  /** The doc → (base, isdup, isflat) role frame every synthetic
+    * modality shares: dup docs (doc_id ≡ 1 mod 10) replay their
+    * predecessor perturbed; flat docs (doc_id ≡ 24 mod 40 — always ≡ 4
+    * mod 10, so never a dup nor a dup's base) are the hot-bucket
+    * flood population. */
+  private def mediaRoles(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val ids = graft.Tables.documents(spark, sfDir)
+    graft.Tables.documents(spark, sfDir)
       .select($"doc_id",
         when($"doc_id" % 10 === 1, $"doc_id" - 1).otherwise($"doc_id")
           .as("base"),
         ($"doc_id" % 10 === 1).as("isdup"),
-        // flat "blank thumbnails": doc_id ≡ 24 (mod 40) — always ≡ 4
-        // (mod 10), so never a dup nor a dup's base, by construction
         ($"doc_id" % 40 === 24).as("isflat"))
-    // render: binary payload column, REAL PNG bytes
-    val png = ids.as[(Long, Long, Boolean, Boolean)].mapPartitions { it =>
-      javax.imageio.ImageIO.setUseCache(false) // per-partition codec init
-      it.map { case (docId, base, isdup, isflat) =>
-        (docId, renderGridPng(base, isdup, isflat))
-      }
-    }.toDF("doc_id", "payload")
-    // decode + hash: the codec path under test; pinned once — feeds
-    // the band explode AND both legs of the Hamming scoring join
-    val hashed = png.as[(Long, Array[Byte])].mapPartitions { it =>
-      javax.imageio.ImageIO.setUseCache(false)
-      it.map { case (docId, bytes) =>
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(bytes))
-        require(img != null, s"undecodable PNG for doc $docId")
-        val b = dhashBands(img)
-        (docId, b(0), b(1), b(2), b(3))
-      }
-    }.toDF("doc_id", "s0", "s1", "s2", "s3").localCheckpoint()
+  }
+
+  /** Render + decode + hash: one narrow mapPartitions pass per stage
+    * (codec init per partition), REAL PNG bytes both ways. The
+    * artifact build's codec leg; also the files-ingest twin's
+    * reference frame. */
+  private def imageHashedCompute(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val png = mediaRoles(spark, sfDir)
+      .as[(Long, Long, Boolean, Boolean)].mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false) // per-partition codec init
+        it.map { case (docId, base, isdup, isflat) =>
+          (docId, renderGridPng(base, isdup, isflat))
+        }
+      }.toDF("doc_id", "payload")
+    hashPngPayloads(png)
+  }
+
+  /** dHash the binary PNG column back through the REAL ImageIO path —
+    * shared by the render-sourced artifact build and the
+    * binaryFile-sourced ingest twin. */
+  private[llm] def hashPngPayloads(png: DataFrame): DataFrame = {
+    import png.sparkSession.implicits._
+    png.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])].mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (docId, bytes) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          require(img != null, s"undecodable PNG for doc $docId")
+          val b = dhashBands(img)
+          (docId, b(0), b(1), b(2), b(3))
+        }
+      }.toDF("doc_id", "s0", "s1", "s2", "s3")
+  }
+
+  /** Band → cap → candidate equi-join → full Hamming scoring over a
+    * hashed frame — NO threshold, so every consumer (dedup cutoff,
+    * threshold curve, keep-list, consensus) reads the same candidate
+    * set. The hot-bucket cap runs BEFORE pair generation, so a flooded
+    * bucket costs one group row, never C(n,2) join rows. */
+  private[llm] def phashPairsFromHashed(hashed: DataFrame): DataFrame = {
+    import hashed.sparkSession.implicits._
     val bands = hashed
       .select($"doc_id", posexplode(array($"s0", $"s1", $"s2", $"s3")))
       .toDF("doc_id", "band", "v")
-    // the hot-bucket cap runs BEFORE pair generation, so a flooded
-    // bucket costs one group row, never C(n,2) join rows
     val kept = bands.join(
       bands.groupBy($"band", $"v").agg(count(lit(1)).as("n"))
         .filter($"n" <= BAND_CAP).select($"band", $"v"),
@@ -362,6 +402,28 @@ object MultimodalOps extends graft.QueryModule {
           .as("hamming"))
   }
 
+  /** The image artifact: hashed corpus + unthresholded scored pairs,
+    * persisted ONCE per fixture generation (the LPA build-once
+    * pattern — the r15 verdict's headline fix: the codec render +
+    * decode pass previously re-ran inside EVERY consumer, and the
+    * consensus query paid all three modalities' passes a second
+    * time). Seven consumers read parquet from here. */
+  private def imageArtifact(spark: SparkSession, sfDir: String): String =
+    ensureMediaArtifact("image", sfDir) { tmp =>
+      val hashed = imageHashedCompute(spark, sfDir).localCheckpoint()
+      hashed.write.parquet(s"$tmp/hashed")
+      phashPairsFromHashed(hashed).write.parquet(s"$tmp/pairs")
+    }
+
+  /** Render-sourced hashed frame, from the artifact (files-twin spec
+    * reads this as the reference). */
+  private[llm] def imageHashedFrame(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"${imageArtifact(spark, sfDir)}/hashed")
+
+  /** The shared scored-pair frame, from the artifact. */
+  private[graft] def imagePhashPairs(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"${imageArtifact(spark, sfDir)}/pairs")
+
   def imagePhashDedup(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     imagePhashPairs(spark, sfDir)
@@ -381,7 +443,7 @@ object MultimodalOps extends graft.QueryModule {
     * zero-pair cutoffs stay as rows via the dim-side left join. */
   def imagePhashThresholdCurve(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val pairs = imagePhashPairs(spark, sfDir).localCheckpoint()
+    val pairs = imagePhashPairs(spark, sfDir) // artifact parquet — already materialized
     val thetas = spark.range(0, 9).select($"id".as("theta"))
     val nPairs = broadcast(thetas)
       .join(pairs, $"hamming" <= $"theta", "left")
@@ -456,30 +518,62 @@ object MultimodalOps extends graft.QueryModule {
     energies
   }
 
-  /** The shared decoded-audio energy frame: render (binary WAV
-    * payload), REAL AudioSystem decode, 8 exact band energies per doc
-    * — pinned once for its consumers. */
-  private def audioEnergyFrame(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Decoded-audio energy compute: render (binary WAV payload), REAL
+    * AudioSystem decode, 8 exact band energies per doc — the artifact
+    * build's codec leg. */
+  private def audioEnergyCompute(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val ids = graft.Tables.documents(spark, sfDir)
-      .select($"doc_id",
-        when($"doc_id" % 10 === 1, $"doc_id" - 1).otherwise($"doc_id")
-          .as("base"),
-        ($"doc_id" % 10 === 1).as("isdup"),
-        ($"doc_id" % 40 === 24).as("isflat"))
-    val wav = ids.as[(Long, Long, Boolean, Boolean)].mapPartitions { it =>
-      it.map { case (docId, base, isdup, isflat) =>
-        (docId, renderWav(base, isdup, isflat))
-      }
-    }.toDF("doc_id", "payload")
+    val wav = mediaRoles(spark, sfDir)
+      .as[(Long, Long, Boolean, Boolean)].mapPartitions { it =>
+        it.map { case (docId, base, isdup, isflat) =>
+          (docId, renderWav(base, isdup, isflat))
+        }
+      }.toDF("doc_id", "payload")
     wav.as[(Long, Array[Byte])].mapPartitions { it =>
       it.map { case (docId, bytes) =>
         val e = audioBandEnergies(bytes)
         (docId, e(0), e(1), e(2), e(3), e(4), e(5), e(6), e(7))
       }
     }.toDF("doc_id", "e0", "e1", "e2", "e3", "e4", "e5", "e6", "e7")
-      .localCheckpoint()
   }
+
+  /** Unthresholded audio candidate pairs: (band, exact energy) bucket
+    * join under the hot-bucket cap, scored by the NUMBER of equal
+    * bands — consumers apply their own ≥6 cutoff. */
+  private def audioPairsFromEnergy(frame: DataFrame): DataFrame = {
+    import frame.sparkSession.implicits._
+    val bands = frame
+      .select($"doc_id", posexplode(
+        array($"e0", $"e1", $"e2", $"e3", $"e4", $"e5", $"e6", $"e7")))
+      .toDF("doc_id", "band", "energy")
+    val kept = bands.join(
+      bands.groupBy($"band", $"energy").agg(count(lit(1)).as("n"))
+        .filter($"n" <= BAND_CAP).select($"band", $"energy"),
+      Seq("band", "energy"))
+    kept.as("x").join(kept.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.energy") === col("y.energy") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_equal_bands"))
+  }
+
+  /** The audio artifact: per-doc band energies + unthresholded scored
+    * pairs, built once per fixture generation. */
+  private def audioArtifact(spark: SparkSession, sfDir: String): String =
+    ensureMediaArtifact("audio", sfDir) { tmp =>
+      val energy = audioEnergyCompute(spark, sfDir).localCheckpoint()
+      energy.write.parquet(s"$tmp/energy")
+      audioPairsFromEnergy(energy).write.parquet(s"$tmp/pairs")
+    }
+
+  /** The decoded-audio energy frame, from the artifact. */
+  private def audioEnergyFrame(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"${audioArtifact(spark, sfDir)}/energy")
+
+  /** The audio scored-pair frame, from the artifact. */
+  private[graft] def audioPairs(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"${audioArtifact(spark, sfDir)}/pairs")
 
   /** q_multimodal_audio_energy — banded energy profile of a REAL
     * audio decode: each doc renders a deterministic 1024-sample
@@ -515,21 +609,7 @@ object MultimodalOps extends graft.QueryModule {
     * degenerate-population quadratic. */
   def audioFingerprintDedup(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val frame = audioEnergyFrame(spark, sfDir)
-    val bands = frame
-      .select($"doc_id", posexplode(
-        array($"e0", $"e1", $"e2", $"e3", $"e4", $"e5", $"e6", $"e7")))
-      .toDF("doc_id", "band", "energy")
-    val kept = bands.join(
-      bands.groupBy($"band", $"energy").agg(count(lit(1)).as("n"))
-        .filter($"n" <= BAND_CAP).select($"band", $"energy"),
-      Seq("band", "energy"))
-    kept.as("x").join(kept.as("y"),
-        col("x.band") === col("y.band") &&
-          col("x.energy") === col("y.energy") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_equal_bands"))
+    audioPairs(spark, sfDir)
       .filter($"n_equal_bands" >= 6)
       .select($"doc_a", $"doc_b", $"n_equal_bands",
         ($"doc_b" === $"doc_a" + 1 && $"doc_b" % 10 === 1).as("planted"))
@@ -562,21 +642,29 @@ object MultimodalOps extends graft.QueryModule {
     * banding argument. */
   def videoFramehashDedup(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val ids = graft.Tables.documents(spark, sfDir)
-      .select($"doc_id",
-        when($"doc_id" % 10 === 1, $"doc_id" - 1).otherwise($"doc_id")
-          .as("base"),
-        ($"doc_id" % 10 === 1).as("isdup"),
-        ($"doc_id" % 40 === 24).as("isflat"))
-    // the multimodal COLUMN shape: one array<binary> of frames per doc
-    val vids = ids.as[(Long, Long, Boolean, Boolean)].mapPartitions { it =>
-      javax.imageio.ImageIO.setUseCache(false)
-      it.map { case (docId, base, isdup, isflat) =>
-        val frames = Array.tabulate(8)(f =>
-          renderGridPng(base * 131L + f, isdup && f == 4, isflat))
-        (docId, frames)
-      }
-    }.toDF("doc_id", "frames")
+    videoPairs(spark, sfDir)
+      .filter($"n_frames_equal" >= 3)
+      .select($"doc_a", $"doc_b", $"n_frames_equal",
+        ($"doc_b" === $"doc_a" + 1 && $"doc_b" % 10 === 1).as("planted"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Video scored-pair compute: frame-table render (one array<binary>
+    * of REAL PNG frames per doc — the multimodal COLUMN shape),
+    * stride-2 sampling, per-frame ImageIO decode + dHash, (position,
+    * full hash) bucket join under the hot-bucket cap, scored by the
+    * NUMBER of exactly-equal sampled frames. */
+  private def videoPairsCompute(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val vids = mediaRoles(spark, sfDir)
+      .as[(Long, Long, Boolean, Boolean)].mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (docId, base, isdup, isflat) =>
+          val frames = Array.tabulate(8)(f =>
+            renderGridPng(base * 131L + f, isdup && f == 4, isflat))
+          (docId, frames)
+        }
+      }.toDF("doc_id", "frames")
     val sampled = vids
       .select($"doc_id", posexplode($"frames")).toDF("doc_id", "pos", "payload")
       .filter($"pos" % 2 === 0) // uniform stride-2 frame sampling
@@ -600,11 +688,20 @@ object MultimodalOps extends graft.QueryModule {
           col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_frames_equal"))
-      .filter($"n_frames_equal" >= 3)
-      .select($"doc_a", $"doc_b", $"n_frames_equal",
-        ($"doc_b" === $"doc_a" + 1 && $"doc_b" % 10 === 1).as("planted"))
-      .orderBy($"doc_a", $"doc_b")
   }
+
+  /** The video artifact: unthresholded frame-overlap pairs, built once
+    * per fixture generation (8 PNG decodes per doc is the triad's most
+    * expensive codec pass — exactly the cost the artifact retires from
+    * every re-read). */
+  private def videoArtifact(spark: SparkSession, sfDir: String): String =
+    ensureMediaArtifact("video", sfDir) { tmp =>
+      videoPairsCompute(spark, sfDir).write.parquet(s"$tmp/pairs")
+    }
+
+  /** The video scored-pair frame, from the artifact. */
+  private[graft] def videoPairs(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"${videoArtifact(spark, sfDir)}/pairs")
 
   /** q_dedup_image_keep_list — the destructive half of the image
     * dedup: connected components over the ≤6-Hamming pair graph (the
@@ -652,8 +749,11 @@ object MultimodalOps extends graft.QueryModule {
     * contingency table IS the calibration readout for that policy: on
     * this corpus the planted replays flag in all three modalities
     * while the handful of random image band collisions flag in exactly
-    * one. Scale: three already-capped pair frames (tiny relative to
-    * the corpus), three doc-keyed semi-joins, one 8-row aggregate. */
+    * one. Scale: three already-capped pair frames READ FROM the
+    * build-once modality artifacts (tiny relative to the corpus; the
+    * r15 shape re-derived all three codec passes inline — the suite's
+    * most expensive query, retired by the artifact), three doc-keyed
+    * semi-joins, one 8-row aggregate. */
   def dedupConsensus(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     def linked(pairs: DataFrame, flag: String): DataFrame =
