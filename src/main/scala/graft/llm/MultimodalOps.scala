@@ -727,6 +727,61 @@ object MultimodalOps extends graft.QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** q_multimodal_keep_list — the DESTRUCTIVE half of the cross-modal
+    * consensus: the ≥2-modality drop policy the contingency table
+    * ([[dedupConsensus]]) calibrates, APPLIED. A pair of documents is a
+    * CONFIRMED duplicate link only when at least two of the three
+    * perceptual detectors (image dHash ≤6 Hamming, audio ≥6 equal
+    * energy bands, video ≥3 equal sampled frames) flag the SAME pair —
+    * the standard precision lever for destructive multimodal dedup:
+    * a single-modality collision (e.g. a random 16-bit image band
+    * coincidence) stays in the corpus, a replayed asset (which its
+    * image, audio AND video tracks all recognize) is collapsed to its
+    * min-id representative. Connected components over the confirmed
+    * pair graph via the same min-label propagation every keep-list
+    * runs; keep = each component's min doc + every unconfirmed doc.
+    * The oracle rebuilds all three modality pair sets closed-form and
+    * closes the confirmed graph WITH RECURSIVE. Scale: three
+    * already-capped artifact pair frames, one pair-keyed count, and a
+    * component pass over the confirmed subgraph (≤ the planted-dup
+    * population) — nothing corpus-sized shuffles. */
+  def multimodalKeepList(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    consensusKeepFromPairs(
+      graft.Tables.documents(spark, sfDir).select($"doc_id"),
+      imagePhashPairs(spark, sfDir).filter($"hamming" <= 6)
+        .select($"doc_a", $"doc_b"),
+      audioPairs(spark, sfDir).filter($"n_equal_bands" >= 6)
+        .select($"doc_a", $"doc_b"),
+      videoPairs(spark, sfDir).filter($"n_frames_equal" >= 3)
+        .select($"doc_a", $"doc_b"))
+  }
+
+  /** The ≥2-of-3 consensus keep rule over explicit pair frames (each
+    * already thresholded and distinct per modality) — split out so the
+    * planted drill (MultimodalKeepListSpec) can drive it on
+    * constructed graphs: a single-modality link must survive, a
+    * multi-modality replay must collapse. */
+  private[llm] def consensusKeepFromPairs(docs: DataFrame, img: DataFrame,
+                                          aud: DataFrame, vid: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val confirmed = img.unionAll(aud).unionAll(vid)
+      .groupBy($"doc_a", $"doc_b")
+      // each modality's pair frame is distinct by construction, so the
+      // plain count IS the number of agreeing modalities
+      .agg(count(lit(1)).as("n_modalities"))
+      .filter($"n_modalities" >= 2)
+      .select($"doc_a".as("a_id"), $"doc_b".as("b_id"))
+    val comps = DedupOps.propagateMinLabel(confirmed)
+      .toDF("doc_id", "component_id")
+    docs
+      .join(comps, Seq("doc_id"), "left")
+      .withColumn("component_id", coalesce($"component_id", $"doc_id"))
+      .filter($"doc_id" === $"component_id")
+      .select($"doc_id", $"component_id")
+      .orderBy($"doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_meta" -> (mediaMeta _),
     "q_multimodal_features" -> (mediaFeatures _),
@@ -737,7 +792,8 @@ object MultimodalOps extends graft.QueryModule {
     "q_dedup_audio_fingerprint" -> (audioFingerprintDedup _),
     "q_dedup_video_framehash" -> (videoFramehashDedup _),
     "q_dedup_image_keep_list" -> (imageKeepList _),
-    "q_multimodal_dedup_consensus" -> (dedupConsensus _))
+    "q_multimodal_dedup_consensus" -> (dedupConsensus _),
+    "q_multimodal_keep_list" -> (multimodalKeepList _))
 
   /** q_multimodal_dedup_consensus — cross-modal agreement of the three
     * perceptual dedup detectors: per doc, is it dup-LINKED (member of
@@ -1029,6 +1085,38 @@ object MultimodalOps extends graft.QueryModule {
         |edges(src, dst) AS (
         |  SELECT a_id, b_id FROM nearpairs
         |  UNION ALL SELECT b_id, a_id FROM nearpairs),
+        |reach(id, comp) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id),
+        |comps AS (
+        |  SELECT id AS doc_id, MIN(comp) AS component_id
+        |  FROM reach GROUP BY id)
+        |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+        |  CAST(coalesce(c.component_id, d.doc_id) AS BIGINT)
+        |    AS component_id
+        |FROM documents d LEFT JOIN comps c ON d.doc_id = c.doc_id
+        |WHERE c.component_id IS NULL OR d.doc_id = c.component_id
+        |ORDER BY d.doc_id""".stripMargin,
+    // the ≥2-of-3 policy APPLIED: all three modality twins nest as
+    // subqueries, pairs confirmed by ≥2 close recursively, keep = each
+    // component's min + every unconfirmed doc
+    "q_multimodal_keep_list" ->
+      s"""WITH RECURSIVE
+        |img AS (SELECT doc_a, doc_b FROM ($imagePhashOracle) iq),
+        |aud AS (SELECT doc_a, doc_b FROM ($audioFingerprintOracle) aq),
+        |vid AS (SELECT doc_a, doc_b FROM ($videoFramehashOracle) vq),
+        |confirmed AS (
+        |  SELECT doc_a, doc_b FROM (
+        |    SELECT doc_a, doc_b, COUNT(*) AS nm FROM (
+        |      SELECT doc_a, doc_b FROM img
+        |      UNION ALL SELECT doc_a, doc_b FROM aud
+        |      UNION ALL SELECT doc_a, doc_b FROM vid) u
+        |    GROUP BY 1, 2) g
+        |  WHERE nm >= 2),
+        |edges(src, dst) AS (
+        |  SELECT doc_a, doc_b FROM confirmed
+        |  UNION ALL SELECT doc_b, doc_a FROM confirmed),
         |reach(id, comp) AS (
         |  SELECT src, src FROM edges
         |  UNION
