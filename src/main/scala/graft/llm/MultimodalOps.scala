@@ -433,6 +433,83 @@ object MultimodalOps extends graft.QueryModule {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** The image corpus as a FILE TREE (one PNG per doc): how a real
+    * 100 TB multimodal corpus actually arrives — one object per asset
+    * on shared storage, not a parquet column. Materialized once per
+    * fixture generation under the Target discipline (atomic publish +
+    * stale sweep), written executor-side via foreachPartition — no
+    * driver collect. */
+  private[llm] def imageFilesPath(sfDir: String): String =
+    s"${graft.Artifacts.root}/graft_media_imagefiles/" +
+      graft.Artifacts.key("v1", sfDir, "documents.parquet")
+
+  private def ensureImageFiles(spark: SparkSession, sfDir: String): String = {
+    import spark.implicits._
+    val path = imageFilesPath(sfDir)
+    val target = graft.flow.DirTarget(path)
+    if (!target.exists) target.atomicWrite { tmp =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tmp))
+      mediaRoles(spark, sfDir).as[(Long, Long, Boolean, Boolean)]
+        .foreachPartition { (it: Iterator[(Long, Long, Boolean, Boolean)]) =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.foreach { case (id, base, isdup, isflat) =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(s"$tmp/doc_$id.png"),
+              renderGridPng(base, isdup, isflat))
+          }
+        }
+    }
+    graft.Artifacts.sweepStale(path)
+    path
+  }
+
+  /** dHash frame sourced from the FILE TREE through Spark's built-in
+    * binaryFile reader (one split per file, doc identity recovered
+    * from the file name) — the production ingest shape feeding the
+    * SAME hash/band/pair pipeline as the render-sourced artifact.
+    * ImageFilesParitySpec pins the two frames identical. */
+  private[llm] def imageHashedFromFiles(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val path = ensureImageFiles(spark, sfDir)
+    val png = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.png").load(path)
+      .select(
+        regexp_extract($"path", "doc_(\\d+)\\.png$", 1)
+          .cast("long").as("doc_id"),
+        $"content".as("payload"))
+    hashPngPayloads(png)
+  }
+
+  /** q_dedup_image_phash_files — the image near-dup pipeline driven
+    * END TO END from a real files table: the corpus is written once as
+    * one PNG object per doc (the object-store layout of a production
+    * multimodal corpus — the reference's whole premise is
+    * filesystem-target pipelines, 00_training_pipeline.py:26-27),
+    * ingested through format("binaryFile") with a pathGlobFilter, each
+    * payload decoded through the REAL ImageIO path, and the identical
+    * banded dHash dedup runs on the file-sourced hashes. Shares
+    * q_dedup_image_phash's closed-form oracle — a green row therefore
+    * proves the write → list → binaryFile-read → decode → hash chain
+    * byte-equivalent to the render-sourced artifact, i.e. files→dedup
+    * (the one production shape r15 had not driven) works end to end.
+    * Scale: binaryFile gives one split per file with ordinary executor
+    * parallelism (a 100 TB tree shards by directory prefix); hashing
+    * stays a narrow mapPartitions pass (codec init per partition),
+    * then the capped band join — nothing here is corpus-sized beyond
+    * the one file scan dedup must pay. */
+  def imagePhashDedupFiles(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // pin the file-sourced hash frame: it feeds the band explode and
+    // both Hamming legs — without the checkpoint the codec pass and
+    // the file scan would run three times
+    val hashed = imageHashedFromFiles(spark, sfDir).localCheckpoint()
+    phashPairsFromHashed(hashed)
+      .select($"doc_a", $"doc_b", $"hamming",
+        ($"doc_b" === $"doc_a" + 1 && $"doc_b" % 10 === 1).as("planted"))
+      .filter($"hamming" <= 6)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   /** q_dedup_image_threshold_curve — dup-rate-vs-threshold sweep for
     * the image pipeline (the q_dedup_threshold_curve discipline on
     * the Hamming axis): for each cutoff θ ∈ 0..8, how many candidate
@@ -793,7 +870,8 @@ object MultimodalOps extends graft.QueryModule {
     "q_dedup_video_framehash" -> (videoFramehashDedup _),
     "q_dedup_image_keep_list" -> (imageKeepList _),
     "q_multimodal_dedup_consensus" -> (dedupConsensus _),
-    "q_multimodal_keep_list" -> (multimodalKeepList _))
+    "q_multimodal_keep_list" -> (multimodalKeepList _),
+    "q_dedup_image_phash_files" -> (imagePhashDedupFiles _))
 
   /** q_multimodal_dedup_consensus — cross-modal agreement of the three
     * perceptual dedup detectors: per doc, is it dup-LINKED (member of
@@ -1036,6 +1114,10 @@ object MultimodalOps extends graft.QueryModule {
     // luminance, the same banding, cap, and Hamming set logic —
     // equality proves the Spark side's codec roundtrip lossless
     "q_dedup_image_phash" -> imagePhashOracle,
+    // the SAME closed-form twin: the files path must reproduce the
+    // render-sourced result byte-for-byte, so one oracle serves both —
+    // green proves write → binaryFile-read → decode → hash parity
+    "q_dedup_image_phash_files" -> imagePhashOracle,
     "q_dedup_image_threshold_curve" ->
       s"""$imagePhashSqlCtes,
         |thetas AS (SELECT CAST(range AS BIGINT) AS theta

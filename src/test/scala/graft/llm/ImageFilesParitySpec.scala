@@ -1,0 +1,45 @@
+package graft.llm
+
+import graft.SparkTestBase
+
+/** Pins the files→dedup production shape (r16): the dHash frame
+  * ingested from the one-PNG-per-doc file tree through Spark's
+  * binaryFile source is IDENTICAL to the render-sourced artifact
+  * frame, and the declared files query reproduces the render-sourced
+  * dedup output — so the write → list → binaryFile-read → decode →
+  * hash chain loses nothing. */
+class ImageFilesParitySpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("file-sourced and render-sourced dHash frames are identical") {
+    val fromFiles = MultimodalOps.imageHashedFromFiles(spark, sf0001)
+      .collect().map(_.toString).sorted
+    val fromRender = MultimodalOps.imageHashedFrame(spark, sf0001)
+      .collect().map(_.toString).sorted
+    assert(fromFiles.nonEmpty)
+    assert(fromFiles.sameElements(fromRender),
+      "binaryFile ingest changed at least one doc's dHash")
+  }
+
+  test("the files tree holds one PNG per doc and re-runs read, not rewrite") {
+    val dir = new java.io.File(MultimodalOps.imageFilesPath(sf0001))
+    assert(dir.isDirectory)
+    val nDocs = graft.Tables.documents(spark, sf0001).count()
+    val pngs = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".png"))
+    assert(pngs.length.toLong === nDocs)
+    val stamps = pngs.map(f => f.getName -> f.lastModified()).toMap
+    MultimodalOps.imageHashedFromFiles(spark, sf0001).collect()
+    val after = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".png"))
+      .map(f => f.getName -> f.lastModified()).toMap
+    assert(after === stamps, "file tree was rewritten, not read")
+  }
+
+  test("declared files query equals the render-sourced dedup output") {
+    val files = MultimodalOps.imagePhashDedupFiles(spark, sf0001).collect()
+    val render = MultimodalOps.imagePhashDedup(spark, sf0001).collect()
+    assert(files.nonEmpty)
+    assert(files.map(_.toString).sameElements(render.map(_.toString)))
+  }
+}
