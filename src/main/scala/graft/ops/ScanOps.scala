@@ -425,7 +425,10 @@ object ScanOps extends graft.QueryModule {
     * SOURCE table, so green proves the clustered write lossless and
     * the cell math right; ZOrderSkipSpec turns the readout into the
     * skipping claim itself (≤16 of 64 cells survive a 1/8-range probe
-    * on each axis).
+    * on each axis) AND drives it: the parquet reader's scan metrics
+    * show <2/5 of rows returned under a pushed range probe on EITHER
+    * key, where a partkey-sorted comparison layout returns ~all rows
+    * for the suppkey probe (r16).
     *
     * Scale: one exchange on the bucket key (the clustering shuffle
     * every OPTIMIZE pays), then per-cell hash aggs; the readout frame

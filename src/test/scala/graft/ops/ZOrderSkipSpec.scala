@@ -57,4 +57,50 @@ class ZOrderSkipSpec extends SparkTestBase {
       .count(_.getName.startsWith("zbucket="))
     assert(cellDirs === rows.length)
   }
+
+  test("DRIVEN skipping: the parquet reader returns fewer rows under a range probe on either clustered key") {
+    // ensure the clustered layout exists (and get its truth counts)
+    ScanOps.zorderStats(spark, sf0001).collect()
+    val zpath = s"${graft.Artifacts.root}/graft_roundtrip/lineitem_zorder_" +
+      java.lang.Integer.toHexString(sf0001.hashCode)
+    val li = graft.Tables.lineitem(spark, sf0001)
+    val (nLi, pmax, smax) = {
+      val r = li.agg(count(lit(1)), max($"l_partkey"), max($"l_suppkey"))
+        .collect().head
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+
+    // rows RETURNED BY THE SCAN NODE (after parquet footer/row-group
+    // pruning of the pushed range filter, before Spark's re-filter) —
+    // the driven twin of the interval arithmetic above
+    def scanRows(df: org.apache.spark.sql.DataFrame): Long = {
+      df.queryExecution.executedPlan.executeCollect()
+      df.queryExecution.executedPlan.collectLeaves()
+        .map(_.metrics("numOutputRows").value).sum
+    }
+
+    val z = spark.read.parquet(zpath)
+    val zP = scanRows(z.filter($"l_partkey" <= pmax / 8))
+    val zS = scanRows(z.filter($"l_suppkey" <= smax / 8))
+    assert(zP < nLi * 2 / 5, s"partkey probe read $zP of $nLi rows")
+    assert(zS < nLi * 2 / 5, s"suppkey probe read $zS of $nLi rows")
+
+    // comparison layout: the SAME rows range-sorted on partkey alone —
+    // every file spans the full suppkey range, so the suppkey probe
+    // prunes nothing at the reader
+    val spath = s"${graft.Artifacts.root}/graft_roundtrip/lineitem_psort_" +
+      java.lang.Integer.toHexString(sf0001.hashCode)
+    li.select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
+      .repartitionByRange(16, $"l_partkey")
+      .sortWithinPartitions($"l_partkey")
+      .write.mode("overwrite").parquet(spath)
+    val s = spark.read.parquet(spath)
+    val sP = scanRows(s.filter($"l_partkey" <= pmax / 8))
+    val sS = scanRows(s.filter($"l_suppkey" <= smax / 8))
+    assert(sP < nLi * 2 / 5, "sorted layout should prune its own key")
+    assert(sS > nLi * 9 / 10,
+      s"sorted layout unexpectedly pruned the second key ($sS of $nLi)")
+    assert(zS < sS / 2,
+      s"z-order reader ($zS rows) should beat sorted ($sS) on key 2")
+  }
 }
