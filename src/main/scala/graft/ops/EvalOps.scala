@@ -23,7 +23,7 @@ object EvalOps extends graft.QueryModule {
     * algorithm (Hunter, Annals of Statistics 2004, eq. 1.4): pairwise
     * duels are derived from the data (two suppliers sharing an order
     * compete on exact-cents line revenue; ties are dropped), collapsed
-    * once into the per-pair win matrix, and 8 fixed MM rounds iterate
+    * once into the per-pair win matrix, and 6 fixed MM rounds iterate
     * p_i ← W_i / Σ_j n_ij/(p_i+p_j). Ratings are scale-free, so
     * normalization happens ONCE at readout (divide by the mean) — no
     * per-round scalar frame. Scale: the duel self-join is per-order
@@ -35,10 +35,20 @@ object EvalOps extends graft.QueryModule {
     * is ≤|supplier| rows, and materializing it as 32 shuffle
     * partitions made checkpoint task overhead the dominant cost of
     * the whole query (8.5 s at sf0.1, the r14 suite's slowest). The
-    * corpus is scanned exactly once. The readout ships
-    * conv_max_delta = max_s |p₈/p̄₈ − p₇/p̄₇|, the empirical pin for
-    * the 8-round budget (the lpaStability ARI pattern): ≈0 says the
-    * ratings had already converged a round earlier. 100 TB caveat:
+    * corpus is scanned exactly once. The readout ships the PER-ROUND
+    * convergence curve — conv_d2/conv_d4/conv_max_delta = the max
+    * normalized rating move at rounds 2, 4, and 6 — which is what cut
+    * the budget from the r15 8 rounds: the iterate contracts at a
+    * measured rate ≈0.55/round on this fixture (d: 0.058 → 0.017 →
+    * 0.005), so the geometric tail past round 6 is ≈1.2·conv_max_delta
+    * ≈ 0.6% of the mean rating — converged at the rating scale the
+    * 1e-6-floored readout serves, while the curve is exactly the
+    * evidence an operator needs to BUY more rounds when a tighter
+    * threshold matters (full rank stability over 1000 near-tied
+    * suppliers is not reachable by any small fixed budget: measured,
+    * rounds 8 and 16 still disagree on 400+ positions, because
+    * adjacent ratings sit closer than the remaining drift — ship the
+    * curve, not a false "converged" flag). 100 TB caveat:
     * the per-round broadcast is |competitor-domain|-sized — right for
     * catalog-bounded domains like suppliers; for an unbounded domain
     * past spark.sql.autoBroadcastJoinThreshold, drop the broadcast()
@@ -73,50 +83,65 @@ object EvalOps extends graft.QueryModule {
       .unionAll(pairs.select($"sj".as("s"), $"wji".as("w"), $"nij".as("n")))
       .groupBy($"s").agg(sum($"w").as("w"), sum($"n").as("nc"))
       .localCheckpoint()
-    // 8 MM rounds; a supplier that never wins fixes at p=0 (the MLE
+    // 6 MM rounds; a supplier that never wins fixes at p=0 (the MLE
     // boundary), and p_i+p_j>0 holds for every observed pair because
     // tie-dropped duels always produce a winner on one side
     var p = wins.select($"s", lit(1.0).as("p")).coalesce(1).localCheckpoint()
-    var p7 = p // round-7 snapshot for the convergence readout
-    for (r <- 1 to 8) {
+    val convs = scala.collection.mutable.Buffer[DataFrame]()
+    for (r <- 1 to 6) {
       val denom = edges
         .join(broadcast(p.select($"s", $"p".as("ps"))), Seq("s"))
         .join(broadcast(p.select($"s".as("o"), $"p".as("po"))), Seq("o"))
         .groupBy($"s").agg(sum($"n" / ($"ps" + $"po")).as("den"))
       val next = wins.join(denom, Seq("s"))
         .select($"s", ($"w".cast("double") / $"den").as("p"))
-      // materialize every other round (plus the snapshot rounds): the
-      // lazy odd round is recomputed inside the even round's two
-      // broadcast legs — on the ≤|supplier| frame that recompute is
-      // cheaper than a full checkpoint job round-trip
-      p = if (r % 2 == 0 || r == 7) next.coalesce(1).localCheckpoint()
-          else next
-      if (r == 7) p7 = p
+      if (r % 2 == 0) {
+        // materialize every other round, carrying the odd predecessor
+        // IN the same checkpointed frame: the lazy odd round is
+        // recomputed inside this one job (its two broadcast legs + the
+        // pprev join leg) — on the ≤|supplier| frame those recomputes
+        // are cheaper than extra checkpoint job round-trips, and the
+        // convergence delta then reads CHECKPOINTED data only (the
+        // first cut of this readout derived each delta from lazy
+        // snapshots directly and re-paid odd rounds per delta leg —
+        // measurably SLOWER than the 8-round r15 shape it replaced)
+        val both = next
+          .join(p.select($"s", $"p".as("pprev")), Seq("s"))
+          .coalesce(1).localCheckpoint()
+        // max over doubles is order-independent, so the pin is
+        // bit-deterministic; each round normalizes by its own mean
+        // (the MM iterate is scale-free, raw rounds not comparable)
+        val means = both.agg(avg($"p").as("mb"), avg($"pprev").as("ma"))
+        convs += both.crossJoin(broadcast(means))
+          .agg(max(abs($"p" / $"mb" - $"pprev" / $"ma")).as(s"cd$r"))
+        p = both.select($"s", $"p")
+      } else p = next
     }
     val norm = p.agg(avg($"p").as("pbar")) // 1-row scalar frame
-    val norm7 = p7.agg(avg($"p").as("pbar7")) // 1-row scalar frame
-    // max over doubles is order-independent, so the convergence pin is
-    // bit-deterministic; both rounds normalize by their own mean (the
-    // MM iterate is scale-free, raw rounds are not comparable)
-    val conv = p7.select($"s", $"p".as("pa"))
-      .join(p.select($"s", $"p".as("pb")), Seq("s"))
-      .crossJoin(broadcast(norm)).crossJoin(broadcast(norm7))
-      .agg(max(abs($"pb" / $"pbar" - $"pa" / $"pbar7")).as("cd"))
     wins.join(p, Seq("s")).crossJoin(broadcast(norm))
-      .crossJoin(broadcast(conv)) // 1-row convergence frame
+      // the convergence CURVE: three 1-row frames off checkpointed data
+      .crossJoin(broadcast(convs(0))).crossJoin(broadcast(convs(1)))
+      .crossJoin(broadcast(convs(2)))
       .select($"s".as("suppkey"), $"w".as("wins"),
         $"nc".as("n_comparisons"), micro($"p" / $"pbar").as("rating"),
-        micro($"cd").as("conv_max_delta"))
+        micro($"cd2").as("conv_d2"), micro($"cd4").as("conv_d4"),
+        micro($"cd6").as("conv_max_delta"))
       .orderBy($"suppkey")
   }
 
   private def btOracle: String = {
-    val iters = (1 to 8).map { i =>
+    val iters = (1 to 6).map { i =>
       s"""d$i AS MATERIALIZED (SELECT e.s AS s, SUM(e.n / (pa.p + pb.p)) AS den
          |  FROM edges e JOIN r${i - 1} pa ON e.s = pa.s
          |  JOIN r${i - 1} pb ON e.o = pb.s GROUP BY e.s),
          |r$i AS MATERIALIZED (SELECT w.s AS s, w.w / d.den AS p
          |  FROM wins w JOIN d$i d ON w.s = d.s)""".stripMargin
+    }.mkString(",\n")
+    val deltas = Seq(2, 4, 6).map { i =>
+      s"""cv$i AS (
+         |  SELECT MAX(ABS(b.p / (SELECT AVG(p) FROM r$i) -
+         |                 a.p / (SELECT AVG(p) FROM r${i - 1}))) AS cd
+         |  FROM r${i - 1} a JOIN r$i b ON a.s = b.s)""".stripMargin
     }.mkString(",\n")
     s"""WITH per AS (
        |  SELECT l_orderkey AS ok, l_suppkey AS s,
@@ -143,15 +168,15 @@ object EvalOps extends graft.QueryModule {
        |  GROUP BY 1),
        |r0 AS MATERIALIZED (SELECT s, CAST(1.0 AS DOUBLE) AS p FROM wins),
        |$iters,
-       |conv AS (
-       |  SELECT MAX(ABS(b.p / (SELECT AVG(p) FROM r8) -
-       |                 a.p / (SELECT AVG(p) FROM r7))) AS cd
-       |  FROM r7 a JOIN r8 b ON a.s = b.s)
+       |$deltas
        |SELECT wins.s AS suppkey, wins.w AS wins, wins.nc AS n_comparisons,
-       |  CAST(floor(r8.p / (SELECT AVG(p) FROM r8) * 1e6) AS BIGINT) / 1e6
+       |  CAST(floor(r6.p / (SELECT AVG(p) FROM r6) * 1e6) AS BIGINT) / 1e6
        |    AS rating,
-       |  CAST(floor(conv.cd * 1e6) AS BIGINT) / 1e6 AS conv_max_delta
-       |FROM wins JOIN r8 ON wins.s = r8.s, conv ORDER BY suppkey""".stripMargin
+       |  CAST(floor(cv2.cd * 1e6) AS BIGINT) / 1e6 AS conv_d2,
+       |  CAST(floor(cv4.cd * 1e6) AS BIGINT) / 1e6 AS conv_d4,
+       |  CAST(floor(cv6.cd * 1e6) AS BIGINT) / 1e6 AS conv_max_delta
+       |FROM wins JOIN r6 ON wins.s = r6.s, cv2, cv4, cv6
+       |ORDER BY suppkey""".stripMargin
   }
 
   /** q_ml_pass_at_k — the unbiased pass@k estimator (Chen et al. 2021,

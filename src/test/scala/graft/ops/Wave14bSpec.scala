@@ -57,7 +57,7 @@ class Wave14bSpec extends SparkTestBase {
       wins(j) = (wj + wji, nj + n)
     }
     var p = wins.keys.map(_ -> 1.0).toMap
-    for (_ <- 1 to 8) {
+    for (_ <- 1 to 6) { // the r16 budget: 6 MM rounds, curve shipped
       val den = collection.mutable.Map.empty[Long, Double].withDefaultValue(0.0)
       for (((i, j), (_, _, n)) <- pairs) {
         den(i) += n / (p(i) + p(j)); den(j) += n / (p(i) + p(j))
