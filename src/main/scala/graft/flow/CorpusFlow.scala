@@ -16,7 +16,12 @@ import org.apache.spark.sql.functions._
   *                          (i-chain: DedupBatch(i) requires
   *                           FpIndex(i-1); FpIndex(i) requires
   *                           DedupBatch(i) — one atomic target each)
-  *   DedupBatch(i) ─► NearDupBatch(i) ─► DecontaminateBatch(i)
+  *   DedupBatch(i) ─► NearDupBatch(i) ─► [ImageDedupBatch(i)] ─►
+  *                    DecontaminateBatch(i)
+  *                          (ImageDedupBatch is the config-gated
+  *                           multimodal stage: perceptual image
+  *                           near-dup drop via the build-once dHash
+  *                           pair artifact)
   *                          (second i-chain: NearDupBatch(i) requires
   *                           BandIndex(i-1); BandIndex(i) requires
   *                           NearDupBatch(i) — the MinHash band index
@@ -62,6 +67,16 @@ final case class CorpusConfig(baseDir: String, sfDir: String,
                               // before the quality gate — the cheapest
                               // dedup pass of a web corpus.
                               urlDedup: Boolean = false,
+                              // multimodal knob: when on, an
+                              // ImageDedupBatch stage runs between
+                              // NearDupBatch and DecontaminateBatch —
+                              // perceptual (dHash ≤6 Hamming) image
+                              // near-dup drop via the build-once image
+                              // pair artifact (min-parent rule: the
+                              // larger id of every confirmed pair
+                              // drops, corpus-wide, so batches agree
+                              // with first-seen-wins).
+                              imageDedup: Boolean = false,
                               // readability knob: when set, the
                               // quality gate ALSO drops docs whose
                               // FORCAST grade (q_text_readability's
@@ -456,10 +471,41 @@ object CorpusFlow {
     * one narrow explode → broadcast semi-join → anti-join back on
     * doc_id — corpus text never shuffles. Docs under 3 tokens have no
     * shingles and cannot leak: kept. */
+  /** Perceptual image near-dup drop of one near-deduped batch (the
+    * multimodal stage, config-gated like UrlDedupBatch/DsirSelectBatch):
+    * the batch's docs drop when they are the LARGER side of any ≤6-
+    * Hamming dHash pair — the min-parent rule NearDupBatch's selfDrop
+    * uses, applied on the image axis. Pairs come from the build-once
+    * image artifact (MultimodalOps.imagePhashPairs — rendered, encoded,
+    * ImageIO-decoded and hashed ONCE per corpus generation), so the
+    * stage itself is one ids-only anti join: no codec work per batch,
+    * and every batch agrees with first-seen-wins because the pair
+    * frame is corpus-wide. At 100 TB the artifact is the hash index a
+    * media pipeline maintains anyway; the per-batch cost stays
+    * batch-sized. */
+  final case class ImageDedupBatch(cfg: CorpusConfig, i: Int) extends Task {
+    override def name = s"ImageDedupBatch($i)"
+    override def requires: Seq[Task] = Seq(NearDupBatch(cfg, i))
+    val output: DirTarget = DirTarget(s"${cfg.baseDir}/batch_$i/image_deduped")
+    def run(spark: SparkSession): Unit = {
+      val batch = spark.read.parquet(requires.head.output.uri)
+      // doc_b is the larger id of every scored pair by construction
+      val dropIds = graft.llm.MultimodalOps.imagePhashPairs(spark, cfg.sfDir)
+        .filter(col("hamming") <= 6)
+        .select(col("doc_b").as("doc_id")).distinct()
+      output.atomicWrite { tmp =>
+        batch.join(dropIds, Seq("doc_id"), "left_anti")
+          .write.parquet(tmp)
+      }
+    }
+  }
+
   final case class DecontaminateBatch(cfg: CorpusConfig, i: Int) extends Task {
     override def name = s"DecontaminateBatch($i)"
     override def requires: Seq[Task] =
-      Seq(NearDupBatch(cfg, i), BenchmarkShingles(cfg))
+      Seq(if (cfg.imageDedup) ImageDedupBatch(cfg, i)
+          else NearDupBatch(cfg, i),
+        BenchmarkShingles(cfg))
     val output: DirTarget = DirTarget(s"${cfg.baseDir}/batch_$i/decontaminated")
     def run(spark: SparkSession): Unit = {
       import graft.llm.DedupOps
@@ -684,7 +730,9 @@ object CorpusFlow {
       val n = readManifest(requires.head.output.uri).length
       val stages = Seq("raw") ++
         (if (cfg.urlDedup) Seq("url_deduped") else Nil) ++
-        Seq("clean", "deduped", "near_deduped", "decontaminated") ++
+        Seq("clean", "deduped", "near_deduped") ++
+        (if (cfg.imageDedup) Seq("image_deduped") else Nil) ++
+        Seq("decontaminated") ++
         (if (cfg.dsirMinMicro.isDefined) Seq("selected") else Nil) ++
         Seq("mixed", "packed")
       def stageCounts(stage: String) =
@@ -728,8 +776,11 @@ object CorpusFlow {
             ("url_deduped", "clean", "quality_fail"))
         else Seq(("raw", "clean", "quality_fail"))) ++ Seq(
         ("clean", "deduped", "exact_dup"),
-        ("deduped", "near_deduped", "near_dup"),
-        ("near_deduped", "decontaminated", "decontaminated")) ++
+        ("deduped", "near_deduped", "near_dup")) ++
+        (if (cfg.imageDedup)
+          Seq(("near_deduped", "image_deduped", "image_dup"),
+            ("image_deduped", "decontaminated", "decontaminated"))
+        else Seq(("near_deduped", "decontaminated", "decontaminated"))) ++
         (if (cfg.dsirMinMicro.isDefined)
           Seq(("decontaminated", "selected", "dsir_offtarget"),
             ("selected", "mixed", "quota_cut"))

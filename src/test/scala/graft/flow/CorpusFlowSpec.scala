@@ -480,4 +480,92 @@ class CorpusFlowSpec extends SparkTestBase {
     assert(dropped > 0, "readability ceiling dropped nothing (vacuous)")
     assert(kept > 0, "readability ceiling dropped everything")
   }
+
+  test("corpus flow: image-dedup knob inserts the perceptual stage, crash-resume intact") {
+    import spark.implicits._
+    val cfg = CorpusConfig(
+      Files.createTempDirectory("graft_corpus_img").toString, sf0001,
+      imageDedup = true)
+    val root = CorpusFlow.CurateAll(cfg)
+    val executed = Runner.runParallel(root, spark, workers = 2)
+    val manifest = CorpusFlow.readManifest(s"${cfg.baseDir}/batches.manifest")
+    val n = manifest.length
+    assert(executed.count(_.startsWith("ImageDedupBatch")) == n)
+    // re-run is a no-op with the knob on too
+    assert(Runner.runParallel(root, spark, workers = 2).isEmpty)
+
+    // replay: the stage drops exactly the batch's members of the
+    // corpus-wide "larger side of a <=6-Hamming pair" set
+    val dropSet = graft.llm.MultimodalOps.imagePhashDedup(spark, sf0001)
+      .select($"doc_b").collect().map(_.getLong(0)).toSet
+    assert(dropSet.nonEmpty, "no confirmed image pairs (vacuous fixture)")
+    var imageDropsTotal = 0L
+    (0 until n).foreach { i =>
+      val before = spark.read.parquet(s"${cfg.baseDir}/batch_$i/near_deduped")
+        .select($"doc_id").collect().map(_.getLong(0)).toSet
+      val after = spark.read.parquet(s"${cfg.baseDir}/batch_$i/image_deduped")
+        .select($"doc_id").collect().map(_.getLong(0)).toSet
+      assert(after === before.diff(dropSet), s"batch $i image dedup mismatch")
+      imageDropsTotal += before.size - after.size
+    }
+    assert(imageDropsTotal > 0, "image stage dropped nothing (vacuous)")
+
+    // funnel carries the stage in ladder position and stays monotone;
+    // the ledger attributes the drops
+    val funnel = spark.read.parquet(s"${cfg.baseDir}/funnel")
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2))
+      .toMap.withDefaultValue(0L)
+    (0 until n).foreach { i =>
+      Seq("near_deduped", "image_deduped", "decontaminated")
+        .sliding(2).foreach { case Seq(a, b) =>
+          assert(funnel((i, a)) >= funnel((i, b)),
+            s"batch $i: $a=${funnel((i, a))} < $b=${funnel((i, b))}")
+        }
+    }
+    val imgReasons = (0 until n).map { i =>
+      spark.read.parquet(s"${cfg.baseDir}/batch_$i/drop_ledger")
+        .filter($"reason" === "image_dup").count()
+    }
+    assert(imgReasons.sum === imageDropsTotal,
+      "ledger image_dup rows != stage drops")
+
+    // crash-resume: kill one batch's image stage and everything
+    // downstream of it; the resume rebuilds exactly the missing suffix
+    // and nothing upstream
+    def rmAll(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rmAll)
+      f.delete()
+    }
+    Seq("image_deduped", "decontaminated", "mixed", "packed",
+        "token_ledger", "drop_ledger")
+      .foreach(s => rmAll(new java.io.File(s"${cfg.baseDir}/batch_1/$s")))
+    // downstream ledgers chain across batches; drop the suffix + roots
+    (2 until n).foreach { i =>
+      Seq("packed", "token_ledger", "drop_ledger")
+        .foreach(s => rmAll(new java.io.File(s"${cfg.baseDir}/batch_$i/$s")))
+    }
+    Seq("funnel", "report", "_curated_ok")
+      .foreach(s => rmAll(new java.io.File(s"${cfg.baseDir}/$s")))
+    val before1 = spark.read.parquet(s"${cfg.baseDir}/batch_1/near_deduped")
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val resumed = Runner.runParallel(root, spark, workers = 2)
+    assert(resumed.count(_.startsWith("IngestBatch")) == 0)
+    assert(resumed.count(_.startsWith("NearDupBatch")) == 0)
+    assert(resumed.contains("ImageDedupBatch(1)"))
+    assert(!resumed.contains("ImageDedupBatch(0)"))
+    val after1 = spark.read.parquet(s"${cfg.baseDir}/batch_1/image_deduped")
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(after1 === before1.diff(dropSet), "resume changed the kept set")
+
+    // knob OFF: no stage dirs, no image_dup reasons (the default-path
+    // flows the other tests run already pin this; assert directly)
+    val off = CorpusConfig(
+      Files.createTempDirectory("graft_corpus_imgoff").toString, sf0001)
+    Runner.runParallel(CorpusFlow.CurateAll(off), spark, workers = 2)
+    assert(!new java.io.File(s"${off.baseDir}/batch_0/image_deduped").exists())
+    val offReasons = spark.read.parquet(s"${off.baseDir}/batch_0/drop_ledger")
+      .filter($"reason" === "image_dup").count()
+    assert(offReasons === 0L)
+  }
 }
