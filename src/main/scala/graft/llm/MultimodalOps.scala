@@ -342,9 +342,15 @@ object MultimodalOps extends graft.QueryModule {
     * (codec init per partition), REAL PNG bytes both ways. The
     * artifact build's codec leg; also the files-ingest twin's
     * reference frame. */
-  private def imageHashedCompute(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val png = mediaRoles(spark, sfDir)
+  private def imageHashedCompute(spark: SparkSession, sfDir: String): DataFrame =
+    renderAndHash(mediaRoles(spark, sfDir))
+
+  /** Render + hash an arbitrary roles slice — the full corpus for the
+    * main artifact, the arriving batch (and the batch ONLY) for the
+    * incremental add. */
+  private def renderAndHash(roles: DataFrame): DataFrame = {
+    import roles.sparkSession.implicits._
+    val png = roles
       .as[(Long, Long, Boolean, Boolean)].mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false) // per-partition codec init
         it.map { case (docId, base, isdup, isflat) =>
@@ -780,6 +786,92 @@ object MultimodalOps extends graft.QueryModule {
   private[graft] def videoPairs(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"${videoArtifact(spark, sfDir)}/pairs")
 
+  /** The held-out "today's batch" of the incremental image-dedup
+    * drill: doc_id % 100 picked so the fold-in exercises all three
+    * pair directions — 41 (a batch REPLAY whose base …40 lives in the
+    * index), 60 (a batch doc whose replay …61 lives in the index), and
+    * 80+81 (a replay pair arriving WHOLLY inside the batch). */
+  private[llm] val INCR_BATCH: Seq[Long] = Seq(41L, 60L, 80L, 81L)
+
+  private[llm] def imageIncrBasePath(sfDir: String): String =
+    s"${graft.Artifacts.root}/graft_media_image_incr/" +
+      graft.Artifacts.key("v1", sfDir, "documents.parquet")
+
+  /** q_dedup_incremental_phash — BATCH-ADD to a persisted perceptual
+    * image index (the q_dedup_incremental_minhash / incremental-IVF
+    * contract on the image axis): the BASE generation hashes 96% of
+    * the corpus once — render → PNG-encode → ImageIO-decode → dHash —
+    * and persists the hash frame as a content-keyed artifact
+    * (yesterday's index). Today's batch ([[INCR_BATCH]]) folds in with
+    * BATCH-ONLY codec work: only the arriving docs are rendered and
+    * decoded, their bands join the index's bands (the hot-bucket cap
+    * counts base+batch members, so a bucket flooded across
+    * generations still caps), candidates = batch-vs-index plus
+    * in-batch, and Hamming scoring reads hashes — never pixels — from
+    * both generations. The output is exactly the full-corpus pair set
+    * RESTRICTED to pairs touching the batch (what "new near-dups did
+    * today's delivery introduce?" means), so the oracle is the same
+    * closed-form pipeline with a batch-membership predicate — a green
+    * row proves the incremental fold-in finds precisely what a full
+    * recompute would, in all three directions (batch-replay-of-base,
+    * base-replay-of-batch, in-batch pair).
+    *
+    * Scale: the add costs |batch| codec passes + one band join against
+    * the index — at 100 TB a daily media drop dedups in minutes while
+    * the base petabytes stay cold (the minhash band-index economics);
+    * IncrementalPhashSpec pins base-files-read-not-rebuilt and parity
+    * with the full pipeline. */
+  def imagePhashDedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val isBatch = pmod($"doc_id", lit(100L)).isin(INCR_BATCH: _*)
+    val basePath = imageIncrBasePath(sfDir)
+    val baseTarget = graft.flow.DirTarget(basePath)
+    if (!baseTarget.exists) baseTarget.atomicWrite { tmp =>
+      renderAndHash(mediaRoles(spark, sfDir).filter(!isBatch))
+        .write.parquet(s"$tmp/hashed")
+    }
+    graft.Artifacts.sweepStale(basePath)
+    val baseHashed = spark.read.parquet(s"$basePath/hashed")
+    // the add: today's batch is the ONLY codec work of this run
+    val batchHashed = renderAndHash(mediaRoles(spark, sfDir).filter(isBatch))
+      .localCheckpoint()
+    def bandsOf(df: DataFrame) = df
+      .select($"doc_id", posexplode(array($"s0", $"s1", $"s2", $"s3")))
+      .toDF("doc_id", "band", "v")
+    val baseBands = bandsOf(baseHashed)
+    val batchBands = bandsOf(batchHashed)
+    // the cap counts BOTH generations — identical to the full-corpus
+    // bucket census, so incremental and full agree on kept buckets
+    val ok = baseBands.select($"band", $"v")
+      .unionAll(batchBands.select($"band", $"v"))
+      .groupBy($"band", $"v").agg(count(lit(1)).as("n"))
+      .filter($"n" <= BAND_CAP).select($"band", $"v")
+    val keptBase = baseBands.join(ok, Seq("band", "v"))
+    val keptBatch = batchBands.join(ok, Seq("band", "v"))
+    val crossGen = keptBatch.as("x").join(keptBase.as("y"),
+        col("x.band") === col("y.band") && col("x.v") === col("y.v"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
+    val inBatch = keptBatch.as("x").join(keptBatch.as("y"),
+        col("x.band") === col("y.band") && col("x.v") === col("y.v") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    val cand = crossGen.unionAll(inBatch).distinct()
+    val allHashed = baseHashed.unionByName(batchHashed)
+    cand
+      .join(allHashed.select($"doc_id".as("doc_a"), $"s0".as("a0"),
+        $"s1".as("a1"), $"s2".as("a2"), $"s3".as("a3")), Seq("doc_a"))
+      .join(allHashed.select($"doc_id".as("doc_b"), $"s0".as("b0"),
+        $"s1".as("b1"), $"s2".as("b2"), $"s3".as("b3")), Seq("doc_b"))
+      .select($"doc_a", $"doc_b",
+        expr("cast(bit_count(a0 ^ b0) + bit_count(a1 ^ b1) + " +
+          "bit_count(a2 ^ b2) + bit_count(a3 ^ b3) as bigint)")
+          .as("hamming"),
+        ($"doc_b" === $"doc_a" + 1 && $"doc_b" % 10 === 1).as("planted"))
+      .filter($"hamming" <= 6)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   /** q_dedup_image_keep_list — the destructive half of the image
     * dedup: connected components over the ≤6-Hamming pair graph (the
     * same min-label propagation the text keep-list runs —
@@ -871,7 +963,8 @@ object MultimodalOps extends graft.QueryModule {
     "q_dedup_image_keep_list" -> (imageKeepList _),
     "q_multimodal_dedup_consensus" -> (dedupConsensus _),
     "q_multimodal_keep_list" -> (multimodalKeepList _),
-    "q_dedup_image_phash_files" -> (imagePhashDedupFiles _))
+    "q_dedup_image_phash_files" -> (imagePhashDedupFiles _),
+    "q_dedup_incremental_phash" -> (imagePhashDedupIncremental _))
 
   /** q_multimodal_dedup_consensus — cross-modal agreement of the three
     * perceptual dedup detectors: per doc, is it dup-LINKED (member of
@@ -1118,6 +1211,17 @@ object MultimodalOps extends graft.QueryModule {
     // render-sourced result byte-for-byte, so one oracle serves both —
     // green proves write → binaryFile-read → decode → hash parity
     "q_dedup_image_phash_files" -> imagePhashOracle,
+    // the full closed-form pipeline RESTRICTED to pairs touching the
+    // held-out batch: equality proves the incremental fold-in finds
+    // precisely what a full recompute would
+    "q_dedup_incremental_phash" ->
+      s"""$imagePhashSqlCtes
+        |SELECT doc_a, doc_b, hamming,
+        |  (doc_b = doc_a + 1 AND doc_b % 10 = 1) AS planted
+        |FROM scored WHERE hamming <= 6
+        |  AND (doc_a % 100 IN (41, 60, 80, 81)
+        |    OR doc_b % 100 IN (41, 60, 80, 81))
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q_dedup_image_threshold_curve" ->
       s"""$imagePhashSqlCtes,
         |thetas AS (SELECT CAST(range AS BIGINT) AS theta
