@@ -77,8 +77,24 @@ object ScaleSweep {
     ("q_dedup_image_threshold_curve", 1.0,
       "same capped pairs once, broadcast 9-row theta dim cross"),
     ("q_ml_bradley_terry", 1.0,
-      "one corpus scan to the win matrix; 8 constant MM rounds on " +
-        "supplier-bounded frames"))
+      "one corpus scan to the win matrix; 6 constant MM rounds on " +
+        "supplier-bounded frames (r16: budget cut by the shipped curve)"),
+    // round-16 wave: artifact-backed media consumers (the min-of-2
+    // discipline measures the warm READ path — the build pass is the
+    // first run, same caveat as the LPA artifact, noted in SCALE.md),
+    // the files-ingest shape, and the incremental fold-in
+    ("q_multimodal_dedup_consensus", 1.0,
+      "three artifact pair frames read + doc-keyed semi-joins; " +
+        "pairs grow ~linearly on the shard-independent corpus"),
+    ("q_multimodal_keep_list", 1.0,
+      "confirmed-pair graph is planted-dup-sized; component pass + " +
+        "doc-keyed keep join"),
+    ("q_dedup_image_phash_files", 1.0,
+      "binaryFile scan is one split per file; codec pass batch-narrow; " +
+        "capped band join"),
+    ("q_dedup_incremental_phash", 1.0,
+      "batch-only codec work + band join vs the persisted index " +
+        "(reads warm; the 4% batch scales with the corpus)"))
 
   private val Off = 1000000000L // replica key offset; > any sf1 key
 
