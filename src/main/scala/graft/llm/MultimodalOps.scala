@@ -699,6 +699,66 @@ object MultimodalOps extends graft.QueryModule {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** The audio corpus as a FILE TREE (one WAV object per doc) — the
+    * audio twin of [[imageFilesPath]]. */
+  private[llm] def audioFilesPath(sfDir: String): String =
+    s"${graft.Artifacts.root}/graft_media_audiofiles/" +
+      graft.Artifacts.key("v1", sfDir, "documents.parquet")
+
+  private def ensureAudioFiles(spark: SparkSession, sfDir: String): String = {
+    import spark.implicits._
+    val path = audioFilesPath(sfDir)
+    val target = graft.flow.DirTarget(path)
+    if (!target.exists) target.atomicWrite { tmp =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tmp))
+      mediaRoles(spark, sfDir).as[(Long, Long, Boolean, Boolean)]
+        .foreachPartition { (it: Iterator[(Long, Long, Boolean, Boolean)]) =>
+          it.foreach { case (id, base, isdup, isflat) =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(s"$tmp/doc_$id.wav"),
+              renderWav(base, isdup, isflat))
+          }
+        }
+    }
+    graft.Artifacts.sweepStale(path)
+    path
+  }
+
+  /** q_dedup_audio_fingerprint_files — the audio near-dup pipeline
+    * driven from a real files table (the q_dedup_image_phash_files
+    * discipline on the audio axis, proving the files→dedup shape
+    * generalizes across modalities): one WAV object per doc on disk,
+    * binaryFile ingest with doc identity from the file name, REAL
+    * javax.sound decode of the file-sourced bytes, then the identical
+    * banded-energy dedup. Shares q_dedup_audio_fingerprint's
+    * closed-form oracle — green proves the write → list →
+    * binaryFile-read → RIFF-decode → energy chain byte-equivalent to
+    * the render-sourced artifact. Scale: as the image twin — one split
+    * per file, narrow decode pass, capped bucket join. */
+  def audioFingerprintDedupFiles(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val path = ensureAudioFiles(spark, sfDir)
+    val wav = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.wav").load(path)
+      .select(
+        regexp_extract($"path", "doc_(\\d+)\\.wav$", 1)
+          .cast("long").as("doc_id"),
+        $"content".as("payload"))
+    val energy = wav.as[(Long, Array[Byte])].mapPartitions { it =>
+      it.map { case (docId, bytes) =>
+        val e = audioBandEnergies(bytes)
+        (docId, e(0), e(1), e(2), e(3), e(4), e(5), e(6), e(7))
+      }
+    }.toDF("doc_id", "e0", "e1", "e2", "e3", "e4", "e5", "e6", "e7")
+      // pinned: feeds the band explode and the bucket census
+      .localCheckpoint()
+    audioPairsFromEnergy(energy)
+      .filter($"n_equal_bands" >= 6)
+      .select($"doc_a", $"doc_b", $"n_equal_bands",
+        ($"doc_b" === $"doc_a" + 1 && $"doc_b" % 10 === 1).as("planted"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   /** q_dedup_video_framehash — near-duplicate VIDEO detection over
     * pre-extracted frames, completing the modality triad (image
     * phash / audio fingerprint / this). The JDK has no video codec
@@ -964,7 +1024,8 @@ object MultimodalOps extends graft.QueryModule {
     "q_multimodal_dedup_consensus" -> (dedupConsensus _),
     "q_multimodal_keep_list" -> (multimodalKeepList _),
     "q_dedup_image_phash_files" -> (imagePhashDedupFiles _),
-    "q_dedup_incremental_phash" -> (imagePhashDedupIncremental _))
+    "q_dedup_incremental_phash" -> (imagePhashDedupIncremental _),
+    "q_dedup_audio_fingerprint_files" -> (audioFingerprintDedupFiles _))
 
   /** q_multimodal_dedup_consensus — cross-modal agreement of the three
     * perceptual dedup detectors: per doc, is it dup-LINKED (member of
@@ -1327,6 +1388,9 @@ object MultimodalOps extends graft.QueryModule {
         |SELECT doc_id, band, energy
         |FROM energy ORDER BY doc_id, band""".stripMargin,
     "q_dedup_audio_fingerprint" -> audioFingerprintOracle,
+    // the SAME closed-form twin: the files path must reproduce the
+    // render-sourced result byte-for-byte (the image-files discipline)
+    "q_dedup_audio_fingerprint_files" -> audioFingerprintOracle,
     // the table-derived truth of the file-tree ingest: same slice, same
     // byte accounting — lossless ingest means equality
     "q_multimodal_ingest_files" ->

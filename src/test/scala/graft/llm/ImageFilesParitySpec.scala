@@ -42,4 +42,17 @@ class ImageFilesParitySpec extends SparkTestBase {
     assert(files.nonEmpty)
     assert(files.map(_.toString).sameElements(render.map(_.toString)))
   }
+
+  test("audio twin: file-sourced WAV dedup equals the render-sourced output") {
+    val files = MultimodalOps.audioFingerprintDedupFiles(spark, sf0001)
+      .collect()
+    val render = MultimodalOps.audioFingerprintDedup(spark, sf0001).collect()
+    assert(files.nonEmpty)
+    assert(files.map(_.toString).sameElements(render.map(_.toString)))
+    val dir = new java.io.File(MultimodalOps.audioFilesPath(sf0001))
+    val nDocs = graft.Tables.documents(spark, sf0001).count()
+    val wavs = Option(dir.listFiles()).getOrElse(Array.empty)
+      .count(_.getName.endsWith(".wav"))
+    assert(wavs.toLong === nDocs)
+  }
 }
