@@ -821,6 +821,15 @@ object MultimodalOps extends graft.QueryModule {
         (docId, pos, b(0), b(1), b(2), b(3))
       }
     }.toDF("doc_id", "pos", "s0", "s1", "s2", "s3").localCheckpoint()
+    videoPairsFromHashed(hashed)
+  }
+
+  /** (position, full hash) bucket join under the hot-bucket cap over
+    * a per-frame hash frame, scored by the number of exactly-equal
+    * sampled frames — shared by the frame-column compute and the
+    * frame-files ingest twin. */
+  private def videoPairsFromHashed(hashed: DataFrame): DataFrame = {
+    import hashed.sparkSession.implicits._
     val key = Seq("pos", "s0", "s1", "s2", "s3")
     val kept = hashed.join(
       hashed.groupBy(key.map(col): _*).agg(count(lit(1)).as("n"))
@@ -932,6 +941,85 @@ object MultimodalOps extends graft.QueryModule {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** The 20% corpus slice the video-files twin materializes (both
+    * sides of planted pairs (x00, x01) and (x10, x11) stay in-slice;
+    * the flat flood population — ≡24 mod 40 — is out, which is fine:
+    * the cap drill lives with the column-shaped query). */
+  private val VIDEO_FILES_SLICE = "doc_id % 100 < 20"
+
+  private[llm] def videoFilesPath(sfDir: String): String =
+    s"${graft.Artifacts.root}/graft_media_videofiles/" +
+      graft.Artifacts.key("v1", sfDir, "documents.parquet")
+
+  /** One PNG per (doc, sampled frame) — the ffmpeg frame-dump layout
+    * a production video pipeline actually lands (frames extracted
+    * upstream AT the sampling rate, positions 0/2/4/6). */
+  private def ensureVideoFiles(spark: SparkSession, sfDir: String): String = {
+    import spark.implicits._
+    val path = videoFilesPath(sfDir)
+    val target = graft.flow.DirTarget(path)
+    if (!target.exists) target.atomicWrite { tmp =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tmp))
+      mediaRoles(spark, sfDir).filter(expr(VIDEO_FILES_SLICE))
+        .as[(Long, Long, Boolean, Boolean)]
+        .foreachPartition { (it: Iterator[(Long, Long, Boolean, Boolean)]) =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.foreach { case (id, base, isdup, isflat) =>
+            Seq(0, 2, 4, 6).foreach { f =>
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(s"$tmp/doc_${id}_f$f.png"),
+                renderGridPng(base * 131L + f, isdup && f == 4, isflat))
+            }
+          }
+        }
+    }
+    graft.Artifacts.sweepStale(path)
+    path
+  }
+
+  /** q_dedup_video_framehash_files — the video near-dup pipeline
+    * driven from a real FRAME-FILES table, completing the files→dedup
+    * triad (image/audio/this): production video dedup never decodes
+    * video in Spark — frames land as one PNG object per (video,
+    * sampled position) (the ffmpeg dump layout), and the engine
+    * ingests the directory through binaryFile, recovers (doc, pos)
+    * from the file name, ImageIO-decodes each frame, and runs the
+    * identical (position, hash) capped bucket join. Runs on a 20%
+    * corpus slice (both planted-pair roles survive; the bucket census
+    * — and so the cap — is over the on-disk population, and the
+    * oracle mirrors the same slice). Green at both scales proves the
+    * frame-dump → list → read → decode → hash → bucket → overlap
+    * chain end to end. Scale: one split per frame file; the slice is
+    * a demo bound, not a scale crutch — the full-corpus cost is the
+    * column-shaped twin ×(files-scan constant). */
+  def videoFramehashDedupFiles(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val path = ensureVideoFiles(spark, sfDir)
+    val frames = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.png").load(path)
+      .select(
+        regexp_extract($"path", "doc_(\\d+)_f\\d+\\.png$", 1)
+          .cast("long").as("doc_id"),
+        regexp_extract($"path", "_f(\\d+)\\.png$", 1)
+          .cast("int").as("pos"),
+        $"content".as("payload"))
+    val hashed = frames.as[(Long, Int, Array[Byte])].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { case (docId, pos, bytes) =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        require(img != null, s"undecodable frame $pos of doc $docId")
+        val b = dhashBands(img)
+        (docId, pos, b(0), b(1), b(2), b(3))
+      }
+    }.toDF("doc_id", "pos", "s0", "s1", "s2", "s3").localCheckpoint()
+    videoPairsFromHashed(hashed)
+      .filter($"n_frames_equal" >= 3)
+      .select($"doc_a", $"doc_b", $"n_frames_equal",
+        ($"doc_b" === $"doc_a" + 1 && $"doc_b" % 10 === 1).as("planted"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   /** q_dedup_image_keep_list — the destructive half of the image
     * dedup: connected components over the ≤6-Hamming pair graph (the
     * same min-label propagation the text keep-list runs —
@@ -1025,7 +1113,8 @@ object MultimodalOps extends graft.QueryModule {
     "q_multimodal_keep_list" -> (multimodalKeepList _),
     "q_dedup_image_phash_files" -> (imagePhashDedupFiles _),
     "q_dedup_incremental_phash" -> (imagePhashDedupIncremental _),
-    "q_dedup_audio_fingerprint_files" -> (audioFingerprintDedupFiles _))
+    "q_dedup_audio_fingerprint_files" -> (audioFingerprintDedupFiles _),
+    "q_dedup_video_framehash_files" -> (videoFramehashDedupFiles _))
 
   /** q_multimodal_dedup_consensus — cross-modal agreement of the three
     * perceptual dedup detectors: per doc, is it dup-LINKED (member of
@@ -1166,14 +1255,21 @@ object MultimodalOps extends graft.QueryModule {
       |FROM scored WHERE hamming <= 6
       |ORDER BY doc_a, doc_b""".stripMargin
 
-  private lazy val videoFramehashOracle: String =
-    """WITH ids AS (
+  private lazy val videoFramehashOracle: String = videoFramehashOracleOn("")
+
+  /** The video twin over an optional corpus slice (`where` is a full
+    * `WHERE ...` clause or empty): the files twin runs on a 20% slice
+    * so its bucket census — and hence the cap — is computed over the
+    * POPULATION ACTUALLY ON DISK, which is what the oracle must
+    * mirror. */
+  private def videoFramehashOracleOn(where: String): String =
+    s"""WITH ids AS (
       |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
       |    CAST(CASE WHEN doc_id % 10 = 1 THEN doc_id - 1
       |         ELSE doc_id END AS BIGINT) AS base,
       |    doc_id % 10 = 1 AS isdup,
       |    doc_id % 40 = 24 AS isflat
-      |  FROM documents),
+      |  FROM documents $where),
       |mix AS (
       |  SELECT doc_id, f, r, c, isdup, isflat,
       |    xor(x, x >> 7) % 65536 AS x1
@@ -1381,6 +1477,10 @@ object MultimodalOps extends graft.QueryModule {
     // same mixer keyed by base*131+f, sampled positions 0/2/4/6,
     // per-frame dHash, capped bucket join, >=3-of-4 overlap
     "q_dedup_video_framehash" -> videoFramehashOracle,
+    // the slice-scoped twin of the frame-files ingest: census and cap
+    // over the on-disk population (see videoFramehashOracleOn)
+    "q_dedup_video_framehash_files" ->
+      videoFramehashOracleOn("WHERE doc_id % 100 < 20"),
     // the codec-free audio twin: the SAME samples closed-form — green
     // proves the WAV render -> AudioSystem decode -> energy chain
     "q_multimodal_audio_energy" ->

@@ -55,4 +55,32 @@ class ImageFilesParitySpec extends SparkTestBase {
       .count(_.getName.endsWith(".wav"))
     assert(wavs.toLong === nDocs)
   }
+
+  test("video twin: frame-files dedup equals the column pipeline on the slice") {
+    import org.apache.spark.sql.functions._
+    val files = MultimodalOps.videoFramehashDedupFiles(spark, sf0001)
+      .collect()
+    assert(files.nonEmpty, "no pairs on the slice (vacuous)")
+    // parity reference: the column-shaped pipeline CANNOT be compared
+    // directly (its cap census covers the full corpus) — but every
+    // slice pair must be a planted replay or a full-pipeline pair,
+    // and every planted replay inside the slice must be found
+    val slice = (id: Long) => id % 100 < 20
+    assert(files.forall(r => slice(r.getLong(0)) && slice(r.getLong(1))))
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    val plantedInSlice = docs.filter(d =>
+      d % 10 == 1 && slice(d) && slice(d - 1) && docs.contains(d - 1))
+    assert(plantedInSlice.nonEmpty)
+    val found = files.filter(_.getBoolean(3))
+      .map(_.getLong(1)).toSet
+    assert(plantedInSlice.forall(found.contains),
+      "a planted replay inside the slice was missed")
+    // one PNG per (doc-in-slice, sampled position)
+    val dir = new java.io.File(MultimodalOps.videoFilesPath(sf0001))
+    val nSlice = docs.count(slice)
+    val pngs = Option(dir.listFiles()).getOrElse(Array.empty)
+      .count(_.getName.endsWith(".png"))
+    assert(pngs === nSlice * 4)
+  }
 }
