@@ -77,6 +77,14 @@ final case class CorpusConfig(baseDir: String, sfDir: String,
                               // drops, corpus-wide, so batches agree
                               // with first-seen-wins).
                               imageDedup: Boolean = false,
+                              // consensus upgrade of the media stage:
+                              // when on (with imageDedup), the stage
+                              // drops by the ≥2-of-3 cross-modal
+                              // policy (q_multimodal_keep_list's rule)
+                              // instead of image-only — a
+                              // single-modality collision survives,
+                              // a replayed asset collapses.
+                              mediaConsensus: Boolean = false,
                               // readability knob: when set, the
                               // quality gate ALSO drops docs whose
                               // FORCAST grade (q_text_readability's
@@ -85,6 +93,9 @@ final case class CorpusConfig(baseDir: String, sfDir: String,
                               // ceiling; stays a narrow per-row
                               // predicate inside the same gate pass.
                               maxForcastGrade: Option[Double] = None) {
+  require(!mediaConsensus || imageDedup,
+    "mediaConsensus upgrades the media stage — it requires imageDedup " +
+      "on (the stage it configures)")
   require(sliceSize > overlap,
     s"sliceSize ($sliceSize) must exceed overlap ($overlap) — " +
       "a non-positive step would never advance the batch ladder")
@@ -488,11 +499,25 @@ object CorpusFlow {
     override def requires: Seq[Task] = Seq(NearDupBatch(cfg, i))
     val output: DirTarget = DirTarget(s"${cfg.baseDir}/batch_$i/image_deduped")
     def run(spark: SparkSession): Unit = {
+      import graft.llm.MultimodalOps
       val batch = spark.read.parquet(requires.head.output.uri)
-      // doc_b is the larger id of every scored pair by construction
-      val dropIds = graft.llm.MultimodalOps.imagePhashPairs(spark, cfg.sfDir)
-        .filter(col("hamming") <= 6)
-        .select(col("doc_b").as("doc_id")).distinct()
+      val dropIds =
+        if (cfg.mediaConsensus) {
+          // the ≥2-of-3 policy: drop = every doc the consensus
+          // keep-list does NOT keep (non-min members of confirmed
+          // components) — all three artifact pair frames, no codec
+          // work per batch
+          val docs = graft.Tables.documents(spark, cfg.sfDir)
+            .select(col("doc_id"))
+          docs.join(MultimodalOps.multimodalKeepList(spark, cfg.sfDir)
+              .select(col("doc_id")),
+            Seq("doc_id"), "left_anti")
+        } else
+          // image-only: doc_b is the larger id of every scored pair
+          // by construction (the min-parent rule)
+          MultimodalOps.imagePhashPairs(spark, cfg.sfDir)
+            .filter(col("hamming") <= 6)
+            .select(col("doc_b").as("doc_id")).distinct()
       output.atomicWrite { tmp =>
         batch.join(dropIds, Seq("doc_id"), "left_anti")
           .write.parquet(tmp)

@@ -568,4 +568,42 @@ class CorpusFlowSpec extends SparkTestBase {
       .filter($"reason" === "image_dup").count()
     assert(offReasons === 0L)
   }
+
+  test("corpus flow: mediaConsensus upgrades the stage to the >=2-of-3 policy") {
+    import spark.implicits._
+    val cfg = CorpusConfig(
+      Files.createTempDirectory("graft_corpus_cons").toString, sf0001,
+      imageDedup = true, mediaConsensus = true)
+    Runner.runParallel(CorpusFlow.CurateAll(cfg), spark, workers = 2)
+    val n = CorpusFlow
+      .readManifest(s"${cfg.baseDir}/batches.manifest").length
+
+    // the stage drops exactly the consensus keep-list's complement
+    val keep = graft.llm.MultimodalOps.multimodalKeepList(spark, sf0001)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    var drops = 0L
+    (0 until n).foreach { i =>
+      val before = spark.read.parquet(s"${cfg.baseDir}/batch_$i/near_deduped")
+        .select($"doc_id").collect().map(_.getLong(0)).toSet
+      val after = spark.read.parquet(s"${cfg.baseDir}/batch_$i/image_deduped")
+        .select($"doc_id").collect().map(_.getLong(0)).toSet
+      assert(after === before.intersect(keep), s"batch $i consensus mismatch")
+      drops += before.size - after.size
+    }
+    assert(drops > 0, "consensus stage dropped nothing (vacuous)")
+
+    // the policy difference is real: any image-only collision doc that
+    // the image-only rule would drop SURVIVES under consensus
+    val imgOnlyDrops = graft.llm.MultimodalOps.imagePhashDedup(spark, sf0001)
+      .filter(!$"planted").select($"doc_b").collect().map(_.getLong(0))
+      .filterNot(d => d % 10 == 1).toSet // exclude docs that are replays
+    imgOnlyDrops.foreach { d =>
+      assert(keep.contains(d),
+        s"image-only collision $d was destroyed despite consensus")
+    }
+    // config guard: consensus without the stage is a misconfiguration
+    intercept[IllegalArgumentException] {
+      CorpusConfig("/tmp/x", sf0001, mediaConsensus = true)
+    }
+  }
 }
