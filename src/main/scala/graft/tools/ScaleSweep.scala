@@ -94,7 +94,13 @@ object ScaleSweep {
         "capped band join"),
     ("q_dedup_incremental_phash", 1.0,
       "batch-only codec work + band join vs the persisted index " +
-        "(reads warm; the 4% batch scales with the corpus)"))
+        "(reads warm; the 4% batch scales with the corpus)"),
+    ("q_dedup_audio_fingerprint_files", 1.0,
+      "one WAV object per doc: binaryFile list+decode is the honest " +
+        "linear file-scan cost; capped bucket join after"),
+    ("q_dedup_video_framehash_files", 1.0,
+      "one PNG per (video, sampled frame) on a 20% slice: frame-dump " +
+        "list+decode linear in frame files; capped join after"))
 
   private val Off = 1000000000L // replica key offset; > any sf1 key
 
