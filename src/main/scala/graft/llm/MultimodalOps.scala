@@ -893,6 +893,20 @@ object MultimodalOps extends graft.QueryModule {
   def imagePhashDedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val isBatch = pmod($"doc_id", lit(100L)).isin(INCR_BATCH: _*)
+    // the add: today's batch is the ONLY codec work of this run
+    val batchHashed = renderAndHash(mediaRoles(spark, sfDir).filter(isBatch))
+      .localCheckpoint()
+    incrementalPhashPairs(spark, sfDir, batchHashed)
+  }
+
+  /** Fold an already-hashed batch frame into the persisted base index
+    * — shared by the batch add ([[imagePhashDedupIncremental]]) and
+    * the STREAMING ingest twin ([[streamMediaIncremental]]), which
+    * differ only in how the batch hashes were produced. */
+  private def incrementalPhashPairs(spark: SparkSession, sfDir: String,
+                                    batchHashed: DataFrame): DataFrame = {
+    import spark.implicits._
+    val isBatch = pmod($"doc_id", lit(100L)).isin(INCR_BATCH: _*)
     val basePath = imageIncrBasePath(sfDir)
     val baseTarget = graft.flow.DirTarget(basePath)
     if (!baseTarget.exists) baseTarget.atomicWrite { tmp =>
@@ -901,9 +915,6 @@ object MultimodalOps extends graft.QueryModule {
     }
     graft.Artifacts.sweepStale(basePath)
     val baseHashed = spark.read.parquet(s"$basePath/hashed")
-    // the add: today's batch is the ONLY codec work of this run
-    val batchHashed = renderAndHash(mediaRoles(spark, sfDir).filter(isBatch))
-      .localCheckpoint()
     def bandsOf(df: DataFrame) = df
       .select($"doc_id", posexplode(array($"s0", $"s1", $"s2", $"s3")))
       .toDF("doc_id", "band", "v")
@@ -1020,6 +1031,90 @@ object MultimodalOps extends graft.QueryModule {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** The arriving batch as a FILE TREE (one PNG per batch doc) — what
+    * the streaming ingest watches. */
+  private[llm] def streamBatchFilesPath(sfDir: String): String =
+    s"${graft.Artifacts.root}/graft_media_streambatch/" +
+      graft.Artifacts.key("v1", sfDir, "documents.parquet")
+
+  private def ensureStreamBatchFiles(spark: SparkSession, sfDir: String): String = {
+    import spark.implicits._
+    val path = streamBatchFilesPath(sfDir)
+    val target = graft.flow.DirTarget(path)
+    if (!target.exists) target.atomicWrite { tmp =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tmp))
+      mediaRoles(spark, sfDir)
+        .filter(pmod($"doc_id", lit(100L)).isin(INCR_BATCH: _*))
+        .as[(Long, Long, Boolean, Boolean)]
+        .foreachPartition { (it: Iterator[(Long, Long, Boolean, Boolean)]) =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.foreach { case (id, base, isdup, isflat) =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(s"$tmp/doc_$id.png"),
+              renderGridPng(base, isdup, isflat))
+          }
+        }
+    }
+    graft.Artifacts.sweepStale(path)
+    path
+  }
+
+  /** q_stream_media_dedup — STREAMING multimodal ingest closing the
+    * production loop: media objects land on storage continuously, a
+    * binaryFile readStream watches the drop directory, each
+    * micro-batch decodes + hashes IN-FLIGHT (the codec pass runs
+    * inside the streaming plan), hashes commit to an exactly-once
+    * parquet sink (file-source → file-sink, the fault-tolerant
+    * contract), and the committed hash table folds into the persisted
+    * perceptual index exactly like the batch add. Driven to
+    * completion with Trigger.AvailableNow, the result is BY
+    * CONSTRUCTION the same fold-in as q_dedup_incremental_phash — so
+    * it shares that query's closed-form oracle, and a green row
+    * proves the whole stream-ingest chain (watch → read → in-flight
+    * decode/hash → exactly-once commit → index fold-in) equals a
+    * batch recompute. Scale: the stream only ever touches arriving
+    * files; state is the sink's commit log; the index read is the
+    * warm-artifact economics of the batch twin. */
+  def streamMediaIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val src = ensureStreamBatchFiles(spark, sfDir)
+    // run-local sink + checkpoint: the ingest DEMO re-streams per run
+    // (a few hundred files); the exactly-once contract under restart
+    // is pinned separately by the tx/restart streaming specs
+    val runDir = java.nio.file.Files.createTempDirectory("graft_stream_media")
+      .toString
+    // the binaryFile source's FIXED schema, stated explicitly: the
+    // streaming file-source API requires a schema up front (no
+    // inference at stream start)
+    val binSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    val pngStream = spark.readStream.format("binaryFile").schema(binSchema)
+      .option("pathGlobFilter", "*.png").load(src)
+      .select(
+        regexp_extract($"path", "doc_(\\d+)\\.png$", 1)
+          .cast("long").as("doc_id"),
+        $"content".as("payload"))
+    // the in-flight codec pass: same mapPartitions shape as the batch
+    // path, running inside the streaming plan
+    val hashedStream = hashPngPayloads(pngStream)
+    val q = hashedStream.writeStream
+      .format("parquet")
+      .option("path", s"$runDir/hashes")
+      .option("checkpointLocation", s"$runDir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val batchHashed = spark.read.parquet(s"$runDir/hashes")
+    incrementalPhashPairs(spark, sfDir, batchHashed)
+  }
+
   /** q_dedup_image_keep_list — the destructive half of the image
     * dedup: connected components over the ≤6-Hamming pair graph (the
     * same min-label propagation the text keep-list runs —
@@ -1114,7 +1209,8 @@ object MultimodalOps extends graft.QueryModule {
     "q_dedup_image_phash_files" -> (imagePhashDedupFiles _),
     "q_dedup_incremental_phash" -> (imagePhashDedupIncremental _),
     "q_dedup_audio_fingerprint_files" -> (audioFingerprintDedupFiles _),
-    "q_dedup_video_framehash_files" -> (videoFramehashDedupFiles _))
+    "q_dedup_video_framehash_files" -> (videoFramehashDedupFiles _),
+    "q_stream_media_dedup" -> (streamMediaIncremental _))
 
   /** q_multimodal_dedup_consensus — cross-modal agreement of the three
     * perceptual dedup detectors: per doc, is it dup-LINKED (member of
@@ -1372,6 +1468,17 @@ object MultimodalOps extends graft.QueryModule {
     // held-out batch: equality proves the incremental fold-in finds
     // precisely what a full recompute would
     "q_dedup_incremental_phash" ->
+      s"""$imagePhashSqlCtes
+        |SELECT doc_a, doc_b, hamming,
+        |  (doc_b = doc_a + 1 AND doc_b % 10 = 1) AS planted
+        |FROM scored WHERE hamming <= 6
+        |  AND (doc_a % 100 IN (41, 60, 80, 81)
+        |    OR doc_b % 100 IN (41, 60, 80, 81))
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // the streaming ingest is BY CONSTRUCTION the same fold-in as the
+    // batch add — the twin oracle proves watch → in-flight hash →
+    // exactly-once commit → fold-in equals a batch recompute
+    "q_stream_media_dedup" ->
       s"""$imagePhashSqlCtes
         |SELECT doc_a, doc_b, hamming,
         |  (doc_b = doc_a + 1 AND doc_b % 10 = 1) AS planted
