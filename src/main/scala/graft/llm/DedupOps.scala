@@ -809,20 +809,46 @@ object DedupOps extends graft.QueryModule {
     * exhaustive, proven by the oracle itself, which is the UNBLOCKED
     * all-pairs-within-label SQL over a NON-EMPTY result: the CORRECTNESS
     * row goes red if the buckets ever drop a qualifying pair (the
-    * q_dedup_ngram_jaccard_cutoff fixture-equality pattern). bits/band
-    * is the scale knob (more bits = smaller buckets); at 100 TB the
-    * bucket self-join is the same plan as minhashLsh's banding — no
-    * quadratic side. */
+    * q_dedup_ngram_jaccard_cutoff fixture-equality pattern).
+    *
+    * SCALE (the r16 cliff fix): recall at cosine 0.40 forces loose bands
+    * — at p_plane 0.631 vs the random-pair 0.5 the LSH gap gives
+    * rho = ln(1/0.631)/ln(1/0.5) ~ 0.66, so NO band calibration is both
+    * exhaustive and sub-candidate-quadratic here (more bits/band drops
+    * recall below the oracle bar long before precision recovers; 48x4
+    * admits ~95% of random same-label pairs). Instead the quadratic BULK
+    * is killed inside the band join by the packed 1024-bit simhash
+    * Hamming prefilter (SimSearchOps.dedupSigUdf — calibration math and
+    * margins at its declaration): the bucket self-join carries 16 flat
+    * long columns per side and the join condition adds
+    * sum(bit_count(xor)) <= SIG_HAMMING_MAX, so ~90% of collisions die
+    * pipelined in whole-stage codegen without ever reaching the
+    * distinct exchange, the 512-byte vector re-joins, or the exact
+    * cosine. The surviving candidates are verified EXACTLY as before —
+    * the prefilter is calibrated so no qualifying pair can miss
+    * (per-pair ~4e-8 at the threshold; EmbeddingSigSpec pins the
+    * fixture margin), and the unblocked all-pairs oracle remains the
+    * recall certificate at both verify scales. */
   def embeddingCosineLsh(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    val W = SimSearchOps.SIG_WORDS
     val emb = graft.Tables.embeddings(spark, sfDir)
       .withColumn("norm", sqrt(SimSearchOps.dot($"embedding", $"embedding")))
-    val banded = emb.select($"vec_id", $"label",
-      explode(SimSearchOps.dedupBandKeysUdf($"embedding")).as("bkey"))
-    val cand = banded.select($"bkey", $"label", $"vec_id".as("a_id"))
-      .join(banded.select($"bkey", $"label", $"vec_id".as("b_id")),
-        Seq("bkey", "label"))
-      .filter($"a_id" < $"b_id")
+    val banded = emb
+      .withColumn("sig", SimSearchOps.dedupSigUdf($"embedding"))
+      .select($"vec_id" +: $"label" +:
+        explode(SimSearchOps.dedupBandKeysUdf($"embedding")).as("bkey") +:
+        (0 until W).map(i => $"sig".getField(s"_${i + 1}").as(s"s$i")): _*)
+    val aSide = banded.select($"bkey" +: $"label" +: $"vec_id".as("a_id") +:
+      (0 until W).map(i => col(s"s$i").as(s"sa$i")): _*)
+    val bSide = banded.select($"bkey" +: $"label" +: $"vec_id".as("b_id") +:
+      (0 until W).map(i => col(s"s$i").as(s"sb$i")): _*)
+    val hamming = (0 until W)
+      .map(i => bit_count(col(s"sa$i").bitwiseXOR(col(s"sb$i"))))
+      .reduce(_ + _)
+    val cand = aSide.join(bSide, Seq("bkey", "label"))
+      .filter($"a_id" < $"b_id" &&
+        hamming <= SimSearchOps.SIG_HAMMING_MAX)
       .select($"label", $"a_id", $"b_id").distinct()
     cand
       .join(emb.select($"vec_id".as("a_id"),

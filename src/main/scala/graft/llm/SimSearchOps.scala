@@ -122,6 +122,63 @@ object SimSearchOps extends graft.QueryModule {
     * accidentally correlate. */
   private[llm] lazy val dedupBandKeysUdf = mkBandKeysUdf(48, 4, 1042)
 
+  /** Wide packed-simhash prefilter for the dedup band join
+    * (DedupOps.embeddingCosineLsh). The 48x4 band set is RECALL-exhaustive
+    * at the fixture's cosine 0.40 but precision-blind: a random same-label
+    * pair (cos ~ 0, p_plane = 0.5) still collides in >= 1 of 48 bands with
+    * probability 1-(1-0.5^4)^48 ~ 95%, so the bucket self-join was
+    * ~quadratic within label (measured 1.13 s -> 22.09 s over one 10x
+    * step). The fix is a cheap per-PAIR proxy evaluated INSIDE the join:
+    * 1024 extra sign bits packed into [[SIG_WORDS]] longs, Hamming
+    * distance = sum of bit_count(xor) over flat long columns (whole-stage
+    * codegen, ~no allocation). Concentration does the rest:
+    *   pair at cos >= 0.40: E[H] = 1024*acos(0.40)/pi ~ 378, sigma ~ 15.4
+    *   random pair (cos ~ 0): E[H] = 512, sigma ~ 16
+    * [[SIG_HAMMING_MAX]] = 460 sits 5.3 sigma above the qualifying mean
+    * (per-pair miss ~ 4e-8; measured max over the fixture's qualifying
+    * pairs is ~424 at sf0.1 — EmbeddingSigSpec pins the margin) and 3.2
+    * sigma below the random mean, so ~90% of the bulk dies in the join
+    * filter and never reaches the distinct + vector re-join + exact
+    * cosine. Pairs at intermediate cosine (0.25-0.40) leak through by
+    * design and are killed by the exact verify, exactly as before — the
+    * prefilter changes WHERE the bulk dies, never the declared result,
+    * and the unblocked all-pairs oracle stays the recall certificate.
+    * Distinct seed (7042) so the sig planes can't correlate with either
+    * band family. */
+  private[llm] val SIG_BITS = 1024
+  private[llm] val SIG_WORDS = SIG_BITS / 64
+  private[llm] val SIG_HAMMING_MAX = 460
+
+  // The sig comes back as a STRUCT of 16 non-nullable longs, and the UDF
+  // is asNonNullable — both are load-bearing: the join's Hamming condition
+  // makes InferFiltersFromConstraints emit isnotnull(sig word) x16, and
+  // with a nullable UDF returning an ARRAY those pushed below the Generate
+  // into the SCAN filter as 16 SEPARATE UDF calls per input row (measured
+  // 1.1 -> 5.8 s at sf0.1; GetArrayItem is nullable no matter what because
+  // an out-of-bounds index returns null). GetStructField over non-nullable
+  // primitive fields of a non-nullable UDF is non-nullable, so every
+  // inferred isnotnull folds to true and the UDF runs once per row.
+  private[llm] lazy val dedupSigUdf = {
+    require(SIG_WORDS == 16, "sig tuple arity is hardwired to 16 words")
+    val rnd = new scala.util.Random(7042)
+    val planes = Array.fill(SIG_BITS, DIMS)(rnd.nextDouble() * 2 - 1)
+    udf((e: Seq[Float]) => {
+      val arr = e.toArray
+      val w = new Array[Long](SIG_WORDS)
+      var b = 0
+      while (b < SIG_BITS) {
+        val plane = planes(b)
+        var proj = 0.0
+        var d = 0
+        while (d < arr.length && d < DIMS) { proj += arr(d) * plane(d); d += 1 }
+        if (proj >= 0) w(b >> 6) |= (1L << (b & 63))
+        b += 1
+      }
+      (w(0), w(1), w(2), w(3), w(4), w(5), w(6), w(7),
+        w(8), w(9), w(10), w(11), w(12), w(13), w(14), w(15))
+    }).asNonNullable()
+  }
+
   /** LSH-bucketed approximate top-5 for vec_id < 10: candidates share a
     * band bucket with the query, then exact cosine re-rank. Declared
     * without oracle (approximate); recall vs brute force pinned in

@@ -100,7 +100,23 @@ object ScaleSweep {
         "linear file-scan cost; capped bucket join after"),
     ("q_dedup_video_framehash_files", 1.0,
       "one PNG per (video, sampled frame) on a 20% slice: frame-dump " +
-        "list+decode linear in frame files; capped join after"))
+        "list+decode linear in frame files; capped join after"),
+    // round-17 wave: the r16 verdict's top sf1 spenders join the sweep —
+    // the discipline exists precisely so the expensive shapes carry
+    // measured exponent claims
+    ("q_dedup_embedding_cosine_lsh", 1.0,
+      "48x4 recall bands; band-collision combos die at a codegen " +
+        "popcount (1024-bit packed-simhash prefilter in the join), " +
+        "survivors ~ qualifying pairs drive all downstream"),
+    ("q_dedup_simhash", 1.0,
+      "one-pass codegen fingerprint; 8-byte candidates through the " +
+        "byte-band self-join, Hamming on bit_count(xor)"),
+    ("q_dedup_semantic", 1.0,
+      "cell-keyed self-join over persisted IVF cells; 2x probe " +
+        "fan-out, cells bounded — no all-pairs side"),
+    ("q_dedup_ngram_jaccard", 1.0,
+      "rep-collapsed postings join; within-shard shingle df preserved " +
+        "by the shard-independent synth"))
 
   private val Off = 1000000000L // replica key offset; > any sf1 key
 
