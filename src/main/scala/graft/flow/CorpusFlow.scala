@@ -494,25 +494,45 @@ object CorpusFlow {
     * frame is corpus-wide. At 100 TB the artifact is the hash index a
     * media pipeline maintains anyway; the per-batch cost stays
     * batch-sized. */
+  /** Once-per-flow consensus drop-id set (r16 advisor item): in
+    * mediaConsensus mode every ImageDedupBatch used to recompute the
+    * corpus-wide ≥2-of-3 keep-list — three artifact pair reads +
+    * min-label propagation + docs join — once PER BATCH, though the
+    * result is corpus-wide and identical across all n batches. The
+    * BenchmarkShingles discipline applies: the component pass runs
+    * once here, and batches anti-join the persisted id set. */
+  final case class ConsensusDropIds(cfg: CorpusConfig) extends Task {
+    val output: DirTarget = DirTarget(s"${cfg.baseDir}/consensus_drop_ids")
+    def run(spark: SparkSession): Unit = {
+      import graft.llm.MultimodalOps
+      // drop = every doc the consensus keep-list does NOT keep
+      // (non-min members of confirmed components) — all three
+      // artifact pair frames, no codec work
+      output.atomicWrite { tmp =>
+        graft.Tables.documents(spark, cfg.sfDir).select(col("doc_id"))
+          .join(MultimodalOps.multimodalKeepList(spark, cfg.sfDir)
+              .select(col("doc_id")),
+            Seq("doc_id"), "left_anti")
+          .write.parquet(tmp)
+      }
+    }
+  }
+
   final case class ImageDedupBatch(cfg: CorpusConfig, i: Int) extends Task {
     override def name = s"ImageDedupBatch($i)"
-    override def requires: Seq[Task] = Seq(NearDupBatch(cfg, i))
+    override def requires: Seq[Task] =
+      if (cfg.mediaConsensus)
+        Seq(NearDupBatch(cfg, i), ConsensusDropIds(cfg))
+      else Seq(NearDupBatch(cfg, i))
     val output: DirTarget = DirTarget(s"${cfg.baseDir}/batch_$i/image_deduped")
     def run(spark: SparkSession): Unit = {
       import graft.llm.MultimodalOps
       val batch = spark.read.parquet(requires.head.output.uri)
       val dropIds =
-        if (cfg.mediaConsensus) {
-          // the ≥2-of-3 policy: drop = every doc the consensus
-          // keep-list does NOT keep (non-min members of confirmed
-          // components) — all three artifact pair frames, no codec
-          // work per batch
-          val docs = graft.Tables.documents(spark, cfg.sfDir)
-            .select(col("doc_id"))
-          docs.join(MultimodalOps.multimodalKeepList(spark, cfg.sfDir)
-              .select(col("doc_id")),
-            Seq("doc_id"), "left_anti")
-        } else
+        if (cfg.mediaConsensus)
+          // the ≥2-of-3 policy, read from the once-per-flow artifact
+          spark.read.parquet(requires(1).output.uri)
+        else
           // image-only: doc_b is the larger id of every scored pair
           // by construction (the min-parent rule)
           MultimodalOps.imagePhashPairs(spark, cfg.sfDir)

@@ -953,9 +953,14 @@ object MultimodalOps extends graft.QueryModule {
   }
 
   /** The 20% corpus slice the video-files twin materializes (both
-    * sides of planted pairs (x00, x01) and (x10, x11) stay in-slice;
-    * the flat flood population — ≡24 mod 40 — is out, which is fine:
-    * the cap drill lives with the column-shaped query). */
+    * sides of planted pairs (x00, x01) and (x10, x11) stay in-slice).
+    * The flat flood population — ≡24 mod 40 — is only PARTIALLY
+    * excluded: of its mod-200 residues {24, 64, 104, 144, 184} exactly
+    * one (104 → doc_id % 100 = 4) lands under 20, so a fifth of the
+    * flood is in-slice and the hot-bucket cap census still engages in
+    * the files twin — consistently on both sides, because
+    * videoFramehashOracleOn mirrors the same slice predicate before
+    * its own cap CTE. */
   private val VIDEO_FILES_SLICE = "doc_id % 100 < 20"
 
   private[llm] def videoFilesPath(sfDir: String): String =
@@ -1111,8 +1116,21 @@ object MultimodalOps extends graft.QueryModule {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    val batchHashed = spark.read.parquet(s"$runDir/hashes")
-    incrementalPhashPairs(spark, sfDir, batchHashed)
+    // materialize the committed hashes EAGERLY (a batch-sized frame —
+    // a few hundred 5-long rows) so the run-local sink + checkpoint can
+    // be deleted NOW instead of leaking one temp tree per invocation
+    // (r16 advisor finding: this query is in the registered map, so
+    // bench/verify loops grew tmpdir steadily). localCheckpoint blocks
+    // are non-replicated executor state — acceptable here for the same
+    // reason the sink was run-local: this is the per-run ingest demo,
+    // and a lost block restarts the query, not correctness.
+    try {
+      val batchHashed =
+        spark.read.parquet(s"$runDir/hashes").localCheckpoint()
+      incrementalPhashPairs(spark, sfDir, batchHashed)
+    } finally
+      graft.sources.TxManifest.deleteRecursively(
+        java.nio.file.Paths.get(runDir))
   }
 
   /** q_dedup_image_keep_list — the destructive half of the image

@@ -50,10 +50,25 @@ object GraftExtensions {
 
   /** Idempotent runtime registration into an existing session. */
   def register(spark: SparkSession): Unit = {
-    functions.foreach { case (name, _, builder) =>
-      spark.sessionState.functionRegistry
-        .createOrReplaceTempFunction(name, builder, "scala_udf")
+    // once per session: createOrReplaceTempFunction logs a WARN per
+    // function on every re-replace, and register() runs per query
+    // entry — 8 functions x 347 queries spammed every Verify/Bench log
+    // (r16 verdict item). Re-registering was always a semantic no-op
+    // (same builders), so a session-scoped guard is enough; keyed on
+    // the registry so a fresh sessionState (newSession/cloneSession)
+    // registers again.
+    val registry = spark.sessionState.functionRegistry
+    if (registered.add(registry)) {
+      functions.foreach { case (name, _, builder) =>
+        registry.createOrReplaceTempFunction(name, builder, "scala_udf")
+      }
     }
     RewriteTopKWindowInstaller.install(spark)
   }
+
+  private val registered =
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[
+        org.apache.spark.sql.catalyst.analysis.FunctionRegistry,
+        java.lang.Boolean])
 }
