@@ -204,13 +204,22 @@ object Main {
           events = events)
       // the corpus-curation DAG (CorpusFlow): --base <workdir>
       // --source <sfDir> [--slice N --overlap N --quota N --eval-every N]
+      // [--url-dedup true] [--image-dedup true] [--media-consensus true]
+      // [--dsir-min-micro N] [--max-forcast G]
+      // (flags take explicit values — the opts parser is strict k/v)
       case "curate" =>
         exec(CorpusFlow.CurateAll(CorpusConfig(
           opts("base"), opts("source"),
           sliceSize = opts.getOrElse("slice", "200").toLong,
           overlap = opts.getOrElse("overlap", "50").toLong,
           quotaPerLang = opts.getOrElse("quota", "30").toLong,
-          evalEvery = opts.getOrElse("eval-every", "50").toLong)))
+          evalEvery = opts.getOrElse("eval-every", "50").toLong,
+          dsirMinMicro = opts.get("dsir-min-micro").map(_.toLong),
+          urlDedup = opts.get("url-dedup").exists(_.toBoolean),
+          imageDedup = opts.get("image-dedup").exists(_.toBoolean) ||
+            opts.get("media-consensus").exists(_.toBoolean),
+          mediaConsensus = opts.get("media-consensus").exists(_.toBoolean),
+          maxForcastGrade = opts.get("max-forcast").map(_.toDouble))))
       case other => sys.error(s"unknown command $other")
     }
     spark.stop()
