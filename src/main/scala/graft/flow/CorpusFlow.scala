@@ -130,7 +130,27 @@ object CorpusFlow {
             "(misconfigured sfDir?)")
       val (lo, hi) = (r.getLong(0), r.getLong(1))
       val step = cfg.sliceSize - cfg.overlap
-      val starts = Iterator.iterate(lo)(_ + step).takeWhile(_ <= hi).toSeq
+      // Schedule only NON-EMPTY slices (round 17): a sparse id space —
+      // re-keyed shards, per-source ingest offsets, tombstoned ranges —
+      // must not fan out empty batch tasks; iterating the raw [lo, hi]
+      // range over the 1e9-offset sf1 synth produced a million-line
+      // manifest of which ten lines held documents. One distinct-agg
+      // collects the OCCUPIED step-buckets (driver-bounded: no larger
+      // than the dense manifest this method already materializes); a
+      // start survives if its [s, s+slice) window touches one. Dense
+      // corpora are unchanged — every bucket is occupied.
+      val span = (cfg.sliceSize + step - 1) / step // windows covering an id
+      val occupied = graft.Tables.documents(spark, cfg.sfDir)
+        .select(explode(expr(
+          s"filter(transform(sequence(0, ${span - 1}), " +
+            s"d -> (doc_id - ${lo}L) div ${step}L - d), " +
+            s"j -> j >= 0 AND doc_id < ${lo}L + j * ${step}L + " +
+            s"${cfg.sliceSize}L)")).as("j"))
+        .distinct().collect().map(_.getLong(0)).toSet
+      val starts = Iterator.iterate(lo)(_ + step).takeWhile(_ <= hi)
+        .zipWithIndex
+        .filter { case (_, j) => occupied(j.toLong) }
+        .map(_._1).toSeq
       output.atomicWrite { tmp =>
         java.nio.file.Files.writeString(tmp,
           starts.map(s => s"$s,${s + cfg.sliceSize}").mkString("\n"))

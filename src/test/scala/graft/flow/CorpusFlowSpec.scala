@@ -606,4 +606,37 @@ class CorpusFlowSpec extends SparkTestBase {
       CorpusConfig("/tmp/x", sf0001, mediaConsensus = true)
     }
   }
+
+  test("corpus flow: sparse id space plans only occupied slices") {
+    import spark.implicits._
+    // two 5-doc clusters a billion ids apart — the re-keyed-shard /
+    // ingest-offset shape. A raw-range planner would emit ~13M slices;
+    // the occupied-bucket planner must emit one window per cluster
+    // (plus at most one straddle), each containing documents.
+    val dir = Files.createTempDirectory("graft_sparse").toString
+    val docs = ((0L to 4L) ++ (1000000000L to 1000000004L))
+      .map(i => (i, s"document number $i with some text", "en", "s0",
+        30L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val cfg = CorpusConfig(
+      Files.createTempDirectory("graft_sparse_base").toString, dir,
+      sliceSize = 200, overlap = 50)
+    CorpusFlow.PlanBatches(cfg).run(spark)
+    val manifest =
+      CorpusFlow.readManifest(s"${cfg.baseDir}/batches.manifest")
+    assert(manifest.length <= 4,
+      s"sparse planner fanned out ${manifest.length} slices")
+    // every planned slice holds at least one document
+    manifest.foreach { case (lo, hi) =>
+      val n = spark.read.parquet(s"$dir/documents.parquet")
+        .filter($"doc_id" >= lo && $"doc_id" < hi).count()
+      assert(n > 0, s"planned slice [$lo,$hi) is empty")
+    }
+    // and the two clusters are both covered
+    Seq(0L, 4L, 1000000000L, 1000000004L).foreach { id =>
+      assert(manifest.exists { case (lo, hi) => id >= lo && id < hi },
+        s"doc $id not covered by any slice")
+    }
+  }
 }
