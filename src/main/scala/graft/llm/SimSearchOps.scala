@@ -723,6 +723,22 @@ object SimSearchOps extends graft.QueryModule {
     * passes, driver state is k*dim longs. */
   def kmeansPortable(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    val (a2, c1) = portableKmeansCore(spark, sfDir)
+    a2.groupBy($"cell")
+      .agg(count(lit(1)).as("n_vecs"), sum($"dist").as("inertia_q"))
+      .join(c1.select($"cell",
+        aggregate($"cv", lit(0L), (acc, x) => acc + abs(x)).as("c_l1")),
+        Seq("cell"))
+      .orderBy($"cell")
+  }
+
+  /** The shared integer-Lloyd core (seeds → round-1 update → round-2
+    * assignment): returns (a2 = (vec_id, qv, cell, dist), c1 = round-1
+    * centroids) — consumed by [[kmeansPortable]]'s inertia readout and
+    * [[clusterBalancedSample]]'s per-cell cap. */
+  private[llm] def portableKmeansCore(
+      spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    import spark.implicits._
     val quant = graft.Tables.embeddings(spark, sfDir)
       .select($"vec_id",
         transform($"embedding",
@@ -760,13 +776,47 @@ object SimSearchOps extends graft.QueryModule {
       .select($"vec_id".cast("long").as("cell"), $"qv".as("cv"))
       .localCheckpoint() // k rows; both assign passes reuse it
     val c1 = update(assign(quant, seeds)).localCheckpoint() // k x dim longs
-    val a2 = assign(quant, c1)
-    a2.groupBy($"cell")
-      .agg(count(lit(1)).as("n_vecs"), sum($"dist").as("inertia_q"))
-      .join(c1.select($"cell",
-        aggregate($"cv", lit(0L), (acc, x) => acc + abs(x)).as("c_l1")),
-        Seq("cell"))
-      .orderBy($"cell")
+    (assign(quant, c1), c1)
+  }
+
+  /** Per-cluster cap for [[clusterBalancedSample]]: engages at every
+    * verify scale (fixture cells run ~60 members at sf0.01, ~250 at
+    * sf0.1) so kept < assigned in BOTH directions of the non-vacuity
+    * rule. */
+  private[llm] val ClusterSampleCap = 40
+
+  /** q_ml_cluster_balanced_sample — cluster-balanced representative
+    * subsampling, the diversity-preserving selection a curation
+    * pipeline runs AFTER semantic dedup (SemDeDup, Abbas et al. 2023,
+    * keeps one member per near-dup cluster; this keeps a BUDGET per
+    * semantic cluster so no region of embedding space dominates the
+    * mix — the DataComp/DeepSeekMath cluster-balancing move). Rule,
+    * exactly what the oracle replays: assign every vector with the
+    * portable integer-Lloyd quantizer ([[portableKmeansCore]] — the
+    * value-oracled k-means, so cells are engine-neutral), then keep
+    * the [[ClusterSampleCap]] members CLOSEST to their centroid
+    * (exact integer distance, ties → lowest vec_id) — "most
+    * representative per cluster", deterministic, and the readout
+    * carries (cell, rank, dist) so a mix stage can weight by
+    * centrality.
+    *
+    * Scale shape: the Lloyd passes are the kmeans query's (narrow
+    * broadcast-centroid maps, one k×dim shuffle per round); the
+    * per-cell top-CAP is a row_number window that the session's
+    * RewriteTopKWindow rule turns into the two-phase TopKPerKeyExec
+    * (per-partition heaps, then a k-row merge) — no cell's full
+    * membership ever sorts in one task, the same 100 TB argument as
+    * q_sort_topk. */
+  def clusterBalancedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.plans.GraftExtensions.register(spark)
+    val (a2, _) = portableKmeansCore(spark, sfDir)
+    val w = Window.partitionBy($"cell").orderBy($"dist", $"vec_id")
+    a2.select($"vec_id", $"cell", $"dist") // drop qv before the shuffle
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= ClusterSampleCap)
+      .select($"cell", $"rk", $"vec_id", $"dist".as("dist_q"))
+      .orderBy($"cell", $"rk")
   }
 
   /** q_simsearch_centroid_sim — embedding-space cluster-separation
@@ -1076,6 +1126,7 @@ object SimSearchOps extends graft.QueryModule {
     "q_simsearch_hard_negatives" -> (hardNegatives _),
     "q_simsearch_centroid_sim" -> (centroidSim _),
     "q_simsearch_kmeans_portable" -> (kmeansPortable _),
+    "q_ml_cluster_balanced_sample" -> (clusterBalancedSample _),
     "q_simsearch_norm_stats" -> (normStats _),
     "q_simsearch_topk" -> (topkBruteForce _),
     "q_simsearch_topk_lsh" -> (topkLsh _),
@@ -1083,6 +1134,47 @@ object SimSearchOps extends graft.QueryModule {
     "q_simsearch_incremental_ivf" -> (topkIvfIncremental _),
     "q_simsearch_topk_pq" -> (topkPq _),
     "q_simsearch_topk_hnsw" -> (topkHnsw _))
+
+  /** the shared integer-Lloyd CTE chain (q → seeds → round-1 assign →
+    * centroid update → round-2 assign) — consumed by the kmeans
+    * readout and the cluster-balanced sample oracle */
+  private val kmeansCteSql: String =
+    """WITH q AS (
+      |  SELECT vec_id,
+      |    list_transform(CAST(embedding AS DOUBLE[]),
+      |      x -> CAST(floor(x*1000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |seeds AS (
+      |  SELECT CAST(vec_id AS BIGINT) AS cell, qv AS cv FROM q WHERE vec_id < 8),
+      |d1 AS (
+      |  SELECT q.vec_id, q.qv, s.cell,
+      |    CAST(list_sum(list_transform(range(1, len(q.qv)+1),
+      |      i -> (q.qv[i]-s.cv[i])*(q.qv[i]-s.cv[i]))) AS BIGINT) AS dist
+      |  FROM q, seeds s),
+      |a1 AS (
+      |  SELECT vec_id, qv, cell, dist FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell)
+      |      AS rk FROM d1) WHERE rk = 1),
+      |u1 AS (
+      |  SELECT cell, d, CAST((s - ((s % n) + n) % n) // n AS BIGINT) AS c
+      |  FROM (
+      |    SELECT cell, d, CAST(SUM(q) AS BIGINT) AS s, COUNT(*) AS n
+      |    FROM (
+      |      SELECT a1.cell, unnest(a1.qv) AS q,
+      |        generate_subscripts(a1.qv, 1) AS d
+      |      FROM a1)
+      |    GROUP BY cell, d)),
+      |c1 AS (SELECT cell, list(c ORDER BY d) AS cv FROM u1 GROUP BY cell),
+      |d2 AS (
+      |  SELECT q.vec_id, c.cell,
+      |    CAST(list_sum(list_transform(range(1, len(q.qv)+1),
+      |      i -> (q.qv[i]-c.cv[i])*(q.qv[i]-c.cv[i]))) AS BIGINT) AS dist
+      |  FROM q, c1 c),
+      |a2 AS (
+      |  SELECT vec_id, cell, dist FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell)
+      |      AS rk FROM d2) WHERE rk = 1)
+      |""".stripMargin
 
   def oracle: Map[String, String] = Map(
     "q_simsearch_mmr" -> mmrSql,
@@ -1189,47 +1281,21 @@ object SimSearchOps extends graft.QueryModule {
         |SELECT label_a, label_b, n_a, n_b, round(cosr, 6) AS cos
         |FROM p ORDER BY label_a, label_b""".stripMargin,
     "q_simsearch_kmeans_portable" ->
-      """WITH q AS (
-        |  SELECT vec_id,
-        |    list_transform(CAST(embedding AS DOUBLE[]),
-        |      x -> CAST(floor(x*1000) AS BIGINT)) AS qv
-        |  FROM embeddings),
-        |seeds AS (
-        |  SELECT CAST(vec_id AS BIGINT) AS cell, qv AS cv FROM q WHERE vec_id < 8),
-        |d1 AS (
-        |  SELECT q.vec_id, q.qv, s.cell,
-        |    CAST(list_sum(list_transform(range(1, len(q.qv)+1),
-        |      i -> (q.qv[i]-s.cv[i])*(q.qv[i]-s.cv[i]))) AS BIGINT) AS dist
-        |  FROM q, seeds s),
-        |a1 AS (
-        |  SELECT vec_id, qv, cell, dist FROM (
-        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell)
-        |      AS rk FROM d1) WHERE rk = 1),
-        |u1 AS (
-        |  SELECT cell, d, CAST((s - ((s % n) + n) % n) // n AS BIGINT) AS c
-        |  FROM (
-        |    SELECT cell, d, CAST(SUM(q) AS BIGINT) AS s, COUNT(*) AS n
-        |    FROM (
-        |      SELECT a1.cell, unnest(a1.qv) AS q,
-        |        generate_subscripts(a1.qv, 1) AS d
-        |      FROM a1)
-        |    GROUP BY cell, d)),
-        |c1 AS (SELECT cell, list(c ORDER BY d) AS cv FROM u1 GROUP BY cell),
-        |d2 AS (
-        |  SELECT q.vec_id, c.cell,
-        |    CAST(list_sum(list_transform(range(1, len(q.qv)+1),
-        |      i -> (q.qv[i]-c.cv[i])*(q.qv[i]-c.cv[i]))) AS BIGINT) AS dist
-        |  FROM q, c1 c),
-        |a2 AS (
-        |  SELECT vec_id, cell, dist FROM (
-        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell)
-        |      AS rk FROM d2) WHERE rk = 1)
-        |SELECT a2.cell, COUNT(*) AS n_vecs, CAST(SUM(a2.dist) AS BIGINT) AS inertia_q,
-        |  cn.c_l1
-        |FROM a2 JOIN (
-        |  SELECT cell, CAST(list_sum(list_transform(cv, x -> abs(x))) AS BIGINT)
-        |    AS c_l1 FROM c1) cn USING (cell)
-        |GROUP BY a2.cell, cn.c_l1 ORDER BY a2.cell""".stripMargin,
+      (kmeansCteSql +
+        """SELECT a2.cell, COUNT(*) AS n_vecs, CAST(SUM(a2.dist) AS BIGINT) AS inertia_q,
+          |  cn.c_l1
+          |FROM a2 JOIN (
+          |  SELECT cell, CAST(list_sum(list_transform(cv, x -> abs(x))) AS BIGINT)
+          |    AS c_l1 FROM c1) cn USING (cell)
+          |GROUP BY a2.cell, cn.c_l1 ORDER BY a2.cell""".stripMargin),
+    "q_ml_cluster_balanced_sample" ->
+      (kmeansCteSql +
+        s"""SELECT cell, rk, vec_id, dist AS dist_q FROM (
+           |  SELECT cell, vec_id, dist,
+           |    ROW_NUMBER() OVER (PARTITION BY cell ORDER BY dist, vec_id)
+           |      AS rk FROM a2)
+           |WHERE rk <= ${ClusterSampleCap}
+           |ORDER BY cell, rk""".stripMargin),
     "q_simsearch_norm_stats" ->
       """WITH r AS (
         |  SELECT label, len(embedding) AS dim,

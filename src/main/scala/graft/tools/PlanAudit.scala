@@ -314,6 +314,9 @@ object PlanAudit {
     // k-row centroid table collapsed to a 1-row array frame, broadcast
     // into each Lloyd assign pass (k x dim longs by construction)
     "q_simsearch_kmeans_portable" -> Set("SinglePartition", "NestedLoop"),
+    // same Lloyd core (shared portableKmeansCore), same 1-row
+    // broadcast centroid frame; the top-CAP itself is TopKPerKeyExec
+    "q_ml_cluster_balanced_sample" -> Set("SinglePartition", "NestedLoop"),
     "q_simsearch_topk_pq" -> Set("NestedLoop"),
     "q_simsearch_topk_hnsw" -> Set("SinglePartition", "NestedLoop")
   ).withDefaultValue(Set.empty)

@@ -149,4 +149,24 @@ class SimSearchSpec extends SparkTestBase {
     // the audit must separate: some agreements and some mismatches
     assert(got.exists(_._5 == 0) && got.exists(_._5 == 1))
   }
+
+  test("cluster-balanced sample keeps exactly the closest CAP per cell") {
+    val cap = SimSearchOps.ClusterSampleCap
+    val (a2, _) = SimSearchOps.portableKmeansCore(spark, sf0001)
+    val assigned = a2.select($"vec_id", $"cell", $"dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val kept = SimSearchOps.clusterBalancedSample(spark, sf0001)
+      .collect().map(r => (r.getLong(2), r.getLong(0))) // (vec_id, cell)
+      .groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val byCell = assigned.groupBy(_._2)
+    assert(byCell.nonEmpty && byCell.exists(_._2.length > cap),
+      "fixture too small: no cell exceeds the cap, the rule never engages")
+    byCell.foreach { case (cell, members) =>
+      val want = members.sortBy(m => (m._3, m._1)).take(cap)
+        .map(_._1).toSet
+      assert(kept.getOrElse(cell, Set.empty) == want,
+        s"cell $cell kept ${kept.getOrElse(cell, Set.empty).size} != " +
+          s"closest-${want.size} by (dist, vec_id)")
+    }
+  }
 }
