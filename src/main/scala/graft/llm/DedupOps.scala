@@ -1252,6 +1252,7 @@ object DedupOps extends graft.QueryModule {
     "q_dedup_cluster_stats" -> (clusterStats _),
     "q_dedup_source_stats" -> (sourceStats _),
     "q_dedup_keep_list" -> (keepList _),
+    "q_dedup_keep_best_quality" -> (keepBestQuality _),
     "q_dedup_triangles" -> (triangles _),
     "q_dedup_embedding_cosine" -> (embeddingCosine _),
     "q_dedup_embedding_cosine_lsh" -> (embeddingCosineLsh _))
@@ -1269,6 +1270,35 @@ object DedupOps extends graft.QueryModule {
       .filter($"component_id".isNull || $"doc_id" === $"component_id")
       .select($"doc_id",
         coalesce($"component_id", $"doc_id").as("component_id"))
+      .orderBy($"doc_id")
+  }
+
+  /** q_dedup_keep_best_quality — cluster consolidation keeping the BEST
+    * member per duplicate component instead of the first-seen: the
+    * keep-longest convention (CCNet-style dedup keeps the longest
+    * duplicate — the version most likely to be the complete original,
+    * where min-id keeps whatever happened to crawl first). Rule the
+    * oracle replays exactly: over the SAME pair-graph components as
+    * q_dedup_keep_list, keep the member with max n_chars, ties → lowest
+    * doc_id; unclustered docs keep themselves. Scale: expressed as a
+    * partial-agg'd groupBy argmax — min over (-n_chars, doc_id) structs,
+    * map-side combinable — NOT a per-component window, so the one
+    * shuffle moves component keys and no component's membership ever
+    * sorts inside a task. */
+  def keepBestQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val comps = componentsOfIndex(spark, sfDir)
+    val labeled = graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"n_chars")
+      .join(comps, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"component_id", $"doc_id").as("component_id"),
+        $"n_chars")
+    labeled.groupBy($"component_id")
+      .agg(min(struct((-$"n_chars").as("neg"), $"doc_id".as("id")))
+        .as("best"))
+      .select($"best.id".as("doc_id"), $"component_id",
+        (-$"best.neg").as("n_chars"))
       .orderBy($"doc_id")
   }
 
@@ -1700,6 +1730,26 @@ object DedupOps extends graft.QueryModule {
          |FROM documents d LEFT JOIN comps c ON d.doc_id = c.doc_id
          |WHERE c.component_id IS NULL OR d.doc_id = c.component_id
          |ORDER BY d.doc_id""".stripMargin,
+    "q_dedup_keep_best_quality" ->
+      s"""WITH RECURSIVE $ngramPairsSql,
+         |edges(src, dst) AS (
+         |  SELECT a_id, b_id FROM nearpairs
+         |  UNION ALL SELECT b_id, a_id FROM nearpairs),
+         |reach(id, comp) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id),
+         |comps AS (
+         |  SELECT id AS doc_id, MIN(comp) AS component_id
+         |  FROM reach GROUP BY id),
+         |labeled AS (
+         |  SELECT d.doc_id,
+         |    coalesce(c.component_id, d.doc_id) AS component_id, d.n_chars
+         |  FROM documents d LEFT JOIN comps c ON d.doc_id = c.doc_id)
+         |SELECT doc_id, component_id, n_chars FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY component_id
+         |    ORDER BY n_chars DESC, doc_id) AS rk FROM labeled)
+         |WHERE rk = 1 ORDER BY doc_id""".stripMargin,
     "q_dedup_source_stats" ->
       s"""WITH RECURSIVE $ngramPairsSql,
          |edges(src, dst) AS (

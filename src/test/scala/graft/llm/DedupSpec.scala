@@ -411,4 +411,24 @@ class DedupSpec extends SparkTestBase {
     val twice = DedupOps.ngramJaccard(spark, sf0001).collect()
     assert(once.sameElements(twice))
   }
+
+  test("keep-best-quality keeps the longest cluster member, keep-list the first") {
+    // near-dup pair where the LATER doc is LONGER: keep_list (min id)
+    // and keep_best_quality (max n_chars) must disagree on this cluster
+    val longDup = base + " indeed truly"
+    val docs = Seq(
+      (0L, base, "en", "src0", base.length.toLong),
+      (1L, longDup, "en", "src0", longDup.length.toLong),
+      (5L, unrelated, "en", "src0", unrelated.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_kbq").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val best = DedupOps.keepBestQuality(spark, dir)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val first = DedupOps.keepList(spark, dir)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(first == Set(0L, 5L), s"keep_list: $first")
+    assert(best == Set(1L, 5L),
+      s"keep_best_quality should keep the longer member: $best")
+  }
 }
