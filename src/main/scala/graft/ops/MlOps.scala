@@ -573,6 +573,62 @@ object MlOps extends graft.QueryModule {
       .orderBy($"rk")
   }
 
+  /** q_ml_pps_systematic_sample — STRICTLY weight-proportional
+    * systematic sampling (Madow 1949, PPS systematic selection): lay
+    * the documents on a line of cumulative weight (w = n_chars, doc_id
+    * order), drop K = 100 evenly-spaced ticks on it (deterministic
+    * zero origin — the portable twin of the random-start textbook
+    * form), and keep each document once per tick inside its interval.
+    * Inclusion count is EXACTLY floor(cum·K/W) − floor((cum−w)·K/W):
+    * every expectation is met by construction (no variance from a key
+    * transform), the complement of [[weightedSample]]'s
+    * Efraimidis–Spirakis top-k whose inclusion is only proportional in
+    * distribution. A document heavier than W/K is kept with
+    * multiplicity (`n_picks`), which IS the PPS-with-replacement
+    * boundary the textbook rule defines; `first_tick` names its first
+    * tick so a pack stage can expand deterministically.
+    *
+    * Exactness: all BIGINT — cum·K stays far under int64 at any
+    * feasible corpus (10^16 chars × 100 ticks brushes the limit;
+    * beyond that the same plan runs with the product in
+    * DECIMAL(38,0), noted not implemented). The global cumulative sum
+    * is the globalShuffle/weighted-median TWO-LEVEL decomposition, not
+    * a keyless window: 64 fixed doc_id ranges (bounds from a 1-row agg
+    * broadcast in), per-range totals → prefix offsets over the
+    * 64-row bounded frame, within-range running sums partitioned by
+    * range — cum(x) = offset(range) + local_cum(x). Equality with the
+    * single-window DuckDB twin proves the decomposition IS the global
+    * cumsum. */
+  def ppsSystematicSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val K = 100
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang", $"n_chars")
+    val bounds = docs.agg(max($"doc_id").as("mx"),
+      sum($"n_chars").as("w_tot"))
+    val b = docs.crossJoin(broadcast(bounds))
+      .withColumn("bkt", least(
+        floor($"doc_id".cast("double") * 64.0 / ($"mx" + 1)).cast("long"),
+        lit(63L)))
+    val offsets = b.groupBy($"bkt").agg(sum($"n_chars").as("bw"))
+      .withColumn("off", coalesce(sum($"bw").over(
+        Window.orderBy($"bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"bkt", $"off") // 64-row bounded frame
+    b.join(broadcast(offsets), Seq("bkt"))
+      .withColumn("cum", $"off" + sum($"n_chars").over(
+        Window.partitionBy($"bkt").orderBy($"doc_id")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n_picks", expr(
+        s"(cum * $K) div w_tot - ((cum - n_chars) * $K) div w_tot"))
+      .filter($"n_picks" >= 1)
+      .withColumn("first_tick",
+        expr(s"((cum - n_chars) * $K) div w_tot + 1"))
+      .select($"doc_id", $"lang", $"n_chars", $"n_picks", $"first_tick")
+      .orderBy($"doc_id")
+  }
+
   /** q_ml_eval_metrics — the classifier eval readout (confusion cells +
     * accuracy/precision/recall/F1) over [[trainPredict]]'s scored rows,
     * in the long (metric, value) shape an experiment tracker ingests.
@@ -1339,6 +1395,7 @@ object MlOps extends graft.QueryModule {
     "q_ml_cuped" -> (cuped _),
     "q_ml_ate_strata" -> (ateStrata _),
     "q_ml_weighted_sample" -> (weightedSample _),
+    "q_ml_pps_systematic_sample" -> (ppsSystematicSample _),
     "q_ml_class_weights" -> (classWeights _),
     "q_ml_kfold" -> (kfold _),
     "q_ml_lag_features" -> (lagFeatures _),
@@ -1885,6 +1942,20 @@ object MlOps extends graft.QueryModule {
         |  round(CAST(SUM(n_chars % 97) AS BIGINT)
         |      / CAST(COUNT(*) AS DOUBLE), 6) AS mean_s
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_ml_pps_systematic_sample" ->
+      """WITH t AS (
+        |  SELECT CAST(SUM(n_chars) AS BIGINT) AS w_tot FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    CAST(SUM(n_chars) OVER (ORDER BY doc_id) AS BIGINT) AS cum
+        |  FROM documents)
+        |SELECT doc_id, lang, n_chars,
+        |  (cum*100 // t.w_tot) - ((cum - n_chars)*100 // t.w_tot)
+        |    AS n_picks,
+        |  ((cum - n_chars)*100 // t.w_tot) + 1 AS first_tick
+        |FROM c, t
+        |WHERE (cum*100 // t.w_tot) - ((cum - n_chars)*100 // t.w_tot) >= 1
+        |ORDER BY doc_id""".stripMargin,
     "q_ml_weighted_sample" ->
       """WITH k AS (
         |  SELECT doc_id, lang, n_chars,

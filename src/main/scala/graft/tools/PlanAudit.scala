@@ -269,6 +269,9 @@ object PlanAudit {
     "q_ml_temperature_mix" -> Set("SinglePartition", "NestedLoop"),
     // k-strata moment frame crossJoined with its 1-row Σs aggregate
     "q_ml_neyman_sample" -> Set("SinglePartition", "NestedLoop"),
+    // 1-row (max, total) bounds frame broadcast-crossed in; prefix
+    // offsets window over the 64-row fixed-range frame
+    "q_ml_pps_systematic_sample" -> Set("SinglePartition", "NestedLoop"),
     // 100-replicate-mean rank window + two 1-row frames crossJoined —
     // the corpus-sized fan-out collapses map-side via partial agg
     "q_ml_bootstrap_ci" -> Set("SinglePartition", "NestedLoop"),

@@ -283,4 +283,36 @@ class SampleSpec extends SparkTestBase {
     assert(cal.map(_._2).sum == scored.length)
     assert(cal.forall(c => c._3 >= 0.0 && c._3 <= 1.0))
   }
+
+  test("PPS systematic sample: exact tick budget and heavy-doc multiplicity") {
+    // planted corpus: one doc holds ~60% of the total weight, so the
+    // tick rule must keep it with multiplicity ~60 — the regime the
+    // driver fixture (max weight << W/K) never exercises
+    val docs = (Seq((0L, "heavy", 6000L)) ++
+      (1L to 40L).map(i => (i, s"doc $i", 100L)))
+      .map { case (id, t, n) => (id, t, "en", "s0", n) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_pps").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = MlOps.ppsSystematicSample(spark, dir)
+      .select($"doc_id", $"n_chars", $"n_picks", $"first_tick")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // invariant 1: the tick budget is spent exactly — sum of picks == K
+    assert(out.map(_._3).sum == 100L, s"ticks: ${out.map(_._3).sum}")
+    // invariant 2: strict proportionality — every pick count is
+    // floor(cum*K/W) - floor(prev*K/W) of the declared rule, checked
+    // against an independent fold here
+    val w = 6000L + 40L * 100L
+    var cum = 0L
+    val expect = ((0L, 6000L) +: (1L to 40L).map(i => (i, 100L)))
+      .flatMap { case (id, n) =>
+        val prev = cum; cum += n
+        val picks = cum * 100 / w - prev * 100 / w
+        if (picks >= 1) Some((id, n, picks, prev * 100 / w + 1)) else None
+      }
+    assert(out.toSeq == expect,
+      s"got ${out.toSeq.take(3)}... want ${expect.take(3)}...")
+    // the heavy doc really carries its weight share in multiplicity
+    assert(out.head._3 == 60L, s"heavy doc picks: ${out.head._3}")
+  }
 }
