@@ -378,34 +378,81 @@ object MultimodalOps extends graft.QueryModule {
       }.toDF("doc_id", "s0", "s1", "s2", "s3")
   }
 
-  /** Band → cap → candidate equi-join → full Hamming scoring over a
-    * hashed frame — NO threshold, so every consumer (dedup cutoff,
-    * threshold curve, keep-list, consensus) reads the same candidate
-    * set. The hot-bucket cap runs BEFORE pair generation, so a flooded
-    * bucket costs one group row, never C(n,2) join rows. */
+  /** All (a < b) doc-id pairs of one uncapped bucket's member list,
+    * emitted MAP-side from the bucket aggregate (the basketPairsUdf
+    * discipline) — a tight JVM loop over ≤[[BAND_CAP]] members. */
+  private val bucketIdPairsUdf =
+    udf((ids: Seq[Long]) => {
+      val s = ids.sorted
+      val n = s.length
+      val out = Array.newBuilder[(Long, Long)]
+      out.sizeHint(n * (n - 1) / 2)
+      var i = 0
+      while (i < n) {
+        var j = i + 1
+        while (j < n) { out += ((s(i), s(j))); j += 1 }
+        i += 1
+      }
+      out.result()
+    })
+
+  /** All (a < b) member pairs of one uncapped bucket WITH the full
+    * Hamming distance computed in place: each member is
+    * [doc_id, s0, s1, s2, s3], so the pair's score never needs a
+    * join back to the hash table. */
+  private val bucketHamPairsUdf =
+    udf((ms: Seq[Seq[Long]]) => {
+      val s = ms.sortBy(_.head)
+      val n = s.length
+      val out = Array.newBuilder[(Long, Long, Long)]
+      out.sizeHint(n * (n - 1) / 2)
+      var i = 0
+      while (i < n) {
+        var j = i + 1
+        while (j < n) {
+          val a = s(i); val b = s(j)
+          var h = 0L
+          var k = 1
+          while (k <= 4) {
+            h += java.lang.Long.bitCount(a(k) ^ b(k))
+            k += 1
+          }
+          out += ((a.head, b.head, h))
+          j += 1
+        }
+        i += 1
+      }
+      out.result()
+    })
+
+  /** Band → cap → per-bucket pair emission with in-place Hamming
+    * scoring over a hashed frame — NO threshold, so every consumer
+    * (dedup cutoff, threshold curve, keep-list, consensus) reads the
+    * same candidate set. The hot-bucket cap is a WINDOW count over the
+    * band partitioning (streams — a flooded bucket never materializes
+    * its member list), applied BEFORE pair generation; the surviving
+    * ≤[[BAND_CAP]]-member buckets then emit their pairs MAP-side with
+    * the full Hamming distance computed from the carried 4×16-bit
+    * hash, so the whole pipeline is TWO exchanges (band bucket, pair
+    * dedupe) — the previous census join-back + bucket self-join +
+    * two hash-lookup joins spent six. A pair colliding in several
+    * bands carries the same Hamming everywhere; min() is that value. */
   private[llm] def phashPairsFromHashed(hashed: DataFrame): DataFrame = {
     import hashed.sparkSession.implicits._
     val bands = hashed
-      .select($"doc_id", posexplode(array($"s0", $"s1", $"s2", $"s3")))
-      .toDF("doc_id", "band", "v")
-    val kept = bands.join(
-      bands.groupBy($"band", $"v").agg(count(lit(1)).as("n"))
-        .filter($"n" <= BAND_CAP).select($"band", $"v"),
-      Seq("band", "v"))
-    val cand = kept.as("x").join(kept.as("y"),
-        col("x.band") === col("y.band") && col("x.v") === col("y.v") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    cand
-      .join(hashed.select($"doc_id".as("doc_a"), $"s0".as("a0"),
-        $"s1".as("a1"), $"s2".as("a2"), $"s3".as("a3")), Seq("doc_a"))
-      .join(hashed.select($"doc_id".as("doc_b"), $"s0".as("b0"),
-        $"s1".as("b1"), $"s2".as("b2"), $"s3".as("b3")), Seq("doc_b"))
-      .select($"doc_a", $"doc_b",
-        expr("cast(bit_count(a0 ^ b0) + bit_count(a1 ^ b1) + " +
-          "bit_count(a2 ^ b2) + bit_count(a3 ^ b3) as bigint)")
-          .as("hamming"))
+      .select($"doc_id", $"s0", $"s1", $"s2", $"s3",
+        posexplode(array($"s0", $"s1", $"s2", $"s3")))
+      .toDF("doc_id", "s0", "s1", "s2", "s3", "band", "v")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"band", $"v")
+    bands.withColumn("n", count(lit(1)).over(w))
+      .filter($"n" <= BAND_CAP)
+      .groupBy($"band", $"v")
+      .agg(collect_list(array($"doc_id", $"s0", $"s1", $"s2", $"s3"))
+        .as("ms"))
+      .select(explode(bucketHamPairsUdf($"ms")).as("p"))
+      .groupBy($"p._1".as("doc_a"), $"p._2".as("doc_b"))
+      .agg(min($"p._3").as("hamming"))
   }
 
   /** The image artifact: hashed corpus + unthresholded scored pairs,
@@ -505,10 +552,10 @@ object MultimodalOps extends graft.QueryModule {
     * the one file scan dedup must pay. */
   def imagePhashDedupFiles(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    // pin the file-sourced hash frame: it feeds the band explode and
-    // both Hamming legs — without the checkpoint the codec pass and
-    // the file scan would run three times
-    val hashed = imageHashedFromFiles(spark, sfDir).localCheckpoint()
+    // the rewritten pair pipeline consumes the hash frame exactly once
+    // (the Hamming score travels with the band rows), so the decode
+    // pass streams straight into the band shuffle — no checkpoint
+    val hashed = imageHashedFromFiles(spark, sfDir)
     phashPairsFromHashed(hashed)
       .select($"doc_a", $"doc_b", $"hamming",
         ($"doc_b" === $"doc_a" + 1 && $"doc_b" % 10 === 1).as("planted"))
@@ -623,21 +670,27 @@ object MultimodalOps extends graft.QueryModule {
   /** Unthresholded audio candidate pairs: (band, exact energy) bucket
     * join under the hot-bucket cap, scored by the NUMBER of equal
     * bands — consumers apply their own ≥6 cutoff. */
+  private[llm] def scratchAudioPairs(frame: DataFrame): DataFrame =
+    audioPairsFromEnergy(frame)
+
   private def audioPairsFromEnergy(frame: DataFrame): DataFrame = {
     import frame.sparkSession.implicits._
     val bands = frame
       .select($"doc_id", posexplode(
         array($"e0", $"e1", $"e2", $"e3", $"e4", $"e5", $"e6", $"e7")))
       .toDF("doc_id", "band", "energy")
-    val kept = bands.join(
-      bands.groupBy($"band", $"energy").agg(count(lit(1)).as("n"))
-        .filter($"n" <= BAND_CAP).select($"band", $"energy"),
-      Seq("band", "energy"))
-    kept.as("x").join(kept.as("y"),
-        col("x.band") === col("y.band") &&
-          col("x.energy") === col("y.energy") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    // window-count cap (streams past flooded buckets) + map-side
+    // per-bucket pair emission: TWO exchanges where the census
+    // join-back + bucket self-join spent five — see
+    // [[phashPairsFromHashed]] for the full argument.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"band", $"energy")
+    bands.withColumn("n", count(lit(1)).over(w))
+      .filter($"n" <= BAND_CAP)
+      .groupBy($"band", $"energy")
+      .agg(collect_list($"doc_id").as("ids"))
+      .select(explode(bucketIdPairsUdf($"ids")).as("p"))
+      .groupBy($"p._1".as("doc_a"), $"p._2".as("doc_b"))
       .agg(count(lit(1)).as("n_equal_bands"))
   }
 
@@ -750,8 +803,8 @@ object MultimodalOps extends graft.QueryModule {
         (docId, e(0), e(1), e(2), e(3), e(4), e(5), e(6), e(7))
       }
     }.toDF("doc_id", "e0", "e1", "e2", "e3", "e4", "e5", "e6", "e7")
-      // pinned: feeds the band explode and the bucket census
-      .localCheckpoint()
+    // single consumer after the pair rewrite — the decode pass streams
+    // straight into the band shuffle, no checkpoint needed
     audioPairsFromEnergy(energy)
       .filter($"n_equal_bands" >= 6)
       .select($"doc_a", $"doc_b", $"n_equal_bands",
@@ -820,7 +873,7 @@ object MultimodalOps extends graft.QueryModule {
         val b = dhashBands(img)
         (docId, pos, b(0), b(1), b(2), b(3))
       }
-    }.toDF("doc_id", "pos", "s0", "s1", "s2", "s3").localCheckpoint()
+    }.toDF("doc_id", "pos", "s0", "s1", "s2", "s3")
     videoPairsFromHashed(hashed)
   }
 
@@ -831,14 +884,17 @@ object MultimodalOps extends graft.QueryModule {
   private def videoPairsFromHashed(hashed: DataFrame): DataFrame = {
     import hashed.sparkSession.implicits._
     val key = Seq("pos", "s0", "s1", "s2", "s3")
-    val kept = hashed.join(
-      hashed.groupBy(key.map(col): _*).agg(count(lit(1)).as("n"))
-        .filter($"n" <= BAND_CAP).select(key.map(col): _*),
-      key)
-    kept.as("x").join(kept.as("y"),
-        key.map(k => col(s"x.$k") === col(s"y.$k")).reduce(_ && _) &&
-          col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    // window-count cap + map-side per-bucket pair emission: TWO
+    // exchanges where the census join-back + bucket self-join spent
+    // five — see [[phashPairsFromHashed]] for the full argument.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(key.map(col): _*)
+    hashed.withColumn("n", count(lit(1)).over(w))
+      .filter($"n" <= BAND_CAP)
+      .groupBy(key.map(col): _*)
+      .agg(collect_list($"doc_id").as("ids"))
+      .select(explode(bucketIdPairsUdf($"ids")).as("p"))
+      .groupBy($"p._1".as("doc_a"), $"p._2".as("doc_b"))
       .agg(count(lit(1)).as("n_frames_equal"))
   }
 
@@ -1028,7 +1084,7 @@ object MultimodalOps extends graft.QueryModule {
         val b = dhashBands(img)
         (docId, pos, b(0), b(1), b(2), b(3))
       }
-    }.toDF("doc_id", "pos", "s0", "s1", "s2", "s3").localCheckpoint()
+    }.toDF("doc_id", "pos", "s0", "s1", "s2", "s3")
     videoPairsFromHashed(hashed)
       .filter($"n_frames_equal" >= 3)
       .select($"doc_a", $"doc_b", $"n_frames_equal",
