@@ -1165,13 +1165,15 @@ object MultimodalOps extends graft.QueryModule {
     // the in-flight codec pass: same mapPartitions shape as the batch
     // path, running inside the streaming plan
     val hashedStream = hashPngPayloads(pngStream)
-    val q = hashedStream.writeStream
-      .format("parquet")
-      .option("path", s"$runDir/hashes")
-      .option("checkpointLocation", s"$runDir/ckpt")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    graft.streaming.StreamOps.withStreamPartitions(spark) {
+      val q = hashedStream.writeStream
+        .format("parquet")
+        .option("path", s"$runDir/hashes")
+        .option("checkpointLocation", s"$runDir/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     // materialize the committed hashes EAGERLY (a batch-sized frame —
     // a few hundred 5-long rows) so the run-local sink + checkpoint can
     // be deleted NOW instead of leaking one temp tree per invocation

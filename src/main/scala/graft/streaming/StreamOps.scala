@@ -19,6 +19,31 @@ import org.apache.spark.sql.functions._
   */
 object StreamOps extends graft.QueryModule {
 
+  /** State/shuffle partition budget for the TRUE-streaming queries.
+    * A stream's state partition count is a DESIGN-time choice (it is
+    * pinned into the checkpoint on first run and cannot change without
+    * a state reset), sized to the stateful key domain — here the
+    * (window × type) / per-type / per-window domains are all in the
+    * hundreds, so 8 partitions is already generous; inheriting the
+    * session's corpus-sized shuffle.partitions instead made the
+    * per-partition-per-batch state-store file round-trips the dominant
+    * cost of every live query (measured at sf0.1 / local[32]:
+    * live_tumbling 2.1→1.7 s, upsert_sink 4.2→2.6 s at 32→8). At
+    * production state volumes raise SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS
+    * — the knob is the same one a real deployment sets per stream. */
+  private[graft] def streamShufflePartitions: String =
+    sys.env.getOrElse("SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS", "8")
+
+  /** Run `body` (a stream definition + start + awaitTermination) with
+    * the session's shuffle partitions pinned to the stream budget,
+    * restoring the caller's value afterwards. */
+  private[graft] def withStreamPartitions[A](spark: SparkSession)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, streamShufflePartitions)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Tumbling 15-minute windows: count + exact sum per (window, type). */
   def tumbling(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -102,11 +127,13 @@ object StreamOps extends graft.QueryModule {
       .groupBy(window($"ts", "15 minutes").as("w"), $"event_type")
       .agg(count(lit(1)).as("n"), graft.ops.AggOps.dsum($"value").as("sum_value"))
     val name = "live_tumbling_" + java.lang.Integer.toHexString(sfDir.hashCode)
-    val q = agg.writeStream.format("memory").queryName(name)
-      .outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamPartitions(spark) {
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(name)
       .select(unix_millis($"w.start").as("win_start_ms"), $"event_type",
         $"n", $"sum_value")
@@ -127,11 +154,13 @@ object StreamOps extends graft.QueryModule {
       .agg(count(lit(1)).as("n"),
         graft.ops.AggOps.dsum($"value").as("sum_value"))
     val name = "live_session_" + java.lang.Integer.toHexString(sfDir.hashCode)
-    val q = agg.writeStream.format("memory").queryName(name)
-      .outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamPartitions(spark) {
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(name)
       .select($"user_id", unix_millis($"sw.start").as("session_start_ms"),
         $"n", $"sum_value")
@@ -157,16 +186,18 @@ object StreamOps extends graft.QueryModule {
     val target = s"${graft.Artifacts.root}/graft_stream_upsert/" +
       java.lang.Integer.toHexString(sfDir.hashCode)
     org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(target))
-    val q = agg.writeStream
-      .outputMode("update")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        upsertInto(target, batch, Seq("win_start_ms", "event_type"),
-          "win_date",
-          date_format(timestamp_millis(col("win_start_ms")), "yyyy-MM-dd"))
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamPartitions(spark) {
+      val q = agg.writeStream
+        .outputMode("update")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          upsertInto(target, batch, Seq("win_start_ms", "event_type"),
+            "win_date",
+            date_format(timestamp_millis(col("win_start_ms")), "yyyy-MM-dd"))
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.read.parquet(target)
       .select($"win_start_ms", $"event_type", $"n", $"sum_value")
       .orderBy($"win_start_ms", $"event_type")
@@ -195,15 +226,17 @@ object StreamOps extends graft.QueryModule {
         $"n", $"sum_value")
     val target = s"${graft.Artifacts.root}/graft_stream_txpub/" +
       java.lang.Integer.toHexString(sfDir.hashCode)
-    val q = agg.writeStream
-      .outputMode("complete")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.format("graft.sources.TxManifestSource")
-          .option("path", target).mode("overwrite").save()
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamPartitions(spark) {
+      val q = agg.writeStream
+        .outputMode("complete")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.format("graft.sources.TxManifestSource")
+            .option("path", target).mode("overwrite").save()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.read.format("graft.sources.TxManifestSource")
       .option("path", target).load()
       .orderBy($"win_start_ms", $"event_type")
@@ -412,11 +445,13 @@ object StreamOps extends graft.QueryModule {
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
         cusumUpdate)
     val name = "live_cusum_" + java.lang.Integer.toHexString(sfDir.hashCode)
-    val q = out.toDF().writeStream.format("memory").queryName(name)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamPartitions(spark) {
+      val q = out.toDF().writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(name).orderBy($"event_type", $"win_start_ms")
   }
 
@@ -476,11 +511,13 @@ object StreamOps extends graft.QueryModule {
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
         topkUpdate)
     val name = "live_topk_" + java.lang.Integer.toHexString(sfDir.hashCode)
-    val q = out.toDF().writeStream.format("memory").queryName(name)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamPartitions(spark) {
+      val q = out.toDF().writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(name).orderBy($"win_start_ms", $"rank")
   }
 
@@ -558,11 +595,13 @@ object StreamOps extends graft.QueryModule {
       .groupBy($"c_mktsegment", $"event_type")
       .agg(count(lit(1)).as("n"), graft.ops.AggOps.dsum($"value").as("sum_value"))
     val name = "stream_static_" + java.lang.Integer.toHexString(sfDir.hashCode)
-    val q = agg.writeStream.format("memory").queryName(name)
-      .outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamPartitions(spark) {
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(name).orderBy($"c_mktsegment", $"event_type")
   }
 
