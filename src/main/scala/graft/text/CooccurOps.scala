@@ -60,14 +60,47 @@ object CooccurOps extends graft.QueryModule {
 
   /** Forward co-occurrence instances (a at pos, b at pos+o, o ∈ [1,W])
     * via offset-shifted equi-joins — the linear-cost pair generator. */
+  /** all (tok_i, tok_{i+o}) window-pair instances of one doc's token
+    * sequence, o = 1..[[Window]], emitted MAP-side — the offset-shifted
+    * union + (doc_id, pos) shuffle join this replaces paid two corpus
+    * exchanges to pair tokens that sit adjacent in the SAME array. */
+  private val windowPairsUdf =
+    udf((toks: Seq[String]) => {
+      val n = toks.length
+      val out = Array.newBuilder[(String, String)]
+      out.sizeHint(n * Window)
+      var i = 0
+      while (i < n) {
+        var o = 1
+        while (o <= Window && i + o < n) {
+          out += ((toks(i), toks(i + o)))
+          o += 1
+        }
+        i += 1
+      }
+      out.result()
+    })
+
+  /** ordered adjacent (tok_i, tok_{i+1}) instances of one doc — the
+    * bigram twin of [[windowPairsUdf]]. */
+  private val bigramsUdf =
+    udf((toks: Seq[String]) => {
+      val n = toks.length
+      val out = Array.newBuilder[(String, String)]
+      if (n > 1) out.sizeHint(n - 1)
+      var i = 0
+      while (i + 1 < n) { out += ((toks(i), toks(i + 1))); i += 1 }
+      out.result()
+    })
+
   private def pairInstances(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val t = toks(spark, sfDir)
-    val shifted = (1 to Window).map { o =>
-      t.select($"doc_id", ($"pos" + o).as("pos"), $"tok".as("a"))
-    }.reduce(_ unionAll _)
-    shifted.join(t.withColumnRenamed("tok", "b"), Seq("doc_id", "pos"))
-      .select(least($"a", $"b").as("a"), greatest($"a", $"b").as("b"))
+    graft.Tables.documents(spark, sfDir)
+      .select(explode(windowPairsUdf(split($"text", " "))).as("p"))
+      // canonical unordered form via the engine's own string ordering
+      // (least/greatest exactly as before — no UDF-side comparisons)
+      .select(least($"p._1", $"p._2").as("a"),
+        greatest($"p._1", $"p._2").as("b"))
   }
 
   /** q_text_skipgram_ppmi — PPMI over unordered skip-gram pairs.
@@ -101,9 +134,11 @@ object CooccurOps extends graft.QueryModule {
   def bigramLmNll(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val t = toks(spark, sfDir)
-    val bg = t.select($"doc_id", ($"pos" + 1).as("pos"), $"tok".as("a"))
-      .join(t.withColumnRenamed("tok", "b"), Seq("doc_id", "pos"))
-      .select($"doc_id", $"a", $"b")
+    // adjacent-pair instances map-side (the pairInstances rewrite,
+    // window 1, ORDER KEPT: bigrams are directed)
+    val bg = graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", explode(bigramsUdf(split($"text", " "))).as("p"))
+      .select($"doc_id", $"p._1".as("a"), $"p._2".as("b"))
     val cAb = bg.groupBy($"a", $"b").agg(count(lit(1)).as("c_ab"))
     val cCtx = cAb.groupBy($"a").agg(sum($"c_ab").as("c_ctx"))
     val vocab = broadcast(
