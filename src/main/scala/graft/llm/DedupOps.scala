@@ -131,13 +131,16 @@ object DedupOps extends graft.QueryModule {
         first($"sz").as("sz"), first($"sh").as("sh"))
     val postings = reps.select($"fp", $"lang", $"lb", $"sz",
       explode($"sh").as("shingle"))
-    val a = postings.select($"lang", $"lb", $"shingle",
-      $"fp".as("a_fp"), $"sz".as("a_sz"))
-    val b = postings.select($"lang", $"lb", $"shingle",
-      $"fp".as("b_fp"), $"sz".as("b_sz"))
-    val repPairs = a.join(b, Seq("lang", "lb", "shingle"))
-      .filter($"a_fp" < $"b_fp")
-      .groupBy($"a_fp", $"b_fp", $"a_sz", $"b_sz")
+    // per-bucket map-side pair emission (the candidate-generation shape
+    // shared across this family): a posting bucket collects its member
+    // (fp, sz) list — what the replaced self-join's build side already
+    // buffered — and emits its (a<b) pairs in a JVM loop; shared-shingle
+    // count is then the pair's bucket multiplicity
+    val repPairs = postings.groupBy($"lang", $"lb", $"shingle")
+      .agg(collect_list(struct($"fp", $"sz")).as("ms"))
+      .select(explode(bucketFpPairsUdf($"ms")).as("p"))
+      .groupBy($"p._1".as("a_fp"), $"p._2".as("b_fp"),
+        $"p._3".as("a_sz"), $"p._4".as("b_sz"))
       .agg(count(lit(1)).as("inter"))
       .withColumn("jaccard", $"inter".cast("double") /
         ($"a_sz" + $"b_sz" - $"inter").cast("double"))
@@ -258,11 +261,14 @@ object DedupOps extends graft.QueryModule {
       .select($"lang", $"lb", $"shingle")
     val rp = postings.join(rare.hint("shuffle_hash"),
       Seq("lang", "lb", "shingle"))
-    val cand = rp.select($"lang", $"lb", $"shingle", $"doc_id".as("a_id"))
-      .join(rp.select($"lang", $"lb", $"shingle", $"doc_id".as("b_id")),
-        Seq("lang", "lb", "shingle"))
-      .filter($"a_id" < $"b_id")
-      .select($"a_id", $"b_id").distinct()
+    // per-bucket map-side pair emission off the join output (still keyed
+    // by (lang, lb, shingle) — the collect aggregate adds no exchange);
+    // bucket member lists are bounded by maxDf. Replaces the posting
+    // self-join, whose both legs re-shuffled rp.
+    val cand = rp.groupBy($"lang", $"lb", $"shingle")
+      .agg(collect_list($"doc_id").as("ids"))
+      .select(explode(bucketIdPairsUdf($"ids")).as("p"))
+      .select($"p._1".as("a_id"), $"p._2".as("b_id")).distinct()
     // exact verify: the PAIR side is the build side (shuffle-hash) —
     // without the hint Spark broadcasts the whole shingled corpus (full
     // arrays) twice, a ~2 s build at sf0.1 and an OOM at corpus scale
@@ -295,6 +301,63 @@ object DedupOps extends graft.QueryModule {
   // candidates and a 32 s verify stage at sf0.1).
   private val K = 63
   private val BANDS = 21
+
+  /** All (a < b) doc-id pairs of one posting bucket's member list,
+    * emitted MAP-side from the bucket aggregate — replaces the posting
+    * self-join in the candidate generators. Memory per bucket equals
+    * what the shuffle-hash self-join's build side already buffered
+    * (the member list, never the pair cross-product); df-capped paths
+    * bound it at maxDf. */
+  private val bucketIdPairsUdf = udf((ids: Seq[Long]) => {
+    val s = ids.sorted
+    val n = s.length
+    val out = Array.newBuilder[(Long, Long)]
+    out.sizeHint(n * (n - 1) / 2)
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) { out += ((s(i), s(j))); j += 1 }
+      i += 1
+    }
+    out.result()
+  })
+
+  /** All (a < b) member pairs of one (lang, lb, shingle) posting bucket
+    * carrying each member's (fp, shingle-set size) — the ngramJaccard
+    * rep-pair generator. */
+  private val bucketFpPairsUdf =
+    udf((ms: Seq[org.apache.spark.sql.Row]) => {
+      val s = ms.map(r => (r.getString(0), r.getInt(1))).sortBy(_._1)
+      val n = s.length
+      val out = Array.newBuilder[(String, String, Int, Int)]
+      out.sizeHint(n * (n - 1) / 2)
+      var i = 0
+      while (i < n) {
+        var j = i + 1
+        while (j < n) {
+          out += ((s(i)._1, s(j)._1, s(i)._2, s(j)._2))
+          j += 1
+        }
+        i += 1
+      }
+      out.result()
+    })
+
+  /** The string-key twin of [[bucketIdPairsUdf]] (minhash fingerprint
+    * buckets). */
+  private val bucketStrPairsUdf = udf((ids: Seq[String]) => {
+    val s = ids.sorted
+    val n = s.length
+    val out = Array.newBuilder[(String, String)]
+    out.sizeHint(n * (n - 1) / 2)
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) { out += ((s(i), s(j))); j += 1 }
+      i += 1
+    }
+    out.result()
+  })
 
   @inline private def mix64(x0: Long): Long = {
     var x = x0
@@ -373,11 +436,14 @@ object DedupOps extends graft.QueryModule {
       .select($"fp", posexplode(minhashBandsUdf(transform($"sh", s => xxhash64(s)))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandhash")
       .select($"band", $"bandhash", $"fp")
-    val candidates = banded.select($"band", $"bandhash", $"fp".as("a_fp"))
-      .join(banded.select($"band", $"bandhash", $"fp".as("b_fp")),
-        Seq("band", "bandhash"))
-      .filter($"a_fp" < $"b_fp")
-      .select($"a_fp", $"b_fp").distinct()
+    // per-bucket map-side pair emission: a hot band bucket buffers its
+    // member fingerprints in the collect aggregate — exactly what the
+    // replaced self-join's build side buffered, never the pair
+    // cross-product (which still streams out of the explode)
+    val candidates = banded.groupBy($"band", $"bandhash")
+      .agg(collect_list($"fp").as("fps"))
+      .select(explode(bucketStrPairsUdf($"fps")).as("p"))
+      .select($"p._1".as("a_fp"), $"p._2".as("b_fp")).distinct()
     // pair side is the shuffle-hash build side: without the hint Spark
     // broadcasts the full rep shingle arrays per verify leg
     val verified = candidates.hint("shuffle_hash")
@@ -444,6 +510,15 @@ object DedupOps extends graft.QueryModule {
       posexplode(array((0 until 8).map(b =>
         shiftright($"sim", b * 8).bitwiseAND(255)): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandkey")
+    // NOTE (r17 optimization round): this one stays a codegen'd
+    // self-join ON PURPOSE. The bucket-collect + map-side pair UDF that
+    // sped up the capped/df-pruned candidate generators was tried here
+    // and measured 1.5 s → 18-21 s at sf0.1: simhash band buckets are
+    // UNCAPPED and highly correlated (synthetic near-dup text ⇒ hot
+    // 8-bit band values holding thousands of members), so the hot
+    // bucket's m² pair emission serialized through one interpreted UDF
+    // task, where the join streams the same m² rows through
+    // whole-stage-codegen'd filter across all tasks.
     val l = banded.select($"band", $"bandkey", $"doc_id".as("a_id"), $"sim".as("a_sim"))
     val r = banded.select($"band", $"bandkey", $"doc_id".as("b_id"), $"sim".as("b_sim"))
     l.join(r, Seq("band", "bandkey"))
@@ -951,10 +1026,14 @@ object DedupOps extends graft.QueryModule {
       .agg(count(lit(1)).as("df")).filter($"df" <= maxDf)
       .select($"shingle")
     val rp = post.join(rare.hint("shuffle_hash"), Seq("shingle"))
-    val cand = rp.select($"shingle", $"doc_id".as("a_id"))
-      .join(rp.select($"shingle", $"doc_id".as("b_id")), Seq("shingle"))
-      .filter($"a_id" < $"b_id")
-      .groupBy($"a_id", $"b_id").agg(count(lit(1)).as("shared_rare"))
+    // per-bucket map-side pair emission (the ngramJaccardWithCutoff
+    // candidate shape): member lists bounded by maxDf, shared-shingle
+    // count = the pair's bucket multiplicity
+    val cand = rp.groupBy($"shingle")
+      .agg(collect_list($"doc_id").as("ids"))
+      .select(explode(bucketIdPairsUdf($"ids")).as("p"))
+      .groupBy($"p._1".as("a_id"), $"p._2".as("b_id"))
+      .agg(count(lit(1)).as("shared_rare"))
       .filter($"shared_rare" >= 3)
       .select($"a_id", $"b_id")
     // exact verify: recompute the TRUE inter from the full shingle
@@ -1149,10 +1228,13 @@ object DedupOps extends graft.QueryModule {
       // Column./ is double division)
       .filter(expr("pos <= n - ((n + 1) div 2) + 1"))
       .select($"s", $"doc_id")
-    val cands = pref.select($"s", $"doc_id".as("a_id"))
-      .join(pref.select($"s", $"doc_id".as("b_id")), Seq("s"))
-      .filter($"a_id" < $"b_id")
-      .select($"a_id", $"b_id").distinct()
+    // per-bucket map-side pair emission off the prefix postings (the
+    // family candidate shape; a prefix bucket's member list is what the
+    // replaced self-join's build side buffered)
+    val cands = pref.groupBy($"s")
+      .agg(collect_list($"doc_id").as("ids"))
+      .select(explode(bucketIdPairsUdf($"ids")).as("p"))
+      .select($"p._1".as("a_id"), $"p._2".as("b_id")).distinct()
     val inter = cands
       .join(sh.select($"doc_id".as("a_id"), $"s"), Seq("a_id"))
       .join(sh.select($"doc_id".as("b_id"), $"s"), Seq("b_id", "s"))
@@ -1357,15 +1439,18 @@ object DedupOps extends graft.QueryModule {
     val rare = postings.groupBy($"lang", $"s")
       .agg(count(lit(1)).as("df")).filter($"df" <= 100)
       .select($"lang", $"s")
-    val rp = postings.join(rare, Seq("lang", "s"))
-      .select($"doc_id", $"lang", xxhash64($"s").as("h"))
-      // both candidate legs feed from one materialization (executor-loss
-      // caveat: see ngramJaccard's localCheckpoint note)
-      .localCheckpoint()
-    val cand = rp.select($"lang", $"h", $"doc_id".as("a_id"))
-      .join(rp.select($"lang", $"h", $"doc_id".as("b_id")), Seq("lang", "h"))
-      .filter($"a_id" < $"b_id")
-      .groupBy($"a_id", $"b_id").agg(count(lit(1)).as("nh"))
+    // per-bucket map-side pair emission off the df-pruned postings (the
+    // ngramJaccardWithCutoff candidate shape; the collect aggregate
+    // reuses the join's (lang, s) keying, and counting shared RAW
+    // shingles instead of shared xxhash64 posting-pair rows can only
+    // DROP collision-inflated candidates the exact verify below would
+    // have discarded anyway — final edges identical). The previous
+    // shape localCheckpointed the pruned postings and self-joined them.
+    val cand = postings.join(rare.hint("shuffle_hash"), Seq("lang", "s"))
+      .groupBy($"lang", $"s").agg(collect_list($"doc_id").as("ids"))
+      .select(explode(bucketIdPairsUdf($"ids")).as("p"))
+      .groupBy($"p._1".as("a_id"), $"p._2".as("b_id"))
+      .agg(count(lit(1)).as("nh"))
       .filter($"nh" >= 2)
       .select($"a_id", $"b_id")
     // pair side is the shuffle-hash build side: without the hint Spark

@@ -428,25 +428,29 @@ object MultimodalOps extends graft.QueryModule {
   /** Band → cap → per-bucket pair emission with in-place Hamming
     * scoring over a hashed frame — NO threshold, so every consumer
     * (dedup cutoff, threshold curve, keep-list, consensus) reads the
-    * same candidate set. The hot-bucket cap is a WINDOW count over the
-    * band partitioning (streams — a flooded bucket never materializes
-    * its member list), applied BEFORE pair generation; the surviving
-    * ≤[[BAND_CAP]]-member buckets then emit their pairs MAP-side with
-    * the full Hamming distance computed from the carried 4×16-bit
-    * hash, so the whole pipeline is TWO exchanges (band bucket, pair
-    * dedupe) — the previous census join-back + bucket self-join +
-    * two hash-lookup joins spent six. A pair colliding in several
-    * bands carries the same Hamming everywhere; min() is that value. */
+    * same candidate set. The hot-bucket cap is the map-side-combined
+    * census + shuffle-hash join-back (the ngramJaccardWithCutoff
+    * df-prune discipline: a flooded bucket contributes one partial row
+    * per mapper and its members STREAM through the join probe and
+    * drop — a window count would sort the whole flood on one task);
+    * the surviving ≤[[BAND_CAP]]-member buckets collect their members
+    * (partition-preserving — the join left them keyed by (band, v))
+    * and emit their pairs MAP-side with the full Hamming distance
+    * computed from the carried 4×16-bit hash, so nothing ever joins
+    * back to the hash table. The previous shape spent a bucket
+    * self-join + two hash-lookup joins + a distinct on the same work.
+    * A pair colliding in several bands carries the same Hamming
+    * everywhere; min() is that value. */
   private[llm] def phashPairsFromHashed(hashed: DataFrame): DataFrame = {
     import hashed.sparkSession.implicits._
     val bands = hashed
       .select($"doc_id", $"s0", $"s1", $"s2", $"s3",
         posexplode(array($"s0", $"s1", $"s2", $"s3")))
       .toDF("doc_id", "s0", "s1", "s2", "s3", "band", "v")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"band", $"v")
-    bands.withColumn("n", count(lit(1)).over(w))
-      .filter($"n" <= BAND_CAP)
+    val uncapped = bands.groupBy($"band", $"v")
+      .agg(count(lit(1)).as("n")).filter($"n" <= BAND_CAP)
+      .select($"band", $"v")
+    bands.join(uncapped.hint("shuffle_hash"), Seq("band", "v"))
       .groupBy($"band", $"v")
       .agg(collect_list(array($"doc_id", $"s0", $"s1", $"s2", $"s3"))
         .as("ms"))
@@ -679,14 +683,13 @@ object MultimodalOps extends graft.QueryModule {
       .select($"doc_id", posexplode(
         array($"e0", $"e1", $"e2", $"e3", $"e4", $"e5", $"e6", $"e7")))
       .toDF("doc_id", "band", "energy")
-    // window-count cap (streams past flooded buckets) + map-side
-    // per-bucket pair emission: TWO exchanges where the census
-    // join-back + bucket self-join spent five — see
+    // census cap (map-side combined; flooded buckets stream through the
+    // join probe and drop) + map-side per-bucket pair emission — see
     // [[phashPairsFromHashed]] for the full argument.
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"band", $"energy")
-    bands.withColumn("n", count(lit(1)).over(w))
-      .filter($"n" <= BAND_CAP)
+    val uncapped = bands.groupBy($"band", $"energy")
+      .agg(count(lit(1)).as("n")).filter($"n" <= BAND_CAP)
+      .select($"band", $"energy")
+    bands.join(uncapped.hint("shuffle_hash"), Seq("band", "energy"))
       .groupBy($"band", $"energy")
       .agg(collect_list($"doc_id").as("ids"))
       .select(explode(bucketIdPairsUdf($"ids")).as("p"))
@@ -884,13 +887,13 @@ object MultimodalOps extends graft.QueryModule {
   private def videoPairsFromHashed(hashed: DataFrame): DataFrame = {
     import hashed.sparkSession.implicits._
     val key = Seq("pos", "s0", "s1", "s2", "s3")
-    // window-count cap + map-side per-bucket pair emission: TWO
-    // exchanges where the census join-back + bucket self-join spent
-    // five — see [[phashPairsFromHashed]] for the full argument.
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(key.map(col): _*)
-    hashed.withColumn("n", count(lit(1)).over(w))
-      .filter($"n" <= BAND_CAP)
+    // census cap (map-side combined; flooded buckets stream through the
+    // join probe and drop) + map-side per-bucket pair emission — see
+    // [[phashPairsFromHashed]] for the full argument.
+    val uncapped = hashed.groupBy(key.map(col): _*)
+      .agg(count(lit(1)).as("n")).filter($"n" <= BAND_CAP)
+      .select(key.map(col): _*)
+    hashed.join(uncapped.hint("shuffle_hash"), key)
       .groupBy(key.map(col): _*)
       .agg(collect_list($"doc_id").as("ids"))
       .select(explode(bucketIdPairsUdf($"ids")).as("p"))

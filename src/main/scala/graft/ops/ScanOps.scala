@@ -449,6 +449,11 @@ object ScanOps extends graft.QueryModule {
         expr(s"shiftright(${mortonSpark("p8", "s8")}, 10)"))
       .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey",
         $"zbucket")
+      // the clustering exchange the scaladoc promises: without it every
+      // scan task writes its own file per touched cell (tasks×64 small
+      // files); clustered, the layout is one file set per cell and the
+      // stats read-back opens 64 files instead of hundreds
+      .repartition($"zbucket")
       .write.mode("overwrite").partitionBy("zbucket").parquet(path)
     spark.read.parquet(path)
       .groupBy($"zbucket".cast("long").as("zbucket"))

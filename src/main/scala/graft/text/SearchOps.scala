@@ -159,7 +159,10 @@ object SearchOps extends graft.QueryModule {
   def hybridRrf(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val bm = bm25TopK(spark, sfDir) // (rank, doc_id, score): 20 rows
+    // pinned: the 20-row keyword leg feeds BOTH the PRF seed collect and
+    // the final fusion join — without the pin the whole BM25 subplan
+    // (postings, pivot, top-k) executes once per consumer
+    val bm = bm25TopK(spark, sfDir).localCheckpoint()
     val emb = graft.Tables.embeddings(spark, sfDir)
       .select($"vec_id", transform($"embedding",
         x => floor(x.cast("double") * 1000.0).cast("long")).as("qv"))
