@@ -156,9 +156,6 @@ object GraphOps extends graft.QueryModule {
     * a tight JVM loop (the higher-order-function spelling is a
     * CodegenFallback and re-inlines the array per element — the
     * documented O(n²)-tree trap) */
-  private[llm] def scratchBasketPairs(c: org.apache.spark.sql.Column)
-      : org.apache.spark.sql.Column = basketPairsUdf(c)
-
   private val basketPairsUdf =
     udf((items: Seq[Long]) => {
       val n = items.length

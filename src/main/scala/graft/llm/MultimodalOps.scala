@@ -674,9 +674,6 @@ object MultimodalOps extends graft.QueryModule {
   /** Unthresholded audio candidate pairs: (band, exact energy) bucket
     * join under the hot-bucket cap, scored by the NUMBER of equal
     * bands — consumers apply their own ≥6 cutoff. */
-  private[llm] def scratchAudioPairs(frame: DataFrame): DataFrame =
-    audioPairsFromEnergy(frame)
-
   private def audioPairsFromEnergy(frame: DataFrame): DataFrame = {
     import frame.sparkSession.implicits._
     val bands = frame
