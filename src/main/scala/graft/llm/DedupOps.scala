@@ -131,16 +131,24 @@ object DedupOps extends graft.QueryModule {
         first($"sz").as("sz"), first($"sh").as("sh"))
     val postings = reps.select($"fp", $"lang", $"lb", $"sz",
       explode($"sh").as("shingle"))
-    // per-bucket map-side pair emission (the candidate-generation shape
-    // shared across this family): a posting bucket collects its member
-    // (fp, sz) list — what the replaced self-join's build side already
-    // buffered — and emits its (a<b) pairs in a JVM loop; shared-shingle
-    // count is then the pair's bucket multiplicity
-    val repPairs = postings.groupBy($"lang", $"lb", $"shingle")
-      .agg(collect_list(struct($"fp", $"sz")).as("ms"))
-      .select(explode(bucketFpPairsUdf($"ms")).as("p"))
-      .groupBy($"p._1".as("a_fp"), $"p._2".as("b_fp"),
-        $"p._3".as("a_sz"), $"p._4".as("b_sz"))
+    // candidate rep pairs via the codegen'd posting SELF-JOIN, not the
+    // bucket-collect pair UDF (r18): these (lang, lb, shingle) buckets
+    // are UNCAPPED — exact-dup collapse bounds nothing here, a
+    // boilerplate shingle shared by many distinct-text docs floods its
+    // bucket at corpus scale, and the r17 bucket-collect buffered that
+    // bucket's full member list in ONE non-spillable aggregation buffer
+    // and emitted its m² pairs from ONE interpreted-UDF task (the
+    // measured simhash failure mode, 1.5→18-21 s). The join streams the
+    // same pairs through whole-stage codegen across tasks and spills;
+    // its bucket-collect sf0.1 edge (~0.2 s) was inside the ambient
+    // band. Shared-shingle count = the pair's join multiplicity.
+    val pa = postings.select($"lang", $"lb", $"shingle",
+      $"fp".as("a_fp"), $"sz".as("a_sz"))
+    val pb = postings.select($"lang", $"lb", $"shingle",
+      $"fp".as("b_fp"), $"sz".as("b_sz"))
+    val repPairs = pa.join(pb, Seq("lang", "lb", "shingle"))
+      .filter($"a_fp" < $"b_fp")
+      .groupBy($"a_fp", $"b_fp", $"a_sz", $"b_sz")
       .agg(count(lit(1)).as("inter"))
       .withColumn("jaccard", $"inter".cast("double") /
         ($"a_sz" + $"b_sz" - $"inter").cast("double"))
@@ -302,53 +310,30 @@ object DedupOps extends graft.QueryModule {
   private val K = 63
   private val BANDS = 21
 
+  /** Bucket-collect routing cap (r18): a candidate bucket with more
+    * members than this must use the codegen'd self-join, never
+    * collect_list + [[bucketIdPairsUdf]] — the collect buffers the full
+    * member list in ONE non-spillable aggregation buffer and the UDF
+    * materializes the full C(m,2) pair array on ONE task's heap (the
+    * measured simhash failure mode, 1.5→18-21 s at sf0.1). 128 members
+    * ⇒ ≤ 8 128 pairs ≈ 130 KB per emitted array — far under task
+    * memory, and small enough that the interpreted UDF stays cheaper
+    * than the join's shuffle. */
+  private val BucketCollectCap = 128
+
   /** All (a < b) doc-id pairs of one posting bucket's member list,
     * emitted MAP-side from the bucket aggregate — replaces the posting
-    * self-join in the candidate generators. Memory per bucket equals
-    * what the shuffle-hash self-join's build side already buffered
-    * (the member list, never the pair cross-product); df-capped paths
-    * bound it at maxDf. */
+    * self-join in the candidate generators for BOUNDED buckets only.
+    * CONTRACT: every call site must bound the bucket's membership
+    * (df-prune ≤ maxDf, or the [[BucketCollectCap]] routing split) —
+    * the returned pair array is materialized whole on the task heap,
+    * so an uncapped hot bucket is a single-task O(m²) allocation (and
+    * sizeHint overflows Int at m ≥ 65 536). Uncapped candidate streams
+    * keep the self-join (see the simhash/minhash rule below). */
   private val bucketIdPairsUdf = udf((ids: Seq[Long]) => {
     val s = ids.sorted
     val n = s.length
     val out = Array.newBuilder[(Long, Long)]
-    out.sizeHint(n * (n - 1) / 2)
-    var i = 0
-    while (i < n) {
-      var j = i + 1
-      while (j < n) { out += ((s(i), s(j))); j += 1 }
-      i += 1
-    }
-    out.result()
-  })
-
-  /** All (a < b) member pairs of one (lang, lb, shingle) posting bucket
-    * carrying each member's (fp, shingle-set size) — the ngramJaccard
-    * rep-pair generator. */
-  private val bucketFpPairsUdf =
-    udf((ms: Seq[org.apache.spark.sql.Row]) => {
-      val s = ms.map(r => (r.getString(0), r.getInt(1))).sortBy(_._1)
-      val n = s.length
-      val out = Array.newBuilder[(String, String, Int, Int)]
-      out.sizeHint(n * (n - 1) / 2)
-      var i = 0
-      while (i < n) {
-        var j = i + 1
-        while (j < n) {
-          out += ((s(i)._1, s(j)._1, s(i)._2, s(j)._2))
-          j += 1
-        }
-        i += 1
-      }
-      out.result()
-    })
-
-  /** The string-key twin of [[bucketIdPairsUdf]] (minhash fingerprint
-    * buckets). */
-  private val bucketStrPairsUdf = udf((ids: Seq[String]) => {
-    val s = ids.sorted
-    val n = s.length
-    val out = Array.newBuilder[(String, String)]
     out.sizeHint(n * (n - 1) / 2)
     var i = 0
     while (i < n) {
@@ -436,14 +421,22 @@ object DedupOps extends graft.QueryModule {
       .select($"fp", posexplode(minhashBandsUdf(transform($"sh", s => xxhash64(s)))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandhash")
       .select($"band", $"bandhash", $"fp")
-    // per-bucket map-side pair emission: a hot band bucket buffers its
-    // member fingerprints in the collect aggregate — exactly what the
-    // replaced self-join's build side buffered, never the pair
-    // cross-product (which still streams out of the explode)
-    val candidates = banded.groupBy($"band", $"bandhash")
-      .agg(collect_list($"fp").as("fps"))
-      .select(explode(bucketStrPairsUdf($"fps")).as("p"))
-      .select($"p._1".as("a_fp"), $"p._2".as("b_fp")).distinct()
+    // candidate pairs via the codegen'd BAND SELF-JOIN, not the
+    // bucket-collect pair UDF (r18, settling the r17 regression): the
+    // collect variant added two exchanges (the groupBy(band,bandhash)
+    // aggregate where the broadcast join needed none, plus the collect's
+    // own partial/final split) and measured +0.4 s at sf0.1 in both r17
+    // final runs. Band buckets are also UNCAPPED here — dup-cluster-sized
+    // on real corpora, so a hot band value would buffer its full member
+    // list in one aggregation buffer and emit m² pairs from one task
+    // through an interpreted UDF (the measured simhash failure mode,
+    // 1.5→18-21 s), where the join streams the same pairs through
+    // whole-stage codegen across tasks. Same rule as simhash :515.
+    val candidates = banded.select($"band", $"bandhash", $"fp".as("a_fp"))
+      .join(banded.select($"band", $"bandhash", $"fp".as("b_fp")),
+        Seq("band", "bandhash"))
+      .filter($"a_fp" < $"b_fp")
+      .select($"a_fp", $"b_fp").distinct()
     // pair side is the shuffle-hash build side: without the hint Spark
     // broadcasts the full rep shingle arrays per verify leg
     val verified = candidates.hint("shuffle_hash")
@@ -519,6 +512,14 @@ object DedupOps extends graft.QueryModule {
     // bucket's m² pair emission serialized through one interpreted UDF
     // task, where the join streams the same m² rows through
     // whole-stage-codegen'd filter across all tasks.
+    // r18 UPDATE — the rule, settled across the family: bucket-collect
+    // pair emission is ONLY for buckets with a hard membership bound
+    // (df-pruned ≤ maxDf, or an explicit census cap); every uncapped
+    // band/bucket keeps the self-join. minhashPairs confirmed it from
+    // the other direction: its r17 bucket-collect variant REGRESSED
+    // (1.27 → 1.68-1.76 s, Exchange 20→22) and was reverted to this
+    // same self-join shape. prefixFilterJaccard splits on df at
+    // BucketCollectCap and routes flooded buckets to the join.
     val l = banded.select($"band", $"bandkey", $"doc_id".as("a_id"), $"sim".as("a_sim"))
     val r = banded.select($"band", $"bandkey", $"doc_id".as("b_id"), $"sim".as("b_sim"))
     l.join(r, Seq("band", "bandkey"))
@@ -1227,14 +1228,30 @@ object DedupOps extends graft.QueryModule {
       // p = n − ceil(0.5·n) + 1, in pure integers (div, not `/` —
       // Column./ is double division)
       .filter(expr("pos <= n - ((n + 1) div 2) + 1"))
-      .select($"s", $"doc_id")
-    // per-bucket map-side pair emission off the prefix postings (the
-    // family candidate shape; a prefix bucket's member list is what the
-    // replaced self-join's build side buffered)
-    val cands = pref.groupBy($"s")
-      .agg(collect_list($"doc_id").as("ids"))
+      .select($"s", $"doc_id", $"df")
+      // feeds the small-bucket collect AND both hot-bucket join legs —
+      // pin it so the rank window isn't recomputed per consumer
+      .localCheckpoint()
+    // per-bucket map-side pair emission for df-BOUNDED buckets only
+    // (guide §2.3 skew guard, r18): a bucket hotter than
+    // BucketCollectCap falls back to the streamed codegen'd self-join,
+    // so no aggregation buffer ever holds an unbounded member list and
+    // no single task ever emits an unbounded m² pair array (the
+    // measured simhash failure mode). df — the shingle's FULL posting
+    // count, an upper bound on its prefix-bucket membership — is
+    // already joined in, so routing costs no extra pass; a bucket goes
+    // entirely to one branch, so the union introduces no new dups and
+    // the candidate SET is exactly what one unsplit pass emits.
+    val small = pref.filter($"df" <= BucketCollectCap)
+      .groupBy($"s").agg(collect_list($"doc_id").as("ids"))
       .select(explode(bucketIdPairsUdf($"ids")).as("p"))
-      .select($"p._1".as("a_id"), $"p._2".as("b_id")).distinct()
+      .select($"p._1".as("a_id"), $"p._2".as("b_id"))
+    val hotPref = pref.filter($"df" > BucketCollectCap)
+    val hot = hotPref.select($"s", $"doc_id".as("a_id"))
+      .join(hotPref.select($"s", $"doc_id".as("b_id")), Seq("s"))
+      .filter($"a_id" < $"b_id")
+      .select($"a_id", $"b_id")
+    val cands = small.union(hot).distinct()
     val inter = cands
       .join(sh.select($"doc_id".as("a_id"), $"s"), Seq("a_id"))
       .join(sh.select($"doc_id".as("b_id"), $"s"), Seq("b_id", "s"))

@@ -291,19 +291,26 @@ object GraphOps extends graft.QueryModule {
     var edges = edges0
     // fixpoint early-exit: the peel only REMOVES edges, so an unchanged
     // edge count after a round means no node fell below K and every
-    // later round is a no-op — same result, fewer jobs (the fixture
-    // stabilizes by round 5; the count is nearly free on the frame the
-    // checkpoint just materialized). Rounds stays the proven budget.
-    var nEdges = edges.count()
+    // later round is a no-op — same result, fewer jobs. r18 trims the
+    // check's own cost (the r17 shape's per-round count()s made kcore a
+    // net LOSS at sf0.1, 2.56→2.7-3.0 s, for a clear sf1 win): no
+    // baseline count before the loop, and no counting in rounds 1-2 —
+    // a peel that stabilizes that early would have found its 2-core in
+    // two rounds, and a wasted check there costs more than it can ever
+    // save (the fixture stabilizes at round 5; Wave13gSpec proves the
+    // 8-round budget = fixpoint regardless of when the exit fires).
+    var nEdges = -1L
     var stable = false
-    for (_ <- 1 to Rounds if !stable) {
+    for (r <- 1 to Rounds if !stable) {
       val keep = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
         .filter($"deg" >= K).select($"src")
       edges = edges.join(keep, Seq("src"))
         .join(keep.withColumnRenamed("src", "dst"), Seq("dst"))
         .select($"src", $"dst").localCheckpoint() // per-round truncation
-      val n2 = edges.count()
-      if (n2 == nEdges) stable = true else nEdges = n2
+      if (r >= 3) {
+        val n2 = edges.count() // near-free: the frame was just pinned
+        if (n2 == nEdges) stable = true else nEdges = n2
+      }
     }
     edges.groupBy($"src").agg(count(lit(1)).as("core_deg"))
       .select($"src".as("item"), $"core_deg")

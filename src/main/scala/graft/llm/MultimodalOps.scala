@@ -556,10 +556,22 @@ object MultimodalOps extends graft.QueryModule {
     * the one file scan dedup must pay. */
   def imagePhashDedupFiles(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    // the rewritten pair pipeline consumes the hash frame exactly once
-    // (the Hamming score travels with the band rows), so the decode
-    // pass streams straight into the band shuffle — no checkpoint
+    // the pair pipeline consumes the hash frame TWICE — its band rows
+    // feed both the census aggregate and the capped join probe — so
+    // without a pin the binaryFile scan + ImageIO decode execute as two
+    // independent subtrees (r17's "exactly once" comment was wrong; the
+    // r17 after-plan shows two Scan binaryFile branches). Pin the
+    // NARROW post-decode frame (doc_id + 4 shorts) so the media corpus
+    // is listed, read and decoded once — at corpus scale the doubled
+    // object-store pass dominates everything downstream. coalesce to
+    // one partition per core first: the binaryFile scan of N tiny
+    // objects yields ~N/32 near-empty splits (openCostInBytes charges
+    // 4 MB per ~2 KB file), and the collapse makes the single decode
+    // pass run in core-sized tasks and the checkpoint store core-count
+    // blocks (measured on the audio twin: sf0.1 2.9→2.2 s, sf1
+    // 25.1→12.7 s vs the unpinned double-scan shape).
     val hashed = imageHashedFromFiles(spark, sfDir)
+      .coalesce(spark.sparkContext.defaultParallelism).localCheckpoint()
     phashPairsFromHashed(hashed)
       .select($"doc_a", $"doc_b", $"hamming",
         ($"doc_b" === $"doc_a" + 1 && $"doc_b" % 10 === 1).as("planted"))
@@ -803,9 +815,16 @@ object MultimodalOps extends graft.QueryModule {
         (docId, e(0), e(1), e(2), e(3), e(4), e(5), e(6), e(7))
       }
     }.toDF("doc_id", "e0", "e1", "e2", "e3", "e4", "e5", "e6", "e7")
-    // single consumer after the pair rewrite — the decode pass streams
-    // straight into the band shuffle, no checkpoint needed
-    audioPairsFromEnergy(energy)
+    // the pair pipeline reads the energy frame twice (census + capped
+    // join probe) — pin the narrow post-decode frame so the WAV corpus
+    // is scanned and decoded once (see imagePhashDedupFiles). coalesce
+    // first: the binaryFile scan of N tiny objects yields ~N/32 splits
+    // (openCostInBytes charges 4 MB per ~2 KB file), so the checkpoint
+    // would otherwise store hundreds of near-empty blocks and the
+    // downstream exchange launch as many near-empty tasks; one narrow
+    // partition per core is right at any scale.
+    audioPairsFromEnergy(energy
+      .coalesce(spark.sparkContext.defaultParallelism).localCheckpoint())
       .filter($"n_equal_bands" >= 6)
       .select($"doc_a", $"doc_b", $"n_equal_bands",
         ($"doc_b" === $"doc_a" + 1 && $"doc_b" % 10 === 1).as("planted"))
@@ -874,7 +893,11 @@ object MultimodalOps extends graft.QueryModule {
         (docId, pos, b(0), b(1), b(2), b(3))
       }
     }.toDF("doc_id", "pos", "s0", "s1", "s2", "s3")
-    videoPairsFromHashed(hashed)
+    // pair pipeline reads the hash frame twice (census + capped join
+    // probe): pin it so the 8-PNG-per-doc render + decode — the triad's
+    // most expensive codec pass — runs once, not twice
+    videoPairsFromHashed(hashed
+      .coalesce(spark.sparkContext.defaultParallelism).localCheckpoint())
   }
 
   /** (position, full hash) bucket join under the hot-bucket cap over
@@ -1085,7 +1108,12 @@ object MultimodalOps extends graft.QueryModule {
         (docId, pos, b(0), b(1), b(2), b(3))
       }
     }.toDF("doc_id", "pos", "s0", "s1", "s2", "s3")
-    videoPairsFromHashed(hashed)
+    // the pair pipeline reads the hash frame twice (census + capped
+    // join probe) — pin the narrow post-decode frame, coalesced to one
+    // partition per core, so the frame tree is scanned and decoded
+    // once in core-sized tasks (see imagePhashDedupFiles)
+    videoPairsFromHashed(hashed
+      .coalesce(spark.sparkContext.defaultParallelism).localCheckpoint())
       .filter($"n_frames_equal" >= 3)
       .select($"doc_a", $"doc_b", $"n_frames_equal",
         ($"doc_b" === $"doc_a" + 1 && $"doc_b" % 10 === 1).as("planted"))

@@ -36,12 +36,25 @@ object StreamOps extends graft.QueryModule {
 
   /** Run `body` (a stream definition + start + awaitTermination) with
     * the session's shuffle partitions pinned to the stream budget,
-    * restoring the caller's value afterwards. */
+    * restoring the caller's value afterwards.
+    *
+    * SCOPE CAVEAT: spark.sql.shuffle.partitions is session-global, so
+    * anything else planned on this session inside the span (including
+    * this stream's own foreachBatch batch jobs — intended) plans with
+    * the stream budget. The bench/verify harness runs queries strictly
+    * sequentially, so nothing unrelated can land in the span; the
+    * depth counter below makes nested/overlapping spans restore the
+    * OUTERMOST caller's value instead of an inner pinned one. */
+  private val streamConfDepth = new java.util.concurrent.atomic.AtomicInteger(0)
   private[graft] def withStreamPartitions[A](spark: SparkSession)(body: => A): A = {
     val key = "spark.sql.shuffle.partitions"
+    val outermost = streamConfDepth.getAndIncrement() == 0
     val prev = spark.conf.get(key)
-    spark.conf.set(key, streamShufflePartitions)
-    try body finally spark.conf.set(key, prev)
+    if (outermost) spark.conf.set(key, streamShufflePartitions)
+    try body finally {
+      if (outermost) spark.conf.set(key, prev)
+      streamConfDepth.decrementAndGet()
+    }
   }
 
   /** Tumbling 15-minute windows: count + exact sum per (window, type). */
@@ -86,7 +99,9 @@ object StreamOps extends graft.QueryModule {
     * the nanos-long and the TIMESTAMP_NTZ physical forms of events.ts). */
   private def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     graft.Tables.events(spark, sfDir) // sets the nanosAsLong conf
-    val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    // raw (pre-normalization) schema through the Tables schema cache —
+    // no per-stream-query footer re-read
+    val rawSchema = graft.Tables.table(spark, sfDir, "events").schema
     // two fixture layouts exist: the driver's single FILE
     // events.parquet (stream the parent dir, glob on the file name —
     // pathGlobFilter matches LEAF names, so it would see zero files

@@ -27,12 +27,14 @@ import org.apache.spark.sql.functions._
   *     report.
   *
   * Scale discipline (100 TB):
-  *  - Co-occurrence pairs come from OFFSET-SHIFTED EQUI-JOINS on
-  *    (doc_id, pos): one shifted copy per offset, each joined back to
-  *    the token stream. Linear in corpus size × window width — never a
-  *    per-doc quadratic range-join (a doc_id-only join with a position
-  *    filter degenerates to O(len²) per doc, fatal on book-length
-  *    docs).
+  *  - Co-occurrence pairs are emitted MAP-SIDE from each doc's own
+  *    token array by a tight JVM UDF ([[windowPairsUdf]] /
+  *    [[bigramsUdf]]) — linear in corpus size × window width, zero
+  *    corpus-sized exchanges (the r17 rewrite; the earlier
+  *    offset-shifted equi-join paid two corpus shuffles to pair tokens
+  *    adjacent in the SAME array). Never a per-doc quadratic
+  *    range-join (a doc_id-only join with a position filter
+  *    degenerates to O(len²) per doc, fatal on book-length docs).
   *  - All model tables (pair counts, context counts, vocab) are
   *    token-keyed distributed aggregates; corpus totals are broadcast
   *    1-row aggregates over those tables (no second corpus scan).
@@ -58,39 +60,46 @@ object CooccurOps extends graft.QueryModule {
       .select($"doc_id", ($"p0" + 1).as("pos"), $"tok")
   }
 
-  /** Forward co-occurrence instances (a at pos, b at pos+o, o ∈ [1,W])
-    * via offset-shifted equi-joins — the linear-cost pair generator. */
   /** all (tok_i, tok_{i+o}) window-pair instances of one doc's token
     * sequence, o = 1..[[Window]], emitted MAP-side — the offset-shifted
     * union + (doc_id, pos) shuffle join this replaces paid two corpus
-    * exchanges to pair tokens that sit adjacent in the SAME array. */
+    * exchanges to pair tokens that sit adjacent in the SAME array.
+    * Null-guarded: split(null) hands the UDF a null Seq, and the old
+    * posexplode shape silently emitted no rows for null docs — this
+    * must match. */
   private val windowPairsUdf =
     udf((toks: Seq[String]) => {
-      val n = toks.length
-      val out = Array.newBuilder[(String, String)]
-      out.sizeHint(n * Window)
-      var i = 0
-      while (i < n) {
-        var o = 1
-        while (o <= Window && i + o < n) {
-          out += ((toks(i), toks(i + o)))
-          o += 1
+      if (toks == null) Array.empty[(String, String)]
+      else {
+        val n = toks.length
+        val out = Array.newBuilder[(String, String)]
+        out.sizeHint(n * Window)
+        var i = 0
+        while (i < n) {
+          var o = 1
+          while (o <= Window && i + o < n) {
+            out += ((toks(i), toks(i + o)))
+            o += 1
+          }
+          i += 1
         }
-        i += 1
+        out.result()
       }
-      out.result()
     })
 
   /** ordered adjacent (tok_i, tok_{i+1}) instances of one doc — the
-    * bigram twin of [[windowPairsUdf]]. */
+    * bigram twin of [[windowPairsUdf]], same null guard. */
   private val bigramsUdf =
     udf((toks: Seq[String]) => {
-      val n = toks.length
-      val out = Array.newBuilder[(String, String)]
-      if (n > 1) out.sizeHint(n - 1)
-      var i = 0
-      while (i + 1 < n) { out += ((toks(i), toks(i + 1))); i += 1 }
-      out.result()
+      if (toks == null) Array.empty[(String, String)]
+      else {
+        val n = toks.length
+        val out = Array.newBuilder[(String, String)]
+        if (n > 1) out.sizeHint(n - 1)
+        var i = 0
+        while (i + 1 < n) { out += ((toks(i), toks(i + 1))); i += 1 }
+        out.result()
+      }
     })
 
   private def pairInstances(spark: SparkSession, sfDir: String): DataFrame = {
