@@ -26,9 +26,12 @@ object EvalOps extends graft.QueryModule {
     * once into the per-pair win matrix, and 6 fixed MM rounds iterate
     * p_i ← W_i / Σ_j n_ij/(p_i+p_j). Ratings are scale-free, so
     * normalization happens ONCE at readout (divide by the mean) — no
-    * per-round scalar frame. Scale: the duel self-join is per-order
-    * (≤ C(7,2) pairs each), the win matrix is bounded by the supplier
-    * domain squared (observed pairs only), and every MM round joins
+    * per-round scalar frame. Scale: duels are emitted MAP-side per
+    * order bucket (≤ C(7,2) pairs each, [[orderDuelsUdf]] — r18
+    * replaced the (l_orderkey) shuffle self-join; one lineitem
+    * exchange instead of two plus the join), the win matrix is bounded
+    * by the supplier domain squared (observed pairs only), and every MM
+    * round joins
     * that matrix to the ≤|supplier| rating frame (broadcast) — round
     * count is constant, each round localCheckpointed to cut lineage
     * (the kcore discipline), COALESCED to 1 partition first: the frame
@@ -53,21 +56,51 @@ object EvalOps extends graft.QueryModule {
     * catalog-bounded domains like suppliers; for an unbounded domain
     * past spark.sql.autoBroadcastJoinThreshold, drop the broadcast()
     * hints and let the rating join shuffle on s/o instead. */
+  /** All (si < sj, wi, wj) duels of ONE order's line list, emitted
+    * MAP-side (r18): per-supplier exact-cents totals are summed inside
+    * the bucket and tie pairs dropped — replaces the (l_orderkey)
+    * shuffle self-join, whose both legs re-exchanged the per-order
+    * aggregate. The bucket is the ORDER (≤7 lineitems in the TPC-H
+    * shape — a hard domain bound, the bucket-collect contract), so
+    * memory per bucket is the line list, never a cross-product. */
+  private val orderDuelsUdf =
+    udf((ms: Seq[org.apache.spark.sql.Row]) => {
+      val tot = new java.util.TreeMap[Long, Long]()
+      ms.foreach { r =>
+        tot.merge(r.getLong(0), r.getLong(1), (a, b) => a + b)
+      }
+      val n = tot.size
+      val sk = new Array[Long](n); val tv = new Array[Long](n)
+      var i = 0
+      val it = tot.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next(); sk(i) = e.getKey; tv(i) = e.getValue; i += 1
+      }
+      val out = Array.newBuilder[(Long, Long, Long, Long)]
+      var a = 0
+      while (a < n) {
+        var b = a + 1
+        while (b < n) {
+          if (tv(a) != tv(b))
+            out += ((sk(a), sk(b),
+              if (tv(a) > tv(b)) 1L else 0L, if (tv(b) > tv(a)) 1L else 0L))
+          b += 1
+        }
+        a += 1
+      }
+      out.result()
+    })
+
   def bradleyTerry(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val per = graft.Tables.lineitem(spark, sfDir)
-      .select($"l_orderkey", $"l_suppkey",
-        expr("cast(cast(l_extendedprice as decimal(14,2))*100 as bigint)")
-          .as("cents"))
-      .groupBy($"l_orderkey", $"l_suppkey")
-      .agg(sum($"cents").as("tot"))
-    val duels = per.as("a").join(per.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_suppkey") < col("b.l_suppkey") &&
-          col("a.tot") =!= col("b.tot"))
-      .select(col("a.l_suppkey").as("si"), col("b.l_suppkey").as("sj"),
-        when(col("a.tot") > col("b.tot"), 1L).otherwise(0L).as("wi"),
-        when(col("b.tot") > col("a.tot"), 1L).otherwise(0L).as("wj"))
+    val duels = graft.Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", struct($"l_suppkey".cast("long"),
+        expr("cast(cast(l_extendedprice as decimal(14,2))*100 as bigint)"))
+        .as("m"))
+      .groupBy($"l_orderkey").agg(collect_list($"m").as("ms"))
+      .select(explode(orderDuelsUdf($"ms")).as("d"))
+      .select($"d._1".as("si"), $"d._2".as("sj"),
+        $"d._3".as("wi"), $"d._4".as("wj"))
     // win matrix over observed supplier pairs — bounded by the supplier
     // domain squared; reused every MM round, so pin it once
     val pairs = duels.groupBy($"si", $"sj")
