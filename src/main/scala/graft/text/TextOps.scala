@@ -762,25 +762,51 @@ object TextOps extends graft.QueryModule {
     * text ⇒ identical word multiset ⇒ identical score, so the
     * cross-doc collapse can take max(score) without ambiguity).
     *
-    * Scale: one narrow posexplode; the segmentation window and the
-    * phrase-length window are PARTITIONED BY doc (pid) — never keyless
-    * over the corpus; word stats are one hash aggregation over
-    * candidate occurrences; the final top-20 is a
-    * TakeOrderedAndProject heap. Linear in corpus tokens end to end. */
+    * Scale: segmentation and phrase lengths are emitted MAP-side from
+    * each doc's own token array ([[rakeSegUdf]], r18 — the previous
+    * shape paid a corpus exchange + two per-doc window sorts for
+    * values derivable from the array in one pass); word stats are one
+    * hash aggregation over candidate occurrences; the final top-20 is
+    * a TakeOrderedAndProject heap. Linear in corpus tokens end to
+    * end. */
+  /** (pid, pos, tok, phrase_len) of every CANDIDATE (non-stopword)
+    * token of one doc, emitted map-side: pid = number of stopword
+    * delimiters before the token (the running sum(is_stop) the
+    * replaced window computed), plen = the token count of its maximal
+    * stopword-free run. Null-guarded like the co-occurrence UDFs. */
+  private val rakeSegUdf = udf((toks: Seq[String]) => {
+    if (toks == null) Array.empty[(Long, Int, String, Long)]
+    else {
+      val stop = Stopwords.tokenSet
+      val n = toks.length
+      val isStop = new Array[Boolean](n)
+      val pid = new Array[Long](n)
+      val plen = new java.util.HashMap[Long, Long]()
+      var cur = 0L
+      var i = 0
+      while (i < n) {
+        val s = stop.contains(toks(i)); isStop(i) = s
+        if (s) cur += 1L
+        else { pid(i) = cur; plen.merge(cur, 1L, (a, b) => a + b) }
+        i += 1
+      }
+      val out = Array.newBuilder[(Long, Int, String, Long)]
+      out.sizeHint(n)
+      i = 0
+      while (i < n) {
+        if (!isStop(i)) out += ((pid(i), i, toks(i), plen.get(pid(i))))
+        i += 1
+      }
+      out.result()
+    }
+  })
+
   def rake(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val wDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy($"doc_id").orderBy($"pos") // per-doc, scale-safe
-    val wPhrase = org.apache.spark.sql.expressions.Window
-      .partitionBy($"doc_id", $"pid")
-    val toks = graft.Tables.documents(spark, sfDir)
-      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "tok")))
-      .withColumn("is_stop",
-        $"tok".isin(Stopwords.tokensOnly: _*).cast("long"))
-    val seg = toks
-      .withColumn("pid", sum($"is_stop").over(wDoc))
-      .filter($"is_stop" === 0L) // candidate words only
-      .withColumn("plen", count(lit(1)).over(wPhrase))
+    val seg = graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", explode(rakeSegUdf(split($"text", " "))).as("s"))
+      .select($"doc_id", $"s._1".as("pid"), $"s._2".as("pos"),
+        $"s._3".as("tok"), $"s._4".as("plen"))
     val wordstats = seg.groupBy($"tok")
       .agg(count(lit(1)).as("freq"), sum($"plen").as("deg"))
     val phrases = seg.join(wordstats, Seq("tok"))
