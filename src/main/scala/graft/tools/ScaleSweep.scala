@@ -116,7 +116,12 @@ object ScaleSweep {
         "fan-out, cells bounded — no all-pairs side"),
     ("q_dedup_ngram_jaccard", 1.0,
       "rep-collapsed postings join; within-shard shingle df preserved " +
-        "by the shard-independent synth"))
+        "by the shard-independent synth"),
+    // round-18 wave: the r17-verdict fix target joins the sweep with
+    // its settled self-join candidate stage
+    ("q_dedup_minhash_lsh", 1.0,
+      "rep-collapsed 21-band self-join candidates ~ linear on the " +
+        "shard-independent synth; exact jaccard verify on reps"))
 
   private val Off = 1000000000L // replica key offset; > any sf1 key
 
